@@ -1,13 +1,27 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{MlOps, PipelineOps, Relational, TextPipeline}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * `queries` is the union of the declared-query modules; every entry with a
+  * SQL-expressible semantics also appears in `oracleSql` (same column
+  * names both sides — the driver sorts columns by name before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001: the full text pipeline down
+    * to per-language top-5 terms by average TF-IDF (tasks 1.1→1.5 shape).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    TextPipeline.queries("t5_category_topk")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ TextPipeline.queries ++ PipelineOps.queries ++ MlOps.queries
+
+  /** DuckDB-equivalent SQL for every SQL-expressible query above. */
+  def oracleSql: Map[String, String] =
+    Relational.oracle ++ TextPipeline.oracle ++ PipelineOps.oracle ++ MlOps.oracle
 }

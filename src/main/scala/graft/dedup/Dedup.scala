@@ -1,0 +1,151 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.text.TextOps
+
+/** Deduplication operators for large-scale document pipelines: exact
+  * (hash group-by), n-gram-shingle Jaccard via inverted-index self-join,
+  * MinHash + LSH banding, and SimHash — all as declarative DataFrame plans.
+  *
+  * Scale notes (the 100 TB posture):
+  *  - Exact dedup shuffles once on a 128-bit content hash, never on the
+  *    full text.
+  *  - Jaccard dedup joins on *shingles* (inverted index), so cost is
+  *    Σ per-shingle df², not n² — shingle hotspots can be capped via
+  *    [[shingles]]' `maxDf` parameter.
+  *  - MinHash signatures reduce each doc to `numHashes` values; LSH banding
+  *    turns candidate generation into an equi-join on band keys. Band keys
+  *    are plain strings → hash-partitioned evenly.
+  *  - SimHash reduces each doc to a 64-bit fingerprint; near-dup = small
+  *    Hamming distance, found by banding the fingerprint bits.
+  */
+object Dedup {
+
+  /** Exact dedup: group identical texts by md5, keep the smallest id as the
+    * canonical representative (deterministic keeper choice).
+    */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol).cast("binary")).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper_id"), count(lit(1)).as("dup_count"))
+
+  /** Word n-gram shingles, one row per distinct (id, shingle).
+    * Built with posexplode + lead windows — no UDFs, stays in codegen.
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val toks = docs.select(col(idCol), posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val parts = (0 until n).map(i => if (i == 0) col("tok") else lead("tok", i).over(w))
+    toks.withColumn("shingle", concat_ws(" ", parts: _*))
+      .withColumn("last_tok", if (n == 1) col("tok") else lead("tok", n - 1).over(w))
+      .filter(col("last_tok").isNotNull) // drop ragged tail shingles
+      .select(col(idCol), col("shingle"))
+      .distinct()
+  }
+
+  /** Near-dup pairs by n-gram Jaccard similarity >= `threshold`, via an
+    * inverted-index self-join on shingles (only docs sharing at least one
+    * shingle are ever paired). Returns (id_a, id_b, jaccard), id_a < id_b.
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n).cache()
+    val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("set_size"))
+    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
+    val inter = a.join(b, "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter_size"))
+    inter
+      .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+      .withColumn("jaccard",
+        col("inter_size") / (col("size_a") + col("size_b") - col("inter_size")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** One MinHash value as a *hex string*: min over shingles of
+    * md5(seed_i ++ shingle) truncated to 15 hex chars. Fixed-width hex means
+    * lexicographic MIN == numeric MIN, which keeps the whole signature
+    * expressible in ANSI SQL (and hence DuckDB-oracle-checkable) while
+    * staying a pure codegen expression in Spark.
+    */
+  private def minhashHex(i: Int): Column =
+    min(substring(md5(concat(lit(s"mh$i|"), col("shingle")).cast("binary")), 1, 15))
+
+  /** MinHash signatures: one row per doc, `numHashes` hex-string minhash
+    * columns `mh0..mh{k-1}`. One shuffle (groupBy id).
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, numHashes: Int = 8): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val aggs = (0 until numHashes).map(i => minhashHex(i).as(s"mh$i"))
+    sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over MinHash signatures: docs sharing any band key are
+    * candidate pairs; candidates are then verified with exact Jaccard.
+    * bands * rowsPerBand must equal numHashes.
+    */
+  def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat(cols: _*).as("key"))
+    }
+    sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("band_key"))
+      .groupBy("band", "band_key")
+      .agg(collect_set(col(idCol)).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+  }
+
+  /** SimHash (64-bit, token-weighted): per token take 64 bits of md5,
+    * weight each ±1 bit by the token's frequency, sum per bit position,
+    * sign → fingerprint bit. Emitted as a 64-char '0'/'1' string so the
+    * result is engine-portable; [[simhashToLong]] converts when a numeric
+    * fingerprint is wanted.
+    *
+    * Plan shape: tokens → groupBy(id, token) count → explode 64 bit
+    * positions → groupBy(id, bit) sum → groupBy(id) assemble. The 64×
+    * blow-up happens *after* token aggregation, so it is bounded by
+    * distinct-token count, not corpus token count.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokCounts = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("freq"))
+    // md5 hex -> 16 chars = 64 bits; bit j of hex char h = (value(h) >> (3 - j%4)) & 1
+    val withHash = tokCounts.withColumn("h", substring(md5(col("tok").cast("binary")), 1, 16))
+    val bitPos = sequence(lit(0), lit(63))
+    val bits = withHash
+      .select(col(idCol), col("freq"), col("h"), explode(bitPos).as("bit"))
+      .withColumn("hexval",
+        conv(col("h").substr((col("bit") / 4).cast("int") + 1, lit(1)), 16, 10).cast("int"))
+      // bit j of the nibble: floor(hexval / 2^(3 - j%4)) % 2, all-arithmetic
+      .withColumn("pow2",
+        element_at(array(lit(8), lit(4), lit(2), lit(1)), (pmod(col("bit"), lit(4)) + 1).cast("int")))
+      .withColumn("bitval", pmod(floor(col("hexval") / col("pow2")).cast("long"), lit(2)))
+      .groupBy(col(idCol), col("bit"))
+      .agg(sum(col("freq") * (col("bitval") * 2 - 1)).as("bit_score"))
+    bits.groupBy(idCol)
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("bit"), when(col("bit_score") > 0, "1").otherwise("0").as("b")))),
+          x => x.getField("b")), "").as("simhash"))
+  }
+
+  /** Compact hex form of the 64-char bitstring fingerprint (kept as a
+    * string end-to-end: a sign-bit-set fingerprint would overflow LongType
+    * under ANSI casts).
+    */
+  def simhashHexForm(simhashBits: Column): Column = conv(simhashBits, 2, 16)
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+import graft.cluster.Clustering
+import graft.multimodal.Multimodal
+
+/** ML / clustering / multimodal declared queries. The clustering results
+  * are seeded and structurally deterministic (row counts, cluster count)
+  * but not SQL-expressible — they get rows-only driver checks (no oracle
+  * entry). Sessionization is fully relational and oracle-checked.
+  */
+object MlOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // M3/M7: MLlib K-Means (euclidean, k-means|| init) on embeddings;
+    // output = one assignment row per vector.
+    "ml_kmeans_assign" -> ((s, d) => {
+      val feats = Clustering.embeddingFeatures(Tables.embeddings(s, d), "vec_id", "embedding")
+      val model = Clustering.fitKMeans(feats, k = 5, maxIter = 10, seed = 42L)
+      model.transform(feats).select(col("vec_id"), col("prediction").as("cluster"))
+    }),
+
+    // A10-adjacent: cluster sizes + per-cluster mean norm (cosine path).
+    "ml_kmeans_cosine_sizes" -> ((s, d) => {
+      val feats = Clustering.embeddingFeatures(Tables.embeddings(s, d), "vec_id", "embedding")
+      val model = Clustering.fitKMeans(feats, k = 5, maxIter = 10, seed = 42L,
+        distanceMeasure = "cosine")
+      model.transform(feats).groupBy(col("prediction").as("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+    }),
+
+    // M7/A11: explicit Lloyd loop — per-iteration per-cluster WCSS rows.
+    "ml_lloyd_losses" -> ((s, d) => {
+      import s.implicits._
+      val feats = Clustering.embeddingFeatures(Tables.embeddings(s, d), "vec_id", "embedding")
+      val res = Clustering.lloydLoop(s, feats, "vec_id", k = 4, maxIter = 5)
+      res.losses.toDF("iteration", "cluster", "wcss")
+    }),
+
+    // Doc clustering (task 2.2 shape): TF-IDF vectors -> cosine K-Means.
+    "ml_doc_clusters" -> ((s, d) => {
+      val tfidf = TextPipeline.tfidf(s, d)
+      val vocab = tfidf.select("token").distinct()
+        .withColumn("term_id", (row_number().over(Window.orderBy("token")) - 1))
+      val triples = tfidf.join(vocab, "token").select("doc_id", "term_id", "tfidf")
+      val vocabSize = vocab.count().toInt
+      val vecs = Clustering.vectorize(triples, "doc_id", "term_id", "tfidf", vocabSize)
+      val model = Clustering.fitKMeans(vecs, k = 5, maxIter = 10, seed = 42L,
+        distanceMeasure = "cosine")
+      model.transform(vecs).select(col("doc_id"), col("prediction").as("cluster"))
+    }),
+
+    // Gap-based sessionization (30-min inactivity) — relational, oracled.
+    "ev_sessionize" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1)
+            .otherwise(0))
+        .withColumn("session_idx", sum("new_session").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("user_id", "event_id", "session_idx")
+    }),
+
+    // Tumbling 15-minute bucket aggregation (batch shape of the streaming
+    // window; bucket as epoch seconds for engine-portable rendering).
+    "ev_tumbling_15m" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy((floor(unix_timestamp(col("ts")) / 900) * 900).cast("long").as("w_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))),
+
+    // Multimodal plumbing: synthesize binary payloads, stub-decode to
+    // typed metadata (mapPartitions path — rows-only check).
+    "mm_decode_meta" -> ((s, d) => {
+      val media = Multimodal.synthesizeMedia(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.decodeMeta(s, media).toDF()
+    }),
+
+    // Multimodal frame sampling (flatMap path — rows-only check).
+    "mm_frame_sample" -> ((s, d) => {
+      val media = Multimodal.synthesizeMedia(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.sampleFrames(s, media).toDF()
+        .select("media_id", "frame_idx")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ev_sessionize" ->
+      """SELECT user_id, event_id, CAST(session_idx AS BIGINT) AS session_idx FROM (
+        |  SELECT user_id, event_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM (
+        |    SELECT user_id, event_id, ts,
+        |      CASE WHEN prev_ts IS NULL OR floor(epoch(ts)) - floor(epoch(prev_ts)) > 1800
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM (
+        |      SELECT user_id, event_id, ts,
+        |        lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |      FROM events) a) b) c""".stripMargin,
+
+    "ev_tumbling_15m" ->
+      """SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS w_bucket, event_type,
+        |  count(*) AS n_events, sum(value) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.{TextAnalysis, TextOps}
+
+/** Declared queries for the training-data-pipeline operators: dedup (exact,
+  * shingle-Jaccard, MinHash+LSH, SimHash), similarity search (brute-force
+  * cosine top-k, near-dup pairs), and text analysis (lang-ID, quality,
+  * token counts, fingerprints). Each has a DuckDB oracle built from the
+  * same deterministic primitives (md5-hex minhashes, integer bit
+  * arithmetic), so even the hash-based operators are hash-compared — not
+  * just row-counted.
+  */
+object PipelineOps {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  val queries: Map[String, Q] = Map(
+    "dd_exact" -> ((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
+
+    "dd_shingles" -> ((s, d) =>
+      Dedup.shingles(Tables.documents(s, d), "doc_id", "text", 3)),
+
+    "dd_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5)),
+
+    "dd_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text", 3, 8)),
+
+    "dd_minhash_lsh" -> ((s, d) =>
+      Dedup.minhashLshCandidates(Tables.documents(s, d), "doc_id", "text", 3, 4, 2)
+        .select("id_a", "id_b")),
+
+    "dd_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
+
+    "sim_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0),
+        "vec_id", "embedding", 5)
+    }),
+
+    "sim_near_dup" -> ((s, d) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.95)),
+
+    "ta_langid" -> ((s, d) =>
+      TextAnalysis.languageId(s, Tables.documents(s, d), "doc_id", "text")),
+
+    "ta_quality" -> ((s, d) =>
+      TextAnalysis.qualityFeatures(Tables.documents(s, d), "doc_id", "text", stopwords)),
+
+    "ta_token_counts" -> ((s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
+
+    "ta_fingerprint" -> ((s, d) =>
+      TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text"))
+  )
+
+  // ---- oracle SQL ---------------------------------------------------------
+
+  /** tokens with 0-based positions, empties filtered before positioning
+    * (mirrors TextOps.tokens: filter after split, then posexplode).
+    */
+  private val posToksSql =
+    """SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok
+      |FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS l
+      |      FROM documents) src""".stripMargin
+
+  private val shinglesSql =
+    s"""SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id,
+       |    concat_ws(' ', tok,
+       |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
+       |      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS shingle,
+       |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS last_tok
+       |  FROM ($posToksSql) pt) sh
+       |WHERE last_tok IS NOT NULL""".stripMargin
+
+  private def mh(i: Int): String =
+    s"min(substr(md5('mh$i|' || shingle), 1, 15)) AS mh$i"
+
+  private val minhashSigSql =
+    s"""SELECT doc_id, ${(0 until 8).map(mh).mkString(", ")}
+       |FROM ($shinglesSql) s GROUP BY doc_id""".stripMargin
+
+  /** 64-dim embeddings flattened to (vec_id, i, x) in double precision. */
+  private val flatEmbSql =
+    """SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |       CAST(unnest(embedding) AS DOUBLE) AS x
+      |FROM embeddings""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "dd_shingles" -> shinglesSql,
+
+    "dd_jaccard_pairs" ->
+      s"""WITH sh AS ($shinglesSql),
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  inter_size * 1.0 / (sa.set_size + sb.set_size - inter_size) AS jaccard
+         |FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE inter_size * 1.0 / (sa.set_size + sb.set_size - inter_size) >= 0.5""".stripMargin,
+
+    "dd_minhash_sig" -> minhashSigSql,
+
+    "dd_minhash_lsh" ->
+      s"""WITH sig AS ($minhashSigSql),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 || mh1 AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dd_simhash" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, tok, count(*) AS freq FROM ($posToksSql) pt GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT doc_id, bit,
+         |    sum(freq * (2 * (((strpos('0123456789abcdef',
+         |        substr(substr(md5(tok), 1, 16), CAST(bit // 4 AS INT) + 1, 1)) - 1)
+         |      // (CASE bit % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1)) AS bit_score
+         |  FROM tc CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+         |  GROUP BY 1, 2)
+         |SELECT doc_id,
+         |  string_agg(CASE WHEN bit_score > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
+         |FROM bits GROUP BY doc_id""".stripMargin,
+
+    "sim_topk" ->
+      s"""WITH flat AS ($flatEmbSql),
+         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+         |dots AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.x * c.x) AS dp
+         |  FROM flat q JOIN flat c ON q.i = c.i
+         |  WHERE q.vec_id % 100 = 0 AND c.vec_id != q.vec_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, dp / (nq.nrm * nc.nrm) AS cosine_sim
+         |  FROM dots
+         |    JOIN norms nq ON nq.vec_id = query_id
+         |    JOIN norms nc ON nc.vec_id = neighbor_id)
+         |SELECT query_id, neighbor_id, cosine_sim, rank FROM (
+         |  SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id ASC) AS INT) AS rank
+         |  FROM scored) r
+         |WHERE rank <= 5""".stripMargin,
+
+    "sim_near_dup" ->
+      s"""WITH flat AS ($flatEmbSql),
+         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+         |dots AS (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dp
+         |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, dp / (na.nrm * nb.nrm) AS cosine_sim
+         |FROM dots
+         |  JOIN norms na ON na.vec_id = id_a
+         |  JOIN norms nb ON nb.vec_id = id_b
+         |WHERE dp / (na.nrm * nb.nrm) >= 0.95""".stripMargin,
+
+    "ta_langid" ->
+      s"""WITH lex(cand_lang, marker) AS (VALUES
+         |  ('en','the'),('en','a'),('en','of'),('en','and'),
+         |  ('es','el'),('es','la'),('es','de'),('es','y'),
+         |  ('fr','le'),('fr','la'),('fr','de'),('fr','et'),
+         |  ('de','der'),('de','die'),('de','und'),('de','das'),
+         |  ('zh','de'),('zh','shi'),('zh','le'),('zh','bu')),
+         |votes AS (
+         |  SELECT doc_id, cand_lang, count(*) AS votes
+         |  FROM ($posToksSql) pt JOIN lex ON pt.tok = lex.marker
+         |  GROUP BY 1, 2),
+         |top AS (
+         |  SELECT doc_id, cand_lang AS pred_lang, votes FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY votes DESC, cand_lang DESC) AS rn
+         |    FROM votes) v WHERE rn = 1)
+         |SELECT d.doc_id, coalesce(top.pred_lang, 'und') AS pred_lang,
+         |       coalesce(top.votes, 0) AS votes
+         |FROM documents d LEFT JOIN top ON d.doc_id = top.doc_id""".stripMargin,
+
+    "ta_quality" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(toks) AS n_tokens,
+        |  length(text) * 1.0 / len(toks) AS chars_per_token,
+        |  len(list_filter(toks, t -> t IN ('the','a','of','and','to','in'))) * 1.0
+        |    / len(toks) AS stopword_ratio,
+        |  length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0
+        |    / length(text) AS punct_ratio,
+        |  len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_token_ratio
+        |FROM (SELECT doc_id, text,
+        |        list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
+        |      FROM documents) t""".stripMargin,
+
+    "ta_token_counts" ->
+      """SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords
+        |FROM documents""".stripMargin,
+
+    "ta_fingerprint" ->
+      s"""SELECT doc_id,
+         |  CAST(sum((pos + 1) * charsum) % 2147483647 AS BIGINT) AS fingerprint,
+         |  count(*) AS n_tokens
+         |FROM (
+         |  SELECT doc_id, pos,
+         |    list_sum(list_transform(regexp_split_to_array(tok, ''), c -> ascii(c))) AS charsum
+         |  FROM ($posToksSql) pt) t
+         |GROUP BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,316 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+
+/** Relational declared-query set (SURVEY §2 rows marked "Declared query: yes"
+  * outside the text pipeline): scans, projections, filters, broadcast /
+  * shuffle / semi / anti joins, partial-agg group-bys, window HAVING,
+  * global and per-group top-k, distinct, set ops, try-cast filters.
+  *
+  * Every query here has a DuckDB oracle in [[Relational.oracle]] with
+  * byte-identical column names. Determinism rules: every LIMIT carries a
+  * total tiebreak ordering; no floating-point comparisons at rank
+  * boundaries without a tiebreak column.
+  *
+  * Scale posture: dimension joins are explicit `broadcast()`; fact-fact
+  * joins are left to Catalyst's sort-merge with AQE; windows partition by
+  * high-cardinality keys only (never a global `OVER ()`).
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // A1: group-by count with automatic partial aggregation.
+    "a1_groupby_count" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // A3 (+A1): multi-aggregate group-by, TPC-H Q1 shape.
+    "a3_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          avg("l_quantity").as("avg_qty"),
+          avg("l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // A2: group-HAVING that keeps the member rows (window sum + filter),
+    // the reference's corpus-frequency >= 3 semantics (task1_2).
+    "a2_having_window" -> ((s, d) => {
+      val w = Window.partitionBy("l_partkey")
+      Tables.lineitem(s, d)
+        .withColumn("part_total_qty", sum("l_quantity").over(w))
+        .filter(col("part_total_qty") >= 500.0)
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "part_total_qty")
+    }),
+
+    // A4/O2: global top-10 by aggregate -> TakeOrderedAndProject.
+    "a4_global_topk" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_partkey"))
+        .limit(10)
+    }),
+
+    // A5: per-group ratio via window (the TF shape: freq / sum-over-group).
+    "a5_ratio_window" -> ((s, d) => {
+      val w = Window.partitionBy("l_orderkey")
+      Tables.lineitem(s, d)
+        .withColumn("order_total", sum("l_extendedprice").over(w))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") / col("order_total")).as("price_share"))
+    }),
+
+    // A7: per-group exact distinct count.
+    "a7_distinct_count" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          countDistinct("o_custkey").as("n_customers"),
+          countDistinct(date_trunc("month", col("o_orderdate"))).as("n_months"),
+          count(lit(1)).as("n_orders"))
+    }),
+
+    // J1/J3/J4: star join — broadcast every dimension, aggregate the fact.
+    "j1_star_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val pa = Tables.part(s, d)
+      val su = Tables.supplier(s, d)
+      val na = Tables.nation(s, d)
+      val re = Tables.region(s, d)
+      li.join(broadcast(pa), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(na), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(re), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "p_brand")
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // J2: anti join (the stopword-filter shape).
+    "j2_anti_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    // Semi join: customers having at least one order over 200k.
+    "j_semi_join" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 200000.0)
+        .select(col("o_custkey").as("c_custkey"))
+      c.join(o, Seq("c_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    }),
+
+    // Shuffle (sort-merge) fact-fact join with a non-equi residual.
+    "j_shuffle_join" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      o.join(li, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_late_lines"))
+    }),
+
+    // J6/M3: nearest-centroid as broadcast cross join + arg_min reduction.
+    // The epsilon*c term makes ties deterministic in both engines.
+    "j6_nearest_centroid" -> ((s, d) => {
+      import s.implicits._
+      val centroids = Seq(5.0, 20.0, 35.0, 50.0).toDF("c")
+      Tables.lineitem(s, d)
+        .crossJoin(broadcast(centroids))
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(min_by(col("c"), abs(col("l_quantity") - col("c")) + col("c") * 1e-9)
+          .as("nearest_centroid"))
+    }),
+
+    // O3/A9: per-group top-k via rank window.
+    "o3_group_topk" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    // Ordered analytic windows: running sum + lag over event time.
+    "w_running_window" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .withColumn("running_value", sum("value").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev_value", lag("value", 1).over(w))
+        .select("user_id", "event_id", "value", "running_value", "prev_value")
+    }),
+
+    // S6: SELECT DISTINCT (dedup-before-sink shape).
+    "s6_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+    }),
+
+    // Set op: UNION (distinct) across two sources.
+    "setop_union" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").as("nationkey"))
+      c.union(su).distinct()
+    }),
+
+    // Set op: INTERSECT.
+    "setop_intersect" -> ((s, d) => {
+      val sold = Tables.lineitem(s, d).select(col("l_partkey").as("partkey"))
+      val small = Tables.part(s, d).filter(col("p_size") <= 10)
+        .select(col("p_partkey").as("partkey"))
+      sold.intersect(small)
+    }),
+
+    // P10: malformed-row skip via safe cast (regexp extract + cast; rows
+    // whose extraction fails drop out, like the reference's catch-continue).
+    // ANSI-safe: empty extraction -> NULL before the cast.
+    "p10_trycast_filter" -> ((s, d) => {
+      val extracted = regexp_extract(col("props"), "\"k\": (\\d+)", 1)
+      Tables.events(s, d)
+        .withColumn("k", when(extracted =!= "", extracted).cast("int"))
+        .filter(col("k").isNotNull && col("k") >= 50)
+        .select("event_id", "user_id", "event_type", "k")
+    }),
+
+    // P8: initcap + fixed-precision formatting (sink-side only).
+    "p8_format" -> ((s, d) => {
+      Tables.nation(s, d)
+        .select(col("n_nationkey"), initcap(lower(col("n_name"))).as("nation_cap"))
+    }),
+
+    // Batch shape of the streaming tumbling-window aggregation.
+    "ev_hourly_agg" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "a1_groupby_count" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem GROUP BY 1, 2",
+
+    "a3_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         sum(l_quantity) AS sum_qty,
+         sum(l_extendedprice) AS sum_base_price,
+         sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+         avg(l_quantity) AS avg_qty,
+         avg(l_discount) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' GROUP BY 1, 2""",
+
+    "a2_having_window" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, part_total_qty FROM (
+           SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+                  sum(l_quantity) OVER (PARTITION BY l_partkey) AS part_total_qty
+           FROM lineitem) t
+         WHERE part_total_qty >= 500.0""",
+
+    "a4_global_topk" ->
+      """SELECT l_partkey, sum(l_extendedprice * (1 - l_discount)) AS revenue
+         FROM lineitem GROUP BY 1 ORDER BY revenue DESC, l_partkey ASC LIMIT 10""",
+
+    "a5_ratio_window" ->
+      """SELECT l_orderkey, l_linenumber,
+           l_extendedprice / sum(l_extendedprice) OVER (PARTITION BY l_orderkey) AS price_share
+         FROM lineitem""",
+
+    "a7_distinct_count" ->
+      """SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
+           count(*) AS n_orders
+         FROM orders GROUP BY 1""",
+
+    "j1_star_join" ->
+      """SELECT r_name, p_brand,
+           sum(l_extendedprice * (1 - l_discount)) AS revenue, count(*) AS n_lines
+         FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2""",
+
+    "j2_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+
+    "j_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 200000.0)""",
+
+    "j_shuffle_join" ->
+      """SELECT o_orderpriority, count(*) AS n_late_lines
+         FROM orders JOIN lineitem ON l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+         GROUP BY 1""",
+
+    "j6_nearest_centroid" ->
+      """SELECT l_orderkey, l_linenumber,
+           arg_min(CAST(c AS DOUBLE), abs(l_quantity - CAST(c AS DOUBLE)) + CAST(c AS DOUBLE) * 1e-9) AS nearest_centroid
+         FROM lineitem CROSS JOIN (VALUES (5.0), (20.0), (35.0), (50.0)) t(c)
+         GROUP BY 1, 2""",
+
+    "o3_group_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+           FROM orders) t
+         WHERE rn <= 3""",
+
+    "w_running_window" ->
+      """SELECT user_id, event_id, value,
+           sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value,
+           lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value
+         FROM events""",
+
+    "s6_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+
+    "setop_union" ->
+      """SELECT c_nationkey AS nationkey FROM customer
+         UNION
+         SELECT s_nationkey AS nationkey FROM supplier""",
+
+    "setop_intersect" ->
+      """SELECT l_partkey AS partkey FROM lineitem
+         INTERSECT
+         SELECT p_partkey AS partkey FROM part WHERE p_size <= 10""",
+
+    "p10_trycast_filter" ->
+      """SELECT event_id, user_id, event_type, k FROM (
+           SELECT event_id, user_id, event_type,
+             TRY_CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+           FROM events) t
+         WHERE k IS NOT NULL AND k >= 50""",
+
+    // DuckDB has no initcap; names are single-word so this emulation matches.
+    "p8_format" ->
+      "SELECT n_nationkey, upper(substr(lower(n_name), 1, 1)) || substr(lower(n_name), 2) AS nation_cap FROM nation",
+
+    "ev_hourly_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+           count(*) AS n_events, sum(value) AS total_value
+         FROM events GROUP BY 1, 2"""
+  )
+}

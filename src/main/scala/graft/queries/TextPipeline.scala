@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+import graft.text.TextOps
+
+/** The reference's text-analytics pipeline (tasks 1.1–1.5) re-expressed over
+  * the synthetic `documents` table: tokenize/clean → term-document count
+  * matrix → corpus-frequency HAVING filter → global top-k → TF-IDF
+  * (natural-log IDF, tf = freq / Σfreq-per-doc) → per-group (language ~
+  * category) top-k by average TF-IDF.
+  *
+  * Shapes: the count matrix is one `groupBy(doc, token)` shuffle; TF and DF
+  * are windows over that matrix partitioned by doc / token (no extra
+  * shuffle-join, mirroring SURVEY §3.2's "two windows, one plan"); the
+  * corpus size N rides in via a 1-row broadcast cross join, never an
+  * `OVER ()` global window (which would single-partition at 100 TB).
+  */
+object TextPipeline {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Term-document count matrix over `documents` (task 1.1 / A1+P1+P2). */
+  def termDocCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextOps.tokens(TextOps.clean(col("text")))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("freq"))
+
+  /** TF-IDF per (doc, token): tf = freq/Σfreq-per-doc, idf = ln(N/df)
+    * (task 1.4 / A5+A6+J5). N arrives as a broadcast 1-row cross join.
+    */
+  def tfidf(s: SparkSession, d: String): DataFrame = {
+    val counts = termDocCounts(s, d)
+    val n = Tables.documents(s, d).agg(countDistinct(col("doc_id")).as("n_docs"))
+    val wDoc = Window.partitionBy("doc_id")
+    val wTerm = Window.partitionBy("token")
+    counts
+      .crossJoin(broadcast(n))
+      .withColumn("tf", col("freq") / sum("freq").over(wDoc))
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .withColumn("idf", log(col("n_docs") / col("df")))
+      .select(col("doc_id"), col("token"), col("tf"), col("idf"),
+        (col("tf") * col("idf")).as("tfidf"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // Task 1.1: the count matrix itself.
+    "t1_term_doc_count" -> ((s, d) => termDocCounts(s, d)),
+
+    // Task 1.2 / A2: corpus-frequency >= 3 HAVING that keeps member rows.
+    "t2_corpus_freq_filter" -> ((s, d) => {
+      val w = Window.partitionBy("token")
+      termDocCounts(s, d)
+        .withColumn("corpus_freq", sum("freq").over(w))
+        .filter(col("corpus_freq") >= 3)
+        .select("doc_id", "token", "freq", "corpus_freq")
+    }),
+
+    // Task 1.3 / A4: global top-10 terms by total frequency.
+    "t3_top10_terms" -> ((s, d) =>
+      termDocCounts(s, d)
+        .groupBy("token")
+        .agg(sum("freq").as("total_freq"))
+        .orderBy(desc("total_freq"), asc("token"))
+        .limit(10)),
+
+    // Task 1.4: the TF-IDF matrix.
+    "t4_tfidf" -> ((s, d) => tfidf(s, d)),
+
+    // Task 1.5 / A7+A8+A9: per-language top-5 terms by average TF-IDF,
+    // denominator = distinct docs in the language (not docs with the term).
+    "t5_category_topk" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang")
+      val perLang = Tables.documents(s, d)
+        .groupBy("lang").agg(countDistinct("doc_id").as("docs_in_lang"))
+      val sums = tfidf(s, d)
+        .join(docs, "doc_id")
+        .groupBy("lang", "token")
+        .agg(sum("tfidf").as("sum_tfidf"))
+      val avg = sums
+        .join(broadcast(perLang), "lang")
+        .withColumn("avg_tfidf", col("sum_tfidf") / col("docs_in_lang"))
+      val w = Window.partitionBy("lang").orderBy(desc("avg_tfidf"), asc("token"))
+      avg.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("lang", "token", "avg_tfidf", "rn")
+    }),
+
+    // A13/S10: global distinct-count (vocabulary size) — one row.
+    "t6_vocab_size" -> ((s, d) =>
+      termDocCounts(s, d).agg(countDistinct("token").as("vocab_size")))
+  )
+
+  private val tokensSql =
+    """SELECT doc_id, unnest(string_split_regex(lower(regexp_replace(text,
+      |  '[~!@#$%^&*()\-+\[\]"'':.,<>]', '', 'g')), '\s+')) AS token
+      |FROM documents""".stripMargin
+
+  private val countsSql =
+    s"""SELECT doc_id, token, count(*) AS freq FROM ($tokensSql) tk
+       |WHERE token != '' GROUP BY 1, 2""".stripMargin
+
+  private val tfidfSql =
+    s"""SELECT doc_id, token, tf, idf, tf * idf AS tfidf FROM (
+       |  SELECT doc_id, token,
+       |    freq / (sum(freq) OVER (PARTITION BY doc_id)) AS tf,
+       |    ln((SELECT count(DISTINCT doc_id) FROM documents) * 1.0
+       |       / (count(*) OVER (PARTITION BY token))) AS idf
+       |  FROM ($countsSql) c) t""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "t1_term_doc_count" -> countsSql,
+
+    "t2_corpus_freq_filter" ->
+      s"""SELECT doc_id, token, freq, corpus_freq FROM (
+         |  SELECT doc_id, token, freq,
+         |    CAST(sum(freq) OVER (PARTITION BY token) AS BIGINT) AS corpus_freq
+         |  FROM ($countsSql) c) t
+         |WHERE corpus_freq >= 3""".stripMargin,
+
+    "t3_top10_terms" ->
+      s"""SELECT token, CAST(sum(freq) AS BIGINT) AS total_freq FROM ($countsSql) c
+         |GROUP BY 1 ORDER BY total_freq DESC, token ASC LIMIT 10""".stripMargin,
+
+    "t4_tfidf" -> tfidfSql,
+
+    "t5_category_topk" ->
+      s"""SELECT lang, token, avg_tfidf, rn FROM (
+         |  SELECT lang, token, avg_tfidf,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY avg_tfidf DESC, token ASC) AS INT) AS rn
+         |  FROM (
+         |    SELECT d.lang, t.token,
+         |      sum(t.tfidf) / any_value(pl.docs_in_lang) AS avg_tfidf
+         |    FROM ($tfidfSql) t
+         |      JOIN documents d ON t.doc_id = d.doc_id
+         |      JOIN (SELECT lang, count(DISTINCT doc_id) AS docs_in_lang
+         |            FROM documents GROUP BY 1) pl ON d.lang = pl.lang
+         |    GROUP BY 1, 2) a) r
+         |WHERE rn <= 5""".stripMargin,
+
+    "t6_vocab_size" ->
+      s"SELECT count(DISTINCT token) AS vocab_size FROM ($countsSql) c"
+  )
+}

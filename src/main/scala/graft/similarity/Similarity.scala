@@ -1,0 +1,107 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import scala.util.Random
+
+/** Similarity search over embedding columns (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and a signed-random-
+  * projection (SRP) LSH-bucketed variant as the approximate scale path.
+  *
+  * All vector math is pure Catalyst higher-order functions (`zip_with` /
+  * `aggregate` / `transform`) in double precision — no UDFs, codegen
+  * throughout.
+  *
+  * Scale notes: the query side is always the broadcast side (queries ≪
+  * corpus); the corpus is scanned once. The SRP variant equi-joins on
+  * bucket keys so candidate generation is a hash join, not a cross join.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** True cosine similarity dot/(‖a‖·‖b‖). (The reference's pseudo-cosine
+    * `dot/(‖a‖+‖b‖)` — `sources/2.2/source/KMeansMapper.java:29-56` — is a
+    * bug we deliberately do not reproduce; see SURVEY §7.2.)
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact brute-force top-k cosine neighbors for each query vector.
+    * `queries` is broadcast; ranking tie-breaks on candidate id so results
+    * are deterministic. Self-matches are excluded.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", cosine(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
+  /** All embedding pairs with cosine >= threshold (embedding-space near-dup
+    * detection). Brute force — the SRP variant below is the scale path.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double): DataFrame = {
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine_sim") >= threshold)
+      .select("id_a", "id_b", "cosine_sim")
+  }
+
+  /** Deterministic random hyperplanes (seeded driver-side RNG, broadcast as
+    * a literal array-of-arrays) for signed-random-projection LSH.
+    */
+  def randomPlanes(numPlanes: Int, dim: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rng = new Random(seed)
+    Array.fill(numPlanes, dim)(rng.nextGaussian())
+  }
+
+  /** SRP bucket key: one sign bit per hyperplane, concatenated to a string
+    * key. Vectors in the same bucket are near-duplicate candidates.
+    */
+  def srpBucket(vec: Column, planes: Array[Array[Double]]): Column = {
+    val bits = planes.map { p =>
+      val plane = array(p.map(lit): _*)
+      when(dot(vec, plane) >= 0, "1").otherwise("0")
+    }
+    concat(bits.toSeq: _*)
+  }
+
+  /** Approximate near-dup pairs: equi-join on SRP bucket, then exact cosine
+    * verify within buckets. With `numPlanes` bits, expected bucket count is
+    * 2^numPlanes — pick numPlanes ≈ log2(corpusSize / targetBucketSize).
+    */
+  def srpNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, numPlanes: Int, dim: Int,
+                      seed: Long = 42L): DataFrame = {
+    val planes = randomPlanes(numPlanes, dim, seed)
+    val bucketed = corpus.select(col(idCol), col(vecCol),
+      srpBucket(col(vecCol), planes).as("bucket"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine_sim", cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine_sim") >= threshold)
+      .select("id_a", "id_b", "cosine_sim")
+      .distinct()
+  }
+}

@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language
+  * identification (marker-word voting), quality scoring (length / punct /
+  * stopword ratios), token counting (whitespace + BPE-ish regex), and
+  * document fingerprinting (position-weighted rolling-style hash).
+  *
+  * All pure Catalyst expressions; each operator is a single narrow pass
+  * over the text column (no shuffle except the lang-ID vote aggregation).
+  */
+object TextAnalysis {
+
+  /** Tiny embedded marker lexicon: (lang, marker word). A real deployment
+    * would broadcast a proper lexicon table; the operator shape (explode →
+    * broadcast join → vote → arg_max) is the same.
+    */
+  val markerLexicon: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "y",
+    "fr" -> "le", "fr" -> "la", "fr" -> "de", "fr" -> "et",
+    "de" -> "der", "de" -> "die", "de" -> "und", "de" -> "das",
+    "zh" -> "de", "zh" -> "shi", "zh" -> "le", "zh" -> "bu")
+
+  /** Language ID by marker-word voting: explode tokens, broadcast-join the
+    * lexicon, count votes per (doc, lang), arg_max with deterministic
+    * tiebreak. Docs with zero marker hits get lang 'und'.
+    */
+  def languageId(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import spark.implicits._
+    val lexicon = markerLexicon.toDF("cand_lang", "marker")
+    val votes = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("marker"))
+      .join(broadcast(lexicon), "marker")
+      .groupBy(idCol, "cand_lang")
+      .agg(count(lit(1)).as("votes"))
+      .groupBy(idCol)
+      // deterministic argmax: most votes, ties broken by last lang in
+      // lexicographic order (struct max is total and engine-portable)
+      .agg(max(struct(col("votes"), col("cand_lang"))).as("top"))
+      .select(col(idCol), col("top.cand_lang").as("pred_lang"), col("top.votes").as("votes"))
+    docs.select(col(idCol))
+      .join(votes, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
+        coalesce(col("votes"), lit(0L)).as("votes"))
+  }
+
+  /** Whitespace token count (empty-safe). */
+  def tokenCount(text: Column): Column = size(TextOps.tokens(text))
+
+  /** BPE-ish subword count: letter-runs, digit-runs, and single punctuation
+    * marks — the usual pre-tokenizer regex family. Uses regexp_extract_all
+    * (RE2-compatible pattern, no lookaround) so the oracle can mirror it.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
+
+  /** Quality-score feature bundle. `stopwords` small list → array literal. */
+  def qualityFeatures(docs: DataFrame, idCol: String, textCol: String,
+                      stopwords: Seq[String]): DataFrame = {
+    val text = col(textCol)
+    val toks = TextOps.tokens(text)
+    val stopArr = array(stopwords.map(lit): _*)
+    val nToks = size(toks)
+    docs.select(
+      col(idCol),
+      length(text).as("n_chars"),
+      nToks.as("n_tokens"),
+      (length(text).cast("double") / nToks).as("chars_per_token"),
+      (size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nToks)
+        .as("stopword_ratio"),
+      (length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") / length(text))
+        .as("punct_ratio"),
+      (size(array_distinct(toks)).cast("double") / nToks).as("distinct_token_ratio"))
+  }
+
+  /** Position-weighted document fingerprint: Σ (pos+1) · charsum(token)
+    * mod 2^31-1, where charsum = Σ ascii codes. Order-sensitive (swapping
+    * two tokens changes it) yet expressible as a plain SUM, so it
+    * distributes and is oracle-checkable. A stronger rolling Rabin-Karp
+    * variant lives in [[graft.functions]] as a custom expression.
+    */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+    toks
+      .withColumn("charsum",
+        aggregate(split(col("tok"), ""), lit(0L), (acc, c) => acc + ascii(c)))
+      .groupBy(idCol)
+      .agg(pmod(sum((col("pos") + 1) * col("charsum")), lit(2147483647L)).as("fingerprint"),
+        count(lit(1)).as("n_tokens"))
+  }
+}
