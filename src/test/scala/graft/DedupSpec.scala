@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.dedup.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"), // near dup of 1
+    (4L, "completely different words entirely here now today friends")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val got = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(got.length == 3)
+    val dupGroup = got.find(_.getLong(2) == 2L).get
+    assert(dupGroup.getLong(1) == 1L) // keeper is the smaller id
+  }
+
+  test("shingles: n tokens -> n-2 trigram shingles, distinct per doc") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val d4 = sh.filter($"doc_id" === 4L).collect()
+    assert(d4.length == 6) // 8 tokens -> 6 trigrams, all distinct
+    assert(d4.map(_.getString(1)).forall(_.split(" ").length == 3))
+  }
+
+  test("jaccard: identical docs = 1.0, near dups high, unrelated absent") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
+  }
+
+  test("minhash signatures: identical docs share all hashes; lsh finds dups") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(4L))
+    val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((1L, 2L)))
+    assert(!cand.contains((1L, 4L)))
+  }
+
+  test("simhash: 64 bits, equal for identical docs, close for near dups") {
+    val sh = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh.values.forall(s => s.length == 64 && s.forall(c => c == '0' || c == '1')))
+    assert(sh(1L) == sh(2L))
+    def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+  }
+}

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.similarity.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(2.0f, 0.0f, 0.0f)),   // same direction as 1
+    (3L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 1
+    (4L, Array(1.0f, 0.1f, 0.0f))    // near 1
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: colinear = 1, orthogonal = 0") {
+    val df = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.vec_id".as("ida"), $"b.vec_id".as("idb"),
+        Similarity.cosine($"a.embedding", $"b.embedding").as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(math.abs(df((1L, 2L)) - 1.0) < 1e-12)
+    assert(math.abs(df((1L, 3L))) < 1e-12)
+    assert(df((1L, 4L)) > 0.99 && df((1L, 4L)) < 1.0)
+  }
+
+  test("brute-force top-k ranks by cosine, excludes self, deterministic ties") {
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1L),
+      "vec_id", "embedding", 3).collect()
+      .map(r => (r.getInt(3), r.getLong(1))).sorted
+    // rank1: id 2 (cos 1.0); rank2: id 4 (~0.995); rank3: id 3 (0.0)
+    assert(got.toSeq == Seq((1, 2L), (2, 4L), (3, 3L)))
+  }
+
+  test("near-dup pairs above threshold only, id_a < id_b") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+  }
+
+  test("SRP LSH finds colinear pairs and never exceeds brute force") {
+    val brute = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.srpNearDupPairs(vecs, "vec_id", "embedding", 0.99,
+      numPlanes = 4, dim = 3).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(approx.subsetOf(brute))
+    assert(approx.contains((1L, 2L))) // identical direction always same bucket
+  }
+}

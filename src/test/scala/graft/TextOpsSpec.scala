@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.{TextAnalysis, TextOps}
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("clean strips the reference charset and lowercases") {
+    val got = Seq("He!!o, W[or]ld: 'x+y-z'").toDF("t")
+      .select(TextOps.clean(col("t")).as("c")).head.getString(0)
+    assert(got == "heo world xyz")
+  }
+
+  test("tokens drops empties from multi-whitespace") {
+    val got = Seq("  a  b\tc ").toDF("t")
+      .select(TextOps.tokens(col("t")).as("c")).head.getSeq[String](0)
+    assert(got == Seq("a", "b", "c"))
+  }
+
+  test("cleanTokens drops tokens that clean to nothing") {
+    val got = Seq("foo !!! bar").toDF("t")
+      .select(TextOps.cleanTokens(col("t")).as("c")).head.getSeq[String](0)
+    assert(got == Seq("foo", "bar"))
+  }
+
+  test("stopword removal is an anti-join; vocab lookup an inner join") {
+    val toks = Seq((1, "the"), (1, "cat"), (2, "sat")).toDF("id", "token")
+    val stop = Seq("the").toDF("word")
+    val vocab = Seq(("cat", 7), ("sat", 9)).toDF("term", "term_id")
+    val noStop = TextOps.removeStopwords(toks, "token", stop)
+    assert(noStop.select("token").as[String].collect().sorted.toSeq == Seq("cat", "sat"))
+    val joined = TextOps.vocabJoin(noStop, "token", vocab, "term")
+    assert(joined.select("term_id").as[Int].collect().sorted.toSeq == Seq(7, 9))
+  }
+
+  test("token and subword counts") {
+    val df = Seq("ab cd-12 ef!").toDF("text")
+    assert(df.select(TextAnalysis.tokenCount(col("text"))).head.getInt(0) == 3)
+    // ab | cd | - | 12 | ef | !  -> 6 subword pieces
+    assert(df.select(TextAnalysis.subwordCount(col("text"))).head.getInt(0) == 6)
+  }
+
+  test("language id votes deterministically") {
+    val docs = Seq((1L, "the cat and the dog"), (2L, "el perro y la casa de"), (3L, "qqq zzz")).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(spark, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "es")
+    assert(got(3L) == "und")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val fp = (s: String) => TextAnalysis.fingerprint(
+      Seq((1L, s)).toDF("doc_id", "text"), "doc_id", "text")
+      .head.getLong(1)
+    assert(fp("a b c") == fp("a b c"))
+    assert(fp("a b c") != fp("b a c"))
+  }
+}
