@@ -1,0 +1,129 @@
+package graft.bbc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.{BbcCorpus, Dict, MtxCodec}
+import graft.text.TextOps
+
+/** Reference task pipelines 1.1–1.5 re-expressed as single Catalyst plans
+  * over the BBC fixtures (SURVEY §3: each multi-job MapReduce chain
+  * collapses into one lazy DataFrame chain; shuffles only at the group-bys
+  * and window exchanges).
+  *
+  * Observable semantics preserved (SURVEY §7.2): path→docId naming incl.
+  * README skip; the clean-charset regex (incl. literal backslash — the
+  * reference `Pattern.quote`s its escapes in, `sources/1.1/source/
+  * task1_1.java:75-81`); stopword test on the cleaned token; corpus-freq
+  * ≥ 3 group-HAVING; natural-log IDF over *rounded* 6-decimal TF (the
+  * reference materializes TF as `%.6f` text between its two jobs, so the
+  * rounding is part of the observable values, `task1_4.java:95,136-138`);
+  * per-category averages divided by docs-in-category.
+  */
+object BbcTasks {
+
+  /** Task 1.1: term–document count matrix.
+    * Returns (term_id, doc_id, freq) — one shuffle (the groupBy); both
+    * dictionary joins broadcast.
+    */
+  def countMatrix(spark: SparkSession, corpusDir: String, termsPath: String,
+                  docsPath: String, stopPath: String): DataFrame = {
+    val terms = Dict.load(spark, termsPath, "term_id", "token")
+    val docs = Dict.load(spark, docsPath, "doc_id", "doc_name")
+    val stop = Dict.loadStopwords(spark, stopPath)
+    val tokens = BbcCorpus.readLines(spark, corpusDir)
+      .select(col("doc_name"),
+        explode(TextOps.cleanTokens(col("line"))).as("token"))
+    TextOps.vocabJoin(
+        TextOps.removeStopwords(tokens, "token", stop),
+        "token", terms, "token")
+      .groupBy("term_id", "doc_name")
+      .agg(count(lit(1)).cast("int").as("freq"))
+      .join(broadcast(docs), "doc_name")
+      .select("term_id", "doc_id", "freq")
+  }
+
+  /** Task 1.2: keep triples of terms whose corpus frequency ≥ minFreq
+    * (group-HAVING over member rows via window — single correct
+    * application, not the reference's combiner double-filter).
+    */
+  def corpusFreqFilter(triples: DataFrame, minFreq: Long = 3L): DataFrame =
+    triples
+      .withColumn("corpus_freq", sum("freq").over(Window.partitionBy("term_id")))
+      .filter(col("corpus_freq") >= minFreq)
+      .drop("corpus_freq")
+
+  /** Task 1.3: global top-N terms by total frequency
+    * (TakeOrderedAndProject — partial top-k per partition, no full sort).
+    */
+  def topTerms(triples: DataFrame, n: Int = 10): DataFrame =
+    triples.groupBy("term_id")
+      .agg(sum("freq").as("total_freq"))
+      .orderBy(desc("total_freq"), asc("term_id"))
+      .limit(n)
+
+  /** Task 1.4: TF-IDF over a (term_id, doc_id, freq) matrix.
+    * tf = freq / Σfreq-per-doc, **rounded to 6 decimals** (the reference
+    * writes TF as `%.6f` text between its two jobs and re-parses it);
+    * idf = ln(totalDocs / df); output value = tf₆ · idf (full precision —
+    * renderers apply the final `%.6f`).
+    */
+  def tfidf(triples: DataFrame, totalDocs: Long): DataFrame = {
+    val wDoc = Window.partitionBy("doc_id")
+    val wTerm = Window.partitionBy("term_id")
+    triples
+      .withColumn("tf",
+        round(col("freq") / sum("freq").over(wDoc), 6))
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .withColumn("value", col("tf") * log(lit(totalDocs.toDouble) / col("df")))
+      .select("term_id", "doc_id", "value")
+  }
+
+  /** Task 1.5 aggregation: per (category, term) average TF-IDF where the
+    * denominator is the number of distinct docs in the *category*
+    * (`sources/1.5/source/task_1_5.java:56-76`). Doc identity comes from
+    * the docs dictionary; category = doc_name minus its 4-char suffix.
+    */
+  def categoryAvgTfidf(tfidfTriples: DataFrame, docs: DataFrame): DataFrame = {
+    val named = tfidfTriples.join(broadcast(docs), "doc_id")
+      .withColumn("category", expr("substring(doc_name, 1, length(doc_name) - 4)"))
+      .withColumn("doc_suffix", expr("substring(doc_name, length(doc_name) - 3, 4)"))
+    val perCat = named.groupBy("category")
+      .agg(countDistinct("doc_suffix").as("docs_in_cat"))
+    named.groupBy("category", "term_id")
+      .agg(sum("value").as("sum_tfidf"))
+      .join(broadcast(perCat), "category")
+      .select(col("category"), col("term_id"),
+        (col("sum_tfidf") / col("docs_in_cat")).as("avg_tfidf"))
+  }
+
+  /** Task 1.5 report: per category the top-n terms by average TF-IDF,
+    * formatted exactly like the reference (`Capitalized: term:v, …` with
+    * `DecimalFormat("#.##")` — note HALF_EVEN rounding), built driver-side
+    * from the k×n result (5×5 rows — collect is bounded).
+    */
+  def categoryReport(avg: DataFrame, terms: DataFrame, n: Int = 5): Seq[String] = {
+    val w = Window.partitionBy("category").orderBy(desc("avg_tfidf"), asc("term_id"))
+    val top = avg
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+      .join(broadcast(terms), "term_id")
+      .select("category", "rn", "token", "avg_tfidf")
+      .collect()
+    val fmt = new java.text.DecimalFormat("#.##")
+    top.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (cat, rows) =>
+      val items = rows.sortBy(_.getInt(1))
+        .map(r => s"${r.getString(2)}:${fmt.format(r.getDouble(3))}")
+      cat.capitalize + ": " + items.mkString(", ")
+    }
+  }
+
+  /** Convenience: full 1.1→1.4 chain reading the fixture files. */
+  def tfidfFromCorpus(spark: SparkSession, corpusDir: String, termsPath: String,
+                      docsPath: String, stopPath: String): DataFrame = {
+    val counts = countMatrix(spark, corpusDir, termsPath, docsPath, stopPath)
+    val filtered = corpusFreqFilter(counts)
+    val totalDocs = Dict.load(spark, docsPath, "doc_id", "doc_name").count()
+    tfidf(filtered, totalDocs)
+  }
+}

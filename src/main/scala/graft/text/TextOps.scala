@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Charset stripped by the reference (`task1_1.java:75-81`):
-    * `~!@#$%^&*()-+[]"':.,<>` — then lowercased.
+    * `~!@#$%^&*()\-+[]"':.,<>` — note the literal backslash: the reference
+    * `Pattern.quote`s a string whose escape backslashes thereby become
+    * *member characters* of the class. Then lowercased.
     */
-  val CleanRegex = "[~!@#$%^&*()\\-+\\[\\]\"':.,<>]"
+  val CleanRegex = "[~!@#$%^&*()\\\\\\-+\\[\\]\"':.,<>]"
 
   def clean(c: Column): Column = lower(regexp_replace(c, CleanRegex, ""))
 
