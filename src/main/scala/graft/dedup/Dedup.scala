@@ -115,10 +115,11 @@ object Dedup {
     * result is engine-portable; [[simhashToLong]] converts when a numeric
     * fingerprint is wanted.
     *
-    * Plan shape: tokens → groupBy(id, token) count → explode 64 bit
-    * positions → groupBy(id, bit) sum → groupBy(id) assemble. The 64×
-    * blow-up happens *after* token aggregation, so it is bounded by
-    * distinct-token count, not corpus token count.
+    * Plan shape: tokens → groupBy(id, token) count → groupBy(id) with 64
+    * bit-score sum columns → assemble bitstring. The 64 bit positions are
+    * 64 *aggregate columns* of one group-by, not a 64× row explosion —
+    * rows shuffled stay bounded by distinct (doc, token) count, and the
+    * whole thing is two exchanges instead of three.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokCounts = docs
@@ -126,21 +127,17 @@ object Dedup {
       .groupBy(idCol, "tok").agg(count(lit(1)).as("freq"))
     // md5 hex -> 16 chars = 64 bits; bit j of hex char h = (value(h) >> (3 - j%4)) & 1
     val withHash = tokCounts.withColumn("h", substring(md5(col("tok").cast("binary")), 1, 16))
-    val bitPos = sequence(lit(0), lit(63))
-    val bits = withHash
-      .select(col(idCol), col("freq"), col("h"), explode(bitPos).as("bit"))
-      .withColumn("hexval",
-        conv(col("h").substr((col("bit") / 4).cast("int") + 1, lit(1)), 16, 10).cast("int"))
+    val bitScores = (0 until 64).map { j =>
+      val hexval = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int")
       // bit j of the nibble: floor(hexval / 2^(3 - j%4)) % 2, all-arithmetic
-      .withColumn("pow2",
-        element_at(array(lit(8), lit(4), lit(2), lit(1)), (pmod(col("bit"), lit(4)) + 1).cast("int")))
-      .withColumn("bitval", pmod(floor(col("hexval") / col("pow2")).cast("long"), lit(2)))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(col("freq") * (col("bitval") * 2 - 1)).as("bit_score"))
-    bits.groupBy(idCol)
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("bit"), when(col("bit_score") > 0, "1").otherwise("0").as("b")))),
-          x => x.getField("b")), "").as("simhash"))
+      val bitval = pmod(floor(hexval / lit(1 << (3 - j % 4))).cast("long"), lit(2))
+      sum(col("freq") * (bitval * 2 - 1)).as(s"bs$j")
+    }
+    withHash.groupBy(col(idCol))
+      .agg(bitScores.head, bitScores.tail: _*)
+      .select(col(idCol),
+        concat((0 until 64).map(j =>
+          when(col(s"bs$j") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 
   /** Compact hex form of the 64-char bitstring fingerprint (kept as a

@@ -44,12 +44,16 @@ object MlOps {
 
     // Doc clustering (task 2.2 shape): TF-IDF vectors -> cosine K-Means.
     "ml_doc_clusters" -> ((s, d) => {
-      val tfidf = TextPipeline.tfidf(s, d)
+      // tfidf is cached: it feeds vocab-size, the triples build, the fit
+      // and the final transform — without the cache the whole text
+      // pipeline re-executes for each of those.
+      val tfidf = TextPipeline.tfidf(s, d).cache()
       val vocab = tfidf.select("token").distinct()
         .withColumn("term_id", (row_number().over(Window.orderBy("token")) - 1))
       val triples = tfidf.join(vocab, "token").select("doc_id", "term_id", "tfidf")
       val vocabSize = vocab.count().toInt
       val vecs = Clustering.vectorize(triples, "doc_id", "term_id", "tfidf", vocabSize)
+        .cache()
       val model = Clustering.fitKMeans(vecs, k = 5, maxIter = 10, seed = 42L,
         distanceMeasure = "cosine")
       model.transform(vecs).select(col("doc_id"), col("prediction").as("cluster"))

@@ -20,14 +20,13 @@ import scala.util.Random
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ aᵢ·bᵢ in double precision — native codegen expression (no
+    * intermediate array per pair, unlike the `aggregate(zip_with(...))`
+    * formulation; see [[graft.functions.DotProduct]]).
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** True cosine similarity dot/(‖a‖·‖b‖). (The reference's pseudo-cosine
     * `dot/(‖a‖+‖b‖)` — `sources/2.2/source/KMeansMapper.java:29-56` — is a
@@ -41,11 +40,15 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    // norms hoisted out of the pair loop: computed once per row, not per pair
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qnorm"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cnorm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine_sim", cosine(col("qvec"), col("cvec")))
+      .withColumn("cosine_sim",
+        dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -57,11 +60,15 @@ object Similarity {
     */
   def cosineNearDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                          threshold: Double): DataFrame = {
-    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.crossJoin(b)
+    // norms hoisted out of the pair loop: computed once per row, not per pair
+    val a = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+      norm(col(vecCol)).as("norm_a"))
+    val b = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      norm(col(vecCol)).as("norm_b"))
+    a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine_sim", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine_sim",
+        dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cosine_sim") >= threshold)
       .select("id_a", "id_b", "cosine_sim")
   }
@@ -94,12 +101,16 @@ object Similarity {
                       seed: Long = 42L): DataFrame = {
     val planes = randomPlanes(numPlanes, dim, seed)
     val bucketed = corpus.select(col(idCol), col(vecCol),
-      srpBucket(col(vecCol), planes).as("bucket"))
-    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+      srpBucket(col(vecCol), planes).as("bucket"),
+      norm(col(vecCol)).as("nrm"))
+    val a = bucketed.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"), col("nrm").as("norm_a"))
+    val b = bucketed.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), col("nrm").as("norm_b"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine_sim", cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine_sim",
+        dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cosine_sim") >= threshold)
       .select("id_a", "id_b", "cosine_sim")
       .distinct()
