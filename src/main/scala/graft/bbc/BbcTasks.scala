@@ -118,6 +118,35 @@ object BbcTasks {
     }
   }
 
+  /** Tasks 2.2/2.3: pivot the 1-based (term_id, doc_id, value) TF-IDF
+    * matrix into 0-indexed sparse document vectors (A14 — by term index,
+    * not the reference's positionally-meaningless padded strings).
+    */
+  def docVectors(tfidfTriples: DataFrame, vocabSize: Int): DataFrame =
+    graft.cluster.Clustering.vectorize(
+      tfidfTriples.select(col("doc_id"), (col("term_id") - 1).as("term0"),
+        col("value")),
+      "doc_id", "term0", "value", vocabSize)
+
+  /** Task 2.2 shape: explicit cosine Lloyd loop, fixed `iters` iterations
+    * (no tol — `sources/2.2/source/KMeans.java:90,167-195`), per-iteration
+    * per-cluster losses. True cosine, true mean, loss against the previous
+    * full centroid (corrections per SURVEY §7.2).
+    */
+  def docKMeansExplicit(spark: SparkSession, vectors: DataFrame, k: Int = 5,
+                        iters: Int = 10): graft.cluster.Clustering.LloydResult =
+    graft.cluster.Clustering.lloydLoop(spark, vectors, "doc_id", k,
+      maxIter = iters, tol = 0.0, distanceMeasure = "cosine")
+
+  /** Task 2.3 shape: MLlib K-Means with the published k-means|| init
+    * (Bahmani et al., VLDB 2012) — the faithful version of the reference's
+    * hand-rolled per-partition approximation (SURVEY M6).
+    */
+  def docKMeansScalable(vectors: DataFrame, k: Int = 5, iters: Int = 10,
+                        seed: Long = 42L): org.apache.spark.ml.clustering.KMeansModel =
+    graft.cluster.Clustering.fitKMeans(vectors, k, maxIter = iters,
+      seed = seed, initMode = "k-means||", distanceMeasure = "cosine")
+
   /** Convenience: full 1.1→1.4 chain reading the fixture files. */
   def tfidfFromCorpus(spark: SparkSession, corpusDir: String, termsPath: String,
                       docsPath: String, stopPath: String): DataFrame = {

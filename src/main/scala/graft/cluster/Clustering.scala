@@ -75,13 +75,36 @@ object Clustering {
     * would also do; determinism matters more than init quality here —
     * k-means|| quality comes from the MLlib path).
     *
+    * `distanceMeasure`: "euclidean" (squared distance, task 2.1) or
+    * "cosine" (1 − true cosine, the corrected form of task 2.2/2.3's
+    * pseudo-cosine argmax — SURVEY §7.2). Loss per (iteration, cluster) is
+    * the sum of the chosen distance of members to their *previous* full
+    * centroid (not the reference's running partial, `KMeansReducer.java:
+    * 166-180`).
+    *
     * Per iteration: one broadcast of k centers out, one
-    * groupBy(cluster).agg(Summarizer.mean, count, sum sqdist) back —
+    * groupBy(cluster).agg(Summarizer.mean, count, sum dist) back —
     * exactly the treeAggregate shape MLlib uses internally, so the loop
     * scales the same way.
     */
   def lloydLoop(spark: SparkSession, data: DataFrame, idCol: String, k: Int,
-                maxIter: Int, tol: Double = 1e-5): LloydResult = {
+                maxIter: Int, tol: Double = 1e-5,
+                distanceMeasure: String = "euclidean"): LloydResult = {
+    require(distanceMeasure == "euclidean" || distanceMeasure == "cosine",
+      s"unknown distanceMeasure $distanceMeasure")
+    val cosineMode = distanceMeasure == "cosine"
+    def vdot(a: Vector, b: Vector): Double = {
+      // sparse-aware: iterate the active entries of `a` (the doc vector),
+      // point-lookup into `b` (the centroid, dense after the first mean)
+      var s = 0.0
+      a.foreachActive((i, av) => s += av * b(i))
+      s
+    }
+    def dist(v: Vector, c: Vector): Double =
+      if (cosineMode) {
+        val nn = Vectors.norm(v, 2) * Vectors.norm(c, 2)
+        if (nn == 0) 1.0 else 1.0 - vdot(v, c) / nn
+      } else Vectors.sqdist(v, c)
     val cached = data.select(col(idCol), col("features")).cache()
     var centers: Array[Vector] = cached.orderBy(col(idCol)).limit(k)
       .select("features").collect().map(_.getAs[Vector](0))
@@ -94,13 +117,13 @@ object Clustering {
       val assign = udf { (v: Vector) =>
         var best = 0; var bestD = Double.MaxValue; var i = 0
         while (i < bc.value.length) {
-          val d = Vectors.sqdist(v, bc.value(i))
+          val d = dist(v, bc.value(i))
           if (d < bestD) { bestD = d; best = i }
           i += 1
         }
         best
       }
-      val sqd = udf { (v: Vector, c: Int) => Vectors.sqdist(v, bc.value(c)) }
+      val sqd = udf { (v: Vector, c: Int) => dist(v, bc.value(c)) }
       assignments = cached.withColumn("cluster", assign(col("features")))
       val stats = assignments
         .withColumn("sqdist", sqd(col("features"), col("cluster")))
