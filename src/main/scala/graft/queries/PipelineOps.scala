@@ -50,6 +50,15 @@ object PipelineOps {
     "sim_near_dup" -> ((s, d) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding", 0.95)),
 
+    // IVF-indexed approximate top-k (the ANN scale path; seeded k-means
+    // quantizer, nprobe of nlist cells scanned — rows-only driver check,
+    // exactness at nprobe == nlist is property-tested vs brute force).
+    "sim_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0),
+        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
+    }),
+
     "ta_langid" -> ((s, d) =>
       TextAnalysis.languageId(s, Tables.documents(s, d), "doc_id", "text")),
 

@@ -83,6 +83,15 @@ object Relational {
           count(lit(1)).as("n_orders"))
     }),
 
+    // A7 north-star variant: HLL sketch distinct count per group (exact
+    // at 100 TB is a full shuffle of the distinct keys; the sketch is one
+    // pass, fixed memory). Spark's HLL++ differs from DuckDB's sketch →
+    // rows-only driver check; accuracy is property-tested vs exact.
+    "a7b_approx_distinct" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_orderkey", 0.02).as("approx_orders"))),
+
     // J1/J3/J4: star join — broadcast every dimension, aggregate the fact.
     "j1_star_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)

@@ -73,6 +73,62 @@ object Similarity {
       .select("id_a", "id_b", "cosine_sim")
   }
 
+  /** IVF (inverted-file) approximate top-k — the index-backed scale path
+    * for ANN: coarse-quantize the L2-normalized corpus into `nlist` cells
+    * with seeded K-Means, then score each query only against the members
+    * of its `nprobe` nearest cells.
+    *
+    * Plan shape: cell assignment is one fit + one transform over the
+    * corpus; candidate generation is a hash equi-join on `cell` (queries
+    * carry their probed cells exploded), never a full cross join. With
+    * `nprobe == nlist` the result equals [[bruteForceTopK]] exactly.
+    *
+    * At 100 TB the corpus-side bucketing is a write-once index (cell id
+    * is a partition column); per-query work is `nprobe / nlist` of the
+    * corpus scan.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int, nprobe: Int,
+              seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    // L2-normalize so euclidean cells order like cosine; the norm is a
+    // separate projection step so it is computed once per row, not once
+    // per element inside the transform lambda
+    def unitized(df: DataFrame, id: String, asId: String, asVec: String): DataFrame =
+      df.select(col(id).as(asId), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+        .select(col(asId), transform(col("v"), x => x.cast("double") / col("nrm")).as(asVec))
+    val cNorm = unitized(corpus, idCol, "neighbor_id", "cvec")
+    val qNorm = unitized(queries, idCol, "query_id", "qvec")
+
+    val feats = cNorm.select(col("neighbor_id"), array_to_vector(col("cvec")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setMaxIter(10).setSeed(seed).fit(feats)
+    val bucketed = model.transform(feats)
+      .select(col("neighbor_id"), col("prediction").as("cell"))
+      .join(cNorm, "neighbor_id")
+
+    // centroids as a small literal table; nearest-nprobe cells per query
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      struct(lit(i).as("cell"), array(c.toArray.map(lit).toSeq: _*).as("centroid"))
+    }
+    val probed = qNorm
+      .select(col("query_id"), col("qvec"),
+        explode(array(centroids.toSeq: _*)).as("cc"))
+      .withColumn("cdist", -dot(col("qvec"), col("cc.centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cc.cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("cc.cell").as("cell"))
+
+    val scored = bucketed.join(broadcast(probed), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim", dot(col("qvec"), col("cvec")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
   /** Deterministic random hyperplanes (seeded driver-side RNG, broadcast as
     * a literal array-of-arrays) for signed-random-projection LSH.
     */

@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
 
@@ -64,6 +64,55 @@ object EventsStream {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("session_value"))
+
+  /** Input/state/output rows for the custom-state operator. */
+  final case class UserEvent(user_id: Long, tsMicros: Long, value: Double)
+  final case class UserState(nEvents: Long, totalValue: Double, maxValue: Double)
+  final case class UserSnapshot(user_id: Long, n_events: Long,
+                                total_value: Double, max_value: Double)
+
+  /** Custom per-key state via `flatMapGroupsWithState`: running per-user
+    * totals (count, sum, max) emitted as an updated snapshot per batch.
+    * This is the escape hatch for stateful semantics the built-in windows
+    * can't express.
+    *
+    * `stateTtl`: optional processing-time TTL that drops abandoned keys —
+    * bounded state for unbounded key spaces in production streams. Leave
+    * unset for finite replays: a processing-time timer keeps the query
+    * alive past the backlog under `Trigger.AvailableNow`, so a TTL'd
+    * query never terminates there.
+    */
+  def statefulUserTotals(events: DataFrame,
+                         stateTtl: Option[String] = None): Dataset[UserSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("tsMicros"),
+        col("value").cast("double"))
+      .as[UserEvent]
+    val timeout = if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, UserSnapshot](
+        OutputMode.Append(), timeout) {
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserState(0L, 0.0, Double.MinValue))
+            val next = rows.foldLeft(prev) { (acc, e) =>
+              UserState(acc.nEvents + 1, acc.totalValue + e.value,
+                math.max(acc.maxValue, e.value))
+            }
+            state.update(next)
+            stateTtl.foreach(state.setTimeoutDuration)
+            Iterator.single(UserSnapshot(userId, next.nEvents, next.totalValue,
+              next.maxValue))
+          }
+      }
+  }
 
   /** Run a streaming frame to completion against static input via the
     * in-memory sink (test/driver harness; `availableNow` processes the

@@ -24,4 +24,19 @@ class QueriesContractSpec extends AnyFunSuite {
       assert(df.count() >= 0)
     }
   }
+
+  test("a7b approx distinct is within the 2% HLL error bound (x5 slack)") {
+    import org.apache.spark.sql.functions._
+    val d = SparkTestSession.sfDir
+    val approx = SparkEntry.queries("a7b_approx_distinct")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.io.Tables.lineitem(spark, d)
+      .groupBy("l_returnflag").agg(countDistinct("l_orderkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n) <= math.max(1L, (n * 0.10).toLong),
+        s"$k: approx ${approx(k)} vs exact $n")
+    }
+  }
 }

@@ -47,4 +47,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.subsetOf(brute))
     assert(approx.contains((1L, 2L))) // identical direction always same bucket
   }
+
+  test("IVF top-k: exact at nprobe == nlist, decent recall at nprobe < nlist") {
+    val spark0 = spark
+    val emb = spark0.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val brute = pairs(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val exactIvf = pairs(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 8))
+    assert(exactIvf == brute, "nprobe == nlist must equal brute force")
+
+    // random embeddings spread true neighbors across cells, so expected
+    // recall scales with the probed fraction; at half the cells expect
+    // comfortably above half the neighbors
+    val approx = pairs(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 4))
+    assert(approx.nonEmpty)
+    val recall = (approx intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
 }

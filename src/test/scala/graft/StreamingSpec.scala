@@ -37,6 +37,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("flatMapGroupsWithState running totals: final snapshot equals batch aggregation") {
+    val streamed = EventsStream.statefulUserTotals(
+      EventsStream.readEvents(spark, eventsDir))
+    // one snapshot per (user, micro-batch); the final snapshot per user —
+    // the one with the highest running count — must equal the batch totals
+    val got = EventsStream.runToMemory(spark, streamed.toDF(), "stateful_test")
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .groupBy(_._1).map { case (u, snaps) => u -> snaps.map(_._2).maxBy(_._1) }
+
+    val batch = Tables.events(spark, SparkTestSession.sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("value").as("tv"), max("value").as("mv"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(got.keySet == batch.keySet)
+    got.foreach { case (u, (n, tv, mv)) =>
+      val (bn, btv, bmv) = batch(u)
+      assert(n == bn && math.abs(tv - btv) < 1e-9 && mv == bmv,
+        s"user $u: got ($n,$tv,$mv) want ($bn,$btv,$bmv)")
+    }
+  }
+
   test("session windows produce per-user sessions with positive spans") {
     val streamed = EventsStream.sessionAgg(EventsStream.readEvents(spark, eventsDir))
     val rows = EventsStream.runToMemory(spark, streamed, "session_test").collect()
