@@ -125,11 +125,13 @@ object Relational {
         .select("c_custkey", "c_name")
     }),
 
-    // Shuffle (sort-merge) fact-fact join with a non-equi residual.
+    // Shuffle (sort-merge) fact-fact join with a non-equi residual. The
+    // merge hint pins the scale-correct strategy (two fact tables never
+    // broadcast at 100 TB) even when test-SF stats would allow broadcast.
     "j_shuffle_join" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val li = Tables.lineitem(s, d)
-      o.join(li, col("l_orderkey") === col("o_orderkey") &&
+      o.hint("merge").join(li, col("l_orderkey") === col("o_orderkey") &&
           col("l_shipdate") > col("o_orderdate"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_late_lines"))

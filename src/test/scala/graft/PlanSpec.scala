@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Tables
+
+/** Physical-plan shape assertions — the scale posture, regression-guarded:
+  * broadcasts where intended, shuffle joins where intended, map-side
+  * partial aggregation, top-k via TakeOrderedAndProject, and parquet
+  * column pruning / predicate pushdown reaching the scan.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  // pre-AQE physical plan: deterministic w.r.t. runtime re-optimization
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, SparkTestSession.sfDir)
+      .queryExecution.sparkPlan.toString
+
+  test("star join broadcasts every dimension (no sort-merge, no shuffle of the fact side per dim)") {
+    val p = plan("j1_star_join")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("anti and semi joins stay broadcast") {
+    assert(plan("j2_anti_join").contains("BroadcastHashJoin"))
+    assert(plan("j_semi_join").contains("BroadcastHashJoin"))
+  }
+
+  test("the deliberate shuffle join actually shuffles") {
+    val p = plan("j_shuffle_join")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+  }
+
+  test("global top-k plans as TakeOrderedAndProject (partial top-k per partition, no full sort)") {
+    assert(plan("a4_global_topk").contains("TakeOrderedAndProject"))
+    assert(plan("t3_top10_terms").contains("TakeOrderedAndProject"))
+  }
+
+  test("group-by aggregations do map-side partial aggregation") {
+    val p = plan("a1_groupby_count")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial + final HashAggregate")
+  }
+
+  test("similarity pair scoring has no per-pair array allocation (native vec_dot)") {
+    assert(plan("sim_near_dup").contains("vec_dot"))
+    assert(!plan("sim_near_dup").contains("zip_with"))
+  }
+
+  test("parquet scan prunes to referenced columns only") {
+    val p = plan("t1_term_doc_count")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("literal predicates push down to the parquet scan") {
+    val df = Tables.lineitem(spark, SparkTestSession.sfDir)
+      .filter(col("l_quantity") > 40.0)
+      .select("l_orderkey", "l_quantity")
+    val p = df.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
+    assert(pushed.contains("GreaterThan"), s"filter not pushed: $pushed")
+  }
+}
