@@ -32,16 +32,31 @@ object Dedup {
 
   /** Word n-gram shingles, one row per distinct (id, shingle).
     * Built with posexplode + lead windows — no UDFs, stays in codegen.
+    *
+    * `maxDf`: optional hot-shingle cap — drop shingles appearing in more
+    * than `maxDf` docs before any pairwise join. A boilerplate shingle
+    * shared by f docs contributes f² candidate pairs; capping bounds the
+    * inverted-index join's worst key at scale. Off by default (exact
+    * semantics).
     */
-  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3,
+               maxDf: Option[Long] = None): DataFrame = {
     val toks = docs.select(col(idCol), posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
     val w = Window.partitionBy(idCol).orderBy("pos")
     val parts = (0 until n).map(i => if (i == 0) col("tok") else lead("tok", i).over(w))
-    toks.withColumn("shingle", concat_ws(" ", parts: _*))
+    val sh = toks.withColumn("shingle", concat_ws(" ", parts: _*))
       .withColumn("last_tok", if (n == 1) col("tok") else lead("tok", n - 1).over(w))
       .filter(col("last_tok").isNotNull) // drop ragged tail shingles
       .select(col(idCol), col("shingle"))
       .distinct()
+    maxDf match {
+      case None => sh
+      case Some(cap) =>
+        sh.withColumn("df",
+            count(lit(1)).over(Window.partitionBy("shingle")))
+          .filter(col("df") <= cap)
+          .drop("df")
+    }
   }
 
   /** Near-dup pairs by n-gram Jaccard similarity >= `threshold`, via an

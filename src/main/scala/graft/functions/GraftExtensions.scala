@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension registration for the engine's native expressions, so
+  * they are first-class SQL functions:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.functions.GraftExtensions ...
+  *   spark.sql("SELECT vec_dot(a.embedding, b.embedding) FROM ...")
+  * }}}
+  *
+  * [[GraftFunctions.register]] offers the same registration on an
+  * already-built session (tests, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptions.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+
+  type Description =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val descriptions: Seq[Description] = Seq(
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dot expects exactly 2 arguments")
+        DotProduct(children.head, children(1))
+      })
+  )
+
+  /** Register on a live session (equivalent to the extension injection). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    descriptions.foreach { case (ident, info, builder) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerFunction(spark, ident, info, builder)
+    }
+}

@@ -48,8 +48,15 @@ object MlOps {
       // and the final transform — without the cache the whole text
       // pipeline re-executes for each of those.
       val tfidf = TextPipeline.tfidf(s, d).cache()
-      val vocab = tfidf.select("token").distinct()
-        .withColumn("term_id", (row_number().over(Window.orderBy("token")) - 1))
+      // contiguous 0-based term ids via order-preserving zipWithIndex —
+      // not a global row_number window, which would single-partition the
+      // vocabulary at scale (SURVEY S2)
+      val vocab = {
+        import s.implicits._
+        tfidf.select("token").distinct().orderBy("token")
+          .as[String].rdd.zipWithIndex()
+          .map { case (t, i) => (t, i.toInt) }.toDF("token", "term_id")
+      }
       val triples = tfidf.join(vocab, "token").select("doc_id", "term_id", "tfidf")
       val vocabSize = vocab.count().toInt
       val vecs = Clustering.vectorize(triples, "doc_id", "term_id", "tfidf", vocabSize)

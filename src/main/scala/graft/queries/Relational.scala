@@ -92,6 +92,20 @@ object Relational {
         .groupBy("l_returnflag")
         .agg(approx_count_distinct("l_orderkey", 0.02).as("approx_orders"))),
 
+    // §2.4-absent built-ins the declared surface exercises anyway:
+    // hierarchical subtotals in one pass (no union of re-aggregations).
+    "a_rollup" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"))),
+
+    // Exact interpolated median per group.
+    "a_median" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
+          count(lit(1)).as("n_orders"))),
+
     // J1/J3/J4: star join — broadcast every dimension, aggregate the fact.
     "j1_star_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -249,6 +263,16 @@ object Relational {
       """SELECT o_orderpriority,
            count(DISTINCT o_custkey) AS n_customers,
            count(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
+           count(*) AS n_orders
+         FROM orders GROUP BY 1""",
+
+    "a_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+
+    "a_median" ->
+      """SELECT o_orderpriority, median(o_totalprice) AS median_price,
            count(*) AS n_orders
          FROM orders GROUP BY 1""",
 
