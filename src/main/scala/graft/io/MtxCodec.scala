@@ -74,14 +74,17 @@ object MtxCodec {
     ordered.select("line").toLocalIterator().asScala.map(_.getString(0))
   }
 
-  /** Write a full .mtx with header to a local path. */
+  /** Write a full .mtx with header to a local path. Newlines are
+    * separators, not terminators — the committed goldens end without a
+    * trailing newline and byte parity is part of the contract.
+    */
   def write(triples: DataFrame, dims: MtxDims, path: String,
             integerValues: Boolean = false, legacySort: Boolean = false): Unit = {
     val w = new BufferedWriter(new FileWriter(path))
     try {
       w.write("%%MatrixMarket matrix coordinate real general\n")
-      w.write(s"${dims.rows} ${dims.cols} ${dims.nnz}\n")
-      bodyLines(triples, integerValues, legacySort).foreach { l => w.write(l); w.write("\n") }
+      w.write(s"${dims.rows} ${dims.cols} ${dims.nnz}")
+      bodyLines(triples, integerValues, legacySort).foreach { l => w.write("\n"); w.write(l) }
     } finally w.close()
   }
 
@@ -92,8 +95,9 @@ object MtxCodec {
                       integerValues: Boolean = false): Unit = {
     val w = new BufferedWriter(new FileWriter(path))
     try {
+      var first = true
       bodyLines(triples.dropDuplicates(), integerValues, legacySort = false)
-        .foreach { l => w.write(l); w.write("\n") }
+        .foreach { l => if (!first) w.write("\n"); w.write(l); first = false }
     } finally w.close()
   }
 }

@@ -148,6 +148,17 @@ class BbcGoldenSpec extends AnyFunSuite {
     got.foreach(l => assert(shape.matches(l), s"bad shape: $l"))
   }
 
+  test("task 1.1 sink: legacy-sort mtx write reproduces the golden file byte-for-byte") {
+    val tmp = Files.createTempDirectory("mtx11").resolve("OutputTask1_1.mtx").toString
+    MtxCodec.write(countMatrix.withColumnRenamed("freq", "value"),
+      MtxCodec.MtxDims(9635, 2225, 142278), tmp,
+      integerValues = true, legacySort = true)
+    val got = Files.readAllBytes(Paths.get(tmp))
+    val want = Files.readAllBytes(Paths.get(s"$ref/1.1/output/OutputTask1_1.mtx"))
+    assert(got.length == want.length, s"size ${got.length} != golden ${want.length}")
+    assert(java.util.Arrays.equals(got, want))
+  }
+
   test("mtx round-trip: write then read is identity (numeric + legacy sort)") {
     val tmp = Files.createTempDirectory("mtx").resolve("m.mtx").toString
     val dims = MtxCodec.MtxDims(9635, 2225, countMatrix.count())
