@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Tables
+import graft.queries.Skew
+
+/** Scale-posture mechanics: salted aggregation/join correctness, and
+  * bucketed tables giving an exchange-free co-located join.
+  */
+class SkewBucketSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val d = SparkTestSession.sfDir
+
+  test("salted aggregation equals the plain aggregation") {
+    val li = Tables.lineitem(spark, d)
+    val plain = li.groupBy("l_returnflag")
+      .agg(sum("l_quantity").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val salted = Skew.saltedAggregate(li, Seq("l_returnflag"), saltBuckets = 7,
+      partialAggs = Seq(sum("l_quantity").as("ps"), count(lit(1)).as("pn")),
+      finalAggs = Seq(sum("ps").as("s"), sum("pn").as("n")))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("salted join equals the plain join") {
+    val o = Tables.orders(spark, d).select("o_orderkey", "o_orderpriority")
+    val pri = o.select("o_orderpriority").distinct()
+      .withColumn("pri_rank", length(col("o_orderpriority")))
+    val plain = o.join(pri, "o_orderpriority")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), max("pri_rank").as("r"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val salted = Skew.saltedJoin(o, pri, "o_orderpriority", saltBuckets = 5)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"), max("pri_rank").as("r"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without any shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+    // the in-memory catalog forgets tables between JVMs but their
+    // warehouse directories persist — clear them
+    Seq("orders_bkt", "lineitem_bkt").foreach { t =>
+      val p = java.nio.file.Paths.get(s"spark-warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    Tables.orders(spark, d).select("o_orderkey", "o_orderpriority")
+      .write.mode("overwrite")
+      .bucketBy(4, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("orders_bkt")
+    Tables.lineitem(spark, d).select("l_orderkey", "l_quantity")
+      .write.mode("overwrite")
+      .bucketBy(4, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("lineitem_bkt")
+    val joined = spark.table("orders_bkt")
+      .hint("merge")
+      .join(spark.table("lineitem_bkt"),
+        col("o_orderkey") === col("l_orderkey"))
+    val plan = joined.queryExecution.sparkPlan.toString
+    assert(plan.contains("SortMergeJoin"))
+    assert(!plan.contains("Exchange"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() > 0)
+  }
+}
