@@ -34,6 +34,14 @@ object Similarity {
     */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** The reference's pseudo-cosine `dot/(‖a‖+‖b‖)` (sum, not product, of
+    * norms — `sources/2.2/source/KMeansMapper.java:29-56`), kept only as a
+    * clearly-named compatibility shim for replaying the reference's
+    * clustering trajectories. Not used by any engine operator.
+    */
+  def referenceSimilarity(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) + norm(b))
+
   /** Exact brute-force top-k cosine neighbors for each query vector.
     * `queries` is broadcast; ranking tie-breaks on candidate id so results
     * are deterministic. Self-matches are excluded.

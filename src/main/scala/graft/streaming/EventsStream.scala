@@ -65,6 +65,16 @@ object EventsStream {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup on event id: duplicates arriving within the
+    * watermark horizon are dropped; state is bounded by the horizon (keys
+    * older than the watermark are evicted). The streaming face of
+    * `graft.dedup.Dedup.exact`.
+    */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Input/state/output rows for the custom-state operator. */
   final case class UserEvent(user_id: Long, tsMicros: Long, value: Double)
   final case class UserState(nEvents: Long, totalValue: Double, maxValue: Double)

@@ -25,6 +25,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(df((1L, 4L)) > 0.99 && df((1L, 4L)) < 1.0)
   }
 
+  test("referenceSimilarity reproduces the reference's pseudo-cosine (sum of norms)") {
+    val r = vecs.filter($"vec_id" === 1L).crossJoin(vecs.filter($"vec_id" === 2L).select($"embedding".as("e2")))
+      .select(Similarity.referenceSimilarity($"embedding", $"e2").as("s"))
+      .collect().head.getDouble(0)
+    // dot = 2, norms 1 + 2 -> 2/3 (true cosine would be 1.0)
+    assert(math.abs(r - 2.0 / 3.0) < 1e-12)
+  }
+
   test("brute-force top-k ranks by cosine, excludes self, deterministic ties") {
     val got = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 1L),
       "vec_id", "embedding", 3).collect()

@@ -61,6 +61,23 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup drops duplicate event ids across input files") {
+    // stage the same parquet twice -> every event id arrives twice
+    val dir = java.nio.file.Files.createTempDirectory("events_dup")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"),
+      dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"),
+      dir.resolve("b.parquet"))
+    val streamed = EventsStream.dedupEvents(
+      EventsStream.readEvents(spark, dir.toString))
+    val got = EventsStream.runToMemory(spark, streamed, "dedup_test")
+    val want = Tables.events(spark, SparkTestSession.sfDir)
+      .select("event_id").distinct().count()
+    assert(got.count() == want)
+  }
+
   test("session windows produce per-user sessions with positive spans") {
     val streamed = EventsStream.sessionAgg(EventsStream.readEvents(spark, eventsDir))
     val rows = EventsStream.runToMemory(spark, streamed, "session_test").collect()
