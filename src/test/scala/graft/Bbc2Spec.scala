@@ -111,4 +111,15 @@ class Bbc2Spec extends AnyFunSuite {
     assert(assigned.count() == 2225)
     assert(assigned.select("prediction").distinct().count() <= 5)
   }
+
+  test("M8: model state round-trips through save/load with identical centers") {
+    val model = BbcTasks.docKMeansScalable(docVecs, k = 5, iters = 2)
+    val dir = Files.createTempDirectory("kmeans_model").resolve("m").toString
+    model.write.overwrite().save(dir)
+    val back = org.apache.spark.ml.clustering.KMeansModel.load(dir)
+    assert(back.clusterCenters.length == model.clusterCenters.length)
+    model.clusterCenters.zip(back.clusterCenters).foreach { case (a, b) =>
+      assert(a == b, "centers changed across save/load")
+    }
+  }
 }
