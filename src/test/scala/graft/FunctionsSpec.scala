@@ -23,6 +23,45 @@ class FunctionsSpec extends AnyFunSuite {
     assert(f == 3.5)
   }
 
+  test("optimizer rule rewrites the HOF dot-product pattern into vec_dot") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.experimental.extraOptimizations =
+      Seq(graft.functions.RewriteHofDotProduct)
+    try {
+      // parquet-backed input: a literal local relation constant-folds
+      // away before the rewrite would even be visible
+      val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      val df = emb.select(col("vec_id"),
+        aggregate(zip_with(col("embedding"), col("embedding"),
+          (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("d"))
+      assert(df.queryExecution.optimizedPlan.toString.contains("vec_dot"),
+        df.queryExecution.optimizedPlan.toString)
+      val viaKernel = emb.select(col("vec_id"),
+        graft.functions.VectorExprs.dot(col("embedding"), col("embedding")).as("d"))
+      val a = df.orderBy("vec_id").collect().map(_.getDouble(1)).toSeq
+      val b = viaKernel.orderBy("vec_id").collect().map(_.getDouble(1)).toSeq
+      assert(a == b)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("optimizer rule leaves non-dot aggregates alone") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.experimental.extraOptimizations =
+      Seq(graft.functions.RewriteHofDotProduct)
+    try {
+      val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      val df = emb.select(
+        aggregate(zip_with(col("embedding"), col("embedding"),
+          (x, y) => x.cast("double") + y.cast("double")),
+          lit(0.0), (acc, v) => acc + v).as("d"))
+      assert(!df.queryExecution.optimizedPlan.toString.contains("vec_dot"))
+      assert(df.count() > 0)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("vec_dot rejects non-array operands with a type error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
