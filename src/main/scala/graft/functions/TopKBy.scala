@@ -1,0 +1,145 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+
+/** Bounded-heap per-group top-k aggregate: keeps the k best
+  * (ord DESC, tie ASC) entries per group with their payloads.
+  *
+  * This is the scale-correct form of per-group top-k. The window-rank
+  * formulation (`row_number over (partition by g order by …) <= k`) must
+  * shuffle *every* row of a group to one task and sort it; this aggregate
+  * keeps k-entry heaps, does map-side partial aggregation (pre-shuffle
+  * data per task is ≤ k × distinct-groups-in-partition), and merges heaps
+  * on the reduce side — memory and shuffle bounded by k, not group size.
+  *
+  * Result: `array<struct<ord, tie, payload>>`, best first, exactly the
+  * (ord DESC, tie ASC) prefix of the group.
+  */
+case class TopKBy(ord: Expression, tie: Expression, payload: Expression,
+                  kExpr: Expression,
+                  mutableAggBufferOffset: Int = 0,
+                  inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKBy.Buffer] {
+
+  private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue
+  require(kExpr.foldable, "top_k_by: k must be a literal")
+
+  override def children: Seq[Expression] = Seq(ord, tie, payload, kExpr)
+
+  override def nullable: Boolean = false
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("ord", DoubleType, nullable = false),
+    StructField("tie", LongType, nullable = false),
+    StructField("payload", payload.dataType, payload.nullable))),
+    containsNull = false)
+
+  override def createAggregationBuffer(): TopKBy.Buffer = new TopKBy.Buffer(k)
+
+  override def update(buffer: TopKBy.Buffer, input: InternalRow): TopKBy.Buffer = {
+    val o = ord.eval(input)
+    val t = tie.eval(input)
+    if (o != null && t != null) {
+      buffer.offer(o.asInstanceOf[Number].doubleValue(),
+        t.asInstanceOf[Number].longValue(),
+        InternalRow.copyValue(payload.eval(input)))
+    }
+    buffer
+  }
+
+  override def merge(buffer: TopKBy.Buffer, other: TopKBy.Buffer): TopKBy.Buffer = {
+    other.entries.foreach(e => buffer.offer(e._1, e._2, e._3))
+    buffer
+  }
+
+  override def eval(buffer: TopKBy.Buffer): Any =
+    new GenericArrayData(buffer.sortedBestFirst.map { case (o, t, p) =>
+      new GenericInternalRow(Array[Any](o, t, p)): Any
+    }.toArray)
+
+  private lazy val entryProj =
+    UnsafeProjection.create(Array[DataType](DoubleType, LongType, payload.dataType))
+
+  override def serialize(buffer: TopKBy.Buffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    buffer.entries.foreach { case (o, t, p) =>
+      val row = entryProj(new GenericInternalRow(Array[Any](o, t, p)))
+      val bytes = row.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(storage: Array[Byte]): TopKBy.Buffer = {
+    val buffer = new TopKBy.Buffer(k)
+    val in = ByteBuffer.wrap(storage)
+    while (in.remaining() > 0) {
+      val len = in.getInt
+      val bytes = new Array[Byte](len)
+      in.get(bytes)
+      val row = new UnsafeRow(3)
+      row.pointTo(bytes, len)
+      buffer.offer(row.getDouble(0), row.getLong(1),
+        InternalRow.copyValue(row.get(2, payload.dataType)))
+    }
+    buffer
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKBy =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKBy =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKBy =
+    copy(ord = newChildren(0), tie = newChildren(1), payload = newChildren(2),
+      kExpr = newChildren(3))
+
+  override def prettyName: String = "top_k_by"
+}
+
+object TopKBy {
+
+  /** k-bounded heap; the queue's max (dequeue target) is the WORST kept
+    * entry — smallest ord, then largest tie.
+    */
+  final class Buffer(k: Int) {
+    private val worstFirst: Ordering[(Double, Long, Any)] =
+      Ordering.by { case (o, t, _) => (-o, t) }
+    private val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Any)](worstFirst)
+
+    def offer(o: Double, t: Long, p: Any): Unit = {
+      if (pq.size < k) pq.enqueue((o, t, p))
+      else {
+        val worst = pq.head
+        // is (o, t) better than worst? better = larger ord, then smaller tie
+        if (o > worst._1 || (o == worst._1 && t < worst._2)) {
+          pq.dequeue(); pq.enqueue((o, t, p))
+        }
+      }
+    }
+
+    def entries: Iterator[(Double, Long, Any)] = pq.iterator
+
+    def sortedBestFirst: Seq[(Double, Long, Any)] =
+      pq.toSeq.sortBy { case (o, t, _) => (-o, t) }
+  }
+
+  /** Column builder: top-k payloads per group by (ord DESC, tie ASC). */
+  def topKBy(ord: Column, tie: Column, payload: Column, k: Int): Column =
+    ColumnBridge.column(
+      TopKBy(ColumnBridge.expression(ord), ColumnBridge.expression(tie),
+        ColumnBridge.expression(payload), Literal(k))
+        .toAggregateExpression())
+}

@@ -163,6 +163,20 @@ object Relational {
           .as("nearest_centroid"))
     }),
 
+    // O3 via the bounded-heap top_k_by aggregate: identical result to the
+    // window-rank form below (same oracle), but shuffle and memory are
+    // bounded by k per group instead of group size — the form that holds
+    // at 100 TB group cardinalities.
+    "o3b_group_topk_agg" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(graft.functions.TopKBy.topKBy(col("o_totalprice"), col("o_orderkey"),
+          struct(col("o_orderkey"), col("o_totalprice")), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")))
+        .select(col("o_custkey"), col("col.payload.o_orderkey").as("o_orderkey"),
+          col("col.payload.o_totalprice").as("o_totalprice"),
+          (col("pos") + 1).cast("int").as("rn"))),
+
     // O3/A9: per-group top-k via rank window.
     "o3_group_topk" -> ((s, d) => {
       val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
@@ -306,6 +320,14 @@ object Relational {
          GROUP BY 1, 2""",
 
     "o3_group_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn
+           FROM orders) t
+         WHERE rn <= 3""",
+
+    // same semantics as o3_group_topk, realized by the bounded-heap agg
+    "o3b_group_topk_agg" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
              CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS INT) AS rn

@@ -62,6 +62,26 @@ class FunctionsSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("top_k_by keeps exactly the (ord desc, tie asc) prefix per group") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 9.0), ("a", 4L, 1.0),
+      ("b", 5L, 2.0)
+    ).toDF("g", "id", "score")
+    val got = df.groupBy("g")
+      .agg(graft.functions.TopKBy.topKBy(col("score"), col("id"),
+        col("id"), 2).as("top"))
+      .select(col("g"), col("top"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getDouble(0), e.getLong(1))))
+      .toMap
+    // group a: (9.0, id 2) beats (9.0, id 3) on the tie; 5.0 dropped
+    assert(got("a") == Seq((9.0, 2L), (9.0, 3L)))
+    assert(got("b") == Seq((2.0, 5L)))
+  }
+
   test("vec_dot rejects non-array operands with a type error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
