@@ -61,8 +61,11 @@ object MlOps {
       val vocabSize = vocab.count().toInt
       val vecs = Clustering.vectorize(triples, "doc_id", "term_id", "tfidf", vocabSize)
         .cache()
+      // task 2.2's init mode IS random (`sources/2.2/source/KMeans.java:
+      // 143-155`); the k-means|| variant is the 2.3 path
+      // (BbcTasks.docKMeansScalable)
       val model = Clustering.fitKMeans(vecs, k = 5, maxIter = 10, seed = 42L,
-        distanceMeasure = "cosine")
+        initMode = "random", distanceMeasure = "cosine")
       model.transform(vecs).select(col("doc_id"), col("prediction").as("cluster"))
     }),
 

@@ -61,6 +61,17 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("sliding windows cover each event len/slide times") {
+    val streamed = EventsStream.slidingAgg(
+      EventsStream.readEvents(spark, eventsDir),
+      windowLen = "30 minutes", slide = "10 minutes")
+    val got = EventsStream.runToMemory(spark, streamed, "sliding_test",
+      OutputMode.Complete())
+    val nEvents = Tables.events(spark, SparkTestSession.sfDir).count()
+    // every event lands in exactly len/slide = 3 overlapping windows
+    assert(got.agg(sum("n_events")).collect().head.getLong(0) == 3 * nEvents)
+  }
+
   test("streaming dedup drops duplicate event ids across input files") {
     // stage the same parquet twice -> every event id arrives twice
     val dir = java.nio.file.Files.createTempDirectory("events_dup")
