@@ -56,6 +56,19 @@ class PlanSpec extends AnyFunSuite {
       s"scan reads unused columns: $readSchema")
   }
 
+  test("partitioned layout gives partition pruning (PartitionFilters at the scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("docs_part").toString
+    Tables.documents(spark, SparkTestSession.sfDir)
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val langs = Tables.documents(spark, SparkTestSession.sfDir)
+      .select("lang").distinct().count()
+    assert(langs > 1, "fixture must have multiple langs for pruning to mean anything")
+    val df = spark.read.parquet(dir).filter(col("lang") === "en").select("doc_id")
+    val p = df.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
+    assert(pf.contains("lang"), s"no partition filter at the scan: $pf")
+  }
+
   test("literal predicates push down to the parquet scan") {
     val df = Tables.lineitem(spark, SparkTestSession.sfDir)
       .filter(col("l_quantity") > 40.0)
