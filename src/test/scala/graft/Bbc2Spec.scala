@@ -112,6 +112,27 @@ class Bbc2Spec extends AnyFunSuite {
     assert(assigned.select("prediction").distinct().count() <= 5)
   }
 
+  test("BbcRun: the one-command workload produces every reference artifact") {
+    // reuse BbcGoldenSpec's corpus extraction
+    val corpus = new BbcGoldenSpec().corpusDir
+    val out = Files.createTempDirectory("bbcrun").toString
+    graft.bbc.BbcRun.run(spark, graft.bbc.BbcRun.Paths(
+      corpus, s"$ref/1.1/input/bbc.terms", s"$ref/1.1/input/bbc.docs",
+      s"$ref/1.1/input/stopwords.txt", s"$ref/2.1/input/2DPoints.csv", out))
+    val expected = Seq("OutputTask1_1.mtx", "Output_Task1_2.mtx", "task_1_3.txt",
+      "task_1_4.mtx", "task_1_5.txt", "task_2_1.clusters", "task_2_1.classes",
+      "task_2_2.clusters", "task_2_2.classes", "task_2_2.losses", "task_2_2.txt",
+      "task_2_3.clusters", "task_2_3.classes", "task_2_3.txt")
+    expected.foreach { f =>
+      val p = java.nio.file.Paths.get(s"$out/$f")
+      assert(Files.exists(p) && Files.size(p) > 0, s"missing artifact $f")
+    }
+    // 1.1 artifact is the byte-exact golden
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(java.nio.file.Paths.get(s"$out/OutputTask1_1.mtx")),
+      Files.readAllBytes(java.nio.file.Paths.get(s"$ref/1.1/output/OutputTask1_1.mtx"))))
+  }
+
   test("M8: model state round-trips through save/load with identical centers") {
     val model = BbcTasks.docKMeansScalable(docVecs, k = 5, iters = 2)
     val dir = Files.createTempDirectory("kmeans_model").resolve("m").toString
