@@ -103,6 +103,13 @@ object MlOps {
       val media = Multimodal.synthesizeMedia(Tables.documents(s, d), "doc_id", "text")
       Multimodal.sampleFrames(s, media).toDF()
         .select("media_id", "frame_idx")
+    }),
+
+    // Multimodal payload resize to a byte budget (rows-only check).
+    "mm_resize" -> ((s, d) => {
+      val media = Multimodal.synthesizeMedia(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.resizePayload(media, targetBytes = 64)
+        .select(col("media_id"), length(col("payload")).as("n_bytes"))
     })
   )
 
