@@ -60,13 +60,18 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val xGet = if (elemIsFloat(left)) s"(double) $a.getFloat(i)" else s"$a.getDouble(i)"
-      val yGet = if (elemIsFloat(right)) s"(double) $b.getFloat(i)" else s"$b.getDouble(i)"
+      // fresh names: several DotProducts can be inlined into one generated
+      // method (e.g. dot(a,b) and the two hoisted norms in one projection)
+      val n = ctx.freshName("vecDotN")
+      val s = ctx.freshName("vecDotSum")
+      val i = ctx.freshName("vecDotI")
+      val xGet = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val yGet = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) { s += $xGet * $yGet; }
-         |${ev.value} = s;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $xGet * $yGet; }
+         |${ev.value} = $s;
        """.stripMargin
     })
 

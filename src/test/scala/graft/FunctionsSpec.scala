@@ -82,6 +82,27 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got("b") == Seq((2.0, 5L)))
   }
 
+  test("multiple vec_dot instances codegen together without fallback") {
+    import org.apache.spark.sql.functions._
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      val dot = graft.functions.VectorExprs.dot _
+      // three DotProducts inlined into one projection — local variable
+      // names in generated code must not collide
+      val rows = emb.limit(5).select(
+        dot(col("embedding"), col("embedding")).as("d1"),
+        sqrt(dot(col("embedding"), col("embedding"))).as("d2"),
+        (dot(col("embedding"), col("embedding")) * 2).as("d3"))
+        .collect()
+      rows.foreach { r =>
+        assert(math.abs(r.getDouble(0) - r.getDouble(1) * r.getDouble(1)) < 1e-6)
+        assert(r.getDouble(2) == r.getDouble(0) * 2)
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("vec_dot rejects non-array operands with a type error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
