@@ -109,7 +109,7 @@ object MlOps {
     "mm_resize" -> ((s, d) => {
       val media = Multimodal.synthesizeMedia(Tables.documents(s, d), "doc_id", "text")
       Multimodal.resizePayload(media, targetBytes = 64)
-        .select(col("media_id"), length(col("payload")).as("n_bytes"))
+        .select(col("media_id"), col("resized_bytes"))
     })
   )
 
