@@ -113,14 +113,18 @@ object Dedup {
       val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), concat(cols: _*).as("key"))
     }
-    sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+    val bandRows = sig
+      .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("band_key"))
-      .groupBy("band", "band_key")
-      .agg(collect_set(col(idCol)).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(col("ids")).as("id_a"), col("ids"))
-      .select(col("id_a"), explode(col("ids")).as("id_b"))
+    // candidate pairs via equi-self-join on the band key (the same shape
+    // as the SQL oracle) — unlike a collect_set per band, no single task
+    // ever buffers a whole bucket, so a degenerate hot band (e.g. many
+    // empty documents sharing a signature) streams instead of OOMing
+    val a = bandRows.select(col("band"), col("band_key"), col(idCol).as("id_a"))
+    val b = bandRows.select(col("band"), col("band_key"), col(idCol).as("id_b"))
+    a.join(b, Seq("band", "band_key"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
   }
 
