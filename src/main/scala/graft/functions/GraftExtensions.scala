@@ -33,6 +33,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vec_dot expects exactly 2 arguments")
         DotProduct(children.head, children(1))
+      }),
+    (FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "rolling_hash expects exactly 1 argument")
+        RollingHash(children.head)
       })
   )
 

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Rabin–Karp rolling hash over a string's UTF-8 bytes:
+  * `h = Σ bytes[i] · B^(n-1-i)  mod M` with the classic `B = 31`,
+  * `M = 1e9+7`, computed as the streaming recurrence
+  * `h ← (h·B + byte) mod M`. Order-sensitive (a transposition changes
+  * the hash), single codegen loop, no allocation.
+  */
+case class RollingHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string operand, got ${child.dataType.sql}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "rolling_hash"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31L + (bytes(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    h
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash.hashUtf8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash =
+    copy(child = newChild)
+}
+
+object RollingHash {
+  /** Static helper the generated code calls (keeps codegen a one-liner). */
+  def hashUtf8(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h * 31L + (bytes(i) & 0xff)) % 1000000007L
+      i += 1
+    }
+    h
+  }
+}
+
+object TextExprs {
+  def rollingHash(c: Column): Column =
+    ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+}

@@ -72,7 +72,12 @@ object PipelineOps {
         TextAnalysis.subwordCount(col("text")).as("n_subwords"))),
 
     "ta_fingerprint" -> ((s, d) =>
-      TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text"))
+      TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")),
+
+    // Rabin-Karp rolling hash over the raw text (native expression).
+    "ta_rolling_hash" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        graft.functions.TextExprs.rollingHash(col("text")).as("rhash")))
   )
 
   // ---- oracle SQL ---------------------------------------------------------
@@ -226,6 +231,14 @@ object PipelineOps {
       """SELECT doc_id,
         |  len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS n_tokens,
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords
+        |FROM documents""".stripMargin,
+
+    // bytes == ascii codes here: the documents fixture is pure ASCII
+    "ta_rolling_hash" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |  (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
         |FROM documents""".stripMargin,
 
     "ta_fingerprint" ->

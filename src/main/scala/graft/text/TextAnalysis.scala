@@ -79,8 +79,9 @@ object TextAnalysis {
   /** Position-weighted document fingerprint: Σ (pos+1) · charsum(token)
     * mod 2^31-1, where charsum = Σ ascii codes. Order-sensitive (swapping
     * two tokens changes it) yet expressible as a plain SUM, so it
-    * distributes and is oracle-checkable. A stronger rolling Rabin-Karp
-    * variant lives in [[graft.functions]] as a custom expression.
+    * distributes and is oracle-checkable. The stronger rolling Rabin-Karp
+    * variant is [[graft.functions.RollingHash]] (native expression, also a
+    * registered SQL function `rolling_hash`).
     */
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),

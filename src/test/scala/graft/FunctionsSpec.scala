@@ -103,6 +103,15 @@ class FunctionsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
 
+  test("rolling_hash registers as SQL, matches the recurrence, detects transpositions") {
+    GraftFunctions.register(spark)
+    val h = spark.sql("SELECT rolling_hash('ab') AS h").collect().head.getLong(0)
+    assert(h == (('a'.toLong * 31) + 'b'.toLong) % 1000000007L)
+    val h2 = spark.sql("SELECT rolling_hash('ba') AS h").collect().head.getLong(0)
+    assert(h != h2, "transposition must change the hash")
+    assert(spark.sql("SELECT rolling_hash('') AS h").collect().head.getLong(0) == 0L)
+  }
+
   test("vec_dot rejects non-array operands with a type error") {
     GraftFunctions.register(spark)
     val e = intercept[Exception] {
