@@ -106,6 +106,21 @@ object Relational {
         .agg(percentile(col("o_totalprice"), lit(0.5)).as("median_price"),
           count(lit(1)).as("n_orders"))),
 
+    // Full cross-tab subtotals in one pass.
+    "a_cube" -> ((s, d) =>
+      Tables.orders(s, d)
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("sum_price"))),
+
+    // Quantile sketch (approx_percentile): one pass, fixed memory — the
+    // 100 TB form of percentiles. Sketch internals differ across engines →
+    // rows-only driver check; accuracy is property-tested vs exact.
+    "a_quantile_sketch" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_percentile(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95)), lit(1000)).as("price_quantiles"))),
+
     // J1/J3/J4: star join — broadcast every dimension, aggregate the fact.
     "j1_star_join" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -289,6 +304,11 @@ object Relational {
       """SELECT o_orderpriority, median(o_totalprice) AS median_price,
            count(*) AS n_orders
          FROM orders GROUP BY 1""",
+
+    "a_cube" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+           sum(o_totalprice) AS sum_price
+         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
 
     "j1_star_join" ->
       """SELECT r_name, p_brand,

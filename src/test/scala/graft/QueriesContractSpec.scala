@@ -25,6 +25,23 @@ class QueriesContractSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile sketch brackets the exact percentiles") {
+    import org.apache.spark.sql.functions._
+    val d = SparkTestSession.sfDir
+    val approx = SparkEntry.queries("a_quantile_sketch")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val exact = graft.io.Tables.lineitem(spark, d)
+      .groupBy("l_returnflag")
+      .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
+        percentile(col("l_extendedprice"), lit(0.95)).as("p95"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, (p50, p95)) =>
+      assert(math.abs(approx(k)(0) - p50) / p50 < 0.05, s"$k p50 off: ${approx(k)(0)} vs $p50")
+      assert(math.abs(approx(k)(1) - p95) / p95 < 0.05, s"$k p95 off: ${approx(k)(1)} vs $p95")
+    }
+  }
+
   test("a7b approx distinct is within the 2% HLL error bound (x5 slack)") {
     import org.apache.spark.sql.functions._
     val d = SparkTestSession.sfDir
