@@ -65,6 +65,29 @@ object EventsStream {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Stream-stream interval join: for each purchase, the clicks by the
+    * same user in the `lookback` before it. Both sides watermarked and
+    * the join range-bounded, so state on each side is evicted past the
+    * horizon — the join that correlates behavior streams at scale.
+    */
+  def purchaseClickJoin(events: DataFrame, lookback: String = "30 minutes",
+                        watermark: String = "1 hour"): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+      .withWatermark("p_ts", watermark)
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookback") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"), col("click_id"),
+        col("purchase_value"))
+  }
+
   /** Streaming exact dedup on event id: duplicates arriving within the
     * watermark horizon are dropped; state is bounded by the horizon (keys
     * older than the watermark are evicted). The streaming face of

@@ -72,6 +72,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.agg(sum("n_events")).collect().head.getLong(0) == 3 * nEvents)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val streamed = EventsStream.purchaseClickJoin(
+      EventsStream.readEvents(spark, eventsDir))
+    val got = EventsStream.runToMemory(spark, streamed, "ssjoin_test")
+      .select("purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = Tables.events(spark, SparkTestSession.sfDir)
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("event_id").as("pid"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+    val want = p.join(c, col("pu") === col("cu") &&
+        col("cts") >= col("pts") - expr("INTERVAL 30 minutes") &&
+        col("cts") <= col("pts"))
+      .select("pid", "cid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("streaming dedup drops duplicate event ids across input files") {
     // stage the same parquet twice -> every event id arrives twice
     val dir = java.nio.file.Files.createTempDirectory("events_dup")
