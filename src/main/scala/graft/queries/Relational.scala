@@ -255,6 +255,22 @@ object Relational {
       Tables.events(s, d)
         .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
         .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+    }),
+
+    // As-of join (graft.operators.AsofJoin): each purchase paired with the
+    // user's latest click at-or-before it. DuckDB's native ASOF JOIN is
+    // the oracle.
+    "j_asof" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      graft.operators.AsofJoin
+        .asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("click_id"))
+        .select(col("user_id"), col("purchase_id"),
+          col("__asof.click_id").as("click_id"))
     })
   )
 
@@ -388,6 +404,17 @@ object Relational {
     "ev_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
            count(*) AS n_events, sum(value) AS total_value
-         FROM events GROUP BY 1, 2"""
+         FROM events GROUP BY 1, 2""",
+
+    "j_asof" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, max(event_id) AS click_id FROM events
+           WHERE event_type = 'click' GROUP BY 1, 2),
+         purchases AS (
+           SELECT user_id, event_id AS purchase_id, ts FROM events
+           WHERE event_type = 'purchase')
+         SELECT p.user_id, p.purchase_id, c.click_id
+         FROM purchases p ASOF LEFT JOIN clicks c
+           ON p.user_id = c.user_id AND p.ts >= c.ts"""
   )
 }
