@@ -257,6 +257,20 @@ object Relational {
         .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
     }),
 
+    // Range join (graft.operators.RangeJoin): orders matched to price
+    // bands via binning — hash equi-join on the bin + residual filter,
+    // not a nested-loop cross product.
+    "j_range" -> ((s, d) => {
+      import s.implicits._
+      val bandsDf = (0 until 12).map(i => (i, i * 50000.0, (i + 1) * 50000.0))
+        .toDF("band_id", "lo", "hi")
+      graft.operators.RangeJoin
+        .rangeJoin(Tables.orders(s, d), "o_totalprice", bandsDf, "lo", "hi",
+          binWidth = 50000.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("sum_price"))
+    }),
+
     // As-of join (graft.operators.AsofJoin): each purchase paired with the
     // user's latest click at-or-before it. DuckDB's native ASOF JOIN is
     // the oracle.
@@ -405,6 +419,17 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
            count(*) AS n_events, sum(value) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    "j_range" ->
+      """WITH bands AS (
+           SELECT i AS band_id, CAST(i * 50000 AS DOUBLE) AS lo,
+                  CAST((i + 1) * 50000 AS DOUBLE) AS hi
+           FROM (SELECT unnest(range(0, 12)) AS i) t)
+         SELECT CAST(band_id AS INT) AS band_id, count(*) AS n_orders,
+                sum(o_totalprice) AS sum_price
+         FROM orders JOIN bands
+           ON o_totalprice >= lo AND o_totalprice < hi
+         GROUP BY 1""",
 
     "j_asof" ->
       """WITH clicks AS (
