@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
 
@@ -145,6 +145,45 @@ object EventsStream {
               next.maxValue))
           }
       }
+  }
+
+  /** The same running totals on the Spark 4 `transformWithState` API
+    * (`StatefulProcessor` + typed `ValueState`) — the successor to
+    * `flatMapGroupsWithState`, with composable named state variables and
+    * per-state TTL. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider`).
+    */
+  class UserTotalsProcessor extends StatefulProcessor[Long, UserEvent, UserSnapshot] {
+    @transient private var totals: ValueState[UserState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      totals = getHandle.getValueState[UserState]("totals",
+        Encoders.product[UserState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                 timerValues: TimerValues): Iterator[UserSnapshot] = {
+      val prev = Option(totals.get()).getOrElse(UserState(0L, 0.0, Double.MinValue))
+      val next = rows.foldLeft(prev) { (acc, e) =>
+        UserState(acc.nEvents + 1, acc.totalValue + e.value,
+          math.max(acc.maxValue, e.value))
+      }
+      totals.update(next)
+      Iterator.single(UserSnapshot(key, next.nEvents, next.totalValue, next.maxValue))
+    }
+  }
+
+  def statefulUserTotalsV2(events: DataFrame): Dataset[UserSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("tsMicros"),
+        col("value").cast("double"))
+      .as[UserEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new UserTotalsProcessor, TimeMode.None(),
+        OutputMode.Append())
   }
 
   /** Run a streaming frame to completion against static input via the

@@ -72,6 +72,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.agg(sum("n_events")).collect().head.getLong(0) == 3 * nEvents)
   }
 
+  test("transformWithState running totals match flatMapGroupsWithState (RocksDB store)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = EventsStream.statefulUserTotalsV2(
+        EventsStream.readEvents(spark, eventsDir))
+      val got = EventsStream.runToMemory(spark, streamed.toDF(), "tws_test")
+        .collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .groupBy(_._1).map { case (u, s) => u -> s.map(_._2).maxBy(_._1) }
+      val batch = Tables.events(spark, SparkTestSession.sfDir)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("value").as("tv"), max("value").as("mv"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+        .toMap
+      assert(got == batch)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = EventsStream.purchaseClickJoin(
       EventsStream.readEvents(spark, eventsDir))
