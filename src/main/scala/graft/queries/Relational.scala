@@ -271,6 +271,18 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("sum_price"))
     }),
 
+    // The SQL front door: the same engine surface via spark.sql over a
+    // registered view (ANSI SQL in, Catalyst plan out).
+    "sql_front_door" -> ((s, d) => {
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag, count(*) AS n_rows,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem_v
+          |WHERE l_quantity > 10
+          |GROUP BY l_returnflag""".stripMargin)
+    }),
+
     // As-of join (graft.operators.AsofJoin): each purchase paired with the
     // user's latest click at-or-before it. DuckDB's native ASOF JOIN is
     // the oracle.
@@ -430,6 +442,13 @@ object Relational {
          FROM orders JOIN bands
            ON o_totalprice >= lo AND o_totalprice < hi
          GROUP BY 1""",
+
+    "sql_front_door" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+         FROM lineitem
+         WHERE l_quantity > 10
+         GROUP BY l_returnflag""",
 
     "j_asof" ->
       """WITH clicks AS (
