@@ -55,6 +55,19 @@ object Relational {
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "part_total_qty")
     }),
 
+    // A2 again via aggregate + broadcast join-back: when the group table
+    // is small relative to the fact, this avoids the window form's
+    // per-partition sort entirely — the preferred shape when group
+    // cardinality ≪ row count. Same oracle as a2_having_window.
+    "a2b_having_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val totals = li.groupBy("l_partkey")
+        .agg(sum("l_quantity").as("part_total_qty"))
+        .filter(col("part_total_qty") >= 500.0)
+      li.join(broadcast(totals), "l_partkey")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity", "part_total_qty")
+    }),
+
     // A4/O2: global top-10 by aggregate -> TakeOrderedAndProject.
     "a4_global_topk" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -315,6 +328,13 @@ object Relational {
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01' GROUP BY 1, 2""",
 
     "a2_having_window" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, part_total_qty FROM (
+           SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+                  sum(l_quantity) OVER (PARTITION BY l_partkey) AS part_total_qty
+           FROM lineitem) t
+         WHERE part_total_qty >= 500.0""",
+
+    "a2b_having_join" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, part_total_qty FROM (
            SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
                   sum(l_quantity) OVER (PARTITION BY l_partkey) AS part_total_qty

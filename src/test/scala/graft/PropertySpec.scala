@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** ScalaCheck properties for the engine's algebraic building blocks
+  * (SURVEY §5.3): driver-side laws of the same logic the distributed
+  * operators run, plus the TopKBy buffer vs a sort-based reference.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val vec = Gen.listOfN(8, Gen.chooseNum(-100.0, 100.0)).map(_.toArray)
+
+  private def dot(a: Array[Double], b: Array[Double]): Double =
+    a.zip(b).map { case (x, y) => x * y }.sum
+  private def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+
+  test("cosine is bounded, symmetric, and 1 on self") {
+    check(Prop.forAll(vec, vec) { (a, b) =>
+      norm(a) < 1e-9 || norm(b) < 1e-9 || {
+        val c = dot(a, b) / (norm(a) * norm(b))
+        val c2 = dot(b, a) / (norm(b) * norm(a))
+        val self = dot(a, a) / (norm(a) * norm(a))
+        c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 &&
+          math.abs(c - c2) < 1e-9 && math.abs(self - 1.0) < 1e-9
+      }
+    })
+  }
+
+  test("TopKBy buffer equals sort-take-k for any input and any merge split") {
+    val entry = for {
+      o <- Gen.chooseNum(-50.0, 50.0)
+      t <- Gen.chooseNum(0L, 20L)
+    } yield (o, t)
+    check(Prop.forAll(Gen.listOf(entry), Gen.chooseNum(1, 6)) { (xs, k) =>
+      val expect = xs.sortBy { case (o, t) => (-o, t) }.take(k)
+
+      val direct = new graft.functions.TopKBy.Buffer(k)
+      xs.foreach { case (o, t) => direct.offer(o, t, s"$o/$t") }
+
+      val (l, r) = xs.splitAt(xs.length / 2)
+      val b1 = new graft.functions.TopKBy.Buffer(k)
+      val b2 = new graft.functions.TopKBy.Buffer(k)
+      l.foreach { case (o, t) => b1.offer(o, t, s"$o/$t") }
+      r.foreach { case (o, t) => b2.offer(o, t, s"$o/$t") }
+      b2.entries.foreach { case (o, t, p) => b1.offer(o, t, p) }
+
+      direct.sortedBestFirst.map { case (o, t, _) => (o, t) } == expect &&
+        b1.sortedBestFirst.map { case (o, t, _) => (o, t) } == expect
+    })
+  }
+
+  test("rolling hash: deterministic, order-sensitive, in [0, 1e9+7)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def h(s: String): Long =
+      graft.functions.RollingHash.hashUtf8(UTF8String.fromString(s))
+    check(Prop.forAll(Gen.alphaNumStr) { s =>
+      val v = h(s)
+      v >= 0L && v < 1000000007L && v == h(s)
+    })
+    // swapping two distinct leading chars always changes the hash:
+    // h1 - h2 = 30·(a-b)·31^(n-2) mod p, never 0 for prime p > 30·127·31^k
+    check(Prop.forAll(Gen.alphaNumStr, Gen.alphaChar, Gen.alphaChar) { (s, a, b) =>
+      a == b || h(s"$a$b$s") != h(s"$b$a$s")
+    })
+  }
+}
