@@ -1,0 +1,288 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+
+/** Second declared-query batch: the SQL surface beyond the reference's
+  * operator set that any engine replacing it must still serve — outer
+  * joins, scalar subqueries, EXCEPT, grouping sets, pivot, analytic
+  * windows (lead / ntile / first_value), date-time and string scalar
+  * functions, null handling, explode/unnest — plus two training-data
+  * pipeline ops (deterministic hash-based train/test split, keep-best
+  * doc per duplicate group).
+  *
+  * Scale posture notes per query are inline; every LIMIT-free query is
+  * a single scan + at most one shuffle, and all dimension joins
+  * broadcast.
+  */
+object SqlSurface {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Left outer join preserving unmatched left rows (TPC-H Q13 shape):
+    // orders-per-customer distribution including zero-order customers.
+    // Fact-fact outer join -> shuffle on the key; the second agg is tiny.
+    "j_outer_left" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // Full outer join: per-nation rich-customer counts vs supplier counts;
+    // either side may be missing a nation. Seq-key join coalesces the key.
+    "j_outer_full" -> ((s, d) => {
+      val cn = Tables.customer(s, d).filter(col("c_acctbal") > 7000.0)
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_rich_customers"))
+      val sn = Tables.supplier(s, d)
+        .groupBy(col("s_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"))
+      cn.join(sn, Seq("nationkey"), "full_outer")
+    }),
+
+    // Scalar subquery: orders above 2x the global average price. The
+    // scalar aggregate is a 1-row broadcast cross join — no per-row
+    // recomputation, one pass over the fact.
+    "q_scalar_subquery" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val avgPrice = o.agg(avg("o_totalprice").as("global_avg"))
+      o.crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("global_avg") * 2)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    }),
+
+    // Set op: EXCEPT (distinct) — nations with customers but no suppliers.
+    "setop_except" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_nationkey").cast("long").as("nationkey"))
+      val su = Tables.supplier(s, d).select(col("s_nationkey").cast("long").as("nationkey"))
+      c.except(su)
+    }),
+
+    // Grouping sets: two independent one-dimension rollups in one pass
+    // (one shuffle, expand + partial agg — not a union of re-scans).
+    // grouping() flags disambiguate real NULLs from subtotal rows.
+    "a_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"), sum("l_quantity").as("sum_qty"),
+          grouping("l_returnflag").cast("int").as("g_rf"),
+          grouping("l_linestatus").cast("int").as("g_ls"))),
+
+    // Pivot: order counts per priority x status as a cross-tab. The
+    // status domain is declared (no extra distinct pass); nulls -> 0 so
+    // the result is dense.
+    "a_pivot" -> ((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("F"),
+          coalesce(col("O"), lit(0L)).as("O"),
+          coalesce(col("P"), lit(0L)).as("P"))),
+
+    // Analytic windows: lead / ntile / first_value over each customer's
+    // order history (single shuffle on the partition key).
+    "w_lead_ntile" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      Tables.orders(s, d)
+        .withColumn("next_price", lead("o_totalprice", 1).over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("first_price", first("o_totalprice").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("o_custkey", "o_orderkey", "o_totalprice",
+          "next_price", "quartile", "first_price")
+    }),
+
+    // Date-time scalar functions: extraction, truncation, date diff,
+    // end-of-month — all codegen built-ins, no UDFs.
+    "f_datetime" -> ((s, d) =>
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        year(col("o_orderdate")).as("o_year"),
+        quarter(col("o_orderdate")).as("o_quarter"),
+        month(col("o_orderdate")).as("o_month"),
+        dayofmonth(col("o_orderdate")).as("o_day"),
+        datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01")))
+          .as("days_since_epoch95"),
+        last_day(to_date(col("o_orderdate"))).as("month_end"))),
+
+    // String scalar functions: length / case / substring / replace /
+    // position / padding / LIKE / concat — all codegen built-ins.
+    "f_strings" -> ((s, d) =>
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        length(col("p_name")).as("n_chars"),
+        upper(col("p_name")).as("name_upper"),
+        substring(col("p_name"), 1, 4).as("prefix4"),
+        regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+        instr(col("p_name"), "e").as("pos_e"),
+        lpad(col("p_brand"), 10, "*").as("brand_pad"),
+        col("p_name").like("%widget%").as("is_widget"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))),
+
+    // Null handling: NULLIF / COALESCE / CASE tiers / LEAST / GREATEST.
+    "f_null_case" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        nullif(col("l_discount"), lit(0.0)).as("disc_nn"),
+        coalesce(nullif(col("l_discount"), lit(0.0)), lit(-1.0)).as("disc_or_flag"),
+        when(col("l_quantity") >= 30, "bulk")
+          .when(col("l_quantity") >= 10, "mid")
+          .otherwise("small").as("qty_tier"),
+        least(col("l_quantity"), lit(25.0)).as("qty_capped"),
+        greatest(col("l_extendedprice"), lit(1000.0)).as("price_floor"))),
+
+    // Explode / unnest with position: order priority split into tokens.
+    "f_explode" -> ((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          posexplode(split(col("o_orderpriority"), "-")).as(Seq("pos", "tok")))),
+
+    // Training-pipeline: deterministic hash-based train/test split. The
+    // engine-portable rolling hash (native codegen expression) makes the
+    // split reproducible across engines and runs — no RNG, no seed drift;
+    // at 100 TB this is a pure map (no shuffle at all).
+    "tp_hash_split" -> ((s, d) => {
+      val h = graft.functions.TextExprs.rollingHash(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        pmod(h, lit(10L)).as("bucket"),
+        when(pmod(h, lit(10L)) < 8, "train").otherwise("test").as("split"))
+    }),
+
+    // Training-pipeline: exact-dup groups keep the best document
+    // (longest token count, doc_id as tiebreak) — one hash shuffle on
+    // the content hash, max_by partial-aggregates map-side.
+    "tp_keep_best" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tokens", graft.text.TextAnalysis.tokenCount(col("text")))
+      docs.groupBy(md5(col("text")).as("content_hash"))
+        .agg(
+          max_by(col("doc_id"),
+            col("n_tokens") * 1000000L + col("doc_id")).as("keeper_id"),
+          count(lit(1)).as("dup_count"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "j_outer_left" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+           SELECT c_custkey, count(o_orderkey) AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY 1) t
+         GROUP BY 1""",
+
+    "j_outer_full" ->
+      """SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           n_rich_customers, n_suppliers
+         FROM
+           (SELECT CAST(c_nationkey AS BIGINT) AS nationkey, count(*) AS n_rich_customers
+            FROM customer WHERE c_acctbal > 7000.0 GROUP BY 1) c
+         FULL JOIN
+           (SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS n_suppliers
+            FROM supplier GROUP BY 1) s
+         ON c.nationkey = s.nationkey""",
+
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)""",
+
+    "setop_except" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+         EXCEPT
+         SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""",
+
+    "a_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+           sum(l_quantity) AS sum_qty,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_ls
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""",
+
+    "a_pivot" ->
+      """SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+         FROM orders GROUP BY 1""",
+
+    "w_lead_ntile" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           first_value(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_price
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+
+    "f_datetime" ->
+      """SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(quarter(o_orderdate) AS INT) AS o_quarter,
+           CAST(month(o_orderdate) AS INT) AS o_month,
+           CAST(day(o_orderdate) AS INT) AS o_day,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+             AS days_since_epoch95,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+         FROM orders""",
+
+    "f_strings" ->
+      """SELECT p_partkey,
+           length(p_name) AS n_chars,
+           upper(p_name) AS name_upper,
+           substr(p_name, 1, 4) AS prefix4,
+           replace(p_name, ' ', '_') AS name_snake,
+           strpos(p_name, 'e') AS pos_e,
+           lpad(p_brand, 10, '*') AS brand_pad,
+           p_name LIKE '%widget%' AS is_widget,
+           concat_ws('|', p_brand, p_type) AS brand_type
+         FROM part""",
+
+    "f_null_case" ->
+      """SELECT l_orderkey, l_linenumber,
+           nullif(l_discount, 0.0) AS disc_nn,
+           coalesce(nullif(l_discount, 0.0), -1.0) AS disc_or_flag,
+           CASE WHEN l_quantity >= 30 THEN 'bulk'
+                WHEN l_quantity >= 10 THEN 'mid'
+                ELSE 'small' END AS qty_tier,
+           least(l_quantity, 25.0) AS qty_capped,
+           greatest(l_extendedprice, 1000.0) AS price_floor
+         FROM lineitem""",
+
+    "f_explode" ->
+      """SELECT o_orderkey,
+           CAST(generate_subscripts(l, 1) - 1 AS INT) AS pos,
+           unnest(l) AS tok
+         FROM (SELECT o_orderkey, string_split(o_orderpriority, '-') AS l
+               FROM orders) t""",
+
+    "tp_hash_split" ->
+      """SELECT doc_id, rhash % 10 AS bucket,
+           CASE WHEN rhash % 10 < 8 THEN 'train' ELSE 'test' END AS split
+         FROM (SELECT doc_id, list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+           FROM documents) t""",
+
+    "tp_keep_best" ->
+      """SELECT md5(text) AS content_hash,
+           max_by(doc_id,
+             len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) * 1000000 + doc_id)
+             AS keeper_id,
+           count(*) AS dup_count
+         FROM documents GROUP BY 1"""
+  )
+}

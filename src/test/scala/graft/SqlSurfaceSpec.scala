@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Tables
+import graft.queries.SqlSurface
+
+/** Semantic invariants for the second declared-query batch (the DuckDB
+  * oracle is the primary gate; these pin the properties the oracle hash
+  * alone wouldn't explain to a reader).
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val d = SparkTestSession.sfDir
+
+  test("j_outer_left: customer counts sum to total customers (zero-order customers kept)") {
+    val dist = SqlSurface.queries("j_outer_left")(spark, d)
+    val total = dist.agg(sum("n_customers")).head.getLong(0)
+    assert(total == Tables.customer(spark, d).count())
+  }
+
+  test("j_outer_full: covers every nation present on either side, nulls where absent") {
+    val out = SqlSurface.queries("j_outer_full")(spark, d).collect()
+    val custNations = Tables.customer(spark, d).filter(col("c_acctbal") > 7000.0)
+      .select(col("c_nationkey").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    val suppNations = Tables.supplier(spark, d)
+      .select(col("s_nationkey").cast("long")).distinct().collect().map(_.getLong(0)).toSet
+    assert(out.map(_.getLong(0)).toSet == (custNations ++ suppNations))
+    // a nation on only one side leaves the other count null
+    out.foreach { r =>
+      val n = r.getLong(0)
+      assert(r.isNullAt(1) == !custNations(n))
+      assert(r.isNullAt(2) == !suppNations(n))
+    }
+  }
+
+  test("a_pivot: cross-tab cells sum back to the row count") {
+    val p = SqlSurface.queries("a_pivot")(spark, d)
+    val cells = p.agg(sum(col("F") + col("O") + col("P"))).head.getLong(0)
+    assert(cells == Tables.orders(spark, d).count())
+  }
+
+  test("a_grouping_sets: exactly the two declared one-dim rollups, flags consistent") {
+    val rows = SqlSurface.queries("a_grouping_sets")(spark, d).collect()
+    rows.foreach { r =>
+      val (gRf, gLs) = (r.getInt(4), r.getInt(5))
+      assert(Set((0, 1), (1, 0)).contains((gRf, gLs)), "only single-dim sets declared")
+      assert(r.isNullAt(0) == (gRf == 1))
+      assert(r.isNullAt(1) == (gLs == 1))
+    }
+    val nRows = Tables.lineitem(spark, d).count()
+    val perSet = rows.groupBy(r => r.getInt(4)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(perSet(0) == nRows && perSet(1) == nRows, "each set partitions all rows")
+  }
+
+  test("tp_hash_split: deterministic, buckets in [0,10), ~80/20 split") {
+    val s1 = SqlSurface.queries("tp_hash_split")(spark, d).collect()
+    val s2 = SqlSurface.queries("tp_hash_split")(spark, d).collect()
+    assert(s1.map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      s2.map(r => r.getLong(0) -> r.getLong(1)).toMap, "split is reproducible")
+    assert(s1.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 10))
+    val train = s1.count(_.getString(2) == "train").toDouble / s1.length
+    assert(train > 0.6 && train < 0.95, s"train fraction $train far from 0.8")
+  }
+
+  test("tp_keep_best: keeper belongs to its group and has max token count") {
+    val docs = Tables.documents(spark, d)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("n_tokens", graft.text.TextAnalysis.tokenCount(col("text")))
+      .select("doc_id", "content_hash", "n_tokens")
+      .collect()
+      .groupBy(_.getString(1))
+    val out = SqlSurface.queries("tp_keep_best")(spark, d).collect()
+    assert(out.length == docs.size)
+    out.foreach { r =>
+      val members = docs(r.getString(0))
+      val keeper = r.getLong(1)
+      assert(members.exists(_.getLong(0) == keeper))
+      val maxTok = members.map(_.getAs[Number](2).longValue).max
+      assert(members.find(_.getLong(0) == keeper).get.getAs[Number](2).longValue == maxTok)
+      assert(r.getLong(2) == members.length)
+    }
+  }
+
+  test("q_scalar_subquery plans the scalar as a broadcast, not a per-row subquery") {
+    val plan = SqlSurface.queries("q_scalar_subquery")(spark, d)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast of the 1-row aggregate:\n$plan")
+  }
+}
