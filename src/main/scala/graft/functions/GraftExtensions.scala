@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => RewriteHofDotProduct)
+    ext.injectPlannerStrategy(_ => graft.operators.BroadcastAsofJoin.Strategy)
   }
 }
 

@@ -310,6 +310,24 @@ object Relational {
         .asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("click_id"))
         .select(col("user_id"), col("purchase_id"),
           col("__asof.click_id").as("click_id"))
+    }),
+
+    // Same as-of semantics via the custom physical operator
+    // (graft.operators.BroadcastAsofJoin: LogicalPlan + Strategy +
+    // SparkPlan via SparkSessionExtensions). The dimension-sized right
+    // side is collected + broadcast; the fact side is probed map-only —
+    // zero exchanges, vs. the union+window form's full shuffle+sort.
+    // Same oracle as j_asof.
+    "j_asofb_broadcast" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      graft.operators.BroadcastAsofJoin
+        .asofJoinBroadcast(purchases, clicks, "user_id", "ts", "ts", Seq("click_id"))
+        .select("user_id", "purchase_id", "click_id")
     })
   )
 
@@ -471,6 +489,17 @@ object Relational {
          GROUP BY l_returnflag""",
 
     "j_asof" ->
+      """WITH clicks AS (
+           SELECT user_id, ts, max(event_id) AS click_id FROM events
+           WHERE event_type = 'click' GROUP BY 1, 2),
+         purchases AS (
+           SELECT user_id, event_id AS purchase_id, ts FROM events
+           WHERE event_type = 'purchase')
+         SELECT p.user_id, p.purchase_id, c.click_id
+         FROM purchases p ASOF LEFT JOIN clicks c
+           ON p.user_id = c.user_id AND p.ts >= c.ts""",
+
+    "j_asofb_broadcast" ->
       """WITH clicks AS (
            SELECT user_id, ts, max(event_id) AS click_id FROM events
            WHERE event_type = 'click' GROUP BY 1, 2),

@@ -148,6 +148,26 @@ object SqlSurface {
         .select(col("o_orderkey"),
           posexplode(split(col("o_orderpriority"), "-")).as(Seq("pos", "tok")))),
 
+    // JSON extraction: schema-on-read over a string column with
+    // from_json (typed struct out, codegen'd Jackson parse — the shape
+    // for semi-structured sidecar metadata at scale).
+    "f_json" -> ((s, d) =>
+      Tables.events(s, d).select(
+        col("event_id"),
+        from_json(col("props"), lit("k INT")).getField("k").as("k"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_path"))),
+
+    // Time-range window frame: per-user 15-minute trailing sum — RANGE
+    // frames bound by the ORDER BY value, not row counts (the rolling
+    // telemetry shape; one shuffle on the partition key).
+    "w_range_frame" -> ((s, d) =>
+      Tables.events(s, d)
+        .withColumn("epoch_s", unix_timestamp(col("ts")))
+        .withColumn("trailing_15m_value", sum("value").over(
+          Window.partitionBy("user_id").orderBy("epoch_s")
+            .rangeBetween(-900, Window.currentRow)))
+        .select("user_id", "event_id", "epoch_s", "trailing_15m_value")),
+
     // Training-pipeline: deterministic hash-based train/test split. The
     // engine-portable rolling hash (native codegen expression) makes the
     // split reproducible across engines and runs — no RNG, no seed drift;
@@ -267,6 +287,20 @@ object SqlSurface {
            unnest(l) AS tok
          FROM (SELECT o_orderkey, string_split(o_orderpriority, '-') AS l
                FROM orders) t""",
+
+    "f_json" ->
+      """SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_path
+         FROM events""",
+
+    "w_range_frame" ->
+      """SELECT user_id, event_id, epoch_s,
+           sum(value) OVER (PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 900 PRECEDING AND CURRENT ROW) AS trailing_15m_value
+         FROM (SELECT user_id, event_id, value,
+                 CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+               FROM events) t""",
 
     "tp_hash_split" ->
       """SELECT doc_id, rhash % 10 AS bucket,
