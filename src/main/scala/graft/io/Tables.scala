@@ -17,8 +17,18 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Memoized per (session, path): `spark.read.parquet` re-lists files and
+    * re-reads footers on every call, which at fleet scale is what a
+    * catalog/metastore caches. The tables are read-only test fixtures, so
+    * reusing the resolved relation is safe, and repeated queries skip the
+    * listing + schema-inference cost.
+    */
+  private val relationCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    relationCache.getOrElseUpdate((System.identityHashCode(spark).toString, s"$sfDir/$name.parquet"),
+      spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")

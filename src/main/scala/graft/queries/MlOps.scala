@@ -56,17 +56,23 @@ object MlOps {
         tfidf.select("token").distinct().orderBy("token")
           .as[String].rdd.zipWithIndex()
           .map { case (t, i) => (t, i.toInt) }.toDF("token", "term_id")
-      }
+      }.cache() // read twice: the triples join and the vocab-size count
       val triples = tfidf.join(vocab, "token").select("doc_id", "term_id", "tfidf")
       val vocabSize = vocab.count().toInt
+      // coalesce before the iterative fit: each Lloyd iteration is a job
+      // over the cached vectors, and with only thousands of small rows the
+      // per-task scheduling overhead of 32 partitions dominates — at real
+      // scale the shuffle output would fill these partitions and the
+      // coalesce becomes a no-op (target ~max(8, rows/50k) partitions).
       val vecs = Clustering.vectorize(triples, "doc_id", "term_id", "tfidf", vocabSize)
-        .cache()
+      val nParts = math.max(8, (vecs.count() / 50000L).toInt)
+      val compact = vecs.coalesce(nParts).cache()
       // task 2.2's init mode IS random (`sources/2.2/source/KMeans.java:
       // 143-155`); the k-means|| variant is the 2.3 path
       // (BbcTasks.docKMeansScalable)
-      val model = Clustering.fitKMeans(vecs, k = 5, maxIter = 10, seed = 42L,
+      val model = Clustering.fitKMeans(compact, k = 5, maxIter = 10, seed = 42L,
         initMode = "random", distanceMeasure = "cosine")
-      model.transform(vecs).select(col("doc_id"), col("prediction").as("cluster"))
+      model.transform(compact).select(col("doc_id"), col("prediction").as("cluster"))
     }),
 
     // Gap-based sessionization (30-min inactivity) — relational, oracled.
