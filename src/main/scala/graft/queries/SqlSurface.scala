@@ -148,6 +148,42 @@ object SqlSurface {
         .select(col("o_orderkey"),
           posexplode(split(col("o_orderpriority"), "-")).as(Seq("pos", "tok")))),
 
+    // Unpivot / melt: wide metrics to long (id, metric, val) — the
+    // inverse of pivot, a pure map (no shuffle at any scale).
+    "a_unpivot" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice")),
+          "metric", "val")),
+
+    // The rank-function family beyond row_number: gap ranking, dense
+    // ranking, and the two normalized positions.
+    "w_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rnk", rank().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("prnk", percent_rank().over(w))
+        .withColumn("cdist", cume_dist().over(w))
+        .select("o_orderpriority", "o_orderkey", "rnk", "drnk", "prnk", "cdist")
+    }),
+
+    // Correlated lateral subquery through the SQL front door: per
+    // customer, the max order price (null when orderless). Catalyst
+    // decorrelates this into an aggregate + join — no per-row re-scan.
+    "q_lateral" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_v")
+      Tables.orders(s, d).createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT c.c_custkey, t.max_price
+          |FROM customer_v c,
+          |  LATERAL (SELECT max(o_totalprice) AS max_price
+          |           FROM orders_v WHERE o_custkey = c.c_custkey) t""".stripMargin)
+    }),
+
     // JSON extraction: schema-on-read over a string column with
     // from_json (typed struct out, codegen'd Jackson parse — the shape
     // for semi-structured sidecar metadata at scale).
@@ -287,6 +323,28 @@ object SqlSurface {
            unnest(l) AS tok
          FROM (SELECT o_orderkey, string_split(o_orderpriority, '-') AS l
                FROM orders) t""",
+
+    "a_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+         FROM lineitem
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS metric, l_extendedprice AS val
+         FROM lineitem""",
+
+    "w_rank_family" ->
+      """SELECT o_orderpriority, o_orderkey,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           percent_rank() OVER w AS prnk,
+           cume_dist() OVER w AS cdist
+         FROM orders
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)""",
+
+    "q_lateral" ->
+      """SELECT c.c_custkey, t.max_price
+         FROM customer c,
+           LATERAL (SELECT max(o_totalprice) AS max_price
+                    FROM orders WHERE o_custkey = c.c_custkey) t""",
 
     "f_json" ->
       """SELECT event_id,
