@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.io.Tables
+
+/** Scale soak: amplifies the sf tables N× with key-perturbed copies and
+  * times the representative plan shapes, checking per-row cost holds as
+  * data grows (fixed overhead amortizes; nothing may degrade
+  * super-linearly). Prints one JSON line like Bench.
+  *
+  * {{{ SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_MULT=10 \
+  *     sbt 'runMain graft.Soak' }}}
+  */
+object Soak {
+
+  /** N copies with disjoint key ranges (key + i·10^7 — far above any sf's
+    * real key space), so group/join cardinalities scale with the data.
+    */
+  private def amplify(df: DataFrame, keyCols: Seq[String], mult: Int): DataFrame =
+    (0 until mult).map { i =>
+      keyCols.foldLeft(df)((d, k) =>
+        d.withColumn(k, col(k) + lit(i.toLong * 10000000L)))
+    }.reduce(_ union _)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "10").toInt
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = amplify(Tables.lineitem(spark, sfDir), Seq("l_orderkey", "l_partkey"), mult)
+    val ord = amplify(Tables.orders(spark, sfDir), Seq("o_orderkey", "o_custkey"), mult)
+    val ev = amplify(Tables.events(spark, sfDir), Seq("event_id", "user_id"), mult)
+    val docs = amplify(Tables.documents(spark, sfDir), Seq("doc_id"), mult)
+
+    def shape(name: String)(df: => DataFrame): (String, Double) = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val secs = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[soak] $name%-24s $secs%7.2f s")
+      name -> secs
+    }
+
+    // warm-up outside timing
+    li.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+
+    val results = Seq(
+      shape("agg_groupby") {
+        li.groupBy("l_partkey")
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      },
+      shape("window_having") {
+        val w = Window.partitionBy("l_partkey")
+        li.withColumn("t", sum("l_quantity").over(w)).filter(col("t") >= 500.0)
+      },
+      shape("topk_per_group") {
+        ord.groupBy("o_custkey")
+          .agg(graft.functions.TopKBy.topKBy(col("o_totalprice"), col("o_orderkey"),
+            struct(col("o_orderkey"), col("o_totalprice")), 3).as("top"))
+      },
+      shape("sortmerge_join") {
+        ord.hint("merge").join(li, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      },
+      shape("asof_broadcast_probe") {
+        // dimension-sized right (one copy), amplified fact probe: the
+        // custom operator's map-only scaling path
+        val clicks = Tables.events(spark, sfDir)
+          .filter(col("event_type") === "click")
+          .groupBy(col("user_id"), col("ts")).agg(max("event_id").as("click_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .withColumn("user_id", pmod(col("user_id"), lit(10000000L)))
+          .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+        graft.operators.BroadcastAsofJoin
+          .asofJoinBroadcast(purchases, clicks, "user_id", "ts", "ts", Seq("click_id"))
+      },
+      shape("hash_split_map") {
+        docs.select(col("doc_id"),
+          pmod(graft.functions.TextExprs.rollingHash(col("text")), lit(10L)).as("bucket"))
+      }
+    )
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"soak_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","mult":$mult}""")
+    spark.stop()
+  }
+}
