@@ -164,4 +164,58 @@ object Dedup {
     * under ANSI casts).
     */
   def simhashHexForm(simhashBits: Column): Column = conv(simhashBits, 2, 16)
+
+  /** Transitive dedup closure: connected components over candidate dup
+    * pairs, so A~B and B~C land A,B,C in one group even when A~C was
+    * never emitted by LSH. `component` = the minimum reachable node id;
+    * nodes without any pair are their own singleton component.
+    *
+    * Implementation: iterative min-label propagation with pointer
+    * doubling. Each round every node takes the min of its own, its
+    * neighbors', and its label's label (label(label(x)) — the doubling
+    * step), so convergence is O(log diameter) rounds, each a bounded
+    * number of shuffles on the node id. Labels are `localCheckpoint`ed
+    * per round: without lineage truncation the plan doubles every
+    * iteration and the driver OOMs formatting it long before the data
+    * is large. (Same round bound as the published large-star/small-star
+    * contraction — Kiveris et al., "Connected Components in MapReduce
+    * and Beyond", SoCC'14 — with simpler per-round plans.)
+    */
+  def connectedComponents(nodes: DataFrame, idCol: String,
+                          pairs: DataFrame, aCol: String, bCol: String,
+                          maxRounds: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .cache()
+    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("component"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // fresh aliases on both union inputs: reusing `labels`' attribute
+      // ids in both children trips Union's constraint rewriting
+      val neighborLabels = edges
+        .join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("component").as("component"))
+      val own = labels.select(col("node").as("node"), col("component").as("component"))
+      val minLabels = own.union(neighborLabels)
+        .groupBy("node").agg(min("component").as("component"))
+      // pointer doubling: follow the label's own label (components are
+      // node ids, so every label has a labels row)
+      val next = minLabels.as("l")
+        .join(minLabels.as("m"), col("l.component") === col("m.node"))
+        .select(col("l.node").as("node"), col("m.component").as("component"))
+        .localCheckpoint(true)
+      // converged when no node's label shrank this round
+      val changed = next.join(labels.withColumnRenamed("component", "prev"), "node")
+        .filter(col("component") < col("prev")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

@@ -41,6 +41,15 @@ object PipelineOps {
     "dd_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
 
+    // Transitive dedup closure: LSH candidate pairs -> connected
+    // components (min-label propagation; oracle = recursive CTE).
+    "dd_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 4, 2)
+      Dedup.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("component"))
+    }),
+
     "sim_topk" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0),
@@ -146,6 +155,27 @@ object PipelineOps {
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+
+    "dd_components" ->
+      s"""WITH RECURSIVE cand AS (
+         |WITH sig AS ($minhashSigSql),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 || mh1 AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cand
+         |  UNION SELECT id_b, id_a FROM cand),
+         |reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+         |SELECT node AS doc_id, min(root) AS component
+         |FROM reach GROUP BY 1""".stripMargin,
 
     "dd_simhash" ->
       s"""WITH tc AS (

@@ -55,4 +55,25 @@ class DedupSpec extends AnyFunSuite {
     def hamming(a: String, b: String) = a.zip(b).count { case (x, y) => x != y }
     assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
   }
+
+  test("connected components: transitive closure over pairs, singletons kept") {
+    import spark.implicits._
+    val nodes = (1L to 7L).toDF("id")
+    // 1-2, 2-3 chain (3 never paired with 1 directly); 5-6; 4 and 7 alone
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val got = graft.dedup.Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L))
+  }
+
+  test("connected components converge on a long chain within the round budget") {
+    import spark.implicits._
+    val n = 33L
+    val nodes = (1L to n).toDF("id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
+    val got = graft.dedup.Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got.toSeq == Seq(1L), "one chain -> one component rooted at 1")
+  }
 }
