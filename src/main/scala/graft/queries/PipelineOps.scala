@@ -83,6 +83,10 @@ object PipelineOps {
     "ta_fingerprint" -> ((s, d) =>
       TextAnalysis.fingerprint(Tables.documents(s, d), "doc_id", "text")),
 
+    // Repetition quality signal: top-bigram share per document.
+    "ta_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionRatio(Tables.documents(s, d), "doc_id", "text")),
+
     // Rabin-Karp rolling hash over the raw text (native expression).
     "ta_rolling_hash" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -270,6 +274,23 @@ object PipelineOps {
         |    list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
         |  (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
         |FROM documents""".stripMargin,
+
+    "ta_repetition" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id,
+         |    concat_ws(' ', tok, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)) AS bigram,
+         |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM ($posToksSql) pt),
+         |bc AS (
+         |  SELECT doc_id, bigram, count(*) AS c FROM bg WHERE nxt IS NOT NULL GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT doc_id, max(c) AS top_bigram_freq, CAST(sum(c) AS BIGINT) AS n_bigrams
+         |  FROM bc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(n_bigrams, 0) AS n_bigrams,
+         |  coalesce(top_bigram_freq, 0) AS top_bigram_freq,
+         |  top_bigram_freq * 1.0 / n_bigrams AS repetition_ratio
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id""".stripMargin,
 
     "ta_fingerprint" ->
       s"""SELECT doc_id,

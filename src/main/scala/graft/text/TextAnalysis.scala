@@ -93,4 +93,28 @@ object TextAnalysis {
       .agg(pmod(sum((col("pos") + 1) * col("charsum")), lit(2147483647L)).as("fingerprint"),
         count(lit(1)).as("n_tokens"))
   }
+
+  /** Repetition quality signal: the most frequent bigram's share of all
+    * bigrams per document (boilerplate / degenerate generations repeat
+    * n-grams; a high share flags them). Bigrams are built map-side with
+    * `zip_with` over two shifted slices — no window, no self-join; the
+    * only shuffle is the (doc, bigram) count. Documents with <2 tokens
+    * get `n_bigrams = 0` and a null ratio.
+    */
+  def repetitionRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = TextOps.tokens(col(textCol))
+    val len = greatest(size(toks) - 1, lit(0))
+    val bigrams = zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
+      (a, b) => concat_ws(" ", a, b))
+    val counts = docs
+      .select(col(idCol), explode(bigrams).as("bigram"))
+      .groupBy(idCol, "bigram").agg(count(lit(1)).as("c"))
+      .groupBy(idCol)
+      .agg(max("c").as("top_bigram_freq"), sum("c").as("n_bigrams"))
+    docs.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_freq"), lit(0L)).as("top_bigram_freq"),
+        (col("top_bigram_freq") / col("n_bigrams")).as("repetition_ratio"))
+  }
 }

@@ -59,4 +59,20 @@ class TextOpsSpec extends AnyFunSuite {
     assert(fp("a b c") == fp("a b c"))
     assert(fp("a b c") != fp("b a c"))
   }
+
+  test("repetition ratio: degenerate repeats score 1.0; short docs null out") {
+    val docs = Seq(
+      (1L, ""),            // no tokens -> 0 bigrams, null ratio
+      (2L, "hello"),       // one token -> 0 bigrams, null ratio
+      (3L, "a a a a"),     // only bigram "a a" x3 -> ratio 1.0
+      (4L, "w x y z w x")  // "w x" twice of 5 -> ratio 0.4
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionRatio(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(1L) == ((0L, 0L, None)))
+    assert(got(2L) == ((0L, 0L, None)))
+    assert(got(3L) == ((3L, 3L, Some(1.0))))
+    assert(got(4L) == ((5L, 2L, Some(0.4))))
+  }
 }
