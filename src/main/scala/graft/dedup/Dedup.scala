@@ -184,11 +184,24 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Materialize the pair list once before mirroring it: the union's two
+    // branches would otherwise each recompute the (potentially expensive —
+    // e.g. LSH) pair-producing plan.
+    val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .localCheckpoint(true)
+    // fresh aliases on both branches: union children sharing attribute
+    // ids trips Union's constraint rewriting (same quirk as below)
+    val edges = p.select(col("src").as("src"), col("dst").as("dst"))
+      .union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .cache()
-    var labels = nodes.select(col(idCol).as("node"), col(idCol).as("component"))
+    // Only nodes that appear in some pair participate in the iteration —
+    // isolated nodes are singletons by definition and are unioned back in
+    // closed form at the end. In a dedup workload the pair graph is a
+    // small fraction of the corpus, so every round's shuffles and the
+    // convergence checks run on that fraction, not the full node set.
+    val edgeNodes = edges.select(col("src").as("node")).distinct().cache()
+    var labels = edgeNodes.select(col("node"), col("node").as("component"))
       .localCheckpoint(true)
     var converged = false
     var round = 0
@@ -215,7 +228,19 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
+    val singletons = nodes
+      .join(edgeNodes, nodes(idCol) === edgeNodes("node"), "left_anti")
+      .select(col(idCol).as("node"), col(idCol).as("component"))
+    // materialize before dropping the caches: the caller's action runs
+    // later, and an unpersisted lazy plan would recompute the whole pair
+    // pipeline for the anti-join
+    val result = labels
+      .select(col("node").as("node"), col("component").as("component"))
+      .union(singletons)
+      .localCheckpoint(true)
     edges.unpersist()
-    labels
+    edgeNodes.unpersist()
+    labels.unpersist()
+    result
   }
 }
