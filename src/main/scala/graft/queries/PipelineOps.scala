@@ -68,6 +68,19 @@ object PipelineOps {
         "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
     }),
 
+    // Symmetric int8 quantization of embeddings (the storage/ANN-speed
+    // form at scale: 4x smaller vectors, SIMD-friendly). Pure map; the
+    // per-vector scale is materialized as its own projection so the
+    // lambda references an attribute, not a re-evaluated expression.
+    "sim_quantize" -> ((s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          (greatest(array_max(transform(col("embedding"),
+            v => abs(v.cast("double")))), lit(1e-12)) / 127.0).as("scale"))
+        .select(col("vec_id"), col("scale"),
+          transform(col("embedding"),
+            v => round(v.cast("double") / col("scale")).cast("int")).as("q"))),
+
     "ta_langid" -> ((s, d) =>
       TextAnalysis.languageId(s, Tables.documents(s, d), "doc_id", "text")),
 
@@ -226,6 +239,15 @@ object PipelineOps {
          |  JOIN norms na ON na.vec_id = id_a
          |  JOIN norms nb ON nb.vec_id = id_b
          |WHERE dp / (na.nrm * nb.nrm) >= 0.95""".stripMargin,
+
+    "sim_quantize" ->
+      """SELECT vec_id, scale,
+        |  list_transform(embedding, v -> CAST(round(CAST(v AS DOUBLE) / scale) AS INT)) AS q
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |    greatest(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))), 1e-12)
+        |      / 127.0 AS scale
+        |  FROM embeddings) t""".stripMargin,
 
     "ta_langid" ->
       s"""WITH lex(cand_lang, marker) AS (VALUES

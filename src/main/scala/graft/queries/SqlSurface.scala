@@ -216,6 +216,22 @@ object SqlSurface {
         when(pmod(h, lit(10L)) < 8, "train").otherwise("test").as("split"))
     }),
 
+    // Training-pipeline: next-fit sequence packing — documents assigned
+    // to fixed-token-budget bins by a running token count, packed per
+    // shard (window partitions by shard, never a global OVER (): packing
+    // is per-worker at scale, and this keeps every window bounded).
+    "tp_pack_nextfit" -> ((s, d) => {
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          pmod(col("doc_id"), lit(8L)).as("shard"),
+          graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .withColumn("bin", floor((col("cum_tokens") - col("n_tokens")) / 1024).cast("long"))
+        .select("doc_id", "shard", "n_tokens", "bin")
+    }),
+
     // Training-pipeline: exact-dup groups keep the best document
     // (longest token count, doc_id as tiebreak) — one hash shuffle on
     // the content hash, max_by partial-aggregates map-side.
@@ -368,6 +384,18 @@ object SqlSurface {
                list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
              (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
            FROM documents) t""",
+
+    "tp_pack_nextfit" ->
+      """SELECT doc_id, shard, n_tokens,
+           CAST(floor((cum_tokens - n_tokens) / 1024) AS BIGINT) AS bin
+         FROM (
+           SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+           FROM (
+             SELECT doc_id, doc_id % 8 AS shard,
+               len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS n_tokens
+             FROM documents) a) b""",
 
     "tp_keep_best" ->
       """SELECT md5(text) AS content_hash,
