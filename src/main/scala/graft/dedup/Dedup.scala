@@ -165,6 +165,41 @@ object Dedup {
     */
   def simhashHexForm(simhashBits: Column): Column = conv(simhashBits, 2, 16)
 
+  /** Near-dup pairs by SimHash Hamming distance <= `maxDist`, banded: the
+    * 64 bits split into `bands` equal substrings; by pigeonhole any pair
+    * within `bands - 1` bit flips shares at least one identical band, so
+    * the equi-self-join on (band, key) has full recall for
+    * `maxDist <= bands - 1` and only candidates are Hamming-verified.
+    * Same join shape as MinHash-LSH banding — no all-pairs blow-up.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bands: Int = 4, maxDist: Int = 3): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(maxDist <= bands - 1, s"recall guarantee needs maxDist <= bands-1")
+    val width = 64 / bands
+    // materialized once: feeds the band explode and both verify joins
+    val sig = simhash(docs, idCol, textCol).localCheckpoint(true)
+    val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
+      substring(col("simhash"), b * width + 1, width).as("key")))
+    val bandRows = sig
+      .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("band_key"))
+    val cand = bandRows.select(col(idCol).as("id_a"), col("band"), col("band_key"))
+      .join(bandRows.select(col(idCol).as("id_b"), col("band"), col("band_key")),
+        Seq("band", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(sig.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), "id_a")
+      .join(sig.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), "id_b")
+      .withColumn("hamming",
+        size(filter(zip_with(split(col("sh_a"), ""), split(col("sh_b"), ""),
+          (x, y) => x =!= y), t => t)))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Transitive dedup closure: connected components over candidate dup
     * pairs, so A~B and B~C land A,B,C in one group even when A~C was
     * never emitted by LSH. `component` = the minimum reachable node id;

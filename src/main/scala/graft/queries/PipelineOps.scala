@@ -41,6 +41,10 @@ object PipelineOps {
     "dd_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
 
+    // SimHash near-dup pairs: banded Hamming (<= 3 bits over 4 bands).
+    "dd_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 4, 3)),
+
     // Transitive dedup closure: LSH candidate pairs -> connected
     // components (min-label propagation; oracle = recursive CTE).
     "dd_components" -> ((s, d) => {
@@ -133,6 +137,23 @@ object PipelineOps {
     s"""SELECT doc_id, ${(0 until 8).map(mh).mkString(", ")}
        |FROM ($shinglesSql) s GROUP BY doc_id""".stripMargin
 
+  /** SimHash fingerprints as 64-char '0'/'1' strings (mirrors
+    * Dedup.simhash; md5-nibble bit extraction in integer arithmetic).
+    */
+  private val simhashSql =
+    s"""WITH tc0 AS (
+       |  SELECT doc_id, tok, count(*) AS freq FROM ($posToksSql) pt GROUP BY 1, 2),
+       |bits0 AS (
+       |  SELECT doc_id, bit,
+       |    sum(freq * (2 * (((strpos('0123456789abcdef',
+       |        substr(substr(md5(tok), 1, 16), CAST(bit // 4 AS INT) + 1, 1)) - 1)
+       |      // (CASE bit % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1)) AS bit_score
+       |  FROM tc0 CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+       |  GROUP BY 1, 2)
+       |SELECT doc_id,
+       |  string_agg(CASE WHEN bit_score > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
+       |FROM bits0 GROUP BY doc_id""".stripMargin
+
   /** 64-dim embeddings flattened to (vec_id, i, x) in double precision. */
   private val flatEmbSql =
     """SELECT vec_id, generate_subscripts(embedding, 1) AS i,
@@ -194,19 +215,26 @@ object PipelineOps {
          |SELECT node AS doc_id, min(root) AS component
          |FROM reach GROUP BY 1""".stripMargin,
 
-    "dd_simhash" ->
-      s"""WITH tc AS (
-         |  SELECT doc_id, tok, count(*) AS freq FROM ($posToksSql) pt GROUP BY 1, 2),
-         |bits AS (
-         |  SELECT doc_id, bit,
-         |    sum(freq * (2 * (((strpos('0123456789abcdef',
-         |        substr(substr(md5(tok), 1, 16), CAST(bit // 4 AS INT) + 1, 1)) - 1)
-         |      // (CASE bit % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1)) AS bit_score
-         |  FROM tc CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
-         |  GROUP BY 1, 2)
-         |SELECT doc_id,
-         |  string_agg(CASE WHEN bit_score > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
-         |FROM bits GROUP BY doc_id""".stripMargin,
+    "dd_simhash" -> simhashSql,
+
+    "dd_simhash_pairs" ->
+      s"""WITH sims AS ($simhashSql),
+         |bands AS (
+         |  SELECT doc_id, b AS band, substr(simhash, CAST(1 + 16 * b AS INT), 16) AS band_key
+         |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT id_a, id_b,
+         |    len(list_filter(range(1, 65), i ->
+         |      substr(sa.simhash, CAST(i AS INT), 1) != substr(sb.simhash, CAST(i AS INT), 1)))
+         |      AS hamming
+         |  FROM cand
+         |    JOIN sims sa ON sa.doc_id = id_a
+         |    JOIN sims sb ON sb.doc_id = id_b) v
+         |WHERE hamming <= 3""".stripMargin,
 
     "sim_topk" ->
       s"""WITH flat AS ($flatEmbSql),

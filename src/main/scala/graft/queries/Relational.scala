@@ -191,6 +191,19 @@ object Relational {
           .as("nearest_centroid"))
     }),
 
+    // J6 in the form that wins at scale: the centroid list is an array
+    // literal and the argmin is a map-side array_sort — no row blow-up,
+    // no shuffle at all (the cross-join form above shuffles rows × k).
+    // Same oracle as j6_nearest_centroid.
+    "j6b_nearest_centroid_map" -> ((s, d) => {
+      val centroids = array(Seq(5.0, 20.0, 35.0, 50.0).map(lit): _*)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          array_sort(transform(centroids, c =>
+            struct((abs(col("l_quantity") - c) + c * 1e-9).as("d"), c.as("c"))))
+            .getItem(0).getField("c").as("nearest_centroid"))
+    }),
+
     // O3 via the bounded-heap top_k_by aggregate: identical result to the
     // window-rank form below (same oracle), but shuffle and memory are
     // bounded by k per group instead of group size — the form that holds
@@ -418,6 +431,15 @@ object Relational {
            arg_min(CAST(c AS DOUBLE), abs(l_quantity - CAST(c AS DOUBLE)) + CAST(c AS DOUBLE) * 1e-9) AS nearest_centroid
          FROM lineitem CROSS JOIN (VALUES (5.0), (20.0), (35.0), (50.0)) t(c)
          GROUP BY 1, 2""",
+
+    // per-row form ((orderkey, linenumber) is not unique in the synthetic
+    // lineitem, so this oracle emits one row per input row, like the query)
+    "j6b_nearest_centroid_map" ->
+      """SELECT l_orderkey, l_linenumber,
+           list_sort(list_transform([5.0, 20.0, 35.0, 50.0],
+             c -> {'d': abs(l_quantity - CAST(c AS DOUBLE)) + CAST(c AS DOUBLE) * 1e-9,
+                   'c': CAST(c AS DOUBLE)}))[1].c AS nearest_centroid
+         FROM lineitem""",
 
     "o3_group_topk" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (

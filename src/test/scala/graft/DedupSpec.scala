@@ -56,6 +56,18 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
   }
 
+  test("simhash pairs: identical docs pair at hamming 0, unrelated docs don't pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "entirely different subject matter about database query engines")
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text", 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0)))
+  }
+
   test("connected components: transitive closure over pairs, singletons kept") {
     import spark.implicits._
     val nodes = (1L to 7L).toDF("id")
