@@ -148,6 +148,29 @@ object SqlSurface {
         .select(col("o_orderkey"),
           posexplode(split(col("o_orderpriority"), "-")).as(Seq("pos", "tok")))),
 
+    // Statistical aggregate family: spread, correlation, covariance —
+    // all one-pass partial-aggregable built-ins.
+    "a_stats" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          stddev_samp(col("l_quantity")).as("sd_qty"),
+          var_samp(col("l_extendedprice")).as("var_price"),
+          corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
+          covar_samp(col("l_quantity"), col("l_extendedprice")).as("covar_qty_price"),
+          count(lit(1)).as("n"))),
+
+    // Array aggregation: per-order sorted line numbers (collect_list is
+    // unordered across partitions — array_sort canonicalizes), plus
+    // element membership and cardinality.
+    "f_array_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(array_sort(collect_list(col("l_linenumber"))).as("line_nums"))
+        .select(col("l_orderkey"), col("line_nums"),
+          size(col("line_nums")).as("n_lines"),
+          array_contains(col("line_nums"), 1).as("has_first"))),
+
     // Unpivot / melt: wide metrics to long (id, metric, val) — the
     // inverse of pivot, a pure map (no shuffle at any scale).
     "a_unpivot" -> ((s, d) =>
@@ -339,6 +362,23 @@ object SqlSurface {
            unnest(l) AS tok
          FROM (SELECT o_orderkey, string_split(o_orderpriority, '-') AS l
                FROM orders) t""",
+
+    "a_stats" ->
+      """SELECT l_returnflag,
+           stddev_samp(l_quantity) AS sd_qty,
+           var_samp(l_extendedprice) AS var_price,
+           corr(l_quantity, l_extendedprice) AS corr_qty_price,
+           covar_samp(l_quantity, l_extendedprice) AS covar_qty_price,
+           count(*) AS n
+         FROM lineitem GROUP BY 1""",
+
+    "f_array_agg" ->
+      """SELECT l_orderkey, line_nums,
+           CAST(len(line_nums) AS INT) AS n_lines,
+           list_contains(line_nums, 1) AS has_first
+         FROM (
+           SELECT l_orderkey, list_sort(list(l_linenumber)) AS line_nums
+           FROM lineitem GROUP BY 1) t""",
 
     "a_unpivot" ->
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
