@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
 
@@ -198,5 +198,40 @@ object EventsStream {
       .start()
     q.awaitTermination()
     spark.table(name)
+  }
+
+  /** CDC-style upsert over an append-only parquet log via `foreachBatch`:
+    * each microbatch is deduped to its latest row per key and appended;
+    * [[readUpserted]] resolves the latest version per key at read time.
+    * This is the lakehouse-free upsert pattern — appends stay cheap and
+    * atomic at any scale (no file rewrites, no table-format dependency),
+    * the merge cost is paid by readers as one `max_by` aggregation, and a
+    * periodic compaction (rewrite `readUpserted` output) bounds log
+    * growth. Exactly-once across restarts comes from the checkpoint, as
+    * in the plain file sink.
+    */
+  def upsertToParquetLog(streamed: DataFrame, keyCol: String, versionCol: String,
+                         targetDir: String, checkpointDir: String): StreamingQuery =
+    streamed.writeStream
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        val latestPerKey = batch
+          .groupBy(col(keyCol))
+          .agg(max_by(struct(batch.columns.map(col): _*), col(versionCol)).as("r"))
+          .select(col("r.*"))
+        latestPerKey.write.mode("append").parquet(targetDir): Unit
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Latest row per key over the upsert log written by
+    * [[upsertToParquetLog]].
+    */
+  def readUpserted(spark: SparkSession, targetDir: String,
+                   keyCol: String, versionCol: String): DataFrame = {
+    val log = spark.read.parquet(targetDir)
+    log.groupBy(col(keyCol))
+      .agg(max_by(struct(log.columns.map(col): _*), col(versionCol)).as("r"))
+      .select(col("r.*"))
   }
 }

@@ -75,4 +75,45 @@ class StreamingRecoverySpec extends AnyFunSuite {
     runOnce()
     assert(sinkIds().sorted.toSeq == expectedAll.toSeq, "idle restart processes nothing")
   }
+
+  test("foreachBatch upsert log: latest row per key survives restarts and re-reads") {
+    import graft.streaming.EventsStream
+    val base = Files.createTempDirectory("graft-upsert")
+    val (inDir, ckpt, target) = (base.resolve("in"), base.resolve("ckpt"), base.resolve("tgt"))
+    Files.createDirectories(inDir)
+
+    // `ver` is a composite (ts, event_id) struct: a TOTAL version order,
+    // so max_by is deterministic even when a user has two events at the
+    // same timestamp
+    val ev = Tables.events(spark, SparkTestSession.sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("ver", struct(col("ts_us"), col("event_id")))
+    val halfA = base.resolve("halfA"); val halfB = base.resolve("halfB")
+    ev.filter(pmod(col("event_id"), lit(2)) === 0).coalesce(1).write.parquet(halfA.toString)
+    ev.filter(pmod(col("event_id"), lit(2)) === 1).coalesce(1).write.parquet(halfB.toString)
+
+    def runOnce(): Unit = {
+      val streamed = spark.readStream
+        .schema("event_id LONG, user_id LONG, event_type STRING, value DOUBLE, " +
+          "ts_us LONG, ver STRUCT<ts_us: LONG, event_id: LONG>")
+        .parquet(inDir.toString)
+      val q = EventsStream.upsertToParquetLog(streamed, "user_id", "ver",
+        target.toString, ckpt.toString)
+      q.awaitTermination()
+    }
+
+    stage(halfA, inDir); runOnce()
+    stage(halfB, inDir); runOnce()
+
+    // latest event per user over the full input == upsert-log resolution
+    val expected = EventsStream.readUpserted(spark,
+      { val d = base.resolve("all"); ev.coalesce(1).write.parquet(d.toString); d.toString },
+      "user_id", "ver")
+    val got = EventsStream.readUpserted(spark, target.toString, "user_id", "ver")
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.select("user_id", "event_id", "ts_us").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(key(got) == key(expected))
+  }
 }
