@@ -239,6 +239,21 @@ object SqlSurface {
         when(pmod(h, lit(10L)) < 8, "train").otherwise("test").as("split"))
     }),
 
+    // Training-pipeline: stratified sampling with per-language rates,
+    // deterministic via hash thresholds (not RNG — reproducible across
+    // runs, engines, and repartitioning, unlike sampleBy). Pure map +
+    // one broadcast join.
+    "tp_stratified_sample" -> ((s, d) => {
+      import s.implicits._
+      val rates = Seq(("en", 0.5), ("es", 0.2), ("fr", 0.2), ("de", 0.2), ("zh", 0.1))
+        .toDF("lang", "rate")
+      val h = pmod(graft.functions.TextExprs.rollingHash(col("text")), lit(1000L))
+      Tables.documents(s, d)
+        .join(broadcast(rates), Seq("lang"), "inner")
+        .filter(h < col("rate") * 1000)
+        .select("doc_id", "lang")
+    }),
+
     // Training-pipeline: next-fit sequence packing — documents assigned
     // to fixed-token-budget bins by a running token count, packed per
     // shard (window partitions by shard, never a global OVER (): packing
@@ -424,6 +439,16 @@ object SqlSurface {
                list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
              (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
            FROM documents) t""",
+
+    "tp_stratified_sample" ->
+      """WITH rates(lang, rate) AS (VALUES
+           ('en', 0.5), ('es', 0.2), ('fr', 0.2), ('de', 0.2), ('zh', 0.1))
+         SELECT doc_id, d.lang
+         FROM documents d JOIN rates r ON d.lang = r.lang
+         WHERE list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) % 1000 < rate * 1000""",
 
     "tp_pack_nextfit" ->
       """SELECT doc_id, shard, n_tokens,
