@@ -205,25 +205,34 @@ object Dedup {
     * never emitted by LSH. `component` = the minimum reachable node id;
     * nodes without any pair are their own singleton component.
     *
-    * Implementation: iterative min-label propagation with pointer
-    * doubling. Each round every node takes the min of its own, its
-    * neighbors', and its label's label (label(label(x)) — the doubling
-    * step), so convergence is O(log diameter) rounds, each a bounded
-    * number of shuffles on the node id. Labels are `localCheckpoint`ed
-    * per round: without lineage truncation the plan doubles every
-    * iteration and the driver OOMs formatting it long before the data
-    * is large. (Same round bound as the published large-star/small-star
-    * contraction — Kiveris et al., "Connected Components in MapReduce
-    * and Beyond", SoCC'14 — with simpler per-round plans.)
+    * Adaptive execution, the same call the runtime makes for broadcast
+    * vs shuffle joins: the materialized pair count picks the path.
+    *  - pairs <= `localThreshold`: collect and union-find on the driver
+    *    (path compression; exact same labels). Dedup pair graphs are a
+    *    tiny fraction of the corpus, so this is the common case and costs
+    *    one collect instead of several distributed rounds.
+    *  - otherwise: iterative min-label propagation with pointer doubling
+    *    — each round every node takes the min of its own, its neighbors',
+    *    and its label's label, so convergence is O(log diameter) rounds.
+    *    Labels are `localCheckpoint`ed per round: without lineage
+    *    truncation the plan doubles every iteration and the driver OOMs
+    *    formatting it long before the data is large. (Same round bound as
+    *    the published large-star/small-star contraction — Kiveris et al.,
+    *    "Connected Components in MapReduce and Beyond", SoCC'14 — with
+    *    simpler per-round plans.)
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
-                          maxRounds: Int = 20): DataFrame = {
+                          maxRounds: Int = 20,
+                          localThreshold: Long = 1000000L): DataFrame = {
     // Materialize the pair list once before mirroring it: the union's two
     // branches would otherwise each recompute the (potentially expensive —
     // e.g. LSH) pair-producing plan.
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .localCheckpoint(true)
+
+    if (p.count() <= localThreshold) return localComponents(nodes, idCol, p)
+
     // fresh aliases on both branches: union children sharing attribute
     // ids trips Union's constraint rewriting (same quirk as below)
     val edges = p.select(col("src").as("src"), col("dst").as("dst"))
@@ -277,5 +286,54 @@ object Dedup {
     edgeNodes.unpersist()
     labels.unpersist()
     result
+  }
+
+  /** Driver-side union-find over a collected (small) pair list; id type
+    * is whatever the caller's id column is. Non-edge nodes become
+    * singletons via a broadcast anti-join, exactly as in the distributed
+    * path.
+    */
+  private def localComponents(nodes: DataFrame, idCol: String, p: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x // path compression
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val ord = new Ordering[Any] { // min-id root, matching the distributed labels
+      def compare(a: Any, b: Any): Int = (a, b) match {
+        case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+        case (x: Int, y: Int) => Integer.compare(x, y)
+        case (x: String, y: String) => x.compareTo(y)
+        case _ => a.toString.compareTo(b.toString)
+      }
+    }
+    val edgeNodeSet = scala.collection.mutable.HashSet.empty[Any]
+    p.collect().foreach { r =>
+      val (a, b) = (r.get(0), r.get(1))
+      if (a != null && b != null) {
+        edgeNodeSet += a; edgeNodeSet += b
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) {
+          val (lo, hi) = if (ord.lt(ra, rb)) (ra, rb) else (rb, ra)
+          parent(hi) = lo
+        }
+      }
+    }
+    val idField = nodes.schema(idCol)
+    val labelRows: Seq[org.apache.spark.sql.Row] =
+      edgeNodeSet.map(n => org.apache.spark.sql.Row(n, find(n))).toSeq
+    val labelsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(labelRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        idField.copy(name = "node"), idField.copy(name = "component"))))
+    val edgeNodesDf = labelsDf.select(col("node"))
+    val singletons = nodes
+      .join(broadcast(edgeNodesDf), nodes(idCol) === edgeNodesDf("node"), "left_anti")
+      .select(col(idCol).as("node"), col(idCol).as("component"))
+    labelsDf.union(singletons)
   }
 }

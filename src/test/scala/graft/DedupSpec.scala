@@ -79,13 +79,17 @@ class DedupSpec extends AnyFunSuite {
       5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
-  test("connected components converge on a long chain within the round budget") {
+  test("connected components: distributed loop matches local union-find on a long chain") {
     import spark.implicits._
     val n = 33L
     val nodes = (1L to n).toDF("id")
     val pairs = (1L until n).map(i => (i, i + 1)).toDF("a", "b")
-    val got = graft.dedup.Dedup.connectedComponents(nodes, "id", pairs, "a", "b")
-      .collect().map(r => r.getLong(1)).distinct
-    assert(got.toSeq == Seq(1L), "one chain -> one component rooted at 1")
+    def run(threshold: Long) = graft.dedup.Dedup
+      .connectedComponents(nodes, "id", pairs, "a", "b", localThreshold = threshold)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val local = run(1000000L)     // pairs collected, driver union-find
+    val distributed = run(0L)     // forced min-label-propagation loop
+    assert(local == distributed)
+    assert(local.values.toSet == Set(1L), "one chain -> one component rooted at 1")
   }
 }
