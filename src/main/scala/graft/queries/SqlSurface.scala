@@ -411,11 +411,15 @@ object SqlSurface {
          FROM orders
          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)""",
 
+    // LEFT JOIN LATERAL: Spark decorrelates the scalar-aggregate lateral
+    // into a left outer join (Postgres semantics — orderless customers
+    // keep a NULL aggregate); DuckDB's comma-lateral drops them, so the
+    // oracle spells the outer join explicitly.
     "q_lateral" ->
       """SELECT c.c_custkey, t.max_price
-         FROM customer c,
-           LATERAL (SELECT max(o_totalprice) AS max_price
-                    FROM orders WHERE o_custkey = c.c_custkey) t""",
+         FROM customer c LEFT JOIN LATERAL (
+           SELECT max(o_totalprice) AS max_price
+           FROM orders WHERE o_custkey = c.c_custkey) t ON true""",
 
     "f_json" ->
       """SELECT event_id,
