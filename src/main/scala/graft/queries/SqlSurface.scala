@@ -239,6 +239,28 @@ object SqlSurface {
         when(pmod(h, lit(10L)) < 8, "train").otherwise("test").as("split"))
     }),
 
+    // Training-pipeline: winsorization — clamp outliers to per-group
+    // exact [p05, p95]. The tiny per-group bounds table broadcasts back
+    // onto the fact; one aggregation + one map, no window over the fact.
+    "tp_winsorize" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val bounds = ev.groupBy("event_type")
+        .agg(percentile(col("value"), lit(0.05)).as("p05"),
+          percentile(col("value"), lit(0.95)).as("p95"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_id"), col("event_type"), col("value"),
+          least(greatest(col("value"), col("p05")), col("p95")).as("value_w"))
+    }),
+
+    // Null-safe arithmetic: try_divide / try_* return null instead of
+    // raising under ANSI mode — the ingest posture for dirty data.
+    "f_try_arith" -> ((s, d) =>
+      Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_extendedprice"), col("l_discount")).as("price_per_disc"),
+        try_divide(lit(1.0), col("l_quantity") - col("l_quantity")).as("div_zero"),
+        try_add(col("l_quantity"), col("l_extendedprice")).as("sum_ok"))),
+
     // Training-pipeline: stratified sampling with per-language rates,
     // deterministic via hash thresholds (not RNG — reproducible across
     // runs, engines, and repartitioning, unlike sampleBy). Pure map +
@@ -443,6 +465,23 @@ object SqlSurface {
                list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
              (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
            FROM documents) t""",
+
+    "tp_winsorize" ->
+      """WITH b AS (
+           SELECT event_type, quantile_cont(value, 0.05) AS p05,
+                  quantile_cont(value, 0.95) AS p95
+           FROM events GROUP BY 1)
+         SELECT event_id, e.event_type, value,
+           least(greatest(value, p05), p95) AS value_w
+         FROM events e JOIN b ON e.event_type = b.event_type""",
+
+    "f_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE l_extendedprice / l_discount END AS price_per_disc,
+           CAST(NULL AS DOUBLE) AS div_zero,
+           l_quantity + l_extendedprice AS sum_ok
+         FROM lineitem""",
 
     "tp_stratified_sample" ->
       """WITH rates(lang, rate) AS (VALUES
