@@ -194,8 +194,7 @@ object Dedup {
       .join(sig.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), "id_a")
       .join(sig.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), "id_b")
       .withColumn("hamming",
-        size(filter(zip_with(split(col("sh_a"), ""), split(col("sh_b"), ""),
-          (x, y) => x =!= y), t => t)))
+        graft.functions.TextExprs.hamming(col("sh_a"), col("sh_b")))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
   }

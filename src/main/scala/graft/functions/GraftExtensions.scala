@@ -40,6 +40,12 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 1, "rolling_hash expects exactly 1 argument")
         RollingHash(children.head)
+      }),
+    (FunctionIdentifier("hamming"),
+      new ExpressionInfo(classOf[HammingDistance].getName, "hamming"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "hamming expects exactly 2 arguments")
+        HammingDistance(children.head, children(1))
       })
   )
 

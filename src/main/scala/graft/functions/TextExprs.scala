@@ -57,7 +57,59 @@ object RollingHash {
   }
 }
 
+/** Byte-wise Hamming distance between two strings: count of differing
+  * positions over the common prefix plus the length difference (so equal
+  * strings are 0 and a missing suffix counts fully). The hot use is the
+  * SimHash near-dup verify — 64-char '0'/'1' fingerprints — where this
+  * replaces a split + zip_with + filter chain (three array allocations
+  * per comparison) with one codegen'd byte loop.
+  */
+case class HammingDistance(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two string operands, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "hamming"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HammingDistance.hammingUtf8(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HammingDistance.hammingUtf8($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+object HammingDistance {
+  /** Static helper the generated code calls. */
+  def hammingUtf8(a: UTF8String, b: UTF8String): Int = {
+    val ba = a.getBytes
+    val bb = b.getBytes
+    val n = math.min(ba.length, bb.length)
+    var d = math.abs(ba.length - bb.length)
+    var i = 0
+    while (i < n) {
+      if (ba(i) != bb(i)) d += 1
+      i += 1
+    }
+    d
+  }
+}
+
 object TextExprs {
   def rollingHash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+
+  def hamming(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      HammingDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

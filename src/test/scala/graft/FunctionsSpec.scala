@@ -119,4 +119,33 @@ class FunctionsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.toLowerCase.contains("array"))
   }
+
+  test("hamming registers as SQL and counts byte differences + length gap") {
+    graft.functions.GraftFunctions.register(spark)
+    val got = spark.sql(
+      """SELECT hamming('0101', '0101') AS eq,
+                hamming('0101', '0001') AS one,
+                hamming('0101', '1010') AS all4,
+                hamming('0101', '01') AS lengap""").head
+    assert((got.getInt(0), got.getInt(1), got.getInt(2), got.getInt(3)) == ((0, 1, 4, 2)))
+  }
+
+  test("hamming stays inside whole-stage codegen (no fallback)") {
+    import org.apache.spark.sql.functions.col
+    val prev = spark.conf.get("spark.sql.codegen.fallback", "true")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val df = graft.io.Tables.documents(spark, SparkTestSession.sfDir)
+        .select(col("text"), col("lang"),
+          graft.functions.TextExprs.hamming(col("text"), col("lang")).as("d"))
+      // `*(n)` prefixes mark whole-stage-codegen'd operators
+      assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"))
+      df.collect().foreach { r =>
+        val expected = graft.functions.HammingDistance.hammingUtf8(
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)),
+          org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(1)))
+        assert(r.getInt(2) == expected)
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
 }
