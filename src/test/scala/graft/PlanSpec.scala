@@ -77,4 +77,36 @@ class PlanSpec extends AnyFunSuite {
     val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
     assert(pushed.contains("GreaterThan"), s"filter not pushed: $pushed")
   }
+
+  test("grouping sets and rollup plan one Expand pass, not a union of re-scans") {
+    Seq("a_grouping_sets", "a_rollup").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Expand"), s"$q: no Expand:\n$p")
+      assert(!p.contains("Union"), s"$q: planned as a union of re-aggregations:\n$p")
+      assert("FileScan".r.findAllIn(p).size == 1, s"$q: more than one scan:\n$p")
+    }
+  }
+
+  test("pivot plans a single aggregate over one scan (declared value domain)") {
+    val p = plan("a_pivot")
+    assert("FileScan".r.findAllIn(p).size == 1, s"extra distinct-pass scan:\n$p")
+  }
+
+  test("pure-map pipeline ops have zero exchanges") {
+    Seq("tp_hash_split", "sim_quantize", "a_unpivot", "f_null_case",
+      "j6b_nearest_centroid_map").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q should be map-only:\n$p")
+    }
+  }
+
+  test("scalar subquery broadcasts the 1-row aggregate; winsorize broadcasts the bounds") {
+    assert(plan("q_scalar_subquery").contains("BroadcastNestedLoopJoin"))
+    assert(plan("tp_winsorize").contains("BroadcastHashJoin"))
+  }
+
+  test("keep-best dedup partially aggregates map-side (max_by partials)") {
+    val p = plan("tp_keep_best")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial/final agg pair:\n$p")
+  }
 }
