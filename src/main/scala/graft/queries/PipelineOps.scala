@@ -41,6 +41,17 @@ object PipelineOps {
     "dd_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
 
+    // Applying the dedup: keep one document per near-dup component (the
+    // min-id root), i.e. the filtered corpus a training run would read.
+    "dd_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 4, 2)
+      val comps = Dedup.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
+      docs.join(comps, docs("doc_id") === comps("node"))
+        .filter(col("doc_id") === col("component"))
+        .select(docs("doc_id"), col("lang"), col("n_chars"))
+    }),
+
     // SimHash near-dup pairs: banded Hamming (<= 3 bits over 4 bands).
     "dd_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 4, 3)),
@@ -214,6 +225,30 @@ object PipelineOps {
          |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
          |SELECT node AS doc_id, min(root) AS component
          |FROM reach GROUP BY 1""".stripMargin,
+
+    "dd_apply" ->
+      s"""WITH RECURSIVE cand AS (
+         |WITH sig AS ($minhashSigSql),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 || mh1 AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cand
+         |  UNION SELECT id_b, id_a FROM cand),
+         |reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (
+         |  SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY 1)
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+         |WHERE c.doc_id = c.component""".stripMargin,
 
     "dd_simhash" -> simhashSql,
 
