@@ -44,4 +44,25 @@ object Skew {
       explode(sequence(lit(0), lit(saltBuckets - 1))))
     saltedProbe.join(saltedBuild, Seq(key, "__salt")).drop("__salt")
   }
+
+  /** Bloom-filter join pre-filter: build a Bloom filter over the (much
+    * smaller) build side's keys and drop probe rows that can't match
+    * BEFORE the join shuffle. When the join is selective — most probe
+    * rows match nothing — this cuts the shuffled probe volume to the
+    * matching fraction (+ the false-positive rate), at the cost of one
+    * small pass. False positives only ever let a row through to the real
+    * join, so the result is exactly the inner join's. This is the manual
+    * form of runtime row-group filtering; `expectedItems`/`fpp` size the
+    * filter (bits ~ -n·ln(fpp)/ln2²).
+    */
+  def bloomPrefilteredJoin(probe: DataFrame, probeKey: String,
+                           build: DataFrame, buildKey: String,
+                           expectedItems: Long = 1000000L,
+                           fpp: Double = 0.01): DataFrame = {
+    val bloom = build.stat.bloomFilter(buildKey, expectedItems, fpp)
+    val bc = probe.sparkSession.sparkContext.broadcast(bloom)
+    val mightMatch = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+    probe.filter(mightMatch(col(probeKey)))
+      .join(build, col(probeKey) === col(buildKey))
+  }
 }

@@ -234,4 +234,22 @@ object EventsStream {
       .agg(max_by(struct(log.columns.map(col): _*), col(versionCol)).as("r"))
       .select(col("r.*"))
   }
+
+  /** Compact the upsert log: rewrite it to exactly the latest row per key,
+    * bounding log growth (run periodically; readers see the same
+    * [[readUpserted]] result before and after). The rewrite goes through
+    * a temp dir + move so a crash mid-compaction never leaves a partial
+    * log in place.
+    */
+  def compactUpsertLog(spark: SparkSession, targetDir: String,
+                       keyCol: String, versionCol: String): Unit = {
+    val tmp = targetDir + ".compacting"
+    readUpserted(spark, targetDir, keyCol, versionCol)
+      .write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(targetDir)
+    fs.delete(target, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), target): Unit
+  }
 }

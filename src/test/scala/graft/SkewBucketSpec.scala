@@ -68,4 +68,25 @@ class SkewBucketSpec extends AnyFunSuite {
       s"bucketed join still shuffles:\n$plan")
     assert(joined.count() > 0)
   }
+
+  test("bloom pre-filtered join equals the plain join and actually filters") {
+    val li = Tables.lineitem(spark, d)
+    val bigOrders = Tables.orders(spark, d).filter(col("o_totalprice") > 450000.0)
+    val plain = li.join(bigOrders, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_totalprice")
+    val bloomed = graft.queries.Skew
+      .bloomPrefilteredJoin(li, "l_orderkey", bigOrders, "o_orderkey",
+        expectedItems = 10000L, fpp = 0.01)
+      .select("l_orderkey", "l_linenumber", "o_totalprice")
+    val key = (df: org.apache.spark.sql.DataFrame) => df.collect()
+      .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2))).sorted.toSeq
+    assert(key(bloomed) == key(plain), "bloom pre-filter changed the join result")
+
+    // the pre-filter must actually drop most non-matching probe rows
+    val bloom = bigOrders.stat.bloomFilter("o_orderkey", 10000L, 0.01)
+    val kept = li.filter(udf((k: java.lang.Long) =>
+      k != null && bloom.mightContainLong(k)).apply(col("l_orderkey"))).count()
+    assert(kept < li.count() / 2,
+      s"bloom kept $kept of ${li.count()} probe rows — not selective")
+  }
 }

@@ -115,5 +115,13 @@ class StreamingRecoverySpec extends AnyFunSuite {
       df.select("user_id", "event_id", "ts_us").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(key(got) == key(expected))
+
+    // compaction bounds the log without changing what readers see
+    val logRowsBefore = spark.read.parquet(target.toString).count()
+    EventsStream.compactUpsertLog(spark, target.toString, "user_id", "ver")
+    val logRowsAfter = spark.read.parquet(target.toString).count()
+    assert(logRowsAfter < logRowsBefore, "compaction did not shrink the log")
+    assert(key(EventsStream.readUpserted(spark, target.toString, "user_id", "ver"))
+      == key(expected), "compaction changed the resolved table")
   }
 }
