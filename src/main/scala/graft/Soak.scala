@@ -86,7 +86,24 @@ object Soak {
         docs.select(col("doc_id"),
           pmod(graft.functions.TextExprs.rollingHash(col("text")), lit(10L)).as("bucket"))
       }
-    )
+    ) ++ (if (sys.env.get("SPARK_GRAFT_SOAK").contains("text")) Seq(
+      // Amplified docs share text across copies — a dup-heavy corpus, the
+      // worst case dedup is built for (each doc becomes a mult-sized
+      // near-dup clique).
+      shape("simhash") {
+        graft.dedup.Dedup.simhash(docs, "doc_id", "text")
+      },
+      shape("minhash_lsh_pairs") {
+        graft.dedup.Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 4, 2)
+      },
+      shape("components_cliques") {
+        val pairs = graft.dedup.Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 4, 2)
+        graft.dedup.Dedup.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
+      },
+      shape("repetition_signal") {
+        graft.text.TextAnalysis.repetitionRatio(docs, "doc_id", "text")
+      }
+    ) else Seq.empty)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
