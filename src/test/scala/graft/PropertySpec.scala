@@ -69,4 +69,48 @@ class PropertySpec extends AnyFunSuite {
       a == b || h(s"$a$b$s") != h(s"$b$a$s")
     })
   }
+
+  test("hamming is a metric: identity, symmetry, triangle inequality") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def hm(a: String, b: String): Int =
+      graft.functions.HammingDistance.hammingUtf8(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+    val bits = Gen.listOfN(16, Gen.oneOf('0', '1')).map(_.mkString)
+    check(Prop.forAll(bits) { a => hm(a, a) == 0 })
+    check(Prop.forAll(bits, bits) { (a, b) => hm(a, b) == hm(b, a) })
+    check(Prop.forAll(bits, bits, bits) { (a, b, c) =>
+      hm(a, c) <= hm(a, b) + hm(b, c)
+    })
+    // a truncated suffix counts fully (common prefix stays aligned)
+    check(Prop.forAll(bits, Gen.chooseNum(0, 8)) { (a, cut) =>
+      val c = math.min(cut, a.length)
+      hm(a, a.dropRight(c)) == c
+    })
+  }
+
+  test("winsorize clamp: result within bounds, identity inside bounds, monotone") {
+    def w(v: Double, lo: Double, hi: Double) = math.min(math.max(v, lo), hi)
+    val d = Gen.chooseNum(-1000.0, 1000.0)
+    check(Prop.forAll(d, d, d) { (v, x, y) =>
+      val (lo, hi) = (math.min(x, y), math.max(x, y))
+      val r = w(v, lo, hi)
+      r >= lo && r <= hi && (v < lo || v > hi || r == v)
+    })
+    check(Prop.forAll(d, d, d, d) { (v1, v2, x, y) =>
+      val (lo, hi) = (math.min(x, y), math.max(x, y))
+      v1 > v2 || w(v1, lo, hi) <= w(v2, lo, hi)
+    })
+  }
+
+  test("next-fit packing: every bin except possibly the last-opened stays under budget+max(doc)") {
+    // the law of the window form: bin = floor(cum_before / B). A doc can
+    // overflow its bin by at most its own length (next-fit semantics).
+    val docs = Gen.listOf(Gen.chooseNum(1L, 300L))
+    check(Prop.forAll(docs, Gen.chooseNum(100L, 1000L)) { (lens, budget) =>
+      var cum = 0L
+      val bins = lens.map { n => val b = cum / budget; cum += n; b }
+      val byBin = lens.zip(bins).groupBy(_._2).view.mapValues(_.map(_._1).sum)
+      byBin.forall { case (_, tot) => tot <= budget + lens.max }
+    })
+  }
 }
