@@ -41,6 +41,27 @@ object PipelineOps {
     "dd_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
 
+    // Fuzzy record linkage: part-name pairs within Levenshtein distance 3,
+    // via blocking (same 2-char prefix + length within 2) so the
+    // quadratic verify runs per block, never all-pairs.
+    "dd_editdist_pairs" -> ((s, d) => {
+      val p = Tables.part(s, d)
+        .select(col("p_partkey"), col("p_name"),
+          substring(col("p_name"), 1, 2).as("blk"),
+          length(col("p_name")).as("len"))
+      val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
+        col("blk"), col("len").as("len_a"))
+      val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
+        col("blk"), col("len").as("len_b"))
+      a.join(b, Seq("blk"))
+        .filter(col("id_a") < col("id_b") &&
+          abs(col("len_a") - col("len_b")) <= 2 &&
+          col("name_a") =!= col("name_b"))
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 3)
+        .select("id_a", "id_b", "dist")
+    }),
+
     // Applying the dedup: keep one document per near-dup component (the
     // min-id root), i.e. the filtered corpus a training run would read.
     "dd_apply" -> ((s, d) => {
@@ -225,6 +246,16 @@ object PipelineOps {
          |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
          |SELECT node AS doc_id, min(root) AS component
          |FROM reach GROUP BY 1""".stripMargin,
+
+    "dd_editdist_pairs" ->
+      """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+         FROM part a JOIN part b
+           ON substr(a.p_name, 1, 2) = substr(b.p_name, 1, 2)
+           AND a.p_partkey < b.p_partkey
+           AND abs(length(a.p_name) - length(b.p_name)) <= 2
+           AND a.p_name != b.p_name
+         WHERE levenshtein(a.p_name, b.p_name) <= 3""",
 
     "dd_apply" ->
       s"""WITH RECURSIVE cand AS (

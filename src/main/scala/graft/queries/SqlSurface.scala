@@ -239,6 +239,26 @@ object SqlSurface {
         when(pmod(h, lit(10L)) < 8, "train").otherwise("test").as("split"))
     }),
 
+    // Training-pipeline: overlapping token chunking (50-token windows,
+    // stride 40) — the context-window prep step. Token array materialized
+    // once, chunk starts generated per doc, slice per chunk; a flat map,
+    // no shuffle.
+    "tp_chunk" -> ((s, d) => {
+      val stride = 40
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("__toks"))
+        .select(col("doc_id"), col("__toks"), size(col("__toks")).as("n"))
+        .select(col("doc_id"), col("__toks"),
+          explode(when(col("n") > 0,
+            sequence(lit(0), ceil(col("n") / lit(stride.toDouble)).cast("int") - 1))
+            .otherwise(array().cast("array<int>"))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          concat_ws(" ", slice(col("__toks"), col("chunk_idx") * stride + 1, lit(50)))
+            .as("chunk_text"),
+          size(slice(col("__toks"), col("chunk_idx") * stride + 1, lit(50)))
+            .as("n_chunk_tokens"))
+    }),
+
     // Training-pipeline: winsorization — clamp outliers to per-group
     // exact [p05, p95]. The tiny per-group bounds table broadcasts back
     // onto the fact; one aggregation + one map, no window over the fact.
@@ -465,6 +485,21 @@ object SqlSurface {
                list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
              (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
            FROM documents) t""",
+
+    "tp_chunk" ->
+      """WITH t AS (
+           SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 40.0) AS INT))) AS chunk_idx
+           FROM t)
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(list_slice(toks, chunk_idx * 40 + 1, chunk_idx * 40 + 50), ' ')
+             AS chunk_text,
+           CAST(len(list_slice(toks, chunk_idx * 40 + 1, chunk_idx * 40 + 50)) AS INT)
+             AS n_chunk_tokens
+         FROM c""",
 
     "tp_winsorize" ->
       """WITH b AS (
