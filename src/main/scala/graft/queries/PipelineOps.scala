@@ -41,24 +41,27 @@ object PipelineOps {
     "dd_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
 
-    // Fuzzy record linkage: part-name pairs within Levenshtein distance 3,
-    // via blocking (same 2-char prefix + length within 2) so the
-    // quadratic verify runs per block, never all-pairs.
+    // Fuzzy record linkage: part-name pairs within Levenshtein distance 3.
+    // The expensive verify runs on DISTINCT names only (prefix + length
+    // blocked), never on rows — row blow-up happens after, as two
+    // broadcast joins of the tiny matched-name-pair table back onto the
+    // ids. Levenshtein calls scale with distinct values, not row count.
     "dd_editdist_pairs" -> ((s, d) => {
-      val p = Tables.part(s, d)
-        .select(col("p_partkey"), col("p_name"),
-          substring(col("p_name"), 1, 2).as("blk"),
-          length(col("p_name")).as("len"))
-      val a = p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"),
-        col("blk"), col("len").as("len_a"))
-      val b = p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b"),
-        col("blk"), col("len").as("len_b"))
-      a.join(b, Seq("blk"))
-        .filter(col("id_a") < col("id_b") &&
-          abs(col("len_a") - col("len_b")) <= 2 &&
-          col("name_a") =!= col("name_b"))
+      val p = Tables.part(s, d).select("p_partkey", "p_name")
+      val names = p.select(col("p_name").as("nm")).distinct()
+        .select(col("nm"), substring(col("nm"), 1, 2).as("blk"),
+          length(col("nm")).as("len"))
+      val na = names.select(col("nm").as("name_a"), col("blk"), col("len").as("len_a"))
+      val nb = names.select(col("nm").as("name_b"), col("blk"), col("len").as("len_b"))
+      val namePairs = na.join(nb, Seq("blk"))
+        .filter(abs(col("len_a") - col("len_b")) <= 2 && col("name_a") =!= col("name_b"))
         .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
         .filter(col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
+      p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+        .join(broadcast(namePairs), "name_a")
+        .join(p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b")), "name_b")
+        .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b", "dist")
     }),
 
