@@ -47,6 +47,19 @@ object SqlSurface {
       cn.join(sn, Seq("nationkey"), "full_outer")
     }),
 
+    // Relational division: customers who have ordered in EVERY priority
+    // class — the classic "for all" operator, realized as distinct-count
+    // equality against a 1-row broadcast universe count.
+    "q_division" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val universe = o.agg(countDistinct("o_orderpriority").as("n_prios"))
+      o.groupBy("o_custkey")
+        .agg(countDistinct("o_orderpriority").as("n_cust_prios"))
+        .crossJoin(broadcast(universe))
+        .filter(col("n_cust_prios") === col("n_prios"))
+        .select("o_custkey")
+    }),
+
     // Scalar subquery: orders above 2x the global average price. The
     // scalar aggregate is a 1-row broadcast cross join — no per-row
     // recomputation, one pass over the fact.
@@ -344,6 +357,12 @@ object SqlSurface {
            (SELECT CAST(s_nationkey AS BIGINT) AS nationkey, count(*) AS n_suppliers
             FROM supplier GROUP BY 1) s
          ON c.nationkey = s.nationkey""",
+
+    "q_division" ->
+      """SELECT o_custkey FROM orders
+         GROUP BY o_custkey
+         HAVING count(DISTINCT o_orderpriority) =
+           (SELECT count(DISTINCT o_orderpriority) FROM orders)""",
 
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
