@@ -74,4 +74,22 @@ object Multimodal {
     media.withColumn("payload_resized",
       substring(col("payload"), 1, targetBytes))
       .withColumn("resized_bytes", length(col("payload_resized")))
+
+  final case class Features(media_id: Long, features: Array[Double])
+
+  /** Feature extraction over binary payloads: normalized byte histogram
+    * (`bins` buckets over 0..255) — a real, computable feature (unlike the
+    * stubbed codec decode), in the same bounded mapPartitions batch shape
+    * a model-based embedder would use. Pure narrow map, no shuffle.
+    */
+  def byteHistogram(spark: SparkSession, media: DataFrame,
+                    bins: Int = 16): Dataset[Features] = {
+    import spark.implicits._
+    media.as[MediaFile].mapPartitions(_.map { m =>
+      val h = new Array[Double](bins)
+      m.payload.foreach { b => h(((b & 0xff) * bins) / 256) += 1.0 }
+      val n = math.max(m.payload.length, 1).toDouble
+      Features(m.media_id, h.map(_ / n))
+    })
+  }
 }

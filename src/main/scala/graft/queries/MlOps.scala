@@ -116,6 +116,14 @@ object MlOps {
       val media = Multimodal.synthesizeMedia(Tables.documents(s, d), "doc_id", "text")
       Multimodal.resizePayload(media, targetBytes = 64)
         .select(col("media_id"), col("resized_bytes"))
+    }),
+
+    // Multimodal feature extraction: normalized byte histogram over the
+    // payload (ASCII fixtures -> byte == char code, so DuckDB can mirror
+    // it from the text and the mapPartitions path is hash-compared).
+    "mm_byte_hist" -> ((s, d) => {
+      val media = Multimodal.synthesizeMedia(Tables.documents(s, d), "doc_id", "text")
+      Multimodal.byteHistogram(s, media, bins = 16).toDF()
     })
   )
 
@@ -137,6 +145,16 @@ object MlOps {
     "ev_tumbling_15m" ->
       """SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS w_bucket, event_type,
         |  count(*) AS n_events, sum(value) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // bytes == ascii codes (pure-ASCII fixture), bins of 16
+    "mm_byte_hist" ->
+      """SELECT doc_id AS media_id,
+        |  list_transform(range(0, 16), b ->
+        |    len(list_filter(codes, c -> c // 16 = b)) * 1.0
+        |      / greatest(len(codes), 1)) AS features
+        |FROM (SELECT doc_id,
+        |        list_transform(regexp_split_to_array(text, ''), c -> ascii(c)) AS codes
+        |      FROM documents) t""".stripMargin
   )
 }
