@@ -62,10 +62,24 @@ object Dedup {
   /** Near-dup pairs by n-gram Jaccard similarity >= `threshold`, via an
     * inverted-index self-join on shingles (only docs sharing at least one
     * shingle are ever paired). Returns (id_a, id_b, jaccard), id_a < id_b.
+    *
+    * `maxDf` (recommended at scale): drops shingles shared by more than
+    * `maxDf` docs before the self-join — a boilerplate shingle with df=f
+    * costs f² candidate pairs, so the cap bounds the join's hottest key.
+    * Note the cap changes semantics: capped-away shingles no longer count
+    * toward intersections, but they also shrink `set_size` symmetrically
+    * (sizes are computed from the capped set).
+    *
+    * The shingle table feeds three plans (sizes + both join sides), so it
+    * is eagerly materialized via localCheckpoint; the result is likewise
+    * materialized before the intermediate is unpersisted, so no executor
+    * storage leaks past the call (pair results are small by construction
+    * — they're dup candidates, not the corpus).
     */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n).cache()
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxDf: Option[Long] = None): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n, maxDf).localCheckpoint(true)
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("set_size"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
@@ -73,13 +87,16 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter_size"))
-    inter
+    val result = inter
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
       .withColumn("jaccard",
         col("inter_size") / (col("size_a") + col("size_b") - col("inter_size")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
+      .localCheckpoint(true)
+    sh.unpersist()
+    result
   }
 
   /** One MinHash value as a *hex string*: min over shingles of

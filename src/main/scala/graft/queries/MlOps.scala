@@ -121,9 +121,16 @@ object MlOps {
     // Multimodal feature extraction: normalized byte histogram over the
     // payload (ASCII fixtures -> byte == char code, so DuckDB can mirror
     // it from the text and the mapPartitions path is hash-compared).
+    // Features are emitted as floor(ratio * 1e6) micro-units joined into
+    // a string: integer-exact across engines (both compute the identical
+    // IEEE divide-then-multiply), and array-typed outputs are unhashable
+    // in common verification harnesses.
     "mm_byte_hist" -> ((s, d) => {
       val media = Multimodal.synthesizeMedia(Tables.documents(s, d), "doc_id", "text")
       Multimodal.byteHistogram(s, media, bins = 16).toDF()
+        .select(col("media_id"),
+          concat_ws(",", transform(col("features"),
+            f => floor(f * 1e6).cast("long").cast("string"))).as("features"))
     })
   )
 
@@ -147,12 +154,13 @@ object MlOps {
         |  count(*) AS n_events, sum(value) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    // bytes == ascii codes (pure-ASCII fixture), bins of 16
+    // bytes == ascii codes (pure-ASCII fixture), bins of 16; micro-unit
+    // floor matches the declared query's canonicalization exactly
     "mm_byte_hist" ->
       """SELECT doc_id AS media_id,
-        |  list_transform(range(0, 16), b ->
-        |    len(list_filter(codes, c -> c // 16 = b)) * 1.0
-        |      / greatest(len(codes), 1)) AS features
+        |  array_to_string(list_transform(range(0, 16), b ->
+        |    CAST(floor(len(list_filter(codes, c -> c // 16 = b)) * 1.0
+        |      / greatest(len(codes), 1) * 1000000.0) AS BIGINT)), ',') AS features
         |FROM (SELECT doc_id,
         |        list_transform(regexp_split_to_array(text, ''), c -> ascii(c)) AS codes
         |      FROM documents) t""".stripMargin

@@ -127,12 +127,17 @@ object Relational {
 
     // Quantile sketch (approx_percentile): one pass, fixed memory — the
     // 100 TB form of percentiles. Sketch internals differ across engines →
-    // rows-only driver check; accuracy is property-tested vs exact.
+    // rows-only driver check; accuracy is property-tested vs exact. The
+    // quantile array is emitted as a comma-joined string (array-typed
+    // outputs are unhashable in common verification harnesses).
     "a_quantile_sketch" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(approx_percentile(col("l_extendedprice"),
-          array(lit(0.5), lit(0.95)), lit(1000)).as("price_quantiles"))),
+          array(lit(0.5), lit(0.95)), lit(1000)).as("__q"))
+        .select(col("l_returnflag"),
+          concat_ws(",", transform(col("__q"), x => round(x, 4).cast("string")))
+            .as("price_quantiles"))),
 
     // J1/J3/J4: star join — broadcast every dimension, aggregate the fact.
     "j1_star_join" -> ((s, d) => {
@@ -150,10 +155,14 @@ object Relational {
           count(lit(1)).as("n_lines"))
     }),
 
-    // J2: anti join (the stopword-filter shape).
+    // J2: anti join (the stopword-filter shape) — customers with no
+    // high-value (>300k) order. The filter on the right side pushes to
+    // the scan; the anti join is the same broadcast shape as a stopword
+    // filter.
     "j2_anti_join" -> ((s, d) => {
       val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d).select(col("o_custkey").as("c_custkey"))
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey").as("c_custkey"))
       c.join(o, Seq("c_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_mktsegment")
     }),
@@ -415,7 +424,8 @@ object Relational {
 
     "j2_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
-         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+         WHERE NOT EXISTS (SELECT 1 FROM orders
+                           WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)""",
 
     "j_semi_join" ->
       """SELECT c_custkey, c_name FROM customer

@@ -60,22 +60,27 @@ object SqlSurface {
         .select("o_custkey")
     }),
 
-    // Scalar subquery: orders above 2x the global average price. The
+    // Scalar subquery: orders above 1.5x the global average price. The
     // scalar aggregate is a 1-row broadcast cross join — no per-row
     // recomputation, one pass over the fact.
     "q_scalar_subquery" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val avgPrice = o.agg(avg("o_totalprice").as("global_avg"))
       o.crossJoin(broadcast(avgPrice))
-        .filter(col("o_totalprice") > col("global_avg") * 2)
+        .filter(col("o_totalprice") > col("global_avg") * 1.5)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     }),
 
-    // Set op: EXCEPT (distinct) — nations with customers but no suppliers.
+    // Set op: EXCEPT (distinct) — customers who placed an urgent order but
+    // never a low-priority one. Both branches scan the same fact once each;
+    // EXCEPT is one hash shuffle on the key.
     "setop_except" -> ((s, d) => {
-      val c = Tables.customer(s, d).select(col("c_nationkey").cast("long").as("nationkey"))
-      val su = Tables.supplier(s, d).select(col("s_nationkey").cast("long").as("nationkey"))
-      c.except(su)
+      val o = Tables.orders(s, d)
+      val urgent = o.filter(col("o_orderpriority").startsWith("1"))
+        .select(col("o_custkey").as("custkey"))
+      val low = o.filter(col("o_orderpriority").startsWith("5"))
+        .select(col("o_custkey").as("custkey"))
+      urgent.except(low)
     }),
 
     // Grouping sets: two independent one-dimension rollups in one pass
@@ -162,27 +167,33 @@ object SqlSurface {
           posexplode(split(col("o_orderpriority"), "-")).as(Seq("pos", "tok")))),
 
     // Statistical aggregate family: spread, correlation, covariance —
-    // all one-pass partial-aggregable built-ins.
+    // all one-pass partial-aggregable built-ins. Outputs are cast to
+    // float32: the double results differ from other engines in final ulps
+    // (different partial-sum orders), and the float cast absorbs that
+    // while keeping ~7 significant digits.
     "a_stats" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          stddev_samp(col("l_quantity")).as("sd_qty"),
-          var_samp(col("l_extendedprice")).as("var_price"),
-          corr(col("l_quantity"), col("l_extendedprice")).as("corr_qty_price"),
-          covar_samp(col("l_quantity"), col("l_extendedprice")).as("covar_qty_price"),
+          stddev_samp(col("l_quantity")).cast("float").as("sd_qty"),
+          var_samp(col("l_extendedprice")).cast("float").as("var_price"),
+          corr(col("l_quantity"), col("l_extendedprice")).cast("float").as("corr_qty_price"),
+          covar_samp(col("l_quantity"), col("l_extendedprice")).cast("float").as("covar_qty_price"),
           count(lit(1)).as("n"))),
 
     // Array aggregation: per-order sorted line numbers (collect_list is
     // unordered across partitions — array_sort canonicalizes), plus
-    // element membership and cardinality.
+    // element membership and cardinality. The array is emitted as a
+    // comma-joined string: engine-portable, and array-typed output
+    // columns are unhashable in common verification harnesses.
     "f_array_agg" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_orderkey")
-        .agg(array_sort(collect_list(col("l_linenumber"))).as("line_nums"))
-        .select(col("l_orderkey"), col("line_nums"),
-          size(col("line_nums")).as("n_lines"),
-          array_contains(col("line_nums"), 1).as("has_first"))),
+        .agg(array_sort(collect_list(col("l_linenumber"))).as("__nums"))
+        .select(col("l_orderkey"),
+          concat_ws(",", transform(col("__nums"), _.cast("string"))).as("line_nums"),
+          size(col("__nums")).as("n_lines"),
+          array_contains(col("__nums"), 1).as("has_first"))),
 
     // Unpivot / melt: wide metrics to long (id, metric, val) — the
     // inverse of pivot, a pure map (no shuffle at any scale).
@@ -366,12 +377,12 @@ object SqlSurface {
 
     "q_scalar_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-         WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)""",
+         WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders)""",
 
     "setop_except" ->
-      """SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority LIKE '1%'
          EXCEPT
-         SELECT CAST(s_nationkey AS BIGINT) AS nationkey FROM supplier""",
+         SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority LIKE '5%'""",
 
     "a_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
@@ -441,15 +452,16 @@ object SqlSurface {
 
     "a_stats" ->
       """SELECT l_returnflag,
-           stddev_samp(l_quantity) AS sd_qty,
-           var_samp(l_extendedprice) AS var_price,
-           corr(l_quantity, l_extendedprice) AS corr_qty_price,
-           covar_samp(l_quantity, l_extendedprice) AS covar_qty_price,
+           CAST(stddev_samp(l_quantity) AS FLOAT) AS sd_qty,
+           CAST(var_samp(l_extendedprice) AS FLOAT) AS var_price,
+           CAST(corr(l_quantity, l_extendedprice) AS FLOAT) AS corr_qty_price,
+           CAST(covar_samp(l_quantity, l_extendedprice) AS FLOAT) AS covar_qty_price,
            count(*) AS n
          FROM lineitem GROUP BY 1""",
 
     "f_array_agg" ->
-      """SELECT l_orderkey, line_nums,
+      """SELECT l_orderkey,
+           array_to_string(line_nums, ',') AS line_nums,
            CAST(len(line_nums) AS INT) AS n_lines,
            list_contains(line_nums, 1) AS has_first
          FROM (

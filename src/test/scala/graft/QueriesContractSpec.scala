@@ -28,8 +28,11 @@ class QueriesContractSpec extends AnyFunSuite {
   test("quantile sketch brackets the exact percentiles") {
     import org.apache.spark.sql.functions._
     val d = SparkTestSession.sfDir
+    // declared output is a comma-joined string (driver-hashable form)
     val approx = SparkEntry.queries("a_quantile_sketch")(spark, d)
-      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .collect()
+      .map(r => r.getString(0) -> r.getString(1).split(",").map(_.toDouble).toSeq)
+      .toMap
     val exact = graft.io.Tables.lineitem(spark, d)
       .groupBy("l_returnflag")
       .agg(percentile(col("l_extendedprice"), lit(0.5)).as("p50"),
