@@ -16,11 +16,12 @@ import org.apache.spark.sql.types._
   * the fast path automatically.
   *
   * Scope guard: only fires when both operands are `array<float|double>`.
-  * Caveats (documented engine invariants, shared with the original HOF
-  * form's intent): arrays are fixed-dimension with no null elements. For
-  * unequal lengths `zip_with` null-pads (→ null result) while `vec_dot`
-  * sums the common prefix; parquet marks list elements nullable even when
-  * no nulls exist, so nullability is deliberately not part of the guard.
+  * The rewrite emits [[DotProduct]] in `hofCompat` mode, which reproduces
+  * the HOF form's null semantics exactly — unequal array lengths or a
+  * null element yield NULL (as `zip_with`'s null-padding does) — so the
+  * session-wide rule can never change a user query's result. The
+  * unguarded fast path (common-prefix sum, no per-element null checks)
+  * stays behind the explicit [[VectorExprs.dot]] API.
   */
 object RewriteHofDotProduct extends Rule[LogicalPlan] {
 
@@ -56,6 +57,6 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
           ((isVar(add.left, acc) && isVar(add.right, el)) ||
             (isVar(add.left, el) && isVar(add.right, acc))) &&
           isVar(fin, fv) =>
-        DotProduct(a, b)
+        DotProduct(a, b, hofCompat = true)
     }
 }

@@ -113,10 +113,23 @@ object TopKBy {
 
   /** k-bounded heap; the queue's max (dequeue target) is the WORST kept
     * entry — smallest ord, then largest tie.
+    *
+    * All ord comparisons go through `java.lang.Double.compare` — a total
+    * order where NaN sorts greatest, matching Spark's DESC sort (so the
+    * heap agrees with the window-rank formulation even on NaN ord values,
+    * and the heap invariant never breaks: IEEE `>`/`==` are false for
+    * NaN, which would otherwise make NaN rows both undroppable and
+    * unadmittable).
     */
   final class Buffer(k: Int) {
     private val worstFirst: Ordering[(Double, Long, Any)] =
-      Ordering.by { case (o, t, _) => (-o, t) }
+      new Ordering[(Double, Long, Any)] {
+        // "greater" = worse: smaller ord (total order), then larger tie
+        def compare(a: (Double, Long, Any), b: (Double, Long, Any)): Int = {
+          val c = java.lang.Double.compare(b._1, a._1)
+          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+        }
+      }
     private val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Any)](worstFirst)
 
     def offer(o: Double, t: Long, p: Any): Unit = {
@@ -124,7 +137,8 @@ object TopKBy {
       else {
         val worst = pq.head
         // is (o, t) better than worst? better = larger ord, then smaller tie
-        if (o > worst._1 || (o == worst._1 && t < worst._2)) {
+        val c = java.lang.Double.compare(o, worst._1)
+        if (c > 0 || (c == 0 && t < worst._2)) {
           pq.dequeue(); pq.enqueue((o, t, p))
         }
       }
@@ -133,7 +147,7 @@ object TopKBy {
     def entries: Iterator[(Double, Long, Any)] = pq.iterator
 
     def sortedBestFirst: Seq[(Double, Long, Any)] =
-      pq.toSeq.sortBy { case (o, t, _) => (-o, t) }
+      pq.toSeq.sorted(worstFirst) // ascending in "worseness" = best first
   }
 
   /** Column builder: top-k payloads per group by (ord DESC, tie ASC). */

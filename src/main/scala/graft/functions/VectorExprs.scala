@@ -18,10 +18,19 @@ import org.apache.spark.sql.types._
   *
   * Accepts `array<float>` and `array<double>` operands in any combination
   * (multiplication is performed in double precision, matching what the
-  * `cast("double")`-based HOF formulation computes). Array elements must be
-  * non-null (embedding columns are); a null array yields null.
+  * `cast("double")`-based HOF formulation computes).
+  *
+  * Two null-handling modes:
+  *  - `hofCompat = false` (the explicit [[VectorExprs.dot]] API): the fast
+  *    path — arrays are assumed fixed-dimension with non-null elements
+  *    (embedding columns are); unequal lengths sum the common prefix.
+  *  - `hofCompat = true` (what [[RewriteHofDotProduct]] emits): exact
+  *    `aggregate(zip_with(...))` semantics — unequal lengths or any null
+  *    element yield NULL, so the optimizer rewrite can never change a
+  *    user query's result.
   */
-case class DotProduct(left: Expression, right: Expression)
+case class DotProduct(left: Expression, right: Expression,
+                      hofCompat: Boolean = false)
     extends BinaryExpression {
 
   private def okType(dt: DataType): Boolean = dt match {
@@ -37,7 +46,11 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
-  override def prettyName: String = "vec_dot"
+  // in hofCompat mode the result can be null even for non-null inputs
+  // (length mismatch, null element)
+  override def nullable: Boolean = hofCompat || super.nullable
+
+  override def prettyName: String = if (hofCompat) "vec_dot_hof" else "vec_dot"
 
   private def elemIsFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
@@ -45,11 +58,13 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (hofCompat && x.numElements() != y.numElements()) return null
     val n = math.min(x.numElements(), y.numElements())
     val xf = elemIsFloat(left); val yf = elemIsFloat(right)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (hofCompat && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -67,12 +82,27 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("vecDotI")
       val xGet = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val yGet = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
-      s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $s = 0.0;
-         |for (int $i = 0; $i < $n; $i++) { $s += $xGet * $yGet; }
-         |${ev.value} = $s;
-       """.stripMargin
+      if (!hofCompat)
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) { $s += $xGet * $yGet; }
+           |${ev.value} = $s;
+         """.stripMargin
+      else
+        s"""
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    $s += $xGet * $yGet;
+           |  }
+           |  if (!${ev.isNull}) { ${ev.value} = $s; }
+           |}
+         """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
@@ -81,7 +111,9 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 object VectorExprs {
-  /** Σ aᵢ·bᵢ in double precision, single codegen loop. */
+  /** Σ aᵢ·bᵢ in double precision, single codegen loop (fast path: non-null
+    * fixed-dimension elements assumed — the engine's own vector columns).
+    */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -46,7 +46,13 @@ object AsofJoin {
     val w = Window.partitionBy(key).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
-      .withColumn("__asof", last("__rp", ignoreNulls = true).over(w))
+      // NULL-key semantics: Window.partitionBy groups all NULL keys into
+      // one partition, which would let a NULL-key left row pick up a
+      // NULL-key right row's payload — but an equality-keyed as-of join
+      // (DuckDB ASOF, BroadcastAsofJoin) never matches NULL keys. Null
+      // out the fill for NULL-key rows so all three agree.
+      .withColumn("__asof", when(col(key).isNotNull,
+        last("__rp", ignoreNulls = true).over(w)))
       .filter(col("__side") === 1)
       .select((leftCols.map(col) :+ col("__asof")): _*)
   }

@@ -39,6 +39,25 @@ object PipelineOps {
     sharedMemo.getOrElseUpdate(
       (System.identityHashCode(s).toString, d, key), build)
 
+  private val ivfMemo =
+    scala.collection.concurrent.TrieMap.empty[(String, String), Similarity.IvfIndex]
+
+  /** Build-once persisted IVF index over `embeddings`: fit + cell
+    * assignment happen once per (session, dataset), the cells table is
+    * written `partitionBy("cell")` under the local warehouse, and queries
+    * run against the read-back partitioned form — so the probe join can
+    * prune cell partitions, and repeated query batches never refit.
+    */
+  def persistedIvfIndex(s: SparkSession, d: String): Similarity.IvfIndex =
+    ivfMemo.getOrElseUpdate((System.identityHashCode(s).toString, d), {
+      val path = s"spark-warehouse/graft_ivf_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Similarity.writeIvfIndex(
+        Similarity.buildIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+          nlist = 16, seed = 42L),
+        path)
+      Similarity.readIvfIndex(s, path)
+    })
+
   /** MinHash-LSH candidate pairs over `documents`, built once per dataset. */
   def lshCandidates(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "lsh_candidates") {
@@ -142,11 +161,12 @@ object PipelineOps {
     // IVF-indexed approximate top-k (the ANN scale path; seeded k-means
     // quantizer, nprobe of nlist cells scanned — rows-only driver check,
     // exactness at nprobe == nlist is property-tested vs brute force).
-    "sim_ann_ivf" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      Similarity.ivfTopK(emb, emb.filter(pmod(col("vec_id"), lit(100)) === 0),
-        "vec_id", "embedding", k = 5, nlist = 16, nprobe = 4)
-    }),
+    // Served from the build-once persisted index: no per-query refit, and
+    // the probe join prunes cell partitions of the index scan.
+    "sim_ann_ivf" -> ((s, d) =>
+      Similarity.queryIvf(persistedIvfIndex(s, d),
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
+        "vec_id", "embedding", k = 5, nprobe = 4)),
 
     // Symmetric int8 quantization of embeddings (the storage/ANN-speed
     // form at scale: 4x smaller vectors, SIMD-friendly). Pure map; the

@@ -81,54 +81,87 @@ object Similarity {
       .select("id_a", "id_b", "cosine_sim")
   }
 
-  /** IVF (inverted-file) approximate top-k — the index-backed scale path
-    * for ANN: coarse-quantize the L2-normalized corpus into `nlist` cells
-    * with seeded K-Means, then score each query only against the members
-    * of its `nprobe` nearest cells.
-    *
-    * Plan shape: cell assignment is one fit + one transform over the
-    * corpus; candidate generation is a hash equi-join on `cell` (queries
-    * carry their probed cells exploded), never a full cross join. With
-    * `nprobe == nlist` the result equals [[bruteForceTopK]] exactly.
-    *
-    * At 100 TB the corpus-side bucketing is a write-once index (cell id
-    * is a partition column); per-query work is `nprobe / nlist` of the
-    * corpus scan.
+  /** A built IVF index: the L2-normalized corpus bucketed by nearest
+    * coarse centroid (`cells`: cell, neighbor_id, cvec) plus the centroid
+    * table itself. Build once, serve many query batches — at 100 TB the
+    * cells table is written `partitionBy("cell")` so a probe touching
+    * `nprobe` of `nlist` cells scans only those partitions.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, nlist: Int, nprobe: Int,
-              seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
-    // L2-normalize so euclidean cells order like cosine; the norm is a
-    // separate projection step so it is computed once per row, not once
-    // per element inside the transform lambda
-    def unitized(df: DataFrame, id: String, asId: String, asVec: String): DataFrame =
-      df.select(col(id).as(asId), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
-        .select(col(asId), transform(col("v"), x => x.cast("double") / col("nrm")).as(asVec))
-    val cNorm = unitized(corpus, idCol, "neighbor_id", "cvec")
-    val qNorm = unitized(queries, idCol, "query_id", "qvec")
+  final case class IvfIndex(cells: DataFrame, centroids: Array[(Int, Array[Double])])
 
+  /** L2-normalize a vector column; the norm is a separate projection step
+    * so it is computed once per row, not once per element inside the
+    * transform lambda.
+    */
+  private def unitized(df: DataFrame, id: String, vecCol: String,
+                       asId: String, asVec: String): DataFrame =
+    df.select(col(id).as(asId), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
+      .select(col(asId), transform(col("v"), x => x.cast("double") / col("nrm")).as(asVec))
+
+  /** Build the IVF coarse quantizer: seeded K-Means over the L2-normalized
+    * corpus, one fit + one transform (cell assignment). Euclidean cells on
+    * unit vectors order like cosine.
+    */
+  def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, seed: Long = 42L): IvfIndex = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val cNorm = unitized(corpus, idCol, vecCol, "neighbor_id", "cvec")
     val feats = cNorm.select(col("neighbor_id"), array_to_vector(col("cvec")).as("features"))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setMaxIter(10).setSeed(seed).fit(feats)
-    val bucketed = model.transform(feats)
+    val cells = model.transform(feats)
       .select(col("neighbor_id"), col("prediction").as("cell"))
       .join(cNorm, "neighbor_id")
+      .select("cell", "neighbor_id", "cvec")
+    IvfIndex(cells, model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+  }
 
-    // centroids as a small literal table; nearest-nprobe cells per query
-    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      struct(lit(i).as("cell"), array(c.toArray.map(lit).toSeq: _*).as("centroid"))
+  /** Persist an index: cells as parquet partitioned by cell id (the probe
+    * join's pruning column), centroids as a tiny sidecar parquet.
+    */
+  def writeIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.cells.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    index.centroids.toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted index. The cells scan is partition-pruned when the
+    * probe filters on `cell` (statically or via dynamic partition
+    * pruning through the broadcast probe join).
+    */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    IvfIndex(spark.read.parquet(s"$path/cells"), cents)
+  }
+
+  /** Query an IVF index: score each query only against the members of its
+    * `nprobe` nearest cells. Candidate generation is a hash equi-join on
+    * `cell` (queries carry their probed cells exploded), never a cross
+    * join; the probe side broadcasts, so on a partitioned index the join
+    * triggers dynamic partition pruning of the cells scan. With
+    * `nprobe == nlist` the result equals [[bruteForceTopK]] exactly.
+    */
+  def queryIvf(index: IvfIndex, queries: DataFrame, idCol: String,
+               vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val qNorm = unitized(queries, idCol, vecCol, "query_id", "qvec")
+    val centroidLits = index.centroids.map { case (i, c) =>
+      struct(lit(i).as("cell"), array(c.map(lit).toSeq: _*).as("centroid"))
     }
     val probed = qNorm
       .select(col("query_id"), col("qvec"),
-        explode(array(centroids.toSeq: _*)).as("cc"))
+        explode(array(centroidLits.toSeq: _*)).as("cc"))
       .withColumn("cdist", -dot(col("qvec"), col("cc.centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cc.cell"))))
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qvec"), col("cc.cell").as("cell"))
 
-    val scored = bucketed.join(broadcast(probed), "cell")
+    val scored = index.cells.join(broadcast(probed), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim", dot(col("qvec"), col("cvec")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), asc("neighbor_id"))
@@ -136,6 +169,16 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine_sim", "rank")
   }
+
+  /** One-shot IVF approximate top-k: build + query in a single call (no
+    * persisted index). Prefer [[buildIvfIndex]]/[[writeIvfIndex]]/
+    * [[queryIvf]] when the corpus is served more than once.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int, nprobe: Int,
+              seed: Long = 42L): DataFrame =
+    queryIvf(buildIvfIndex(corpus, idCol, vecCol, nlist, seed),
+      queries, idCol, vecCol, k, nprobe)
 
   /** Deterministic random hyperplanes (seeded driver-side RNG, broadcast as
     * a literal array-of-arrays) for signed-random-projection LSH.

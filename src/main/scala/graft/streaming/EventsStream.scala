@@ -237,19 +237,38 @@ object EventsStream {
 
   /** Compact the upsert log: rewrite it to exactly the latest row per key,
     * bounding log growth (run periodically; readers see the same
-    * [[readUpserted]] result before and after). The rewrite goes through
-    * a temp dir + move so a crash mid-compaction never leaves a partial
-    * log in place.
+    * [[readUpserted]] result before and after).
+    *
+    * Single-writer contract: stop the [[upsertToParquetLog]] stream before
+    * compacting — files appended between the read and the swap would be
+    * silently dropped by the rewrite.
+    *
+    * The swap is crash-recoverable at every step: write to `.compacting`,
+    * rename the live log to `.old`, rename `.compacting` into place, then
+    * drop `.old`. A crash before the first rename leaves the live log
+    * untouched; a crash between the renames is detected on the next call
+    * (target missing, `.old` present) and rolled back before compacting;
+    * a crash after leaves only a stale `.old`, cleaned up next call.
     */
   def compactUpsertLog(spark: SparkSession, targetDir: String,
                        keyCol: String, versionCol: String): Unit = {
-    val tmp = targetDir + ".compacting"
-    readUpserted(spark, targetDir, keyCol, versionCol)
-      .write.mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val target = new org.apache.hadoop.fs.Path(targetDir)
-    fs.delete(target, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), target): Unit
+    val tmp = new org.apache.hadoop.fs.Path(targetDir + ".compacting")
+    val old = new org.apache.hadoop.fs.Path(targetDir + ".old")
+    // recover a swap that crashed between the two renames
+    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target): Unit
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    readUpserted(spark, targetDir, keyCol, versionCol)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"compaction swap failed: $target -> $old")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(old, target) // roll back to the pre-compaction log
+      throw new java.io.IOException(s"compaction swap failed: $tmp -> $target")
+    }
+    fs.delete(old, true): Unit
   }
 }

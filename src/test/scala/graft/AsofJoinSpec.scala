@@ -27,4 +27,26 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(got == Map(
       "p1" -> Some("r90"), "p2" -> Some("r50"), "p3" -> None, "p4" -> None))
   }
+
+  test("asof join: NULL keys never match (agrees with BroadcastAsofJoin and SQL ASOF)") {
+    val left = Seq(
+      (Option(1L), 100L, "p1"),   // normal match
+      (Option.empty[Long], 100L, "pnull") // NULL key -> no match, ever
+    ).toDF("k", "t", "pid")
+    val right = Seq(
+      (Option(1L), 50L, "r50"),
+      (Option.empty[Long], 40L, "rnull") // NULL-key right must not leak
+    ).toDF("k", "rt", "payload")
+
+    val viaWindow = AsofJoin.asofJoin(left, right, "k", "t", "rt", Seq("payload"))
+      .select(col("pid"), col("__asof.payload").as("m"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(viaWindow == Map("p1" -> Some("r50"), "pnull" -> None))
+
+    val viaBroadcast = graft.operators.BroadcastAsofJoin
+      .asofJoinBroadcast(left, right, "k", "t", "rt", Seq("payload"))
+      .select(col("pid"), col("payload").as("m"))
+      .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(viaBroadcast == viaWindow, "the two asof implementations must agree on NULL keys")
+  }
 }

@@ -62,6 +62,58 @@ class FunctionsSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("rewritten HOF dot matches zip_with null semantics exactly") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("a", ArrayType(DoubleType, containsNull = true)),
+      StructField("b", ArrayType(DoubleType, containsNull = true))))
+    val rows = Seq(
+      Row(1L, Seq(1.0, 2.0), Seq(3.0, 4.0)),        // -> 11.0
+      Row(2L, Seq(1.0, 2.0, 5.0), Seq(3.0, 4.0)),   // length mismatch -> null
+      Row(3L, Seq(1.0, null), Seq(3.0, 4.0)))       // null element -> null
+    val path = "target/test-hof-null-vecs"
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    def hofDot(d: org.apache.spark.sql.DataFrame) = d.select(col("vec_id"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    def results(d: org.apache.spark.sql.DataFrame): Map[Long, Option[Double]] =
+      d.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val baseline = results(hofDot(df)) // un-rewritten HOF semantics
+    assert(baseline == Map(1L -> Some(11.0), 2L -> None, 3L -> None))
+    spark.experimental.extraOptimizations =
+      Seq(graft.functions.RewriteHofDotProduct)
+    try {
+      val rewritten = hofDot(df)
+      assert(rewritten.queryExecution.optimizedPlan.toString.contains("vec_dot_hof"),
+        rewritten.queryExecution.optimizedPlan.toString)
+      assert(results(rewritten) == baseline,
+        "the session-wide rewrite must never change a user query's result")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("top_k_by treats NaN ord as greatest (Spark DESC sort order), heap stays consistent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 5.0), ("a", 2L, Double.NaN), ("a", 3L, 9.0), ("a", 4L, 1.0)
+    ).toDF("g", "id", "score").repartition(1)
+    val got = df.groupBy("g")
+      .agg(graft.functions.TopKBy.topKBy(col("score"), col("id"), col("id"), 2).as("top"))
+      .select(col("top"))
+      .collect().head
+      .getSeq[org.apache.spark.sql.Row](0).map(e => (e.getDouble(0), e.getLong(1)))
+    // NaN sorts greatest under DESC (like the window-rank form), then 9.0
+    assert(got.size == 2)
+    assert(got.head._1.isNaN && got.head._2 == 2L, s"got $got")
+    assert(got(1) == (9.0, 3L), s"got $got")
+  }
+
   test("top_k_by keeps exactly the (ord desc, tie asc) prefix per group") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -77,4 +77,30 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (approx intersect brute).size.toDouble / brute.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
+
+  test("persisted IVF index: write/read round-trip equals one-shot, scan prunes by cell") {
+    val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val path = "target/test-ivf-index"
+
+    val built = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8, seed = 42L)
+    Similarity.writeIvfIndex(built, path)
+    val loaded = Similarity.readIvfIndex(spark, path)
+    assert(loaded.centroids.map(_._1).toSeq == (0 until 8),
+      "centroid sidecar must round-trip all cells in order")
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val oneShot = rows(Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nlist = 8, nprobe = 3))
+    val served = rows(Similarity.queryIvf(loaded, queries, "vec_id", "embedding",
+      k = 5, nprobe = 3))
+    assert(served == oneShot, "persisted index must serve identical results")
+
+    // the partitioned layout must let a cell filter prune the scan
+    val plan = loaded.cells.filter(col("cell") === 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected partition pruning on cell in:\n$plan")
+  }
 }
