@@ -118,6 +118,20 @@ object Dedup {
     sh.groupBy(idCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** LSH band rows over a MinHash signature table (`mh0..mh{k-1}`
+    * columns): one row per (id, band, band_key). Shared by the batch
+    * candidate join and the incremental new-vs-store join.
+    */
+  def minhashBandRows(sig: DataFrame, idCol: String,
+                      bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat(cols: _*).as("key"))
+    }
+    sig.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("band_key"))
+  }
+
   /** LSH banding over MinHash signatures: docs sharing any band key are
     * candidate pairs; candidates are then verified with exact Jaccard.
     * bands * rowsPerBand must equal numHashes.
@@ -126,13 +140,7 @@ object Dedup {
                            n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
-    val bandKeys = (0 until bands).map { b =>
-      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), concat(cols: _*).as("key"))
-    }
-    val bandRows = sig
-      .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("band_key"))
+    val bandRows = minhashBandRows(sig, idCol, bands, rowsPerBand)
     // candidate pairs via equi-self-join on the band key (the same shape
     // as the SQL oracle) — unlike a collect_set per band, no single task
     // ever buffers a whole bucket, so a degenerate hot band (e.g. many

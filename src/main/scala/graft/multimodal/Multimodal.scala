@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column handling: media as opaque `binary` payloads with typed
   * metadata, processed per-partition in bounded batches.
   *
-  * The decode step is a clearly-marked deterministic STUB (this container
-  * has no image/audio codecs); the Spark-side plumbing — schema, encoder,
-  * partition-batched processing, metadata extraction — is real. Swapping
-  * `stubDecode` for a JNI/javacv decoder keeps every plan shape intact.
+  * IMAGE decode and resize are REAL ([[decodeImageMeta]]/[[resizeImage]]:
+  * javax.imageio — JDK-standard, PNG/JPEG/BMP/GIF, no external codec
+  * dependency). Audio/video decode remains a clearly-marked deterministic
+  * STUB ([[stubDecode]]; this container has no AV codecs); the Spark-side
+  * plumbing — schema, encoder, partition-batched processing, metadata
+  * extraction — is identical in both paths, so swapping the stub for a
+  * JNI/javacv decoder keeps every plan shape intact.
   */
 object Multimodal {
 
@@ -74,6 +77,88 @@ object Multimodal {
     media.withColumn("payload_resized",
       substring(col("payload"), 1, targetBytes))
       .withColumn("resized_bytes", length(col("payload_resized")))
+
+  final case class ImageMeta(media_id: Long, n_bytes: Int, width: Int,
+                             height: Int, channels: Int, codec: String)
+
+  /** Synthesize REAL encoded PNG payloads (javax.imageio, JDK-standard —
+    * no external codec dependency): one grayscale image per row with
+    * dimensions derived arithmetically from the id
+    * (`width = 1 + id % 16`, `height = 1 + id % 9`), so a SQL oracle can
+    * predict exactly what a real decoder must recover. The encode runs in
+    * the same bounded mapPartitions batch shape as production ingest.
+    */
+  def synthesizeImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 1 + (id % 16).toInt
+        val h = 1 + (id % 9).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.getRaster.setSample(x, y, 0, (id + x + y) % 256); x += 1 }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        MediaFile(id, "image", baos.toByteArray)
+      })
+      .toDF()
+  }
+
+  /** REAL image decode: parse the payload with javax.imageio (PNG/JPEG/
+    * BMP/GIF via the JDK's built-in readers) and emit actual dimensions
+    * and channel count; payloads no reader recognizes fall back to the
+    * deterministic stub dimensions, tagged `codec = "stub"`. Same
+    * bounded mapPartitions batch shape as [[decodeMeta]].
+    */
+  def decodeImageMeta(spark: SparkSession, media: DataFrame): Dataset[ImageMeta] = {
+    import spark.implicits._
+    media.as[MediaFile].mapPartitions(_.map { m =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        catch { case _: Exception => null }
+      if (img != null)
+        ImageMeta(m.media_id, m.payload.length, img.getWidth, img.getHeight,
+          img.getColorModel.getNumComponents, "imageio")
+      else {
+        val s = stubDecode(m)
+        ImageMeta(m.media_id, s.n_bytes, s.width, s.height, 0, "stub")
+      }
+    })
+  }
+
+  /** REAL image resize: decode, rescale to `targetW` x `targetH`
+    * (bilinear), re-encode as PNG. Non-decodable payloads fall back to
+    * the byte-truncation stub. Narrow map, codec work bounded per row.
+    */
+  def resizeImage(spark: SparkSession, media: DataFrame,
+                  targetW: Int, targetH: Int): Dataset[MediaFile] = {
+    import spark.implicits._
+    media.as[MediaFile].mapPartitions(_.map { m =>
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+        catch { case _: Exception => null }
+      if (img != null) {
+        val out = new java.awt.image.BufferedImage(
+          targetW, targetH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val g = out.createGraphics()
+        g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+          java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, targetW, targetH, null)
+        g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        MediaFile(m.media_id, m.kind, baos.toByteArray)
+      } else
+        MediaFile(m.media_id, m.kind, m.payload.take(targetW * targetH))
+    })
+  }
 
   final case class Features(media_id: Long, features: Array[Double])
 

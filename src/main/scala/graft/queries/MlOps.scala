@@ -118,6 +118,24 @@ object MlOps {
         .select(col("media_id"), col("resized_bytes"))
     }),
 
+    // REAL image decode, oracle-checked: payloads are genuine PNGs whose
+    // dimensions are arithmetic in the id, the decoder is javax.imageio,
+    // and DuckDB predicts what a correct decoder must recover.
+    "mm_image_meta" -> ((s, d) => {
+      val imgs = Multimodal.synthesizeImages(Tables.documents(s, d), "doc_id")
+      Multimodal.decodeImageMeta(s, imgs).toDF()
+        .select("media_id", "width", "height", "channels", "codec")
+    }),
+
+    // REAL image resize (bilinear, re-encoded PNG), verified by decoding
+    // the resized payload: every output must be exactly 8x8 grayscale.
+    "mm_image_resize" -> ((s, d) => {
+      val imgs = Multimodal.synthesizeImages(Tables.documents(s, d), "doc_id")
+      val resized = Multimodal.resizeImage(s, imgs, targetW = 8, targetH = 8).toDF()
+      Multimodal.decodeImageMeta(s, resized).toDF()
+        .select("media_id", "width", "height", "channels", "codec")
+    }),
+
     // Multimodal feature extraction: normalized byte histogram over the
     // payload (ASCII fixtures -> byte == char code, so DuckDB can mirror
     // it from the text and the mapPartitions path is hash-compared).
@@ -153,6 +171,19 @@ object MlOps {
       """SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS w_bucket, event_type,
         |  count(*) AS n_events, sum(value) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // a correct real decoder must recover the synthesized dimensions
+    "mm_image_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(1 + doc_id % 16 AS INT) AS width,
+        |  CAST(1 + doc_id % 9 AS INT) AS height,
+        |  1 AS channels, 'imageio' AS codec
+        |FROM documents""".stripMargin,
+
+    "mm_image_resize" ->
+      """SELECT doc_id AS media_id,
+        |  8 AS width, 8 AS height, 1 AS channels, 'imageio' AS codec
+        |FROM documents""".stripMargin,
 
     // bytes == ascii codes (pure-ASCII fixture), bins of 16; micro-unit
     // floor matches the declared query's canonicalization exactly

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.dedup.Dedup
+
+/** Incremental MinHash-LSH deduplication for a continuously-ingesting
+  * corpus: each microbatch of documents is checked for near-duplicates
+  * BOTH within itself and against a persistent signature store of every
+  * previously ingested document — the shape a streaming training-data
+  * pipeline needs (`dropDuplicatesWithinWatermark` only covers exact ids
+  * inside the watermark horizon; this covers near-dups across all time).
+  *
+  * Per batch, via `foreachBatch`:
+  *  1. MinHash signatures for the new docs (one shuffle over the batch);
+  *  2. within-batch LSH candidate pairs (band-key equi-self-join);
+  *  3. new-vs-store candidate pairs (band-key equi-join against the
+  *     store — an index lookup, not a corpus scan: cost scales with the
+  *     batch, not with history);
+  *  4. duplicates appended to `dupDir`, signatures appended to
+  *     `storeDir`.
+  *
+  * Exactly-once across restarts: both sinks write one subdirectory per
+  * microbatch (`batch=<id>`) with `overwrite` mode, so a batch replayed
+  * after a crash overwrites its own previous (possibly partial) output
+  * instead of duplicating it, and the store lookup only reads batches
+  * strictly earlier than the current one — a replay can never join
+  * against its own half-written signatures.
+  *
+  * At 100 TB the store is the natural LSH index layout: signatures are
+  * tiny (numHashes hex strings per doc) and the band join hash-partitions
+  * on band keys; periodic compaction of the `batch=` subdirs (same
+  * pattern as [[EventsStream.compactUpsertLog]]) bounds file counts.
+  */
+object IncrementalDedup {
+
+  /** Start the incremental dedup over a streaming (idCol, textCol) frame.
+    * `docs` must be a streaming DataFrame (e.g. a parquet file source).
+    */
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          storeDir: String, dupDir: String, checkpointDir: String,
+          n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch, batchId, idCol, textCol,
+          storeDir, dupDir, n, bands, rowsPerBand)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** One microbatch: detect + persist. Factored out of the stream for
+    * direct unit testing.
+    */
+  def processBatch(batch: Dataset[Row], batchId: Long, idCol: String,
+                   textCol: String, storeDir: String, dupDir: String,
+                   n: Int, bands: Int, rowsPerBand: Int): Unit = {
+    val spark = batch.sparkSession
+    val sigs = Dedup
+      .minhashSignatures(batch.toDF(), idCol, textCol, n, bands * rowsPerBand)
+      .localCheckpoint(true) // feeds band rows AND the store append
+    val newBands = Dedup.minhashBandRows(sigs, idCol, bands, rowsPerBand)
+
+    val withinPairs = {
+      val a = newBands.select(col("band"), col("band_key"), col(idCol).as("new_id"))
+      val b = newBands.select(col("band"), col("band_key"), col(idCol).as("dup_of"))
+      a.join(b, Seq("band", "band_key"))
+        .filter(col("dup_of") < col("new_id")) // the earlier id is the keeper
+        .select(col("new_id"), col("dup_of"), lit("batch").as("src"))
+    }
+
+    // store lookup strictly below the current batch id: idempotent on replay
+    val priorBatches = listPriorBatches(spark, storeDir, batchId)
+    val storePairs =
+      if (priorBatches.isEmpty) withinPairs.limit(0)
+      else {
+        val store = spark.read.parquet(priorBatches: _*)
+        val storeBands = Dedup.minhashBandRows(store, idCol, bands, rowsPerBand)
+          .select(col("band"), col("band_key"), col(idCol).as("dup_of"))
+        newBands.select(col("band"), col("band_key"), col(idCol).as("new_id"))
+          .join(storeBands, Seq("band", "band_key"))
+          .filter(col("new_id") =!= col("dup_of"))
+          .select(col("new_id"), col("dup_of"), lit("store").as("src"))
+      }
+
+    // fresh aliases on both union inputs (Spark 4 Union constraint quirk)
+    val dups = withinPairs
+      .select(col("new_id").as("new_id"), col("dup_of").as("dup_of"), col("src").as("src"))
+      .union(storePairs
+        .select(col("new_id").as("new_id"), col("dup_of").as("dup_of"), col("src").as("src")))
+      .distinct()
+
+    dups.write.mode("overwrite").parquet(s"$dupDir/batch=$batchId")
+    sigs.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+  }
+
+  private def listPriorBatches(spark: SparkSession, storeDir: String,
+                               batchId: Long): Seq[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new org.apache.hadoop.fs.Path(storeDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("batch=") &&
+          scala.util.Try(p.getName.stripPrefix("batch=").toLong)
+            .toOption.exists(_ < batchId)
+      }
+      .map(_.toString)
+  }
+
+  /** All duplicate records detected so far (any batch). */
+  def readDuplicates(spark: SparkSession, dupDir: String): DataFrame =
+    spark.read.parquet(dupDir).select("new_id", "dup_of", "src")
+}

@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.IncrementalDedup
+
+/** Incremental MinHash-LSH dedup: within-batch detection, detection
+  * against the signature store across a STREAM RESTART (the
+  * continuously-ingesting-corpus contract), and idempotent batch replay.
+  */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val textA = "the quick brown fox jumps over the lazy dog tonight"
+  private val textB = "completely different content about databases and storage engines"
+  private val textC = "a third unrelated document mentioning spark catalyst optimizer internals"
+
+  private def writeBatch(dir: Path, rows: Seq[(Long, String)]): Unit =
+    rows.toDF("doc_id", "text").coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+
+  private def runOnce(inDir: Path, store: Path, dups: Path, ckpt: Path): Unit = {
+    val docs = spark.readStream.schema("doc_id LONG, text STRING")
+      .parquet(inDir.toString)
+    val q = IncrementalDedup.run(docs, "doc_id", "text",
+      store.toString, dups.toString, ckpt.toString)
+    q.awaitTermination()
+  }
+
+  private def dupSet(dups: Path): Set[(Long, Long, String)] =
+    IncrementalDedup.readDuplicates(spark, dups.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  test("duplicates are found within a batch and, after a restart, against the store") {
+    val base = Files.createTempDirectory("graft-incdedup")
+    val (in, store, dups, ckpt) =
+      (base.resolve("in"), base.resolve("store"), base.resolve("dups"), base.resolve("ckpt"))
+    Files.createDirectories(in)
+
+    // batch 1: docs 1 and 3 are exact near-dups (identical text -> identical
+    // signatures -> same band keys); doc 2 is unrelated
+    writeBatch(in, Seq((1L, textA), (2L, textB), (3L, textA)))
+    runOnce(in, store, dups, ckpt)
+    assert(dupSet(dups) == Set((3L, 1L, "batch")),
+      "within-batch duplicate must pair the later doc against the earlier keeper")
+
+    // stream STOPPED; new file arrives; stream restarts from the checkpoint.
+    // doc 4 duplicates doc 1/3 which live only in the signature store now;
+    // doc 5 is fresh.
+    writeBatch(in, Seq((4L, textA), (5L, textC)))
+    runOnce(in, store, dups, ckpt)
+    val after2 = dupSet(dups)
+    assert(after2.contains((4L, 1L, "store")) && after2.contains((4L, 3L, "store")),
+      s"restart must detect the new doc against pre-restart history, got $after2")
+    assert(after2 == Set((3L, 1L, "batch"), (4L, 1L, "store"), (4L, 3L, "store")),
+      s"no spurious pairs: $after2")
+
+    // idle restart: nothing new, nothing changes
+    runOnce(in, store, dups, ckpt)
+    assert(dupSet(dups) == after2, "idle restart must not re-emit or duplicate")
+  }
+
+  test("batch replay is idempotent: reprocessing overwrites, never duplicates") {
+    val base = Files.createTempDirectory("graft-incdedup-replay")
+    val (store, dups) = (base.resolve("store"), base.resolve("dups"))
+    val batch = Seq((10L, textA), (11L, textA)).toDF("doc_id", "text")
+
+    // simulate a crash-replay of the same batch id: run it twice
+    IncrementalDedup.processBatch(batch, 0L, "doc_id", "text",
+      store.toString, dups.toString, n = 3, bands = 4, rowsPerBand = 2)
+    IncrementalDedup.processBatch(batch, 0L, "doc_id", "text",
+      store.toString, dups.toString, n = 3, bands = 4, rowsPerBand = 2)
+
+    assert(dupSet(dups) == Set((11L, 10L, "batch")), "replay must not duplicate pairs")
+    // and the store holds each signature exactly once
+    val sigCount = spark.read.parquet(s"$store/batch=0").count()
+    assert(sigCount == 2, s"store must hold one signature row per doc, got $sigCount")
+  }
+}

@@ -31,4 +31,33 @@ class MultimodalSpec extends AnyFunSuite {
     val out = Multimodal.resizePayload(media, 5).collect()
     out.foreach(r => assert(r.getAs[Array[Byte]]("payload_resized").length <= 5))
   }
+
+  test("real PNG decode recovers the synthesized golden dimensions") {
+    val ids = Seq(0L, 1L, 7L, 15L, 16L, 144L).toDF("id")
+    val metas = Multimodal.decodeImageMeta(spark, Multimodal.synthesizeImages(ids, "id"))
+      .collect().map(m => m.media_id -> m).toMap
+    assert(metas.keySet == Set(0L, 1L, 7L, 15L, 16L, 144L))
+    metas.foreach { case (id, m) =>
+      assert(m.codec == "imageio", s"payload $id must be a real decodable PNG")
+      assert(m.width == 1 + (id % 16).toInt, s"id $id width")
+      assert(m.height == 1 + (id % 9).toInt, s"id $id height")
+      assert(m.channels == 1) // grayscale
+      // PNG signature really present in the payload the decoder saw
+      assert(m.n_bytes > 8)
+    }
+  }
+
+  test("real image resize re-encodes to the target dimensions; non-images fall back to stub") {
+    val ids = Seq(3L, 20L).toDF("id")
+    val resized = Multimodal.resizeImage(spark,
+      Multimodal.synthesizeImages(ids, "id"), targetW = 8, targetH = 8)
+    val metas = Multimodal.decodeImageMeta(spark, resized.toDF()).collect()
+    assert(metas.length == 2)
+    metas.foreach { m =>
+      assert(m.codec == "imageio" && m.width == 8 && m.height == 8 && m.channels == 1)
+    }
+    // a text payload is not decodable: stub fallback path, tagged as such
+    val stub = Multimodal.decodeImageMeta(spark, media).collect()
+    assert(stub.forall(_.codec == "stub"))
+  }
 }
