@@ -27,6 +27,9 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "10").toInt
+    // comma-separated extra shape sets: "text", "sim" (relational always runs)
+    val soakSets: Set[String] =
+      sys.env.get("SPARK_GRAFT_SOAK").map(_.split(",").toSet).getOrElse(Set.empty)
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -86,7 +89,7 @@ object Soak {
         docs.select(col("doc_id"),
           pmod(graft.functions.TextExprs.rollingHash(col("text")), lit(10L)).as("bucket"))
       }
-    ) ++ (if (sys.env.get("SPARK_GRAFT_SOAK").contains("text")) Seq(
+    ) ++ (if (soakSets("text")) Seq(
       // Amplified docs share text across copies — a dup-heavy corpus, the
       // worst case dedup is built for (each doc becomes a mult-sized
       // near-dup clique).
@@ -102,8 +105,33 @@ object Soak {
       },
       shape("repetition_signal") {
         graft.text.TextAnalysis.repetitionRatio(docs, "doc_id", "text")
+      },
+      // Capped inverted-index Jaccard on the dup-heavy corpus: at high
+      // mult every shingle's df exceeds the cap and is dropped before the
+      // self-join — the guard doing exactly its job (bounded worst key).
+      shape("jaccard_capped_pairs") {
+        graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5,
+          maxDf = Some(50L))
       }
-    ) else Seq.empty)
+    ) else Seq.empty) ++ (if (soakSets("sim")) {
+      val emb = amplify(Tables.embeddings(spark, sfDir), Seq("vec_id"), mult)
+      // scale posture: numPlanes grows with log2(corpus) so expected SRP
+      // bucket size stays bounded as the corpus grows — the knob a real
+      // deployment turns (buckets ≈ n / 2^numPlanes)
+      val planes = 4 + (math.log(mult.toDouble) / math.log(2.0)).round.toInt
+      Seq(
+        shape(s"srp_near_dup_p$planes") {
+          graft.similarity.Similarity.srpNearDupPairs(emb, "vec_id", "embedding",
+            threshold = 0.4, numPlanes = planes, dim = 64)
+        },
+        shape("ivf_build_and_probe") {
+          val idx = graft.similarity.Similarity.buildIvfIndex(
+            emb, "vec_id", "embedding", nlist = 16)
+          graft.similarity.Similarity.queryIvf(idx,
+            emb.filter(pmod(col("vec_id"), lit(1000L)) === 0),
+            "vec_id", "embedding", k = 5, nprobe = 4)
+        })
+    } else Seq.empty)
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
