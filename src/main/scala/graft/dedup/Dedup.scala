@@ -132,14 +132,12 @@ object Dedup {
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("band_key"))
   }
 
-  /** LSH banding over MinHash signatures: docs sharing any band key are
-    * candidate pairs; candidates are then verified with exact Jaccard.
-    * bands * rowsPerBand must equal numHashes.
+  /** LSH banding over a prebuilt MinHash signature table: docs sharing any
+    * band key are candidate pairs. Use this form when the signature table
+    * is already materialized (it is an index — build once, serve many).
     */
-  def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sig = minhashSignatures(docs, idCol, textCol, n, numHashes)
+  def lshCandidatesFromSignatures(sig: DataFrame, idCol: String,
+                                  bands: Int, rowsPerBand: Int): DataFrame = {
     val bandRows = minhashBandRows(sig, idCol, bands, rowsPerBand)
     // candidate pairs via equi-self-join on the band key (the same shape
     // as the SQL oracle) — unlike a collect_set per band, no single task
@@ -152,6 +150,16 @@ object Dedup {
       .select("id_a", "id_b")
       .distinct()
   }
+
+  /** LSH banding over MinHash signatures: docs sharing any band key are
+    * candidate pairs; candidates are then verified with exact Jaccard.
+    * bands * rowsPerBand must equal numHashes.
+    */
+  def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): DataFrame =
+    lshCandidatesFromSignatures(
+      minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand),
+      idCol, bands, rowsPerBand)
 
   /** SimHash (64-bit, token-weighted): per token take 64 bits of md5,
     * weight each ±1 bit by the token's frequency, sum per bit position,
@@ -198,12 +206,20 @@ object Dedup {
     * Same join shape as MinHash-LSH banding — no all-pairs blow-up.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   bands: Int = 4, maxDist: Int = 3): DataFrame = {
+                   bands: Int = 4, maxDist: Int = 3): DataFrame =
+    simhashPairsFromSignatures(
+      // materialized once: feeds the band explode and both verify joins
+      simhash(docs, idCol, textCol).localCheckpoint(true),
+      idCol, bands, maxDist)
+
+  /** [[simhashPairs]] over a prebuilt (and materialized) simhash table —
+    * the signature table is an index, build once and serve many.
+    */
+  def simhashPairsFromSignatures(sig: DataFrame, idCol: String,
+                                 bands: Int = 4, maxDist: Int = 3): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     require(maxDist <= bands - 1, s"recall guarantee needs maxDist <= bands-1")
     val width = 64 / bands
-    // materialized once: feeds the band explode and both verify joins
-    val sig = simhash(docs, idCol, textCol).localCheckpoint(true)
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
       substring(col("simhash"), b * width + 1, width).as("key")))
     val bandRows = sig

@@ -104,14 +104,17 @@ object MlOps {
       Multimodal.decodeMeta(s, media).toDF()
     }),
 
-    // Multimodal frame sampling (flatMap path — rows-only check).
+    // Multimodal frame sampling (flatMap path). The payload is the text's
+    // bytes (pure-ASCII fixture), so the kept frame indices are exactly
+    // predictable from the text length — hash-compared against DuckDB.
     "mm_frame_sample" -> ((s, d) => {
       val media = Multimodal.synthesizeMedia(Tables.documents(s, d), "doc_id", "text")
       Multimodal.sampleFrames(s, media).toDF()
         .select("media_id", "frame_idx")
     }),
 
-    // Multimodal payload resize to a byte budget (rows-only check).
+    // Multimodal payload resize to a byte budget; the resulting byte count
+    // is least(len, budget) — hash-compared against DuckDB.
     "mm_resize" -> ((s, d) => {
       val media = Multimodal.synthesizeMedia(Tables.documents(s, d), "doc_id", "text")
       Multimodal.resizePayload(media, targetBytes = 64)
@@ -171,6 +174,19 @@ object MlOps {
       """SELECT CAST(floor(epoch(ts) / 900) * 900 AS BIGINT) AS w_bucket, event_type,
         |  count(*) AS n_events, sum(value) AS total_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // every 4th 64-byte chunk of the payload (= the ASCII text's bytes)
+    "mm_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(idx AS INT) AS frame_idx
+        |FROM (SELECT doc_id,
+        |        unnest(range(0, CAST(ceil(length(text) / 64.0) AS INT))) AS idx
+        |      FROM documents) t
+        |WHERE idx % 4 = 0""".stripMargin,
+
+    "mm_resize" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(least(length(text), 64) AS INT) AS resized_bytes
+        |FROM documents""".stripMargin,
 
     // a correct real decoder must recover the synthesized dimensions
     "mm_image_meta" ->

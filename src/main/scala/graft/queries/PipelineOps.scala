@@ -58,12 +58,33 @@ object PipelineOps {
       Similarity.readIvfIndex(s, path)
     })
 
-  /** MinHash-LSH candidate pairs over `documents`, built once per dataset. */
-  def lshCandidates(s: SparkSession, d: String): DataFrame =
-    memoized(s, d, "lsh_candidates") {
-      Dedup.minhashLshCandidates(Tables.documents(s, d), "doc_id", "text", 3, 4, 2)
+  /** MinHash signature table (8 hex hashes per doc) over `documents`,
+    * built once per dataset — the index both `dd_minhash_sig` and the LSH
+    * candidate join serve from.
+    */
+  def minhashSigs(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "minhash_sigs") {
+      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text", 3, 8)
         .localCheckpoint(true)
     }
+
+  /** SimHash fingerprint table over `documents`, built once per dataset —
+    * serves both `dd_simhash` and the banded Hamming pair join.
+    */
+  def simhashSigs(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "simhash_sigs") {
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        .localCheckpoint(true)
+    }
+
+  /** MinHash-LSH candidate pairs over `documents`, built once per dataset. */
+  def lshCandidates(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigs(s, d) // built outside the memo update (no nesting)
+    memoized(s, d, "lsh_candidates") {
+      Dedup.lshCandidatesFromSignatures(sigs, "doc_id", 4, 2)
+        .localCheckpoint(true)
+    }
+  }
 
   /** Connected components over the shared LSH candidates, built once. */
   def dupComponents(s: SparkSession, d: String): DataFrame = {
@@ -89,14 +110,12 @@ object PipelineOps {
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5,
         maxDf = Some(50L))),
 
-    "dd_minhash_sig" -> ((s, d) =>
-      Dedup.minhashSignatures(Tables.documents(s, d), "doc_id", "text", 3, 8)),
+    "dd_minhash_sig" -> ((s, d) => minhashSigs(s, d)),
 
     "dd_minhash_lsh" -> ((s, d) =>
       lshCandidates(s, d).select("id_a", "id_b")),
 
-    "dd_simhash" -> ((s, d) =>
-      Dedup.simhash(Tables.documents(s, d), "doc_id", "text")),
+    "dd_simhash" -> ((s, d) => simhashSigs(s, d)),
 
     // Fuzzy record linkage: part-name pairs within Levenshtein distance 3.
     // The expensive verify runs on DISTINCT names only (prefix + length
@@ -133,9 +152,10 @@ object PipelineOps {
         .select(docs("doc_id"), col("lang"), col("n_chars"))
     }),
 
-    // SimHash near-dup pairs: banded Hamming (<= 3 bits over 4 bands).
+    // SimHash near-dup pairs: banded Hamming (<= 3 bits over 4 bands),
+    // served from the shared fingerprint table.
     "dd_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", 4, 3)),
+      Dedup.simhashPairsFromSignatures(simhashSigs(s, d), "doc_id", 4, 3)),
 
     // Transitive dedup closure: LSH candidate pairs -> connected
     // components (min-label propagation; oracle = recursive CTE).

@@ -48,6 +48,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("sim_near_dup").contains("zip_with"))
   }
 
+  test("SRP near-dup candidates come from a bucket equi-join, never a cross join") {
+    val p = plan("sim_near_dup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"declared near-dup must not plan an all-pairs join:\n$p")
+    assert(p.contains("bucket"), "candidates must join on the SRP bucket key")
+  }
+
   test("parquet scan prunes to referenced columns only") {
     val p = plan("t1_term_doc_count")
     val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
