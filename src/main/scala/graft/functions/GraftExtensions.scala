@@ -46,6 +46,15 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.length == 2, "hamming expects exactly 2 arguments")
         HammingDistance(children.head, children(1))
+      }),
+    // aggregate builders return the AggregateFunction; the analyzer wraps
+    // it into an AggregateExpression at resolution
+    (FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[TopKBy].getName, "top_k_by"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4,
+          "top_k_by expects (ord, tie, payload, k)")
+        TopKBy(children.head, children(1), children(2), children(3))
       })
   )
 

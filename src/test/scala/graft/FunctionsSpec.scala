@@ -114,6 +114,20 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got(1) == (9.0, 3L), s"got $got")
   }
 
+  test("top_k_by is callable from SQL after registration") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(("a", 1L, 5.0), ("a", 2L, 9.0), ("a", 3L, 1.0), ("b", 4L, 2.0))
+      .toDF("g", "id", "score").createOrReplaceTempView("topk_v")
+    val got = spark.sql(
+      """SELECT g, e.payload.id AS id
+        |FROM (SELECT g, top_k_by(score, id, named_struct('id', id), 2) AS top
+        |      FROM topk_v GROUP BY g)
+        |LATERAL VIEW explode(top) AS e""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 2L), ("a", 1L), ("b", 4L)))
+  }
+
   test("top_k_by keeps exactly the (ord desc, tie asc) prefix per group") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
