@@ -103,6 +103,13 @@ object Soak {
         val pairs = graft.dedup.Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 4, 2)
         graft.dedup.Dedup.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
       },
+      // force the distributed min-label path regardless of pair count, so
+      // the soak keeps exercising the shape a >driver-memory graph needs
+      shape("components_distributed") {
+        val pairs = graft.dedup.Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 4, 2)
+        graft.dedup.Dedup.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b",
+          localThreshold = 0L)
+      },
       shape("repetition_signal") {
         graft.text.TextAnalysis.repetitionRatio(docs, "doc_id", "text")
       },

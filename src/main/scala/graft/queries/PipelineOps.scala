@@ -204,6 +204,29 @@ object PipelineOps {
             v => round(v.cast("double") / col("scale")).cast("int").cast("string")))
             .as("q"))),
 
+    // The composed corpus-cleaning pipeline — what a training run actually
+    // reads: quality-filtered (token count, stopword ratio, distinct-token
+    // ratio) AND exact-dup keeper AND near-dup component root, in one
+    // declared query. Every stage reuses the shared materializations; the
+    // joins are all on doc_id (broadcastable filters over one fact scan).
+    "tp_corpus_clean" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keepQuality = TextAnalysis
+        .qualityFeatures(docs, "doc_id", "text", stopwords)
+        .filter(col("n_tokens") >= 30 &&
+          col("stopword_ratio") >= 0.05 && col("distinct_token_ratio") >= 0.4)
+        .select("doc_id")
+      val exactKeepers = Dedup.exact(docs, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
+      val componentRoots = dupComponents(s, d)
+        .filter(col("node") === col("component"))
+        .select(col("node").as("doc_id"))
+      docs.join(keepQuality, "doc_id")
+        .join(exactKeepers, "doc_id")
+        .join(componentRoots, "doc_id")
+        .select("doc_id", "lang", "n_chars")
+    }),
+
     "ta_langid" -> ((s, d) =>
       TextAnalysis.languageId(s, Tables.documents(s, d), "doc_id", "text")),
 
@@ -470,6 +493,44 @@ object PipelineOps {
         |    greatest(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))), 1e-12)
         |      / 127.0 AS scale
         |  FROM embeddings) t""".stripMargin,
+
+    // same component CTE as dd_apply, plus the quality + exact-keeper gates
+    "tp_corpus_clean" ->
+      s"""WITH RECURSIVE cand AS (
+         |WITH sig AS ($minhashSigSql),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 || mh1 AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cand
+         |  UNION SELECT id_b, id_a FROM cand),
+         |reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (
+         |  SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY 1),
+         |q AS (
+         |  SELECT doc_id,
+         |    len(toks) AS n_tokens,
+         |    len(list_filter(toks, t2 -> t2 IN ('the','a','of','and','to','in'))) * 1.0
+         |      / len(toks) AS stop_ratio,
+         |    len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio
+         |  FROM (SELECT doc_id,
+         |          list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+         |        FROM documents) tq),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT d.doc_id, d.lang, d.n_chars
+         |FROM documents d
+         |  JOIN q ON q.doc_id = d.doc_id
+         |  JOIN keepers k ON k.doc_id = d.doc_id
+         |  JOIN comp c ON c.doc_id = d.doc_id AND c.doc_id = c.component
+         |WHERE q.n_tokens >= 30 AND q.stop_ratio >= 0.05 AND q.distinct_ratio >= 0.4""".stripMargin,
 
     "ta_langid" ->
       s"""WITH lex(cand_lang, marker) AS (VALUES
