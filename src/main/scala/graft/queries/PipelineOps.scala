@@ -86,12 +86,17 @@ object PipelineOps {
     }
   }
 
-  /** Connected components over the shared LSH candidates, built once. */
+  /** Connected components over the shared LSH signatures, built once —
+    * via signature contraction (identical-signature docs collapse to one
+    * representative before the closure), so cost scales with content
+    * diversity, not duplicate count. Labels are identical to the raw
+    * pair-graph closure.
+    */
   def dupComponents(s: SparkSession, d: String): DataFrame = {
-    val cand = lshCandidates(s, d) // built outside the memo update (no nesting)
+    val sigs = minhashSigs(s, d) // built outside the memo update (no nesting)
     memoized(s, d, "dup_components") {
-      // connectedComponents already returns an eagerly-materialized result
-      Dedup.connectedComponents(Tables.documents(s, d), "doc_id", cand, "id_a", "id_b")
+      Dedup.lshComponentsFromSignatures(Tables.documents(s, d), "doc_id", sigs, 4, 2)
+        .localCheckpoint(true)
     }
   }
 

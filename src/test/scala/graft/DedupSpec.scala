@@ -92,4 +92,30 @@ class DedupSpec extends AnyFunSuite {
     assert(local == distributed)
     assert(local.values.toSet == Set(1L), "one chain -> one component rooted at 1")
   }
+
+  test("signature-contracted components equal the raw pair-graph closure (dup-heavy + empty docs)") {
+    import spark.implicits._
+    // 3 copies of text A (ids 1,2,3), 2 copies of B (4,5) where B chains to
+    // A via a shared shingle-ish near-dup, unrelated C (6), empty doc (7)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight"),
+      (4L, "the quick brown fox jumps over the lazy dog at dawn"),
+      (5L, "the quick brown fox jumps over the lazy dog at dawn"),
+      (6L, "completely different content about storage engines and compaction"),
+      (7L, "")
+    ).toDF("doc_id", "text")
+    val sig = graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8)
+    val raw = graft.dedup.Dedup.connectedComponents(docs, "doc_id",
+        graft.dedup.Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 4, 2),
+        "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val contracted = graft.dedup.Dedup
+      .lshComponentsFromSignatures(docs, "doc_id", sig, 4, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(contracted == raw, s"contracted=$contracted raw=$raw")
+    assert(contracted(2L) == 1L && contracted(3L) == 1L, "exact dups collapse to min id")
+    assert(contracted(7L) == 7L, "no-signature doc stays a singleton")
+  }
 }
