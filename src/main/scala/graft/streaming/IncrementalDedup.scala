@@ -115,4 +115,38 @@ object IncrementalDedup {
   /** All duplicate records detected so far (any batch). */
   def readDuplicates(spark: SparkSession, dupDir: String): DataFrame =
     spark.read.parquet(dupDir).select("new_id", "dup_of", "src")
+
+  /** Compact the signature store: merge every `batch=*` subdirectory into
+    * a single `batch=0`, bounding directory/file growth for a long-lived
+    * stream. Batch 0 sorts below every live microbatch id, so the
+    * `strictly earlier` store-lookup rule keeps holding after compaction.
+    *
+    * Single-writer contract: stop the dedup stream first (same contract
+    * as [[EventsStream.compactUpsertLog]]). The swap is the same
+    * crash-recoverable three-step dance: write `.compacting`, rename the
+    * live store to `.old`, rename the rewrite into place, drop `.old`; a
+    * crash between the renames is rolled back on the next call.
+    */
+  def compactStore(spark: SparkSession, storeDir: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new org.apache.hadoop.fs.Path(storeDir)
+    val tmp = new org.apache.hadoop.fs.Path(storeDir + ".compacting")
+    val old = new org.apache.hadoop.fs.Path(storeDir + ".old")
+    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target): Unit
+    if (!fs.exists(target)) return // nothing ingested yet
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    val batches = listPriorBatches(spark, storeDir, Long.MaxValue)
+    if (batches.isEmpty) return
+    spark.read.parquet(batches: _*)
+      .write.mode("overwrite").parquet(s"$tmp/batch=0")
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"store compaction swap failed: $target -> $old")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(old, target) // roll back to the pre-compaction store
+      throw new java.io.IOException(s"store compaction swap failed: $tmp -> $target")
+    }
+    fs.delete(old, true): Unit
+  }
 }

@@ -61,6 +61,32 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(dupSet(dups) == after2, "idle restart must not re-emit or duplicate")
   }
 
+  test("store compaction bounds batch dirs and detection keeps working after it") {
+    val base = Files.createTempDirectory("graft-incdedup-compact")
+    val (in, store, dups, ckpt) =
+      (base.resolve("in"), base.resolve("store"), base.resolve("dups"), base.resolve("ckpt"))
+    Files.createDirectories(in)
+
+    writeBatch(in, Seq((1L, textA), (2L, textB)))
+    runOnce(in, store, dups, ckpt)
+    writeBatch(in, Seq((3L, textC)))
+    runOnce(in, store, dups, ckpt) // two store batch dirs now
+
+    def batchDirs(): Seq[String] =
+      Files.list(store).map[String](_.getFileName.toString).toArray
+        .map(_.toString).filter(_.startsWith("batch=")).toSeq.sorted
+    assert(batchDirs().size == 2, s"expected two batch dirs, got ${batchDirs()}")
+
+    graft.streaming.IncrementalDedup.compactStore(spark, store.toString)
+    assert(batchDirs() == Seq("batch=0"), s"compacted to one dir, got ${batchDirs()}")
+
+    // a post-compaction batch must still detect dups against old history
+    writeBatch(in, Seq((4L, textA)))
+    runOnce(in, store, dups, ckpt)
+    assert(dupSet(dups).contains((4L, 1L, "store")),
+      "detection against the compacted store must keep working")
+  }
+
   test("batch replay is idempotent: reprocessing overwrites, never duplicates") {
     val base = Files.createTempDirectory("graft-incdedup-replay")
     val (store, dups) = (base.resolve("store"), base.resolve("dups"))
