@@ -285,6 +285,41 @@ object Relational {
         .select(col("n_nationkey"), initcap(lower(col("n_name"))).as("nation_cap"))
     }),
 
+    // Skew mechanics, driver-checked: the salted two-phase aggregate must
+    // produce exactly the plain group-by's result (salting only splits a
+    // hot reduce key across buckets; the final aggregate over partials is
+    // algebraic). Same oracle as a1_groupby_count.
+    "sk_salted_agg" -> ((s, d) =>
+      Skew.saltedAggregate(
+        Tables.lineitem(s, d), Seq("l_returnflag", "l_linestatus"),
+        saltBuckets = 8,
+        partialAggs = Seq(count(lit(1)).as("__pc")),
+        finalAggs = Seq(sum("__pc").as("cnt")))),
+
+    // Salted equi-join: build side replicated saltBuckets ways, probe side
+    // salted — identical result to the unsalted join, one hot key's probe
+    // rows spread over saltBuckets tasks.
+    "sk_salted_join" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"), col("o_totalprice"))
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      Skew.saltedJoin(o, c, "o_custkey", saltBuckets = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("sum_price"))
+    }),
+
+    // Bloom-prefiltered join: probe rows that can't match are dropped
+    // before the shuffle; false positives only pass rows to the exact
+    // join, so the result equals the plain inner join's.
+    "sk_bloom_join" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val small = Tables.part(s, d).filter(col("p_size") <= 10)
+      Skew.bloomPrefilteredJoin(li, "l_partkey", small, "p_partkey",
+          expectedItems = 100000L)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
+    }),
+
     // Batch shape of the streaming tumbling-window aggregation.
     "ev_hourly_agg" -> ((s, d) => {
       Tables.events(s, d)
@@ -496,6 +531,21 @@ object Relational {
     // DuckDB has no initcap; names are single-word so this emulation matches.
     "p8_format" ->
       "SELECT n_nationkey, upper(substr(lower(n_name), 1, 1)) || substr(lower(n_name), 2) AS nation_cap FROM nation",
+
+    "sk_salted_agg" ->
+      "SELECT l_returnflag, l_linestatus, count(*) AS cnt FROM lineitem GROUP BY 1, 2",
+
+    "sk_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders, sum(o_totalprice) AS sum_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1""",
+
+    "sk_bloom_join" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+           sum(l_quantity) AS sum_qty
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         WHERE p_size <= 10
+         GROUP BY 1""",
 
     "ev_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type,

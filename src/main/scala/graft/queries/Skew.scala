@@ -59,10 +59,19 @@ object Skew {
                            build: DataFrame, buildKey: String,
                            expectedItems: Long = 1000000L,
                            fpp: Double = 0.01): DataFrame = {
-    val bloom = build.stat.bloomFilter(buildKey, expectedItems, fpp)
-    val bc = probe.sparkSession.sparkContext.broadcast(bloom)
-    val mightMatch = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-    probe.filter(mightMatch(col(probeKey)))
-      .join(build, col(probeKey) === col(buildKey))
+    // Spark's stat.bloomFilter NPEs on a zero-row input (null aggregation
+    // buffer); an empty build side makes the prefilter pointless anyway —
+    // the plain join returns the identical (empty) result.
+    val bloom =
+      try Some(build.stat.bloomFilter(buildKey, expectedItems, fpp))
+      catch { case _: NullPointerException => None }
+    val prefiltered = bloom match {
+      case Some(bf) =>
+        val bc = probe.sparkSession.sparkContext.broadcast(bf)
+        val mightMatch = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
+        probe.filter(mightMatch(col(probeKey)))
+      case None => probe
+    }
+    prefiltered.join(build, col(probeKey) === col(buildKey))
   }
 }
