@@ -37,14 +37,20 @@ object IncrementalDedup {
 
   /** Start the incremental dedup over a streaming (idCol, textCol) frame.
     * `docs` must be a streaming DataFrame (e.g. a parquet file source).
+    * With `keptDir` set, each batch also writes its CLEANED slice — the
+    * rows that duplicate neither the batch nor any earlier history — so
+    * the kept dirs union is the continuously-deduplicated corpus a
+    * training run reads (the streaming counterpart of `tp_corpus_clean`'s
+    * dedup stage), with the same idempotent batch-subdir layout.
     */
   def run(docs: DataFrame, idCol: String, textCol: String,
           storeDir: String, dupDir: String, checkpointDir: String,
-          n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2): StreamingQuery =
+          n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
+          keptDir: Option[String] = None): StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol,
-          storeDir, dupDir, n, bands, rowsPerBand)
+          storeDir, dupDir, n, bands, rowsPerBand, keptDir)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -55,7 +61,8 @@ object IncrementalDedup {
     */
   def processBatch(batch: Dataset[Row], batchId: Long, idCol: String,
                    textCol: String, storeDir: String, dupDir: String,
-                   n: Int, bands: Int, rowsPerBand: Int): Unit = {
+                   n: Int, bands: Int, rowsPerBand: Int,
+                   keptDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
     val sigs = Dedup
       .minhashSignatures(batch.toDF(), idCol, textCol, n, bands * rowsPerBand)
@@ -91,8 +98,18 @@ object IncrementalDedup {
         .select(col("new_id").as("new_id"), col("dup_of").as("dup_of"), col("src").as("src")))
       .distinct()
 
-    dups.write.mode("overwrite").parquet(s"$dupDir/batch=$batchId")
+    // duplicates must be materialized before the kept anti-join below —
+    // both consume the same band-join plans
+    val dupsOut = dups.localCheckpoint(true)
+    dupsOut.write.mode("overwrite").parquet(s"$dupDir/batch=$batchId")
     sigs.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+
+    keptDir.foreach { kd =>
+      val b = batch.toDF()
+      val dupIds = dupsOut.select(col("new_id"))
+      b.join(dupIds, b(idCol) === dupIds("new_id"), "left_anti")
+        .write.mode("overwrite").parquet(s"$kd/batch=$batchId")
+    }
   }
 
   private def listPriorBatches(spark: SparkSession, storeDir: String,

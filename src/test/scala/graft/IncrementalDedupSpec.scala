@@ -20,11 +20,13 @@ class IncrementalDedupSpec extends AnyFunSuite {
     rows.toDF("doc_id", "text").coalesce(1)
       .write.mode("append").parquet(dir.toString)
 
-  private def runOnce(inDir: Path, store: Path, dups: Path, ckpt: Path): Unit = {
+  private def runOnce(inDir: Path, store: Path, dups: Path, ckpt: Path,
+                      kept: Option[Path] = None): Unit = {
     val docs = spark.readStream.schema("doc_id LONG, text STRING")
       .parquet(inDir.toString)
     val q = IncrementalDedup.run(docs, "doc_id", "text",
-      store.toString, dups.toString, ckpt.toString)
+      store.toString, dups.toString, ckpt.toString,
+      keptDir = kept.map(_.toString))
     q.awaitTermination()
   }
 
@@ -59,6 +61,26 @@ class IncrementalDedupSpec extends AnyFunSuite {
     // idle restart: nothing new, nothing changes
     runOnce(in, store, dups, ckpt)
     assert(dupSet(dups) == after2, "idle restart must not re-emit or duplicate")
+  }
+
+  test("kept sink emits the continuously-deduplicated corpus across restarts") {
+    val base = Files.createTempDirectory("graft-incdedup-kept")
+    val (in, store, dups, ckpt, kept) =
+      (base.resolve("in"), base.resolve("store"), base.resolve("dups"),
+        base.resolve("ckpt"), base.resolve("kept"))
+    Files.createDirectories(in)
+
+    writeBatch(in, Seq((1L, textA), (2L, textB), (3L, textA)))
+    runOnce(in, store, dups, ckpt, Some(kept))
+    def keptIds(): Set[Long] = spark.read.parquet(kept.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptIds() == Set(1L, 2L), "within-batch dup 3 dropped, keepers stay")
+
+    // restart: 4 duplicates history (dropped), 5 is fresh (kept)
+    writeBatch(in, Seq((4L, textA), (5L, textC)))
+    runOnce(in, store, dups, ckpt, Some(kept))
+    assert(keptIds() == Set(1L, 2L, 5L),
+      "post-restart batch drops the historical dup and keeps the fresh doc")
   }
 
   test("store compaction bounds batch dirs and detection keeps working after it") {
