@@ -102,11 +102,15 @@ object TextAnalysis {
     * get `n_bigrams = 0` and a null ratio.
     */
   def repetitionRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = TextOps.tokens(col(textCol))
+    // tokens materialized as their own projection: the bigram build reads
+    // the array three times (two slices + size), and an inline computed
+    // column would re-tokenize the text on every read
+    val toks = col("__toks")
     val len = greatest(size(toks) - 1, lit(0))
     val bigrams = zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
       (a, b) => concat_ws(" ", a, b))
     val counts = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), explode(bigrams).as("bigram"))
       .groupBy(idCol, "bigram").agg(count(lit(1)).as("c"))
       .groupBy(idCol)
