@@ -57,23 +57,30 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))
 
-  /** Quality-score feature bundle. `stopwords` small list → array literal. */
+  /** Quality-score feature bundle. `stopwords` small list → array literal.
+    * The token array and its size are materialized as their own
+    * projections first: the six feature expressions read them repeatedly,
+    * and inline computed columns would re-tokenize the text per read.
+    */
   def qualityFeatures(docs: DataFrame, idCol: String, textCol: String,
                       stopwords: Seq[String]): DataFrame = {
-    val text = col(textCol)
-    val toks = TextOps.tokens(text)
     val stopArr = array(stopwords.map(lit): _*)
-    val nToks = size(toks)
-    docs.select(
-      col(idCol),
-      length(text).as("n_chars"),
-      nToks.as("n_tokens"),
-      (length(text).cast("double") / nToks).as("chars_per_token"),
-      (size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nToks)
-        .as("stopword_ratio"),
-      (length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") / length(text))
-        .as("punct_ratio"),
-      (size(array_distinct(toks)).cast("double") / nToks).as("distinct_token_ratio"))
+    val text = col(textCol)
+    val toks = col("__toks")
+    val nToks = col("__n")
+    docs
+      .select(col(idCol), text, TextOps.tokens(text).as("__toks"))
+      .select(col(idCol), text, toks, size(toks).as("__n"))
+      .select(
+        col(idCol),
+        length(text).as("n_chars"),
+        nToks.as("n_tokens"),
+        (length(text).cast("double") / nToks).as("chars_per_token"),
+        (size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nToks)
+          .as("stopword_ratio"),
+        (length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") / length(text))
+          .as("punct_ratio"),
+        (size(array_distinct(toks)).cast("double") / nToks).as("distinct_token_ratio"))
   }
 
   /** Position-weighted document fingerprint: Σ (pos+1) · charsum(token)
