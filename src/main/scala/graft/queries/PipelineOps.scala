@@ -39,6 +39,31 @@ object PipelineOps {
     sharedMemo.getOrElseUpdate(
       (System.identityHashCode(s).toString, d, key), build)
 
+  /** Build-once bucketed copy of a test table (hash-bucketed + sorted on
+    * the join key): subsequent equi-joins between co-bucketed tables are
+    * exchange-free — the write-time layout investment a 100 TB fact table
+    * amortizes over every downstream join. The in-memory catalog forgets
+    * tables between JVMs but their warehouse directories persist, so the
+    * builder drops both before re-creating.
+    */
+  private def bucketedTable(s: SparkSession, d: String, src: String,
+                            key: String, cols: Seq[String],
+                            buckets: Int): DataFrame =
+    memoized(s, d, s"bkt_$src") {
+      val tbl = s"graft_bkt_${src}_${math.abs(d.hashCode.toLong)}"
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = java.nio.file.Paths.get(s"spark-warehouse/$tbl")
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+      Tables.load(s, d, src).select(cols.map(col): _*)
+        .write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+        .saveAsTable(tbl)
+      s.table(tbl)
+    }
+
   private val ivfMemo =
     scala.collection.concurrent.TrieMap.empty[(String, String), Similarity.IvfIndex]
 
@@ -230,6 +255,20 @@ object PipelineOps {
         .join(exactKeepers, "doc_id")
         .join(componentRoots, "doc_id")
         .select("doc_id", "lang", "n_chars")
+    }),
+
+    // Co-located fact-fact join: both sides bucketed+sorted on the join
+    // key at write time, so the sort-merge join runs with ZERO exchanges
+    // on the join inputs (the only shuffle left is the final small agg).
+    // Same results as the plain join — oracle-checked.
+    "sk_bucketed_join" -> ((s, d) => {
+      val o = bucketedTable(s, d, "orders", "o_orderkey",
+        Seq("o_orderkey", "o_orderpriority"), buckets = 8)
+      val li = bucketedTable(s, d, "lineitem", "l_orderkey",
+        Seq("l_orderkey", "l_quantity"), buckets = 8)
+      o.hint("merge").join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"), sum("l_quantity").as("sum_qty"))
     }),
 
     "ta_langid" -> ((s, d) =>
@@ -498,6 +537,11 @@ object PipelineOps {
         |    greatest(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))), 1e-12)
         |      / 127.0 AS scale
         |  FROM embeddings) t""".stripMargin,
+
+    "sk_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines, sum(l_quantity) AS sum_qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     // same component CTE as dd_apply, plus the quality + exact-keeper gates
     "tp_corpus_clean" ->

@@ -48,6 +48,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan("sim_near_dup").contains("zip_with"))
   }
 
+  test("bucketed co-located join: sort-merge with zero exchanges on the join inputs") {
+    // exchanges are inserted by EnsureRequirements — inspect the executed
+    // plan, not the bare sparkPlan
+    val p = SparkEntry.queries("sk_bucketed_join")(spark, SparkTestSession.sfDir)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("SelectedBucketsCount"), "join inputs must scan the bucketed layout")
+    // the only shuffle in the whole plan is the final small aggregation —
+    // the join reads both bucketed layouts exchange-free
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected exactly the final-agg exchange, got $exchanges:\n$p")
+  }
+
   test("SRP near-dup candidates come from a bucket equi-join, never a cross join") {
     val p = plan("sim_near_dup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
