@@ -31,13 +31,19 @@ object PipelineOps {
     * production dedup pipeline has (signatures are an *index*, not a
     * per-query intermediate).
     */
-  private val sharedMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String, String), DataFrame]
+  // weak-keyed on the session OBJECT: a GC'd (stopped, dropped) session's
+  // entries vanish with it — no identityHashCode collisions handing a new
+  // session checkpointed frames bound to a dead one, no unbounded growth
+  // in multi-session JVMs
+  private val sharedMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
 
   private def memoized(s: SparkSession, d: String, key: String)
                       (build: => DataFrame): DataFrame =
-    sharedMemo.getOrElseUpdate(
-      (System.identityHashCode(s).toString, d, key), build)
+    sharedMemo
+      .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate((d, key), build)
 
   /** Build-once bucketed copy of a test table (hash-bucketed + sorted on
     * the join key): subsequent equi-joins between co-bucketed tables are
@@ -52,20 +58,21 @@ object PipelineOps {
     memoized(s, d, s"bkt_$src") {
       val tbl = s"graft_bkt_${src}_${math.abs(d.hashCode.toLong)}"
       s.sql(s"DROP TABLE IF EXISTS $tbl")
-      val loc = java.nio.file.Paths.get(s"spark-warehouse/$tbl")
-      if (java.nio.file.Files.exists(loc)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.delete)
-      }
+      // stale table dirs from a prior JVM live under the SESSION'S
+      // configured warehouse (not necessarily ./spark-warehouse) and make
+      // saveAsTable fail with LOCATION_ALREADY_EXISTS
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
       Tables.load(s, d, src).select(cols.map(col): _*)
         .write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
         .saveAsTable(tbl)
       s.table(tbl)
     }
 
-  private val ivfMemo =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Similarity.IvfIndex]
+  private val ivfMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]]())
 
   /** Build-once persisted IVF index over `embeddings`: fit + cell
     * assignment happen once per (session, dataset), the cells table is
@@ -74,14 +81,16 @@ object PipelineOps {
     * prune cell partitions, and repeated query batches never refit.
     */
   def persistedIvfIndex(s: SparkSession, d: String): Similarity.IvfIndex =
-    ivfMemo.getOrElseUpdate((System.identityHashCode(s).toString, d), {
-      val path = s"spark-warehouse/graft_ivf_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-      Similarity.writeIvfIndex(
-        Similarity.buildIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
-          nlist = 16, seed = 42L),
-        path)
-      Similarity.readIvfIndex(s, path)
-    })
+    ivfMemo
+      .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(d, {
+        val path = s"spark-warehouse/graft_ivf_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        Similarity.writeIvfIndex(
+          Similarity.buildIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
+            nlist = 16, seed = 42L),
+          path)
+        Similarity.readIvfIndex(s, path)
+      })
 
   /** MinHash signature table (8 hex hashes per doc) over `documents`,
     * built once per dataset — the index both `dd_minhash_sig` and the LSH

@@ -211,7 +211,12 @@ object EventsStream {
     * in the plain file sink.
     */
   def upsertToParquetLog(streamed: DataFrame, keyCol: String, versionCol: String,
-                         targetDir: String, checkpointDir: String): StreamingQuery =
+                         targetDir: String, checkpointDir: String): StreamingQuery = {
+    // recover a compaction that crashed between its renames BEFORE this
+    // stream recreates the target dir — otherwise the next compaction
+    // would see both dirs and the pre-compaction log could be lost
+    val conf = streamed.sparkSession.sparkContext.hadoopConfiguration
+    CompactionSwap.recoverDanglingOld(CompactionSwap.fsFor(targetDir, conf), targetDir)
     streamed.writeStream
       .foreachBatch { (batch: Dataset[Row], _: Long) =>
         val latestPerKey = batch
@@ -223,6 +228,7 @@ object EventsStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** Latest row per key over the upsert log written by
     * [[upsertToParquetLog]].
@@ -243,32 +249,21 @@ object EventsStream {
     * compacting — files appended between the read and the swap would be
     * silently dropped by the rewrite.
     *
-    * The swap is crash-recoverable at every step: write to `.compacting`,
-    * rename the live log to `.old`, rename `.compacting` into place, then
-    * drop `.old`. A crash before the first rename leaves the live log
-    * untouched; a crash between the renames is detected on the next call
-    * (target missing, `.old` present) and rolled back before compacting;
-    * a crash after leaves only a stale `.old`, cleaned up next call.
+    * The swap is the shared crash-recoverable three-step dance
+    * ([[CompactionSwap.swap]]): write to `.compacting`, rename the live
+    * log to `.old`, rename `.compacting` into place, then drop `.old`.
+    * A dangling `.old` from an interrupted swap is recovered both here
+    * and at [[upsertToParquetLog]] stream start — even if the stream
+    * restarted and recreated the target in between, the pre-compaction
+    * log is folded back in, never deleted.
     */
   def compactUpsertLog(spark: SparkSession, targetDir: String,
                        keyCol: String, versionCol: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    val fs = CompactionSwap.fsFor(targetDir,
       spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(targetDir)
-    val tmp = new org.apache.hadoop.fs.Path(targetDir + ".compacting")
-    val old = new org.apache.hadoop.fs.Path(targetDir + ".old")
-    // recover a swap that crashed between the two renames
-    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target): Unit
-    fs.delete(tmp, true)
-    fs.delete(old, true)
-    readUpserted(spark, targetDir, keyCol, versionCol)
-      .write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(target, old))
-      throw new java.io.IOException(s"compaction swap failed: $target -> $old")
-    if (!fs.rename(tmp, target)) {
-      fs.rename(old, target) // roll back to the pre-compaction log
-      throw new java.io.IOException(s"compaction swap failed: $tmp -> $target")
-    }
-    fs.delete(old, true): Unit
+    CompactionSwap.swap(fs, targetDir) { tmp =>
+      readUpserted(spark, targetDir, keyCol, versionCol)
+        .write.mode("overwrite").parquet(tmp)
+    }: Unit
   }
 }

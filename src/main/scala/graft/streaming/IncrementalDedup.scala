@@ -46,7 +46,12 @@ object IncrementalDedup {
   def run(docs: DataFrame, idCol: String, textCol: String,
           storeDir: String, dupDir: String, checkpointDir: String,
           n: Int = 3, bands: Int = 4, rowsPerBand: Int = 2,
-          keptDir: Option[String] = None): StreamingQuery =
+          keptDir: Option[String] = None): StreamingQuery = {
+    // a compaction that crashed between its renames leaves history only
+    // under `.old`; recover it BEFORE the stream recreates the store dir,
+    // or every historical duplicate is invisible to the restarted stream
+    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+    CompactionSwap.recoverDanglingOld(CompactionSwap.fsFor(storeDir, conf), storeDir)
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol,
@@ -55,6 +60,7 @@ object IncrementalDedup {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** One microbatch: detect + persist. Factored out of the stream for
     * direct unit testing.
@@ -114,8 +120,11 @@ object IncrementalDedup {
 
   private def listPriorBatches(spark: SparkSession, storeDir: String,
                                batchId: Long): Seq[String] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    val fs = CompactionSwap.fsFor(storeDir,
       spark.sparkContext.hadoopConfiguration)
+    // safe mid-stream: the single-writer contract means no compaction can
+    // be racing this, and a dangling `.old` means history is invisible
+    CompactionSwap.recoverDanglingOld(fs, storeDir)
     val root = new org.apache.hadoop.fs.Path(storeDir)
     if (!fs.exists(root)) Seq.empty
     else fs.listStatus(root).toSeq
@@ -139,31 +148,22 @@ object IncrementalDedup {
     * `strictly earlier` store-lookup rule keeps holding after compaction.
     *
     * Single-writer contract: stop the dedup stream first (same contract
-    * as [[EventsStream.compactUpsertLog]]). The swap is the same
-    * crash-recoverable three-step dance: write `.compacting`, rename the
-    * live store to `.old`, rename the rewrite into place, drop `.old`; a
-    * crash between the renames is rolled back on the next call.
+    * as [[EventsStream.compactUpsertLog]]). The swap is the shared
+    * crash-recoverable three-step dance ([[CompactionSwap.swap]]); a
+    * dangling `.old` from an interrupted swap is recovered here, at
+    * stream start, and at every store lookup — even if the stream
+    * restarted and recreated the store in between, the pre-compaction
+    * history is folded back in, never deleted.
     */
   def compactStore(spark: SparkSession, storeDir: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
+    val fs = CompactionSwap.fsFor(storeDir,
       spark.sparkContext.hadoopConfiguration)
-    val target = new org.apache.hadoop.fs.Path(storeDir)
-    val tmp = new org.apache.hadoop.fs.Path(storeDir + ".compacting")
-    val old = new org.apache.hadoop.fs.Path(storeDir + ".old")
-    if (!fs.exists(target) && fs.exists(old)) fs.rename(old, target): Unit
-    if (!fs.exists(target)) return // nothing ingested yet
-    fs.delete(tmp, true)
-    fs.delete(old, true)
+    CompactionSwap.recoverDanglingOld(fs, storeDir)
     val batches = listPriorBatches(spark, storeDir, Long.MaxValue)
     if (batches.isEmpty) return
-    spark.read.parquet(batches: _*)
-      .write.mode("overwrite").parquet(s"$tmp/batch=0")
-    if (!fs.rename(target, old))
-      throw new java.io.IOException(s"store compaction swap failed: $target -> $old")
-    if (!fs.rename(tmp, target)) {
-      fs.rename(old, target) // roll back to the pre-compaction store
-      throw new java.io.IOException(s"store compaction swap failed: $tmp -> $target")
-    }
-    fs.delete(old, true): Unit
+    CompactionSwap.swap(fs, storeDir) { tmp =>
+      spark.read.parquet(batches: _*)
+        .write.mode("overwrite").parquet(s"$tmp/batch=0")
+    }: Unit
   }
 }

@@ -109,6 +109,36 @@ class IncrementalDedupSpec extends AnyFunSuite {
       "detection against the compacted store must keep working")
   }
 
+  test("a compaction crash between its renames loses no history across a stream restart") {
+    val base = Files.createTempDirectory("graft-incdedup-crash")
+    val (in, store, dups, ckpt) =
+      (base.resolve("in"), base.resolve("store"), base.resolve("dups"), base.resolve("ckpt"))
+    Files.createDirectories(in)
+
+    writeBatch(in, Seq((1L, textA), (2L, textB)))
+    runOnce(in, store, dups, ckpt)
+
+    // simulate the crash window: the live store was renamed to `.old`,
+    // the rewrite never made it into place, the JVM died
+    Files.move(store, base.resolve("store.old"))
+
+    // the dedup stream restarts FIRST (before any compaction runs) with a
+    // new doc that duplicates pre-crash history — recovery at stream start
+    // must make that history visible again
+    writeBatch(in, Seq((3L, textA)))
+    runOnce(in, store, dups, ckpt)
+    assert(dupSet(dups).contains((3L, 1L, "store")),
+      "history stranded under .old must be recovered before the restarted stream processes")
+    assert(!Files.exists(base.resolve("store.old")), ".old must be consumed by recovery")
+
+    // and a subsequent compaction keeps everything: doc 4 still dups doc 1
+    graft.streaming.IncrementalDedup.compactStore(spark, store.toString)
+    writeBatch(in, Seq((4L, textA)))
+    runOnce(in, store, dups, ckpt)
+    assert(dupSet(dups).contains((4L, 1L, "store")),
+      "post-recovery compaction must retain the recovered history")
+  }
+
   test("batch replay is idempotent: reprocessing overwrites, never duplicates") {
     val base = Files.createTempDirectory("graft-incdedup-replay")
     val (store, dups) = (base.resolve("store"), base.resolve("dups"))
