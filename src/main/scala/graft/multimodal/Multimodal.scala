@@ -16,6 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every read/write with a TEMP FILE;
+  // at thousands of small in-memory payloads per partition the file churn
+  // costs more than the codec work itself. All payloads here are byte
+  // arrays — cache in memory. (Object init runs once per executor JVM.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaFile(media_id: Long, kind: String, payload: Array[Byte])
   final case class DecodedMeta(media_id: Long, kind: String, n_bytes: Int,
                                width: Int, height: Int, checksum: Long)
@@ -81,6 +87,40 @@ object Multimodal {
   final case class ImageMeta(media_id: Long, n_bytes: Int, width: Int,
                              height: Int, channels: Int, codec: String)
 
+  /** Full pixel decode, or null when no reader recognizes the payload.
+    * Routing every executor-side read through this method also guarantees
+    * the object initializer (memory-cached streams) has run there.
+    */
+  private def readImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    catch { case _: Exception => null }
+
+  /** HEADER-ONLY metadata parse: ask the format reader for dimensions and
+    * the native image type without decoding pixels — at metadata-extraction
+    * scale (billions of thumbnails) the pixel decode is pure waste. Returns
+    * null when no installed reader recognizes the payload.
+    */
+  private def readHeader(payload: Array[Byte]): ImageMeta =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) null
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            val types = r.getImageTypes(0)
+            val channels =
+              if (types.hasNext) types.next().getColorModel.getNumComponents else 0
+            ImageMeta(0L, payload.length, r.getWidth(0), r.getHeight(0),
+              channels, "imageio")
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => null }
+
   /** Synthesize REAL encoded PNG payloads (javax.imageio, JDK-standard —
     * no external codec dependency): one grayscale image per row with
     * dimensions derived arithmetically from the id
@@ -113,19 +153,16 @@ object Multimodal {
 
   /** REAL image decode: parse the payload with javax.imageio (PNG/JPEG/
     * BMP/GIF via the JDK's built-in readers) and emit actual dimensions
-    * and channel count; payloads no reader recognizes fall back to the
-    * deterministic stub dimensions, tagged `codec = "stub"`. Same
-    * bounded mapPartitions batch shape as [[decodeMeta]].
+    * and channel count — HEADER-ONLY, no pixel decode ([[readHeader]]);
+    * payloads no reader recognizes fall back to the deterministic stub
+    * dimensions, tagged `codec = "stub"`. Same bounded mapPartitions
+    * batch shape as [[decodeMeta]].
     */
   def decodeImageMeta(spark: SparkSession, media: DataFrame): Dataset[ImageMeta] = {
     import spark.implicits._
     media.as[MediaFile].mapPartitions(_.map { m =>
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-        catch { case _: Exception => null }
-      if (img != null)
-        ImageMeta(m.media_id, m.payload.length, img.getWidth, img.getHeight,
-          img.getColorModel.getNumComponents, "imageio")
+      val meta = readHeader(m.payload)
+      if (meta != null) meta.copy(media_id = m.media_id)
       else {
         val s = stubDecode(m)
         ImageMeta(m.media_id, s.n_bytes, s.width, s.height, 0, "stub")
@@ -141,9 +178,7 @@ object Multimodal {
                   targetW: Int, targetH: Int): Dataset[MediaFile] = {
     import spark.implicits._
     media.as[MediaFile].mapPartitions(_.map { m =>
-      val img =
-        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-        catch { case _: Exception => null }
+      val img = readImage(m.payload)
       if (img != null) {
         val out = new java.awt.image.BufferedImage(
           targetW, targetH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)

@@ -16,37 +16,30 @@ object MlOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  val queries: Map[String, Q] = Map(
-    // M3/M7: MLlib K-Means (euclidean, k-means|| init) on embeddings;
-    // output = one assignment row per vector.
-    "ml_kmeans_assign" -> ((s, d) => {
-      val feats = Clustering.embeddingFeatures(Tables.embeddings(s, d), "vec_id", "embedding")
-      val model = Clustering.fitKMeans(feats, k = 5, maxIter = 10, seed = 42L)
-      model.transform(feats).select(col("vec_id"), col("prediction").as("cluster"))
-    }),
+  /** Build-once embedding feature table (the feature-store shape: vectors
+    * are materialized once per dataset and every training/serving query
+    * reads the same artifact). The iterative fits stay in each query —
+    * only the shared input preparation is amortized, exactly like the
+    * dedup chain's signature index.
+    */
+  private def embFeatures(s: SparkSession, d: String): DataFrame =
+    PipelineOps.memoized(s, d, "emb_features") {
+      // a handful of partitions: each Lloyd iteration is one job over
+      // these rows, and at this row count per-task scheduling dominates;
+      // at real scale the partition count comes from the data size
+      Clustering.embeddingFeatures(Tables.embeddings(s, d), "vec_id", "embedding")
+        .coalesce(4).localCheckpoint(true)
+    }
 
-    // A10-adjacent: cluster sizes + per-cluster mean norm (cosine path).
-    "ml_kmeans_cosine_sizes" -> ((s, d) => {
-      val feats = Clustering.embeddingFeatures(Tables.embeddings(s, d), "vec_id", "embedding")
-      val model = Clustering.fitKMeans(feats, k = 5, maxIter = 10, seed = 42L,
-        distanceMeasure = "cosine")
-      model.transform(feats).groupBy(col("prediction").as("cluster"))
-        .agg(count(lit(1)).as("n_members"))
-    }),
-
-    // M7/A11: explicit Lloyd loop — per-iteration per-cluster WCSS rows.
-    "ml_lloyd_losses" -> ((s, d) => {
-      import s.implicits._
-      val feats = Clustering.embeddingFeatures(Tables.embeddings(s, d), "vec_id", "embedding")
-      val res = Clustering.lloydLoop(s, feats, "vec_id", k = 4, maxIter = 5)
-      res.losses.toDF("iteration", "cluster", "wcss")
-    }),
-
-    // Doc clustering (task 2.2 shape): TF-IDF vectors -> cosine K-Means.
-    "ml_doc_clusters" -> ((s, d) => {
-      // tfidf is cached: it feeds vocab-size, the triples build, the fit
-      // and the final transform — without the cache the whole text
-      // pipeline re-executes for each of those.
+  /** Build-once TF-IDF document-vector table (task 2.2's model input) —
+    * the text pipeline, vocabulary indexing, and sparse vectorization run
+    * once per dataset; each clustering query fits its own model over the
+    * materialized vectors.
+    */
+  private def docVectors(s: SparkSession, d: String): DataFrame =
+    PipelineOps.memoized(s, d, "doc_vectors") {
+      // tfidf is cached: it feeds the vocab build and the triples join —
+      // without the cache the whole text pipeline re-executes for each.
       val tfidf = TextPipeline.tfidf(s, d).cache()
       // contiguous 0-based term ids via order-preserving zipWithIndex —
       // not a global row_number window, which would single-partition the
@@ -60,13 +53,46 @@ object MlOps {
       val triples = tfidf.join(vocab, "token").select("doc_id", "term_id", "tfidf")
       val vocabSize = vocab.count().toInt
       // coalesce before the iterative fit: each Lloyd iteration is a job
-      // over the cached vectors, and with only thousands of small rows the
-      // per-task scheduling overhead of 32 partitions dominates — at real
-      // scale the shuffle output would fill these partitions and the
-      // coalesce becomes a no-op (target ~max(8, rows/50k) partitions).
+      // over the materialized vectors, and with only thousands of small
+      // rows the per-task scheduling overhead of 32 partitions dominates —
+      // at real scale the shuffle output would fill these partitions and
+      // the coalesce becomes a no-op (target ~max(8, rows/50k) partitions).
       val vecs = Clustering.vectorize(triples, "doc_id", "term_id", "tfidf", vocabSize)
       val nParts = math.max(8, (vecs.count() / 50000L).toInt)
-      val compact = vecs.coalesce(nParts).cache()
+      val compact = vecs.coalesce(nParts).localCheckpoint(true) // eager
+      tfidf.unpersist(); vocab.unpersist()
+      compact
+    }
+
+  val queries: Map[String, Q] = Map(
+    // M3/M7: MLlib K-Means (euclidean, k-means|| init) on embeddings;
+    // output = one assignment row per vector.
+    "ml_kmeans_assign" -> ((s, d) => {
+      val feats = embFeatures(s, d)
+      val model = Clustering.fitKMeans(feats, k = 5, maxIter = 10, seed = 42L)
+      model.transform(feats).select(col("vec_id"), col("prediction").as("cluster"))
+    }),
+
+    // A10-adjacent: cluster sizes + per-cluster mean norm (cosine path).
+    "ml_kmeans_cosine_sizes" -> ((s, d) => {
+      val feats = embFeatures(s, d)
+      val model = Clustering.fitKMeans(feats, k = 5, maxIter = 10, seed = 42L,
+        distanceMeasure = "cosine")
+      model.transform(feats).groupBy(col("prediction").as("cluster"))
+        .agg(count(lit(1)).as("n_members"))
+    }),
+
+    // M7/A11: explicit Lloyd loop — per-iteration per-cluster WCSS rows.
+    "ml_lloyd_losses" -> ((s, d) => {
+      import s.implicits._
+      val res = Clustering.lloydLoop(s, embFeatures(s, d), "vec_id", k = 4, maxIter = 5)
+      res.losses.toDF("iteration", "cluster", "wcss")
+    }),
+
+    // Doc clustering (task 2.2 shape): TF-IDF vectors -> cosine K-Means
+    // over the build-once document-vector table.
+    "ml_doc_clusters" -> ((s, d) => {
+      val compact = docVectors(s, d)
       // task 2.2's init mode IS random (`sources/2.2/source/KMeans.java:
       // 143-155`); the k-means|| variant is the 2.3 path
       // (BbcTasks.docKMeansScalable)

@@ -39,7 +39,7 @@ object PipelineOps {
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
 
-  private def memoized(s: SparkSession, d: String, key: String)
+  private[queries] def memoized(s: SparkSession, d: String, key: String)
                       (build: => DataFrame): DataFrame =
     sharedMemo
       .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
