@@ -27,7 +27,8 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "10").toInt
-    // comma-separated extra shape sets: "text", "sim" (relational always runs)
+    // comma-separated extra shape sets: "text", "sim", "ml", "mm_image"
+    // (relational always runs)
     val soakSets: Set[String] =
       sys.env.get("SPARK_GRAFT_SOAK").map(_.split(",").toSet).getOrElse(Set.empty)
     val spark = SparkSession.builder()
@@ -140,6 +141,41 @@ object Soak {
           graft.similarity.Similarity.queryIvf(idx,
             emb.filter(pmod(col("vec_id"), lit(1000L)) === 0),
             "vec_id", "embedding", k = 5, nprobe = 4)
+        })
+    } else Seq.empty) ++ (if (soakSets("ml")) {
+      val emb = amplify(Tables.embeddings(spark, sfDir), Seq("vec_id"), mult)
+      val feats = graft.cluster.Clustering
+        .embeddingFeatures(emb, "vec_id", "embedding")
+        .localCheckpoint(true) // time the fits, not the input prep
+      Seq(
+        // the iterative MLlib fit: per-iteration cost must scale linearly
+        // with rows (broadcast centers out, treeAggregate partials back)
+        shape("kmeans_fit_assign") {
+          graft.cluster.Clustering.fitKMeans(feats, k = 5, maxIter = 5, seed = 42L)
+            .transform(feats).select(col("vec_id"), col("prediction"))
+        },
+        // the explicit Lloyd loop (same broadcast+partial-agg shape,
+        // plus the per-iteration WCSS collect — k x dim driver state)
+        shape("lloyd_loop") {
+          graft.cluster.Clustering
+            .lloydLoop(spark, feats, "vec_id", k = 4, maxIter = 3).assignments
+        })
+    } else Seq.empty) ++ (if (soakSets("mm_image")) {
+      val ids = amplify(Tables.documents(spark, sfDir).select("doc_id"),
+        Seq("doc_id"), mult)
+      Seq(
+        // real codec work in the bounded mapPartitions shape: encode +
+        // header-only decode must stay linear in row count (the in-memory
+        // ImageIO cache keeps per-payload cost flat)
+        shape("image_encode_meta") {
+          graft.multimodal.Multimodal.decodeImageMeta(spark,
+            graft.multimodal.Multimodal.synthesizeImages(ids, "doc_id")).toDF()
+        },
+        // full pixel decode + bilinear resize + re-encode per row
+        shape("image_resize") {
+          graft.multimodal.Multimodal.resizeImage(spark,
+            graft.multimodal.Multimodal.synthesizeImages(ids, "doc_id"),
+            targetW = 8, targetH = 8).toDF()
         })
     } else Seq.empty)
 

@@ -134,8 +134,19 @@ object Clustering {
       stats.foreach(r => losses += ((iter, r.getInt(0), r.getDouble(3))))
       val newCenters = centers.clone()
       stats.foreach(r => newCenters(r.getInt(0)) = r.getAs[Vector](1))
+      // convergence metric matches the distance mode: in cosine mode the
+      // Euclidean displacement is meaningless (unnormalized centers can
+      // drift in norm without moving in angle — or converge in norm while
+      // still rotating), so `moved` is the ANGULAR displacement, the same
+      // 1 - cos(old, new) the assignment distance uses; tol then has one
+      // meaning in both modes (max center movement in the mode's metric).
       moved = centers.zip(newCenters)
-        .map { case (a, b) => math.sqrt(Vectors.sqdist(a, b)) }.max
+        .map { case (a, b) =>
+          if (cosineMode) {
+            val nn = Vectors.norm(a, 2) * Vectors.norm(b, 2)
+            if (nn == 0) 1.0 else 1.0 - vdot(a, b) / nn
+          } else math.sqrt(Vectors.sqdist(a, b))
+        }.max
       centers = newCenters
       iter += 1
     }

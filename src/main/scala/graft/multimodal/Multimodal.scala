@@ -28,15 +28,21 @@ object Multimodal {
   final case class Frame(media_id: Long, frame_idx: Int, payload: Array[Byte])
 
   /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
-    * A real implementation would parse the container header instead.
+    * A real implementation would parse the container header instead. The
+    * checksum is a polynomial hash mod 1e9+7 — modular (never overflows
+    * int64), so any SQL engine can replay it exactly over the byte codes
+    * and the stub path gets a real value-level oracle, not a row count.
     */
   private def stubDecode(m: MediaFile): DecodedMeta = {
     var crc = 0L
     var i = 0
-    while (i < m.payload.length) { crc = crc * 31 + (m.payload(i) & 0xff); i += 1 }
+    while (i < m.payload.length) {
+      crc = (crc * 31 + (m.payload(i) & 0xff)) % 1000000007L
+      i += 1
+    }
     DecodedMeta(m.media_id, m.kind, m.payload.length,
-      width = 16 + (math.abs(crc) % 1024).toInt,
-      height = 16 + (math.abs(crc / 7) % 1024).toInt,
+      width = 16 + (crc % 1024).toInt,
+      height = 16 + ((crc / 7) % 1024).toInt,
       checksum = crc)
   }
 
@@ -192,6 +198,74 @@ object Multimodal {
         MediaFile(m.media_id, m.kind, baos.toByteArray)
       } else
         MediaFile(m.media_id, m.kind, m.payload.take(targetW * targetH))
+    })
+  }
+
+  final case class AudioMeta(media_id: Long, n_bytes: Int, sample_rate: Int,
+                             channels: Int, bits: Int, n_frames: Long,
+                             codec: String)
+
+  /** Synthesize REAL RIFF/WAVE payloads (16-bit mono PCM, hand-built
+    * 44-byte canonical header — pure JDK, no codec dependency): sample
+    * rate and frame count are arithmetic in the id
+    * (`rate = 8000·(1 + id % 3)`, `frames = 50 + id % 100`), so a SQL
+    * oracle can predict exactly what a correct WAV parser must recover.
+    * Same bounded mapPartitions batch shape as [[synthesizeImages]].
+    */
+  def synthesizeAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val rate = 8000 * (1 + (id % 3).toInt)
+        val frames = 50 + (id % 100).toInt
+        val dataLen = frames * 2 // 16-bit mono
+        val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        buf.put("WAVE".getBytes("US-ASCII"))
+        buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        buf.putShort(1) // PCM
+        buf.putShort(1) // mono
+        buf.putInt(rate)
+        buf.putInt(rate * 2) // byte rate
+        buf.putShort(2)      // block align
+        buf.putShort(16)     // bits per sample
+        buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < frames) {
+          buf.putShort((((id * 31 + i * 7) % 65536) - 32768).toShort)
+          i += 1
+        }
+        MediaFile(id, "audio", buf.array())
+      })
+      .toDF()
+  }
+
+  /** REAL audio decode: parse the payload with `javax.sound.sampled`
+    * (JDK-standard WAV/AIFF/AU readers; header-only — `getAudioFileFormat`
+    * never touches the PCM data) and emit the actual sample rate, channel
+    * count, bit depth, and frame count. Payloads no reader recognizes
+    * fall back to the deterministic stub, tagged `codec = "stub"` — the
+    * same real/stub split [[decodeImageMeta]] uses for images.
+    */
+  def decodeAudioMeta(spark: SparkSession, media: DataFrame): Dataset[AudioMeta] = {
+    import spark.implicits._
+    media.as[MediaFile].mapPartitions(_.map { m =>
+      val ff =
+        try javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(m.payload))
+        catch { case _: Exception => null }
+      if (ff != null) {
+        val f = ff.getFormat
+        AudioMeta(m.media_id, m.payload.length, f.getSampleRate.toInt,
+          f.getChannels, f.getSampleSizeInBits, ff.getFrameLength.toLong,
+          ff.getType.getExtension)
+      } else {
+        val s = stubDecode(m)
+        AudioMeta(m.media_id, s.n_bytes, s.width * 100, 0, 0, s.checksum, "stub")
+      }
     })
   }
 

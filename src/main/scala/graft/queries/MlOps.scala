@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.io.Tables
@@ -24,11 +24,15 @@ object MlOps {
     */
   private def embFeatures(s: SparkSession, d: String): DataFrame =
     PipelineOps.memoized(s, d, "emb_features") {
-      // a handful of partitions: each Lloyd iteration is one job over
-      // these rows, and at this row count per-task scheduling dominates;
-      // at real scale the partition count comes from the data size
-      Clustering.embeddingFeatures(Tables.embeddings(s, d), "vec_id", "embedding")
-        .coalesce(4).localCheckpoint(true)
+      // partition count derived from the data (like docVectors below):
+      // each Lloyd iteration is one job over these rows, so at small row
+      // counts per-task scheduling dominates (floor of 8), while at real
+      // scale rows/50k partitions keep the iteration jobs parallel
+      // instead of serializing on a hardcoded handful
+      val feats =
+        Clustering.embeddingFeatures(Tables.embeddings(s, d), "vec_id", "embedding")
+      val nParts = math.max(8, (feats.count() / 50000L).toInt)
+      feats.coalesce(nParts).localCheckpoint(true)
     }
 
   /** Build-once TF-IDF document-vector table (task 2.2's model input) —
@@ -64,33 +68,78 @@ object MlOps {
       compact
     }
 
+  /** Per-row nearest-center invariant over a fitted model's assignments:
+    * emits `(idCol, is_nearest)` where `is_nearest = 1` iff the row's
+    * distance to its ASSIGNED center is (within FP epsilon) the minimum
+    * over all centers. The seeded fit itself is not SQL-expressible, but
+    * this invariant is — the oracle predicts `1` for every row, so the
+    * driver hash check now validates the clustering semantics, not just
+    * a row count. `distFn(vecArray, centerArray) -> distance Column`.
+    */
+  private def nearestCenterFlags(assigned: DataFrame, idCol: String,
+                                 centers: Array[Array[Double]],
+                                 distFn: (Column, Column) => Column): DataFrame = {
+    import org.apache.spark.ml.functions.vector_to_array
+    val withArr = assigned.withColumn("__arr", vector_to_array(col("features")))
+    val dists = centers.map(c => distFn(col("__arr"), array(c.map(lit).toSeq: _*)))
+    withArr
+      .withColumn("__dists", array(dists.toSeq: _*))
+      .withColumn("__dmin", array_min(col("__dists")))
+      .withColumn("__dassigned", element_at(col("__dists"), col("prediction") + 1))
+      .select(col(idCol),
+        (col("__dassigned") <= col("__dmin") + lit(1e-9) * (col("__dmin") + lit(1.0)))
+          .cast("int").as("is_nearest"))
+  }
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+
   val queries: Map[String, Q] = Map(
-    // M3/M7: MLlib K-Means (euclidean, k-means|| init) on embeddings;
-    // output = one assignment row per vector.
+    // M3/M7: MLlib K-Means (euclidean, k-means|| init) on embeddings,
+    // declared as its nearest-center invariant: every vector must be
+    // assigned to its closest center — hash-checked, not rows-only.
     "ml_kmeans_assign" -> ((s, d) => {
       val feats = embFeatures(s, d)
       val model = Clustering.fitKMeans(feats, k = 5, maxIter = 10, seed = 42L)
-      model.transform(feats).select(col("vec_id"), col("prediction").as("cluster"))
+      nearestCenterFlags(model.transform(feats), "vec_id",
+        model.clusterCenters.map(_.toArray), sqDist)
     }),
 
-    // A10-adjacent: cluster sizes + per-cluster mean norm (cosine path).
+    // A10-adjacent (cosine path), declared as the structural contract the
+    // oracle can pin: exactly k non-empty clusters partitioning all rows.
     "ml_kmeans_cosine_sizes" -> ((s, d) => {
       val feats = embFeatures(s, d)
       val model = Clustering.fitKMeans(feats, k = 5, maxIter = 10, seed = 42L,
         distanceMeasure = "cosine")
-      model.transform(feats).groupBy(col("prediction").as("cluster"))
-        .agg(count(lit(1)).as("n_members"))
+      model.transform(feats).groupBy(col("prediction"))
+        .agg(count(lit(1)).as("__n"))
+        .agg(count(lit(1)).cast("int").as("n_clusters"),
+          sum("__n").as("total_members"),
+          (min("__n") > 0).cast("int").as("all_nonempty"))
     }),
 
-    // M7/A11: explicit Lloyd loop — per-iteration per-cluster WCSS rows.
+    // M7/A11: explicit Lloyd loop, declared as its invariants — the
+    // assignment covers every input row, the loop ran within its budget,
+    // and the per-iteration total WCSS is monotonically non-increasing
+    // (Lloyd's guarantee) and finite. All four are oracle-pinned.
     "ml_lloyd_losses" -> ((s, d) => {
       import s.implicits._
       val res = Clustering.lloydLoop(s, embFeatures(s, d), "vec_id", k = 4, maxIter = 5)
-      res.losses.toDF("iteration", "cluster", "wcss")
+      val totals = res.losses.groupBy(_._1).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1).map(_._2)
+      val monotone = totals.zip(totals.drop(1))
+        .forall { case (prev, next) => next <= prev * (1 + 1e-9) + 1e-9 }
+      val allFinite = totals.forall(t => !t.isNaN && !t.isInfinite)
+      val itersOk = res.iterations >= 1 && res.iterations <= 5
+      Seq((res.assignments.count(),
+        if (itersOk) 1 else 0, if (monotone) 1 else 0, if (allFinite) 1 else 0))
+        .toDF("n_points", "iters_ok", "loss_monotone", "all_finite")
     }),
 
     // Doc clustering (task 2.2 shape): TF-IDF vectors -> cosine K-Means
-    // over the build-once document-vector table.
+    // over the build-once document-vector table, declared as the
+    // nearest-center invariant (cosine distance) over the pipeline's
+    // exact document set — the oracle recomputes that set relationally.
     "ml_doc_clusters" -> ((s, d) => {
       val compact = docVectors(s, d)
       // task 2.2's init mode IS random (`sources/2.2/source/KMeans.java:
@@ -98,7 +147,26 @@ object MlOps {
       // (BbcTasks.docKMeansScalable)
       val model = Clustering.fitKMeans(compact, k = 5, maxIter = 10, seed = 42L,
         initMode = "random", distanceMeasure = "cosine")
-      model.transform(compact).select(col("doc_id"), col("prediction").as("cluster"))
+      // centers here are vocabulary-dimensional (~10^4 components): as
+      // array literals they would blow up the expression tree, so the
+      // check rides a broadcast of the k x dim model state and a
+      // sparse-aware dot (O(nnz * k) per row, distributed, no collect
+      // of the data) — the same shape lloydLoop's assignment uses.
+      val bcCenters = s.sparkContext.broadcast(model.clusterCenters)
+      val isNearest = udf { (v: org.apache.spark.ml.linalg.Vector, pred: Int) =>
+        val cs = bcCenters.value
+        val vn = org.apache.spark.ml.linalg.Vectors.norm(v, 2)
+        val ds = cs.map { c =>
+          var dot = 0.0
+          v.foreachActive((i, x) => dot += x * c(i))
+          val nn = vn * org.apache.spark.ml.linalg.Vectors.norm(c, 2)
+          if (nn == 0) 1.0 else 1.0 - dot / nn
+        }
+        val dmin = ds.min
+        if (ds(pred) <= dmin + 1e-9 * (dmin + 1.0)) 1 else 0
+      }
+      model.transform(compact)
+        .select(col("doc_id"), isNearest(col("features"), col("prediction")).as("is_nearest"))
     }),
 
     // Gap-based sessionization (30-min inactivity) — relational, oracled.
@@ -147,6 +215,17 @@ object MlOps {
         .select(col("media_id"), col("resized_bytes"))
     }),
 
+    // REAL audio decode, oracle-checked: payloads are genuine RIFF/WAVE
+    // files whose sample rate and frame count are arithmetic in the id,
+    // the decoder is javax.sound.sampled (header-only), and DuckDB
+    // predicts what a correct WAV parser must recover.
+    "mm_audio_meta" -> ((s, d) => {
+      val wavs = Multimodal.synthesizeAudio(Tables.documents(s, d), "doc_id")
+      Multimodal.decodeAudioMeta(s, wavs).toDF()
+        .select("media_id", "n_bytes", "sample_rate", "channels", "bits",
+          "n_frames", "codec")
+    }),
+
     // REAL image decode, oracle-checked: payloads are genuine PNGs whose
     // dimensions are arithmetic in the id, the decoder is javax.imageio,
     // and DuckDB predicts what a correct decoder must recover.
@@ -182,6 +261,58 @@ object MlOps {
   )
 
   val oracle: Map[String, String] = Map(
+    // nearest-center invariant: a correct K-Means must assign every
+    // vector to its closest center
+    "ml_kmeans_assign" ->
+      "SELECT vec_id, 1 AS is_nearest FROM embeddings",
+
+    // structural contract: exactly k=5 non-empty clusters partitioning
+    // every input row
+    "ml_kmeans_cosine_sizes" ->
+      """SELECT 5 AS n_clusters, count(*) AS total_members, 1 AS all_nonempty
+        |FROM embeddings""".stripMargin,
+
+    // Lloyd invariants: full coverage, bounded iterations, monotone
+    // non-increasing finite total loss
+    "ml_lloyd_losses" ->
+      """SELECT count(*) AS n_points, 1 AS iters_ok, 1 AS loss_monotone,
+        |  1 AS all_finite
+        |FROM embeddings""".stripMargin,
+
+    // nearest-center invariant (cosine) over the text pipeline's exact
+    // document set, recomputed relationally from the corpus
+    "ml_doc_clusters" ->
+      s"""SELECT DISTINCT doc_id, 1 AS is_nearest
+         |FROM (${TextPipeline.oracle("t4_tfidf")}) t""".stripMargin,
+
+    // the stub decode is deterministic modular arithmetic over the
+    // payload bytes (= the ASCII text's codes), so the oracle replays it
+    // value-for-value: polynomial hash mod 1e9+7, then width/height
+    "mm_decode_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  CAST(length(text) AS INT) AS n_bytes,
+        |  CAST(16 + crc % 1024 AS INT) AS width,
+        |  CAST(16 + (crc // 7) % 1024 AS INT) AS height,
+        |  CAST(crc AS BIGINT) AS checksum
+        |FROM (SELECT doc_id, text,
+        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(regexp_split_to_array(text, ''), c ->
+        |            CAST(ascii(c) AS BIGINT))),
+        |          (acc, c) -> (acc * 31 + c) % 1000000007) AS crc
+        |      FROM documents) t""".stripMargin,
+
+    // a correct WAV parser must recover the synthesized header fields
+    "mm_audio_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(44 + (50 + doc_id % 100) * 2 AS INT) AS n_bytes,
+        |  CAST(8000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+        |  1 AS channels, 16 AS bits,
+        |  CAST(50 + doc_id % 100 AS BIGINT) AS n_frames,
+        |  'wav' AS codec
+        |FROM documents""".stripMargin,
+
     "ev_sessionize" ->
       """SELECT user_id, event_id, CAST(session_idx AS BIGINT) AS session_idx FROM (
         |  SELECT user_id, event_id,

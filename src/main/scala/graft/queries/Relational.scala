@@ -98,12 +98,19 @@ object Relational {
 
     // A7 north-star variant: HLL sketch distinct count per group (exact
     // at 100 TB is a full shuffle of the distinct keys; the sketch is one
-    // pass, fixed memory). Spark's HLL++ differs from DuckDB's sketch →
-    // rows-only driver check; accuracy is property-tested vs exact.
+    // pass, fixed memory). Spark's HLL++ internals differ from DuckDB's,
+    // so the declared result is the bounded-error contract: the exact
+    // count (hash-checked value-for-value) plus a flag that the rsd=0.02
+    // sketch landed within 10% of it — a driver-visible accuracy check,
+    // not a rows-only count.
     "a7b_approx_distinct" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_orderkey", 0.02).as("approx_orders"))),
+        .agg(countDistinct("l_orderkey").as("exact_orders"),
+          approx_count_distinct("l_orderkey", 0.02).as("__approx"))
+        .select(col("l_returnflag"), col("exact_orders"),
+          (abs(col("__approx") - col("exact_orders")) <=
+            col("exact_orders") * 0.1).cast("int").as("approx_ok"))),
 
     // §2.4-absent built-ins the declared surface exercises anyway:
     // hierarchical subtotals in one pass (no union of re-aggregations).
@@ -126,18 +133,27 @@ object Relational {
         .agg(count(lit(1)).as("n_orders"), sum("o_totalprice").as("sum_price"))),
 
     // Quantile sketch (approx_percentile): one pass, fixed memory — the
-    // 100 TB form of percentiles. Sketch internals differ across engines →
-    // rows-only driver check; accuracy is property-tested vs exact. The
-    // quantile array is emitted as a comma-joined string (array-typed
-    // outputs are unhashable in common verification harnesses).
+    // 100 TB form of percentiles. Sketch internals differ across engines,
+    // so the declared result is the bounded-error contract: the group's
+    // row count (hash-checked) plus flags that each sketched quantile
+    // lies between the EXACT quantiles at rank ±0.02 (accuracy=1000 =>
+    // rank error <= 0.001; 0.02 leaves 20x headroom) — a driver-visible
+    // accuracy check, not a rows-only count.
     "a_quantile_sketch" -> ((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_percentile(col("l_extendedprice"),
-          array(lit(0.5), lit(0.95)), lit(1000)).as("__q"))
-        .select(col("l_returnflag"),
-          concat_ws(",", transform(col("__q"), x => round(x, 4).cast("string")))
-            .as("price_quantiles"))),
+        .agg(count(lit(1)).as("n_rows"),
+          approx_percentile(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(1000)).as("__q"),
+          percentile(col("l_extendedprice"),
+            array(lit(0.48), lit(0.52), lit(0.93), lit(0.97))).as("__e"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (element_at(col("__q"), 1).between(
+            element_at(col("__e"), 1), element_at(col("__e"), 2)))
+            .cast("int").as("ok_q50"),
+          (element_at(col("__q"), 2).between(
+            element_at(col("__e"), 3), element_at(col("__e"), 4)))
+            .cast("int").as("ok_q95"))),
 
     // J1/J3/J4: star join — broadcast every dimension, aggregate the fact.
     "j1_star_join" -> ((s, d) => {
@@ -431,6 +447,15 @@ object Relational {
            count(DISTINCT date_trunc('month', o_orderdate)) AS n_months,
            count(*) AS n_orders
          FROM orders GROUP BY 1""",
+
+    "a7b_approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_orders,
+           1 AS approx_ok
+         FROM lineitem GROUP BY 1""",
+
+    "a_quantile_sketch" ->
+      """SELECT l_returnflag, count(*) AS n_rows, 1 AS ok_q50, 1 AS ok_q95
+         FROM lineitem GROUP BY 1""",
 
     "a_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,

@@ -1,7 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.BinaryType
 
 /** Skew-mitigation building blocks for the 100 TB posture. AQE's skew-join
   * splitting handles most runtime skew; these are the declarative forms
@@ -67,9 +70,21 @@ object Skew {
       catch { case _: NullPointerException => None }
     val prefiltered = bloom match {
       case Some(bf) =>
-        val bc = probe.sparkSession.sparkContext.broadcast(bf)
-        val mightMatch = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))
-        probe.filter(mightMatch(col(probeKey)))
+        // Native codegen probe: the filter bytes ride as a binary literal
+        // into BloomFilterMightContain (what InjectRuntimeFilter plans),
+        // keeping the hot filter inside whole-stage codegen — no boxed-Long
+        // scala UDF per probe row. stat.bloomFilter inserts the raw long
+        // values (putLong), so the probe side passes the raw key, not a
+        // rehash. A 1M-item/1% filter is ~1.2 MB: fine as a task literal.
+        val bytes = {
+          val bos = new java.io.ByteArrayOutputStream()
+          bf.writeTo(bos)
+          bos.toByteArray
+        }
+        val mightMatch = ColumnBridge.column(BloomFilterMightContain(
+          Literal(bytes, BinaryType),
+          ColumnBridge.expression(col(probeKey).cast("long"))))
+        probe.filter(col(probeKey).isNotNull && mightMatch)
       case None => probe
     }
     prefiltered.join(build, col(probeKey) === col(buildKey))

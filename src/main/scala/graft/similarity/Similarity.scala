@@ -81,38 +81,37 @@ object Similarity {
       .select("id_a", "id_b", "cosine_sim")
   }
 
-  /** A built IVF index: the L2-normalized corpus bucketed by nearest
-    * coarse centroid (`cells`: cell, neighbor_id, cvec) plus the centroid
-    * table itself. Build once, serve many query batches — at 100 TB the
-    * cells table is written `partitionBy("cell")` so a probe touching
-    * `nprobe` of `nlist` cells scans only those partitions.
+  /** A built IVF index: the corpus bucketed by nearest coarse centroid
+    * (`cells`: cell, neighbor_id, cvec RAW, cnorm) plus the centroid table
+    * itself (centroids live in the L2-normalized space the quantizer was
+    * fit in). Cells keep the RAW vectors + hoisted norms so the in-cell
+    * score `dot/(qnorm·cnorm)` is bit-identical to [[bruteForceTopK]] —
+    * at `nprobe == nlist` the index path IS the exact query. Build once,
+    * serve many query batches — at 100 TB the cells table is written
+    * `partitionBy("cell")` so a probe touching `nprobe` of `nlist` cells
+    * scans only those partitions.
     */
   final case class IvfIndex(cells: DataFrame, centroids: Array[(Int, Array[Double])])
 
-  /** L2-normalize a vector column; the norm is a separate projection step
-    * so it is computed once per row, not once per element inside the
-    * transform lambda.
-    */
-  private def unitized(df: DataFrame, id: String, vecCol: String,
-                       asId: String, asVec: String): DataFrame =
-    df.select(col(id).as(asId), col(vecCol).as("v"), norm(col(vecCol)).as("nrm"))
-      .select(col(asId), transform(col("v"), x => x.cast("double") / col("nrm")).as(asVec))
-
   /** Build the IVF coarse quantizer: seeded K-Means over the L2-normalized
     * corpus, one fit + one transform (cell assignment). Euclidean cells on
-    * unit vectors order like cosine.
+    * unit vectors order like cosine. The normalization exists only for the
+    * fit; the cells table keeps the raw vectors.
     */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     nlist: Int, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.functions.array_to_vector
-    val cNorm = unitized(corpus, idCol, vecCol, "neighbor_id", "cvec")
-    val feats = cNorm.select(col("neighbor_id"), array_to_vector(col("cvec")).as("features"))
+    val raw = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cnorm"))
+    val feats = raw.select(col("neighbor_id"),
+      array_to_vector(transform(col("cvec"), x => x.cast("double") / col("cnorm")))
+        .as("features"))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setMaxIter(10).setSeed(seed).fit(feats)
     val cells = model.transform(feats)
       .select(col("neighbor_id"), col("prediction").as("cell"))
-      .join(cNorm, "neighbor_id")
-      .select("cell", "neighbor_id", "cvec")
+      .join(raw, "neighbor_id")
+      .select("cell", "neighbor_id", "cvec", "cnorm")
     IvfIndex(cells, model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
   }
 
@@ -144,26 +143,32 @@ object Similarity {
     * `cell` (queries carry their probed cells exploded), never a cross
     * join; the probe side broadcasts, so on a partitioned index the join
     * triggers dynamic partition pruning of the cells scan. With
-    * `nprobe == nlist` the result equals [[bruteForceTopK]] exactly.
+    * `nprobe == nlist` the result equals [[bruteForceTopK]] bit-exactly:
+    * every (query, corpus) pair is scored once via the hash join, with
+    * the identical `dot/(qnorm·cnorm)` formula over the raw vectors.
     */
   def queryIvf(index: IvfIndex, queries: DataFrame, idCol: String,
                vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val qNorm = unitized(queries, idCol, vecCol, "query_id", "qvec")
+    val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qnorm"))
     val centroidLits = index.centroids.map { case (i, c) =>
       struct(lit(i).as("cell"), array(c.map(lit).toSeq: _*).as("centroid"))
     }
-    val probed = qNorm
-      .select(col("query_id"), col("qvec"),
+    // cell ranking by -dot(raw, centroid): same order as the normalized
+    // dot (qnorm is a positive per-query constant inside the partition)
+    val probed = qRaw
+      .select(col("query_id"), col("qvec"), col("qnorm"),
         explode(array(centroidLits.toSeq: _*)).as("cc"))
       .withColumn("cdist", -dot(col("qvec"), col("cc.centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cc.cell"))))
       .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("cc.cell").as("cell"))
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("cc.cell").as("cell"))
 
     val scored = index.cells.join(broadcast(probed), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine_sim", dot(col("qvec"), col("cvec")))
+      .withColumn("cosine_sim",
+        dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

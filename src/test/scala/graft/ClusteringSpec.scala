@@ -58,6 +58,32 @@ class ClusteringSpec extends AnyFunSuite {
     assert(res.iterations <= 10)
   }
 
+  test("lloyd loop cosine mode: converges at tol on a rotated-norms fixture") {
+    import spark.implicits._
+    // two tight ANGULAR clusters whose member norms vary 100x: the mean
+    // centers drift in norm between iterations long after the angles have
+    // settled, so a Euclidean displacement test would see large movement
+    // (or converge at a tol whose meaning depends on the data's scale)
+    // while the angular displacement drops to ~0 after the first pass.
+    val pts = (0 until 40).map { i =>
+      val r = 1.0 + 99.0 * (i % 5) / 4.0 // norms 1..100
+      val theta = (if (i % 2 == 0) 0.1 else 1.47) + 0.01 * (i % 7)
+      (i.toLong, Vectors.dense(r * math.cos(theta), r * math.sin(theta)))
+    }.toDF("id", "features")
+    val res = Clustering.lloydLoop(spark, pts, "id", k = 2, maxIter = 20,
+      tol = 1e-6, distanceMeasure = "cosine")
+    assert(res.iterations < 20,
+      s"cosine mode did not converge at tol: ran ${res.iterations} iterations")
+    // converged to the angular split: clusters == parity groups
+    val byCluster = res.assignments.collect()
+      .map(r => (r.getLong(0), r.getAs[Int]("cluster"))).groupBy(_._2)
+    assert(byCluster.size == 2)
+    byCluster.values.foreach { members =>
+      val parities = members.map(_._1 % 2).toSet
+      assert(parities.size == 1, "a cosine cluster mixed the angular groups")
+    }
+  }
+
   test("topComponents keeps ties (no TreeMap collapse) and orders by value") {
     val centers = Array(Vectors.dense(5.0, 5.0, 1.0, 9.0))
     val top = Clustering.topComponents(centers, 3)

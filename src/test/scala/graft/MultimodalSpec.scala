@@ -32,6 +32,23 @@ class MultimodalSpec extends AnyFunSuite {
     out.foreach(r => assert(r.getAs[Array[Byte]]("payload_resized").length <= 5))
   }
 
+  test("real WAV decode recovers the synthesized header fields; non-audio falls back to stub") {
+    val ids = Seq(0L, 1L, 2L, 99L, 100L, 257L).toDF("id")
+    val metas = Multimodal.decodeAudioMeta(spark, Multimodal.synthesizeAudio(ids, "id"))
+      .collect().map(m => m.media_id -> m).toMap
+    assert(metas.keySet == Set(0L, 1L, 2L, 99L, 100L, 257L))
+    metas.foreach { case (id, m) =>
+      assert(m.codec == "wav", s"payload $id must be a real parseable WAV")
+      assert(m.sample_rate == 8000 * (1 + (id % 3).toInt), s"id $id rate")
+      assert(m.n_frames == 50 + (id % 100), s"id $id frames")
+      assert(m.channels == 1 && m.bits == 16)
+      assert(m.n_bytes == 44 + 2 * m.n_frames)
+    }
+    // a text payload is not audio: stub fallback path, tagged as such
+    val stub = Multimodal.decodeAudioMeta(spark, media).collect()
+    assert(stub.nonEmpty && stub.forall(_.codec == "stub"))
+  }
+
   test("real PNG decode recovers the synthesized golden dimensions") {
     val ids = Seq(0L, 1L, 7L, 15L, 16L, 144L).toDF("id")
     val metas = Multimodal.decodeImageMeta(spark, Multimodal.synthesizeImages(ids, "id"))

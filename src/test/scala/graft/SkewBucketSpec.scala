@@ -82,6 +82,14 @@ class SkewBucketSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getAs[Number](1).longValue, r.getDouble(2))).sorted.toSeq
     assert(key(bloomed) == key(plain), "bloom pre-filter changed the join result")
 
+    // the probe filter must be the NATIVE BloomFilterMightContain
+    // expression (codegen), never a boxed scala UDF on the hot path
+    val executed = bloomed.queryExecution.executedPlan.toString
+    assert(executed.contains("might_contain"),
+      s"expected native might_contain probe in:\n$executed")
+    assert(!executed.contains("UDF"),
+      s"scala UDF on the bloom probe path:\n$executed")
+
     // the pre-filter must actually drop most non-matching probe rows
     val bloom = bigOrders.stat.bloomFilter("o_orderkey", 10000L, 0.01)
     val kept = li.filter(udf((k: java.lang.Long) =>
