@@ -104,9 +104,15 @@ object Relational {
     // sketch landed within 10% of it — a driver-visible accuracy check,
     // not a rows-only count.
     "a7b_approx_distinct" -> ((s, d) =>
+      // one distinct-shuffle serves both sides: HLL is duplicate-
+      // insensitive, so sketching the deduped (flag, key) pairs gives
+      // the identical estimate as sketching the raw scan — without the
+      // Expand a combined countDistinct+HLL aggregate would plan (which
+      // doubles every input row)
       Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_orderkey").agg(count(lit(1)).as("__dup"))
         .groupBy("l_returnflag")
-        .agg(countDistinct("l_orderkey").as("exact_orders"),
+        .agg(count(lit(1)).as("exact_orders"),
           approx_count_distinct("l_orderkey", 0.02).as("__approx"))
         .select(col("l_returnflag"), col("exact_orders"),
           (abs(col("__approx") - col("exact_orders")) <=
