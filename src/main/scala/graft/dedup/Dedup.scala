@@ -59,6 +59,28 @@ object Dedup {
     }
   }
 
+  /** Benchmark decontamination: per corpus document, how many of its
+    * distinct n-gram shingles also occur anywhere in `benchmark` (the
+    * held-out eval set a training corpus must not leak). Returns only
+    * contaminated docs — `(idCol, n_hits)`, `n_hits >= 1` — the drop
+    * list a training run subtracts.
+    *
+    * Scale shape: the benchmark's distinct-shingle set is SMALL by
+    * construction (eval sets are thousands of docs, not billions), so it
+    * broadcasts; the corpus side is one shingle pass + a broadcast
+    * left-semi join + one aggregation on `idCol`. The corpus is never
+    * self-joined and never shuffled on `shingle`.
+    */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, n: Int = 3): DataFrame = {
+    val benchShingles = shingles(benchmark, idCol, textCol, n)
+      .select("shingle").distinct()
+    shingles(corpus, idCol, textCol, n)
+      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Near-dup pairs by n-gram Jaccard similarity >= `threshold`, via an
     * inverted-index self-join on shingles (only docs sharing at least one
     * shingle are ever paired). Returns (id_a, id_b, jaccard), id_a < id_b.

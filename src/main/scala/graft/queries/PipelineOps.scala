@@ -204,6 +204,20 @@ object PipelineOps {
         .select(docs("doc_id"), col("lang"), col("n_chars"))
     }),
 
+    // Benchmark decontamination: docs sharing any 3-gram shingle with
+    // the held-out eval set (deterministic subset doc_id % 97 == 0
+    // standing in for a real benchmark). The eval set's distinct
+    // shingles broadcast (eval sets are small by construction); the
+    // corpus side is one shingle pass + broadcast semi-join + one
+    // aggregation — never self-joined, never shuffled on shingle.
+    "tp_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text")
+    }),
+
     // SimHash near-dup pairs: banded Hamming (<= 3 bits over 4 bands),
     // served from the shared fingerprint table.
     "dd_simhash_pairs" -> ((s, d) =>
@@ -404,6 +418,14 @@ object PipelineOps {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "dd_shingles" -> shinglesSql,
+
+    "tp_decontaminate" ->
+      s"""WITH sh AS ($shinglesSql),
+         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+         |SELECT doc_id, count(*) AS n_hits
+         |FROM sh JOIN bench USING (shingle)
+         |WHERE doc_id % 97 <> 0
+         |GROUP BY 1""".stripMargin,
 
     // sh mirrors the declared query's maxDf=50 hot-shingle cap (a no-op on
     // this data — observed max df is 25 at sf0.1 — but part of the plan).

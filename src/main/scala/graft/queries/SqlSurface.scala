@@ -283,6 +283,29 @@ object SqlSurface {
             .as("n_chunk_tokens"))
     }),
 
+    // Training-pipeline: PII scrubbing — emails, phone numbers, and IPv4
+    // literals replaced by typed tags via chained codegen regexp_replace
+    // (one narrow pass, no UDF, no shuffle; map-side next to the scan at
+    // any scale). Deterministic PII is synthesized into every document
+    // so the check is non-vacuous, and the oracle replays the identical
+    // regex chain (dialect-portable patterns: no \b, no lookaround).
+    // The redacted text rides as an md5 so the compare stays compact.
+    "tp_redact_pii" -> ((s, d) => {
+      val pii = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail"), pmod(col("doc_id"), lit(7)).cast("string"), lit(".org"),
+        lit(" call +1 555-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"),
+        lit(".0.7"))
+      val emailPat = graft.text.TextAnalysis.piiPatterns.head._1
+      graft.text.TextAnalysis
+        .redactPii(Tables.documents(s, d).withColumn("text", pii), "doc_id", "text")
+        .select(col("doc_id"),
+          md5(col("redacted")).as("redacted_md5"),
+          regexp_count(col("text"), lit(emailPat)).cast("int").as("n_emails"))
+    }),
+
     // Training-pipeline: winsorization — clamp outliers to per-group
     // exact [p05, p95]. The tiny per-group bounds table broadcasts back
     // onto the fact; one aggregation + one map, no window over the fact.
@@ -531,6 +554,24 @@ object SqlSurface {
            CAST(len(list_slice(toks, chunk_idx * 40 + 1, chunk_idx * 40 + 50)) AS INT)
              AS n_chunk_tokens
          FROM c""",
+
+    "tp_redact_pii" ->
+      """WITH pii AS (
+           SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.org'
+                  || ' call +1 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.7' AS t
+           FROM documents)
+         SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+[0-9]{1,3}[ -][0-9]{3}[ -]?[0-9]{4}', '<PHONE>', 'g'),
+             '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'))
+             AS redacted_md5,
+           CAST(len(regexp_extract_all(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails
+         FROM pii""",
 
     "tp_winsorize" ->
       """WITH b AS (

@@ -118,4 +118,23 @@ class DedupSpec extends AnyFunSuite {
     assert(contracted(2L) == 1L && contracted(3L) == 1L, "exact dups collapse to min id")
     assert(contracted(7L) == 7L, "no-signature doc stays a singleton")
   }
+
+  test("decontamination: overlap with the benchmark flags docs, clean docs absent") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "the capital of france is paris and everyone knows it")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "trivia time the capital of france is paris said the quiz"), // leaks a 3-gram run
+      (2L, "unrelated text about distributed query engines and shuffles"),
+      (3L, "of france is") // exactly one benchmark shingle
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.decontaminate(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!got.contains(2L), "clean doc must not be flagged")
+    assert(got(3L) == 1L, "single shared shingle -> n_hits 1")
+    // doc 1 shares the 3-gram window run "the capital of" .. "france is paris":
+    // shingles: "the capital of", "capital of france", "of france is", "france is paris"
+    assert(got(1L) == 4L, s"got $got")
+  }
 }

@@ -75,4 +75,17 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((3L, 3L, Some(1.0))))
     assert(got(4L) == ((5L, 2L, Some(0.4))))
   }
+
+  test("PII redaction: emails, phones, and IPs replaced by typed tags; clean text unchanged") {
+    val docs = Seq(
+      (1L, "write to alice.smith+spam@sub.example.co.uk or call +44 123-4567 now"),
+      (2L, "server at 192.168.0.1 responded"),
+      (3L, "no pii here at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("redacted")).toMap
+    assert(got(1L) == "write to <EMAIL> or call <PHONE> now", got(1L))
+    assert(got(2L) == "server at <IP> responded", got(2L))
+    assert(got(3L) == "no pii here at all")
+  }
 }
