@@ -117,6 +117,14 @@ object Soak {
       shape("repetition_signal") {
         graft.text.TextAnalysis.repetitionRatio(docs, "doc_id", "text")
       },
+      // eval sets don't grow with the corpus: benchmark = the UNAMPLIFIED
+      // subset, corpus = the amplified tables — the broadcast side stays
+      // fixed while the probe side scales, the operator's design point
+      shape("decontaminate") {
+        graft.dedup.Dedup.decontaminate(docs,
+          Tables.documents(spark, sfDir).filter(pmod(col("doc_id"), lit(97)) === 0),
+          "doc_id", "text")
+      },
       // Capped inverted-index Jaccard on the dup-heavy corpus: at high
       // mult every shingle's df exceeds the cap and is dropped before the
       // self-join — the guard doing exactly its job (bounded worst key).
