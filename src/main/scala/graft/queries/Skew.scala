@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.BinaryType
+import org.apache.spark.sql.types.{BinaryType, ByteType, IntegerType, LongType, ShortType}
 
 /** Skew-mitigation building blocks for the 100 TB posture. AQE's skew-join
   * splitting handles most runtime skew; these are the declarative forms
@@ -62,11 +62,21 @@ object Skew {
                            build: DataFrame, buildKey: String,
                            expectedItems: Long = 1000000L,
                            fpp: Double = 0.01): DataFrame = {
+    // The native probe below passes the RAW key as a long (matching
+    // stat.bloomFilter's putLong insertion), so the prefilter applies to
+    // integral keys only — for other key types the plain join runs
+    // unchanged (casting e.g. a string key to long would null it out
+    // and silently drop matching probe rows).
+    val integralKey = probe.schema(probeKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
     // Spark's stat.bloomFilter NPEs on a zero-row input (null aggregation
     // buffer); an empty build side makes the prefilter pointless anyway —
     // the plain join returns the identical (empty) result.
     val bloom =
-      try Some(build.stat.bloomFilter(buildKey, expectedItems, fpp))
+      if (!integralKey) None
+      else try Some(build.stat.bloomFilter(buildKey, expectedItems, fpp))
       catch { case _: NullPointerException => None }
     val prefiltered = bloom match {
       case Some(bf) =>

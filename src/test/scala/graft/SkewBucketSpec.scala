@@ -97,4 +97,15 @@ class SkewBucketSpec extends AnyFunSuite {
     assert(kept < li.count() / 2,
       s"bloom kept $kept of ${li.count()} probe rows — not selective")
   }
+
+  test("bloom pre-filter on a non-integral key falls back to the plain join") {
+    import spark.implicits._
+    val probe = Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v")
+    val build = Seq(("a", 10), ("c", 30)).toDF("bk", "bv")
+    val out = graft.queries.Skew
+      .bloomPrefilteredJoin(probe, "k", build, "bk", expectedItems = 10L)
+    assert(out.queryExecution.executedPlan.toString.indexOf("might_contain") < 0,
+      "string key must not be cast-to-long probed")
+    assert(out.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "c"))
+  }
 }
