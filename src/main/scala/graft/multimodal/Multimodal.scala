@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * metadata, processed per-partition in bounded batches.
   *
   * IMAGE decode and resize are REAL ([[decodeImageMeta]]/[[resizeImage]]:
-  * javax.imageio — JDK-standard, PNG/JPEG/BMP/GIF, no external codec
-  * dependency). Audio/video decode remains a clearly-marked deterministic
-  * STUB ([[stubDecode]]; this container has no AV codecs); the Spark-side
-  * plumbing — schema, encoder, partition-batched processing, metadata
-  * extraction — is identical in both paths, so swapping the stub for a
-  * JNI/javacv decoder keeps every plan shape intact.
+  * javax.imageio — JDK-standard, PNG/JPEG/BMP/GIF). AUDIO header decode is
+  * REAL ([[decodeAudioMeta]]: javax.sound.sampled, WAV/AIFF/AU). VIDEO
+  * container metadata is REAL ([[decodeVideoMeta]]: a hand-rolled ISO BMFF
+  * box walker — pure JDK). Only codec-level video frame decode stays out
+  * of scope (this container ships no video codecs); the deterministic
+  * [[stubDecode]] remains solely as the tagged fallback for unparseable
+  * payloads. The Spark-side plumbing — schema, encoder, partition-batched
+  * processing, metadata extraction — is identical in real and fallback
+  * paths, so plugging a JNI/javacv frame decoder keeps every plan shape
+  * intact.
   */
 object Multimodal {
 
@@ -267,6 +271,139 @@ object Multimodal {
         AudioMeta(m.media_id, s.n_bytes, s.width * 100, 0, 0, s.checksum, "stub")
       }
     })
+  }
+
+  final case class VideoMeta(media_id: Long, n_bytes: Int, width: Int,
+                             height: Int, duration_ms: Long, n_tracks: Int,
+                             codec: String)
+
+  /** Synthesize REAL ISO BMFF (MP4) containers — `ftyp` + `moov` with a
+    * version-0 `mvhd` (timescale 1000, duration arithmetic in the id) and
+    * one `trak`/`tkhd` carrying 16.16 fixed-point dimensions
+    * (`width = 16·(1 + id % 40)`, `height = 9·(1 + id % 40)`,
+    * `duration_ms = 500 + id % 10000`), so a SQL oracle predicts exactly
+    * what a correct box parser must recover. No media data (`mdat`) — the
+    * payload is a pure container header, which is all metadata extraction
+    * reads at scale anyway.
+    */
+  def synthesizeVideo(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = 16 * (1 + (id % 40).toInt)
+        val h = 9 * (1 + (id % 40).toInt)
+        val durMs = 500 + (id % 10000).toInt
+        val buf = java.nio.ByteBuffer.allocate(20 + 216) // big-endian (MP4)
+        def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII")): Unit
+        // ftyp
+        buf.putInt(20); fourcc("ftyp"); fourcc("isom"); buf.putInt(0); fourcc("isom")
+        // moov { mvhd, trak { tkhd } }
+        buf.putInt(216); fourcc("moov")
+        buf.putInt(108); fourcc("mvhd")
+        buf.putInt(0)           // version 0 + flags
+        buf.putInt(0).putInt(0) // creation, modification
+        buf.putInt(1000)        // timescale: ms
+        buf.putInt(durMs)       // duration in timescale units
+        buf.putInt(0x00010000)  // rate 1.0
+        buf.putShort(0x0100.toShort) // volume 1.0
+        buf.put(new Array[Byte](10)) // reserved
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(buf.putInt)  // identity matrix
+        buf.put(new Array[Byte](24)) // pre_defined
+        buf.putInt(2)           // next_track_id
+        buf.putInt(100); fourcc("trak")
+        buf.putInt(92); fourcc("tkhd")
+        buf.putInt(0x00000007)  // version 0, flags: enabled|in_movie|in_preview
+        buf.putInt(0).putInt(0) // creation, modification
+        buf.putInt(1)           // track_id
+        buf.putInt(0)           // reserved
+        buf.putInt(durMs)       // duration
+        buf.put(new Array[Byte](8)) // reserved
+        buf.putShort(0).putShort(0).putShort(0).putShort(0) // layer/alt/volume/reserved
+        Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+          .foreach(buf.putInt)
+        buf.putInt(w << 16)     // width, 16.16 fixed point
+        buf.putInt(h << 16)     // height
+        MediaFile(id, "video", buf.array())
+      })
+      .toDF()
+  }
+
+  /** REAL MP4 container parse: a genuine ISO BMFF box walker (size/type
+    * header per box, children walked recursively for `moov`/`trak`,
+    * unknown boxes skipped by size) — no offsets assumed, so any
+    * conformant container with a `moov` yields its movie duration, track
+    * count, and first visual track's `tkhd` dimensions. Header-only by
+    * construction (never touches `mdat`). Payloads that aren't ISO BMFF
+    * fall back to the deterministic stub, tagged `codec = "stub"` — the
+    * same real/stub split images and audio use.
+    */
+  def decodeVideoMeta(spark: SparkSession, media: DataFrame): Dataset[VideoMeta] = {
+    import spark.implicits._
+    media.as[MediaFile].mapPartitions(_.map { m =>
+      val meta = parseMp4(m.payload)
+      if (meta != null) meta.copy(media_id = m.media_id)
+      else {
+        val s = stubDecode(m)
+        VideoMeta(m.media_id, s.n_bytes, s.width, s.height, s.checksum, 0, "stub")
+      }
+    })
+  }
+
+  private def parseMp4(payload: Array[Byte]): VideoMeta = {
+    val buf = java.nio.ByteBuffer.wrap(payload)
+    def u32(at: Int): Long = buf.getInt(at).toLong & 0xffffffffL
+    def typ(at: Int): String =
+      new String(payload, at, 4, "US-ASCII")
+    // walk the boxes of [lo, hi), returning (type, contentStart, contentEnd)
+    def walk(lo: Int, hi: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var at = lo
+        def hasNext: Boolean = at + 8 <= hi
+        def next(): (String, Int, Int) = {
+          val size = u32(at)
+          if (size < 8 || at + size > hi) { at = hi; ("", 0, 0) }
+          else {
+            val r = (typ(at + 4), at + 8, at + size.toInt)
+            at += size.toInt
+            r
+          }
+        }
+      }
+    try {
+      if (payload.length < 8 || walk(0, payload.length)
+            .forall { case (t, _, _) => t != "ftyp" && t != "moov" }) return null
+      val moov = walk(0, payload.length).collectFirst { case ("moov", s, e) => (s, e) }
+      moov match {
+        case None => null
+        case Some((ms, me)) =>
+          var durationMs = 0L
+          var width = 0
+          var height = 0
+          var tracks = 0
+          walk(ms, me).foreach {
+            case ("mvhd", s, _) =>
+              // version 1 widens creation/modification to 64 bits and
+              // duration to u64; timescale stays u32 in both
+              val v1 = (payload(s) & 0xff) == 1
+              val timescale = if (v1) u32(s + 20) else u32(s + 12)
+              val duration = if (v1) buf.getLong(s + 24) else u32(s + 16)
+              if (timescale > 0) durationMs = duration * 1000L / timescale
+            case ("trak", s, e) =>
+              tracks += 1
+              walk(s, e).foreach {
+                case ("tkhd", ts, te) if width == 0 && te - ts >= 84 =>
+                  width = (u32(te - 8) >> 16).toInt
+                  height = (u32(te - 4) >> 16).toInt
+                case _ =>
+              }
+            case _ =>
+          }
+          VideoMeta(0L, payload.length, width, height, durationMs, tracks, "mp4")
+      }
+    } catch { case _: Exception => null }
   }
 
   final case class Features(media_id: Long, features: Array[Double])

@@ -226,6 +226,17 @@ object MlOps {
           "n_frames", "codec")
     }),
 
+    // REAL video-container decode, oracle-checked: payloads are genuine
+    // ISO BMFF (MP4) headers whose tkhd dimensions and mvhd duration are
+    // arithmetic in the id, the decoder is a real box walker, and DuckDB
+    // predicts what a correct parser must recover.
+    "mm_video_meta" -> ((s, d) => {
+      val vids = Multimodal.synthesizeVideo(Tables.documents(s, d), "doc_id")
+      Multimodal.decodeVideoMeta(s, vids).toDF()
+        .select("media_id", "n_bytes", "width", "height", "duration_ms",
+          "n_tracks", "codec")
+    }),
+
     // REAL image decode, oracle-checked: payloads are genuine PNGs whose
     // dimensions are arithmetic in the id, the decoder is javax.imageio,
     // and DuckDB predicts what a correct decoder must recover.
@@ -302,6 +313,17 @@ object MlOps {
         |            CAST(ascii(c) AS BIGINT))),
         |          (acc, c) -> (acc * 31 + c) % 1000000007) AS crc
         |      FROM documents) t""".stripMargin,
+
+    // a correct ISO BMFF box walker must recover the synthesized
+    // container fields (header-only payload: ftyp 20 + moov 216 bytes)
+    "mm_video_meta" ->
+      """SELECT doc_id AS media_id,
+        |  236 AS n_bytes,
+        |  CAST(16 * (1 + doc_id % 40) AS INT) AS width,
+        |  CAST(9 * (1 + doc_id % 40) AS INT) AS height,
+        |  CAST(500 + doc_id % 10000 AS BIGINT) AS duration_ms,
+        |  1 AS n_tracks, 'mp4' AS codec
+        |FROM documents""".stripMargin,
 
     // a correct WAV parser must recover the synthesized header fields
     "mm_audio_meta" ->

@@ -49,6 +49,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stub.nonEmpty && stub.forall(_.codec == "stub"))
   }
 
+  test("real MP4 box walk recovers the synthesized container fields; non-video falls back to stub") {
+    val ids = Seq(0L, 1L, 39L, 40L, 777L).toDF("id")
+    val metas = Multimodal.decodeVideoMeta(spark, Multimodal.synthesizeVideo(ids, "id"))
+      .collect().map(m => m.media_id -> m).toMap
+    assert(metas.keySet == Set(0L, 1L, 39L, 40L, 777L))
+    metas.foreach { case (id, m) =>
+      assert(m.codec == "mp4", s"payload $id must be a parseable ISO BMFF container")
+      assert(m.width == 16 * (1 + (id % 40).toInt), s"id $id width")
+      assert(m.height == 9 * (1 + (id % 40).toInt), s"id $id height")
+      assert(m.duration_ms == 500 + id % 10000, s"id $id duration")
+      assert(m.n_tracks == 1 && m.n_bytes == 236)
+    }
+    // a text payload is not ISO BMFF: stub fallback path, tagged as such
+    val stub = Multimodal.decodeVideoMeta(spark, media).collect()
+    assert(stub.nonEmpty && stub.forall(_.codec == "stub"))
+  }
+
   test("real PNG decode recovers the synthesized golden dimensions") {
     val ids = Seq(0L, 1L, 7L, 15L, 16L, 144L).toDF("id")
     val metas = Multimodal.decodeImageMeta(spark, Multimodal.synthesizeImages(ids, "id"))
