@@ -342,6 +342,11 @@ object PipelineOps {
     "ta_repetition" -> ((s, d) =>
       TextAnalysis.repetitionRatio(Tables.documents(s, d), "doc_id", "text")),
 
+    // Unigram log-probability quality score (perplexity-ish filter):
+    // mean ln(corpus_freq/total) over each doc's tokens.
+    "ta_unigram_logprob" -> ((s, d) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")),
+
     // Rabin-Karp rolling hash over the raw text (native expression).
     "ta_rolling_hash" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -688,6 +693,20 @@ object PipelineOps {
         |  len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS n_tokens,
         |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_subwords
         |FROM documents""".stripMargin,
+
+    "ta_unigram_logprob" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS tok
+        |  FROM documents),
+        |tf AS (SELECT tok, count(*) AS freq FROM tk GROUP BY 1),
+        |tot AS (SELECT sum(freq) AS total FROM tf)
+        |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, s.avg_logprob
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         avg(ln(freq * 1.0 / total)) AS avg_logprob
+        |  FROM tk JOIN tf USING (tok) CROSS JOIN tot
+        |  GROUP BY 1) s ON d.doc_id = s.doc_id""".stripMargin,
 
     // bytes == ascii codes here: the documents fixture is pure ASCII
     "ta_rolling_hash" ->

@@ -129,6 +129,33 @@ object TextAnalysis {
         (col("top_bigram_freq") / col("n_bigrams")).as("repetition_ratio"))
   }
 
+  /** Corpus-frequency unigram log-probability score — the "perplexity-ish"
+    * quality filter: per document, the mean over its tokens of
+    * `ln(corpus_freq(token) / corpus_total)`. Documents of rare/garbled
+    * tokens score far below fluent text. Self-scored (the model IS the
+    * corpus), so every token has freq >= 1 and no smoothing is needed.
+    *
+    * Scale shape: one token aggregation, one equi-join on token (shuffle
+    * join — the vocabulary scales with the corpus, so no broadcast
+    * assumption), one per-doc aggregation; the corpus total rides as a
+    * broadcast single-row cross join. Tokenless docs get `n_tokens = 0`
+    * and a null score.
+    */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
+    val freqs = toks.groupBy("tok").agg(count(lit(1)).as("__freq"))
+    val total = freqs.agg(sum("__freq").as("__total"))
+    val scored = toks.join(freqs, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(col("__freq") / col("__total"))).as("avg_logprob"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("avg_logprob"))
+  }
+
   /** PII patterns for [[redactPii]] — dialect-portable regexes (no word
     * boundaries, no lookaround; character classes and bounded repeats
     * only), so a SQL engine's RE2-style matcher reproduces the exact

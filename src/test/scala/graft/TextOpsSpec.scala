@@ -88,4 +88,21 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(2L) == "server at <IP> responded", got(2L))
     assert(got(3L) == "no pii here at all")
   }
+
+  test("unigram log-prob: fluent (common-token) docs outscore garbled ones; empty docs null") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "zxqv qqzz vvxx"), // tokens that appear nowhere else
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(4L) == ((0L, None)))
+    assert(got(1L)._1 == 6L && got(3L)._1 == 3L)
+    assert(got(1L)._2.get > got(3L)._2.get,
+      s"common-token doc must outscore rare-token doc: $got")
+    assert(got.values.flatMap(_._2).forall(_ < 0.0), "log-probs are negative")
+  }
 }
