@@ -22,12 +22,22 @@ object TextPipeline {
 
   type Q = (SparkSession, String) => DataFrame
 
-  /** Term-document count matrix over `documents` (task 1.1 / A1+P1+P2). */
+  /** Term-document count matrix over `documents` (task 1.1 / A1+P1+P2).
+    * Build-once per (session, dataset) — in the reference this is
+    * literally a materialized artifact (task 1.1 writes the `.mtx` that
+    * 1.2/1.4 then READ, `sources/1.2/source/task1_2.java:34-42`), so the
+    * engine mirrors that dataflow: the tokenize+count shuffle runs once
+    * and every downstream task serves from the materialized matrix.
+    */
   def termDocCounts(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextOps.tokens(TextOps.clean(col("text")))).as("token"))
-      .groupBy("doc_id", "token")
-      .agg(count(lit(1)).as("freq"))
+    PipelineOps.memoized(s, d, "term_doc_counts") {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.tokens(TextOps.clean(col("text")))).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("freq"))
+        .localCheckpoint(true)
+    }
 
   /** TF-IDF per (doc, token): tf = freq/Σfreq-per-doc, idf = ln(N/df)
     * (task 1.4 / A5+A6+J5). N arrives as a broadcast 1-row cross join.
