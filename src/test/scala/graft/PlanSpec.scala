@@ -69,7 +69,10 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("parquet scan prunes to referenced columns only") {
-    val p = plan("t1_term_doc_count")
+    // ta_token_counts reads (doc_id, text) straight off the parquet scan
+    // (t1's count matrix is a build-once memoized table now, so its plan
+    // is a checkpoint scan, not the parquet read)
+    val p = plan("ta_token_counts")
     val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse("")
     assert(readSchema.contains("doc_id") && readSchema.contains("text"))
     assert(!readSchema.contains("lang") && !readSchema.contains("source"),
