@@ -100,9 +100,13 @@ object PipelineOps {
     */
   private def exactIvfTopK(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "ivf_exact_topk") {
-      Similarity.queryIvf(persistedIvfIndex(s, d),
+      val idx = persistedIvfIndex(s, d)
+      // nprobe = nlist (derived, not hardcoded): probing every cell is
+      // what makes this the EXACT result
+      Similarity.queryIvf(idx,
         Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
-        "vec_id", "embedding", k = 5, nprobe = 16).localCheckpoint(true)
+        "vec_id", "embedding", k = 5, nprobe = idx.centroids.length)
+        .localCheckpoint(true)
     }
 
   /** MinHash signature table (8 hex hashes per doc) over `documents`,
