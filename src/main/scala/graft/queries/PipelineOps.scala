@@ -84,7 +84,12 @@ object PipelineOps {
     ivfMemo
       .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
       .getOrElseUpdate(d, {
-        val path = s"spark-warehouse/graft_ivf_${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        // under the SESSION'S configured warehouse, like bucketedTable —
+        // a hardcoded relative "spark-warehouse/" diverges from where the
+        // session actually writes when warehouse.dir is overridden
+        val path = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"),
+          s"graft_ivf_${d.replaceAll("[^A-Za-z0-9.]", "_")}").toString
         Similarity.writeIvfIndex(
           Similarity.buildIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
             nlist = 16, seed = 42L),
