@@ -101,7 +101,44 @@ object TextPipeline {
 
     // A13/S10: global distinct-count (vocabulary size) — one row.
     "t6_vocab_size" -> ((s, d) =>
-      termDocCounts(s, d).agg(countDistinct("token").as("vocab_size")))
+      termDocCounts(s, d).agg(countDistinct("token").as("vocab_size"))),
+
+    // Heavy hitters, sketch-checked: the exact global top-10 terms
+    // (hash-checked value-for-value, t3's shape) plus a flag that a
+    // ONE-PASS count-min sketch over the raw token stream brackets each
+    // exact count inside its [true, true + eps*N] guarantee. At 100 TB
+    // the exact form shuffles every distinct token; the sketch is a
+    // map-side-mergeable aggregate in fixed memory (width 2/eps ×
+    // depth ln(1/(1-conf)) counters), so frequency questions cost one
+    // scan and no token shuffle. Seeded => deterministic across runs.
+    // Driver-side work is bounded: one sketch binary + 10 rows.
+    "t7_heavy_hitters" -> ((s, d) => {
+      import s.implicits._
+      val eps = 1e-4
+      val top = termDocCounts(s, d)
+        .groupBy("token").agg(sum("freq").as("total_freq"))
+        .orderBy(desc("total_freq"), asc("token"))
+        .limit(10)
+        .collect()
+      val flagged =
+        if (top.isEmpty) Seq.empty[(String, Long, Int)]
+        else {
+          val skBytes = Tables.documents(s, d)
+            .select(explode(TextOps.tokens(TextOps.clean(col("text")))).as("token"))
+            .agg(count_min_sketch(col("token"), lit(eps), lit(0.999), lit(42)).as("sk"))
+            .head.getAs[Array[Byte]](0)
+          val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(skBytes)
+          // collisions inflate an estimate by at most eps * totalCount
+          // with prob >= conf; never deflate (CMS only over-counts)
+          val slack = math.ceil(eps * sk.totalCount()).toLong
+          top.toSeq.map { r =>
+            val (t, f) = (r.getString(0), r.getLong(1))
+            val est = sk.estimateCount(t)
+            (t, f, if (est >= f && est <= f + slack) 1 else 0)
+          }
+        }
+      flagged.toDF("token", "total_freq", "cms_ok")
+    })
   )
 
   private val tokensSql =
@@ -152,6 +189,11 @@ object TextPipeline {
          |WHERE rn <= 5""".stripMargin,
 
     "t6_vocab_size" ->
-      s"SELECT count(DISTINCT token) AS vocab_size FROM ($countsSql) c"
+      s"SELECT count(DISTINCT token) AS vocab_size FROM ($countsSql) c",
+
+    "t7_heavy_hitters" ->
+      s"""SELECT token, CAST(sum(freq) AS BIGINT) AS total_freq, 1 AS cms_ok
+         |FROM ($countsSql) c
+         |GROUP BY 1 ORDER BY total_freq DESC, token ASC LIMIT 10""".stripMargin
   )
 }
