@@ -370,6 +370,28 @@ object SqlSurface {
           max_by(col("doc_id"),
             col("n_tokens") * 1000000L + col("doc_id")).as("keeper_id"),
           count(lit(1)).as("dup_count"))
+    }),
+
+    // Layout: Z-order (Morton) code over (l_partkey, l_suppkey) — the
+    // multi-dimensional data-skipping layout key ([[graft.layout.ZOrder]]).
+    // The declared query hash-checks the quantize + bit-interleave
+    // row-for-row against the oracle's identical expression chain;
+    // ZOrderSpec measures the actual per-file bounding-box shrink after
+    // `zorderBy`'s repartitionByRange write. Pure codegen'd bit ops, the
+    // min/max ride in as a broadcast 1-row cross join.
+    "tp_zorder" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val mm = li.agg(
+        min("l_partkey").as("__minx"), max("l_partkey").as("__maxx"),
+        min("l_suppkey").as("__miny"), max("l_suppkey").as("__maxy"))
+      li.crossJoin(broadcast(mm))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          graft.layout.ZOrder.morton(
+            graft.layout.ZOrder.quantize16(
+              col("l_partkey"), col("__minx"), col("__maxx")),
+            graft.layout.ZOrder.quantize16(
+              col("l_suppkey"), col("__miny"), col("__maxy")))
+            .as("zcode"))
     })
   )
 
@@ -618,6 +640,37 @@ object SqlSurface {
              len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) * 1000000 + doc_id)
              AS keeper_id,
            count(*) AS dup_count
-         FROM documents GROUP BY 1"""
+         FROM documents GROUP BY 1""",
+
+    // identical quantize + mask-shift ladder as graft.layout.ZOrder:
+    // the double multiply/divide and the integer bit ops are IEEE/2's-
+    // complement-exact in both engines, so the codes hash-match.
+    "tp_zorder" ->
+      """WITH mm AS (
+           SELECT min(l_partkey) AS minp, max(l_partkey) AS maxp,
+                  min(l_suppkey) AS mins, max(l_suppkey) AS maxs
+           FROM lineitem),
+         q AS (
+           SELECT l_orderkey, l_linenumber,
+             CASE WHEN maxp = minp THEN 0 ELSE
+               CAST(floor((l_partkey - minp) * 65535.0 / (maxp - minp)) AS BIGINT)
+             END AS qx,
+             CASE WHEN maxs = mins THEN 0 ELSE
+               CAST(floor((l_suppkey - mins) * 65535.0 / (maxs - mins)) AS BIGINT)
+             END AS qy
+           FROM lineitem, mm),
+         s1 AS (SELECT l_orderkey, l_linenumber,
+                  ((qx | (qx << 8)) & 16711935) AS qx,
+                  ((qy | (qy << 8)) & 16711935) AS qy FROM q),
+         s2 AS (SELECT l_orderkey, l_linenumber,
+                  ((qx | (qx << 4)) & 252645135) AS qx,
+                  ((qy | (qy << 4)) & 252645135) AS qy FROM s1),
+         s3 AS (SELECT l_orderkey, l_linenumber,
+                  ((qx | (qx << 2)) & 858993459) AS qx,
+                  ((qy | (qy << 2)) & 858993459) AS qy FROM s2),
+         s4 AS (SELECT l_orderkey, l_linenumber,
+                  ((qx | (qx << 1)) & 1431655765) AS qx,
+                  ((qy | (qy << 1)) & 1431655765) AS qy FROM s3)
+         SELECT l_orderkey, l_linenumber, (qx | (qy << 1)) AS zcode FROM s4"""
   )
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Tables
+import graft.layout.ZOrder
+
+/** Morton-code mechanics plus the layout payoff: after `zorderBy`, each
+  * written file covers a compact rectangle of the two layout dimensions,
+  * so min/max file stats can prune scans filtered on EITHER column.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val d = SparkTestSession.sfDir
+
+  test("morton interleave: known bit patterns") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L),
+      (0xFFFFL, 0L), (0L, 0xFFFFL), (0xFFFFL, 0xFFFFL), (0x1234L, 0x0F0FL))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), ZOrder.morton(col("x"), col("y")).as("z"))
+    val got = df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+
+    def interleaveRef(x: Long, y: Long): Long =
+      (0 until 16).map { i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }.reduce(_ | _)
+
+    got.foreach { case ((x, y), z) => assert(z == interleaveRef(x, y), s"($x,$y)") }
+    assert(got((0xFFFFL, 0xFFFFL)) == 0xFFFFFFFFL) // full 32-bit coverage
+  }
+
+  test("morton preserves locality: nearby points share code prefixes") {
+    import spark.implicits._
+    // quadrant = top 2 bits of the code: points in the same half-plane
+    // pair (x<32768, y<32768) must land in the same quadrant
+    val pts = Seq((100L, 200L), (31000L, 29000L), (40000L, 40000L), (65000L, 64000L))
+      .toDF("x", "y")
+      .select(ZOrder.morton(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    assert((pts(0) >> 30) == 0L && (pts(1) >> 30) == 0L) // both in (lo, lo)
+    assert((pts(2) >> 30) == 3L && (pts(3) >> 30) == 3L) // both in (hi, hi)
+  }
+
+  test("zorderBy shrinks per-file bounding boxes vs the natural layout") {
+    val li = Tables.lineitem(spark, d).select("l_orderkey", "l_partkey", "l_suppkey")
+    val out = java.nio.file.Files.createTempDirectory("zorder").toString
+
+    ZOrder.zorderBy(li, "l_partkey", "l_suppkey", numFiles = 8)
+      .write.mode("overwrite").parquet(s"$out/z")
+    li.repartition(8).write.mode("overwrite").parquet(s"$out/natural")
+
+    // mean normalized bounding-box area per file: the fraction of the
+    // (part, supp) key space a scan of that file might touch
+    def meanBoxArea(path: String): Double = {
+      val byFile = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_partkey").as("minp"), max("l_partkey").as("maxp"),
+          min("l_suppkey").as("mins"), max("l_suppkey").as("maxs"))
+        .collect()
+      val (rp, rs) = (byFile.map(_.getAs[Long]("maxp")).max.toDouble,
+        byFile.map(_.getAs[Long]("maxs")).max.toDouble)
+      byFile.map { r =>
+        ((r.getAs[Long]("maxp") - r.getAs[Long]("minp")) / rp) *
+          ((r.getAs[Long]("maxs") - r.getAs[Long]("mins")) / rs)
+      }.sum / byFile.length
+    }
+
+    val (zArea, nArea) = (meanBoxArea(s"$out/z"), meanBoxArea(s"$out/natural"))
+    // natural layout: every file spans ~the whole plane (area ~1). The
+    // z-ordered layout's 8 files tile the Morton curve, so each covers
+    // a small rectangle. 0.5 is a loose bound; observed is far lower.
+    assert(zArea < 0.5 * nArea, s"z=$zArea natural=$nArea")
+
+    // data-skipping payoff: a box predicate on BOTH dims overlaps few
+    // z-ordered file bounding boxes (file-level min/max pruning's view)
+    val boxes = spark.read.parquet(s"$out/z")
+      .groupBy(input_file_name().as("f"))
+      .agg(min("l_partkey").as("minp"), max("l_partkey").as("maxp"),
+        min("l_suppkey").as("mins"), max("l_suppkey").as("maxs"))
+      .collect()
+    val (pLo, pHi, sLo, sHi) = (1L, 50L, 1L, 3L) // small corner box
+    val overlapping = boxes.count(r =>
+      r.getAs[Long]("minp") <= pHi && r.getAs[Long]("maxp") >= pLo &&
+        r.getAs[Long]("mins") <= sHi && r.getAs[Long]("maxs") >= sLo)
+    assert(overlapping < boxes.length, s"box predicate overlaps all ${boxes.length} files")
+  }
+}
