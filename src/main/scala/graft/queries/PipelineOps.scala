@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.dedup.Dedup
-import graft.similarity.Similarity
+import graft.similarity.{Pq, Similarity}
 import graft.text.{TextAnalysis, TextOps}
 
 /** Declared queries for the training-data-pipeline operators: dedup (exact,
@@ -111,6 +111,29 @@ object PipelineOps {
       Similarity.queryIvf(idx,
         Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
         "vec_id", "embedding", k = 5, nprobe = idx.centroids.length)
+        .localCheckpoint(true)
+    }
+
+  /** Build-once PQ codebook + encoded corpus over `embeddings` (m=8
+    * subspaces × 16 codes, seeded — deterministic): the m-bytes-per-
+    * vector form a 100 TB corpus stores. The codebook is k-means driver
+    * state (dim doubles per code row); the encoded table is
+    * corpus-sized but 32x slimmer than the raw floats.
+    */
+  def pqCodebook(s: SparkSession, d: String): Pq.PqCodebook =
+    pqMemo
+      .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(d,
+        Pq.buildCodebook(Tables.embeddings(s, d), "vec_id", "embedding",
+          m = 8, ksub = 16, dim = 64, iters = 5, seed = 42L))
+
+  private val pqMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Pq.PqCodebook]]())
+
+  def pqEncoded(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "pq_encoded") {
+      Pq.encode(Tables.embeddings(s, d), "vec_id", "embedding", pqCodebook(s, d))
         .localCheckpoint(true)
     }
 
@@ -269,6 +292,31 @@ object PipelineOps {
       val approx = Similarity.queryIvf(persistedIvfIndex(s, d),
         Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
         "vec_id", "embedding", k = 5, nprobe = 6)
+      exactIvfTopK(s, d)
+        .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__m")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).cast("int").as("n_results"),
+          sum(coalesce(col("__m"), lit(0))).as("__matched"))
+        .select(col("query_id"), col("n_results"),
+          (col("__matched") >= 2).cast("int").as("recall_ok"))
+    }),
+
+    // IVFPQ + refine ([[graft.similarity.Pq]]): IVF cells prune
+    // candidates, ADC scores them as m byte-table lookups (no raw
+    // vectors touched until the rerank), the top-50 shortlist is
+    // reranked exactly. Declared as its RECALL vs the exact top-5
+    // (same floor shape as sim_ann_ivf). The near-uniform synthetic
+    // embeddings are PQ's worst case (no cluster structure for the
+    // codebooks to exploit), so the shortlist is the knob that buys
+    // recall back: at 50 of ~190 candidates the reranked result
+    // matches the IVF-only path's floor. Everything is seeded (coarse
+    // quantizer, codebook init) => deterministic.
+    "sim_ann_ivfpq" -> ((s, d) => {
+      val approx = Pq.ivfPqTopK(persistedIvfIndex(s, d), pqEncoded(s, d),
+        pqCodebook(s, d),
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
+        "vec_id", "embedding", k = 5, nprobe = 6, shortlist = 50)
       exactIvfTopK(s, d)
         .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__m")),
           Seq("query_id", "neighbor_id"), "left")
@@ -575,6 +623,12 @@ object PipelineOps {
     // oracle pins the query set, the result-set size, and the accuracy
     // floor — a driver-visible check, not a row count.
     "sim_ann_ivf" ->
+      """SELECT vec_id AS query_id, 5 AS n_results, 1 AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    // Same contract for the IVFPQ+refine path: full top-5 per query,
+    // recall floor held after ADC + exact rerank.
+    "sim_ann_ivfpq" ->
       """SELECT vec_id AS query_id, 5 AS n_results, 1 AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
 

@@ -1,0 +1,207 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for embedding search at scale.
+  *
+  * A 100 TB embedding corpus can't serve exact distances from raw
+  * float vectors: a 768-dim float32 vector is 3 KB/row. PQ splits the
+  * (L2-normalized) vector into `m` subvectors and replaces each with
+  * the id of its nearest per-subspace centroid — m bytes/row at
+  * ksub<=256 — and approximates the inner product of a query against
+  * ANY corpus vector as the sum of m table lookups (ADC, asymmetric
+  * distance computation; Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011). Combined with the IVF coarse
+  * index ([[Similarity.IvfIndex]]) for candidate pruning and an exact
+  * rerank of the ADC shortlist from the raw vectors, this is the
+  * standard IVFPQ+refine architecture — here expressed relationally:
+  * codebook training is one aggregation job per Lloyd iteration (ALL m
+  * subspaces train simultaneously — never m sequential fits), encoding
+  * is a broadcast join + min(struct) argmin, and ADC is an equi-join
+  * against a broadcast q×m×ksub lookup table. No UDFs anywhere.
+  *
+  * Driver state is m×ksub×(dim/m) doubles (= `dim` doubles per code
+  * row) — codebook size is independent of corpus size.
+  */
+object Pq {
+
+  /** Trained codebook: `centroids(subspace)(code)` is a dim/m-dim
+    * centroid in the L2-normalized space.
+    */
+  final case class PqCodebook(m: Int, subDim: Int,
+                              centroids: Array[Array[Array[Double]]])
+
+  private def dot(a: Column, b: Column): Column = Similarity.dot(a, b)
+
+  /** (vec_id, subspace, svec): the L2-normalized vector cut into m
+    * slices. Normalizing the FULL vector first makes the cosine the
+    * plain sum of per-subspace inner products.
+    */
+  private def slices(corpus: DataFrame, idCol: String, vecCol: String,
+                     m: Int, subDim: Int): DataFrame = {
+    val nrm = Similarity.norm(col(vecCol))
+    val normalized = transform(col(vecCol), x => x.cast("double") / nrm)
+    corpus.select(col(idCol).as("vec_id"),
+      posexplode(array((0 until m).map(j =>
+        slice(normalized, j * subDim + 1, subDim)): _*)))
+      .withColumnRenamed("pos", "subspace")
+      .withColumnRenamed("col", "svec")
+  }
+
+  /** Codebook rows as a small broadcastable DataFrame
+    * (subspace, code, cvec, cnormsq).
+    */
+  private def codebookDf(spark: SparkSession, cents: Array[Array[Array[Double]]]): DataFrame = {
+    import spark.implicits._
+    cents.zipWithIndex.flatMap { case (subs, j) =>
+      subs.zipWithIndex.map { case (c, code) =>
+        (j, code, c.toSeq, c.map(x => x * x).sum)
+      }
+    }.toSeq.toDF("subspace", "code", "cvec", "cnormsq")
+  }
+
+  /** Nearest-code assignment: argmin over the subspace's centroids of
+    * ||s-c||² = ||s||² − 2⟨s,c⟩ + ||c||² (the ||s||² term is constant
+    * per row, dropped). `min(struct(dist, code))` makes ties
+    * deterministic (lowest code wins).
+    */
+  private def assign(sl: DataFrame, cb: DataFrame): DataFrame =
+    sl.join(broadcast(cb), "subspace")
+      .withColumn("__dist", col("cnormsq") - lit(2.0) * dot(col("svec"), col("cvec")))
+      .groupBy("vec_id", "subspace")
+      .agg(min(struct(col("__dist"), col("code"))).as("__best"))
+      .select(col("vec_id"), col("subspace"), col("__best.code").as("code"))
+
+  /** Train all m codebooks with `iters` Lloyd iterations — ONE
+    * aggregation job per iteration covers every subspace (the update
+    * collect is m×ksub×subDim doubles: bounded driver state, like any
+    * k-means model). Seeded hash init; an emptied code keeps its
+    * previous centroid.
+    */
+  def buildCodebook(corpus: DataFrame, idCol: String, vecCol: String,
+                    m: Int, ksub: Int, dim: Int, iters: Int = 5,
+                    seed: Long = 42L): PqCodebook = {
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val subDim = dim / m
+    val spark = corpus.sparkSession
+    val sl = slices(corpus, idCol, vecCol, m, subDim).localCheckpoint(true)
+
+    // init: per subspace, the slices of the ksub lowest-hashed vectors
+    // (deterministic, spread across the corpus)
+    val wInit = Window.partitionBy("subspace")
+      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+    var cents: Array[Array[Array[Double]]] = sl
+      .withColumn("__r", row_number().over(wInit))
+      .filter(col("__r") <= ksub)
+      .select(col("subspace"), (col("__r") - 1).as("code"), col("svec"))
+      .collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_.getInt(1))
+        .map(_.getSeq[Double](2).toArray))
+
+    for (_ <- 0 until iters) {
+      val updated = assign(sl, codebookDf(spark, cents))
+        .join(sl, Seq("vec_id", "subspace"))
+        .select(col("subspace"), col("code"), posexplode(col("svec")))
+        .groupBy("subspace", "code", "pos")
+        .agg(avg("col").as("v"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getInt(1)))
+        .map { case ((j, c), rows) =>
+          (j, c) -> rows.sortBy(_.getInt(2)).map(_.getDouble(3))
+        }
+      cents = cents.zipWithIndex.map { case (subs, j) =>
+        subs.zipWithIndex.map { case (old, c) =>
+          updated.getOrElse((j, c), old)
+        }
+      }
+    }
+    PqCodebook(m, subDim, cents)
+  }
+
+  /** Encode the corpus: (vec_id, codes array<int> of length m) — the m
+    * bytes/row a 100 TB corpus actually stores. Broadcast join +
+    * argmin, one shuffle on vec_id to pack the code array.
+    */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             cb: PqCodebook): DataFrame =
+    assign(slices(corpus, idCol, vecCol, cb.m, cb.subDim),
+      codebookDf(corpus.sparkSession, cb.centroids))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
+        s => s.getField("code")).as("codes"))
+
+  /** IVFPQ + refine top-k: IVF cells prune candidates (`nprobe` of
+    * nlist cells, hash join on `cell`), ADC scores every candidate as
+    * m lookups into the broadcast q×m×ksub table (never touching raw
+    * candidate vectors), and the top-`shortlist` per query is reranked
+    * EXACTLY from the raw vectors riding in the cells table. Join keys
+    * everywhere — cell, vec_id, (query_id, subspace, code) — no cross
+    * join at any stage.
+    */
+  def ivfPqTopK(index: Similarity.IvfIndex, encoded: DataFrame,
+                cb: PqCodebook, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nprobe: Int,
+                shortlist: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      Similarity.norm(col(vecCol)).as("qnorm"))
+
+    // coarse probe: nprobe nearest cells per query (same ranking as
+    // queryIvf: -dot against the cell centroid orders like cosine)
+    val centroidLits = index.centroids.map { case (i, c) =>
+      struct(lit(i).as("cell"), array(c.map(lit).toSeq: _*).as("centroid"))
+    }
+    val probed = qRaw
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        explode(array(centroidLits.toSeq: _*)).as("cc"))
+      .withColumn("cdist", -dot(col("qvec"), col("cc.centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cc.cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cc.cell").as("cell"))
+
+    // ADC lookup table: partial inner product of each normalized query
+    // slice against each codebook centroid — q×m×ksub rows, broadcast
+    val qSlices = slices(qRaw.select(col("query_id").as("vec_id"), col("qvec")),
+      "vec_id", "qvec", cb.m, cb.subDim)
+      .withColumnRenamed("vec_id", "query_id")
+    val adcTable = qSlices
+      .join(broadcast(codebookDf(spark, cb.centroids)), "subspace")
+      .select(col("query_id"), col("subspace"), col("code"),
+        dot(col("svec"), col("cvec")).as("partial"))
+
+    // candidates -> codes -> m table lookups -> ADC score
+    val candidates = index.cells
+      .join(broadcast(probed), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id")
+    val adcScored = candidates
+      .join(encoded.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), posexplode(col("codes")))
+      .withColumnRenamed("pos", "subspace")
+      .withColumnRenamed("col", "code")
+      .join(broadcast(adcTable), Seq("query_id", "subspace", "code"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("partial").as("adc_sim"))
+    val short = adcScored
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("adc_sim"), asc("neighbor_id"))))
+      .filter(col("adc_rank") <= shortlist)
+      .select("query_id", "neighbor_id")
+
+    // refine: exact cosine over the raw vectors, shortlist-sized work
+    val reranked = short
+      .join(index.cells.select("neighbor_id", "cvec", "cnorm"), "neighbor_id")
+      .join(broadcast(qRaw), "query_id")
+      .withColumn("cosine_sim",
+        dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+    reranked
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine_sim"), asc("neighbor_id"))))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+}

@@ -28,8 +28,8 @@ class EmptyInputSpec extends AnyFunSuite {
   private val requiresData = Set(
     "ml_doc_clusters", "ml_kmeans_assign", "ml_kmeans_cosine_sizes",
     "ml_lloyd_losses", "sim_ann_ivf",
-    // routes through the persisted IVF index (a k-means fit needs rows)
-    "sim_topk")
+    // route through the persisted IVF index (a k-means fit needs rows)
+    "sim_topk", "sim_ann_ivfpq")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (n, _) => requiresData(n) }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.Tables
+import graft.queries.PipelineOps
+import graft.similarity.{Pq, Similarity}
+
+/** Product-quantization invariants: codebook shape/determinism, code
+  * range, and the refine guarantee — with every cell probed and the
+  * whole candidate set reranked, IVFPQ equals the exact top-k
+  * bit-for-bit (the ADC stage only ORDERS the shortlist; the rerank
+  * rescores it from raw vectors).
+  */
+class PqSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val d = SparkTestSession.sfDir
+
+  private lazy val cb = PipelineOps.pqCodebook(spark, d)
+  private lazy val encoded = PipelineOps.pqEncoded(spark, d)
+
+  test("codebook: m x ksub x subDim, seeded deterministic") {
+    assert(cb.m == 8 && cb.subDim == 8)
+    assert(cb.centroids.length == 8)
+    assert(cb.centroids.forall(_.length == 16))
+    assert(cb.centroids.forall(_.forall(_.length == 8)))
+    val again = Pq.buildCodebook(Tables.embeddings(spark, d), "vec_id",
+      "embedding", m = 8, ksub = 16, dim = 64, iters = 5, seed = 42L)
+    assert(cb.centroids.flatten.flatten.toSeq == again.centroids.flatten.flatten.toSeq)
+  }
+
+  test("encode: one code row per vector, m codes each, all in [0, ksub)") {
+    val n = Tables.embeddings(spark, d).count()
+    assert(encoded.count() == n)
+    val bad = encoded.filter(
+      size(col("codes")) =!= 8 ||
+        exists(col("codes"), c => c < 0 || c >= 16)).count()
+    assert(bad == 0)
+  }
+
+  test("ivfPqTopK with full probe + full shortlist equals the exact top-k") {
+    val idx = PipelineOps.persistedIvfIndex(spark, d)
+    val queries = Tables.embeddings(spark, d)
+      .filter(pmod(col("vec_id"), lit(100)) === 0)
+    val corpusN = Tables.embeddings(spark, d).count().toInt
+    val full = Pq.ivfPqTopK(idx, encoded, cb, queries, "vec_id", "embedding",
+      k = 5, nprobe = idx.centroids.length, shortlist = corpusN)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val exact = Similarity.queryIvf(idx, queries, "vec_id", "embedding",
+      k = 5, nprobe = idx.centroids.length)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full == exact)
+  }
+
+  test("operating-point result is complete: full top-5, ranks 1..5 per query") {
+    val idx = PipelineOps.persistedIvfIndex(spark, d)
+    val queries = Tables.embeddings(spark, d)
+      .filter(pmod(col("vec_id"), lit(100)) === 0)
+    val res = Pq.ivfPqTopK(idx, encoded, cb, queries, "vec_id", "embedding",
+      k = 5, nprobe = 6, shortlist = 50)
+    // every query returns a full k and ranks are 1..k, distinct
+    val perQuery = res.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), countDistinct("rank").as("nr"),
+        min("rank").as("lo"), max("rank").as("hi"))
+      .collect()
+    assert(perQuery.nonEmpty)
+    perQuery.foreach { r =>
+      assert(r.getLong(1) == 5L && r.getLong(2) == 5L
+        && r.getInt(3) == 1 && r.getInt(4) == 5, r.toString)
+    }
+  }
+}
