@@ -27,7 +27,7 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "10").toInt
-    // comma-separated extra shape sets: "text", "sim", "ml", "mm_image"
+    // comma-separated extra shape sets: "text", "sim", "ml", "mm_image", "pq", "zorder"
     // (relational always runs)
     val soakSets: Set[String] =
       sys.env.get("SPARK_GRAFT_SOAK").map(_.split(",").toSet).getOrElse(Set.empty)
@@ -168,7 +168,41 @@ object Soak {
           graft.cluster.Clustering
             .lloydLoop(spark, feats, "vec_id", k = 4, maxIter = 3).assignments
         })
-    } else Seq.empty) ++ (if (soakSets("mm_image")) {
+    } else Seq.empty) ++ (if (soakSets("pq")) {
+      val emb = amplify(Tables.embeddings(spark, sfDir), Seq("vec_id"), mult)
+      Seq(
+        // codebook training: per-iteration cost linear in rows (one
+        // aggregation job trains all m subspaces); encoding: broadcast
+        // join + argmin, linear map-side
+        shape("pq_train_encode") {
+          val cb = graft.similarity.Pq.buildCodebook(emb, "vec_id", "embedding",
+            m = 8, ksub = 16, dim = 64, iters = 3)
+          graft.similarity.Pq.encode(emb, "vec_id", "embedding", cb)
+        },
+        // full IVFPQ chain: coarse index + codebook + encode + ADC probe
+        // + rerank. The query set stays FIXED (unamplified % 1000 ids)
+        // while the corpus scales — probe cost tracks cell occupancy,
+        // not corpus size, once the builds amortize.
+        shape("ivfpq_probe") {
+          val idx = graft.similarity.Similarity.buildIvfIndex(
+            emb, "vec_id", "embedding", nlist = 16)
+          val cb = graft.similarity.Pq.buildCodebook(emb, "vec_id", "embedding",
+            m = 8, ksub = 16, dim = 64, iters = 3)
+          val enc = graft.similarity.Pq.encode(emb, "vec_id", "embedding", cb)
+          graft.similarity.Pq.ivfPqTopK(idx, enc, cb,
+            emb.filter(pmod(col("vec_id"), lit(1000L)) === 0),
+            "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 50)
+        })
+    } else Seq.empty) ++ (if (soakSets("zorder")) Seq(
+      // the layout write's cost: one range-partitioner sample pass + one
+      // shuffle + per-partition sort — must scale like any clustered
+      // write (n log n per partition, partition count grows with n)
+      shape("zorder_layout") {
+        graft.layout.ZOrder.zorderBy(
+          li.select("l_orderkey", "l_partkey", "l_suppkey"),
+          "l_partkey", "l_suppkey", numFiles = 32)
+      }
+    ) else Seq.empty) ++ (if (soakSets("mm_image")) {
       val ids = amplify(Tables.documents(spark, sfDir).select("doc_id"),
         Seq("doc_id"), mult)
       Seq(

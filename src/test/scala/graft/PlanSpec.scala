@@ -132,4 +132,22 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("tp_keep_best")
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial/final agg pair:\n$p")
   }
+
+  test("z-order key is map-side over one broadcast min/max row, no fact shuffle") {
+    val p = plan("tp_zorder")
+    // the only cross join is the 1-row min/max broadcast; the fact side
+    // itself is never exchanged before the layout key is computed
+    assert(p.contains("BroadcastNestedLoopJoin"), s"min/max should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"))
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size <= 1, // at most the min/max agg's reduce
+      s"only the 1-row aggregate may shuffle:\n$p")
+  }
+
+  test("IVFPQ probe joins on keys at every stage — no cartesian, no corpus broadcast") {
+    val p = plan("sim_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"), s"cross join in IVFPQ:\n$p")
+    // ADC table + probe + query side broadcast (all query-sized);
+    // the corpus-sized encoded table must arrive via hash joins
+    assert(p.contains("BroadcastHashJoin"))
+  }
 }
