@@ -108,4 +108,37 @@ class SkewBucketSpec extends AnyFunSuite {
       "string key must not be cast-to-long probed")
     assert(out.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "c"))
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (the unplanned-skew path)") {
+    // saltedJoin/saltedAggregate cover skew KNOWN ahead of time; this pins
+    // the runtime half of the posture: AQE detecting a hot reduce partition
+    // mid-query and splitting it, with thresholds scaled to test data
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // one hot key owning most rows, fat payload to trip the byte threshold
+      val left = spark.range(0, 60000)
+        .select(when(col("id") < 50000L, 0L).otherwise(col("id")).as("k"),
+          concat(lit("x" * 64), col("id")).as("payload"))
+      val right = spark.range(0, 1000).select(col("id").as("k"), lit(1).as("r"))
+      val joined = left.hint("merge").join(right, "k")
+      // materialize THIS Dataset's own query execution (count() would spawn
+      // a separate one and leave this adaptive plan unfinalized)
+      assert(joined.collect().length == 50000) // the hot key is the only matching one
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the hot partition skewed:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
