@@ -10,13 +10,15 @@ import org.apache.spark.sql.functions._
   * javax.imageio — JDK-standard, PNG/JPEG/BMP/GIF). AUDIO header decode is
   * REAL ([[decodeAudioMeta]]: javax.sound.sampled, WAV/AIFF/AU). VIDEO
   * container metadata is REAL ([[decodeVideoMeta]]: a hand-rolled ISO BMFF
-  * box walker — pure JDK). Only codec-level video frame decode stays out
-  * of scope (this container ships no video codecs); the deterministic
-  * [[stubDecode]] remains solely as the tagged fallback for unparseable
-  * payloads. The Spark-side plumbing — schema, encoder, partition-batched
-  * processing, metadata extraction — is identical in real and fallback
-  * paths, so plugging a JNI/javacv frame decoder keeps every plan shape
-  * intact.
+  * box walker — pure JDK), and codec-level video FRAME decode is REAL for
+  * MJPEG-in-AVI ([[decodeVideoFrames]]: RIFF `movi` walker + per-frame
+  * javax.imageio JPEG decode — MJPEG frames are standalone JPEGs). Only
+  * inter-frame codecs (H.264 etc.) stay out of scope (this container
+  * ships no such codecs); the deterministic [[stubDecode]] remains solely
+  * as the tagged fallback for unparseable payloads. The Spark-side
+  * plumbing — schema, encoder, partition-batched processing, metadata
+  * extraction — is identical in real and fallback paths, so plugging a
+  * JNI/javacv decoder for those codecs keeps every plan shape intact.
   */
 object Multimodal {
 
@@ -403,6 +405,159 @@ object Multimodal {
           }
           VideoMeta(0L, payload.length, width, height, durationMs, tracks, "mp4")
       }
+    } catch { case _: Exception => null }
+  }
+
+  final case class VideoFrame(media_id: Long, frame_idx: Int, width: Int,
+                              height: Int, n_bytes: Int, codec: String)
+
+  /** Synthesize REAL AVI/MJPEG containers (RIFF `hdrl`/`strl`/`movi`
+    * structure with genuine javax.imageio-encoded JPEG frames in `00dc`
+    * chunks — MJPEG is the one video codec the JDK decodes for free,
+    * frame-by-frame, since every frame IS a JPEG). Frame count and
+    * dimensions are arithmetic in the id (`frames = 2 + id % 4`,
+    * `width = 8 + id % 8`, `height = 8 + id % 5`), so a SQL oracle
+    * predicts exactly what a correct container walker + frame decoder
+    * must recover. Same bounded mapPartitions shape as the other
+    * synthesizers.
+    */
+  def synthesizeAviMjpeg(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val nFrames = 2 + (id % 4).toInt
+        val w = 8 + (id % 8).toInt
+        val h = 8 + (id % 5).toInt
+        val jpegs = (0 until nFrames).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { img.getRaster.setSample(x, y, 0, (id + f + x + y) % 256); x += 1 }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "jpg", baos)
+          baos.toByteArray
+        }
+        val moviContent = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+        val hdrlContent = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+        val riffContent = 4 + (8 + hdrlContent) + (8 + moviContent)
+        val buf = java.nio.ByteBuffer.allocate(8 + riffContent)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII")): Unit
+        fourcc("RIFF"); buf.putInt(riffContent); fourcc("AVI ")
+        fourcc("LIST"); buf.putInt(hdrlContent); fourcc("hdrl")
+        fourcc("avih"); buf.putInt(56)
+        buf.putInt(33333)        // usec per frame (~30fps)
+        buf.putInt(0).putInt(0)  // max bytes/sec, padding
+        buf.putInt(0)            // flags
+        buf.putInt(nFrames)
+        buf.putInt(0)            // initial frames
+        buf.putInt(1)            // streams
+        buf.putInt(0)            // suggested buffer
+        buf.putInt(w).putInt(h)
+        buf.putInt(0).putInt(0).putInt(0).putInt(0) // reserved
+        fourcc("LIST"); buf.putInt(4 + 64 + 48); fourcc("strl")
+        fourcc("strh"); buf.putInt(56)
+        fourcc("vids"); fourcc("MJPG")
+        buf.putInt(0)            // flags
+        buf.putShort(0).putShort(0) // priority, language
+        buf.putInt(0)            // initial frames
+        buf.putInt(1).putInt(30) // scale, rate (30 fps)
+        buf.putInt(0)            // start
+        buf.putInt(nFrames)      // length (frames)
+        buf.putInt(0)            // suggested buffer
+        buf.putInt(-1)           // quality
+        buf.putInt(0)            // sample size
+        buf.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+        fourcc("strf"); buf.putInt(40)
+        buf.putInt(40)           // biSize
+        buf.putInt(w).putInt(h)
+        buf.putShort(1).putShort(24) // planes, bit count
+        fourcc("MJPG")           // biCompression
+        buf.putInt(0)            // image size
+        buf.putInt(0).putInt(0)  // x/y pels per meter
+        buf.putInt(0).putInt(0)  // clr used/important
+        fourcc("LIST"); buf.putInt(moviContent); fourcc("movi")
+        jpegs.foreach { j =>
+          fourcc("00dc"); buf.putInt(j.length); buf.put(j)
+          if ((j.length & 1) == 1) buf.put(0.toByte)
+        }
+        MediaFile(id, "video", buf.array())
+      })
+      .toDF()
+  }
+
+  /** REAL codec-level video frame decode for MJPEG-in-AVI: a RIFF walker
+    * finds the `movi` LIST and pulls each `..dc`/`..db` chunk, and each
+    * frame decodes with the SAME javax.imageio JPEG reader the image path
+    * uses (in MJPEG every frame is a standalone JPEG — no inter-frame
+    * state, which also makes the format embarrassingly parallel at 100 TB:
+    * frames decode wherever their bytes land). Non-AVI payloads fall back
+    * to the byte-slice sampling of [[sampleFrames]], tagged
+    * `codec = "stub"` — same real/stub split as every other decoder here.
+    */
+  def decodeVideoFrames(spark: SparkSession, media: DataFrame): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.as[MediaFile].flatMap { m =>
+      val frames = parseAviFrames(m.payload)
+      if (frames != null)
+        frames.zipWithIndex.map { case (j, idx) =>
+          val img = readImage(j)
+          if (img != null)
+            VideoFrame(m.media_id, idx, img.getWidth, img.getHeight, j.length, "mjpeg")
+          else VideoFrame(m.media_id, idx, 0, 0, j.length, "stub")
+        }
+      else
+        m.payload.grouped(64).zipWithIndex.filter(_._2 % 4 == 0)
+          .map { case (chunk, idx) => VideoFrame(m.media_id, idx, 0, 0, chunk.length, "stub") }
+          .toSeq
+    }
+  }
+
+  /** The `movi` chunk payloads of a RIFF/AVI container, or null when the
+    * payload isn't one. Little-endian sizes, odd chunks padded — walked
+    * by structure, no offsets assumed.
+    */
+  private def parseAviFrames(payload: Array[Byte]): Seq[Array[Byte]] = {
+    if (payload.length < 12) return null
+    def typ(at: Int): String = new String(payload, at, 4, "US-ASCII")
+    def u32(at: Int): Long =
+      java.nio.ByteBuffer.wrap(payload, at, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt.toLong & 0xffffffffL
+    try {
+      if (typ(0) != "RIFF" || typ(8) != "AVI ") return null
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      var at = 12L
+      val end = math.min(payload.length.toLong, 8L + u32(4))
+      while (at + 8 <= end) {
+        val id = typ(at.toInt)
+        val size = u32(at.toInt + 4) // u32: corrupt sizes stay positive longs
+        if (at + 8 + size > end) at = end // truncated box: stop, don't loop
+        else {
+          if (id == "LIST" && at + 12 <= end && typ(at.toInt + 8) == "movi") {
+            var sub = at + 12
+            val subEnd = at + 8 + size
+            while (sub + 8 <= subEnd) {
+              val sid = typ(sub.toInt)
+              val ssize = u32(sub.toInt + 4)
+              if (sub + 8 + ssize > subEnd) sub = subEnd
+              else {
+                if (sid.endsWith("dc") || sid.endsWith("db"))
+                  frames += java.util.Arrays.copyOfRange(
+                    payload, sub.toInt + 8, (sub + 8 + ssize).toInt)
+                sub += 8 + ssize + (ssize & 1)
+              }
+            }
+          }
+          at += 8 + size + (size & 1)
+        }
+      }
+      if (frames.isEmpty) null else frames.toSeq
     } catch { case _: Exception => null }
   }
 

@@ -237,6 +237,17 @@ object MlOps {
           "n_tracks", "codec")
     }),
 
+    // REAL codec-level video FRAME decode, oracle-checked: payloads are
+    // genuine AVI/MJPEG containers (every frame a standalone JPEG), the
+    // decoder is a RIFF `movi` walker + javax.imageio per frame, and
+    // DuckDB predicts the frame count and per-frame dimensions a correct
+    // decoder must recover.
+    "mm_video_frames" -> ((s, d) => {
+      val avis = Multimodal.synthesizeAviMjpeg(Tables.documents(s, d), "doc_id")
+      Multimodal.decodeVideoFrames(s, avis).toDF()
+        .select("media_id", "frame_idx", "width", "height", "codec")
+    }),
+
     // REAL image decode, oracle-checked: payloads are genuine PNGs whose
     // dimensions are arithmetic in the id, the decoder is javax.imageio,
     // and DuckDB predicts what a correct decoder must recover.
@@ -324,6 +335,15 @@ object MlOps {
         |  CAST(500 + doc_id % 10000 AS BIGINT) AS duration_ms,
         |  1 AS n_tracks, 'mp4' AS codec
         |FROM documents""".stripMargin,
+
+    // a correct RIFF walker + JPEG decoder must recover every frame of
+    // the synthesized MJPEG container with its exact dimensions
+    "mm_video_frames" ->
+      """SELECT doc_id AS media_id, CAST(f AS INT) AS frame_idx,
+        |  CAST(8 + doc_id % 8 AS INT) AS width,
+        |  CAST(8 + doc_id % 5 AS INT) AS height,
+        |  'mjpeg' AS codec
+        |FROM documents, LATERAL unnest(range(0, CAST(2 + doc_id % 4 AS BIGINT))) t(f)""".stripMargin,
 
     // a correct WAV parser must recover the synthesized header fields
     "mm_audio_meta" ->

@@ -94,4 +94,25 @@ class MultimodalSpec extends AnyFunSuite {
     val stub = Multimodal.decodeImageMeta(spark, media).collect()
     assert(stub.forall(_.codec == "stub"))
   }
+
+  test("real MJPEG frame decode: RIFF walker + per-frame JPEG, exact counts and dims") {
+    val ids = Seq(0L, 3L, 7L, 12L).toDF("id")
+    val avis = Multimodal.synthesizeAviMjpeg(ids, "id")
+    val frames = Multimodal.decodeVideoFrames(spark, avis).collect()
+      .groupBy(_.media_id)
+    assert(frames.keySet == Set(0L, 3L, 7L, 12L))
+    frames.foreach { case (id, fs) =>
+      assert(fs.length == 2 + (id % 4).toInt, s"id $id frame count")
+      assert(fs.map(_.frame_idx).sorted.toSeq == (0 until fs.length).toSeq)
+      fs.foreach { f =>
+        assert(f.codec == "mjpeg", s"id $id must decode real JPEG frames")
+        assert(f.width == 8 + (id % 8).toInt, s"id $id width")
+        assert(f.height == 8 + (id % 5).toInt, s"id $id height")
+        assert(f.n_bytes > 100) // a real JPEG, not a slice
+      }
+    }
+    // non-AVI payloads fall back to the byte-slice stub, tagged as such
+    val stub = Multimodal.decodeVideoFrames(spark, media).collect()
+    assert(stub.nonEmpty && stub.forall(f => f.codec == "stub" && f.width == 0))
+  }
 }
