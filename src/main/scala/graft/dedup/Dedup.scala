@@ -81,6 +81,69 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Exact-substring repeated spans (the ExactSubstr method of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022 — there built on a suffix array; here re-expressed
+    * relationally so it scales on shuffle-partitioned k-gram hashes
+    * instead of a monolithic suffix structure):
+    *
+    *  1. every doc emits a positional k-token-gram hash per window
+    *     (array-built in codegen: `transform` over `sequence`, no
+    *     explode-then-window);
+    *  2. grams appearing in MORE THAN ONE document survive (one
+    *     aggregation on the gram hash — boilerplate/license headers,
+    *     templated spans);
+    *  3. each doc's surviving window positions merge into maximal
+    *     [start, end) token spans (sorted window + running-max interval
+    *     merge — the classic sweep, one shuffle on doc id).
+    *
+    * Returns (id, span_start, span_end, n_windows) per merged span —
+    * the byte ranges a training pipeline would cut or collapse. Cost:
+    * one shuffle on gram hash (partial-aggregated map-side) + one on
+    * doc id; nothing quadratic, no suffix array in memory.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 8): DataFrame = {
+    // positional k-grams via posexplode + lead windows, the same codegen
+    // shape as [[shingles]] — a `transform(sequence(...))` lambda looks
+    // tidier but higher-order functions evaluate INTERPRETED, ~10x slower
+    // on the md5-per-window hot path
+    val toksPos = docs.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val parts = (0 until k).map(i => if (i == 0) col("tok") else lead("tok", i).over(w))
+    val grams = toksPos
+      // gram BEFORE the ragged-tail filter (same ordering as [[shingles]]):
+      // filtering first would re-evaluate the leads over the filtered rows
+      // and corrupt the last k-1 windows of every doc
+      .withColumn("gram", md5(concat_ws(" ", parts: _*)))
+      .withColumn("__last", lead("tok", k - 1).over(w))
+      .filter(col("__last").isNotNull) // ragged tail: no full k-gram starts here
+      .select(col(idCol), col("pos"), col("gram"))
+      .localCheckpoint(true) // feeds both the df aggregate and the span join
+    val crossDocGrams = grams
+      .groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") > 1)
+      .select("gram")
+    val hits = grams.join(crossDocGrams, Seq("gram"), "left_semi")
+    // sorted-interval merge: a window starting at pos covers [pos, pos+k);
+    // it opens a NEW span iff it starts past every earlier window's end
+    val wPrev = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(idCol).orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hits
+      .withColumn("__new", (col("pos") >
+        coalesce(max(col("pos") + k).over(wPrev), lit(-1L))).cast("long"))
+      .withColumn("__span", sum("__new").over(wRun))
+      .groupBy(col(idCol), col("__span"))
+      .agg(min("pos").as("span_start"),
+        (max("pos") + k).as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col(idCol), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
   /** Near-dup pairs by n-gram Jaccard similarity >= `threshold`, via an
     * inverted-index self-join on shingles (only docs sharing at least one
     * shingle are ever paired). Returns (id_a, id_b, jaccard), id_a < id_b.

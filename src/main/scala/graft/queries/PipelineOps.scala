@@ -194,6 +194,14 @@ object PipelineOps {
       Dedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text", 3, 0.5,
         maxDf = Some(50L))),
 
+    // Exact-substring repeated spans (Lee et al. ACL'22 "ExactSubstr",
+    // re-expressed on shuffle-partitioned positional k-gram hashes): the
+    // maximal cross-document 8-token spans a training pipeline would cut.
+    // k=8 at test scale keeps the fixture corpus's templated sentences
+    // detectable; nothing in the plan is quadratic.
+    "dd_repeated_spans" -> ((s, d) =>
+      Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text", k = 8)),
+
     "dd_minhash_sig" -> ((s, d) => minhashSigs(s, d)),
 
     "dd_minhash_lsh" -> ((s, d) =>
@@ -480,6 +488,31 @@ object PipelineOps {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "dd_shingles" -> shinglesSql,
+
+    // identical positional-k-gram + interval-merge construction as
+    // Dedup.repeatedSpans (k = 8, raw whitespace tokens)
+    "dd_repeated_spans" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, i AS pos, md5(array_to_string(tk[i+1:i+8], ' ')) AS gram
+        |  FROM toks, LATERAL unnest(range(0, greatest(len(tk) - 7, 0))) t(i)),
+        |dup AS (SELECT gram FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) > 1),
+        |hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+        |marked AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_span
+        |  FROM hits),
+        |spans AS (
+        |  SELECT doc_id, pos,
+        |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+        |  FROM marked)
+        |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+        |  CAST(max(pos) + 8 AS INT) AS span_end, count(*) AS n_windows
+        |FROM spans GROUP BY doc_id, span_id""".stripMargin,
 
     "tp_decontaminate" ->
       s"""WITH sh AS ($shinglesSql),

@@ -137,4 +137,21 @@ class DedupSpec extends AnyFunSuite {
     // shingles: "the capital of", "capital of france", "of france is", "france is paris"
     assert(got(1L) == 4L, s"got $got")
   }
+
+  test("repeated spans: cross-doc boilerplate merges to one maximal span per doc") {
+    import spark.implicits._
+    val boiler = "this content is provided as is without warranty of any kind either express"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $boiler delta epsilon"),          // boiler at pos 3
+      (2L, s"$boiler totally different trailing words here now"), // boiler at pos 0
+      (3L, "nothing here repeats across any other document in this tiny corpus at all ok")
+    ).toDF("doc_id", "text")
+    val spans = graft.dedup.Dedup.repeatedSpans(docs, "doc_id", "text", k = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // boiler is 13 tokens -> 6 overlapping 8-gram windows, merged to ONE span
+    val byDoc = spans.groupBy(_._1)
+    assert(!byDoc.contains(3L), "unique doc must have no repeated spans")
+    assert(byDoc(1L).toSeq == Seq((1L, 3, 16, 6L)), s"got ${byDoc(1L).toSeq}")
+    assert(byDoc(2L).toSeq == Seq((2L, 0, 13, 6L)), s"got ${byDoc(2L).toSeq}")
+  }
 }
