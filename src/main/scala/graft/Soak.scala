@@ -117,6 +117,12 @@ object Soak {
       shape("repetition_signal") {
         graft.text.TextAnalysis.repetitionRatio(docs, "doc_id", "text")
       },
+      // dup-heavy worst case for ExactSubstr: with every text copied mult
+      // times, EVERY k-gram is cross-document, so the span-merge pass sees
+      // the maximum possible hit density — cost must stay linear in tokens
+      shape("repeated_spans") {
+        graft.dedup.Dedup.repeatedSpans(docs, "doc_id", "text", k = 8)
+      },
       // eval sets don't grow with the corpus: benchmark = the UNAMPLIFIED
       // subset, corpus = the amplified tables — the broadcast side stays
       // fixed while the probe side scales, the operator's design point

@@ -652,7 +652,7 @@ object PipelineOps {
          |WHERE rank <= 5""".stripMargin,
 
     // The ANN recall check: every query must return a full top-5 and
-    // recover >= 2 of the exact top-5 from 4 of 16 probed cells. The
+    // recover >= 2 of the exact top-5 from 6 of 16 probed cells. The
     // oracle pins the query set, the result-set size, and the accuracy
     // floor — a driver-visible check, not a row count.
     "sim_ann_ivf" ->
