@@ -69,8 +69,11 @@ object Bench {
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
 
     val fullJson = wrap(entries(results), "")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+    // a SPARK_GRAFT_ONLY-filtered run must not clobber the full-suite
+    // artifact SKILL.md's regression procedure diffs against
+    if (only.isEmpty)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
     println(fullJson)
 
     // Compact line: slowest-first per-query entries under a byte budget,

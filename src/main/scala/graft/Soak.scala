@@ -152,8 +152,13 @@ object Soak {
         shape("ivf_build_and_probe") {
           val idx = graft.similarity.Similarity.buildIvfIndex(
             emb, "vec_id", "embedding", nlist = 16)
+          // FIXED query set (unamplified): amplify() offsets by i*10^7,
+          // which is divisible by 1000, so filtering the amplified table
+          // would silently grow the query side x mult and report a
+          // superlinear artifact of the harness, not the operator
           graft.similarity.Similarity.queryIvf(idx,
-            emb.filter(pmod(col("vec_id"), lit(1000L)) === 0),
+            Tables.embeddings(spark, sfDir)
+              .filter(pmod(col("vec_id"), lit(1000L)) === 0),
             "vec_id", "embedding", k = 5, nprobe = 4)
         })
     } else Seq.empty) ++ (if (soakSets("ml")) {
@@ -186,9 +191,11 @@ object Soak {
           graft.similarity.Pq.encode(emb, "vec_id", "embedding", cb)
         },
         // full IVFPQ chain: coarse index + codebook + encode + ADC probe
-        // + rerank. The query set stays FIXED (unamplified % 1000 ids)
-        // while the corpus scales — probe cost tracks cell occupancy,
-        // not corpus size, once the builds amortize.
+        // + rerank. The query set stays FIXED — taken from the
+        // UNAMPLIFIED table, since amplify()'s i*10^7 key offset is
+        // divisible by 1000 and would otherwise grow the query side
+        // x mult — while the corpus scales: probe cost tracks cell
+        // occupancy, not corpus size, once the builds amortize.
         shape("ivfpq_probe") {
           val idx = graft.similarity.Similarity.buildIvfIndex(
             emb, "vec_id", "embedding", nlist = 16)
@@ -196,7 +203,8 @@ object Soak {
             m = 8, ksub = 16, dim = 64, iters = 3)
           val enc = graft.similarity.Pq.encode(emb, "vec_id", "embedding", cb)
           graft.similarity.Pq.ivfPqTopK(idx, enc, cb,
-            emb.filter(pmod(col("vec_id"), lit(1000L)) === 0),
+            Tables.embeddings(spark, sfDir)
+              .filter(pmod(col("vec_id"), lit(1000L)) === 0),
             "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 50)
         })
     } else Seq.empty) ++ (if (soakSets("zorder")) Seq(

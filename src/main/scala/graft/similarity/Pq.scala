@@ -89,13 +89,19 @@ object Pq {
     val sl = slices(corpus, idCol, vecCol, m, subDim).localCheckpoint(true)
 
     // init: per subspace, the slices of the ksub lowest-hashed vectors
-    // (deterministic, spread across the corpus)
-    val wInit = Window.partitionBy("subspace")
-      .orderBy(xxhash64(col("vec_id"), lit(seed)), col("vec_id"))
+    // (deterministic, spread across the corpus). Selected with the
+    // bounded-heap top-k aggregate — a row_number window over m
+    // partitions would sort the ENTIRE n×m slice table into m tasks,
+    // the near-global-window shape this codebase forbids at scale.
     var cents: Array[Array[Array[Double]]] = sl
-      .withColumn("__r", row_number().over(wInit))
-      .filter(col("__r") <= ksub)
-      .select(col("subspace"), (col("__r") - 1).as("code"), col("svec"))
+      .select(col("subspace"), col("vec_id"), col("svec"),
+        xxhash64(col("vec_id"), lit(seed)).cast("double").as("__h"))
+      .groupBy("subspace")
+      .agg(graft.functions.TopKBy.topKBy(-col("__h"), col("vec_id"),
+        struct(col("vec_id"), col("svec")), ksub).as("top"))
+      .select(col("subspace"), posexplode(col("top"))) // element: {ord, tie, payload}
+      .select(col("subspace"), col("pos").as("code"),
+        col("col.payload.svec").as("svec"))
       .collect()
       .groupBy(_.getInt(0)).toArray.sortBy(_._1)
       .map(_._2.sortBy(_.getInt(1))

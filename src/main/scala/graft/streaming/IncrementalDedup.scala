@@ -118,25 +118,11 @@ object IncrementalDedup {
     }
   }
 
+  // safe mid-stream: the single-writer contract means no compaction can
+  // race the recovery inside the shared listing
   private def listPriorBatches(spark: SparkSession, storeDir: String,
-                               batchId: Long): Seq[String] = {
-    val fs = CompactionSwap.fsFor(storeDir,
-      spark.sparkContext.hadoopConfiguration)
-    // safe mid-stream: the single-writer contract means no compaction can
-    // be racing this, and a dangling `.old` means history is invisible
-    CompactionSwap.recoverDanglingOld(fs, storeDir)
-    val root = new org.apache.hadoop.fs.Path(storeDir)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter { p =>
-        p.getName.startsWith("batch=") &&
-          scala.util.Try(p.getName.stripPrefix("batch=").toLong)
-            .toOption.exists(_ < batchId)
-      }
-      .map(_.toString)
-  }
+                               batchId: Long): Seq[String] =
+    BatchStore.listPriorBatches(spark, storeDir, batchId)
 
   /** All duplicate records detected so far (any batch). */
   def readDuplicates(spark: SparkSession, dupDir: String): DataFrame =
@@ -155,15 +141,9 @@ object IncrementalDedup {
     * restarted and recreated the store in between, the pre-compaction
     * history is folded back in, never deleted.
     */
-  def compactStore(spark: SparkSession, storeDir: String): Unit = {
-    val fs = CompactionSwap.fsFor(storeDir,
-      spark.sparkContext.hadoopConfiguration)
-    CompactionSwap.recoverDanglingOld(fs, storeDir)
-    val batches = listPriorBatches(spark, storeDir, Long.MaxValue)
-    if (batches.isEmpty) return
-    CompactionSwap.swap(fs, storeDir) { tmp =>
+  def compactStore(spark: SparkSession, storeDir: String): Unit =
+    BatchStore.compact(spark, storeDir) { (batches, batch0) =>
       spark.read.parquet(batches: _*)
-        .write.mode("overwrite").parquet(s"$tmp/batch=0")
-    }: Unit
-  }
+        .write.mode("overwrite").parquet(batch0)
+    }
 }

@@ -88,7 +88,7 @@ object IncrementalEmbedDedup {
     }
 
     // store lookup strictly below the current batch id: idempotent on replay
-    val priorBatches = listPriorBatches(spark, storeDir, batchId)
+    val priorBatches = BatchStore.listPriorBatches(spark, storeDir, batchId)
     val storePairs =
       if (priorBatches.isEmpty) withinPairs.limit(0)
       else {
@@ -132,24 +132,6 @@ object IncrementalEmbedDedup {
     }
   }
 
-  private def listPriorBatches(spark: SparkSession, storeDir: String,
-                               batchId: Long): Seq[String] = {
-    val fs = CompactionSwap.fsFor(storeDir,
-      spark.sparkContext.hadoopConfiguration)
-    CompactionSwap.recoverDanglingOld(fs, storeDir)
-    val root = new org.apache.hadoop.fs.Path(storeDir)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter { p =>
-        p.getName.startsWith("batch=") &&
-          scala.util.Try(p.getName.stripPrefix("batch=").toLong)
-            .toOption.exists(_ < batchId)
-      }
-      .map(_.toString)
-  }
-
   /** All near-duplicate records detected so far (any batch). */
   def readDuplicates(spark: SparkSession, dupDir: String): DataFrame =
     spark.read.parquet(dupDir).select("new_id", "dup_of", "cosine_sim", "src")
@@ -159,16 +141,10 @@ object IncrementalEmbedDedup {
     * probe's pruning relies on. Single-writer contract: stop the stream
     * first. Crash-recoverable via the shared [[CompactionSwap]].
     */
-  def compactStore(spark: SparkSession, storeDir: String): Unit = {
-    val fs = CompactionSwap.fsFor(storeDir,
-      spark.sparkContext.hadoopConfiguration)
-    CompactionSwap.recoverDanglingOld(fs, storeDir)
-    val batches = listPriorBatches(spark, storeDir, Long.MaxValue)
-    if (batches.isEmpty) return
-    CompactionSwap.swap(fs, storeDir) { tmp =>
+  def compactStore(spark: SparkSession, storeDir: String): Unit =
+    BatchStore.compact(spark, storeDir) { (batches, batch0) =>
       spark.read.option("basePath", storeDir).parquet(batches: _*)
         .select("bucket", "vec_id", "vec", "nrm")
-        .write.mode("overwrite").partitionBy("bucket").parquet(s"$tmp/batch=0")
-    }: Unit
-  }
+        .write.mode("overwrite").partitionBy("bucket").parquet(batch0)
+    }
 }
