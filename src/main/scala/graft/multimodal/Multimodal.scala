@@ -275,6 +275,53 @@ object Multimodal {
     })
   }
 
+  /** REAL audio downsample: decode the PCM frames with
+    * `javax.sound.sampled`, keep every `factor`-th frame (decimation —
+    * the resample every feature-extraction pipeline runs before a
+    * fixed-rate model), re-encode as a canonical WAV, and return the
+    * metadata of the RE-DECODED output — the declared result is what a
+    * consumer actually reads back, so the whole decode→transform→encode
+    * chain is verified, not just the arithmetic. Unparseable payloads
+    * fall back to the tagged stub. Narrow map, bounded per row.
+    */
+  def downsampleAudio(spark: SparkSession, media: DataFrame,
+                      factor: Int = 2): Dataset[AudioMeta] = {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    media.as[MediaFile].mapPartitions(_.map { m =>
+      try {
+        val ais = AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val fmt = ais.getFormat
+        val frameSize = fmt.getFrameSize
+        val bytes = ais.readAllBytes()
+        val nFrames = bytes.length / frameSize
+        val outFrames = (nFrames + factor - 1) / factor
+        val out = new Array[Byte](outFrames * frameSize)
+        var i = 0
+        while (i < outFrames) {
+          System.arraycopy(bytes, i * factor * frameSize, out, i * frameSize, frameSize)
+          i += 1
+        }
+        val outFmt = new AudioFormat(fmt.getEncoding, fmt.getSampleRate / factor,
+          fmt.getSampleSizeInBits, fmt.getChannels, frameSize,
+          fmt.getFrameRate / factor, fmt.isBigEndian)
+        val baos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(
+          new AudioInputStream(new java.io.ByteArrayInputStream(out), outFmt, outFrames),
+          AudioFileFormat.Type.WAVE, baos)
+        val ff = AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(baos.toByteArray))
+        AudioMeta(m.media_id, baos.size(), ff.getFormat.getSampleRate.toInt,
+          ff.getFormat.getChannels, ff.getFormat.getSampleSizeInBits,
+          ff.getFrameLength.toLong, "wav")
+      } catch { case _: Exception =>
+        val s = stubDecode(m)
+        AudioMeta(m.media_id, s.n_bytes, 0, 0, 0, 0L, "stub")
+      }
+    })
+  }
+
   final case class VideoMeta(media_id: Long, n_bytes: Int, width: Int,
                              height: Int, duration_ms: Long, n_tracks: Int,
                              codec: String)

@@ -237,6 +237,17 @@ object MlOps {
           "n_tracks", "codec")
     }),
 
+    // REAL audio downsample, oracle-checked end to end: decode PCM,
+    // decimate 2x, re-encode WAV, and declare the metadata of the
+    // RE-DECODED output — DuckDB predicts the halved rate and frame
+    // count a correct decode->transform->encode chain must produce.
+    "mm_audio_downsample" -> ((s, d) => {
+      val wavs = Multimodal.synthesizeAudio(Tables.documents(s, d), "doc_id")
+      Multimodal.downsampleAudio(s, wavs, factor = 2).toDF()
+        .select("media_id", "n_bytes", "sample_rate", "channels", "bits",
+          "n_frames", "codec")
+    }),
+
     // REAL codec-level video FRAME decode, oracle-checked: payloads are
     // genuine AVI/MJPEG containers (every frame a standalone JPEG), the
     // decoder is a RIFF `movi` walker + javax.imageio per frame, and
@@ -334,6 +345,17 @@ object MlOps {
         |  CAST(9 * (1 + doc_id % 40) AS INT) AS height,
         |  CAST(500 + doc_id % 10000 AS BIGINT) AS duration_ms,
         |  1 AS n_tracks, 'mp4' AS codec
+        |FROM documents""".stripMargin,
+
+    // a correct decode->decimate->encode chain must halve the rate and
+    // frame count; 44 = the canonical PCM WAV header javax.sound writes
+    "mm_audio_downsample" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(44 + ((50 + doc_id % 100 + 1) // 2) * 2 AS INT) AS n_bytes,
+        |  CAST(4000 * (1 + doc_id % 3) AS INT) AS sample_rate,
+        |  1 AS channels, 16 AS bits,
+        |  CAST((50 + doc_id % 100 + 1) // 2 AS BIGINT) AS n_frames,
+        |  'wav' AS codec
         |FROM documents""".stripMargin,
 
     // a correct RIFF walker + JPEG decoder must recover every frame of

@@ -115,4 +115,59 @@ class MultimodalSpec extends AnyFunSuite {
     val stub = Multimodal.decodeVideoFrames(spark, media).collect()
     assert(stub.nonEmpty && stub.forall(f => f.codec == "stub" && f.width == 0))
   }
+
+  test("audio downsample halves the re-decoded rate and frame count; hostile payloads tag stub") {
+    import spark.implicits._
+    val ids = Seq(2L, 7L).toDF("id")
+    val out = Multimodal.downsampleAudio(spark,
+      Multimodal.synthesizeAudio(ids, "id"), factor = 2)
+      .collect().map(a => a.media_id -> a).toMap
+    Seq(2L, 7L).foreach { id =>
+      val a = out(id)
+      assert(a.codec == "wav", s"id $id must re-decode as a real WAV")
+      assert(a.sample_rate == 4000 * (1 + (id % 3).toInt), s"id $id rate")
+      assert(a.n_frames == (50 + (id % 100) + 1) / 2, s"id $id frames")
+      assert(a.channels == 1 && a.bits == 16)
+    }
+    val stub = Multimodal.downsampleAudio(spark, media).collect()
+    assert(stub.forall(_.codec == "stub"))
+  }
+
+  test("decoders never throw on hostile payloads: random, truncated, bit-flipped") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    def realPayloads(): Seq[Array[Byte]] = {
+      val ids = Seq(1L, 2L).toDF("id")
+      (Multimodal.synthesizeImages(ids, "id").collect() ++
+        Multimodal.synthesizeAudio(ids, "id").collect() ++
+        Multimodal.synthesizeVideo(ids, "id").collect() ++
+        Multimodal.synthesizeAviMjpeg(ids, "id").collect())
+        .map(_.getAs[Array[Byte]]("payload")).toSeq
+    }
+    val hostile: Seq[Array[Byte]] =
+      // pure noise, including empty and sub-header sizes
+      (0 until 40).map(i => Array.fill(rng.nextInt(300))(rng.nextInt().toByte)) ++
+        // real containers truncated mid-structure
+        realPayloads().flatMap(p => Seq(
+          p.take(rng.nextInt(math.max(p.length, 1))),
+          p.take(4), p.take(11))) ++
+        // real containers with corrupted size/type words
+        realPayloads().map { p =>
+          val c = p.clone()
+          (0 until 8).foreach { _ =>
+            if (c.nonEmpty) c(rng.nextInt(c.length)) = rng.nextInt().toByte }
+          c
+        }
+    val media = hostile.zipWithIndex
+      .map { case (p, i) => Multimodal.MediaFile(i.toLong, "noise", p) }
+      .toDF()
+    val n = hostile.length.toLong
+    // every decoder must return a row per input (or bounded frame rows),
+    // never an executor exception; unparseable inputs carry the stub tag
+    assert(Multimodal.decodeImageMeta(spark, media).count() == n)
+    assert(Multimodal.decodeAudioMeta(spark, media).count() == n)
+    assert(Multimodal.decodeVideoMeta(spark, media).count() == n)
+    Multimodal.decodeVideoFrames(spark, media).collect() // must not throw
+    assert(Multimodal.byteHistogram(spark, media).count() == n)
+  }
 }
