@@ -49,6 +49,23 @@ object ZOrder {
     when(maxC === minC, lit(0L))
       .otherwise(floor((c - minC) * 65535.0 / (maxC - minC)).cast("long"))
 
+  /** `df` plus its Z-order key in column `zCol`: one min/max aggregate
+    * rides in as a broadcast 1-row cross join, the quantize + interleave
+    * is a pure map. Shared by [[zorderBy]] and the declared `tp_zorder`
+    * query so the layout writer and its oracle-checked key can't drift.
+    */
+  def withZCode(df: DataFrame, xCol: String, yCol: String,
+                zCol: String = "__z"): DataFrame = {
+    val mm = df.agg(
+      min(xCol).as("__minx"), max(xCol).as("__maxx"),
+      min(yCol).as("__miny"), max(yCol).as("__maxy"))
+    df.crossJoin(broadcast(mm))
+      .withColumn(zCol, morton(
+        quantize16(col(xCol), col("__minx"), col("__maxx")),
+        quantize16(col(yCol), col("__miny"), col("__maxy"))))
+      .drop("__minx", "__maxx", "__miny", "__maxy")
+  }
+
   /** Rewrite `df` in Z-order on `(xCol, yCol)`: compute the Morton code
     * of the quantized pair, range-partition into `numFiles` partitions
     * on it, and sort each partition by it. Written as-is, every file
@@ -60,16 +77,9 @@ object ZOrder {
     * every subsequent selective scan.
     */
   def zorderBy(df: DataFrame, xCol: String, yCol: String,
-               numFiles: Int): DataFrame = {
-    val mm = df.agg(
-      min(xCol).as("__minx"), max(xCol).as("__maxx"),
-      min(yCol).as("__miny"), max(yCol).as("__maxy"))
-    df.crossJoin(broadcast(mm))
-      .withColumn("__z", morton(
-        quantize16(col(xCol), col("__minx"), col("__maxx")),
-        quantize16(col(yCol), col("__miny"), col("__maxy"))))
+               numFiles: Int): DataFrame =
+    withZCode(df, xCol, yCol)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
-      .drop("__minx", "__maxx", "__miny", "__maxy", "__z")
-  }
+      .drop("__z")
 }

@@ -559,10 +559,15 @@ object Multimodal {
             VideoFrame(m.media_id, idx, img.getWidth, img.getHeight, j.length, "mjpeg")
           else VideoFrame(m.media_id, idx, 0, 0, j.length, "stub")
         }
-      else
-        m.payload.grouped(64).zipWithIndex.filter(_._2 % 4 == 0)
+      else {
+        val slices = m.payload.grouped(64).zipWithIndex.filter(_._2 % 4 == 0)
           .map { case (chunk, idx) => VideoFrame(m.media_id, idx, 0, 0, chunk.length, "stub") }
           .toSeq
+        // row-per-input contract like every other decoder: an empty
+        // payload still surfaces as one tagged stub row, never vanishes
+        if (slices.nonEmpty) slices
+        else Seq(VideoFrame(m.media_id, 0, 0, 0, 0, "stub"))
+      }
     }
   }
 

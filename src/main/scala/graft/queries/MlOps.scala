@@ -7,10 +7,12 @@ import graft.io.Tables
 import graft.cluster.Clustering
 import graft.multimodal.Multimodal
 
-/** ML / clustering / multimodal declared queries. The clustering results
-  * are seeded and structurally deterministic (row counts, cluster count)
-  * but not SQL-expressible — they get rows-only driver checks (no oracle
-  * entry). Sessionization is fully relational and oracle-checked.
+/** ML / clustering / multimodal declared queries. The clustering fits are
+  * seeded and not SQL-expressible, so their declared results are the
+  * INVARIANTS a correct fit must satisfy (nearest-center per row, k
+  * non-empty clusters, monotone finite loss) — each with an oracle entry
+  * pinning the invariant, a driver-visible check rather than a row count.
+  * Sessionization and the multimodal decoders are fully oracle-checked.
   */
 object MlOps {
 
@@ -29,10 +31,13 @@ object MlOps {
       // counts per-task scheduling dominates (floor of 8), while at real
       // scale rows/50k partitions keep the iteration jobs parallel
       // instead of serializing on a hardcoded handful
-      val feats =
-        Clustering.embeddingFeatures(Tables.embeddings(s, d), "vec_id", "embedding")
-      val nParts = math.max(8, (feats.count() / 50000L).toInt)
-      feats.coalesce(nParts).localCheckpoint(true)
+      // count the row-preserving SOURCE, not the feature pipeline — the
+      // latter would materialize the whole prep twice (once for the
+      // count, again for the checkpoint)
+      val nParts = math.max(8,
+        (Tables.embeddings(s, d).count() / 50000L).toInt)
+      Clustering.embeddingFeatures(Tables.embeddings(s, d), "vec_id", "embedding")
+        .coalesce(nParts).localCheckpoint(true)
     }
 
   /** Build-once TF-IDF document-vector table (task 2.2's model input) —

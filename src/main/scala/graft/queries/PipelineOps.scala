@@ -137,6 +137,22 @@ object PipelineOps {
         .localCheckpoint(true)
     }
 
+  /** The shared ANN accuracy contract both `sim_ann_*` queries declare:
+    * per query, the exact top-5's size (hash-checked) plus a flag that
+    * `approx` recovered at least 2 of it — one definition of the floor,
+    * used by the IVF-only and the IVFPQ paths.
+    */
+  private def recallVsExact(s: SparkSession, d: String,
+                            approx: DataFrame): DataFrame =
+    exactIvfTopK(s, d)
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__m")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).cast("int").as("n_results"),
+        sum(coalesce(col("__m"), lit(0))).as("__matched"))
+      .select(col("query_id"), col("n_results"),
+        (col("__matched") >= 2).cast("int").as("recall_ok"))
+
   /** MinHash signature table (8 hex hashes per doc) over `documents`,
     * built once per dataset — the index both `dd_minhash_sig` and the LSH
     * candidate join serve from.
@@ -296,19 +312,11 @@ object PipelineOps {
     // embeddings scatter true neighbors across cells, so this is the
     // honest operating point, not a softball), not a row count; exactness
     // at nprobe == nlist is additionally property-tested vs brute force.
-    "sim_ann_ivf" -> ((s, d) => {
-      val approx = Similarity.queryIvf(persistedIvfIndex(s, d),
-        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
-        "vec_id", "embedding", k = 5, nprobe = 6)
-      exactIvfTopK(s, d)
-        .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__m")),
-          Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).cast("int").as("n_results"),
-          sum(coalesce(col("__m"), lit(0))).as("__matched"))
-        .select(col("query_id"), col("n_results"),
-          (col("__matched") >= 2).cast("int").as("recall_ok"))
-    }),
+    "sim_ann_ivf" -> ((s, d) =>
+      recallVsExact(s, d,
+        Similarity.queryIvf(persistedIvfIndex(s, d),
+          Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
+          "vec_id", "embedding", k = 5, nprobe = 6))),
 
     // IVFPQ + refine ([[graft.similarity.Pq]]): IVF cells prune
     // candidates, ADC scores them as m byte-table lookups (no raw
@@ -320,20 +328,12 @@ object PipelineOps {
     // recall back: at 50 of ~190 candidates the reranked result
     // matches the IVF-only path's floor. Everything is seeded (coarse
     // quantizer, codebook init) => deterministic.
-    "sim_ann_ivfpq" -> ((s, d) => {
-      val approx = Pq.ivfPqTopK(persistedIvfIndex(s, d), pqEncoded(s, d),
-        pqCodebook(s, d),
-        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
-        "vec_id", "embedding", k = 5, nprobe = 6, shortlist = 50)
-      exactIvfTopK(s, d)
-        .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__m")),
-          Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).cast("int").as("n_results"),
-          sum(coalesce(col("__m"), lit(0))).as("__matched"))
-        .select(col("query_id"), col("n_results"),
-          (col("__matched") >= 2).cast("int").as("recall_ok"))
-    }),
+    "sim_ann_ivfpq" -> ((s, d) =>
+      recallVsExact(s, d,
+        Pq.ivfPqTopK(persistedIvfIndex(s, d), pqEncoded(s, d),
+          pqCodebook(s, d),
+          Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
+          "vec_id", "embedding", k = 5, nprobe = 6, shortlist = 50))),
 
     // Symmetric int8 quantization of embeddings (the storage/ANN-speed
     // form at scale: 4x smaller vectors, SIMD-friendly). Pure map; the

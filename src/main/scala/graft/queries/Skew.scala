@@ -63,21 +63,26 @@ object Skew {
                            expectedItems: Long = 1000000L,
                            fpp: Double = 0.01): DataFrame = {
     // The native probe below passes the RAW key as a long (matching
-    // stat.bloomFilter's putLong insertion), so the prefilter applies to
-    // integral keys only — for other key types the plain join runs
-    // unchanged (casting e.g. a string key to long would null it out
-    // and silently drop matching probe rows).
-    val integralKey = probe.schema(probeKey).dataType match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }
+    // stat.bloomFilter's putLong insertion), so the prefilter applies
+    // only when BOTH keys are integral — a string build key would insert
+    // UTF-8 hashes the long probe never matches (silently dropping rows
+    // the plain join keeps via implicit casts), and a non-integral probe
+    // cast to long would null out. Either mismatch → plain join.
+    def integral(df: DataFrame, key: String): Boolean =
+      df.schema(key).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
     // Spark's stat.bloomFilter NPEs on a zero-row input (null aggregation
-    // buffer); an empty build side makes the prefilter pointless anyway —
-    // the plain join returns the identical (empty) result.
+    // buffer) and rejects unsupported build-key types with IAE; an empty
+    // build side makes the prefilter pointless anyway — the plain join
+    // returns the identical result in every fallback case.
     val bloom =
-      if (!integralKey) None
+      if (!integral(probe, probeKey) || !integral(build, buildKey)) None
       else try Some(build.stat.bloomFilter(buildKey, expectedItems, fpp))
-      catch { case _: NullPointerException => None }
+      catch {
+        case _: NullPointerException | _: IllegalArgumentException => None
+      }
     val prefiltered = bloom match {
       case Some(bf) =>
         // Native codegen probe: the filter bytes ride as a binary literal

@@ -379,20 +379,12 @@ object SqlSurface {
     // ZOrderSpec measures the actual per-file bounding-box shrink after
     // `zorderBy`'s repartitionByRange write. Pure codegen'd bit ops, the
     // min/max ride in as a broadcast 1-row cross join.
-    "tp_zorder" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val mm = li.agg(
-        min("l_partkey").as("__minx"), max("l_partkey").as("__maxx"),
-        min("l_suppkey").as("__miny"), max("l_suppkey").as("__maxy"))
-      li.crossJoin(broadcast(mm))
-        .select(col("l_orderkey"), col("l_linenumber"),
-          graft.layout.ZOrder.morton(
-            graft.layout.ZOrder.quantize16(
-              col("l_partkey"), col("__minx"), col("__maxx")),
-            graft.layout.ZOrder.quantize16(
-              col("l_suppkey"), col("__miny"), col("__maxy")))
-            .as("zcode"))
-    })
+    "tp_zorder" -> ((s, d) =>
+      graft.layout.ZOrder.withZCode(
+          Tables.lineitem(s, d)
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+          "l_partkey", "l_suppkey", zCol = "zcode")
+        .select("l_orderkey", "l_linenumber", "zcode"))
   )
 
   val oracle: Map[String, String] = Map(
