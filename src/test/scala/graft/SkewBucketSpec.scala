@@ -109,6 +109,21 @@ class SkewBucketSpec extends AnyFunSuite {
     assert(out.collect().map(_.getString(0)).sorted.toSeq == Seq("a", "c"))
   }
 
+  test("bloom pre-filter with integral probe but non-integral BUILD key falls back") {
+    import spark.implicits._
+    // Spark's implicit cast makes 1L = '1' match in the plain join; a
+    // string-built bloom filter probed with putLong semantics would have
+    // silently dropped every such row before the fix
+    val probe = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "v")
+    val build = Seq(("1", 10), ("3", 30)).toDF("bk", "bv")
+    val out = graft.queries.Skew
+      .bloomPrefilteredJoin(probe, "k", build, "bk", expectedItems = 10L)
+    assert(out.queryExecution.executedPlan.toString.indexOf("might_contain") < 0,
+      "mismatched key types must skip the bloom filter entirely")
+    assert(out.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L),
+      "fallback must preserve the plain join's implicit-cast matches")
+  }
+
   test("AQE splits a skewed sort-merge join at runtime (the unplanned-skew path)") {
     // saltedJoin/saltedAggregate cover skew KNOWN ahead of time; this pins
     // the runtime half of the posture: AQE detecting a hot reduce partition
