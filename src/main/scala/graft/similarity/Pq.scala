@@ -43,9 +43,13 @@ object Pq {
                      m: Int, subDim: Int): DataFrame = {
     val nrm = Similarity.norm(col(vecCol))
     val normalized = transform(col(vecCol), x => x.cast("double") / nrm)
-    corpus.select(col(idCol).as("vec_id"),
-      posexplode(array((0 until m).map(j =>
-        slice(normalized, j * subDim + 1, subDim)): _*)))
+    corpus
+      // a zero vector has no direction: normalizing divides by 0 and the
+      // NaN slices would poison every centroid mean they're averaged into
+      .filter(nrm > 0)
+      .select(col(idCol).as("vec_id"),
+        posexplode(array((0 until m).map(j =>
+          slice(normalized, j * subDim + 1, subDim)): _*)))
       .withColumnRenamed("pos", "subspace")
       .withColumnRenamed("col", "svec")
   }
