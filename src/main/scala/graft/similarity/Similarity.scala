@@ -138,6 +138,46 @@ object Similarity {
     IvfIndex(spark.read.parquet(s"$path/cells"), cents)
   }
 
+  /** Append new vectors to a PERSISTED index without refitting the
+    * quantizer: each new vector is assigned to its nearest EXISTING
+    * coarse centroid — the same Euclidean-in-normalized-space rule the
+    * builder's `model.transform` applies (`||c||²/2 − ŝ·c` with ŝ the
+    * unit vector; centroids are not unit norm, so plain max-dot would
+    * disagree with the builder) — and appended into that cell's
+    * partition. This is the serve-many maintenance path: corpus growth
+    * is absorbed by cell appends, and recall erodes only as the data
+    * distribution drifts from the frozen centroids, at which point a
+    * rebuild re-clusters. `queryIvf` at `nprobe == nlist` stays EXACT
+    * over the grown corpus (`SimilaritySpec`).
+    *
+    * The argmin runs on a SKINNY explode (id × nlist, min(struct)
+    * partial-aggregated map-side) joined back to the raw vectors — the
+    * wide vector column never multiplies through the shuffle.
+    */
+  def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                       newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+    val idx = readIvfIndex(spark, path)
+    val raw = newVecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
+      norm(col(vecCol)).as("cnorm")).localCheckpoint(true)
+    val centroidLits = idx.centroids.map { case (i, c) =>
+      struct(lit(i).as("cell"), array(c.map(lit).toSeq: _*).as("centroid"),
+        lit(c.map(x => x * x).sum / 2).as("halfnormsq"))
+    }
+    val assigned = raw
+      .select(col("neighbor_id"),
+        transform(col("cvec"), x => x.cast("double") / col("cnorm")).as("__unit"),
+        explode(array(centroidLits.toSeq: _*)).as("cc"))
+      .withColumn("__cdist",
+        col("cc.halfnormsq") - dot(col("__unit"), col("cc.centroid")))
+      .groupBy("neighbor_id")
+      // min(struct) ties (and the all-NaN zero-norm case) break on cell id
+      .agg(min(struct(col("__cdist"), col("cc.cell").as("cell"))).as("__best"))
+      .select(col("neighbor_id"), col("__best.cell").as("cell"))
+    assigned.join(raw, "neighbor_id")
+      .select("cell", "neighbor_id", "cvec", "cnorm")
+      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+  }
+
   /** Query an IVF index: score each query only against the members of its
     * `nprobe` nearest cells. Candidate generation is a hash equi-join on
     * `cell` (queries carry their probed cells exploded), never a cross

@@ -103,4 +103,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"),
       s"expected partition pruning on cell in:\n$plan")
   }
+
+  test("index append absorbs new vectors without refit; full probe stays exact") {
+    val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val half = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val rest = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val path = "target/test-ivf-append"
+
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(half, "vec_id", "embedding", nlist = 8, seed = 42L),
+      path)
+    Similarity.appendToIvfIndex(spark, path, rest, "vec_id", "embedding")
+    val grown = Similarity.readIvfIndex(spark, path)
+    assert(grown.cells.count() == emb.count(),
+      "every appended vector must land in exactly one cell")
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    // at nprobe == nlist the grown index is EXACT over the FULL corpus —
+    // the frozen quantizer affects recall at partial probes, never the
+    // full-probe result
+    val exact = rows(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5))
+    val viaGrown = rows(Similarity.queryIvf(grown, queries, "vec_id", "embedding",
+      k = 5, nprobe = 8))
+    assert(viaGrown == exact, "appended index must serve the exact full-probe result")
+  }
 }
