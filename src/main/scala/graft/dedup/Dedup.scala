@@ -104,15 +104,77 @@ object Dedup {
     */
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 8): DataFrame = {
-    // positional k-grams via posexplode + lead windows, the same codegen
-    // shape as [[shingles]] — a `transform(sequence(...))` lambda looks
-    // tidier but higher-order functions evaluate INTERPRETED, ~10x slower
-    // on the md5-per-window hot path
+    val grams = positionalGrams(docs, idCol, textCol, k)
+      .localCheckpoint(true) // feeds both the df aggregate and the span join
+    val crossDocGrams = grams
+      .groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") > 1)
+      .select("gram")
+    mergeWindowSpans(grams.join(crossDocGrams, Seq("gram"), "left_semi"), idCol, k)
+  }
+
+  /** Contaminated spans: the maximal token ranges of each corpus doc
+    * that share a k-token gram with the (small, broadcast) `benchmark`
+    * set — [[repeatedSpans]]' machinery pointed at eval-set leakage,
+    * and the surgical alternative to [[decontaminate]]'s whole-doc
+    * flag: [[cutSpans]] can excise exactly these ranges instead of
+    * dropping the document. Corpus side: one gram pass + broadcast
+    * semi-join + the per-doc merge; the benchmark never grows with the
+    * corpus, so the broadcast is fixed-size by construction.
+    */
+  def contaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
+                        idCol: String, textCol: String,
+                        k: Int = 8): DataFrame = {
+    val benchGrams = positionalGrams(benchmark, idCol, textCol, k)
+      .select("gram").distinct()
+    mergeWindowSpans(
+      positionalGrams(corpus, idCol, textCol, k)
+        .join(broadcast(benchGrams), Seq("gram"), "left_semi"),
+      idCol, k)
+  }
+
+  /** Apply span cuts: rebuild each doc's text with the tokens inside
+    * `spans` (id, span_start, span_end) removed — the surgical form of
+    * decontamination/dedup (cut the leaked range, keep the document).
+    * The anti join is token-vs-span on (id, pos ∈ [start, end)); spans
+    * are dup/leak findings — small by construction — so they broadcast,
+    * and the rebuild is one shuffle on the doc id (ordered re-assembly
+    * via sorted collect, the same pattern as PQ's code packing).
+    * Docs with no spans pass through UNCHANGED (including empty texts).
+    */
+  def cutSpans(docs: DataFrame, spans: DataFrame, idCol: String,
+               textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val kept = toks.join(broadcast(spans),
+      toks(idCol) === spans(idCol) &&
+        col("pos") >= col("span_start") && col("pos") < col("span_end"),
+      "left_anti")
+    val rebuilt = kept
+      .groupBy(idCol)
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+        s => s.getField("tok")).as("__toks"))
+      .select(col(idCol), concat_ws(" ", col("__toks")).as("clean_text"))
+    // docs whose every token was cut (or that had no tokens) still get a row
+    docs.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Positional k-token-gram hashes, (id, pos, gram) — one row per
+    * window start. Built with posexplode + lead windows, the same
+    * codegen shape as [[shingles]]: a `transform(sequence(...))` lambda
+    * looks tidier but higher-order functions evaluate INTERPRETED,
+    * ~10x slower on the md5-per-window hot path.
+    */
+  private def positionalGrams(docs: DataFrame, idCol: String,
+                              textCol: String, k: Int): DataFrame = {
     val toksPos = docs.select(col(idCol),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
     val w = Window.partitionBy(idCol).orderBy("pos")
     val parts = (0 until k).map(i => if (i == 0) col("tok") else lead("tok", i).over(w))
-    val grams = toksPos
+    toksPos
       // gram BEFORE the ragged-tail filter (same ordering as [[shingles]]):
       // filtering first would re-evaluate the leads over the filtered rows
       // and corrupt the last k-1 windows of every doc
@@ -120,15 +182,13 @@ object Dedup {
       .withColumn("__last", lead("tok", k - 1).over(w))
       .filter(col("__last").isNotNull) // ragged tail: no full k-gram starts here
       .select(col(idCol), col("pos"), col("gram"))
-      .localCheckpoint(true) // feeds both the df aggregate and the span join
-    val crossDocGrams = grams
-      .groupBy("gram")
-      .agg(countDistinct(col(idCol)).as("__docs"))
-      .filter(col("__docs") > 1)
-      .select("gram")
-    val hits = grams.join(crossDocGrams, Seq("gram"), "left_semi")
-    // sorted-interval merge: a window starting at pos covers [pos, pos+k);
-    // it opens a NEW span iff it starts past every earlier window's end
+  }
+
+  /** Merge k-wide windows at (id, pos) into maximal [start, end) token
+    * spans: sorted-interval sweep — a window opens a NEW span iff it
+    * starts past every earlier window's end. One shuffle on the id.
+    */
+  private def mergeWindowSpans(hits: DataFrame, idCol: String, k: Int): DataFrame = {
     val wPrev = Window.partitionBy(idCol).orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(idCol).orderBy("pos")

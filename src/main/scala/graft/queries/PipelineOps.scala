@@ -218,6 +218,32 @@ object PipelineOps {
     "dd_repeated_spans" -> ((s, d) =>
       Dedup.repeatedSpans(Tables.documents(s, d), "doc_id", "text", k = 8)),
 
+    // Span-level decontamination: WHERE the eval-set leak sits in each
+    // corpus doc (maximal 8-token ranges sharing a gram with the
+    // benchmark split) — the surgical alternative to tp_decontaminate's
+    // whole-doc flag. The benchmark gram set broadcasts (fixed size by
+    // construction); the corpus pays one gram pass + the per-doc merge.
+    "tp_decontaminate_spans" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      Dedup.contaminatedSpans(
+        all.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        all.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", k = 8)
+    }),
+
+    // ...and the cut applied: every corpus doc rebuilt with its
+    // contaminated ranges excised (docs without spans pass through
+    // verbatim) — the text a training run would actually ingest.
+    "tp_cut_spans" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      Dedup.cutSpans(corpus,
+        Dedup.contaminatedSpans(corpus,
+          all.filter(pmod(col("doc_id"), lit(10)) === 0),
+          "doc_id", "text", k = 8),
+        "doc_id", "text")
+    }),
+
     "dd_minhash_sig" -> ((s, d) => minhashSigs(s, d)),
 
     "dd_minhash_lsh" -> ((s, d) =>
@@ -428,6 +454,38 @@ object PipelineOps {
       |FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS l
       |      FROM documents) src""".stripMargin
 
+  /** WITH-prefix producing `toks` (token arrays per doc) and `cspans`
+    * (the %10-benchmark contaminated spans) — shared by the
+    * tp_decontaminate_spans and tp_cut_spans oracles; identical gram +
+    * interval sweep as dd_repeated_spans with the cross-doc gram set
+    * replaced by the benchmark's.
+    */
+  private val contamSpansSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS tk
+      |  FROM documents),
+      |cgrams AS (
+      |  SELECT doc_id, i AS pos, md5(array_to_string(tk[i+1:i+8], ' ')) AS gram
+      |  FROM toks, LATERAL unnest(range(0, greatest(len(tk) - 7, 0))) t(i)),
+      |cbench AS (SELECT DISTINCT gram FROM cgrams WHERE doc_id % 10 = 0),
+      |chits AS (
+      |  SELECT g.doc_id, g.pos FROM cgrams g JOIN cbench USING (gram)
+      |  WHERE g.doc_id % 10 <> 0),
+      |cmarked AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS new_span
+      |  FROM chits),
+      |cspanned AS (
+      |  SELECT doc_id, pos,
+      |    sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      |  FROM cmarked),
+      |cspans AS (
+      |  SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+      |    CAST(max(pos) + 8 AS INT) AS span_end, count(*) AS n_windows
+      |  FROM cspanned GROUP BY doc_id, span_id)""".stripMargin
+
   private val shinglesSql =
     s"""SELECT DISTINCT doc_id, shingle FROM (
        |  SELECT doc_id,
@@ -488,6 +546,26 @@ object PipelineOps {
         |FROM documents GROUP BY 1""".stripMargin,
 
     "dd_shingles" -> shinglesSql,
+
+    // identical gram + merge construction as Dedup.contaminatedSpans
+    // over the %10 benchmark split (shared by the cut oracle below)
+    "tp_decontaminate_spans" -> s"$contamSpansSql\nSELECT * FROM cspans",
+
+    "tp_cut_spans" ->
+      s"""$contamSpansSql,
+         |tokpos AS (
+         |  SELECT doc_id, generate_subscripts(tk, 1) - 1 AS pos, unnest(tk) AS tok
+         |  FROM toks WHERE doc_id % 10 <> 0),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok FROM tokpos t
+         |  WHERE NOT EXISTS (SELECT 1 FROM cspans s
+         |    WHERE s.doc_id = t.doc_id
+         |      AND t.pos >= s.span_start AND t.pos < s.span_end))
+         |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 0) d
+         |LEFT JOIN (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+         |  FROM kept GROUP BY 1) k USING (doc_id)""".stripMargin,
 
     // identical positional-k-gram + interval-merge construction as
     // Dedup.repeatedSpans (k = 8, raw whitespace tokens)

@@ -154,4 +154,25 @@ class DedupSpec extends AnyFunSuite {
     assert(byDoc(1L).toSeq == Seq((1L, 3, 16, 6L)), s"got ${byDoc(1L).toSeq}")
     assert(byDoc(2L).toSeq == Seq((2L, 0, 13, 6L)), s"got ${byDoc(2L).toSeq}")
   }
+
+  test("contaminated spans locate the leak; cutSpans excises exactly those tokens") {
+    import spark.implicits._
+    val leak = "what is the capital of france the answer is paris of course"
+    val bench = Seq((100L, leak)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"intro words here $leak and some trailing content"), // leak at pos 3..15
+      (2L, "a completely clean document with no overlap whatsoever in any window here")
+    ).toDF("doc_id", "text")
+
+    val spans = graft.dedup.Dedup.contaminatedSpans(corpus, bench, "doc_id", "text", k = 8)
+    val got = spans.collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got == Seq((1L, 3, 15)), s"got $got") // the 12-token leak, merged
+
+    val cut = graft.dedup.Dedup.cutSpans(corpus, spans, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut(1L) == "intro words here and some trailing content",
+      s"got '${cut(1L)}'")
+    assert(cut(2L) == corpus.collect().find(_.getLong(0) == 2L).get.getString(1),
+      "clean doc must pass through verbatim")
+  }
 }
