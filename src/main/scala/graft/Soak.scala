@@ -27,7 +27,7 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "10").toInt
-    // comma-separated extra shape sets: "text", "sim", "ml", "mm_image", "pq", "zorder"
+    // comma-separated extra shape sets: "text", "sim", "ml", "mm_image", "pq", "zorder", "spans"
     // (relational always runs)
     val soakSets: Set[String] =
       sys.env.get("SPARK_GRAFT_SOAK").map(_.split(",").toSet).getOrElse(Set.empty)
@@ -207,7 +207,19 @@ object Soak {
               .filter(pmod(col("vec_id"), lit(1000L)) === 0),
             "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 50)
         })
-    } else Seq.empty) ++ (if (soakSets("zorder")) Seq(
+    } else Seq.empty) ++ (if (soakSets("spans")) Seq(
+      // span-decontamination worst case: the FIXED unamplified benchmark
+      // contaminates every amplified copy, so nearly every doc carries
+      // spans and the cut's anti join + reassembly sees maximum load —
+      // must stay linear in tokens
+      shape("decontaminate_cut") {
+        val bench = Tables.documents(spark, sfDir)
+          .filter(pmod(col("doc_id"), lit(10)) === 0)
+        val spans = graft.dedup.Dedup.contaminatedSpans(
+          docs, bench, "doc_id", "text", k = 8)
+        graft.dedup.Dedup.cutSpans(docs, spans, "doc_id", "text")
+      }
+    ) else Seq.empty) ++ (if (soakSets("zorder")) Seq(
       // the layout write's cost: one range-partitioner sample pass + one
       // shuffle + per-partition sort — must scale like any clustered
       // write (n log n per partition, partition count grows with n)
