@@ -83,6 +83,27 @@ object SqlSurface {
       urgent.except(low)
     }),
 
+    // Bag-semantics set ops (ALL variants): multiplicity is data — an
+    // order count per customer difference, not a membership test. Same
+    // one-shuffle shape; Spark plans them as count-annotated joins.
+    "setop_except_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val urgent = o.filter(col("o_orderpriority").startsWith("1"))
+        .select(col("o_custkey").as("custkey"))
+      val low = o.filter(col("o_orderpriority").startsWith("5"))
+        .select(col("o_custkey").as("custkey"))
+      urgent.exceptAll(low)
+    }),
+
+    "setop_intersect_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val urgent = o.filter(col("o_orderpriority").startsWith("1"))
+        .select(col("o_custkey").as("custkey"))
+      val low = o.filter(col("o_orderpriority").startsWith("5"))
+        .select(col("o_custkey").as("custkey"))
+      urgent.intersectAll(low)
+    }),
+
     // Grouping sets: two independent one-dimension rollups in one pass
     // (one shuffle, expand + partial agg — not a union of re-scans).
     // grouping() flags disambiguate real NULLs from subtotal rows.
@@ -419,6 +440,16 @@ object SqlSurface {
     "setop_except" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority LIKE '1%'
          EXCEPT
+         SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority LIKE '5%'""",
+
+    "setop_except_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority LIKE '1%'
+         EXCEPT ALL
+         SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority LIKE '5%'""",
+
+    "setop_intersect_all" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority LIKE '1%'
+         INTERSECT ALL
          SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority LIKE '5%'""",
 
     "a_grouping_sets" ->
