@@ -225,6 +225,33 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Option[Long] = None): DataFrame = {
     val sh = shingles(docs, idCol, textCol, n, maxDf).localCheckpoint(true)
+    val result = jaccardFromCapped(sh, idCol, threshold).localCheckpoint(true)
+    sh.unpersist()
+    result
+  }
+
+  /** [[jaccardPairs]] over a PREBUILT (id, shingle) table — the serving
+    * path when the shingle inverted index is materialized once per
+    * corpus and shared across queries, like the MinHash/SimHash
+    * signature tables. `maxDf` applies here, after the build, so one
+    * uncapped index serves any cap.
+    */
+  def jaccardPairsFromShingles(sh0: DataFrame, idCol: String,
+                               threshold: Double = 0.5,
+                               maxDf: Option[Long] = None): DataFrame = {
+    val sh = maxDf match {
+      case None => sh0
+      case Some(cap) =>
+        sh0.withColumn("__df",
+            count(lit(1)).over(Window.partitionBy("shingle")))
+          .filter(col("__df") <= cap)
+          .drop("__df")
+    }
+    jaccardFromCapped(sh, idCol, threshold)
+  }
+
+  private def jaccardFromCapped(sh: DataFrame, idCol: String,
+                                threshold: Double): DataFrame = {
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("set_size"))
     val a = sh.select(col(idCol).as("id_a"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("shingle"))
@@ -232,16 +259,13 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter_size"))
-    val result = inter
+    inter
       .join(sizes.withColumnRenamed(idCol, "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
       .join(sizes.withColumnRenamed(idCol, "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
       .withColumn("jaccard",
         col("inter_size") / (col("size_a") + col("size_b") - col("inter_size")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-      .localCheckpoint(true)
-    sh.unpersist()
-    result
   }
 
   /** One MinHash value as a *hex string*: min over shingles of
