@@ -168,5 +168,6 @@ object Clustering {
   /** Embedding table (array<float>) → features vector column. */
   def embeddingFeatures(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
     emb.select(col(idCol),
-      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+      // array-level cast (codegen), not transform(_.cast) (interpreted)
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
 }

@@ -153,8 +153,11 @@ object Dedup {
       "left_anti")
     val rebuilt = kept
       .groupBy(idCol)
-      .agg(transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-        s => s.getField("tok")).as("__toks"))
+      // field extraction directly on the sorted struct array: plans a
+      // codegen GetArrayStructFields — a transform(_, getField) lambda
+      // computes the same array but evaluates INTERPRETED per token
+      .agg(array_sort(collect_list(struct(col("pos"), col("tok"))))
+        .getField("tok").as("__toks"))
       .select(col(idCol), concat_ws(" ", col("__toks")).as("clean_text"))
     // docs whose every token was cut (or that had no tokens) still get a row
     docs.select(col(idCol))

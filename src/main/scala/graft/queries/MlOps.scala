@@ -96,8 +96,17 @@ object MlOps {
           .cast("int").as("is_nearest"))
   }
 
+  /** ‖a−c‖² expanded as a·a − 2·a·c + ‖c‖², every term the codegen
+    * `vec_dot` kernel (the same shape `appendToIvfIndex` uses): the HOF
+    * form `aggregate(zip_with(a,b,(x,y)=>(x−y)²),0,+)` evaluates
+    * INTERPRETED, k times per row. Here a·a is subexpression-eliminated
+    * across the k centers inside whole-stage codegen and ‖c‖²
+    * constant-folds (centers are literal arrays).
+    */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), _ + _)
+    graft.functions.VectorExprs.dot(a, a) -
+      lit(2.0) * graft.functions.VectorExprs.dot(a, b) +
+      graft.functions.VectorExprs.dot(b, b)
 
   val queries: Map[String, Q] = Map(
     // M3/M7: MLlib K-Means (euclidean, k-means|| init) on embeddings,

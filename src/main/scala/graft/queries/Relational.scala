@@ -222,17 +222,26 @@ object Relational {
           .as("nearest_centroid"))
     }),
 
-    // J6 in the form that wins at scale: the centroid list is an array
-    // literal and the argmin is a map-side array_sort — no row blow-up,
-    // no shuffle at all (the cross-join form above shuffles rows × k).
-    // Same oracle as j6_nearest_centroid.
+    // J6 in the form that wins at scale: the centroids are literals and
+    // the argmin is map-side `least` + a CaseWhen chain — no row blow-up,
+    // no shuffle at all (the cross-join form above shuffles rows × k),
+    // and everything stays in whole-stage codegen (an array_sort over a
+    // transform lambda computes the same argmin but INTERPRETED per row,
+    // measurably slower than the cross join it's meant to beat). Ties
+    // resolve to the lowest centroid because the whens are checked in
+    // ascending-centroid order. Same oracle as j6_nearest_centroid.
     "j6b_nearest_centroid_map" -> ((s, d) => {
-      val centroids = array(Seq(5.0, 20.0, 35.0, 50.0).map(lit): _*)
+      val cs = Seq(5.0, 20.0, 35.0, 50.0)
+      val q = col("l_quantity")
+      val dists = cs.map(c => abs(q - c) + c * 1e-9)
+      val dmin = least(dists: _*)
+      val nearest = cs.zip(dists).tail
+        .foldLeft(when(dists.head === dmin, cs.head)) {
+          case (acc, (c, dc)) => acc.when(dc === dmin, c)
+        }
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
-          array_sort(transform(centroids, c =>
-            struct((abs(col("l_quantity") - c) + c * 1e-9).as("d"), c.as("c"))))
-            .getItem(0).getField("c").as("nearest_centroid"))
+          nearest.as("nearest_centroid"))
     }),
 
     // O3 via the bounded-heap top_k_by aggregate: identical result to the

@@ -140,8 +140,11 @@ object Pq {
     assign(slices(corpus, idCol, vecCol, cb.m, cb.subDim),
       codebookDf(corpus.sparkSession, cb.centroids))
       .groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("subspace"), col("code")))),
-        s => s.getField("code")).as("codes"))
+      // direct field extraction on the sorted struct array (codegen
+      // GetArrayStructFields), not a transform(_, getField) lambda
+      // (interpreted per element)
+      .agg(array_sort(collect_list(struct(col("subspace"), col("code"))))
+        .getField("code").as("codes"))
 
   /** IVFPQ + refine top-k: IVF cells prune candidates (`nprobe` of
     * nlist cells, hash join on `cell`), ADC scores every candidate as

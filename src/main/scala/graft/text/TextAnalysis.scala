@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language
@@ -103,22 +104,21 @@ object TextAnalysis {
 
   /** Repetition quality signal: the most frequent bigram's share of all
     * bigrams per document (boilerplate / degenerate generations repeat
-    * n-grams; a high share flags them). Bigrams are built map-side with
-    * `zip_with` over two shifted slices — no window, no self-join; the
-    * only shuffle is the (doc, bigram) count. Documents with <2 tokens
-    * get `n_bigrams = 0` and a null ratio.
+    * n-grams; a high share flags them). Bigrams are built with
+    * posexplode + a lead window — the same codegen shape as
+    * [[graft.dedup.Dedup.shingles]] with n=2: a `zip_with` over two
+    * shifted slices reads tidier but higher-order functions evaluate
+    * INTERPRETED over the full token stream (~6x on this hot path).
+    * Documents with <2 tokens get `n_bigrams = 0` and a null ratio.
     */
   def repetitionRatio(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // tokens materialized as their own projection: the bigram build reads
-    // the array three times (two slices + size), and an inline computed
-    // column would re-tokenize the text on every read
-    val toks = col("__toks")
-    val len = greatest(size(toks) - 1, lit(0))
-    val bigrams = zip_with(slice(toks, lit(1), len), slice(toks, lit(2), len),
-      (a, b) => concat_ws(" ", a, b))
-    val counts = docs
-      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), explode(bigrams).as("bigram"))
+    val toksPos = docs.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    val counts = toksPos
+      .withColumn("__next", lead("tok", 1).over(w))
+      .filter(col("__next").isNotNull) // last token starts no bigram
+      .select(col(idCol), concat_ws(" ", col("tok"), col("__next")).as("bigram"))
       .groupBy(idCol, "bigram").agg(count(lit(1)).as("c"))
       .groupBy(idCol)
       .agg(max("c").as("top_bigram_freq"), sum("c").as("n_bigrams"))

@@ -24,21 +24,30 @@ object TextOps {
   def clean(c: Column): Column = lower(regexp_replace(c, CleanRegex, ""))
 
   /** Whitespace tokenization (P1). Empty tokens dropped — `StringTokenizer`
-    * never yields empties, so neither do we.
+    * never yields empties, so neither do we. `array_remove` is the codegen
+    * form of `filter(_, t => t =!= "")` (split yields no nulls, so the two
+    * are identical — and higher-order functions evaluate interpreted, on
+    * the hottest path in the engine).
     */
   def tokens(text: Column): Column =
-    filter(split(text, "\\s+"), t => t =!= "")
+    array_remove(split(text, "\\s+"), "")
 
   /** text column → one row per (original row, token). */
   def explodeTokens(df: DataFrame, textCol: String, tokenCol: String = "token"): DataFrame =
     df.withColumn(tokenCol, explode(tokens(col(textCol)))).drop(textCol)
 
-  /** Tokenize + clean + drop empties, reference order: tokenize the raw
-    * line first, then strip chars per token (`task1_1.java:50-59`) — a
-    * token that cleans to "" is dropped, mirroring `HandleWord` returning 0.
+  /** Tokenize + clean + drop empties. The reference order is tokenize the
+    * raw line first, then strip chars per token (`task1_1.java:50-59`) —
+    * but the stripped charset contains no whitespace, so cleaning cannot
+    * create, destroy, or merge token boundaries, and clean-then-tokenize
+    * produces the IDENTICAL token sequence (a token cleaning to "" is
+    * dropped either way, mirroring `HandleWord` returning 0; the 1.1
+    * byte-golden spec pins the equivalence). Cleaning the whole text
+    * first keeps the pipeline in codegen — the per-token form needs
+    * `transform`+`filter` lambdas, which evaluate interpreted.
     */
   def cleanTokens(text: Column): Column =
-    filter(transform(tokens(text), t => clean(t)), t => t =!= "")
+    tokens(clean(text))
 
   /** Stopword filter (P3/J2) as a broadcast anti-join. `stop` must be a
     * 1-column DataFrame of stopwords; small by construction → broadcast.

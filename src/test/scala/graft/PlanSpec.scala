@@ -143,6 +143,25 @@ class PlanSpec extends AnyFunSuite {
       s"only the 1-row aggregate may shuffle:\n$p")
   }
 
+  test("no interpreted higher-order-function lambda survives in the hot declared plans") {
+    // HOFs (transform/aggregate/zip_with) evaluate INTERPRETED — every one
+    // of these queries once carried one in its hot path and was measurably
+    // slower for it; the executed plan must stay lambda-free
+    Seq("tp_cut_spans", "ml_kmeans_assign", "j6b_nearest_centroid_map",
+      "ta_repetition").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, SparkTestSession.sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!p.toLowerCase.contains("lambdafunction"),
+        s"$q: interpreted lambda in executed plan:\n$p")
+    }
+  }
+
+  test("kmeans-assign distances ride the codegen vec_dot kernel") {
+    val p = plan("ml_kmeans_assign")
+    assert(p.contains("vec_dot"), s"expected native dot kernel:\n$p")
+    assert(!p.contains("zip_with"), s"HOF sqdist survived:\n$p")
+  }
+
   test("IVFPQ probe joins on keys at every stage — no cartesian, no corpus broadcast") {
     val p = plan("sim_ann_ivfpq")
     assert(!p.contains("CartesianProduct"), s"cross join in IVFPQ:\n$p")
