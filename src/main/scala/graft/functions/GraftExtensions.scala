@@ -35,6 +35,12 @@ object GraftFunctions {
         require(children.length == 2, "vec_dot expects exactly 2 arguments")
         DotProduct(children.head, children(1))
       }),
+    (FunctionIdentifier("vec_sqdist"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "vec_sqdist"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_sqdist expects exactly 2 arguments")
+        SquaredDistance(children.head, children(1))
+      }),
     (FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => {

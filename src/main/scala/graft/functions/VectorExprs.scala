@@ -110,11 +110,110 @@ case class DotProduct(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Σ (aᵢ−bᵢ)² in a single codegen loop — the squared Euclidean distance
+  * kernel. Same operand/null contract as [[DotProduct]]: `hofCompat =
+  * false` is the fast explicit API (fixed-dimension non-null elements,
+  * common-prefix sum on mismatch); `hofCompat = true` reproduces
+  * `aggregate(zip_with(a,b,(x,y)=>(x−y)²),0,+)` null semantics exactly
+  * (length mismatch or null element → NULL), which is what
+  * [[RewriteHofDotProduct]] emits so the session-wide rewrite can never
+  * change a user query's result.
+  */
+case class SquaredDistance(left: Expression, right: Expression,
+                           hofCompat: Boolean = false)
+    extends BinaryExpression {
+
+  private def okType(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okType(left.dataType) && okType(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float|double> operands, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = hofCompat || super.nullable
+
+  override def prettyName: String = if (hofCompat) "vec_sqdist_hof" else "vec_sqdist"
+
+  private def elemIsFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (hofCompat && x.numElements() != y.numElements()) return null
+    val n = math.min(x.numElements(), y.numElements())
+    val xf = elemIsFloat(left); val yf = elemIsFloat(right)
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (hofCompat && (x.isNullAt(i) || y.isNullAt(i))) return null
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("sqDistN")
+      val s = ctx.freshName("sqDistSum")
+      val d = ctx.freshName("sqDistD")
+      val i = ctx.freshName("sqDistI")
+      val xGet = if (elemIsFloat(left)) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      val yGet = if (elemIsFloat(right)) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      if (!hofCompat)
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = $xGet - $yGet;
+           |  $s += $d * $d;
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      else
+        s"""
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  int $n = $a.numElements();
+           |  double $s = 0.0;
+           |  for (int $i = 0; $i < $n; $i++) {
+           |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+           |    double $d = $xGet - $yGet;
+           |    $s += $d * $d;
+           |  }
+           |  if (!${ev.isNull}) { ${ev.value} = $s; }
+           |}
+         """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredDistance =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Σ aᵢ·bᵢ in double precision, single codegen loop (fast path: non-null
     * fixed-dimension elements assumed — the engine's own vector columns).
     */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Σ (aᵢ−bᵢ)² in double precision, single codegen loop (fast path, same
+    * contract as [[dot]]).
+    */
+  def sqdist(a: Column, b: Column): Column =
+    ColumnBridge.column(SquaredDistance(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

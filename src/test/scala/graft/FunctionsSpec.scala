@@ -46,6 +46,84 @@ class FunctionsSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("vec_sqdist is callable from SQL and matches the algebra") {
+    GraftFunctions.register(spark)
+    val d = spark.sql(
+      "SELECT vec_sqdist(array(1.0d, 2.0d, 3.0d), array(4.0d, 6.0d, 3.0d)) AS d")
+      .collect().head.getDouble(0)
+    assert(d == 25.0) // 9 + 16 + 0
+  }
+
+  test("optimizer rule rewrites the HOF squared-distance pattern into vec_sqdist") {
+    import org.apache.spark.sql.functions._
+    spark.experimental.extraOptimizations =
+      Seq(graft.functions.RewriteHofDotProduct)
+    try {
+      val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      val hof = emb.select(col("vec_id"),
+        aggregate(zip_with(col("embedding"), col("embedding"),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (x.cast("double") - y.cast("double"))),
+          lit(0.0), (acc, v) => acc + v).as("d"))
+      assert(hof.queryExecution.optimizedPlan.toString.contains("vec_sqdist_hof"),
+        hof.queryExecution.optimizedPlan.toString)
+      // self-distance is exactly 0 for every row
+      assert(hof.collect().forall(_.getDouble(1) == 0.0))
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("optimizer rule leaves the mixed (x-y)*(y-x) form alone (it is NOT a squared distance)") {
+    import org.apache.spark.sql.functions._
+    spark.experimental.extraOptimizations =
+      Seq(graft.functions.RewriteHofDotProduct)
+    try {
+      val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      val df = emb.select(
+        aggregate(zip_with(col("embedding"), col("embedding"),
+          (x, y) => (x.cast("double") - y.cast("double")) *
+            (y.cast("double") - x.cast("double"))),
+          lit(0.0), (acc, v) => acc + v).as("d"))
+      val p = df.queryExecution.optimizedPlan.toString
+      assert(!p.contains("vec_sqdist") && !p.contains("vec_dot"), p)
+      assert(df.count() > 0)
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
+  test("rewritten HOF sqdist matches zip_with null semantics exactly") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.Row
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("a", ArrayType(DoubleType, containsNull = true)),
+      StructField("b", ArrayType(DoubleType, containsNull = true))))
+    val rows = Seq(
+      Row(1L, Seq(1.0, 2.0), Seq(3.0, 5.0)),        // -> 4 + 9 = 13.0
+      Row(2L, Seq(1.0, 2.0, 5.0), Seq(3.0, 4.0)),   // length mismatch -> null
+      Row(3L, Seq(1.0, null), Seq(3.0, 4.0)))       // null element -> null
+    val path = "target/test-hof-null-sqdist"
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(path)
+    val df = spark.read.parquet(path)
+    def hofSq(d: org.apache.spark.sql.DataFrame) = d.select(col("vec_id"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v).as("d"))
+    def results(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    val baseline = results(hofSq(df))
+    assert(baseline == Map(1L -> Some(13.0), 2L -> None, 3L -> None))
+    spark.experimental.extraOptimizations =
+      Seq(graft.functions.RewriteHofDotProduct)
+    try {
+      val rewritten = hofSq(df)
+      assert(rewritten.queryExecution.optimizedPlan.toString.contains("vec_sqdist_hof"),
+        rewritten.queryExecution.optimizedPlan.toString)
+      assert(results(rewritten) == baseline,
+        "the session-wide rewrite must never change a user query's result")
+    } finally spark.experimental.extraOptimizations = Nil
+  }
+
   test("optimizer rule leaves non-dot aggregates alone") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
