@@ -218,6 +218,18 @@ object Soak {
         val spans = graft.dedup.Dedup.contaminatedSpans(
           docs, bench, "doc_id", "text", k = 8)
         graft.dedup.Dedup.cutSpans(docs, spans, "doc_id", "text")
+      },
+      // the same chain with the adaptive broadcast guard FORCED past its
+      // cap (maxBroadcastRows = 0): every stage takes the shuffle-join
+      // fallback — the path a spans table too large to broadcast takes,
+      // proving the chain survives without any driver-sized assumption
+      shape("decontaminate_cut_shuffle") {
+        val bench = Tables.documents(spark, sfDir)
+          .filter(pmod(col("doc_id"), lit(10)) === 0)
+        val spans = graft.dedup.Dedup.contaminatedSpans(
+          docs, bench, "doc_id", "text", k = 8, maxBroadcastRows = 0L)
+        graft.dedup.Dedup.cutSpans(docs, spans, "doc_id", "text",
+          maxBroadcastRows = 0L)
       }
     ) else Seq.empty) ++ (if (soakSets("zorder")) Seq(
       // the layout write's cost: one range-partitioner sample pass + one

@@ -59,6 +59,26 @@ object Dedup {
     }
   }
 
+  /** Default row cap for the adaptive broadcast guard on the
+    * decontamination chain: ~4M gram/span rows ≈ 200 MB broadcast, the
+    * same driver-headroom rationale as [[connectedComponents]]'
+    * `localThreshold`. Past the cap the small side takes a shuffle join —
+    * slower, but an oversized broadcast is a driver OOM, not a slow query.
+    */
+  val DefaultBroadcastRows: Long = 4000000L
+
+  /** Adaptive broadcast: materialize `small` once, count it, and hint
+    * broadcast only when it actually fits — the same measured-then-choose
+    * call [[connectedComponents]] makes for its driver/distributed paths.
+    * Benchmark gram sets are fixed-size by construction and always take
+    * the broadcast arm; span tables on a heavily-contaminated corpus
+    * scale with the corpus and must be allowed to fall back.
+    */
+  private def adaptiveBroadcast(small: DataFrame, maxRows: Long): DataFrame = {
+    val mat = small.localCheckpoint(true)
+    if (mat.count() <= maxRows) broadcast(mat) else mat
+  }
+
   /** Benchmark decontamination: per corpus document, how many of its
     * distinct n-gram shingles also occur anywhere in `benchmark` (the
     * held-out eval set a training corpus must not leak). Returns only
@@ -67,16 +87,18 @@ object Dedup {
     *
     * Scale shape: the benchmark's distinct-shingle set is SMALL by
     * construction (eval sets are thousands of docs, not billions), so it
-    * broadcasts; the corpus side is one shingle pass + a broadcast
-    * left-semi join + one aggregation on `idCol`. The corpus is never
-    * self-joined and never shuffled on `shingle`.
+    * broadcasts — but adaptively ([[adaptiveBroadcast]]): past
+    * `maxBroadcastRows` the semi join falls back to shuffle instead of
+    * OOMing the driver. The corpus is never self-joined.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
-                    textCol: String, n: Int = 3): DataFrame = {
-    val benchShingles = shingles(benchmark, idCol, textCol, n)
-      .select("shingle").distinct()
+                    textCol: String, n: Int = 3,
+                    maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame = {
+    val benchShingles = adaptiveBroadcast(
+      shingles(benchmark, idCol, textCol, n).select("shingle").distinct(),
+      maxBroadcastRows)
     shingles(corpus, idCol, textCol, n)
-      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+      .join(benchShingles, Seq("shingle"), "left_semi")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
   }
@@ -88,8 +110,8 @@ object Dedup {
     * instead of a monolithic suffix structure):
     *
     *  1. every doc emits a positional k-token-gram hash per window
-    *     (array-built in codegen: `transform` over `sequence`, no
-    *     explode-then-window);
+    *     (posexplode + lead windows — the [[shingles]] codegen shape; a
+    *     `transform` over `sequence` would evaluate interpreted);
     *  2. grams appearing in MORE THAN ONE document survive (one
     *     aggregation on the gram hash — boilerplate/license headers,
     *     templated spans);
@@ -125,12 +147,14 @@ object Dedup {
     */
   def contaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
                         idCol: String, textCol: String,
-                        k: Int = 8): DataFrame = {
-    val benchGrams = positionalGrams(benchmark, idCol, textCol, k)
-      .select("gram").distinct()
+                        k: Int = 8,
+                        maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame = {
+    val benchGrams = adaptiveBroadcast(
+      positionalGrams(benchmark, idCol, textCol, k).select("gram").distinct(),
+      maxBroadcastRows)
     mergeWindowSpans(
       positionalGrams(corpus, idCol, textCol, k)
-        .join(broadcast(benchGrams), Seq("gram"), "left_semi"),
+        .join(benchGrams, Seq("gram"), "left_semi"),
       idCol, k)
   }
 
@@ -138,17 +162,23 @@ object Dedup {
     * `spans` (id, span_start, span_end) removed — the surgical form of
     * decontamination/dedup (cut the leaked range, keep the document).
     * The anti join is token-vs-span on (id, pos ∈ [start, end)); spans
-    * are dup/leak findings — small by construction — so they broadcast,
-    * and the rebuild is one shuffle on the doc id (ordered re-assembly
-    * via sorted collect, the same pattern as PQ's code packing).
-    * Docs with no spans pass through UNCHANGED (including empty texts).
+    * are dup/leak findings — usually small — so they broadcast, but
+    * ADAPTIVELY: a heavily-contaminated corpus's span table scales with
+    * the corpus, and past `maxBroadcastRows` the anti join falls back to
+    * a shuffle join on the id (the non-equi range residual rides as a
+    * join condition either way). The rebuild is one shuffle on the doc
+    * id (ordered re-assembly via sorted collect, the same pattern as
+    * PQ's code packing). Docs with no spans pass through UNCHANGED
+    * (including empty texts).
     */
   def cutSpans(docs: DataFrame, spans: DataFrame, idCol: String,
-               textCol: String): DataFrame = {
+               textCol: String,
+               maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame = {
     val toks = docs.select(col(idCol),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val kept = toks.join(broadcast(spans),
-      toks(idCol) === spans(idCol) &&
+    val spansAdaptive = adaptiveBroadcast(spans, maxBroadcastRows)
+    val kept = toks.join(spansAdaptive,
+      toks(idCol) === spansAdaptive(idCol) &&
         col("pos") >= col("span_start") && col("pos") < col("span_end"),
       "left_anti")
     val rebuilt = kept

@@ -128,6 +128,9 @@ object Pq {
         }
       }
     }
+    // the checkpointed n×m slice table is consumed: without the unpersist
+    // every buildCodebook call pins it in executor storage for the session
+    sl.unpersist()
     PqCodebook(m, subDim, cents)
   }
 
@@ -186,13 +189,24 @@ object Pq {
       .select(col("query_id"), col("subspace"), col("code"),
         dot(col("svec"), col("cvec")).as("partial"))
 
-    // candidates -> codes -> m table lookups -> ADC score
+    // candidates -> codes -> m table lookups -> ADC score. The join with
+    // `encoded` is LEFT: a cell member without a code row (vectors added
+    // via appendToIvfIndex before a re-encode) can't be ADC-scored, so it
+    // routes STRAIGHT into the exact rerank instead of being silently
+    // dropped — "full probe + full shortlist == exact" holds even when
+    // `encoded` lags the cells table. Unencoded candidates are bounded by
+    // the append delta since the last encode, so the extra exact work
+    // stays small and a re-encode restores the pure-ADC path.
     val candidates = index.cells
       .join(broadcast(probed), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
-    val adcScored = candidates
-      .join(encoded.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    val withCodes = candidates
+      .join(encoded.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"), "left")
+    val unencoded = withCodes.filter(col("codes").isNull)
+      .select("query_id", "neighbor_id")
+    val adcScored = withCodes.filter(col("codes").isNotNull)
       .select(col("query_id"), col("neighbor_id"), posexplode(col("codes")))
       .withColumnRenamed("pos", "subspace")
       .withColumnRenamed("col", "code")
@@ -204,6 +218,7 @@ object Pq {
         Window.partitionBy("query_id").orderBy(desc("adc_sim"), asc("neighbor_id"))))
       .filter(col("adc_rank") <= shortlist)
       .select("query_id", "neighbor_id")
+      .union(unencoded)
 
     // refine: exact cosine over the raw vectors, shortlist-sized work
     val reranked = short

@@ -91,7 +91,8 @@ object Similarity {
     * `partitionBy("cell")` so a probe touching `nprobe` of `nlist` cells
     * scans only those partitions.
     */
-  final case class IvfIndex(cells: DataFrame, centroids: Array[(Int, Array[Double])])
+  final case class IvfIndex(cells: DataFrame, centroids: Array[(Int, Array[Double])],
+                            seed: Long = 42L)
 
   /** Build the IVF coarse quantizer: seeded K-Means over the L2-normalized
     * corpus, one fit + one transform (cell assignment). Euclidean cells on
@@ -112,11 +113,16 @@ object Similarity {
       .select(col("neighbor_id"), col("prediction").as("cell"))
       .join(raw, "neighbor_id")
       .select("cell", "neighbor_id", "cvec", "cnorm")
-    IvfIndex(cells, model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) })
+    IvfIndex(cells,
+      model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) },
+      seed)
   }
 
   /** Persist an index: cells as parquet partitioned by cell id (the probe
-    * join's pruning column), centroids as a tiny sidecar parquet.
+    * join's pruning column), centroids as a tiny sidecar parquet, plus a
+    * metadata sidecar (nlist, dim, train seed, row count at build) that
+    * [[readIvfIndex]] asserts against — a probe over a stale, truncated,
+    * or mismatched index fails loudly instead of returning quiet garbage.
     */
   def writeIvfIndex(index: IvfIndex, path: String): Unit = {
     index.cells.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
@@ -124,18 +130,42 @@ object Similarity {
     import spark.implicits._
     index.centroids.toSeq.toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val nlist = index.centroids.length
+    val dim = index.centroids.headOption.map(_._2.length).getOrElse(0)
+    // count the WRITTEN files (parquet footer counts — no data scan), so
+    // the sidecar records exactly what landed on disk
+    val builtRows = spark.read.parquet(s"$path/cells").count()
+    Seq((nlist, dim, index.seed, builtRows))
+      .toDF("nlist", "dim", "seed", "built_rows")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Load a persisted index. The cells scan is partition-pruned when the
-    * probe filters on `cell` (statically or via dynamic partition
-    * pruning through the broadcast probe join).
+  /** Load a persisted index, asserting its metadata sidecar: centroid
+    * count and dimension must match the build, and the cells table must
+    * hold at least the rows present at build time (appends only grow it;
+    * fewer rows means a truncated or partially-overwritten index). The
+    * cells scan is partition-pruned when the probe filters on `cell`
+    * (statically or via dynamic partition pruning through the broadcast
+    * probe join).
     */
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (nlist, dim) = (meta.getAs[Int]("nlist"), meta.getAs[Int]("dim"))
+    val (seed, builtRows) = (meta.getAs[Long]("seed"), meta.getAs[Long]("built_rows"))
     val cents = spark.read.parquet(s"$path/centroids")
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    IvfIndex(spark.read.parquet(s"$path/cells"), cents)
+    require(cents.length == nlist,
+      s"IVF index at $path: ${cents.length} centroids but meta says nlist=$nlist")
+    require(cents.forall(_._2.length == dim),
+      s"IVF index at $path: centroid dimension != meta dim=$dim")
+    val cells = spark.read.parquet(s"$path/cells")
+    val nRows = cells.count() // footer counts, no data scan
+    require(nRows >= builtRows,
+      s"IVF index at $path: cells has $nRows rows, fewer than the $builtRows " +
+        "present at build — stale or partially overwritten index")
+    IvfIndex(cells, cents, seed)
   }
 
   /** Append new vectors to a PERSISTED index without refitting the
@@ -158,7 +188,13 @@ object Similarity {
                        newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
     val idx = readIvfIndex(spark, path)
     val raw = newVecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
-      norm(col(vecCol)).as("cnorm")).localCheckpoint(true)
+      norm(col(vecCol)).as("cnorm"))
+      // a zero-norm vector has no direction: at query time its cosine is
+      // NaN, which ranks FIRST under descending order — one appended zero
+      // vector would become the top-1 neighbor of every query probing its
+      // cell. Drop them here, consistent with Pq.slices' guard.
+      .filter(col("cnorm") > 0)
+      .localCheckpoint(true)
     val centroidLits = idx.centroids.map { case (i, c) =>
       struct(lit(i).as("cell"), array(c.map(lit).toSeq: _*).as("centroid"),
         lit(c.map(x => x * x).sum / 2).as("halfnormsq"))
@@ -170,7 +206,7 @@ object Similarity {
       .withColumn("__cdist",
         col("cc.halfnormsq") - dot(col("__unit"), col("cc.centroid")))
       .groupBy("neighbor_id")
-      // min(struct) ties (and the all-NaN zero-norm case) break on cell id
+      // min(struct) ties break on cell id (zero norms filtered above)
       .agg(min(struct(col("__cdist"), col("cc.cell").as("cell"))).as("__best"))
       .select(col("neighbor_id"), col("__best.cell").as("cell"))
     assigned.join(raw, "neighbor_id")

@@ -74,10 +74,17 @@ object IncrementalEmbedDedup {
     def cosine(a: String, b: String, na: String, nb: String) =
       Similarity.dot(col(a), col(b)) / (col(na) * col(nb))
 
+    // a zero-norm vector has no direction: its cosine is 0/0 = NaN, and
+    // Spark's NaN-largest ordering makes `NaN >= threshold` TRUE — one
+    // zero vector would flag as a near-dup of every bucket-mate. Exclude
+    // zero norms from BOTH sides of both pair joins (mirroring
+    // Pq.slices' guard); they still persist to the store as corpus rows.
+    val comparable = bucketed.filter(col("nrm") > 0)
+
     val withinPairs = {
-      val a = bucketed.select(col("bucket"), col("vec_id").as("new_id"),
+      val a = comparable.select(col("bucket"), col("vec_id").as("new_id"),
         col("vec").as("vec_a"), col("nrm").as("nrm_a"))
-      val b = bucketed.select(col("bucket"), col("vec_id").as("dup_of"),
+      val b = comparable.select(col("bucket"), col("vec_id").as("dup_of"),
         col("vec").as("vec_b"), col("nrm").as("nrm_b"))
       a.join(b, "bucket")
         .filter(col("dup_of") < col("new_id")) // the earlier id is the keeper
@@ -98,10 +105,11 @@ object IncrementalEmbedDedup {
         // multi-root partition discovery sees conflicting structures
         val store = spark.read.option("basePath", storeDir)
           .parquet(priorBatches: _*)
+          .filter(col("nrm") > 0) // stored zero-norm rows can't be dups either
           .select(col("bucket"), col("vec_id").as("dup_of"),
             col("vec").as("vec_b"), col("nrm").as("nrm_b"))
         store.join(
-            broadcast(bucketed.select(col("bucket"), col("vec_id").as("new_id"),
+            broadcast(comparable.select(col("bucket"), col("vec_id").as("new_id"),
               col("vec").as("vec_a"), col("nrm").as("nrm_a"))),
             "bucket")
           .filter(col("new_id") =!= col("dup_of"))
@@ -130,6 +138,12 @@ object IncrementalEmbedDedup {
       b.join(dupIds, b(idCol) === dupIds("new_id"), "left_anti")
         .write.mode("overwrite").parquet(s"$kd/batch=$batchId")
     }
+
+    // checkpointed microbatch state is consumed by now — without the
+    // unpersist a long-running stream accumulates one pinned RDD pair
+    // per microbatch in executor storage
+    bucketed.unpersist()
+    dupsOut.unpersist()
   }
 
   /** All near-duplicate records detected so far (any batch). */

@@ -175,4 +175,48 @@ class DedupSpec extends AnyFunSuite {
     assert(cut(2L) == corpus.collect().find(_.getLong(0) == 2L).get.getString(1),
       "clean doc must pass through verbatim")
   }
+
+  test("adaptive broadcast guard: the shuffle-join fallback produces identical results") {
+    import spark.implicits._
+    val leak = "what is the capital of france the answer is paris of course"
+    val bench = Seq((100L, leak)).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"intro words here $leak and some trailing content"),
+      (2L, "a completely clean document with no overlap whatsoever in any window here"),
+      (3L, "of france is") // one shared 3-shingle for the decontaminate case
+    ).toDF("doc_id", "text")
+
+    // maxBroadcastRows = 0 forces every guarded small side past the cap —
+    // the exact path an eval set too big to broadcast would take
+    def dec(cap: Long) = graft.dedup.Dedup
+      .decontaminate(corpus, bench, "doc_id", "text", maxBroadcastRows = cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dec(0L) == dec(Long.MaxValue))
+
+    def spansOf(cap: Long) = graft.dedup.Dedup
+      .contaminatedSpans(corpus, bench, "doc_id", "text", k = 8, maxBroadcastRows = cap)
+    def spanRows(cap: Long) = spansOf(cap)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    assert(spanRows(0L) == spanRows(Long.MaxValue))
+
+    def cutRows(cap: Long) = graft.dedup.Dedup
+      .cutSpans(corpus, spansOf(Long.MaxValue), "doc_id", "text", maxBroadcastRows = cap)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val (fb, bc) = (cutRows(0L), cutRows(Long.MaxValue))
+    assert(fb == bc, s"fallback $fb != broadcast $bc")
+    // and past the cap the HINT is gone — with the size-based auto
+    // broadcast also off (as it would be for a genuinely large span
+    // table), the anti join plans as a shuffle join
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val forcedPlan = graft.dedup.Dedup
+        .cutSpans(corpus, spansOf(Long.MaxValue), "doc_id", "text", maxBroadcastRows = 0L)
+        .queryExecution.executedPlan.toString
+      assert(
+        "(SortMergeJoin|ShuffledHashJoin) [^\\n]*LeftAnti".r
+          .findFirstIn(forcedPlan).isDefined,
+        s"expected a shuffled anti join past the cap:\n$forcedPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -71,6 +71,26 @@ class IncrementalEmbedDedupSpec extends AnyFunSuite {
     assert(cos.forall(c => c > 0.999))
   }
 
+  test("zero-norm vectors are never flagged as near-dups (NaN cosine guard)") {
+    val base = Files.createTempDirectory("graft-embdedup-zero")
+    val (in, store, dups, ckpt) =
+      (base.resolve("in"), base.resolve("store"), base.resolve("dups"), base.resolve("ckpt"))
+    Files.createDirectories(in)
+    val zero = Seq.fill(dim)(0.0)
+    // two zero vectors + one real vector in one batch: with NaN >= threshold
+    // being TRUE under Spark's NaN-largest ordering, an unguarded join
+    // would pair the zero vectors with every bucket-mate
+    writeBatch(in, Seq((1L, vecA), (2L, zero), (3L, zero)))
+    runOnce(in, store, dups, ckpt)
+    assert(dupSet(dups).isEmpty,
+      s"zero-norm vectors must not produce dup pairs, got ${dupSet(dups)}")
+    // and a zero vector arriving later must not match the STORED zeros
+    writeBatch(in, Seq((4L, zero)))
+    runOnce(in, store, dups, ckpt)
+    assert(dupSet(dups).isEmpty,
+      s"stored zero-norm vectors must not produce dup pairs, got ${dupSet(dups)}")
+  }
+
   test("store compaction preserves detection and the bucket layout") {
     val base = Files.createTempDirectory("graft-embdedup-compact")
     val (in, store, dups, ckpt) =

@@ -52,6 +52,26 @@ class PqSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("cell members absent from the encoded table still surface via the exact rerank") {
+    // vectors appended to the IVF index without a re-encode have no code
+    // row: they must route into the exact rerank, not silently drop —
+    // with half the codes missing, full probe + full shortlist must STILL
+    // equal the exact top-k
+    val idx = PipelineOps.persistedIvfIndex(spark, d)
+    val queries = Tables.embeddings(spark, d)
+      .filter(pmod(col("vec_id"), lit(100)) === 0)
+    val corpusN = Tables.embeddings(spark, d).count().toInt
+    val halfEncoded = encoded.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val full = Pq.ivfPqTopK(idx, halfEncoded, cb, queries, "vec_id", "embedding",
+      k = 5, nprobe = idx.centroids.length, shortlist = corpusN)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val exact = Similarity.queryIvf(idx, queries, "vec_id", "embedding",
+      k = 5, nprobe = idx.centroids.length)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(full == exact,
+      "unencoded cell members must reach the rerank (cells ⊄ encoded)")
+  }
+
   test("operating-point result is complete: full top-5, ranks 1..5 per query") {
     val idx = PipelineOps.persistedIvfIndex(spark, d)
     val queries = Tables.embeddings(spark, d)

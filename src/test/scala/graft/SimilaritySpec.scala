@@ -129,4 +129,23 @@ class SimilaritySpec extends AnyFunSuite {
       k = 5, nprobe = 8))
     assert(viaGrown == exact, "appended index must serve the exact full-probe result")
   }
+
+  test("a truncated/partially-overwritten index fails loudly on read (meta sidecar)") {
+    val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val path = "target/test-ivf-stale"
+    val built = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8, seed = 42L)
+    Similarity.writeIvfIndex(built, path)
+    assert(Similarity.readIvfIndex(spark, path).seed == 42L,
+      "meta sidecar must round-trip the train seed")
+    // simulate a stale mix: the cells dir is replaced by a SUBSET (as a
+    // failed overwrite or concurrent rebuild would leave behind)
+    val truncated = spark.read.parquet(s"$path/cells")
+      .filter(pmod(col("neighbor_id"), lit(2)) === 0)
+      .localCheckpoint(true) // sever lineage from the files being replaced
+    truncated.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    val err = intercept[IllegalArgumentException] {
+      Similarity.readIvfIndex(spark, path)
+    }
+    assert(err.getMessage.contains("fewer than"), err.getMessage)
+  }
 }
