@@ -199,7 +199,15 @@ object Dedup {
     * window start. Built with posexplode + lead windows, the same
     * codegen shape as [[shingles]]: a `transform(sequence(...))` lambda
     * looks tidier but higher-order functions evaluate INTERPRETED,
-    * ~10x slower on the md5-per-window hot path.
+    * ~10x slower on the per-window hot path.
+    *
+    * The gram key is `xxhash64` — an 8-byte bigint through the gram
+    * shuffle instead of a 32-char md5 hex string (4x fewer key bytes,
+    * and a far cheaper hash per window). The key is internal (equality
+    * only, never exposed in an output), so the representation is free;
+    * a 64-bit collision needs ~2^32 distinct grams to appear at even
+    * birthday odds, and its worst effect is one spurious repeated
+    * window — the same tradeoff every 64-bit-fingerprint dedup makes.
     */
   private def positionalGrams(docs: DataFrame, idCol: String,
                               textCol: String, k: Int): DataFrame = {
@@ -211,7 +219,7 @@ object Dedup {
       // gram BEFORE the ragged-tail filter (same ordering as [[shingles]]):
       // filtering first would re-evaluate the leads over the filtered rows
       // and corrupt the last k-1 windows of every doc
-      .withColumn("gram", md5(concat_ws(" ", parts: _*)))
+      .withColumn("gram", xxhash64(concat_ws(" ", parts: _*)))
       .withColumn("__last", lead("tok", k - 1).over(w))
       .filter(col("__last").isNotNull) // ragged tail: no full k-gram starts here
       .select(col(idCol), col("pos"), col("gram"))
@@ -257,8 +265,12 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Option[Long] = None): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n, maxDf).localCheckpoint(true)
-    val result = jaccardFromCapped(sh, idCol, threshold).localCheckpoint(true)
+    // materialize the HASHED form: (id, bigint) is what the sizes pass
+    // and both join sides actually consume — no reason to pin strings
+    val sh = shingles(docs, idCol, textCol, n, maxDf)
+      .select(col(idCol), xxhash64(col("shingle")).as("__sh"))
+      .localCheckpoint(true)
+    val result = jaccardFromHashed(sh, idCol, threshold).localCheckpoint(true)
     sh.unpersist()
     result
   }
@@ -280,15 +292,24 @@ object Dedup {
           .filter(col("__df") <= cap)
           .drop("__df")
     }
-    jaccardFromCapped(sh, idCol, threshold)
+    jaccardFromHashed(
+      sh.select(col(idCol), xxhash64(col("shingle")).as("__sh")),
+      idCol, threshold)
   }
 
-  private def jaccardFromCapped(sh: DataFrame, idCol: String,
+  /** Jaccard pairs over a hashed (idCol, __sh bigint) shingle table: the
+    * inverted-index self-join keys on `xxhash64(shingle)` — an 8-byte
+    * bigint through the join shuffle instead of the raw n-gram string
+    * (~2-3x fewer key bytes on 3-word shingles). Internal equality key
+    * only, never exposed; a 64-bit collision (needs ~2^32 distinct
+    * shingles for birthday odds) at worst nudges one intersection count.
+    */
+  private def jaccardFromHashed(sh: DataFrame, idCol: String,
                                 threshold: Double): DataFrame = {
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("set_size"))
-    val a = sh.select(col(idCol).as("id_a"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("shingle"))
-    val inter = a.join(b, "shingle")
+    val a = sh.select(col(idCol).as("id_a"), col("__sh"))
+    val b = sh.select(col(idCol).as("id_b"), col("__sh"))
+    val inter = a.join(b, "__sh")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter_size"))
