@@ -1,6 +1,8 @@
 package graft.bbc
 
 import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, concat_ws}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
@@ -8,9 +10,11 @@ import scala.jdk.CollectionConverters._
 /** S9: the reference's per-iteration artifact files (`.clusters`,
   * `.classes`, `.losses`, `.txt` — `sources/2.2/source/KMeansReducer.java:
   * 27-128`), written once at end of run instead of append-hacked per
-  * iteration. All artifacts are small (k centroids, n assignments, k×iters
-  * losses), so these are plain driver-side writes; the distributed outputs
-  * they serialize (assignments) arrive as already-collected rows.
+  * iteration. Model-state artifacts (k centroids, k×iters losses) are
+  * bounded driver writes by construction; the per-ROW `.classes` files
+  * scale with the corpus and stream through [[writeClassesDf]] /
+  * [[writeClasses2DDf]] — ordered partitions iterated one at a time (the
+  * MtxCodec sink pattern), never a corpus-sized `collect()`.
   */
 object Artifacts {
 
@@ -18,6 +22,36 @@ object Artifacts {
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)
     Files.write(p, lines.toSeq.asJava, StandardCharsets.UTF_8)
+  }
+
+  /** Stream a 1-column `line` frame to a local text file, ordered: the
+    * sort runs distributed and `toLocalIterator` pulls ONE partition at a
+    * time through the driver — bounded memory regardless of row count.
+    */
+  private def streamLines(lines: DataFrame, path: String): Unit = {
+    val p = Paths.get(path)
+    if (p.getParent != null) Files.createDirectories(p.getParent)
+    val w = Files.newBufferedWriter(p, StandardCharsets.UTF_8)
+    try lines.orderBy("line").toLocalIterator().asScala
+      .foreach { r => w.write(r.getString(0)); w.write("\n") }
+    finally w.close()
+  }
+
+  /** `.classes` (2.2 format) from a distributed (id, cluster) frame:
+    * `<docId> <cluster>` per row, streamed — a corpus-sized assignment
+    * table would OOM the collect-based [[writeClasses]].
+    */
+  def writeClassesDf(assignments: DataFrame, idCol: String,
+                     clusterCol: String, path: String): Unit =
+    streamLines(assignments
+      .select(concat_ws(" ", col(idCol), col(clusterCol)).as("line")), path)
+
+  /** `.classes` (2.1 format) from a distributed (cluster, x, y) frame:
+    * `<cluster>,<x>,<y>` per row, streamed.
+    */
+  def writeClasses2DDf(assignments: DataFrame, path: String): Unit = {
+    val Seq(c, x, y) = assignments.columns.toSeq.take(3).map(col)
+    streamLines(assignments.select(concat_ws(",", c, x, y).as("line")), path)
   }
 
   /** `.clusters` (2.2 format): `<id>\t<v1> <v2> …` per centroid. */

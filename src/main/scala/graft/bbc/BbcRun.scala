@@ -63,10 +63,11 @@ object BbcRun {
     val pts = Points.readPoints(spark, p.pointsCsv).cache()
     val res21 = Points.kmeans2D(spark, pts, k = 3, maxIter = 20, tol = 1e-5)
     Artifacts.writeClusters2D(res21.centers, s"${p.outDir}/task_2_1.clusters")
-    Artifacts.writeClasses2D(
-      Points.classesRows(pts, res21).collect()
-        .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq,
-      s"${p.outDir}/task_2_1.classes")
+    // streamed, not collected: the 2.1 fixture is 500 points, but this
+    // writer is the shape that holds if the runner ever points at a real
+    // corpus (Artifacts.writeClasses2DDf pulls one partition at a time)
+    Artifacts.writeClasses2DDf(
+      Points.classesRows(pts, res21), s"${p.outDir}/task_2_1.classes")
 
     // 2.2 / 2.3 doc clustering over the 1.4 matrix
     val vecs = BbcTasks.docVectors(tfidf, nTerms.toInt).cache()
@@ -85,10 +86,11 @@ object BbcRun {
                                 losses: Seq[(Int, Int, Double)],
                                 docs: DataFrame, prefix: String): Unit = {
     Artifacts.writeClusters(centers, s"$prefix.clusters")
-    Artifacts.writeClasses(
-      assignments.select("doc_id", "cluster").collect()
-        .map(r => (r.get(0).toString, r.getInt(1))).toSeq,
-      s"$prefix.classes")
+    // streamed, not collected: a corpus-sized assignment table must never
+    // materialize on the driver (model state — centers/losses — is k-sized
+    // and stays a plain driver write)
+    Artifacts.writeClassesDf(assignments.select("doc_id", "cluster"),
+      "doc_id", "cluster", s"$prefix.classes")
     if (losses.nonEmpty) Artifacts.writeLosses(losses, s"$prefix.losses")
     val top = graft.cluster.Clustering.topComponents(centers, 10)
     Artifacts.writeTopTerms(Seq((losses.map(_._1).maxOption.getOrElse(0), top)),
