@@ -47,6 +47,12 @@ object GraftFunctions {
         require(children.length == 1, "rolling_hash expects exactly 1 argument")
         RollingHash(children.head)
       }),
+    (FunctionIdentifier("char_code_sum"),
+      new ExpressionInfo(classOf[CharCodeSum].getName, "char_code_sum"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "char_code_sum expects exactly 1 argument")
+        CharCodeSum(children.head)
+      }),
     (FunctionIdentifier("hamming"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming"),
       (children: Seq[Expression]) => {

@@ -105,6 +105,53 @@ object HammingDistance {
   }
 }
 
+/** Sum of a string's Unicode code points — the codegen form of
+  * `aggregate(split(s, ''), 0L, (acc, c) => acc + ascii(c))`, which
+  * evaluates INTERPRETED and allocates a one-char-string array per token.
+  * Matches that HOF exactly: `ascii` returns the first code point of each
+  * single-char split cell (split's trailing empty cell contributes
+  * `ascii('') = 0`), so summing code points is identical — and identical
+  * to DuckDB's `list_sum(list_transform(regexp_split_to_array(s, ''),
+  * c -> ascii(c)))`, keeping the oracle replayable.
+  */
+case class CharCodeSum(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string operand, got ${child.dataType.sql}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "char_code_sum"
+
+  override def nullSafeEval(input: Any): Any =
+    CharCodeSum.sumCodePoints(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.CharCodeSum.sumCodePoints($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharCodeSum =
+    copy(child = newChild)
+}
+
+object CharCodeSum {
+  /** Static helper the generated code calls: decode UTF-8 in place and
+    * sum code points — no split array, no per-char string objects.
+    */
+  def sumCodePoints(s: UTF8String): Long = {
+    val str = s.toString
+    var sum = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      sum += cp
+      i += Character.charCount(cp)
+    }
+    sum
+  }
+}
+
 object TextExprs {
   def rollingHash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
@@ -112,4 +159,7 @@ object TextExprs {
   def hamming(a: Column, b: Column): Column =
     ColumnBridge.column(
       HammingDistance(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def charCodeSum(c: Column): Column =
+    ColumnBridge.column(CharCodeSum(ColumnBridge.expression(c)))
 }

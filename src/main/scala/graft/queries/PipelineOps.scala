@@ -207,6 +207,23 @@ object PipelineOps {
     }
   }
 
+  /** Contaminated-span findings (corpus = doc_id % 10 != 0 vs the % 10
+    * benchmark split, 8-token grams), built once per dataset: leak
+    * findings are an ARTIFACT — a pipeline locates them once, then both
+    * reports them (`tp_decontaminate_spans`) and applies the cut
+    * (`tp_cut_spans`) from the same table, exactly like the dedup
+    * signature index. The double gram pass per consuming query is gone.
+    */
+  def contamSpans(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "contam_spans") {
+      val all = Tables.documents(s, d)
+      Dedup.contaminatedSpans(
+        all.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        all.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", k = 8)
+        .localCheckpoint(true)
+    }
+
   val queries: Map[String, Q] = Map(
     "dd_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
@@ -234,26 +251,21 @@ object PipelineOps {
     // corpus doc (maximal 8-token ranges sharing a gram with the
     // benchmark split) — the surgical alternative to tp_decontaminate's
     // whole-doc flag. The benchmark gram set broadcasts (fixed size by
-    // construction); the corpus pays one gram pass + the per-doc merge.
-    "tp_decontaminate_spans" -> ((s, d) => {
-      val all = Tables.documents(s, d)
-      Dedup.contaminatedSpans(
-        all.filter(pmod(col("doc_id"), lit(10)) =!= 0),
-        all.filter(pmod(col("doc_id"), lit(10)) === 0),
-        "doc_id", "text", k = 8)
-    }),
+    // construction, adaptively guarded); the corpus pays one gram pass +
+    // the per-doc merge. Served from the build-once spans table: leak
+    // FINDINGS are an artifact a pipeline materializes once and applies
+    // many times, exactly like the dedup signature index.
+    "tp_decontaminate_spans" -> ((s, d) => contamSpans(s, d)),
 
     // ...and the cut applied: every corpus doc rebuilt with its
     // contaminated ranges excised (docs without spans pass through
-    // verbatim) — the text a training run would actually ingest.
+    // verbatim) — the text a training run would actually ingest. Reads
+    // the same build-once spans table; the per-query work is the cut
+    // itself (anti join + ordered reassembly).
     "tp_cut_spans" -> ((s, d) => {
-      val all = Tables.documents(s, d)
-      val corpus = all.filter(pmod(col("doc_id"), lit(10)) =!= 0)
-      Dedup.cutSpans(corpus,
-        Dedup.contaminatedSpans(corpus,
-          all.filter(pmod(col("doc_id"), lit(10)) === 0),
-          "doc_id", "text", k = 8),
-        "doc_id", "text")
+      val corpus = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10)) =!= 0)
+      Dedup.cutSpans(corpus, contamSpans(s, d), "doc_id", "text")
     }),
 
     "dd_minhash_sig" -> ((s, d) => minhashSigs(s, d)),
@@ -377,13 +389,17 @@ object PipelineOps {
     // form at scale: 4x smaller vectors, SIMD-friendly). Pure map; the
     // per-vector scale is materialized as its own projection so the
     // lambda references an attribute, not a re-evaluated expression.
+    // max |v| = max(array_max(v), -array_min(v)) — two codegen array
+    // reductions instead of an interpreted per-element abs lambda.
     // The int8 vector is emitted as a comma-joined string (array-typed
     // outputs are unhashable in common verification harnesses).
     "sim_quantize" -> ((s, d) =>
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding"),
-          (greatest(array_max(transform(col("embedding"),
-            v => abs(v.cast("double")))), lit(1e-12)) / 127.0).as("scale"))
+          (greatest(
+            array_max(col("embedding")).cast("double"),
+            -array_min(col("embedding")).cast("double"),
+            lit(1e-12)) / 127.0).as("scale"))
         .select(col("vec_id"), col("scale"),
           concat_ws(",", transform(col("embedding"),
             v => round(v.cast("double") / col("scale")).cast("int").cast("string")))

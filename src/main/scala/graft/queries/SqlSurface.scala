@@ -212,7 +212,8 @@ object SqlSurface {
         .groupBy("l_orderkey")
         .agg(array_sort(collect_list(col("l_linenumber"))).as("__nums"))
         .select(col("l_orderkey"),
-          concat_ws(",", transform(col("__nums"), _.cast("string"))).as("line_nums"),
+          // array-level cast (codegen), not transform(_.cast) (interpreted)
+          concat_ws(",", col("__nums").cast("array<string>")).as("line_nums"),
           size(col("__nums")).as("n_lines"),
           array_contains(col("__nums"), 1).as("has_first"))),
 

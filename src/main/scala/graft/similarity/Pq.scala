@@ -190,35 +190,34 @@ object Pq {
         dot(col("svec"), col("cvec")).as("partial"))
 
     // candidates -> codes -> m table lookups -> ADC score. The join with
-    // `encoded` is LEFT: a cell member without a code row (vectors added
-    // via appendToIvfIndex before a re-encode) can't be ADC-scored, so it
-    // routes STRAIGHT into the exact rerank instead of being silently
-    // dropped — "full probe + full shortlist == exact" holds even when
-    // `encoded` lags the cells table. Unencoded candidates are bounded by
-    // the append delta since the last encode, so the extra exact work
-    // stays small and a re-encode restores the pure-ADC path.
+    // `encoded` is LEFT + posexplode_outer, ONE pass: a cell member
+    // without a code row (vectors added via appendToIvfIndex before a
+    // re-encode) keeps a single null-code row, misses every ADC lookup,
+    // and surfaces with a NULL adc_sim — which ranks past the shortlist
+    // (desc puts nulls last) but is kept by the explicit isNull arm, so
+    // it routes STRAIGHT into the exact rerank instead of being silently
+    // dropped. "Full probe + full shortlist == exact" therefore holds
+    // even when `encoded` lags the cells table; unencoded candidates are
+    // bounded by the append delta since the last encode, and a re-encode
+    // restores the pure-ADC path.
     val candidates = index.cells
       .join(broadcast(probed), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
-    val withCodes = candidates
+    val adcScored = candidates
       .join(encoded.withColumnRenamed("vec_id", "neighbor_id"),
         Seq("neighbor_id"), "left")
-    val unencoded = withCodes.filter(col("codes").isNull)
-      .select("query_id", "neighbor_id")
-    val adcScored = withCodes.filter(col("codes").isNotNull)
-      .select(col("query_id"), col("neighbor_id"), posexplode(col("codes")))
+      .select(col("query_id"), col("neighbor_id"), posexplode_outer(col("codes")))
       .withColumnRenamed("pos", "subspace")
       .withColumnRenamed("col", "code")
-      .join(broadcast(adcTable), Seq("query_id", "subspace", "code"))
+      .join(broadcast(adcTable), Seq("query_id", "subspace", "code"), "left")
       .groupBy("query_id", "neighbor_id")
       .agg(sum("partial").as("adc_sim"))
     val short = adcScored
       .withColumn("adc_rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("adc_sim"), asc("neighbor_id"))))
-      .filter(col("adc_rank") <= shortlist)
+      .filter(col("adc_rank") <= shortlist || col("adc_sim").isNull)
       .select("query_id", "neighbor_id")
-      .union(unencoded)
 
     // refine: exact cosine over the raw vectors, shortlist-sized work
     val reranked = short

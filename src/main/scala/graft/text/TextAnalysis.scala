@@ -95,8 +95,10 @@ object TextAnalysis {
     val toks = docs.select(col(idCol),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
     toks
-      .withColumn("charsum",
-        aggregate(split(col("tok"), ""), lit(0L), (acc, c) => acc + ascii(c)))
+      // native code-point sum: the aggregate(split(tok,''), acc+ascii)
+      // form computes the same value but interpreted, allocating a
+      // one-char-string array per token
+      .withColumn("charsum", graft.functions.TextExprs.charCodeSum(col("tok")))
       .groupBy(idCol)
       .agg(pmod(sum((col("pos") + 1) * col("charsum")), lit(2147483647L)).as("fingerprint"),
         count(lit(1)).as("n_tokens"))

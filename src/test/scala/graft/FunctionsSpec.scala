@@ -46,6 +46,17 @@ class FunctionsSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("char_code_sum is callable from SQL and matches the HOF form") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT char_code_sum('abc') AS s, char_code_sum('') AS e, " +
+        "aggregate(split('abc', ''), 0L, (acc, c) -> acc + ascii(c)) AS hof")
+      .collect().head
+    assert(r.getLong(0) == 97 + 98 + 99)
+    assert(r.getLong(1) == 0L)
+    assert(r.getLong(2) == r.getLong(0), "must match the HOF it replaces")
+  }
+
   test("vec_sqdist is callable from SQL and matches the algebra") {
     GraftFunctions.register(spark)
     val d = spark.sql(

@@ -148,7 +148,7 @@ class PlanSpec extends AnyFunSuite {
     // of these queries once carried one in its hot path and was measurably
     // slower for it; the executed plan must stay lambda-free
     Seq("tp_cut_spans", "ml_kmeans_assign", "j6b_nearest_centroid_map",
-      "ta_repetition").foreach { q =>
+      "ta_repetition", "ta_fingerprint", "f_array_agg").foreach { q =>
       val p = SparkEntry.queries(q)(spark, SparkTestSession.sfDir)
         .queryExecution.executedPlan.toString
       assert(!p.toLowerCase.contains("lambdafunction"),
