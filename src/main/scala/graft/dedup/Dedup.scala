@@ -103,6 +103,34 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Contamination report — the benchmark owner's view of
+    * [[decontaminate]]: for each BENCHMARK doc, how widely it leaks into
+    * the corpus — `(idCol, n_corpus_docs, n_leaked_grams)`, only docs
+    * with at least one leak. Ranks eval items by compromise: an eval
+    * question appearing verbatim in thousands of training docs is burned
+    * and should be rotated; one isolated hit may just be a common
+    * phrase.
+    *
+    * Scale shape: the benchmark gram set is small by construction and
+    * broadcast (adaptively — past `maxBroadcastRows` the join falls back
+    * to shuffle); the corpus pays one gram pass; the aggregation keys on
+    * the benchmark doc id. The corpus is never self-joined.
+    */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
+                          idCol: String, textCol: String, k: Int = 8,
+                          maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame = {
+    val bench = adaptiveBroadcast(
+      positionalGrams(benchmark, idCol, textCol, k)
+        .select(col(idCol).as("__bench_id"), col("gram")).distinct(),
+      maxBroadcastRows)
+    val corpusGrams = positionalGrams(corpus, idCol, textCol, k)
+      .select(col(idCol).as("__corpus_id"), col("gram")).distinct()
+    corpusGrams.join(bench, "gram")
+      .groupBy(col("__bench_id").as(idCol))
+      .agg(countDistinct("__corpus_id").as("n_corpus_docs"),
+        countDistinct("gram").as("n_leaked_grams"))
+  }
+
   /** Exact-substring repeated spans (the ExactSubstr method of Lee et
     * al., "Deduplicating Training Data Makes Language Models Better",
     * ACL 2022 — there built on a suffix array; here re-expressed

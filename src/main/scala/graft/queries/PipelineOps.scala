@@ -324,6 +324,18 @@ object PipelineOps {
         "doc_id", "text")
     }),
 
+    // The benchmark owner's view: per EVAL doc, how widely it leaks into
+    // the training corpus (distinct corpus docs + distinct leaked
+    // 8-grams) — ranks eval items by compromise, the report that decides
+    // which benchmark questions are burned and must rotate.
+    "tp_contamination_report" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      Dedup.contaminationReport(
+        all.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        all.filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", k = 8)
+    }),
+
     // SimHash near-dup pairs: banded Hamming (<= 3 bits over 4 bands),
     // served from the shared fingerprint table.
     "dd_simhash_pairs" -> ((s, d) =>
@@ -353,6 +365,23 @@ object PipelineOps {
     "sim_near_dup" -> ((s, d) =>
       Similarity.srpNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
         threshold = 0.4, numPlanes = 4, dim = 64)),
+
+    // Semantic dedup, APPLIED (SemDeDup-shaped: embedding near-dups
+    // collapse to one representative): SRP-bucketed cosine pairs →
+    // transitive closure → keep the min-id root of each component — the
+    // embedding-space counterpart of dd_apply, and the vector set a
+    // training run would actually embed-train on. Candidates come from
+    // the bucket equi-join (never all-pairs); the closure runs on the
+    // pair graph only (a small fraction of the corpus by construction).
+    "sim_dedup_apply" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val pairs = Similarity.srpNearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.4, numPlanes = 4, dim = 64)
+      Dedup.connectedComponents(emb.select("vec_id"), "vec_id",
+        pairs, "id_a", "id_b")
+        .filter(col("node") === col("component"))
+        .select(col("node").as("vec_id"))
+    }),
 
     // IVF-indexed approximate top-k (the ANN scale path; seeded k-means
     // quantizer, nprobe of nlist cells scanned), declared as its RECALL
@@ -568,6 +597,38 @@ object PipelineOps {
     } yield s"($pid, ${i + 1}, $w)").mkString(", ")
   }
 
+  /** The full SRP near-dup pair query (sim_near_dup's oracle), reusable
+    * as the pair source of the sim_dedup_apply closure.
+    */
+  private val srpPairsSql =
+    s"""WITH flat AS ($flatEmbSql),
+       |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+       |planes(plane_id, i, w) AS (VALUES $srpPlanesValues),
+       |proj AS (
+       |  SELECT f.vec_id, p.plane_id, sum(f.x * p.w) AS s
+       |  FROM flat f JOIN planes p ON f.i = p.i
+       |  GROUP BY 1, 2),
+       |buckets AS (
+       |  SELECT vec_id,
+       |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane_id)
+       |      AS bucket
+       |  FROM proj GROUP BY 1),
+       |cand AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM buckets a JOIN buckets b
+       |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |dots AS (
+       |  SELECT c.id_a, c.id_b, sum(fa.x * fb.x) AS dp
+       |  FROM cand c
+       |    JOIN flat fa ON fa.vec_id = c.id_a
+       |    JOIN flat fb ON fb.vec_id = c.id_b AND fb.i = fa.i
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, dp / (na.nrm * nb.nrm) AS cosine_sim
+       |FROM dots
+       |  JOIN norms na ON na.vec_id = id_a
+       |  JOIN norms nb ON nb.vec_id = id_b
+       |WHERE dp / (na.nrm * nb.nrm) >= 0.4""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
@@ -627,6 +688,22 @@ object PipelineOps {
          |FROM sh JOIN bench USING (shingle)
          |WHERE doc_id % 97 <> 0
          |GROUP BY 1""".stripMargin,
+
+    // same 8-gram construction as the span oracles, aggregated from the
+    // BENCHMARK side: per eval doc, distinct leaking corpus docs + grams
+    "tp_contamination_report" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS tk
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, md5(array_to_string(tk[i+1:i+8], ' ')) AS gram
+        |  FROM toks, LATERAL unnest(range(0, greatest(len(tk) - 7, 0))) t(i)),
+        |b AS (SELECT DISTINCT doc_id, gram FROM grams WHERE doc_id % 10 = 0),
+        |c AS (SELECT DISTINCT doc_id AS corpus_id, gram FROM grams WHERE doc_id % 10 <> 0)
+        |SELECT b.doc_id, count(DISTINCT c.corpus_id) AS n_corpus_docs,
+        |  count(DISTINCT b.gram) AS n_leaked_grams
+        |FROM b JOIN c USING (gram)
+        |GROUP BY 1""".stripMargin,
 
     // sh mirrors the declared query's maxDf=50 hot-shingle cap (a no-op on
     // this data — observed max df is 25 at sf0.1 — but part of the plan).
@@ -773,34 +850,22 @@ object PipelineOps {
 
     // Mirrors srpNearDupPairs: same seeded planes (inlined literals), same
     // bucket key, same in-bucket cosine verify at threshold 0.4.
-    "sim_near_dup" ->
-      s"""WITH flat AS ($flatEmbSql),
-         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
-         |planes(plane_id, i, w) AS (VALUES $srpPlanesValues),
-         |proj AS (
-         |  SELECT f.vec_id, p.plane_id, sum(f.x * p.w) AS s
-         |  FROM flat f JOIN planes p ON f.i = p.i
-         |  GROUP BY 1, 2),
-         |buckets AS (
-         |  SELECT vec_id,
-         |    string_agg(CASE WHEN s >= 0 THEN '1' ELSE '0' END, '' ORDER BY plane_id)
-         |      AS bucket
-         |  FROM proj GROUP BY 1),
-         |cand AS (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM buckets a JOIN buckets b
-         |    ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         |dots AS (
-         |  SELECT c.id_a, c.id_b, sum(fa.x * fb.x) AS dp
-         |  FROM cand c
-         |    JOIN flat fa ON fa.vec_id = c.id_a
-         |    JOIN flat fb ON fb.vec_id = c.id_b AND fb.i = fa.i
-         |  GROUP BY 1, 2)
-         |SELECT id_a, id_b, dp / (na.nrm * nb.nrm) AS cosine_sim
-         |FROM dots
-         |  JOIN norms na ON na.vec_id = id_a
-         |  JOIN norms nb ON nb.vec_id = id_b
-         |WHERE dp / (na.nrm * nb.nrm) >= 0.4""".stripMargin,
+    "sim_near_dup" -> srpPairsSql,
+
+    // same pair construction, then the recursive closure + min-id-root
+    // keep rule (the dd_components/dd_apply oracle pattern over the
+    // embedding pair graph)
+    "sim_dedup_apply" ->
+      s"""WITH RECURSIVE pairs AS ($srpPairsSql),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(node, root) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (SELECT node, min(root) AS component FROM reach GROUP BY 1)
+         |SELECT node AS vec_id FROM comp WHERE node = component""".stripMargin,
 
     "sim_quantize" ->
       """SELECT vec_id, scale,

@@ -176,6 +176,28 @@ class DedupSpec extends AnyFunSuite {
       "clean doc must pass through verbatim")
   }
 
+  test("contamination report ranks benchmark docs by leak spread") {
+    import spark.implicits._
+    val leak = "what is the capital of france the answer is paris of course"
+    val bench = Seq(
+      (100L, leak),                                             // leaks into docs 1 and 2
+      (101L, "a benchmark question nobody in the corpus has copied anywhere at all today")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, s"intro words here $leak and some trailing content"),
+      (2L, s"$leak appears verbatim right at the start of this one"),
+      (3L, "a completely clean document with no overlap whatsoever in any window here")
+    ).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup
+      .contaminationReport(corpus, bench, "doc_id", "text", k = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!got.contains(101L), "unleaked benchmark doc must not appear")
+    val (nDocs, nGrams) = got(100L)
+    assert(nDocs == 2L, s"leak reaches docs 1 and 2, got $nDocs")
+    // the 12-token leak has 5 complete 8-gram windows, all shared
+    assert(nGrams == 5L, s"expected 5 leaked grams, got $nGrams")
+  }
+
   test("adaptive broadcast guard: the shuffle-join fallback produces identical results") {
     import spark.implicits._
     val leak = "what is the capital of france the answer is paris of course"
