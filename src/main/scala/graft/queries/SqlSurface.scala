@@ -285,6 +285,24 @@ object SqlSurface {
         when(pmod(h, lit(10L)) < 8, "train").otherwise("test").as("split"))
     }),
 
+    // Training-data domain mixing: deterministic proportional
+    // downsampling to a target language mixture (downweight the
+    // over-represented crawl language, keep the rest) — keep-rates in
+    // basis points applied via a content-hash threshold. No RNG: the
+    // same corpus always yields the same mixture, across runs AND
+    // engines, and rerunning after an append only adds rows (existing
+    // keep/drop decisions never flip). Pure map, no shuffle.
+    "tp_domain_mix" -> ((s, d) => {
+      val rates = Seq("en" -> 5000L, "zh" -> 8000L, "fr" -> 7500L)
+      val h = pmod(graft.functions.TextExprs.rollingHash(col("text")), lit(10000L))
+      val rate = rates.foldLeft(lit(10000L): org.apache.spark.sql.Column) {
+        case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
+      }
+      Tables.documents(s, d)
+        .filter(h < rate)
+        .select(col("doc_id"), col("lang"))
+    }),
+
     // Training-pipeline: overlapping token chunking (50-token windows,
     // stride 40) — the context-window prep step. Token array materialized
     // once, chunk starts generated per doc, slice per chunk; a flat map,
@@ -585,6 +603,18 @@ object SqlSurface {
                list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
              (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
            FROM documents) t""",
+
+    // same rolling hash, thresholded per language at the declared
+    // basis-point keep-rates
+    "tp_domain_mix" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) % 10000 AS h
+           FROM documents) t
+         WHERE h < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 8000
+                             WHEN 'fr' THEN 7500 ELSE 10000 END""",
 
     "tp_chunk" ->
       """WITH t AS (
