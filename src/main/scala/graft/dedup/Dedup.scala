@@ -320,9 +320,15 @@ object Dedup {
           .filter(col("__df") <= cap)
           .drop("__df")
     }
-    jaccardFromHashed(
-      sh.select(col(idCol), xxhash64(col("shingle")).as("__sh")),
-      idCol, threshold)
+    // materialize the capped, hashed (id, bigint) table ONCE: it feeds
+    // three consumers (sizes + both self-join sides), and without the
+    // checkpoint each would re-run the df-cap window shuffle; the
+    // result is materialized before the intermediate unpersists
+    val hashed = sh.select(col(idCol), xxhash64(col("shingle")).as("__sh"))
+      .localCheckpoint(true)
+    val result = jaccardFromHashed(hashed, idCol, threshold).localCheckpoint(true)
+    hashed.unpersist()
+    result
   }
 
   /** Jaccard pairs over a hashed (idCol, __sh bigint) shingle table: the
