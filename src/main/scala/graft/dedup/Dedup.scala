@@ -118,18 +118,39 @@ object Dedup {
     */
   def contaminationReport(corpus: DataFrame, benchmark: DataFrame,
                           idCol: String, textCol: String, k: Int = 8,
-                          maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame = {
+                          maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame =
+    contaminationReportFromGrams(
+      positionalGrams(corpus, idCol, textCol, k),
+      positionalGrams(benchmark, idCol, textCol, k),
+      idCol, maxBroadcastRows)
+
+  /** [[contaminationReport]] over PREBUILT positional gram tables (see
+    * [[positionalGramTable]]) — the serving path when the gram pass is
+    * materialized once per corpus and shared across the decontamination
+    * family.
+    */
+  def contaminationReportFromGrams(corpusGrams: DataFrame, benchGrams: DataFrame,
+                                   idCol: String,
+                                   maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame = {
     val bench = adaptiveBroadcast(
-      positionalGrams(benchmark, idCol, textCol, k)
-        .select(col(idCol).as("__bench_id"), col("gram")).distinct(),
+      benchGrams.select(col(idCol).as("__bench_id"), col("gram")).distinct(),
       maxBroadcastRows)
-    val corpusGrams = positionalGrams(corpus, idCol, textCol, k)
+    val cg = corpusGrams
       .select(col(idCol).as("__corpus_id"), col("gram")).distinct()
-    corpusGrams.join(bench, "gram")
+    cg.join(bench, "gram")
       .groupBy(col("__bench_id").as(idCol))
       .agg(countDistinct("__corpus_id").as("n_corpus_docs"),
         countDistinct("gram").as("n_leaked_grams"))
   }
+
+  /** The positional k-gram pass as a PUBLIC build-once table,
+    * (idCol, pos, gram bigint) — the decontamination family's shared
+    * input (span finding, reporting), analogous to the shingle /
+    * signature index tables: materialize once per corpus, serve many.
+    */
+  def positionalGramTable(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 8): DataFrame =
+    positionalGrams(docs, idCol, textCol, k)
 
   /** Exact-substring repeated spans (the ExactSubstr method of Lee et
     * al., "Deduplicating Training Data Makes Language Models Better",
@@ -176,13 +197,23 @@ object Dedup {
   def contaminatedSpans(corpus: DataFrame, benchmark: DataFrame,
                         idCol: String, textCol: String,
                         k: Int = 8,
-                        maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame = {
-    val benchGrams = adaptiveBroadcast(
-      positionalGrams(benchmark, idCol, textCol, k).select("gram").distinct(),
-      maxBroadcastRows)
+                        maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame =
+    contaminatedSpansFromGrams(
+      positionalGrams(corpus, idCol, textCol, k),
+      positionalGrams(benchmark, idCol, textCol, k),
+      idCol, k, maxBroadcastRows)
+
+  /** [[contaminatedSpans]] over PREBUILT positional gram tables (see
+    * [[positionalGramTable]]) — shares the gram pass with the
+    * contamination report instead of recomputing it per operator.
+    */
+  def contaminatedSpansFromGrams(corpusGrams: DataFrame, benchGrams: DataFrame,
+                                 idCol: String, k: Int,
+                                 maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame = {
+    val bench = adaptiveBroadcast(
+      benchGrams.select("gram").distinct(), maxBroadcastRows)
     mergeWindowSpans(
-      positionalGrams(corpus, idCol, textCol, k)
-        .join(benchGrams, Seq("gram"), "left_semi"),
+      corpusGrams.join(bench, Seq("gram"), "left_semi"),
       idCol, k)
   }
 

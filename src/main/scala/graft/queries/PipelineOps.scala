@@ -207,6 +207,25 @@ object PipelineOps {
     }
   }
 
+  /** Positional 8-gram tables for the % 10 corpus/benchmark split,
+    * built once per dataset — the decontamination family's shared input
+    * (span finding + the contamination report both read them), the same
+    * index treatment as the shingle/signature tables.
+    */
+  private def corpusGrams8(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "corpus_grams8") {
+      Dedup.positionalGramTable(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(10)) =!= 0),
+        "doc_id", "text", k = 8).localCheckpoint(true)
+    }
+
+  private def benchGrams8(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "bench_grams8") {
+      Dedup.positionalGramTable(
+        Tables.documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0),
+        "doc_id", "text", k = 8).localCheckpoint(true)
+    }
+
   /** Contaminated-span findings (corpus = doc_id % 10 != 0 vs the % 10
     * benchmark split, 8-token grams), built once per dataset: leak
     * findings are an ARTIFACT — a pipeline locates them once, then both
@@ -214,15 +233,13 @@ object PipelineOps {
     * (`tp_cut_spans`) from the same table, exactly like the dedup
     * signature index. The double gram pass per consuming query is gone.
     */
-  def contamSpans(s: SparkSession, d: String): DataFrame =
+  def contamSpans(s: SparkSession, d: String): DataFrame = {
+    val (cg, bg) = (corpusGrams8(s, d), benchGrams8(s, d)) // outside the memo update
     memoized(s, d, "contam_spans") {
-      val all = Tables.documents(s, d)
-      Dedup.contaminatedSpans(
-        all.filter(pmod(col("doc_id"), lit(10)) =!= 0),
-        all.filter(pmod(col("doc_id"), lit(10)) === 0),
-        "doc_id", "text", k = 8)
+      Dedup.contaminatedSpansFromGrams(cg, bg, "doc_id", k = 8)
         .localCheckpoint(true)
     }
+  }
 
   val queries: Map[String, Q] = Map(
     "dd_exact" -> ((s, d) =>
@@ -327,14 +344,11 @@ object PipelineOps {
     // The benchmark owner's view: per EVAL doc, how widely it leaks into
     // the training corpus (distinct corpus docs + distinct leaked
     // 8-grams) — ranks eval items by compromise, the report that decides
-    // which benchmark questions are burned and must rotate.
-    "tp_contamination_report" -> ((s, d) => {
-      val all = Tables.documents(s, d)
-      Dedup.contaminationReport(
-        all.filter(pmod(col("doc_id"), lit(10)) =!= 0),
-        all.filter(pmod(col("doc_id"), lit(10)) === 0),
-        "doc_id", "text", k = 8)
-    }),
+    // which benchmark questions are burned and must rotate. Serves from
+    // the shared build-once gram tables (same input as the span chain).
+    "tp_contamination_report" -> ((s, d) =>
+      Dedup.contaminationReportFromGrams(
+        corpusGrams8(s, d), benchGrams8(s, d), "doc_id")),
 
     // SimHash near-dup pairs: banded Hamming (<= 3 bits over 4 bands),
     // served from the shared fingerprint table.
