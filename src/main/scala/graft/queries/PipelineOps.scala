@@ -491,6 +491,11 @@ object PipelineOps {
     "ta_quality" -> ((s, d) =>
       TextAnalysis.qualityFeatures(Tables.documents(s, d), "doc_id", "text", stopwords)),
 
+    // Sentence statistics (Gopher/C4-family quality rules): sentence
+    // count + mean/max sentence tokens per doc.
+    "ta_sentences" -> ((s, d) =>
+      TextAnalysis.sentenceStats(Tables.documents(s, d), "doc_id", "text")),
+
     "ta_token_counts" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -968,6 +973,24 @@ object PipelineOps {
         |FROM (SELECT doc_id, text,
         |        list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
         |      FROM documents) t""".stripMargin,
+
+    // same terminal-punctuation segmentation + token counting; docs with
+    // zero token-bearing sentences keep a row with count 0 / null mean
+    "ta_sentences" ->
+      """SELECT d.doc_id,
+        |  coalesce(s.n_sentences, 0) AS n_sentences,
+        |  s.avg_sentence_tokens,
+        |  coalesce(s.max_sentence_tokens, 0) AS max_sentence_tokens
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, count(*) AS n_sentences,
+        |    avg(n_toks) AS avg_sentence_tokens,
+        |    CAST(max(n_toks) AS INT) AS max_sentence_tokens
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(string_split_regex(sent, '\s+'), t -> t != '')) AS n_toks
+        |    FROM (SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS sent
+        |          FROM documents) x) y
+        |  WHERE n_toks > 0 GROUP BY 1) s ON d.doc_id = s.doc_id""".stripMargin,
 
     "ta_token_counts" ->
       """SELECT doc_id,

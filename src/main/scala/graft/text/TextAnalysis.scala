@@ -131,6 +131,32 @@ object TextAnalysis {
         (col("top_bigram_freq") / col("n_bigrams")).as("repetition_ratio"))
   }
 
+  /** Sentence statistics — the Gopher/C4-family quality signals built on
+    * sentence segmentation: per document, the sentence count and the
+    * mean/max sentence length in tokens (too-few or degenerate-length
+    * sentences flag boilerplate, lists, and OCR noise). Segmentation is
+    * a terminal-punctuation split (`[.!?]+`) — codegen `split` +
+    * `explode`, one shuffle on the doc id; a doc with no terminal
+    * punctuation is one sentence. Docs with no tokens at all get
+    * `n_sentences = 0` and a null mean.
+    */
+  def sentenceStats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sents = docs
+      .select(col(idCol), explode(split(col(textCol), "[.!?]+")).as("__sent"))
+      .withColumn("__n_toks", size(TextOps.tokens(col("__sent"))))
+      .filter(col("__n_toks") > 0) // whitespace-only fragments segment nothing
+    docs.select(col(idCol))
+      .join(sents.groupBy(idCol).agg(
+          count(lit(1)).as("n_sentences"),
+          avg("__n_toks").as("avg_sentence_tokens"),
+          max("__n_toks").as("max_sentence_tokens")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_sentences"), lit(0L)).as("n_sentences"),
+        col("avg_sentence_tokens"),
+        coalesce(col("max_sentence_tokens"), lit(0)).as("max_sentence_tokens"))
+  }
+
   /** Corpus-frequency unigram log-probability score — the "perplexity-ish"
     * quality filter: per document, the mean over its tokens of
     * `ln(corpus_freq(token) / corpus_total)`. Documents of rare/garbled

@@ -105,4 +105,20 @@ class TextOpsSpec extends AnyFunSuite {
       s"common-token doc must outscore rare-token doc: $got")
     assert(got.values.flatMap(_._2).forall(_ < 0.0), "log-probs are negative")
   }
+
+  test("sentence stats: segmentation, no-punctuation fallback, empty-doc zeros") {
+    val docs = Seq(
+      (1L, "one two three. four five! six?"),   // 3 sentences: 3/2/1 tokens
+      (2L, "no terminal punctuation at all"),   // 1 sentence of 5 tokens
+      (3L, ""),                                 // no sentences
+      (4L, "...!?")                             // punctuation only: no sentences
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.sentenceStats(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double]), r.getInt(3)))).toMap
+    assert(got(1L) == ((3L, Some(2.0), 3)), s"got ${got(1L)}")
+    assert(got(2L) == ((1L, Some(5.0), 5)), s"got ${got(2L)}")
+    assert(got(3L) == ((0L, None, 0)))
+    assert(got(4L) == ((0L, None, 0)))
+  }
 }
