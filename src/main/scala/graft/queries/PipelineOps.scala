@@ -360,6 +360,17 @@ object PipelineOps {
     "dd_components" -> ((s, d) =>
       dupComponents(s, d).select(col("node").as("doc_id"), col("component"))),
 
+    // Radius (range) search through the persisted IVF index at full
+    // probe: every corpus vector within cosine >= 0.2 of each query —
+    // the "everything this similar" retrieval form (near-dup audits,
+    // recall sweeps), exact at nprobe == nlist, no per-query sort.
+    "sim_radius" -> ((s, d) => {
+      val idx = persistedIvfIndex(s, d)
+      Similarity.queryIvfRadius(idx,
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(200)) === 0),
+        "vec_id", "embedding", minSim = 0.2, nprobe = idx.centroids.length)
+    }),
+
     // Exact top-k, served through the persisted IVF index at
     // nprobe == nlist: every (query, corpus) pair is scored once via the
     // cell hash equi-join — same result as brute force bit-for-bit (raw
@@ -870,6 +881,25 @@ object PipelineOps {
     // Mirrors srpNearDupPairs: same seeded planes (inlined literals), same
     // bucket key, same in-bucket cosine verify at threshold 0.4.
     "sim_near_dup" -> srpPairsSql,
+
+    // exact radius set, replayed flat: every (query, other) cosine at
+    // full probe equals the brute-force filter
+    "sim_radius" ->
+      s"""WITH flat AS ($flatEmbSql),
+         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+         |q AS (SELECT vec_id FROM embeddings WHERE vec_id % 200 = 0),
+         |dots AS (
+         |  SELECT qa.vec_id AS query_id, fb.vec_id AS neighbor_id,
+         |    sum(fa.x * fb.x) AS dp
+         |  FROM q qa
+         |    JOIN flat fa ON fa.vec_id = qa.vec_id
+         |    JOIN flat fb ON fb.i = fa.i AND fb.vec_id <> qa.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, dp / (na.nrm * nb.nrm) AS cosine_sim
+         |FROM dots
+         |  JOIN norms na ON na.vec_id = query_id
+         |  JOIN norms nb ON nb.vec_id = neighbor_id
+         |WHERE dp / (na.nrm * nb.nrm) >= 0.2""".stripMargin,
 
     // same pair construction, then the recursive closure + min-id-root
     // keep rule (the dd_components/dd_apply oracle pattern over the

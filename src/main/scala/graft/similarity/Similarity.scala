@@ -214,6 +214,99 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
   }
 
+  /** Compact a persisted index's cells table: [[appendToIvfIndex]] adds
+    * one file per append per cell, and probe cost eventually tracks file
+    * count (open/footer overhead) as much as row count. Rewrites each
+    * cell partition as ~one file, preserving the partitioned layout; the
+    * row count is asserted unchanged against the live table before the
+    * swap (compaction must never lose or duplicate a vector — the
+    * metadata sidecar keeps protecting reads afterwards).
+    *
+    * Crash-safe via write-new → rename-away → rename-in, with
+    * ROLLBACK-ONLY recovery: unlike the streaming stores' batch dirs,
+    * cell partitions are not idempotent replay units, so if both the
+    * live dir and a stranded `.old` exist this fails loudly instead of
+    * guessing which copy wins. Single-writer contract: do not append
+    * concurrently.
+    */
+  def compactIvfCells(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cellsDir = s"$path/cells"
+    val fs = new org.apache.hadoop.fs.Path(cellsDir).getFileSystem(conf)
+    recoverCellsSwap(fs, cellsDir)
+    val live = new org.apache.hadoop.fs.Path(cellsDir)
+    if (!fs.exists(live)) return
+    val tmp = new org.apache.hadoop.fs.Path(cellsDir + ".compacting")
+    val old = new org.apache.hadoop.fs.Path(cellsDir + ".old")
+    fs.delete(tmp, true)
+    val before = spark.read.parquet(cellsDir).count()
+    // repartition on the partition column: each task holds whole cells,
+    // so every cell partition lands as a single file per writing task
+    spark.read.parquet(cellsDir)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(tmp.toString)
+    val after = spark.read.parquet(tmp.toString).count()
+    require(after == before,
+      s"IVF compaction would change the row count ($before -> $after); aborting")
+    if (!fs.rename(live, old))
+      throw new java.io.IOException(s"IVF compaction swap failed: $live -> $old")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(old, live) // roll back to the pre-compaction cells
+      throw new java.io.IOException(s"IVF compaction swap failed: $tmp -> $live")
+    }
+    fs.delete(old, true): Unit
+  }
+
+  /** Rollback-only crash recovery for [[compactIvfCells]]: a swap that
+    * died between its renames leaves the data under `.old` — rename it
+    * back. If BOTH exist, a writer ran before recovery; cells are not
+    * idempotent units, so refuse to guess.
+    */
+  private def recoverCellsSwap(fs: org.apache.hadoop.fs.FileSystem,
+                               cellsDir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(cellsDir)
+    val old = new org.apache.hadoop.fs.Path(cellsDir + ".old")
+    if (!fs.exists(old)) return
+    if (fs.exists(live))
+      throw new IllegalStateException(
+        s"both $cellsDir and $old exist — a compaction crashed and a writer " +
+          "ran before recovery; reconcile manually (cells are not idempotent)")
+    if (!fs.rename(old, live))
+      throw new java.io.IOException(s"IVF compaction recovery failed: $old -> $live")
+  }
+
+  /** Radius (range) search over the IVF index: every corpus vector with
+    * `cosine >= minSim` of each query, scanning only the probed cells —
+    * the dedup/retrieval form of the index probe (near-dup audits ask
+    * "everything this similar", not "the top k"). Same broadcast probe
+    * equi-join shape as [[queryIvf]] with a threshold filter instead of
+    * a rank window — no per-query sort at all. At `nprobe == nlist` the
+    * result is the EXACT radius set (every pair scored once via the
+    * cell join).
+    */
+  def queryIvfRadius(index: IvfIndex, queries: DataFrame, idCol: String,
+                     vecCol: String, minSim: Double, nprobe: Int): DataFrame = {
+    val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qnorm"))
+    val centroidLits = index.centroids.map { case (i, c) =>
+      struct(lit(i).as("cell"), array(c.map(lit).toSeq: _*).as("centroid"))
+    }
+    val probed = qRaw
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        explode(array(centroidLits.toSeq: _*)).as("cc"))
+      .withColumn("cdist", -dot(col("qvec"), col("cc.centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cc.cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("cc.cell").as("cell"))
+    index.cells.join(broadcast(probed), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+      .filter(col("cosine_sim") >= minSim)
+      .select("query_id", "neighbor_id", "cosine_sim")
+  }
+
   /** Query an IVF index: score each query only against the members of its
     * `nprobe` nearest cells. Candidate generation is a hash equi-join on
     * `cell` (queries carry their probed cells exploded), never a cross

@@ -130,6 +130,61 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaGrown == exact, "appended index must serve the exact full-probe result")
   }
 
+  test("cell compaction merges append fragments; results and metadata unchanged") {
+    val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val half = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val rest = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val path = "target/test-ivf-compact"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(half, "vec_id", "embedding", nlist = 8, seed = 42L),
+      path)
+    Similarity.appendToIvfIndex(spark, path, rest, "vec_id", "embedding")
+
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$path/cells"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+
+    val filesBefore = parquetFiles()
+    val before = rows(Similarity.queryIvf(Similarity.readIvfIndex(spark, path),
+      queries, "vec_id", "embedding", k = 5, nprobe = 8))
+    Similarity.compactIvfCells(spark, path)
+    val filesAfter = parquetFiles()
+    assert(filesAfter < filesBefore,
+      s"compaction must shrink the file count ($filesBefore -> $filesAfter)")
+    val grown = Similarity.readIvfIndex(spark, path) // sidecar still asserts
+    assert(rows(Similarity.queryIvf(grown, queries, "vec_id", "embedding",
+      k = 5, nprobe = 8)) == before, "compaction must not change any result")
+  }
+
+  test("radius search at full probe equals the brute-force cosine filter") {
+    val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8, seed = 42L)
+    val got = Similarity.queryIvfRadius(idx, queries, "vec_id", "embedding",
+      minSim = 0.2, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: every (query, other) cosine >= threshold
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("qvec"),
+      Similarity.norm(col("embedding")).as("qnorm"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"),
+      Similarity.norm(col("embedding")).as("cnorm"))
+    val expected = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Similarity.dot(col("qvec"), col("cvec")) /
+        (col("qnorm") * col("cnorm")))
+      .filter(col("cos") >= 0.2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"radius mismatch: got ${got.size}, expected ${expected.size}")
+    assert(expected.nonEmpty, "threshold must select something at test scale")
+  }
+
   test("a truncated/partially-overwritten index fails loudly on read (meta sidecar)") {
     val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
     val path = "target/test-ivf-stale"
