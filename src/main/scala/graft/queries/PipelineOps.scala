@@ -507,6 +507,13 @@ object PipelineOps {
     "ta_sentences" -> ((s, d) =>
       TextAnalysis.sentenceStats(Tables.documents(s, d), "doc_id", "text")),
 
+    // Sentence-boundary chunking: ~60-token context windows that never
+    // split a sentence (prefix-sum binning — deterministic, engine-
+    // replayable, unlike stateful greedy next-fit).
+    "tp_chunk_sentences" -> ((s, d) =>
+      TextAnalysis.chunkBySentences(Tables.documents(s, d), "doc_id", "text",
+        budgetTokens = 60)),
+
     "ta_token_counts" -> ((s, d) =>
       Tables.documents(s, d).select(
         col("doc_id"),
@@ -1021,6 +1028,30 @@ object PipelineOps {
         |    FROM (SELECT doc_id, unnest(string_split_regex(text, '[.!?]+')) AS sent
         |          FROM documents) x) y
         |  WHERE n_toks > 0 GROUP BY 1) s ON d.doc_id = s.doc_id""".stripMargin,
+
+    // identical segmentation + prefix-sum binning; chunk text rebuilt
+    // from normalized sentence tokens in sentence order
+    "tp_chunk_sentences" ->
+      """WITH s0 AS (
+        |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS sent
+        |  FROM (SELECT doc_id, string_split_regex(text, '[.!?]+') AS l
+        |        FROM documents) x),
+        |s AS (
+        |  SELECT doc_id, pos, array_to_string(tk, ' ') AS sent_norm,
+        |    len(tk) AS n_toks
+        |  FROM (SELECT doc_id, pos,
+        |          list_filter(string_split_regex(sent, '\s+'), t -> t != '') AS tk
+        |        FROM s0) y
+        |  WHERE len(tk) > 0),
+        |c AS (
+        |  SELECT doc_id, pos, sent_norm, n_toks,
+        |    sum(n_toks) OVER (PARTITION BY doc_id ORDER BY pos) AS cum
+        |  FROM s)
+        |SELECT doc_id, CAST(floor((cum0 - n_toks0) / 60.0) AS INT) AS chunk_idx,
+        |  count(*) AS n_sentences, CAST(sum(n_toks0) AS BIGINT) AS n_tokens,
+        |  string_agg(sent_norm, ' ' ORDER BY pos) AS chunk_text
+        |FROM (SELECT doc_id, pos, sent_norm, n_toks AS n_toks0, cum AS cum0 FROM c) z
+        |GROUP BY 1, 2""".stripMargin,
 
     "ta_token_counts" ->
       """SELECT doc_id,

@@ -157,6 +157,39 @@ object TextAnalysis {
         coalesce(col("max_sentence_tokens"), lit(0)).as("max_sentence_tokens"))
   }
 
+  /** Sentence-boundary chunking — the context-window prep that respects
+    * sentence structure: sentences (terminal-punctuation split, token-
+    * normalized) are binned into ~`budgetTokens` chunks by their token
+    * prefix sum — a sentence opens chunk `floor(tokens_before / budget)`,
+    * so chunks never split a sentence (a single over-budget sentence
+    * owns its chunk and may exceed the budget; the deterministic
+    * prefix-binning rule replays identically in any engine, unlike
+    * greedy next-fit, which needs sequential state). Returns one row per
+    * (doc, chunk): sentence count, token count, and the rebuilt chunk
+    * text. Plan: codegen split/posexplode, one prefix-sum window + one
+    * aggregation on the doc id.
+    */
+  def chunkBySentences(docs: DataFrame, idCol: String, textCol: String,
+                       budgetTokens: Int = 60): DataFrame = {
+    val sents = docs
+      .select(col(idCol), posexplode(split(col(textCol), "[.!?]+")).as(Seq("pos", "sent")))
+      .withColumn("__toks", TextOps.tokens(col("sent")))
+      .withColumn("__n_toks", size(col("__toks")))
+      .filter(col("__n_toks") > 0)
+      .withColumn("__sent_norm", concat_ws(" ", col("__toks")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    sents
+      .withColumn("__cum", sum("__n_toks").over(w))
+      .withColumn("chunk_idx",
+        floor((col("__cum") - col("__n_toks")) / lit(budgetTokens.toDouble)).cast("int"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(count(lit(1)).as("n_sentences"),
+        sum("__n_toks").as("n_tokens"),
+        concat_ws(" ",
+          array_sort(collect_list(struct(col("pos"), col("__sent_norm"))))
+            .getField("__sent_norm")).as("chunk_text"))
+  }
+
   /** Corpus-frequency unigram log-probability score — the "perplexity-ish"
     * quality filter: per document, the mean over its tokens of
     * `ln(corpus_freq(token) / corpus_total)`. Documents of rare/garbled

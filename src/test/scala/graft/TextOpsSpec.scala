@@ -121,4 +121,23 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, None, 0)))
     assert(got(4L) == ((0L, None, 0)))
   }
+
+  test("sentence chunking: budget binning never splits a sentence; over-budget sentence owns its chunk") {
+    val docs = Seq(
+      // 3 sentences of 4/4/4 tokens, budget 8: prefix sums 0/4/8 ->
+      // chunks 0,0,1 (the third sentence STARTS at the budget boundary)
+      (1L, "a b c d. e f g h. i j k l."),
+      // a single 10-token sentence with budget 8: one over-budget chunk
+      (2L, "one two three four five six seven eight nine ten.")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunkBySentences(docs, "doc_id", "text", budgetTokens = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(got((1L, 0)) == ((2L, 8L, "a b c d e f g h")), s"got ${got.get((1L, 0))}")
+    assert(got((1L, 1)) == ((1L, 4L, "i j k l")), s"got ${got.get((1L, 1))}")
+    assert(got((2L, 0)) ==
+      ((1L, 10L, "one two three four five six seven eight nine ten")))
+    assert(got.size == 3)
+  }
 }
