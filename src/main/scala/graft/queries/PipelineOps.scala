@@ -371,6 +371,16 @@ object PipelineOps {
         "vec_id", "embedding", minSim = 0.2, nprobe = idx.centroids.length)
     }),
 
+    // The dedup report a pipeline actually prints: the component-size
+    // histogram (how many dup clusters of each size) — duplication rate
+    // and worst-clique size at a glance, two tiny aggregations over the
+    // shared component labels.
+    "dd_cluster_sizes" -> ((s, d) =>
+      dupComponents(s, d)
+        .groupBy("component").agg(count(lit(1)).as("__sz"))
+        .groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))),
+
     // Exact top-k, served through the persisted IVF index at
     // nprobe == nlist: every (query, corpus) pair is scored once via the
     // cell hash equi-join — same result as brute force bit-for-bit (raw
@@ -796,6 +806,31 @@ object PipelineOps {
          |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
          |SELECT node AS doc_id, min(root) AS component
          |FROM reach GROUP BY 1""".stripMargin,
+
+    // same closure, rolled up to the component-size histogram
+    "dd_cluster_sizes" ->
+      s"""WITH RECURSIVE cand AS (
+         |WITH sig AS ($minhashSigSql),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 || mh1 AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cand
+         |  UNION SELECT id_b, id_a FROM cand),
+         |reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (
+         |  SELECT node, min(root) AS component FROM reach GROUP BY 1),
+         |sz AS (
+         |  SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+         |SELECT cluster_size, count(*) AS n_clusters FROM sz GROUP BY 1""".stripMargin,
 
     "dd_editdist_pairs" ->
       """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
