@@ -198,6 +198,29 @@ class DedupSpec extends AnyFunSuite {
     assert(nGrams == 5L, s"expected 5 leaked grams, got $nGrams")
   }
 
+  test("span cut is decontaminating: the cut corpus re-scans clean (fixture corpus)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // end-to-end soundness of find -> cut: after excising every
+    // contaminated span, a SECOND contamination scan finds nothing.
+    // (Cutting can in principle splice two clean fragments into a NEW
+    // benchmark gram at the cut boundary — vanishingly unlikely on real
+    // text and absent on this pinned fixture; the property documents the
+    // end state a decontamination pipeline actually promises.)
+    val docs = spark.read.parquet(s"${SparkTestSession.sfDir}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val corpus = docs.filter(pmod(col("doc_id"), lit(10)) =!= 0)
+    val bench = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+    val spans = graft.dedup.Dedup.contaminatedSpans(corpus, bench, "doc_id", "text", k = 8)
+    assert(spans.count() > 0, "fixture must actually contain leaks for this to mean anything")
+    val cut = graft.dedup.Dedup.cutSpans(corpus, spans, "doc_id", "text")
+      .withColumnRenamed("clean_text", "text")
+    val residual = graft.dedup.Dedup
+      .contaminatedSpans(cut, bench, "doc_id", "text", k = 8)
+    assert(residual.count() == 0,
+      s"cut corpus still contaminated: ${residual.collect().take(5).mkString(", ")}")
+  }
+
   test("adaptive broadcast guard: the shuffle-join fallback produces identical results") {
     import spark.implicits._
     val leak = "what is the capital of france the answer is paris of course"
