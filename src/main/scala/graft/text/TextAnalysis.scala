@@ -65,10 +65,24 @@ object TextAnalysis {
     */
   def qualityFeatures(docs: DataFrame, idCol: String, textCol: String,
                       stopwords: Seq[String]): DataFrame = {
-    val stopArr = array(stopwords.map(lit): _*)
     val text = col(textCol)
     val toks = col("__toks")
     val nToks = col("__n")
+    // stopword token count (WITH duplicates): for a compact marker list,
+    // Σ_w (size(toks) − size(array_remove(toks, w))) — array_remove
+    // drops every occurrence of w, so the size delta is w's count, and
+    // the whole sum stays in codegen. A `filter(toks, array_contains)`
+    // lambda computes the same but INTERPRETED per token; it remains the
+    // fallback for long lists, where a real pipeline should broadcast-
+    // join a stopword table instead (TextOps.removeStopwords).
+    val stopCount: Column =
+      if (stopwords.size <= 16)
+        stopwords.map(w => (size(toks) - size(array_remove(toks, w))).cast("double"))
+          .reduce(_ + _)
+      else {
+        val stopArr = array(stopwords.map(lit): _*)
+        size(filter(toks, t => array_contains(stopArr, t))).cast("double")
+      }
     docs
       .select(col(idCol), text, TextOps.tokens(text).as("__toks"))
       .select(col(idCol), text, toks, size(toks).as("__n"))
@@ -77,8 +91,7 @@ object TextAnalysis {
         length(text).as("n_chars"),
         nToks.as("n_tokens"),
         (length(text).cast("double") / nToks).as("chars_per_token"),
-        (size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nToks)
-          .as("stopword_ratio"),
+        (stopCount / nToks).as("stopword_ratio"),
         (length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double") / length(text))
           .as("punct_ratio"),
         (size(array_distinct(toks)).cast("double") / nToks).as("distinct_token_ratio"))

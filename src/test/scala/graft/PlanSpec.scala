@@ -156,6 +156,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("no NEW interpreted lambda sneaks into any declared plan (pinned exception list)") {
+    // the fleet-wide regression net behind the test above: every declared
+    // query's executed plan is lambda-free EXCEPT these, each with a
+    // reviewed reason — tiny/bounded inputs or no codegen alternative
+    val allowed = Set(
+      "sim_quantize",   // per-element scale+render: no elementwise-div builtin
+      "mm_byte_hist",   // 16-element feature render per media row
+      "sim_ann_ivfpq",  // query-side slice normalization (q vectors only)
+      "f_higher_order"  // the query DECLARING the HOF surface itself
+    )
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot { case (n, _) => allowed(n) }
+      .flatMap { case (name, fn) =>
+        val p = scala.util.Try(
+          fn(spark, SparkTestSession.sfDir).queryExecution.executedPlan.toString)
+          .getOrElse("")
+        if (p.toLowerCase.contains("lambdafunction")) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      s"interpreted lambdas in declared plans (add a codegen form or justify " +
+        s"an exception): ${offenders.mkString(", ")}")
+  }
+
   test("kmeans-assign distances ride the codegen vec_dot kernel") {
     val p = plan("ml_kmeans_assign")
     assert(p.contains("vec_dot"), s"expected native dot kernel:\n$p")
