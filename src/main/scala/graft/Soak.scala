@@ -117,6 +117,11 @@ object Soak {
       shape("repetition_signal") {
         graft.text.TextAnalysis.repetitionRatio(docs, "doc_id", "text")
       },
+      // sentence chunking: split + prefix-sum window + per-chunk rebuild —
+      // must stay linear in tokens like the other doc-id-window shapes
+      shape("sentence_chunking") {
+        graft.text.TextAnalysis.chunkBySentences(docs, "doc_id", "text", 60)
+      },
       // dup-heavy worst case for ExactSubstr: with every text copied mult
       // times, EVERY k-gram is cross-document, so the span-merge pass sees
       // the maximum possible hit density — cost must stay linear in tokens
@@ -230,6 +235,15 @@ object Soak {
           docs, bench, "doc_id", "text", k = 8, maxBroadcastRows = 0L)
         graft.dedup.Dedup.cutSpans(docs, spans, "doc_id", "text",
           maxBroadcastRows = 0L)
+      },
+      // the report over the same split: the amplified corpus leaks into
+      // the FIXED benchmark everywhere — worst-case fan-in onto the
+      // bench-doc aggregation keys
+      shape("contamination_report") {
+        val bench = Tables.documents(spark, sfDir)
+          .filter(pmod(col("doc_id"), lit(10)) === 0)
+        graft.dedup.Dedup.contaminationReport(
+          docs, bench, "doc_id", "text", k = 8)
       }
     ) else Seq.empty) ++ (if (soakSets("zorder")) Seq(
       // the layout write's cost: one range-partitioner sample pass + one

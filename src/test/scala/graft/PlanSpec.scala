@@ -177,6 +177,22 @@ class PlanSpec extends AnyFunSuite {
         s"an exception): ${offenders.mkString(", ")}")
   }
 
+  test("radius search plans no per-query sort (threshold filter, not a rank window)") {
+    // exactly ONE window in the whole plan: the tiny per-query CELL
+    // ranking of the probe (nlist rows per query). The corpus-sized
+    // candidate stream is filtered by threshold, never ranked — that's
+    // the point of a radius probe vs top-k.
+    val p = plan("sim_radius")
+    // every window in the plan must be the probe's tiny cell rank
+    // ("crank", nlist rows per query) — it legitimately appears twice in
+    // the tree text (the dynamic-partition-pruning subquery repeats the
+    // broadcast side); nothing may ever rank the corpus-sized candidates
+    val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("crank")),
+      s"a non-probe window ranks candidates:\n$p")
+    assert(p.contains(">= 0.2"), s"threshold filter missing:\n$p")
+  }
+
   test("kmeans-assign distances ride the codegen vec_dot kernel") {
     val p = plan("ml_kmeans_assign")
     assert(p.contains("vec_dot"), s"expected native dot kernel:\n$p")
