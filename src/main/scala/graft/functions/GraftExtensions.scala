@@ -47,6 +47,12 @@ object GraftFunctions {
         require(children.length == 1, "rolling_hash expects exactly 1 argument")
         RollingHash(children.head)
       }),
+    (FunctionIdentifier("count_in_set"),
+      new ExpressionInfo(classOf[CountInSet].getName, "count_in_set"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "count_in_set expects exactly 2 arguments")
+        CountInSet(children.head, children(1))
+      }),
     (FunctionIdentifier("char_code_sum"),
       new ExpressionInfo(classOf[CharCodeSum].getName, "char_code_sum"),
       (children: Seq[Expression]) => {

@@ -152,9 +152,77 @@ object CharCodeSum {
   }
 }
 
+/** Count of `left`'s elements that occur in the (small) `right` set —
+  * the codegen form of `size(filter(arr, t => array_contains(set, t)))`,
+  * which evaluates INTERPRETED and allocates a filtered array per row.
+  * One pass over `left`, |set| string compares per element, no
+  * allocation; null elements are not counted (matching the HOF form,
+  * where a null predicate result drops the element). For large sets use
+  * a broadcast anti/semi join instead — the set here is a handful of
+  * marker words.
+  */
+case class CountInSet(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private def strArray(dt: DataType): Boolean = dt match {
+    case ArrayType(StringType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (strArray(left.dataType) && strArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<string> operands, got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "count_in_set"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    CountInSet.countIn(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CountInSet.countIn($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountInSet =
+    copy(left = newLeft, right = newRight)
+}
+
+object CountInSet {
+  /** Static helper the generated code calls. */
+  def countIn(values: org.apache.spark.sql.catalyst.util.ArrayData,
+              set: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    var count = 0L
+    var i = 0
+    while (i < values.numElements()) {
+      if (!values.isNullAt(i)) {
+        val v = values.getUTF8String(i)
+        var j = 0
+        var found = false
+        while (!found && j < set.numElements()) {
+          if (!set.isNullAt(j) && v.equals(set.getUTF8String(j))) found = true
+          j += 1
+        }
+        if (found) count += 1
+      }
+      i += 1
+    }
+    count
+  }
+}
+
 object TextExprs {
   def rollingHash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
+
+  def countInSet(values: Column, set: Column): Column =
+    ColumnBridge.column(
+      CountInSet(ColumnBridge.expression(values), ColumnBridge.expression(set)))
 
   def hamming(a: Column, b: Column): Column =
     ColumnBridge.column(

@@ -46,6 +46,17 @@ class FunctionsSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("count_in_set counts duplicates, ignores nulls, and matches the HOF form") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT count_in_set(array('a','b','a','c', cast(null as string)), array('a','c')) AS n, " +
+        "size(filter(array('a','b','a','c', cast(null as string)), " +
+        "  t -> array_contains(array('a','c'), t))) AS hof")
+      .collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getInt(1).toLong == r.getLong(0), "must match the HOF it replaces")
+  }
+
   test("char_code_sum is callable from SQL and matches the HOF form") {
     GraftFunctions.register(spark)
     val r = spark.sql(
