@@ -202,6 +202,62 @@ case class SquaredDistance(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Elementwise `aᵢ / s` in double precision — the codegen form of
+  * `transform(a, x => x.cast("double") / s)` (interpreted), used for
+  * vector normalization (`s` = the L2 norm). Null elements stay null;
+  * a null scalar yields a null result (binary null-safety).
+  */
+case class ScaleArray(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def okArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okArray(left.dataType) && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, double), got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def dataType: DataType =
+    ArrayType(DoubleType,
+      left.dataType.asInstanceOf[ArrayType].containsNull)
+
+  override def prettyName: String = "vec_scale"
+
+  private def elemIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ScaleArray.divide(a.asInstanceOf[ArrayData], b.asInstanceOf[Double], elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ScaleArray.divide($a, $b, $elemIsFloat);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ScaleArray =
+    copy(left = newLeft, right = newRight)
+}
+
+object ScaleArray {
+  /** Static helper the generated code calls. */
+  def divide(arr: ArrayData, s: Double, isFloat: Boolean): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i))
+        out(i) = (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) / s
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorExprs {
   /** Σ aᵢ·bᵢ in double precision, single codegen loop (fast path: non-null
     * fixed-dimension elements assumed — the engine's own vector columns).
@@ -209,6 +265,11 @@ object VectorExprs {
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Elementwise divide-by-scalar (vector normalization), codegen. */
+  def scale(a: Column, s: Column): Column =
+    ColumnBridge.column(ScaleArray(
+      ColumnBridge.expression(a), ColumnBridge.expression(s)))
 
   /** Σ (aᵢ−bᵢ)² in double precision, single codegen loop (fast path, same
     * contract as [[dot]]).

@@ -42,7 +42,8 @@ object Pq {
   private def slices(corpus: DataFrame, idCol: String, vecCol: String,
                      m: Int, subDim: Int): DataFrame = {
     val nrm = Similarity.norm(col(vecCol))
-    val normalized = transform(col(vecCol), x => x.cast("double") / nrm)
+    // codegen vec_scale, not transform(_ / nrm) (interpreted per element)
+    val normalized = graft.functions.VectorExprs.scale(col(vecCol), nrm)
     corpus
       // a zero vector has no direction: normalizing divides by 0 and the
       // NaN slices would poison every centroid mean they're averaged into

@@ -105,7 +105,8 @@ object Similarity {
     val raw = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       norm(col(vecCol)).as("cnorm"))
     val feats = raw.select(col("neighbor_id"),
-      array_to_vector(transform(col("cvec"), x => x.cast("double") / col("cnorm")))
+      // codegen vec_scale, not transform(_ / norm) (interpreted)
+      array_to_vector(graft.functions.VectorExprs.scale(col("cvec"), col("cnorm")))
         .as("features"))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nlist).setMaxIter(10).setSeed(seed).fit(feats)
@@ -201,7 +202,7 @@ object Similarity {
     }
     val assigned = raw
       .select(col("neighbor_id"),
-        transform(col("cvec"), x => x.cast("double") / col("cnorm")).as("__unit"),
+        graft.functions.VectorExprs.scale(col("cvec"), col("cnorm")).as("__unit"),
         explode(array(centroidLits.toSeq: _*)).as("cc"))
       .withColumn("__cdist",
         col("cc.halfnormsq") - dot(col("__unit"), col("cc.centroid")))

@@ -161,9 +161,8 @@ class PlanSpec extends AnyFunSuite {
     // query's executed plan is lambda-free EXCEPT these, each with a
     // reviewed reason — tiny/bounded inputs or no codegen alternative
     val allowed = Set(
-      "sim_quantize",  // per-element scale+render: no elementwise-div builtin
-      "mm_byte_hist",  // 16-element feature render per media row
-      "sim_ann_ivfpq") // query-side slice normalization (q vectors only)
+      "sim_quantize", // int8 render needs per-element round-then-cast (array cast truncates)
+      "mm_byte_hist") // 16-element feature render per media row
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot { case (n, _) => allowed(n) }
       .flatMap { case (name, fn) =>
