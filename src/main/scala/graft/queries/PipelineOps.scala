@@ -245,6 +245,16 @@ object PipelineOps {
     "dd_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
 
+    // Exact dedup AFTER normalization (clean charset + lowercase +
+    // whitespace collapse): catches the case/punctuation/spacing
+    // variants byte-exact dedup misses — the standard second dedup mode
+    // a pipeline runs beside dd_exact. Same one-shuffle-on-hash shape.
+    "dd_exact_normalized" -> ((s, d) =>
+      Dedup.exact(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat_ws(" ", TextOps.cleanTokens(col("text"))).as("text")),
+        "doc_id", "text")),
+
     "dd_shingles" -> ((s, d) => shingleTable(s, d)),
 
     // Hot-shingle cap (maxDf=50) in the declared query: above the observed
@@ -680,6 +690,19 @@ object PipelineOps {
     "dd_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id, count(*) AS dup_count
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // md5 of the normalized text: clean charset + lowercase + tokenize +
+    // single-space rejoin (the same normalization the t1 chain replays)
+    "dd_exact_normalized" ->
+      """SELECT md5(norm) AS content_hash, min(doc_id) AS keeper_id,
+        |  count(*) AS dup_count
+        |FROM (SELECT doc_id,
+        |        array_to_string(list_filter(string_split_regex(
+        |          lower(regexp_replace(text,
+        |            '[~!@#$%^&*()\-+\[\]"'':.,<>]', '', 'g')), '\s+'),
+        |          t -> t != ''), ' ') AS norm
+        |      FROM documents) t
+        |GROUP BY 1""".stripMargin,
 
     "dd_shingles" -> shinglesSql,
 
