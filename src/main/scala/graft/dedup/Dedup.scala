@@ -73,10 +73,20 @@ object Dedup {
     * Benchmark gram sets are fixed-size by construction and always take
     * the broadcast arm; span tables on a heavily-contaminated corpus
     * scale with the corpus and must be allowed to fall back.
+    *
+    * The checkpointed small side pins executor storage, so each caller
+    * OWNS the pin's lifetime: force the (small) result, then
+    * [[AdaptiveSide.release]] — the jaccard checkpoint-then-unpersist
+    * pattern — so repeated calls (soak/bench loops) never accumulate
+    * pinned blocks. [[cutSpans]], whose result is corpus-sized and must
+    * stay lazy, avoids the pin entirely (count without checkpoint).
     */
-  private def adaptiveBroadcast(small: DataFrame, maxRows: Long): DataFrame = {
+  private final case class AdaptiveSide(df: DataFrame, release: () => Unit)
+
+  private def adaptiveBroadcast(small: DataFrame, maxRows: Long): AdaptiveSide = {
     val mat = small.localCheckpoint(true)
-    if (mat.count() <= maxRows) broadcast(mat) else mat
+    val df = if (mat.count() <= maxRows) broadcast(mat) else mat
+    AdaptiveSide(df, () => { mat.unpersist(); () })
   }
 
   /** Benchmark decontamination: per corpus document, how many of its
@@ -97,10 +107,15 @@ object Dedup {
     val benchShingles = adaptiveBroadcast(
       shingles(benchmark, idCol, textCol, n).select("shingle").distinct(),
       maxBroadcastRows)
-    shingles(corpus, idCol, textCol, n)
-      .join(benchShingles, Seq("shingle"), "left_semi")
+    // force the (small — it's a drop list) result, then release the
+    // checkpointed bench set: no storage pinned past the call
+    val result = shingles(corpus, idCol, textCol, n)
+      .join(benchShingles.df, Seq("shingle"), "left_semi")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
+      .localCheckpoint(true)
+    benchShingles.release()
+    result
   }
 
   /** Contamination report — the benchmark owner's view of
@@ -137,10 +152,15 @@ object Dedup {
       maxBroadcastRows)
     val cg = corpusGrams
       .select(col(idCol).as("__corpus_id"), col("gram")).distinct()
-    cg.join(bench, "gram")
+    // force the (benchmark-keyed, small) report, then release the
+    // checkpointed bench grams: no storage pinned past the call
+    val result = cg.join(bench.df, "gram")
       .groupBy(col("__bench_id").as(idCol))
       .agg(countDistinct("__corpus_id").as("n_corpus_docs"),
         countDistinct("gram").as("n_leaked_grams"))
+      .localCheckpoint(true)
+    bench.release()
+    result
   }
 
   /** The positional k-gram pass as a PUBLIC build-once table,
@@ -212,9 +232,14 @@ object Dedup {
                                  maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame = {
     val bench = adaptiveBroadcast(
       benchGrams.select("gram").distinct(), maxBroadcastRows)
-    mergeWindowSpans(
-      corpusGrams.join(bench, Seq("gram"), "left_semi"),
+    // force the (small — leak findings) span table, then release the
+    // checkpointed bench grams: no storage pinned past the call
+    val result = mergeWindowSpans(
+      corpusGrams.join(bench.df, Seq("gram"), "left_semi"),
       idCol, k)
+      .localCheckpoint(true)
+    bench.release()
+    result
   }
 
   /** Apply span cuts: rebuild each doc's text with the tokens inside
@@ -225,19 +250,34 @@ object Dedup {
     * ADAPTIVELY: a heavily-contaminated corpus's span table scales with
     * the corpus, and past `maxBroadcastRows` the anti join falls back to
     * a shuffle join on the id (the non-equi range residual rides as a
-    * join condition either way). The rebuild is one shuffle on the doc
-    * id (ordered re-assembly via sorted collect, the same pattern as
-    * PQ's code packing). Docs with no spans pass through UNCHANGED
-    * (including empty texts).
+    * join condition either way). Unlike the gram-side operators, the
+    * adaptivity count here runs WITHOUT a checkpoint: this result is
+    * corpus-sized and must stay lazy, so there is nothing to hang a
+    * checkpoint-then-unpersist lifetime on — instead the (deterministic)
+    * spans plan is simply evaluated twice, once for the count and once
+    * at join time. Span findings are served from materialized artifact
+    * tables in every pipeline path ([[contaminatedSpansFromGrams]]
+    * forces its output), so the second evaluation is a cheap rescan, and
+    * no executor storage is pinned past the call. The rebuild is one
+    * shuffle on the doc id (ordered re-assembly via sorted collect, the
+    * same pattern as PQ's code packing). Docs with no spans pass through
+    * UNCHANGED (including empty texts).
     */
   def cutSpans(docs: DataFrame, spans: DataFrame, idCol: String,
                textCol: String,
                maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame = {
     val toks = docs.select(col(idCol),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val spansAdaptive = adaptiveBroadcast(spans, maxBroadcastRows)
+    // re-alias the span columns to fresh names: `spans` may share lineage
+    // with `docs` (it usually derives from the same corpus scan), and
+    // without the re-alias the join condition's id = id would be
+    // ambiguous self-join attributes
+    val spansSide = spans.select(col(idCol).as("__span_id"),
+      col("span_start"), col("span_end"))
+    val spansAdaptive =
+      if (spans.count() <= maxBroadcastRows) broadcast(spansSide) else spansSide
     val kept = toks.join(spansAdaptive,
-      toks(idCol) === spansAdaptive(idCol) &&
+      toks(idCol) === col("__span_id") &&
         col("pos") >= col("span_start") && col("pos") < col("span_end"),
       "left_anti")
     val rebuilt = kept
@@ -488,9 +528,12 @@ object Dedup {
       .join(repComps, col("__rep") === col("node"))
       .select(col(idCol).as("node"), col("component").as("component"))
     // nodes with no signature at all (e.g. empty documents produce no
-    // shingles) are their own singleton components, as in the raw path
+    // shingles) are their own singleton components, as in the raw path.
+    // (Fresh alias on the keyed side: localCheckpoint preserves attribute
+    // ids, so `keyed` can still share `nodes`' id attribute.)
+    val keyedIds = keyed.select(col(idCol).as("__keyed_id"))
     val missing = nodes
-      .join(keyed, nodes(idCol) === keyed(idCol), "left_anti")
+      .join(keyedIds, nodes(idCol) === col("__keyed_id"), "left_anti")
       .select(nodes(idCol).as("node"), nodes(idCol).as("component"))
     // fresh aliases on both union inputs (Spark 4 Union constraint quirk)
     labeled.union(missing)

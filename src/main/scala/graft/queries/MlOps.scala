@@ -96,17 +96,17 @@ object MlOps {
           .cast("int").as("is_nearest"))
   }
 
-  /** ‖a−c‖² expanded as a·a − 2·a·c + ‖c‖², every term the codegen
-    * `vec_dot` kernel (the same shape `appendToIvfIndex` uses): the HOF
-    * form `aggregate(zip_with(a,b,(x,y)=>(x−y)²),0,+)` evaluates
-    * INTERPRETED, k times per row. Here a·a is subexpression-eliminated
-    * across the k centers inside whole-stage codegen and ‖c‖²
-    * constant-folds (centers are literal arrays).
+  /** ‖a−c‖² via the codegen `vec_sqdist` kernel — a single Σ(xᵢ−yᵢ)²
+    * loop per pair. The algebraic expansion a·a − 2·a·c + ‖c‖² looks
+    * cheaper (a·a subexpression-eliminated across the k centers) but
+    * suffers catastrophic cancellation for vectors near a centroid —
+    * the difference of two large dot products can even go slightly
+    * negative — and a near-tie between two centers can then flip
+    * `is_nearest` versus the oracle's direct Σ(x−y)². The direct kernel
+    * keeps the single-pass codegen win without the cancellation.
     */
   private def sqDist(a: Column, b: Column): Column =
-    graft.functions.VectorExprs.dot(a, a) -
-      lit(2.0) * graft.functions.VectorExprs.dot(a, b) +
-      graft.functions.VectorExprs.dot(b, b)
+    graft.functions.VectorExprs.sqdist(a, b)
 
   val queries: Map[String, Q] = Map(
     // M3/M7: MLlib K-Means (euclidean, k-means|| init) on embeddings,

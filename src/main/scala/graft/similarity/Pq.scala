@@ -166,19 +166,13 @@ object Pq {
     val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       Similarity.norm(col(vecCol)).as("qnorm"))
 
-    // coarse probe: nprobe nearest cells per query (same ranking as
-    // queryIvf: -dot against the cell centroid orders like cosine)
-    val centroidLits = index.centroids.map { case (i, c) =>
-      struct(lit(i).as("cell"), array(c.map(lit).toSeq: _*).as("centroid"))
-    }
-    val probed = qRaw
-      .select(col("query_id"), col("qvec"), col("qnorm"),
-        explode(array(centroidLits.toSeq: _*)).as("cc"))
-      .withColumn("cdist", -dot(col("qvec"), col("cc.centroid")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cc.cell"))))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("cc.cell").as("cell"))
+    // coarse probe: nprobe nearest cells per query, via the shared
+    // [[Similarity.probeCells]] ranking — the assignment metric
+    // qnorm·‖c‖²/2 − q·c, so probe order matches how members were
+    // assigned to cells (not plain −q·c, which disagrees because
+    // centroids are not unit norm)
+    val probed = Similarity.probeCells(index, qRaw, nprobe)
+      .select(col("query_id"), col("cell"))
 
     // ADC lookup table: partial inner product of each normalized query
     // slice against each codebook centroid — q×m×ksub rows, broadcast

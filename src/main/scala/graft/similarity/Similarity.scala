@@ -223,12 +223,17 @@ object Similarity {
     * swap (compaction must never lose or duplicate a vector — the
     * metadata sidecar keeps protecting reads afterwards).
     *
-    * Crash-safe via write-new → rename-away → rename-in, with
-    * ROLLBACK-ONLY recovery: unlike the streaming stores' batch dirs,
-    * cell partitions are not idempotent replay units, so if both the
-    * live dir and a stranded `.old` exist this fails loudly instead of
-    * guessing which copy wins. Single-writer contract: do not append
-    * concurrently.
+    * Crash-safe via write-new → marker → rename-away → rename-in: the
+    * `.swapping` marker is created only AFTER the new copy is written
+    * and count-validated, so its presence certifies the `.compacting`
+    * dir as a complete, equivalent replacement — which lets
+    * [[recoverCellsSwap]] roll the swap FORWARD from any crash point
+    * (including the once-ambiguous "live and `.old` both present"
+    * window, where the new data had fully landed and `.old` was merely
+    * stale). Without the marker, live + `.old` still fails loudly: that
+    * combination then means a non-marker writer ran before recovery,
+    * and cell partitions are not idempotent replay units to guess over.
+    * Single-writer contract: do not append concurrently.
     */
   def compactIvfCells(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -239,6 +244,7 @@ object Similarity {
     if (!fs.exists(live)) return
     val tmp = new org.apache.hadoop.fs.Path(cellsDir + ".compacting")
     val old = new org.apache.hadoop.fs.Path(cellsDir + ".old")
+    val marker = new org.apache.hadoop.fs.Path(cellsDir + ".swapping")
     fs.delete(tmp, true)
     val before = spark.read.parquet(cellsDir).count()
     // repartition on the partition column: each task holds whole cells,
@@ -249,31 +255,95 @@ object Similarity {
     val after = spark.read.parquet(tmp.toString).count()
     require(after == before,
       s"IVF compaction would change the row count ($before -> $after); aborting")
-    if (!fs.rename(live, old))
+    // marker AFTER validation: its existence certifies tmp as complete
+    fs.create(marker, true).close()
+    if (!fs.rename(live, old)) {
+      fs.delete(marker, false)
       throw new java.io.IOException(s"IVF compaction swap failed: $live -> $old")
+    }
     if (!fs.rename(tmp, live)) {
       fs.rename(old, live) // roll back to the pre-compaction cells
+      fs.delete(marker, false)
       throw new java.io.IOException(s"IVF compaction swap failed: $tmp -> $live")
     }
-    fs.delete(old, true): Unit
+    fs.delete(old, true)
+    fs.delete(marker, false): Unit
   }
 
-  /** Rollback-only crash recovery for [[compactIvfCells]]: a swap that
-    * died between its renames leaves the data under `.old` — rename it
-    * back. If BOTH exist, a writer ran before recovery; cells are not
-    * idempotent units, so refuse to guess.
+  /** Crash recovery for [[compactIvfCells]]. With the `.swapping`
+    * marker present the stranded `.compacting` copy is known complete
+    * and validated, so every crash window rolls FORWARD (or harmlessly
+    * aborts a swap that never started); without it, a stranded `.old`
+    * rolls back, and live + `.old` together means an unmarked writer
+    * ran before recovery — refuse to guess.
     */
   private def recoverCellsSwap(fs: org.apache.hadoop.fs.FileSystem,
                                cellsDir: String): Unit = {
     val live = new org.apache.hadoop.fs.Path(cellsDir)
     val old = new org.apache.hadoop.fs.Path(cellsDir + ".old")
+    val tmp = new org.apache.hadoop.fs.Path(cellsDir + ".compacting")
+    val marker = new org.apache.hadoop.fs.Path(cellsDir + ".swapping")
+    def renameOrThrow(src: org.apache.hadoop.fs.Path,
+                      dst: org.apache.hadoop.fs.Path): Unit =
+      if (!fs.rename(src, dst))
+        throw new java.io.IOException(s"IVF compaction recovery failed: $src -> $dst")
+    if (fs.exists(marker)) {
+      (fs.exists(live), fs.exists(old), fs.exists(tmp)) match {
+        case (true, false, true) => // crash before live was renamed away:
+          fs.delete(tmp, true) // swap never started; abort, rerun compacts
+          fs.delete(marker, false)
+        case (false, true, true) => // crash between the two renames:
+          renameOrThrow(tmp, live) // tmp is validated-complete; roll forward
+          fs.delete(old, true)
+          fs.delete(marker, false)
+        case (true, true, false) => // crash after swap, before delete(.old):
+          fs.delete(old, true) // new data fully landed; .old is stale
+          fs.delete(marker, false)
+        case (true, false, false) => // crash after delete(.old):
+          fs.delete(marker, false)
+        case state =>
+          throw new IllegalStateException(
+            s"IVF compaction marker $marker with unexpected dir state " +
+              s"(live, old, tmp)=$state — reconcile manually")
+      }
+      return
+    }
     if (!fs.exists(old)) return
     if (fs.exists(live))
       throw new IllegalStateException(
-        s"both $cellsDir and $old exist — a compaction crashed and a writer " +
-          "ran before recovery; reconcile manually (cells are not idempotent)")
-    if (!fs.rename(old, live))
-      throw new java.io.IOException(s"IVF compaction recovery failed: $old -> $live")
+        s"both $cellsDir and $old exist with no swap marker — an unmarked " +
+          "writer ran before recovery; reconcile manually (cells are not " +
+          "idempotent)")
+    renameOrThrow(old, live)
+  }
+
+  /** The `nprobe` nearest cells of each query, ranked by the SAME
+    * Euclidean-in-normalized-space metric the quantizer assigns members
+    * by — `‖c‖²/2 − û·c` with û the unit query vector, here multiplied
+    * through by the positive per-query constant `qnorm` so no division
+    * appears: `qnorm·‖c‖²/2 − q·c`. K-means centroids of unit vectors
+    * are NOT unit norm themselves, so ranking by `−q·c` alone (dropping
+    * the `‖c‖²/2` term) probes cells in a different order than members
+    * were assigned in, silently lowering recall whenever
+    * `nprobe < nlist`. A zero-norm query scores every cell 0 and falls
+    * back to the cell-id tie-break, as before.
+    * Output: (query_id, qvec, qnorm, cell) — one row per probed cell.
+    */
+  private[similarity] def probeCells(index: IvfIndex, qRaw: DataFrame,
+                                     nprobe: Int): DataFrame = {
+    val centroidLits = index.centroids.map { case (i, c) =>
+      struct(lit(i).as("cell"), array(c.map(lit).toSeq: _*).as("centroid"),
+        lit(c.map(x => x * x).sum / 2).as("halfnormsq"))
+    }
+    qRaw
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        explode(array(centroidLits.toSeq: _*)).as("cc"))
+      .withColumn("cdist",
+        col("qnorm") * col("cc.halfnormsq") - dot(col("qvec"), col("cc.centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cc.cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("cc.cell").as("cell"))
   }
 
   /** Radius (range) search over the IVF index: every corpus vector with
@@ -289,17 +359,7 @@ object Similarity {
                      vecCol: String, minSim: Double, nprobe: Int): DataFrame = {
     val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       norm(col(vecCol)).as("qnorm"))
-    val centroidLits = index.centroids.map { case (i, c) =>
-      struct(lit(i).as("cell"), array(c.map(lit).toSeq: _*).as("centroid"))
-    }
-    val probed = qRaw
-      .select(col("query_id"), col("qvec"), col("qnorm"),
-        explode(array(centroidLits.toSeq: _*)).as("cc"))
-      .withColumn("cdist", -dot(col("qvec"), col("cc.centroid")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cc.cell"))))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("qnorm"), col("cc.cell").as("cell"))
+    val probed = probeCells(index, qRaw, nprobe)
     index.cells.join(broadcast(probed), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim",
@@ -321,20 +381,7 @@ object Similarity {
                vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       norm(col(vecCol)).as("qnorm"))
-    val centroidLits = index.centroids.map { case (i, c) =>
-      struct(lit(i).as("cell"), array(c.map(lit).toSeq: _*).as("centroid"))
-    }
-    // cell ranking by -dot(raw, centroid): same order as the normalized
-    // dot (qnorm is a positive per-query constant inside the partition)
-    val probed = qRaw
-      .select(col("query_id"), col("qvec"), col("qnorm"),
-        explode(array(centroidLits.toSeq: _*)).as("cc"))
-      .withColumn("cdist", -dot(col("qvec"), col("cc.centroid")))
-      .withColumn("crank", row_number().over(
-        Window.partitionBy("query_id").orderBy(asc("cdist"), asc("cc.cell"))))
-      .filter(col("crank") <= nprobe)
-      .select(col("query_id"), col("qvec"), col("qnorm"), col("cc.cell").as("cell"))
-
+    val probed = probeCells(index, qRaw, nprobe)
     val scored = index.cells.join(broadcast(probed), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine_sim",

@@ -192,9 +192,11 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains(">= 0.2"), s"threshold filter missing:\n$p")
   }
 
-  test("kmeans-assign distances ride the codegen vec_dot kernel") {
+  test("kmeans-assign distances ride the codegen vec_sqdist kernel") {
     val p = plan("ml_kmeans_assign")
-    assert(p.contains("vec_dot"), s"expected native dot kernel:\n$p")
+    // the direct Σ(x−y)² kernel, not the cancellation-prone algebraic
+    // expansion over vec_dot (a·a − 2a·c + ‖c‖²)
+    assert(p.contains("vec_sqdist"), s"expected native sqdist kernel:\n$p")
     assert(!p.contains("zip_with"), s"HOF sqdist survived:\n$p")
   }
 
