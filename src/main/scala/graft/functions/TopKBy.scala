@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -21,6 +21,11 @@ import java.nio.ByteBuffer
   * data per task is ≤ k × distinct-groups-in-partition), and merges heaps
   * on the reduce side — memory and shuffle bounded by k, not group size.
   *
+  * The tie column may be any ordered atomic type (bigint order keys,
+  * string tokens, …): comparisons go through Catalyst's interpreted
+  * ordering for `tie.dataType`, which matches Spark's ASC sort exactly
+  * (binary comparison for strings — the engine-portable collation).
+  *
   * Result: `array<struct<ord, tie, payload>>`, best first, exactly the
   * (ord DESC, tie ASC) prefix of the group.
   */
@@ -33,24 +38,28 @@ case class TopKBy(ord: Expression, tie: Expression, payload: Expression,
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue
   require(kExpr.foldable, "top_k_by: k must be a literal")
 
+  private lazy val tieOrdering: Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(tie.dataType)
+
   override def children: Seq[Expression] = Seq(ord, tie, payload, kExpr)
 
   override def nullable: Boolean = false
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("ord", DoubleType, nullable = false),
-    StructField("tie", LongType, nullable = false),
+    StructField("tie", tie.dataType, nullable = false),
     StructField("payload", payload.dataType, payload.nullable))),
     containsNull = false)
 
-  override def createAggregationBuffer(): TopKBy.Buffer = new TopKBy.Buffer(k)
+  override def createAggregationBuffer(): TopKBy.Buffer =
+    new TopKBy.Buffer(k, tieOrdering)
 
   override def update(buffer: TopKBy.Buffer, input: InternalRow): TopKBy.Buffer = {
     val o = ord.eval(input)
     val t = tie.eval(input)
     if (o != null && t != null) {
       buffer.offer(o.asInstanceOf[Number].doubleValue(),
-        t.asInstanceOf[Number].longValue(),
+        InternalRow.copyValue(t),
         InternalRow.copyValue(payload.eval(input)))
     }
     buffer
@@ -67,7 +76,7 @@ case class TopKBy(ord: Expression, tie: Expression, payload: Expression,
     }.toArray)
 
   private lazy val entryProj =
-    UnsafeProjection.create(Array[DataType](DoubleType, LongType, payload.dataType))
+    UnsafeProjection.create(Array[DataType](DoubleType, tie.dataType, payload.dataType))
 
   override def serialize(buffer: TopKBy.Buffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -83,7 +92,7 @@ case class TopKBy(ord: Expression, tie: Expression, payload: Expression,
   }
 
   override def deserialize(storage: Array[Byte]): TopKBy.Buffer = {
-    val buffer = new TopKBy.Buffer(k)
+    val buffer = new TopKBy.Buffer(k, tieOrdering)
     val in = ByteBuffer.wrap(storage)
     while (in.remaining() > 0) {
       val len = in.getInt
@@ -91,7 +100,8 @@ case class TopKBy(ord: Expression, tie: Expression, payload: Expression,
       in.get(bytes)
       val row = new UnsafeRow(3)
       row.pointTo(bytes, len)
-      buffer.offer(row.getDouble(0), row.getLong(1),
+      buffer.offer(row.getDouble(0),
+        InternalRow.copyValue(row.get(1, tie.dataType)),
         InternalRow.copyValue(row.get(2, payload.dataType)))
     }
     buffer
@@ -119,34 +129,35 @@ object TopKBy {
     * heap agrees with the window-rank formulation even on NaN ord values,
     * and the heap invariant never breaks: IEEE `>`/`==` are false for
     * NaN, which would otherwise make NaN rows both undroppable and
-    * unadmittable).
+    * unadmittable). Tie comparisons use the caller-supplied ordering for
+    * the tie column's type.
     */
-  final class Buffer(k: Int) {
-    private val worstFirst: Ordering[(Double, Long, Any)] =
-      new Ordering[(Double, Long, Any)] {
+  final class Buffer(k: Int, tieOrd: Ordering[Any]) {
+    private val worstFirst: Ordering[(Double, Any, Any)] =
+      new Ordering[(Double, Any, Any)] {
         // "greater" = worse: smaller ord (total order), then larger tie
-        def compare(a: (Double, Long, Any), b: (Double, Long, Any)): Int = {
+        def compare(a: (Double, Any, Any), b: (Double, Any, Any)): Int = {
           val c = java.lang.Double.compare(b._1, a._1)
-          if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+          if (c != 0) c else tieOrd.compare(a._2, b._2)
         }
       }
-    private val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Long, Any)](worstFirst)
+    private val pq = scala.collection.mutable.PriorityQueue.empty[(Double, Any, Any)](worstFirst)
 
-    def offer(o: Double, t: Long, p: Any): Unit = {
+    def offer(o: Double, t: Any, p: Any): Unit = {
       if (pq.size < k) pq.enqueue((o, t, p))
       else {
         val worst = pq.head
         // is (o, t) better than worst? better = larger ord, then smaller tie
         val c = java.lang.Double.compare(o, worst._1)
-        if (c > 0 || (c == 0 && t < worst._2)) {
+        if (c > 0 || (c == 0 && tieOrd.compare(t, worst._2) < 0)) {
           pq.dequeue(); pq.enqueue((o, t, p))
         }
       }
     }
 
-    def entries: Iterator[(Double, Long, Any)] = pq.iterator
+    def entries: Iterator[(Double, Any, Any)] = pq.iterator
 
-    def sortedBestFirst: Seq[(Double, Long, Any)] =
+    def sortedBestFirst: Seq[(Double, Any, Any)] =
       pq.toSeq.sorted(worstFirst) // ascending in "worseness" = best first
   }
 

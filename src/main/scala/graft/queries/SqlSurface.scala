@@ -346,6 +346,31 @@ object SqlSurface {
           regexp_count(col("text"), lit(emailPat)).cast("int").as("n_emails"))
     }),
 
+    // Training-pipeline: HTML/markup boilerplate stripping — stage 0 of
+    // every web-corpus pipeline (without it, the quality/dedup family
+    // scores markup noise). Script/style/comment blocks drop with their
+    // contents, CDATA unwraps, tags strip, entities decode, whitespace
+    // collapses — chained codegen regexp_replace like tp_redact_pii
+    // (map-side next to the scan at any scale). A deterministic markup
+    // template wraps every document so the check is non-vacuous; the
+    // oracle's regex chain is BUILT from the same markupPatterns
+    // sequence, not hand-copied. md5 keeps the compare compact.
+    "tp_html_clean" -> ((s, d) => {
+      val did = col("doc_id").cast("string")
+      val wrapped = concat(
+        lit("<html><!-- doc "), did,
+        lit(" --><head><style type=\"text/css\">body { color: #fff; }</style>"),
+        lit("<script src=\"a.js\">var i = "), did,
+        lit("; if (i < 2 && i > 0) { alert(\"x\"); }</script></head><body>"),
+        lit("<h1>Doc &amp; Title &#169;</h1><p class=\"b\">"), col("text"),
+        lit("</p><![CDATA[raw "), pmod(col("doc_id"), lit(9)).cast("string"),
+        lit(" data]]>&nbsp;<br/>Tom &amp;amp; Jerry &lt;3</body></html>"))
+      graft.text.TextAnalysis.stripMarkup(
+        Tables.documents(s, d).withColumn("text", wrapped), "doc_id", "text")
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          (length(col("text")) - length(col("clean_text"))).as("n_stripped_chars"))
+    }),
+
     // Training-pipeline: winsorization — clamp outliers to per-group
     // exact [p05, p95]. The tiny per-group bounds table broadcasts back
     // onto the fact; one aggregation + one map, no window over the fact.
@@ -427,7 +452,37 @@ object SqlSurface {
         .select("l_orderkey", "l_linenumber", "zcode"))
   )
 
+  /** The DuckDB form of [[graft.text.TextAnalysis.markupPatterns]]'s
+    * regexp_replace chain, BUILT from the same sequence the Spark
+    * operator folds over — the two engines cannot drift apart. All
+    * patterns are the RE2-compatible subset; 'g' replays Spark's
+    * replace-all semantics.
+    */
+  private def markupChainSql(input: String): String =
+    graft.text.TextAnalysis.markupPatterns.foldLeft(input) {
+      case (acc, (pat, repl)) =>
+        s"regexp_replace($acc, '${pat.replace("'", "''")}', " +
+          s"'${repl.replace("'", "''")}', 'g')"
+    }
+
   val oracle: Map[String, String] = Map(
+    "tp_html_clean" -> {
+      val chain = markupChainSql("t")
+      s"""WITH h AS (
+           SELECT doc_id,
+             '<html><!-- doc ' || CAST(doc_id AS VARCHAR)
+             || ' --><head><style type="text/css">body { color: #fff; }</style>'
+             || '<script src="a.js">var i = ' || CAST(doc_id AS VARCHAR)
+             || '; if (i < 2 && i > 0) { alert("x"); }</script></head><body>'
+             || '<h1>Doc &amp; Title &#169;</h1><p class="b">' || text
+             || '</p><![CDATA[raw ' || CAST(doc_id % 9 AS VARCHAR)
+             || ' data]]>&nbsp;<br/>Tom &amp;amp; Jerry &lt;3</body></html>' AS t
+           FROM documents)
+         SELECT doc_id, md5(trim($chain)) AS clean_md5,
+           CAST(length(t) - length(trim($chain)) AS INT) AS n_stripped_chars
+         FROM h"""
+    },
+
     "j_outer_left" ->
       """SELECT n_orders, count(*) AS n_customers FROM (
            SELECT c_custkey, count(o_orderkey) AS n_orders

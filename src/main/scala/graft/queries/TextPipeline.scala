@@ -142,6 +142,30 @@ object TextPipeline {
           }
         }
       flagged.toDF("token", "total_freq", "cms_ok")
+    }),
+
+    // Per-group heavy hitters: top-10 terms per language by total
+    // frequency — the per-domain/per-language curation ask t7 answers
+    // only globally. Runs on the bounded-heap top_k_by aggregate, NOT a
+    // rank window: the window form shuffles and sorts EVERY (lang,
+    // token) row of a group into one task, while the heap aggregate
+    // partial-aggregates map-side (≤ k rows per group per task reach
+    // the shuffle) and merges k-entry heaps — memory and shuffle
+    // bounded by k, not vocabulary size. Tie-break on token ASC
+    // (binary string order, engine-portable).
+    "t7b_group_heavy_hitters" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang")
+      termDocCounts(s, d)
+        .join(docs, "doc_id")
+        .groupBy("lang", "token")
+        .agg(sum("freq").as("total_freq"))
+        .groupBy("lang")
+        .agg(graft.functions.TopKBy.topKBy(col("total_freq").cast("double"),
+          col("token"), struct(col("token"), col("total_freq")), 10).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), col("col.payload.token").as("token"),
+          col("col.payload.total_freq").as("total_freq"),
+          (col("pos") + 1).cast("int").as("rn"))
     })
   )
 
@@ -198,6 +222,16 @@ object TextPipeline {
     "t7_heavy_hitters" ->
       s"""SELECT token, CAST(sum(freq) AS BIGINT) AS total_freq, 1 AS cms_ok
          |FROM ($countsSql) c
-         |GROUP BY 1 ORDER BY total_freq DESC, token ASC LIMIT 10""".stripMargin
+         |GROUP BY 1 ORDER BY total_freq DESC, token ASC LIMIT 10""".stripMargin,
+
+    "t7b_group_heavy_hitters" ->
+      s"""SELECT lang, token, total_freq, rn FROM (
+         |  SELECT lang, token, total_freq,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY total_freq DESC, token ASC) AS INT) AS rn
+         |  FROM (
+         |    SELECT d.lang, c.token, CAST(sum(c.freq) AS BIGINT) AS total_freq
+         |    FROM ($countsSql) c JOIN documents d ON c.doc_id = d.doc_id
+         |    GROUP BY 1, 2) g) r
+         |WHERE rn <= 10""".stripMargin
   )
 }

@@ -247,4 +247,51 @@ object TextAnalysis {
       piiPatterns.foldLeft(col(textCol)) { case (c, (pat, tag)) =>
         regexp_replace(c, pat, tag)
       })
+
+  /** The markup-stripping chain, applied IN ORDER (order is semantic):
+    * container blocks whose CONTENT must go first (script/style — their
+    * body is code, not prose; comments), then the CDATA wrapper (its
+    * content stays), then every remaining tag, then entity decodes —
+    * tags BEFORE entities, so a decoded `<` can never form a fake tag;
+    * `&amp;` after the other named decodes — then a catch-all that
+    * DROPS anything still entity-shaped (unknown names, numeric refs,
+    * and double-encoded leftovers like `&amp;lt;`: strip, don't
+    * preserve), then whitespace collapse. Dialect-portable regex (RE2
+    * subset: no lookaround, no backreferences; inline `(?is)` flags and
+    * non-greedy `.*?` are common to Java and RE2), so a SQL engine
+    * replays the chain verbatim — the oracle is BUILT from this very
+    * sequence ([[SqlSurface]]), not hand-copied.
+    */
+  val markupPatterns: Seq[(String, String)] = Seq(
+    "(?is)<script[^>]*>.*?</script>" -> " ",
+    "(?is)<style[^>]*>.*?</style>" -> " ",
+    "(?s)<!--.*?-->" -> " ",
+    "<!\\[CDATA\\[" -> " ",
+    "\\]\\]>" -> " ",
+    "<[^>]*>" -> " ",
+    "&nbsp;" -> " ",
+    "&lt;" -> "<",
+    "&gt;" -> ">",
+    "&quot;" -> "\"",
+    "&#39;" -> "'",
+    "&amp;" -> "&",
+    "&[A-Za-z]{1,10};" -> " ",
+    "&#[0-9]{1,7};" -> " ",
+    "\\s+" -> " ")
+
+  /** HTML/markup boilerplate stripping — stage 0 of a web-corpus
+    * pipeline (C4/CCNet-style): drop script/style/comment blocks with
+    * their contents, unwrap CDATA, strip tags, decode the common
+    * entities, collapse whitespace. Same execution shape as
+    * [[redactPii]]: chained codegen `regexp_replace`, one narrow pass,
+    * no UDF, no shuffle — map-side next to the scan at any scale.
+    * Unclosed script/style blocks degrade gracefully: the opening tag
+    * is stripped by the generic tag pass and the body survives as text
+    * (identically in Spark and the oracle engine).
+    */
+  def stripMarkup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.withColumn("clean_text",
+      trim(markupPatterns.foldLeft(col(textCol)) { case (c, (pat, repl)) =>
+        regexp_replace(c, pat, repl)
+      }))
 }

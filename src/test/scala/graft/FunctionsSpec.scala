@@ -248,6 +248,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got("b") == Seq((2.0, 5L)))
   }
 
+  test("top_k_by with a STRING tie column: ascending binary order, survives partial merge") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 4 partitions force map-side partials + a reduce-side heap merge,
+    // exercising serialize/deserialize with the string tie
+    val df = Seq(
+      ("a", "zebra", 9.0), ("a", "apple", 9.0), ("a", "mango", 9.0),
+      ("a", "kiwi", 1.0), ("b", "pear", 2.0)
+    ).toDF("g", "tok", "score").repartition(4)
+    val got = df.groupBy("g")
+      .agg(graft.functions.TopKBy.topKBy(col("score"), col("tok"),
+        col("tok"), 2).as("top"))
+      .select(col("g"), col("top"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e => (e.getDouble(0), e.getString(1))))
+      .toMap
+    // all-9.0 ties in group a resolve by token ASC: apple, mango
+    assert(got("a") == Seq((9.0, "apple"), (9.0, "mango")), s"got $got")
+    assert(got("b") == Seq((2.0, "pear")))
+  }
+
   test("multiple vec_dot instances codegen together without fallback") {
     import org.apache.spark.sql.functions._
     val prev = spark.conf.get("spark.sql.codegen.fallback", "true")

@@ -43,6 +43,15 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "expected partial + final HashAggregate")
   }
 
+  test("per-group heavy hitters: bounded-heap aggregate with map-side partials, no rank window") {
+    val p = plan("t7b_group_heavy_hitters")
+    assert(p.contains("partial_top_k_by"),
+      s"expected a partial (map-side) top_k_by aggregate:\n$p")
+    assert(p.contains("top_k_by"), s"expected the final top_k_by aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"per-group top-k must not shuffle whole groups into a rank window:\n$p")
+  }
+
   test("similarity pair scoring has no per-pair array allocation (native vec_dot)") {
     assert(plan("sim_near_dup").contains("vec_dot"))
     assert(!plan("sim_near_dup").contains("zip_with"))

@@ -37,15 +37,18 @@ class PropertySpec extends AnyFunSuite {
       o <- Gen.chooseNum(-50.0, 50.0)
       t <- Gen.chooseNum(0L, 20L)
     } yield (o, t)
+    // the aggregate passes the interpreted ordering for the tie's type;
+    // here the ties are Longs, so supply the equivalent directly
+    val tieOrd: Ordering[Any] = Ordering.by[Any, Long](_.asInstanceOf[Long])
     check(Prop.forAll(Gen.listOf(entry), Gen.chooseNum(1, 6)) { (xs, k) =>
       val expect = xs.sortBy { case (o, t) => (-o, t) }.take(k)
 
-      val direct = new graft.functions.TopKBy.Buffer(k)
+      val direct = new graft.functions.TopKBy.Buffer(k, tieOrd)
       xs.foreach { case (o, t) => direct.offer(o, t, s"$o/$t") }
 
       val (l, r) = xs.splitAt(xs.length / 2)
-      val b1 = new graft.functions.TopKBy.Buffer(k)
-      val b2 = new graft.functions.TopKBy.Buffer(k)
+      val b1 = new graft.functions.TopKBy.Buffer(k, tieOrd)
+      val b2 = new graft.functions.TopKBy.Buffer(k, tieOrd)
       l.foreach { case (o, t) => b1.offer(o, t, s"$o/$t") }
       r.foreach { case (o, t) => b2.offer(o, t, s"$o/$t") }
       b2.entries.foreach { case (o, t, p) => b1.offer(o, t, p) }

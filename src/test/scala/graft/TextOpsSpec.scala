@@ -89,6 +89,37 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got(3L) == "no pii here at all")
   }
 
+  test("markup strip: tags, nesting, script/style/comment contents, CDATA, entities") {
+    def strip(s: String): String =
+      TextAnalysis.stripMarkup(Seq((1L, s)).toDF("id", "text"), "id", "text")
+        .head.getAs[String]("clean_text")
+    // nested + attribute-laden tags strip; text survives with spacing
+    assert(strip("<div class=\"a\"><p>one <b>two</b> three</p></div>") ==
+      "one two three")
+    // script/style lose their CONTENTS (code is not prose), comments too
+    assert(strip("a<script>var x = 1 < 2 && \"y\";</script>b") == "a b")
+    assert(strip("a<style type=\"text/css\">p { color: red }</style>b") == "a b")
+    assert(strip("a<!-- hidden\nnote -->b") == "a b")
+    // case-insensitive block matching
+    assert(strip("a<SCRIPT>x</SCRIPT>b") == "a b")
+    // unclosed script degrades: tag goes, body survives as text
+    assert(strip("a<script>tail") == "a tail")
+    // CDATA unwraps, content kept
+    assert(strip("a<![CDATA[kept < raw & text]]>b") == "a kept < raw & text b")
+    // named + numeric entities: common ones decode, unknown/numeric drop,
+    // double-encoded leftovers drop (strip-don't-preserve)
+    assert(strip("x &lt;tag&gt; &amp; &quot;q&quot; &#39;s&#39;") ==
+      "x <tag> & \"q\" 's'")
+    assert(strip("a &copy; &#169; &amp;lt; b") == "a b")
+    // decoded '<' can never form a fake tag (tags strip before decode)
+    assert(strip("&lt;script&gt;alert(1)&lt;/script&gt;") ==
+      "<script>alert(1)</script>")
+    // whitespace collapses, ends trim
+    assert(strip("  <p>a</p>\n\n<p>b</p>  ") == "a b")
+    // plain text passes through
+    assert(strip("no markup here") == "no markup here")
+  }
+
   test("unigram log-prob: fluent (common-token) docs outscore garbled ones; empty docs null") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
