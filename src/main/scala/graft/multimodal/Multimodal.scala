@@ -207,6 +207,97 @@ object Multimodal {
     })
   }
 
+  /** Dimensions of the [[synthesizeNearDupImages]] fixtures: chosen so the
+    * [[dHash]] 9×8 sample grid lands on exact integer strides (18/9 = 2,
+    * 16/8 = 2) — every sampled pixel is arithmetically predictable, so a
+    * SQL oracle can recompute the fingerprint a REAL decoder must produce.
+    */
+  val NearDupW = 18
+  val NearDupH = 16
+
+  /** The near-dup fixture's pixel formula — the single source of truth
+    * shared by the synthesizer, the spec, and the oracle-SQL builder.
+    * Quadratic + cross terms so neighbor comparisons vary richly with the
+    * group (unrelated groups land ~32 bits apart); variant v=1 perturbs
+    * only pixel (0,0), so paired images differ in AT MOST the one
+    * fingerprint bit that samples it.
+    */
+  def nearDupPixel(g: Long, v: Long, x: Int, y: Int): Int =
+    ((g * (53 + 11 * x + 13 * y) + (3 * x * x + 5 * y * y + 7 * x * y) +
+      (if (v == 1 && x == 0 && y == 0) 200L else 0L)) % 256).toInt
+
+  /** Synthesize REAL encoded PNG pairs for perceptual near-dup testing:
+    * ids 2g and 2g+1 render the same [[nearDupPixel]] pattern, the odd
+    * variant with a single perturbed pixel — perceptually identical;
+    * different groups g are unrelated patterns. Same bounded
+    * mapPartitions batch shape as [[synthesizeImages]].
+    */
+  def synthesizeNearDupImages(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val (g, v) = (id / 2, id % 2)
+        val img = new java.awt.image.BufferedImage(
+          NearDupW, NearDupH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        var y = 0
+        while (y < NearDupH) {
+          var x = 0
+          while (x < NearDupW) {
+            img.getRaster.setSample(x, y, 0, nearDupPixel(g, v, x, y)); x += 1
+          }
+          y += 1
+        }
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", baos)
+        MediaFile(id, "image", baos.toByteArray)
+      })
+      .toDF()
+  }
+
+  final case class ImageHash(media_id: Long, dhash: String, codec: String)
+
+  /** Perceptual difference hash (dHash): decode, sample a 9×8 grid of
+    * band-0 pixels at integer strides (`sx = x·w/9`, `sy = y·h/8` —
+    * nearest sampling, NOT an interpolating resize, so the grid is
+    * bit-predictable from the source pixels), then one bit per adjacent
+    * horizontal pair (`left > right`), row-major — a 64-char '0'/'1'
+    * string in exactly the SimHash fingerprint representation, so the
+    * pigeonhole band join + codegen Hamming verify
+    * ([[graft.dedup.Dedup.simhashPairsFromSignatures]]) applies verbatim.
+    * Non-decodable payloads yield a NULL hash tagged `codec='stub'`
+    * (hostile bytes never throw). Bounded mapPartitions batches — the
+    * justified codec-work shape.
+    */
+  def dHash(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.as[MediaFile].mapPartitions(_.map { m =>
+      val img = readImage(m.payload)
+      if (img == null) ImageHash(m.media_id, null, "stub")
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val raster = img.getRaster
+        def sample(ix: Int, iy: Int): Int =
+          raster.getSample(math.min(ix, w - 1), math.min(iy, h - 1), 0)
+        val sb = new java.lang.StringBuilder(64)
+        var y = 0
+        while (y < 8) {
+          val sy = y * h / 8
+          var x = 0
+          while (x < 8) {
+            val a = sample(x * w / 9, sy)
+            val b = sample((x + 1) * w / 9, sy)
+            sb.append(if (a > b) '1' else '0')
+            x += 1
+          }
+          y += 1
+        }
+        ImageHash(m.media_id, sb.toString, "imageio")
+      }
+    })
+  }
+
   final case class AudioMeta(media_id: Long, n_bytes: Int, sample_rate: Int,
                              channels: Int, bits: Int, n_frames: Long,
                              codec: String)

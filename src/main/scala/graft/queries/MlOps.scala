@@ -304,8 +304,53 @@ object MlOps {
         .select(col("media_id"),
           concat_ws(",", transform(col("features"),
             f => floor(f * 1e6).cast("long").cast("string"))).as("features"))
+    }),
+
+    // Image perceptual near-dup: dHash over REAL decoded PNG pixels
+    // (9×8 nearest-sample grid, one bit per adjacent-pixel comparison),
+    // then the SimHash pigeonhole machinery VERBATIM — banded equi-join
+    // + codegen Hamming verify, never all-pairs. Fixtures are paired
+    // near-identical patterns (ids 2g/2g+1, one perturbed pixel) whose
+    // sampled pixels are arithmetic in the id, so DuckDB recomputes the
+    // exact fingerprint a correct decoder+hash must produce and replays
+    // the banding. The hash table is materialized once (it feeds the
+    // band explode and both verify joins), released after the pair
+    // result is forced.
+    "mm_image_neardup" -> ((s, d) => {
+      val imgs = Multimodal.synthesizeNearDupImages(Tables.documents(s, d), "doc_id")
+      val sig = Multimodal.dHash(s, imgs).toDF()
+        .filter(col("dhash").isNotNull)
+        .select(col("media_id"), col("dhash").as("simhash"))
+        .localCheckpoint(true)
+      val result = graft.dedup.Dedup
+        .simhashPairsFromSignatures(sig, "media_id", bands = 4, maxDist = 3)
+        .localCheckpoint(true)
+      sig.unpersist()
+      result
     })
   )
+
+  /** The near-dup fixture's dHash fingerprint as DuckDB SQL over columns
+    * `g` and `v` — generated from the SAME sample-grid loop and
+    * [[Multimodal.nearDupPixel]] constants the synthesizer renders, so
+    * the oracle predicts bit-for-bit what the real decode+hash path must
+    * output (sampled coords are integer-exact: 18/9 and 16/8 strides).
+    */
+  private def nearDupDhashSql: String = {
+    def pix(i: Int, j: Int): String = {
+      val a = 53 + 11 * i + 13 * j
+      val c = 3 * i * i + 5 * j * j + 7 * i * j
+      val p = if (i == 0 && j == 0) " + CASE WHEN v = 1 THEN 200 ELSE 0 END" else ""
+      s"((g * $a + $c$p) % 256)"
+    }
+    val bits = for { y <- 0 until 8; x <- 0 until 8 } yield {
+      val sy = y * Multimodal.NearDupH / 8
+      val sa = x * Multimodal.NearDupW / 9
+      val sb = (x + 1) * Multimodal.NearDupW / 9
+      s"CASE WHEN ${pix(sa, sy)} > ${pix(sb, sy)} THEN '1' ELSE '0' END"
+    }
+    bits.mkString(" || ")
+  }
 
   val oracle: Map[String, String] = Map(
     // nearest-center invariant: a correct K-Means must assign every
@@ -331,6 +376,30 @@ object MlOps {
     "ml_doc_clusters" ->
       s"""SELECT DISTINCT doc_id, 1 AS is_nearest
          |FROM (${TextPipeline.oracle("t4_tfidf")}) t""".stripMargin,
+
+    // the fingerprint every correct decoder+dHash must produce is
+    // recomputed arithmetically per id; banding + Hamming replay the
+    // Spark plan's join exactly (same shape as dd_simhash_pairs)
+    "mm_image_neardup" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents),
+         |sims AS (SELECT doc_id, $nearDupDhashSql AS simhash FROM ids),
+         |bands AS (
+         |  SELECT doc_id, b AS band, substr(simhash, CAST(1 + 16 * b AS INT), 16) AS band_key
+         |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT id_a, id_b,
+         |    len(list_filter(range(1, 65), i ->
+         |      substr(sa.simhash, CAST(i AS INT), 1) != substr(sb.simhash, CAST(i AS INT), 1)))
+         |      AS hamming
+         |  FROM cand
+         |    JOIN sims sa ON sa.doc_id = id_a
+         |    JOIN sims sb ON sb.doc_id = id_b) v
+         |WHERE hamming <= 3""".stripMargin,
 
     // the stub decode is deterministic modular arithmetic over the
     // payload bytes (= the ASCII text's codes), so the oracle replays it

@@ -21,6 +21,36 @@ object SqlSurface {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Seeded deterministic shuffle key: engine-portable rolling hash of
+    * `"<id>:<seed>"`, then a multiplicative scramble mod the same prime.
+    * The scramble matters: the raw polynomial hash of SHORT strings
+    * never wraps the modulus, so it orders compact numeric ids
+    * monotonically — "shuffling" into the identity order. Multiplying
+    * by a large odd constant mod p disperses it; the product stays
+    * under 2^63 (h < 2^30, c < 2^32), so the arithmetic is exact 64-bit
+    * in any engine. A pure function of the id: an append never changes
+    * an existing row's key (append-stable order), and no RNG or
+    * platform hash is involved.
+    */
+  def shuffleKey(id: org.apache.spark.sql.Column, seed: Long): org.apache.spark.sql.Column =
+    pmod(graft.functions.TextExprs.rollingHash(
+      concat(id.cast("string"), lit(s":$seed"))) * lit(2654435761L),
+      lit(1000000007L))
+
+  /** Deterministic global shuffle — the WRITE path of training-order
+    * randomization: key every row by [[shuffleKey]], range-partition on
+    * (key, id) and sort within partitions, so the written files read
+    * back in shuffled order end-to-end (partition p's every row sorts
+    * before partition p+1's). One range exchange + local sorts; no
+    * global single-partition stage anywhere. The declared
+    * `tp_global_shuffle` encodes the same total order verifiably as
+    * (bucket, pos) for the oracle.
+    */
+  def deterministicShuffle(docs: DataFrame, idCol: String, seed: Long): DataFrame =
+    docs.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+      .repartitionByRange(col("shuffle_key"), col(idCol))
+      .sortWithinPartitions("shuffle_key", idCol)
+
   val queries: Map[String, Q] = Map(
     // Left outer join preserving unmatched left rows (TPC-H Q13 shape):
     // orders-per-customer distribution including zero-order customers.
@@ -283,6 +313,26 @@ object SqlSurface {
         col("doc_id"),
         pmod(h, lit(10L)).as("bucket"),
         when(pmod(h, lit(10L)) < 8, "train").otherwise("test").as("split"))
+    }),
+
+    // Training-pipeline: deterministic global shuffle (training-order
+    // randomization). Every doc's sort key is a pure function of
+    // (id, seed) via the engine-portable rolling hash — no RNG, so the
+    // order is reproducible across runs/engines, and APPEND-STABLE:
+    // new docs interleave without reordering existing ones (their keys
+    // never change). The declared output encodes the total order
+    // scalably as (bucket = key >> 24, pos within bucket): buckets are
+    // contiguous key ranges, so (bucket, pos) IS the global order, and
+    // the rank window partitions BY BUCKET — distributed, never a
+    // single-partition global window. The write path is
+    // [[deterministicShuffle]] (range partition + in-partition sort).
+    "tp_global_shuffle" -> ((s, d) => {
+      val keyed = Tables.documents(s, d).select(col("doc_id"),
+        shuffleKey(col("doc_id"), 42L).as("shuffle_key"))
+      val w = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
+      keyed.withColumn("bucket", shiftright(col("shuffle_key"), 24))
+        .withColumn("pos", row_number().over(w).cast("int"))
+        .select("doc_id", "shuffle_key", "bucket", "pos")
     }),
 
     // Training-data domain mixing: deterministic proportional
@@ -720,6 +770,22 @@ object SqlSurface {
            CAST(NULL AS DOUBLE) AS div_zero,
            l_quantity + l_extendedprice AS sum_ok
          FROM lineitem""",
+
+    "tp_global_shuffle" ->
+      """WITH keyed AS (
+           SELECT doc_id,
+             (list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                 list_transform(
+                   regexp_split_to_array(CAST(doc_id AS VARCHAR) || ':42', ''),
+                   c -> CAST(ascii(c) AS BIGINT))),
+               (acc, x) -> (acc * 31 + x) % 1000000007)
+              * 2654435761) % 1000000007 AS shuffle_key
+           FROM documents)
+         SELECT doc_id, shuffle_key, shuffle_key // 16777216 AS bucket,
+           CAST(row_number() OVER (PARTITION BY shuffle_key // 16777216
+             ORDER BY shuffle_key, doc_id) AS INT) AS pos
+         FROM keyed""",
 
     "tp_stratified_sample" ->
       """WITH rates(lang, rate) AS (VALUES

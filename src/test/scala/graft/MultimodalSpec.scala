@@ -169,5 +169,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeVideoMeta(spark, media).count() == n)
     Multimodal.decodeVideoFrames(spark, media).collect() // must not throw
     assert(Multimodal.byteHistogram(spark, media).count() == n)
+    // dHash: one row per input, hostile payloads tag stub with a NULL hash
+    val hashes = Multimodal.dHash(spark, media).collect()
+    assert(hashes.length == n)
+    assert(hashes.forall(h => h.codec == "stub" && h.dhash == null))
+  }
+
+  test("dHash: decoded fingerprint matches the arithmetic prediction; pairs are near, groups far") {
+    import spark.implicits._
+    val ids = (0L until 12L).toDF("id")
+    val imgs = Multimodal.synthesizeNearDupImages(ids, "id")
+    val got = Multimodal.dHash(spark, imgs).collect()
+      .map(h => h.media_id -> h.dhash).toMap
+    // the real decode+sample path must reproduce the closed-form hash
+    def predicted(id: Long): String = {
+      val (g, v) = (id / 2, id % 2)
+      (for { y <- 0 until 8; x <- 0 until 8 } yield {
+        val sy = y * Multimodal.NearDupH / 8
+        val a = Multimodal.nearDupPixel(g, v, x * Multimodal.NearDupW / 9, sy)
+        val b = Multimodal.nearDupPixel(g, v, (x + 1) * Multimodal.NearDupW / 9, sy)
+        if (a > b) '1' else '0'
+      }).mkString
+    }
+    def dist(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    (0L until 12L).foreach(id =>
+      assert(got(id) == predicted(id), s"decoded dhash diverges for id $id"))
+    // paired variants: at most the single perturbed-pixel bit apart
+    (0L until 6L).foreach(g =>
+      assert(dist(got(2 * g), got(2 * g + 1)) <= 1, s"pair $g too far"))
+    // unrelated groups: far beyond the maxDist=3 pairing radius
+    for (ga <- 0L until 6L; gb <- (ga + 1) until 6L)
+      assert(dist(got(2 * ga), got(2 * gb)) > 3,
+        s"groups $ga and $gb unexpectedly close")
   }
 }

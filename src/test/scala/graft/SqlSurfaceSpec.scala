@@ -19,6 +19,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(total == Tables.customer(spark, d).count())
   }
 
+  test("deterministicShuffle: total order is seeded, permutes, and is append-stable") {
+    import spark.implicits._
+    val docs = (0L until 200L).toDF("doc_id")
+    def order(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      SqlSurface.deterministicShuffle(df, "doc_id", 42L)
+        .orderBy("shuffle_key", "doc_id").select("doc_id")
+        .as[Long].collect().toSeq
+    val full = order(docs)
+    // a permutation of the input, deterministic across runs, and not the
+    // identity (it actually shuffles)
+    assert(full.sorted == (0L until 200L))
+    assert(full == order(docs))
+    assert(full != (0L until 200L).toSeq)
+    // a different seed yields a different order
+    val other = SqlSurface.deterministicShuffle(docs, "doc_id", 7L)
+      .orderBy("shuffle_key", "doc_id").select("doc_id").as[Long].collect().toSeq
+    assert(other != full)
+    // APPEND-STABLE: keys are pure functions of (id, seed), so shuffling
+    // only the first half preserves those docs' relative order exactly
+    val half = order((0L until 100L).toDF("doc_id"))
+    assert(full.filter(_ < 100L) == half,
+      "appending docs must never reorder existing ones")
+  }
+
   test("j_outer_full: covers every nation present on either side, nulls where absent") {
     val out = SqlSurface.queries("j_outer_full")(spark, d).collect()
     val custNations = Tables.customer(spark, d).filter(col("c_acctbal") > 7000.0)
