@@ -67,27 +67,26 @@ object Dedup {
     */
   val DefaultBroadcastRows: Long = 4000000L
 
-  /** Adaptive broadcast: materialize `small` once, count it, and hint
-    * broadcast only when it actually fits — the same measured-then-choose
-    * call [[connectedComponents]] makes for its driver/distributed paths.
+  /** Adaptive broadcast: count `small` once and hint broadcast only when
+    * it actually fits — the same measured-then-choose call
+    * [[connectedComponents]] makes for its driver/distributed paths.
     * Benchmark gram sets are fixed-size by construction and always take
     * the broadcast arm; span tables on a heavily-contaminated corpus
     * scale with the corpus and must be allowed to fall back.
     *
-    * The checkpointed small side pins executor storage, so each caller
-    * OWNS the pin's lifetime: force the (small) result, then
-    * [[AdaptiveSide.release]] — the jaccard checkpoint-then-unpersist
-    * pattern — so repeated calls (soak/bench loops) never accumulate
-    * pinned blocks. [[cutSpans]], whose result is corpus-sized and must
-    * stay lazy, avoids the pin entirely (count without checkpoint).
+    * Deliberately NO materialization: the side is evaluated twice (once
+    * for the count, once at join time), which keeps the CALLER's result
+    * fully lazy — no eager checkpoint of a potentially corpus-scale
+    * result, no pinned executor storage accumulating across calls, and
+    * downstream filter pushdown into the result plan is preserved. The
+    * cost is one extra evaluation of a small-by-construction side.
+    * REQUIREMENT: `small` must be a deterministic plan (or served from a
+    * materialized artifact table) — a sample-/limit-derived side could
+    * yield an inconsistent count vs join contents. Every in-repo caller
+    * passes gram/shingle plans over stable inputs.
     */
-  private final case class AdaptiveSide(df: DataFrame, release: () => Unit)
-
-  private def adaptiveBroadcast(small: DataFrame, maxRows: Long): AdaptiveSide = {
-    val mat = small.localCheckpoint(true)
-    val df = if (mat.count() <= maxRows) broadcast(mat) else mat
-    AdaptiveSide(df, () => { mat.unpersist(); () })
-  }
+  private def maybeBroadcast(small: DataFrame, maxRows: Long): DataFrame =
+    if (small.count() <= maxRows) broadcast(small) else small
 
   /** Benchmark decontamination: per corpus document, how many of its
     * distinct n-gram shingles also occur anywhere in `benchmark` (the
@@ -97,25 +96,23 @@ object Dedup {
     *
     * Scale shape: the benchmark's distinct-shingle set is SMALL by
     * construction (eval sets are thousands of docs, not billions), so it
-    * broadcasts — but adaptively ([[adaptiveBroadcast]]): past
+    * broadcasts — but adaptively ([[maybeBroadcast]]): past
     * `maxBroadcastRows` the semi join falls back to shuffle instead of
-    * OOMing the driver. The corpus is never self-joined.
+    * OOMing the driver. The corpus is never self-joined. The result is
+    * LAZY (a heavily-contaminated corpus's drop list scales with the
+    * corpus) — callers that reuse it materialize it themselves, like any
+    * artifact table.
     */
   def decontaminate(corpus: DataFrame, benchmark: DataFrame, idCol: String,
                     textCol: String, n: Int = 3,
                     maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame = {
-    val benchShingles = adaptiveBroadcast(
+    val benchShingles = maybeBroadcast(
       shingles(benchmark, idCol, textCol, n).select("shingle").distinct(),
       maxBroadcastRows)
-    // force the (small — it's a drop list) result, then release the
-    // checkpointed bench set: no storage pinned past the call
-    val result = shingles(corpus, idCol, textCol, n)
-      .join(benchShingles.df, Seq("shingle"), "left_semi")
+    shingles(corpus, idCol, textCol, n)
+      .join(benchShingles, Seq("shingle"), "left_semi")
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_hits"))
-      .localCheckpoint(true)
-    benchShingles.release()
-    result
   }
 
   /** Contamination report — the benchmark owner's view of
@@ -147,20 +144,15 @@ object Dedup {
   def contaminationReportFromGrams(corpusGrams: DataFrame, benchGrams: DataFrame,
                                    idCol: String,
                                    maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame = {
-    val bench = adaptiveBroadcast(
+    val bench = maybeBroadcast(
       benchGrams.select(col(idCol).as("__bench_id"), col("gram")).distinct(),
       maxBroadcastRows)
     val cg = corpusGrams
       .select(col(idCol).as("__corpus_id"), col("gram")).distinct()
-    // force the (benchmark-keyed, small) report, then release the
-    // checkpointed bench grams: no storage pinned past the call
-    val result = cg.join(bench.df, "gram")
+    cg.join(bench, "gram")
       .groupBy(col("__bench_id").as(idCol))
       .agg(countDistinct("__corpus_id").as("n_corpus_docs"),
         countDistinct("gram").as("n_leaked_grams"))
-      .localCheckpoint(true)
-    bench.release()
-    result
   }
 
   /** The positional k-gram pass as a PUBLIC build-once table,
@@ -230,16 +222,16 @@ object Dedup {
   def contaminatedSpansFromGrams(corpusGrams: DataFrame, benchGrams: DataFrame,
                                  idCol: String, k: Int,
                                  maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame = {
-    val bench = adaptiveBroadcast(
+    val bench = maybeBroadcast(
       benchGrams.select("gram").distinct(), maxBroadcastRows)
-    // force the (small — leak findings) span table, then release the
-    // checkpointed bench grams: no storage pinned past the call
-    val result = mergeWindowSpans(
-      corpusGrams.join(bench.df, Seq("gram"), "left_semi"),
+    // LAZY result: under heavy contamination the span table scales with
+    // the corpus, so no eager checkpoint here — pipelines that serve the
+    // findings repeatedly materialize them as an artifact table
+    // (tp_decontaminate_spans' build-once memo), owning the pin's
+    // lifetime themselves
+    mergeWindowSpans(
+      corpusGrams.join(bench, Seq("gram"), "left_semi"),
       idCol, k)
-      .localCheckpoint(true)
-    bench.release()
-    result
   }
 
   /** Apply span cuts: rebuild each doc's text with the tokens inside
@@ -253,12 +245,16 @@ object Dedup {
     * join condition either way). Unlike the gram-side operators, the
     * adaptivity count here runs WITHOUT a checkpoint: this result is
     * corpus-sized and must stay lazy, so there is nothing to hang a
-    * checkpoint-then-unpersist lifetime on — instead the (deterministic)
-    * spans plan is simply evaluated twice, once for the count and once
-    * at join time. Span findings are served from materialized artifact
-    * tables in every pipeline path ([[contaminatedSpansFromGrams]]
-    * forces its output), so the second evaluation is a cheap rescan, and
-    * no executor storage is pinned past the call. The rebuild is one
+    * checkpoint-then-unpersist lifetime on — instead the spans plan is
+    * simply evaluated twice, once for the count and once at join time.
+    * REQUIREMENT: `spans` must therefore be DETERMINISTIC (or already
+    * materialized — a localCheckpoint'd artifact table, the usual case):
+    * a sample-/limit-derived lazy span plan could produce a count
+    * inconsistent with the join's contents and mis-pick the join
+    * strategy. In-repo pipelines serve span findings from build-once
+    * artifact tables (tp_decontaminate_spans' memo), so the second
+    * evaluation is a cheap rescan and no executor storage is pinned
+    * past the call. The rebuild is one
     * shuffle on the doc id (ordered re-assembly via sorted collect, the
     * same pattern as PQ's code packing). Docs with no spans pass through
     * UNCHANGED (including empty texts).

@@ -35,13 +35,34 @@ case class TopKBy(ord: Expression, tie: Expression, payload: Expression,
                   inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKBy.Buffer] {
 
+  // construction must be TOTAL (analyzer rules rebuild the node via
+  // withNewChildren mid-resolution, when children can be transiently
+  // unresolvable); all input validation lives in checkInputDataTypes
   private lazy val k: Int = kExpr.eval().asInstanceOf[Number].intValue
-  require(kExpr.foldable, "top_k_by: k must be a literal")
 
   private lazy val tieOrdering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(tie.dataType)
 
   override def children: Seq[Expression] = Seq(ord, tie, payload, kExpr)
+
+  /** Fail at ANALYSIS time, not mid-job: an unorderable tie type
+    * (MapType) would otherwise pass resolution and only blow up inside
+    * `TypeUtils.getInterpretedOrdering` on the first executor row, with
+    * an obscure error. Same for a non-numeric ord column, which
+    * `update` would ClassCastException on.
+    */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (!kExpr.foldable)
+      TypeCheckResult.TypeCheckFailure("top_k_by: k must be a literal")
+    else if (!ord.dataType.isInstanceOf[NumericType])
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_by: ord must be numeric, got ${ord.dataType.catalogString}")
+    else if (!org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(tie.dataType))
+      TypeCheckResult.TypeCheckFailure(
+        s"top_k_by: tie type ${tie.dataType.catalogString} is not orderable")
+    else TypeCheckResult.TypeCheckSuccess
+  }
 
   override def nullable: Boolean = false
 

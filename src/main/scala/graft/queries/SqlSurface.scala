@@ -321,16 +321,19 @@ object SqlSurface {
     // order is reproducible across runs/engines, and APPEND-STABLE:
     // new docs interleave without reordering existing ones (their keys
     // never change). The declared output encodes the total order
-    // scalably as (bucket = key >> 24, pos within bucket): buckets are
+    // scalably as (bucket = key >> 16, pos within bucket): buckets are
     // contiguous key ranges, so (bucket, pos) IS the global order, and
     // the rank window partitions BY BUCKET — distributed, never a
-    // single-partition global window. The write path is
-    // [[deterministicShuffle]] (range partition + in-partition sort).
+    // single-partition global window. Keys live in [0, 1e9+7), so >> 16
+    // yields ~15k buckets — the window's parallelism ceiling stays far
+    // above any executor count (>> 24 would cap it at ~60 tasks). The
+    // write path is [[deterministicShuffle]] (range partition +
+    // in-partition sort).
     "tp_global_shuffle" -> ((s, d) => {
       val keyed = Tables.documents(s, d).select(col("doc_id"),
         shuffleKey(col("doc_id"), 42L).as("shuffle_key"))
       val w = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
-      keyed.withColumn("bucket", shiftright(col("shuffle_key"), 24))
+      keyed.withColumn("bucket", shiftright(col("shuffle_key"), 16))
         .withColumn("pos", row_number().over(w).cast("int"))
         .select("doc_id", "shuffle_key", "bucket", "pos")
     }),
@@ -782,8 +785,8 @@ object SqlSurface {
                (acc, x) -> (acc * 31 + x) % 1000000007)
               * 2654435761) % 1000000007 AS shuffle_key
            FROM documents)
-         SELECT doc_id, shuffle_key, shuffle_key // 16777216 AS bucket,
-           CAST(row_number() OVER (PARTITION BY shuffle_key // 16777216
+         SELECT doc_id, shuffle_key, shuffle_key // 65536 AS bucket,
+           CAST(row_number() OVER (PARTITION BY shuffle_key // 65536
              ORDER BY shuffle_key, doc_id) AS INT) AS pos
          FROM keyed""",
 

@@ -233,7 +233,12 @@ object Similarity {
     * stale). Without the marker, live + `.old` still fails loudly: that
     * combination then means a non-marker writer ran before recovery,
     * and cell partitions are not idempotent replay units to guess over.
-    * Single-writer contract: do not append concurrently.
+    * Single-writer contract: do not append concurrently — and the
+    * contract covers RECOVERY invocations too: a second
+    * [[compactIvfCells]] (whose recovery pass deletes any un-markered
+    * `.compacting` dir) must not race an in-flight compaction that is
+    * between marker creation and its first rename. One maintenance
+    * writer per index path, including crash recovery, full stop.
     */
   def compactIvfCells(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -197,6 +197,23 @@ class FunctionsSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("top_k_by rejects an unorderable tie type at ANALYSIS time, not mid-job") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(("a", 1L, 5.0)).toDF("g", "id", "score")
+    // Dataset construction analyzes eagerly, so the agg() call itself throws
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g").agg(graft.functions.TopKBy.topKBy(
+        col("score"), map(col("id"), col("id")), col("id"), 2).as("top"))
+    }
+    assert(e.getMessage.contains("not orderable"), s"got: ${e.getMessage}")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      df.groupBy("g").agg(graft.functions.TopKBy.topKBy(
+        col("g"), col("id"), col("id"), 2).as("top"))
+    }
+    assert(e2.getMessage.contains("must be numeric"), s"got: ${e2.getMessage}")
+  }
+
   test("top_k_by treats NaN ord as greatest (Spark DESC sort order), heap stays consistent") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
