@@ -166,8 +166,67 @@ object TextPipeline {
         .select(col("lang"), col("col.payload.token").as("token"),
           col("col.payload.total_freq").as("total_freq"),
           (col("pos") + 1).cast("int").as("rn"))
+    }),
+
+    // BPE merge-table induction ([[graft.text.Bpe]]): the 8-rank merge
+    // table the corpus induces — (merge_rank, lhs, rhs, merged,
+    // pair_count), deterministic (ties: count DESC, pair ASC). The model
+    // is a BUILD-ONCE artifact per (session, dataset) — train once,
+    // serve the merge table and every apply from the same model, like
+    // the shingle/signature index tables. The oracle replays the exact
+    // train loop as GENERATED SQL from the same per-iteration template
+    // ([[bpeOracle]]) — engines cannot drift.
+    "tp_bpe_train" -> ((s, d) => {
+      import s.implicits._
+      bpeModel(s, d).merges.toDF()
+    }),
+
+    // BPE application: per document, the letter-run word count, the
+    // subword token count after the 8 merges, and an md5 over the full
+    // in-order subword stream (the strong whole-tokenization check).
+    // Scale shape: the corpus is exploded ONCE and equi-joined against
+    // the vocab-sized final segmentation table — never iterated; the
+    // join is left to AQE (vocab usually broadcasts but grows with
+    // corpus diversity). Docs with no letter-run words have no
+    // tokenization and emit no row (identical in the oracle).
+    "tp_bpe_apply" -> ((s, d) => {
+      val seg = bpeModel(s, d).vocabSyms
+        .groupBy("word")
+        .agg(
+          // field extraction on the sorted struct array: codegen
+          // GetArrayStructFields, not a transform(...) lambda
+          concat_ws(" ", array_sort(collect_list(struct(col("pos"), col("sym"))))
+            .getField("sym")).as("seg_text"),
+          count(lit(1)).as("n_syms"))
+      val docWords = Tables.documents(s, d).select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as(Seq("widx", "word")))
+      docWords.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_syms").as("n_bpe_tokens"),
+          md5(concat_ws(" ",
+            array_sort(collect_list(struct(col("widx"), col("seg_text"))))
+              .getField("seg_text"))).as("bpe_md5"))
     })
   )
+
+  /** Merge ranks the declared BPE queries train — small and fixed so the
+    * oracle's unrolled SQL stays reviewable; the operator itself takes
+    * any count.
+    */
+  val BpeMerges = 8
+
+  // one trained model per (session, dataset) — the build-once artifact
+  // memo, WeakHashMap-keyed on the session like PipelineOps.memoized
+  private val bpeMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, graft.text.Bpe.BpeModel]]())
+
+  def bpeModel(s: SparkSession, d: String): graft.text.Bpe.BpeModel =
+    bpeMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(d,
+        graft.text.Bpe.train(Tables.documents(s, d), "text", BpeMerges))
 
   private val tokensSql =
     """SELECT doc_id, unnest(string_split_regex(lower(regexp_replace(text,
@@ -232,6 +291,84 @@ object TextPipeline {
          |    SELECT d.lang, c.token, CAST(sum(c.freq) AS BIGINT) AS total_freq
          |    FROM ($countsSql) c JOIN documents d ON c.doc_id = d.doc_id
          |    GROUP BY 1, 2) g) r
-         |WHERE rn <= 10""".stripMargin
+         |WHERE rn <= 10""".stripMargin,
+
+    "tp_bpe_train" -> bpeOracle(
+      (0 until BpeMerges).map { k =>
+        val head = if (k == 0)
+          s"SELECT ${k + 1} AS merge_rank, a AS lhs, b AS rhs, a || b AS merged, pc AS pair_count"
+        else s"SELECT ${k + 1}, a, b, a || b, pc"
+        s"$head FROM best$k"
+      }.mkString("SELECT merge_rank, lhs, rhs, merged, pair_count FROM (\n",
+        "\nUNION ALL\n", ") u")),
+
+    "tp_bpe_apply" -> bpeOracle(
+      s"""seg AS (
+         |  SELECT word, string_agg(sym, ' ' ORDER BY pos) AS seg_text,
+         |    count(*) AS n_syms
+         |  FROM syms$BpeMerges GROUP BY word),
+         |docw AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word,
+         |    unnest(range(len(regexp_extract_all(lower(text), '[a-z]+')))) AS widx
+         |  FROM documents)
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+         |  md5(string_agg(seg_text, ' ' ORDER BY widx)) AS bpe_md5
+         |FROM docw JOIN seg USING (word)
+         |GROUP BY doc_id""".stripMargin, extraCtes = true)
   )
+
+  /** The BPE train loop as GENERATED DuckDB SQL: the word/char base CTEs
+    * plus, per merge rank, the identical pair-count → deterministic
+    * argmax → greedy merge template [[graft.text.Bpe]] executes — built
+    * from the same `BpeMerges` constant, so the engines replay the exact
+    * same (bounded) loop and cannot drift. An exhausted iteration (no
+    * adjacent pairs anywhere) leaves `best_k` empty, the LEFT JOIN makes
+    * the pass a no-op, and the train output simply has fewer rows —
+    * mirroring the Scala loop's early stop.
+    */
+  private def bpeOracle(finalSelect: String, extraCtes: Boolean = false): String = {
+    val base =
+      s"""WITH words AS (
+         |  SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |    FROM documents) t
+         |  GROUP BY 1),
+         |syms0 AS (
+         |  SELECT word, cnt,
+         |    unnest(range(length(word))) AS pos,
+         |    unnest(string_split(word, '')) AS sym
+         |  FROM words)""".stripMargin
+    val iters = (0 until BpeMerges).map { k =>
+      s"""p$k AS (
+         |  SELECT sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b, cnt
+         |  FROM syms$k),
+         |best$k AS (
+         |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pc
+         |  FROM p$k WHERE b IS NOT NULL
+         |  GROUP BY a, b ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+         |m$k AS (
+         |  SELECT s.word, s.cnt, s.pos, s.sym,
+         |    coalesce(s.sym = b.a AND
+         |      lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.b,
+         |      false) AS m,
+         |    lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt
+         |  FROM syms$k s LEFT JOIN best$k b ON true),
+         |sel$k AS (
+         |  SELECT word, cnt, pos, sym, m, nxt,
+         |    m AND (pos - (coalesce(max(CASE WHEN NOT m THEN pos END)
+         |      OVER (PARTITION BY word ORDER BY pos ROWS UNBOUNDED PRECEDING), -1)
+         |      + 1)) % 2 = 0 AS sel
+         |  FROM m$k),
+         |syms${k + 1} AS (
+         |  SELECT word, cnt,
+         |    row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+         |    CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
+         |  FROM (SELECT *, lag(sel) OVER (PARTITION BY word ORDER BY pos) AS prev_sel
+         |        FROM sel$k) q
+         |  WHERE NOT coalesce(prev_sel, false))""".stripMargin
+    }
+    val ctes = (base +: iters).mkString(",\n")
+    if (extraCtes) s"$ctes,\n$finalSelect" else s"$ctes\n$finalSelect"
+  }
 }

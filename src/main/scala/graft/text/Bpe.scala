@@ -1,0 +1,191 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational byte-pair-encoding (BPE) merge-table induction and
+  * application (Sennrich, Haddow & Birch, "Neural Machine Translation of
+  * Rare Words with Subword Units", ACL 2016) — the tokenizer-parity
+  * operator of a training-data pipeline, expressed entirely as DataFrame
+  * aggregates so it distributes:
+  *
+  *  - TRAIN is a bounded driver loop (the `lloydLoop` shape,
+  *    [[graft.cluster.Clustering]]): per iteration, ONE aggregate finds
+  *    the globally most frequent adjacent symbol pair (weighted by word
+  *    frequency, deterministic ties: count DESC then pair lexicographic
+  *    ASC), and one window pass applies the merge. The driver holds k
+  *    merge rows, never data.
+  *  - The working set is the DISTINCT-WORD table, not the corpus: classic
+  *    word-level BPE aggregates the corpus to (word, count) first, so the
+  *    loop's cost scales with vocabulary (sublinear in corpus size), and
+  *    the corpus itself is touched exactly once at train time and once at
+  *    apply time.
+  *  - APPLY never loops over the corpus: the trained model carries the
+  *    final segmentation of every training word, and new corpora segment
+  *    their (small) distinct-word vocabulary through the merge list, then
+  *    join it back — the precomputed word→subwords cache every production
+  *    tokenizer uses.
+  *
+  * Merge semantics are canonical greedy-leftmost, made relational via the
+  * match-run parity rule: within a maximal run of consecutive pair
+  * matches (which only occurs for self-pairs like (a,a) over "aaaa"),
+  * greedy selects offsets 0, 2, 4, …. Positions are re-densified after
+  * every pass, so `(pos − runStart) % 2 == 0` IS the greedy choice. This
+  * replays identically in any engine with windows — the DuckDB oracle is
+  * GENERATED from the same per-iteration template
+  * ([[graft.queries.TextPipeline.bpeOracle]]), so the two engines cannot
+  * drift.
+  *
+  * No UDFs, no higher-order functions: chars come from
+  * `regexp_extract_all`, merges from lead/lag/row_number windows — all
+  * codegen. Every window partitions by `word` (high cardinality — no
+  * skew ceiling), and each pass ends in a `localCheckpoint` whose
+  * predecessor is unpersisted, so exactly one vocab-sized table stays
+  * pinned during the loop.
+  */
+object Bpe {
+
+  /** One learned merge: at `merge_rank`, adjacent symbols (`lhs`, `rhs`)
+    * fuse into `merged`; `pair_count` is the weighted corpus frequency
+    * that won the rank.
+    */
+  final case class Merge(merge_rank: Int, lhs: String, rhs: String,
+                         merged: String, pair_count: Long)
+
+  /** A trained model: the merge list (driver-side, k rows) plus the final
+    * symbol table of the TRAINING vocabulary — (word, cnt, pos, sym),
+    * localCheckpoint-pinned (the serve-many artifact). `release()` drops
+    * the pin when the model is retired.
+    */
+  final case class BpeModel(merges: Seq[Merge], vocabSyms: DataFrame,
+                            release: () => Unit)
+
+  /** The pre-tokenizer: lowercase letter runs (`[a-z]+`), the simplest
+    * engine-portable word splitter — one row per distinct word with its
+    * corpus frequency. (Real BPE pre-tokenizers add digit runs and
+    * punctuation classes; the induction below is agnostic to the word
+    * source.)
+    */
+  def words(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+"), lit(0))).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Initial symbol table: one row per character of each distinct word —
+    * (word, cnt, pos, sym), pos dense from 0.
+    */
+  def initialSymbols(words: DataFrame): DataFrame =
+    words.select(col("word"), col("cnt"),
+      posexplode(regexp_extract_all(col("word"), lit("."), lit(0)))
+        .as(Seq("pos", "sym")))
+
+  private def w = Window.partitionBy("word").orderBy("pos")
+
+  /** One greedy merge pass over a dense-pos symbol table: fuse every
+    * greedy-selected adjacent (lhs, rhs) into lhs+rhs. Match-run parity
+    * selects greedy-leftmost occurrences (see object doc); absorbed rows
+    * (the rhs of a selected pair) drop; positions re-densify. All codegen
+    * window functions over one (word, pos) sort.
+    */
+  private[text] def mergePass(syms: DataFrame, lhs: String, rhs: String): DataFrame = {
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    syms
+      .withColumn("__nxt", lead("sym", 1).over(w))
+      .withColumn("__m",
+        coalesce(col("sym") === lit(lhs) && col("__nxt") === lit(rhs), lit(false)))
+      // runStart = 1 + last non-match position at or before here (the
+      // current row only counts when it is itself a non-match, which is
+      // exactly the strictly-before semantics a match row needs)
+      .withColumn("__sel", col("__m") &&
+        (col("pos") - (coalesce(max(when(!col("__m"), col("pos"))).over(cum),
+          lit(-1)) + 1)) % 2 === 0)
+      .withColumn("__absorbed", coalesce(lag("__sel", 1).over(w), lit(false)))
+      .filter(!col("__absorbed"))
+      .select(col("word"), col("cnt"),
+        (row_number().over(w) - 1).cast("int").as("pos"),
+        when(col("__sel"), concat(col("sym"), col("__nxt")))
+          .otherwise(col("sym")).as("sym"))
+  }
+
+  /** The globally best adjacent pair of the current symbol table:
+    * max Σ cnt, ties count DESC → lhs ASC → rhs ASC (binary string order,
+    * engine-portable). One partial-aggregated shuffle + a 1-row collect.
+    */
+  private def bestPair(syms: DataFrame): Option[(String, String, Long)] =
+    syms
+      .withColumn("__nxt", lead("sym", 1).over(w))
+      .filter(col("__nxt").isNotNull)
+      .groupBy(col("sym").as("lhs"), col("__nxt").as("rhs"))
+      .agg(sum("cnt").as("pc"))
+      .orderBy(desc("pc"), asc("lhs"), asc("rhs"))
+      .limit(1)
+      .collect()
+      .headOption
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
+  /** Induce a merge table of (at most) `numMerges` ranks over the corpus.
+    * Stops early only when no adjacent pair remains (every word fully
+    * merged). Bounded driver state: `numMerges` Merge rows.
+    */
+  def train(docs: DataFrame, textCol: String, numMerges: Int): BpeModel = {
+    var syms = initialSymbols(words(docs, textCol)).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      bestPair(syms) match {
+        case Some((a, b, pc)) =>
+          merges += Merge(rank + 1, a, b, a + b, pc)
+          val next = mergePass(syms, a, b).localCheckpoint(true)
+          syms.unpersist()
+          syms = next
+          rank += 1
+        case None => exhausted = true
+      }
+    }
+    val pinned = syms
+    BpeModel(merges.toSeq, pinned, () => { pinned.unpersist(); () })
+  }
+
+  /** Segment an arbitrary word list (one `word` column; OOV words
+    * welcome — segmentation needs only the merge list, not the training
+    * vocab) by replaying the merges in rank order. Returns
+    * (word, pos, sym). `numMerges` window passes over a vocab-sized
+    * table; lineage is cut per pass, and intermediate pins are released
+    * as the loop advances — the FINAL table is returned pinned and owned
+    * by the caller (`unpersist()` when done).
+    */
+  def segmentWords(wordList: DataFrame, merges: Seq[Merge]): DataFrame = {
+    var syms = initialSymbols(
+      wordList.select("word").distinct().withColumn("cnt", lit(1L)))
+      .localCheckpoint(true)
+    merges.sortBy(_.merge_rank).foreach { m =>
+      val next = mergePass(syms, m.lhs, m.rhs).localCheckpoint(true)
+      syms.unpersist()
+      syms = next
+    }
+    syms.select("word", "pos", "sym")
+  }
+
+  /** Tokenize a corpus with a merge list: segment its DISTINCT words
+    * (vocab-sized work), then join the per-word segmentation back onto
+    * the exploded corpus — one explode + one equi-join on `word`, never
+    * an iteration over corpus rows. Returns one row per subword token:
+    * (idCol, widx, pos, token) — widx the word's index in the doc, pos
+    * the subword's index in the word. The vocab side usually broadcasts;
+    * it can grow with corpus diversity, so the join is left to AQE
+    * rather than force-hinted.
+    */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[Merge]): DataFrame = {
+    val docWords = docs.select(col(idCol),
+      posexplode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+        .as(Seq("widx", "word")))
+    val seg = segmentWords(docWords.select("word"), merges)
+    docWords.join(seg, "word")
+      .select(col(idCol), col("widx"), col("pos"), col("sym").as("token"))
+  }
+}

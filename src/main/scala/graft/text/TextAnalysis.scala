@@ -54,6 +54,8 @@ object TextAnalysis {
   /** BPE-ish subword count: letter-runs, digit-runs, and single punctuation
     * marks — the usual pre-tokenizer regex family. Uses regexp_extract_all
     * (RE2-compatible pattern, no lookaround) so the oracle can mirror it.
+    * This is the cheap one-pass ESTIMATE; true learned-subword counts come
+    * from [[Bpe]] (merge-table induction + apply, `tp_bpe_*`).
     */
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0)))

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def segment(word: String, merges: Seq[Bpe.Merge]): Seq[String] = {
+    val seg = Bpe.segmentWords(Seq(word).toDF("word"), merges)
+    val out = seg.orderBy("pos").select("sym").as[String].collect().toSeq
+    seg.unpersist()
+    out
+  }
+
+  private def m(rank: Int, a: String, b: String): Bpe.Merge =
+    Bpe.Merge(rank, a, b, a + b, 0L)
+
+  test("greedy-leftmost overlap: self-pair merges take offsets 0,2,4 of a run") {
+    assert(segment("aaaa", Seq(m(1, "a", "a"))) == Seq("aa", "aa"))
+    assert(segment("aaa", Seq(m(1, "a", "a"))) == Seq("aa", "a"))
+    assert(segment("aaaaa", Seq(m(1, "a", "a"))) == Seq("aa", "aa", "a"))
+    // non-overlapping pair: every occurrence merges in one pass
+    assert(segment("ababab", Seq(m(1, "a", "b"))) == Seq("ab", "ab", "ab"))
+  }
+
+  test("merges stack in rank order over prior merge outputs") {
+    val merges = Seq(m(1, "a", "b"), m(2, "ab", "ab"))
+    assert(segment("abab", merges) == Seq("abab"))
+    assert(segment("ababab", merges) == Seq("abab", "ab"))
+    // rank order matters: (b,a) before (a,b) segments differently
+    assert(segment("aba", Seq(m(1, "b", "a"), m(2, "a", "b"))) == Seq("a", "ba"))
+  }
+
+  test("train is deterministic and pair counts are non-increasing in rank") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the rat sat on the cat"),
+      (3L, "that hat is the cat hat")).toDF("doc_id", "text")
+    val m1 = Bpe.train(docs, "text", 6)
+    val m2 = Bpe.train(docs, "text", 6)
+    assert(m1.merges == m2.merges, "same corpus must induce the same table")
+    // each rank's winning count bounds the next (a merge can only create
+    // pairs at most as frequent as the pair it fused)
+    val counts = m1.merges.map(_.pair_count)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      s"counts not non-increasing: $counts")
+    // "at" appears in cat/sat/mat/rat/that/hat — must be the first merge
+    assert((m1.merges.head.lhs, m1.merges.head.rhs) == ("a", "t"))
+    m1.release(); m2.release()
+  }
+
+  test("apply . train round-trips: vocab segmentations concatenate back to the word") {
+    val docs = Seq(
+      (1L, "banana bandana cabana"),
+      (2L, "the banana and the bandana")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", 5)
+    val bad = model.vocabSyms
+      .groupBy("word")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("pos"), col("sym"))))
+        .getField("sym")).as("rebuilt"))
+      .filter(col("rebuilt") =!= col("word"))
+      .count()
+    assert(bad == 0, "every word must be exactly the concat of its subwords")
+    model.release()
+  }
+
+  test("tokenize handles OOV words via the merge list alone") {
+    val train = Seq((1L, "lower lowest newer newest")).toDF("doc_id", "text")
+    val model = Bpe.train(train, "text", 4)
+    // 'wider' shares no word with training but its letters do
+    val toks = Bpe.tokenize(Seq((9L, "wider lower")).toDF("doc_id", "text"),
+      "doc_id", "text", model.merges)
+    val byWord = toks.orderBy("widx", "pos")
+      .groupBy("widx").agg(concat_ws("", collect_list("token")).as("w"))
+      .orderBy("widx").select("w").as[String].collect().toSeq
+    assert(byWord == Seq("wider", "lower"),
+      s"tokenization must cover OOV words losslessly, got $byWord")
+    model.release()
+  }
+
+  test("exhausted corpora stop early with fewer ranks, never loop") {
+    // single-char words only: no adjacent pairs exist at all
+    val docs = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", 8)
+    assert(model.merges.isEmpty)
+    model.release()
+  }
+}
