@@ -80,16 +80,19 @@ object PipelineOps {
     * run against the read-back partitioned form — so the probe join can
     * prune cell partitions, and repeated query batches never refit.
     */
+  // under the SESSION'S configured warehouse, like bucketedTable — a
+  // hardcoded relative "spark-warehouse/" diverges from where the
+  // session actually writes when warehouse.dir is overridden
+  private def ivfIndexPath(s: SparkSession, d: String): String =
+    new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"),
+      s"graft_ivf_${d.replaceAll("[^A-Za-z0-9.]", "_")}").toString
+
   def persistedIvfIndex(s: SparkSession, d: String): Similarity.IvfIndex =
     ivfMemo
       .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
       .getOrElseUpdate(d, {
-        // under the SESSION'S configured warehouse, like bucketedTable —
-        // a hardcoded relative "spark-warehouse/" diverges from where the
-        // session actually writes when warehouse.dir is overridden
-        val path = new org.apache.hadoop.fs.Path(
-          s.conf.get("spark.sql.warehouse.dir"),
-          s"graft_ivf_${d.replaceAll("[^A-Za-z0-9.]", "_")}").toString
+        val path = ivfIndexPath(s, d)
         Similarity.writeIvfIndex(
           Similarity.buildIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
             nlist = 16, seed = 42L),
@@ -441,6 +444,21 @@ object PipelineOps {
         Similarity.queryIvf(persistedIvfIndex(s, d),
           Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
           "vec_id", "embedding", k = 5, nprobe = 6))),
+
+    // Index-health drift: the mean squared member-to-centroid distance of
+    // the live cells vs the build-time value in the metadata sidecar
+    // (appendToIvfIndex never refits — drift is THE signal that recall
+    // is eroding and refitIvfIndex is due). A freshly built index must
+    // self-report ratio == 1 up to aggregation-order ulps; the declared
+    // check pins that invariant driver-visibly. Rising-drift + refit-
+    // restores-recall behavior is property-tested in SimilaritySpec.
+    "sim_ivf_drift" -> ((s, d) => {
+      import s.implicits._
+      persistedIvfIndex(s, d) // ensure the index is built and persisted
+      val r = Similarity.ivfDrift(s, ivfIndexPath(s, d))
+      Seq((if (math.abs(r.ratio - 1.0) < 1e-6) 1 else 0))
+        .toDF("drift_ok")
+    }),
 
     // IVFPQ + refine ([[graft.similarity.Pq]]): IVF cells prune
     // candidates, ADC scores them as m byte-table lookups (no raw
@@ -942,6 +960,10 @@ object PipelineOps {
     "sim_ann_ivfpq" ->
       """SELECT vec_id AS query_id, 5 AS n_results, 1 AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    // A freshly built index self-reports zero drift (current mean sq
+    // assignment distance == the sidecar's build-time value).
+    "sim_ivf_drift" -> "SELECT 1 AS drift_ok",
 
     // Mirrors srpNearDupPairs: same seeded planes (inlined literals), same
     // bucket key, same in-bucket cosine verify at threshold 0.4.

@@ -121,9 +121,13 @@ object Similarity {
 
   /** Persist an index: cells as parquet partitioned by cell id (the probe
     * join's pruning column), centroids as a tiny sidecar parquet, plus a
-    * metadata sidecar (nlist, dim, train seed, row count at build) that
+    * metadata sidecar (nlist, dim, train seed, row count at build, and
+    * the BUILD-QUALITY field `built_mean_dist` — the mean assignment
+    * distance of the written members to their centroids) that
     * [[readIvfIndex]] asserts against — a probe over a stale, truncated,
-    * or mismatched index fails loudly instead of returning quiet garbage.
+    * or mismatched index fails loudly instead of returning quiet
+    * garbage — and that [[ivfDrift]] compares against to decide when an
+    * append-grown index needs [[refitIvfIndex]].
     */
   def writeIvfIndex(index: IvfIndex, path: String): Unit = {
     index.cells.write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
@@ -133,12 +137,94 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     val nlist = index.centroids.length
     val dim = index.centroids.headOption.map(_._2.length).getOrElse(0)
-    // count the WRITTEN files (parquet footer counts — no data scan), so
-    // the sidecar records exactly what landed on disk
-    val builtRows = spark.read.parquet(s"$path/cells").count()
-    Seq((nlist, dim, index.seed, builtRows))
-      .toDF("nlist", "dim", "seed", "built_rows")
+    // measure the WRITTEN files (count = parquet footer counts, no data
+    // scan; mean dist = one scan), so the sidecar records exactly what
+    // landed on disk
+    val written = spark.read.parquet(s"$path/cells")
+    val builtRows = written.count()
+    val builtMeanDist = meanAssignedDist(written, index.centroids)
+    Seq((nlist, dim, index.seed, builtRows, builtMeanDist))
+      .toDF("nlist", "dim", "seed", "built_rows", "built_mean_dist")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Mean SQUARED Euclidean distance of each cell member (as a unit
+    * vector — the space the quantizer was fit in) to its own centroid:
+    * the k-means within-cluster scatter per row. Equivalent ordering to
+    * the assignment metric `‖c‖²/2 − û·c` (same per-row argmin) but
+    * non-negative, so the [[ivfDrift]] RATIO is well-behaved — the raw
+    * assignment metric goes negative on tight clusters and a ratio over
+    * it would invert. Direct codegen `vec_sqdist` kernel (no
+    * cancellation-prone expansion); one broadcast join on `cell` + one
+    * scan.
+    */
+  private def meanAssignedDist(cells: DataFrame,
+                               centroids: Array[(Int, Array[Double])]): Double = {
+    val spark = cells.sparkSession
+    import spark.implicits._
+    val cents = centroids.toSeq.toDF("cell", "__centroid")
+    cells.join(broadcast(cents), "cell")
+      .select(graft.functions.VectorExprs.sqdist(
+        graft.functions.VectorExprs.scale(col("cvec"), col("cnorm")),
+        col("__centroid")).as("__d"))
+      .agg(avg("__d"))
+      .head.getDouble(0)
+  }
+
+  /** Drift report for a persisted index: the build-time mean assignment
+    * distance (from the metadata sidecar) vs the CURRENT one over the
+    * live cells table with the frozen centroids. [[appendToIvfIndex]]
+    * never refits, so as appended data drifts from the build
+    * distribution the ratio climbs above 1 — the signal that recall is
+    * silently eroding and a [[refitIvfIndex]] is due. A freshly built or
+    * freshly refit index reports ratio ≈ 1 (same data, same metric).
+    */
+  final case class IvfDriftReport(builtMeanDist: Double, currentMeanDist: Double,
+                                  ratio: Double)
+
+  def ivfDrift(spark: org.apache.spark.sql.SparkSession, path: String): IvfDriftReport = {
+    val idx = readIvfIndex(spark, path)
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    require(meta.schema.fieldNames.contains("built_mean_dist"),
+      s"IVF index at $path predates the build-quality sidecar — refit or " +
+        "rebuild it before measuring drift")
+    val built = meta.getAs[Double]("built_mean_dist")
+    val current = meanAssignedDist(idx.cells, idx.centroids)
+    IvfDriftReport(built, current, current / built)
+  }
+
+  /** Re-train the coarse quantizer over the CURRENT cells table (the
+    * build corpus plus everything appended since) and atomically replace
+    * the whole index — the maintenance step [[ivfDrift]] calls for.
+    * `nlist` defaults to the existing quantizer's size; the row count is
+    * asserted unchanged (a refit must never lose or duplicate a vector).
+    * Crash-safe under the same write-new → marker → rename protocol as
+    * [[compactIvfCells]], at the INDEX directory level (`.refitting` /
+    * `.swapping` / `.old` siblings of `path`): a crash at any point
+    * either rolls forward to the validated new index on the next refit,
+    * rolls back, or fails loudly. Same single-writer contract, recovery
+    * included; open readers must re-read the index after a refit.
+    */
+  def refitIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                    nlist: Option[Int] = None, seed: Long = 42L): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    recoverMarkedSwap(fs, path, ".refitting")
+    val live = new org.apache.hadoop.fs.Path(path)
+    require(fs.exists(live), s"no IVF index at $path to refit")
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val k = nlist.getOrElse(meta.getAs[Int]("nlist"))
+    val before = spark.read.parquet(s"$path/cells").count()
+    val tmp = new org.apache.hadoop.fs.Path(path + ".refitting")
+    fs.delete(tmp, true)
+    writeIvfIndex(
+      buildIvfIndex(spark.read.parquet(s"$path/cells")
+        .select("neighbor_id", "cvec"), "neighbor_id", "cvec", k, seed),
+      tmp.toString)
+    val after = spark.read.parquet(s"$tmp/cells").count()
+    require(after == before,
+      s"IVF refit would change the row count ($before -> $after); aborting")
+    markedSwap(fs, path, tmp)
   }
 
   /** Load a persisted index, asserting its metadata sidecar: centroid
@@ -244,12 +330,10 @@ object Similarity {
     val conf = spark.sparkContext.hadoopConfiguration
     val cellsDir = s"$path/cells"
     val fs = new org.apache.hadoop.fs.Path(cellsDir).getFileSystem(conf)
-    recoverCellsSwap(fs, cellsDir)
+    recoverMarkedSwap(fs, cellsDir, ".compacting")
     val live = new org.apache.hadoop.fs.Path(cellsDir)
     if (!fs.exists(live)) return
     val tmp = new org.apache.hadoop.fs.Path(cellsDir + ".compacting")
-    val old = new org.apache.hadoop.fs.Path(cellsDir + ".old")
-    val marker = new org.apache.hadoop.fs.Path(cellsDir + ".swapping")
     fs.delete(tmp, true)
     val before = spark.read.parquet(cellsDir).count()
     // repartition on the partition column: each task holds whole cells,
@@ -260,42 +344,59 @@ object Similarity {
     val after = spark.read.parquet(tmp.toString).count()
     require(after == before,
       s"IVF compaction would change the row count ($before -> $after); aborting")
-    // marker AFTER validation: its existence certifies tmp as complete
+    markedSwap(fs, cellsDir, tmp)
+  }
+
+  /** The marker-certified directory swap [[compactIvfCells]] and
+    * [[refitIvfIndex]] share: caller has already written AND validated
+    * the complete replacement at `tmp`. Creates `<live>.swapping`, then
+    * live → `.old` → tmp → live → delete `.old` → delete marker; the
+    * marker is created only after validation, so its presence certifies
+    * `tmp` as a complete equivalent and every crash window is
+    * recoverable by [[recoverMarkedSwap]].
+    */
+  private def markedSwap(fs: org.apache.hadoop.fs.FileSystem,
+                         liveDir: String,
+                         tmp: org.apache.hadoop.fs.Path): Unit = {
+    val live = new org.apache.hadoop.fs.Path(liveDir)
+    val old = new org.apache.hadoop.fs.Path(liveDir + ".old")
+    val marker = new org.apache.hadoop.fs.Path(liveDir + ".swapping")
     fs.create(marker, true).close()
     if (!fs.rename(live, old)) {
       fs.delete(marker, false)
-      throw new java.io.IOException(s"IVF compaction swap failed: $live -> $old")
+      throw new java.io.IOException(s"IVF swap failed: $live -> $old")
     }
     if (!fs.rename(tmp, live)) {
-      fs.rename(old, live) // roll back to the pre-compaction cells
+      fs.rename(old, live) // roll back to the pre-swap dir
       fs.delete(marker, false)
-      throw new java.io.IOException(s"IVF compaction swap failed: $tmp -> $live")
+      throw new java.io.IOException(s"IVF swap failed: $tmp -> $live")
     }
     fs.delete(old, true)
     fs.delete(marker, false): Unit
   }
 
-  /** Crash recovery for [[compactIvfCells]]. With the `.swapping`
-    * marker present the stranded `.compacting` copy is known complete
-    * and validated, so every crash window rolls FORWARD (or harmlessly
-    * aborts a swap that never started); without it, a stranded `.old`
-    * rolls back, and live + `.old` together means an unmarked writer
-    * ran before recovery — refuse to guess.
+  /** Crash recovery for a [[markedSwap]] at `liveDir` whose replacement
+    * was staged at `liveDir + tmpExt`. With the `.swapping` marker
+    * present the stranded staged copy is known complete and validated,
+    * so every crash window rolls FORWARD (or harmlessly aborts a swap
+    * that never started); without it, a stranded `.old` rolls back, and
+    * live + `.old` together means an unmarked writer ran before
+    * recovery — refuse to guess.
     */
-  private def recoverCellsSwap(fs: org.apache.hadoop.fs.FileSystem,
-                               cellsDir: String): Unit = {
-    val live = new org.apache.hadoop.fs.Path(cellsDir)
-    val old = new org.apache.hadoop.fs.Path(cellsDir + ".old")
-    val tmp = new org.apache.hadoop.fs.Path(cellsDir + ".compacting")
-    val marker = new org.apache.hadoop.fs.Path(cellsDir + ".swapping")
+  private def recoverMarkedSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                liveDir: String, tmpExt: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(liveDir)
+    val old = new org.apache.hadoop.fs.Path(liveDir + ".old")
+    val tmp = new org.apache.hadoop.fs.Path(liveDir + tmpExt)
+    val marker = new org.apache.hadoop.fs.Path(liveDir + ".swapping")
     def renameOrThrow(src: org.apache.hadoop.fs.Path,
                       dst: org.apache.hadoop.fs.Path): Unit =
       if (!fs.rename(src, dst))
-        throw new java.io.IOException(s"IVF compaction recovery failed: $src -> $dst")
+        throw new java.io.IOException(s"IVF swap recovery failed: $src -> $dst")
     if (fs.exists(marker)) {
       (fs.exists(live), fs.exists(old), fs.exists(tmp)) match {
         case (true, false, true) => // crash before live was renamed away:
-          fs.delete(tmp, true) // swap never started; abort, rerun compacts
+          fs.delete(tmp, true) // swap never started; abort, rerun redoes it
           fs.delete(marker, false)
         case (false, true, true) => // crash between the two renames:
           renameOrThrow(tmp, live) // tmp is validated-complete; roll forward
@@ -308,7 +409,7 @@ object Similarity {
           fs.delete(marker, false)
         case state =>
           throw new IllegalStateException(
-            s"IVF compaction marker $marker with unexpected dir state " +
+            s"IVF swap marker $marker with unexpected dir state " +
               s"(live, old, tmp)=$state — reconcile manually")
       }
       return
@@ -316,9 +417,9 @@ object Similarity {
     if (!fs.exists(old)) return
     if (fs.exists(live))
       throw new IllegalStateException(
-        s"both $cellsDir and $old exist with no swap marker — an unmarked " +
-          "writer ran before recovery; reconcile manually (cells are not " +
-          "idempotent)")
+        s"both $liveDir and $old exist with no swap marker — an unmarked " +
+          "writer ran before recovery; reconcile manually (dir swaps are " +
+          "not idempotent)")
     renameOrThrow(old, live)
   }
 

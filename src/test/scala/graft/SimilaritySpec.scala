@@ -162,6 +162,85 @@ class SimilaritySpec extends AnyFunSuite {
       k = 5, nprobe = 8)) == before, "compaction must not change any result")
   }
 
+  test("drift metric: ~1 when fresh, rises on out-of-distribution appends, refit restores it and recall") {
+    // three tight blobs on the unit sphere: the index is built on A1/A2
+    // only; B sits between them (45 deg to each) with jitter along x, so
+    // appended B members SPLIT across the two frozen cells
+    def blob(center: Array[Double], n: Int, jitterAxis: Int, idBase: Long) =
+      (0 until n).map { i =>
+        val v = center.clone()
+        v(jitterAxis) += 0.03 * ((i % 7) - 3)
+        (idBase + i, v.map(_.toFloat))
+      }
+    val a = (blob(Array(1, 0, 0, 0), 30, 2, 0L) ++
+      blob(Array(0, 1, 0, 0), 30, 2, 100L)).toDF("vec_id", "embedding")
+    val b = blob(Array(0.7071, 0.7071, 0, 0), 20, 0, 200L)
+      .toDF("vec_id", "embedding")
+    val path = "target/test-ivf-drift"
+
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(a, "vec_id", "embedding", nlist = 2, seed = 42L), path)
+    val fresh = Similarity.ivfDrift(spark, path)
+    assert(math.abs(fresh.ratio - 1.0) < 1e-6,
+      s"a freshly built index must self-report no drift, got $fresh")
+
+    Similarity.appendToIvfIndex(spark, path, b, "vec_id", "embedding")
+    val drifted = Similarity.ivfDrift(spark, path)
+    assert(drifted.ratio > 5.0,
+      s"45-degree out-of-distribution appends must move the ratio, got $drifted")
+
+    // recall at nprobe=1 for B queries: true neighbors are other B
+    // members, split across the two frozen cells -> probe misses some
+    val all = a.unionAll(b)
+    val queries = b.filter(pmod(col("vec_id"), lit(5)) === 0)
+    def recall(idx: Similarity.IvfIndex, nprobe: Int): Double = {
+      val exact = Similarity.bruteForceTopK(all, queries, "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id")
+      val got = Similarity.queryIvf(idx, queries, "vec_id", "embedding", 5, nprobe)
+        .select("query_id", "neighbor_id")
+      got.intersect(exact).count().toDouble / exact.count()
+    }
+    val before = recall(Similarity.readIvfIndex(spark, path), nprobe = 1)
+    assert(before < 0.95, s"the frozen quantizer should be missing neighbors, got $before")
+
+    // refit with a cell for B: drift returns to ~1, single-probe recall
+    // is whole again, and nothing was lost
+    Similarity.refitIvfIndex(spark, path, nlist = Some(3), seed = 42L)
+    val refit = Similarity.ivfDrift(spark, path)
+    assert(math.abs(refit.ratio - 1.0) < 1e-6,
+      s"a refit index must self-report no drift, got $refit")
+    val idx = Similarity.readIvfIndex(spark, path)
+    assert(idx.centroids.length == 3)
+    assert(idx.cells.count() == all.count(), "refit must keep every vector")
+    val after = recall(idx, nprobe = 1)
+    assert(after == 1.0, s"refit must restore single-probe recall, got $after")
+  }
+
+  test("refit swap recovery: a stranded validated .refitting dir rolls forward") {
+    val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+      .limit(200)
+    val path = "target/test-ivf-refit-recover"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 4, seed = 42L), path)
+    // simulate a crash between the marker and the second rename: live
+    // renamed away, validated replacement still staged
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 4, seed = 7L),
+      path + ".refitting")
+    fs.create(new org.apache.hadoop.fs.Path(path + ".swapping"), true).close()
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + ".old")))
+    // the next refit's recovery pass rolls the swap forward, then refits
+    Similarity.refitIvfIndex(spark, path, seed = 42L)
+    val idx = Similarity.readIvfIndex(spark, path)
+    assert(idx.cells.count() == emb.count())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".swapping")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + ".refitting")))
+  }
+
   test("radius search at full probe equals the brute-force cosine filter") {
     val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
     val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
