@@ -258,17 +258,28 @@ object Multimodal {
 
   final case class ImageHash(media_id: Long, dhash: String, codec: String)
 
-  /** Perceptual difference hash (dHash): decode, sample a 9×8 grid of
-    * band-0 pixels at integer strides (`sx = x·w/9`, `sy = y·h/8` —
-    * nearest sampling, NOT an interpolating resize, so the grid is
-    * bit-predictable from the source pixels), then one bit per adjacent
-    * horizontal pair (`left > right`), row-major — a 64-char '0'/'1'
-    * string in exactly the SimHash fingerprint representation, so the
-    * pigeonhole band join + codegen Hamming verify
+  /** Perceptual difference hash (dHash): decode, AREA-AVERAGE the band-0
+    * pixels onto a 9×8 grid — cell (x, y) is the mean of the box
+    * `[x·w/9, (x+1)·w/9) × [y·h/8, (y+1)·h/8)` (every source pixel
+    * contributes to exactly one cell; tiny images keep ≥ 1 pixel per
+    * cell via the lo+1 floor) — then one bit per adjacent horizontal
+    * cell pair (`left > right`), row-major — a 64-char '0'/'1' string in
+    * exactly the SimHash fingerprint representation, so the pigeonhole
+    * band join + codegen Hamming verify
     * ([[graft.dedup.Dedup.simhashPairsFromSignatures]]) applies verbatim.
-    * Non-decodable payloads yield a NULL hash tagged `codec='stub'`
-    * (hostile bytes never throw). Bounded mapPartitions batches — the
-    * justified codec-work shape.
+    *
+    * Area averaging (box resize), NOT nearest sampling, is what makes
+    * the hash RESCALE-ROBUST — the property real corpora need, where
+    * the same image circulates at several resolutions: a k× upscale has
+    * identical cell means (each cell covers the same source content), so
+    * the fingerprint is bit-identical; interpolated rescales move each
+    * cell mean only marginally. Nearest sampling reads one pixel per
+    * cell and flips bits under any resampling. On the integer-stride
+    * fixtures (18×16 → exact 2×2 boxes) the cell means remain
+    * closed-form predictable, so the SQL oracle still recomputes the
+    * exact fingerprint. Non-decodable payloads yield a NULL hash tagged
+    * `codec='stub'` (hostile bytes never throw). Bounded mapPartitions
+    * batches — the justified codec-work shape.
     */
   def dHash(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
     import spark.implicits._
@@ -278,17 +289,29 @@ object Multimodal {
       else {
         val (w, h) = (img.getWidth, img.getHeight)
         val raster = img.getRaster
-        def sample(ix: Int, iy: Int): Int =
-          raster.getSample(math.min(ix, w - 1), math.min(iy, h - 1), 0)
+        def boxMean(xCell: Int, yCell: Int): Double = {
+          val x0 = xCell * w / 9
+          val x1 = math.max(x0 + 1, (xCell + 1) * w / 9)
+          val y0 = yCell * h / 8
+          val y1 = math.max(y0 + 1, (yCell + 1) * h / 8)
+          var s = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { s += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          s.toDouble / ((x1 - x0) * (y1 - y0))
+        }
         val sb = new java.lang.StringBuilder(64)
         var y = 0
         while (y < 8) {
-          val sy = y * h / 8
+          val row = new Array[Double](9)
+          var c = 0
+          while (c < 9) { row(c) = boxMean(c, y); c += 1 }
           var x = 0
           while (x < 8) {
-            val a = sample(x * w / 9, sy)
-            val b = sample((x + 1) * w / 9, sy)
-            sb.append(if (a > b) '1' else '0')
+            sb.append(if (row(x) > row(x + 1)) '1' else '0')
             x += 1
           }
           y += 1
