@@ -307,8 +307,10 @@ object MlOps {
     }),
 
     // Image perceptual near-dup: dHash over REAL decoded PNG pixels
-    // (9×8 nearest-sample grid, one bit per adjacent-pixel comparison),
-    // then the SimHash pigeonhole machinery VERBATIM — banded equi-join
+    // (9×8 area-average grid — each cell the mean of its source box, one
+    // bit per adjacent-cell comparison — rescale-robust, unlike nearest
+    // sampling), then the SimHash pigeonhole machinery VERBATIM — banded
+    // equi-join
     // + codegen Hamming verify, never all-pairs. Fixtures are paired
     // near-identical patterns (ids 2g/2g+1, one perturbed pixel) whose
     // sampled pixels are arithmetic in the id, so DuckDB recomputes the
@@ -331,10 +333,13 @@ object MlOps {
   )
 
   /** The near-dup fixture's dHash fingerprint as DuckDB SQL over columns
-    * `g` and `v` — generated from the SAME sample-grid loop and
+    * `g` and `v` — generated from the SAME area-average cell geometry and
     * [[Multimodal.nearDupPixel]] constants the synthesizer renders, so
     * the oracle predicts bit-for-bit what the real decode+hash path must
-    * output (sampled coords are integer-exact: 18/9 and 16/8 strides).
+    * output. On the 18×16 fixture every 9×8 cell is an exact 2×2 source
+    * box, so the cell MEAN comparison `mean(cellA) > mean(cellB)` is the
+    * integer-exact SUM comparison over 4 [[Multimodal.nearDupPixel]]
+    * terms each (equal areas cancel the ÷4 — no floats cross engines).
     */
   private def nearDupDhashSql: String = {
     def pix(i: Int, j: Int): String = {
@@ -343,12 +348,16 @@ object MlOps {
       val p = if (i == 0 && j == 0) " + CASE WHEN v = 1 THEN 200 ELSE 0 END" else ""
       s"((g * $a + $c$p) % 256)"
     }
-    val bits = for { y <- 0 until 8; x <- 0 until 8 } yield {
-      val sy = y * Multimodal.NearDupH / 8
-      val sa = x * Multimodal.NearDupW / 9
-      val sb = (x + 1) * Multimodal.NearDupW / 9
-      s"CASE WHEN ${pix(sa, sy)} > ${pix(sb, sy)} THEN '1' ELSE '0' END"
+    def cellSum(cx: Int, cy: Int): String = {
+      val x0 = cx * Multimodal.NearDupW / 9
+      val x1 = (cx + 1) * Multimodal.NearDupW / 9
+      val y0 = cy * Multimodal.NearDupH / 8
+      val y1 = (cy + 1) * Multimodal.NearDupH / 8
+      (for { j <- y0 until y1; i <- x0 until x1 } yield pix(i, j))
+        .mkString("(", " + ", ")")
     }
+    val bits = for { y <- 0 until 8; x <- 0 until 8 } yield
+      s"CASE WHEN ${cellSum(x, y)} > ${cellSum(x + 1, y)} THEN '1' ELSE '0' END"
     bits.mkString(" || ")
   }
 

@@ -181,20 +181,29 @@ class MultimodalSpec extends AnyFunSuite {
     val imgs = Multimodal.synthesizeNearDupImages(ids, "id")
     val got = Multimodal.dHash(spark, imgs).collect()
       .map(h => h.media_id -> h.dhash).toMap
-    // the real decode+sample path must reproduce the closed-form hash
+    // the real decode+box-mean path must reproduce the closed-form hash:
+    // on the 18×16 fixture every 9×8 cell is an exact 2×2 source box, so
+    // the mean comparison is the integer-exact SUM comparison (equal
+    // areas cancel the ÷4)
     def predicted(id: Long): String = {
       val (g, v) = (id / 2, id % 2)
-      (for { y <- 0 until 8; x <- 0 until 8 } yield {
-        val sy = y * Multimodal.NearDupH / 8
-        val a = Multimodal.nearDupPixel(g, v, x * Multimodal.NearDupW / 9, sy)
-        val b = Multimodal.nearDupPixel(g, v, (x + 1) * Multimodal.NearDupW / 9, sy)
-        if (a > b) '1' else '0'
-      }).mkString
+      def cellSum(cx: Int, cy: Int): Long = {
+        val x0 = cx * Multimodal.NearDupW / 9
+        val x1 = (cx + 1) * Multimodal.NearDupW / 9
+        val y0 = cy * Multimodal.NearDupH / 8
+        val y1 = (cy + 1) * Multimodal.NearDupH / 8
+        (for { j <- y0 until y1; i <- x0 until x1 }
+          yield Multimodal.nearDupPixel(g, v, i, j).toLong).sum
+      }
+      (for { y <- 0 until 8; x <- 0 until 8 } yield
+        if (cellSum(x, y) > cellSum(x + 1, y)) '1' else '0').mkString
     }
     def dist(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
     (0L until 12L).foreach(id =>
       assert(got(id) == predicted(id), s"decoded dhash diverges for id $id"))
-    // paired variants: at most the single perturbed-pixel bit apart
+    // paired variants: the v=1 perturbation touches only pixel (0,0), so
+    // only cell (0,0)'s mean moves (diluted to ±¼ of the pixel delta) —
+    // at most the one bit comparing cells (0,0) and (1,0) can flip
     (0L until 6L).foreach(g =>
       assert(dist(got(2 * g), got(2 * g + 1)) <= 1, s"pair $g too far"))
     // unrelated groups: far beyond the maxDist=3 pairing radius
