@@ -211,4 +211,75 @@ class MultimodalSpec extends AnyFunSuite {
       assert(dist(got(2 * ga), got(2 * gb)) > 3,
         s"groups $ga and $gb unexpectedly close")
   }
+
+  // The property the box-mean (area-average) rewrite exists for: the same
+  // image circulating at several resolutions must hash near-identically.
+  test("dHash rescale robustness: replication is bit-exact, interpolation stays within the pairing radius") {
+    import spark.implicits._
+    def dist(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    def hashes(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.dHash(spark, df).collect().map(h => h.media_id -> h.dhash).toMap
+    def png(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w) img.getRaster.setSample(x, y, 0, f(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+
+    // 1. Integer-factor pixel replication (a box upscale) leaves every
+    //    9×8 cell covering exactly the same source content, so the cell
+    //    means — and the fingerprint — are BIT-IDENTICAL, even for the
+    //    adversarial high-frequency near-dup pattern. (Nearest sampling,
+    //    the pre-rewrite hash, flips bits under exactly this transform.)
+    val noisy = (0L until 12L by 2L).map { id =>
+      val g = id / 2
+      Multimodal.MediaFile(id, "image",
+        png(Multimodal.NearDupW, Multimodal.NearDupH,
+          (x, y) => Multimodal.nearDupPixel(g, 0, x, y)))
+    }
+    val replicated2x = noisy.map(m => m.copy(payload = {
+      val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      png(src.getWidth * 2, src.getHeight * 2,
+        (x, y) => src.getRaster.getSample(x / 2, y / 2, 0))
+    }))
+    val hN = hashes(noisy.toDF()); val hNr = hashes(replicated2x.toDF())
+    hN.keys.foreach(id =>
+      assert(dist(hN(id), hNr(id)) == 0, s"2x replication moved bits for id $id"))
+
+    // 2. Interpolated (bilinear, the real resizeImage path) rescales of
+    //    SMOOTH content — the photo-like case, variation gentle at the
+    //    cell scale — stay within the maxDist=3 pairing radius at 2x,
+    //    non-integer 1.5x, and 3x (measured ≤2 bits), while unrelated
+    //    smooth patterns stay ≥32 bits apart.
+    def smoothPix(g: Long)(x: Int, y: Int): Int = {
+      val fx = 1 + (g % 2).toInt; val fy = 1 + ((g / 2) % 2).toInt
+      val v = 128 + 100 * math.sin(2 * math.Pi * (fx * x / 18.0 + fy * y / 16.0) + g * 1.1)
+      math.max(0, math.min(255, v.round.toInt))
+    }
+    val smooth = (0L until 6L).map(g =>
+      Multimodal.MediaFile(g, "image", png(18, 16, smoothPix(g))))
+    val hS = hashes(smooth.toDF())
+    for ((w, h) <- Seq((36, 32), (27, 24), (54, 48))) {
+      val hu = hashes(Multimodal.resizeImage(spark, smooth.toDF(), w, h).toDF())
+      hS.keys.foreach(id =>
+        assert(dist(hS(id), hu(id)) <= 3, s"smooth ${w}x$h rescale outside pairing radius for id $id"))
+    }
+    for (a <- hS.keys; b <- hS.keys if a < b)
+      assert(dist(hS(a), hS(b)) > 3, s"smooth groups $a/$b unexpectedly close")
+
+    // 3. Even for the adversarial noise pattern — where interpolation
+    //    genuinely changes content, the worst case for ANY perceptual
+    //    hash — the retrieval margin survives: a bilinear 2x rescale
+    //    stays far closer to its own original (measured ≤7 bits) than
+    //    any unrelated original (measured ≥25).
+    val hNb = hashes(Multimodal.resizeImage(spark, noisy.toDF(), 36, 32).toDF())
+    val selfMax = hN.keys.map(id => dist(hN(id), hNb(id))).max
+    val crossMin =
+      (for (a <- hN.keys; b <- hN.keys if a != b) yield dist(hN(a), hNb(b))).min
+    assert(selfMax <= 10, s"noisy self-distance $selfMax exceeds retrieval bound")
+    assert(crossMin >= 20, s"noisy cross-distance $crossMin collapses the margin")
+    assert(selfMax < crossMin)
+  }
 }
