@@ -366,7 +366,7 @@ object Dedup {
       .select(col(idCol), xxhash64(col("shingle")).as("__sh"))
       .localCheckpoint(true)
     val result = jaccardFromHashed(sh, idCol, threshold).localCheckpoint(true)
-    sh.unpersist()
+    graft.util.Pins.release(sh)
     result
   }
 
@@ -394,7 +394,7 @@ object Dedup {
     val hashed = sh.select(col(idCol), xxhash64(col("shingle")).as("__sh"))
       .localCheckpoint(true)
     val result = jaccardFromHashed(hashed, idCol, threshold).localCheckpoint(true)
-    hashed.unpersist()
+    graft.util.Pins.release(hashed)
     result
   }
 
@@ -649,7 +649,13 @@ object Dedup {
     val p = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .localCheckpoint(true)
 
-    if (p.count() <= localThreshold) return localComponents(nodes, idCol, p)
+    if (p.count() <= localThreshold) {
+      // localComponents collects p eagerly and rebuilds its labels from
+      // driver rows, so nothing lazy still depends on the pin
+      val out = localComponents(nodes, idCol, p)
+      graft.util.Pins.release(p)
+      return out
+    }
 
     // fresh aliases on both branches: union children sharing attribute
     // ids trips Union's constraint rewriting (same quirk as below)
@@ -685,7 +691,7 @@ object Dedup {
       // converged when no node's label shrank this round
       val changed = next.join(labels.withColumnRenamed("component", "prev"), "node")
         .filter(col("component") < col("prev")).limit(1).count()
-      labels.unpersist()
+      graft.util.Pins.release(labels)
       labels = next
       converged = changed == 0
       round += 1
@@ -700,9 +706,12 @@ object Dedup {
       .select(col("node").as("node"), col("component").as("component"))
       .union(singletons)
       .localCheckpoint(true)
-    edges.unpersist()
-    edgeNodes.unpersist()
-    labels.unpersist()
+    graft.util.Pins.release(edges)
+    graft.util.Pins.release(edgeNodes)
+    graft.util.Pins.release(labels)
+    // released last, only once the checkpointed result can never trigger
+    // a recompute of the cached edges (whose lineage reaches p)
+    graft.util.Pins.release(p)
     result
   }
 

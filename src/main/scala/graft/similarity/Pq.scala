@@ -131,7 +131,7 @@ object Pq {
     }
     // the checkpointed n×m slice table is consumed: without the unpersist
     // every buildCodebook call pins it in executor storage for the session
-    sl.unpersist()
+    graft.util.Pins.release(sl)
     PqCodebook(m, subDim, cents)
   }
 

@@ -299,6 +299,9 @@ object Similarity {
     assigned.join(raw, "neighbor_id")
       .select("cell", "neighbor_id", "cvec", "cnorm")
       .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    // the write consumed the checkpointed batch: release the pin, or a
+    // long-lived index service leaks one pinned RDD per append
+    graft.util.Pins.release(raw)
   }
 
   /** Compact a persisted index's cells table: [[appendToIvfIndex]] adds

@@ -116,6 +116,12 @@ object IncrementalDedup {
       b.join(dupIds, b(idCol) === dupIds("new_id"), "left_anti")
         .write.mode("overwrite").parquet(s"$kd/batch=$batchId")
     }
+
+    // checkpointed microbatch state is consumed by now — without the
+    // release a long-running stream accumulates one pinned RDD pair
+    // per microbatch in executor storage
+    graft.util.Pins.release(sigs)
+    graft.util.Pins.release(dupsOut)
   }
 
   // safe mid-stream: the single-writer contract means no compaction can

@@ -142,8 +142,8 @@ object IncrementalEmbedDedup {
     // checkpointed microbatch state is consumed by now — without the
     // unpersist a long-running stream accumulates one pinned RDD pair
     // per microbatch in executor storage
-    bucketed.unpersist()
-    dupsOut.unpersist()
+    graft.util.Pins.release(bucketed)
+    graft.util.Pins.release(dupsOut)
   }
 
   /** All near-duplicate records detected so far (any batch). */

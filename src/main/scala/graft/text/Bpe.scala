@@ -140,14 +140,14 @@ object Bpe {
         case Some((a, b, pc)) =>
           merges += Merge(rank + 1, a, b, a + b, pc)
           val next = mergePass(syms, a, b).localCheckpoint(true)
-          syms.unpersist()
+          graft.util.Pins.release(syms)
           syms = next
           rank += 1
         case None => exhausted = true
       }
     }
     val pinned = syms
-    BpeModel(merges.toSeq, pinned, () => { pinned.unpersist(); () })
+    BpeModel(merges.toSeq, pinned, () => graft.util.Pins.release(pinned))
   }
 
   /** Segment an arbitrary word list (one `word` column; OOV words
@@ -156,7 +156,8 @@ object Bpe {
     * (word, pos, sym). `numMerges` window passes over a vocab-sized
     * table; lineage is cut per pass, and intermediate pins are released
     * as the loop advances — the FINAL table is returned pinned and owned
-    * by the caller (`unpersist()` when done).
+    * by the caller ([[graft.util.Pins.release]] when done — a plain
+    * `unpersist()` cannot drop a checkpoint pin).
     */
   def segmentWords(wordList: DataFrame, merges: Seq[Merge]): DataFrame = {
     var syms = initialSymbols(
@@ -164,28 +165,43 @@ object Bpe {
       .localCheckpoint(true)
     merges.sortBy(_.merge_rank).foreach { m =>
       val next = mergePass(syms, m.lhs, m.rhs).localCheckpoint(true)
-      syms.unpersist()
+      graft.util.Pins.release(syms)
       syms = next
     }
-    syms.select("word", "pos", "sym")
+    // project BEFORE the final checkpoint: the returned frame must BE the
+    // pinned scan (not a projection over it), or the caller's
+    // Pins.release would see a Project node and miss the pin
+    val out = syms.select("word", "pos", "sym").localCheckpoint(true)
+    graft.util.Pins.release(syms)
+    out
   }
+
+  /** A tokenized corpus plus OWNERSHIP of the segmentation pin backing
+    * it: `tokens` is valid until `release()` is called, which drops the
+    * [[segmentWords]] localCheckpoint pin — the [[BpeModel.release]]
+    * contract. Without the handle, repeated tokenize calls (a soak loop,
+    * a long-lived service) would accumulate pinned vocab-sized blocks.
+    */
+  final case class TokenizedCorpus(tokens: DataFrame, release: () => Unit)
 
   /** Tokenize a corpus with a merge list: segment its DISTINCT words
     * (vocab-sized work), then join the per-word segmentation back onto
     * the exploded corpus — one explode + one equi-join on `word`, never
-    * an iteration over corpus rows. Returns one row per subword token:
-    * (idCol, widx, pos, token) — widx the word's index in the doc, pos
-    * the subword's index in the word. The vocab side usually broadcasts;
-    * it can grow with corpus diversity, so the join is left to AQE
-    * rather than force-hinted.
+    * an iteration over corpus rows. `tokens` has one row per subword
+    * token: (idCol, widx, pos, token) — widx the word's index in the
+    * doc, pos the subword's index in the word. The vocab side usually
+    * broadcasts; it can grow with corpus diversity, so the join is left
+    * to AQE rather than force-hinted. Call `release()` once the result
+    * is consumed (or persisted downstream).
     */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
-               merges: Seq[Merge]): DataFrame = {
+               merges: Seq[Merge]): TokenizedCorpus = {
     val docWords = docs.select(col(idCol),
       posexplode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
         .as(Seq("widx", "word")))
     val seg = segmentWords(docWords.select("word"), merges)
-    docWords.join(seg, "word")
+    val toks = docWords.join(seg, "word")
       .select(col(idCol), col("widx"), col("pos"), col("sym").as("token"))
+    TokenizedCorpus(toks, () => graft.util.Pins.release(seg))
   }
 }

@@ -11,7 +11,7 @@ class BpeSpec extends AnyFunSuite {
   private def segment(word: String, merges: Seq[Bpe.Merge]): Seq[String] = {
     val seg = Bpe.segmentWords(Seq(word).toDF("word"), merges)
     val out = seg.orderBy("pos").select("sym").as[String].collect().toSeq
-    seg.unpersist()
+    graft.util.Pins.release(seg)
     out
   }
 
@@ -71,13 +71,28 @@ class BpeSpec extends AnyFunSuite {
     val train = Seq((1L, "lower lowest newer newest")).toDF("doc_id", "text")
     val model = Bpe.train(train, "text", 4)
     // 'wider' shares no word with training but its letters do
-    val toks = Bpe.tokenize(Seq((9L, "wider lower")).toDF("doc_id", "text"),
+    val tc = Bpe.tokenize(Seq((9L, "wider lower")).toDF("doc_id", "text"),
       "doc_id", "text", model.merges)
-    val byWord = toks.orderBy("widx", "pos")
+    val byWord = tc.tokens.orderBy("widx", "pos")
       .groupBy("widx").agg(concat_ws("", collect_list("token")).as("w"))
       .orderBy("widx").select("w").as[String].collect().toSeq
     assert(byWord == Seq("wider", "lower"),
       s"tokenization must cover OOV words losslessly, got $byWord")
+    tc.release(); model.release()
+  }
+
+  test("tokenize owns and releases its segmentation pin: no pinned-block growth") {
+    val docs = Seq((1L, "lower lowest newer newest")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", 4)
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (0 until 4).foreach { _ =>
+      val tc = Bpe.tokenize(docs, "doc_id", "text", model.merges)
+      tc.tokens.count()
+      tc.release()
+    }
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before,
+      s"pinned blocks grew across tokenize calls: $before -> $after")
     model.release()
   }
 
