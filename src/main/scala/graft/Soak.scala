@@ -45,10 +45,21 @@ object Soak {
     val ev = amplify(Tables.events(spark, sfDir), Seq("event_id", "user_id"), mult)
     val docs = amplify(Tables.documents(spark, sfDir), Seq("doc_id"), mult)
 
+    // shapes that pin an intermediate (the artifact-table pattern the
+    // real pipelines use) register it here; shape() releases after the
+    // timed write so pinned blocks never accumulate across shapes
+    val pinned = scala.collection.mutable.Buffer[DataFrame]()
+    def pin(df: DataFrame): DataFrame = {
+      val c = df.localCheckpoint(eager = true)
+      pinned += c
+      c
+    }
     def shape(name: String)(df: => DataFrame): (String, Double) = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       val secs = (System.nanoTime() - t0) / 1e9
+      pinned.foreach(graft.util.Pins.release)
+      pinned.clear()
       System.err.println(f"[soak] $name%-24s $secs%7.2f s")
       name -> secs
     }
@@ -220,8 +231,12 @@ object Soak {
       shape("decontaminate_cut") {
         val bench = Tables.documents(spark, sfDir)
           .filter(pmod(col("doc_id"), lit(10)) === 0)
-        val spans = graft.dedup.Dedup.contaminatedSpans(
-          docs, bench, "doc_id", "text", k = 8)
+        // pin the span findings (timed — the eager checkpoint runs the
+        // gram pass once, inside the shape) so the cut's adaptivity
+        // count + join rescan a materialized table instead of running
+        // the whole gram chain twice
+        val spans = pin(graft.dedup.Dedup.contaminatedSpans(
+          docs, bench, "doc_id", "text", k = 8))
         graft.dedup.Dedup.cutSpans(docs, spans, "doc_id", "text")
       },
       // the same chain with the adaptive broadcast guard FORCED past its
@@ -231,8 +246,8 @@ object Soak {
       shape("decontaminate_cut_shuffle") {
         val bench = Tables.documents(spark, sfDir)
           .filter(pmod(col("doc_id"), lit(10)) === 0)
-        val spans = graft.dedup.Dedup.contaminatedSpans(
-          docs, bench, "doc_id", "text", k = 8, maxBroadcastRows = 0L)
+        val spans = pin(graft.dedup.Dedup.contaminatedSpans(
+          docs, bench, "doc_id", "text", k = 8, maxBroadcastRows = 0L))
         graft.dedup.Dedup.cutSpans(docs, spans, "doc_id", "text",
           maxBroadcastRows = 0L)
       },

@@ -83,10 +83,37 @@ object Dedup {
     * REQUIREMENT: `small` must be a deterministic plan (or served from a
     * materialized artifact table) — a sample-/limit-derived side could
     * yield an inconsistent count vs join contents. Every in-repo caller
-    * passes gram/shingle plans over stable inputs.
+    * passes gram/shingle plans over stable inputs; [[assertDeterministic]]
+    * enforces it for external callers.
     */
-  private def maybeBroadcast(small: DataFrame, maxRows: Long): DataFrame =
+  private def maybeBroadcast(small: DataFrame, maxRows: Long): DataFrame = {
+    assertDeterministic(small, "adaptive-broadcast side")
     if (small.count() <= maxRows) broadcast(small) else small
+  }
+
+  /** Enforce the count-then-join determinism REQUIREMENT: the side is
+    * evaluated once for the adaptivity count and again at join time, so
+    * a plan whose two evaluations can disagree — an unseeded-sample,
+    * limit-without-order, or nondeterministic-expression (`rand`,
+    * `monotonically_increasing_id`, shuffle-order-sensitive) plan —
+    * could mis-pick the join strategy or join different contents than it
+    * counted. Fails loudly at plan-build time instead; callers with such
+    * a side materialize it first (`localCheckpoint` → the plan becomes a
+    * deterministic scan). Driver-side plan traversal, no job launched.
+    */
+  private def assertDeterministic(df: DataFrame, what: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val bad = df.queryExecution.analyzed.collectFirst {
+      case _: Sample => "a Sample"
+      case _: LocalLimit => "a Limit"
+      case _: GlobalLimit => "a Limit"
+      case p if p.expressions.exists(!_.deterministic) =>
+        "a nondeterministic expression"
+    }
+    require(bad.isEmpty,
+      s"$what plan contains ${bad.get}: its two evaluations (adaptivity " +
+        "count, then join) could disagree — localCheckpoint it first")
+  }
 
   /** Benchmark decontamination: per corpus document, how many of its
     * distinct n-gram shingles also occur anywhere in `benchmark` (the
@@ -270,6 +297,7 @@ object Dedup {
     // ambiguous self-join attributes
     val spansSide = spans.select(col(idCol).as("__span_id"),
       col("span_start"), col("span_end"))
+    assertDeterministic(spansSide, "cutSpans span side")
     val spansAdaptive =
       if (spans.count() <= maxBroadcastRows) broadcast(spansSide) else spansSide
     val kept = toks.join(spansAdaptive,

@@ -98,22 +98,29 @@ object Similarity {
     * corpus, one fit + one transform (cell assignment). Euclidean cells on
     * unit vectors order like cosine. The normalization exists only for the
     * fit; the cells table keeps the raw vectors.
+    *
+    * The raw columns ride along through `model.transform` (a narrow map)
+    * instead of being joined back on `neighbor_id` — so each input row
+    * maps to exactly ONE cells row even if ids repeat, and
+    * [[refitIvfIndex]]'s row-count invariant holds for any corpus an
+    * append may have produced.
     */
   def buildIvfIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     nlist: Int, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.functions.array_to_vector
     val raw = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       norm(col(vecCol)).as("cnorm"))
-    val feats = raw.select(col("neighbor_id"),
+    val withFeats = raw.withColumn("features",
       // codegen vec_scale, not transform(_ / norm) (interpreted)
-      array_to_vector(graft.functions.VectorExprs.scale(col("cvec"), col("cnorm")))
-        .as("features"))
+      array_to_vector(graft.functions.VectorExprs.scale(col("cvec"), col("cnorm"))))
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nlist).setMaxIter(10).setSeed(seed).fit(feats)
-    val cells = model.transform(feats)
-      .select(col("neighbor_id"), col("prediction").as("cell"))
-      .join(raw, "neighbor_id")
-      .select("cell", "neighbor_id", "cvec", "cnorm")
+      .setK(nlist).setMaxIter(10).setSeed(seed)
+      // train on the lean projection; the wide raw columns stay out of
+      // the fit's cached training set
+      .fit(withFeats.select("neighbor_id", "features"))
+    val cells = model.transform(withFeats)
+      .select(col("prediction").as("cell"), col("neighbor_id"), col("cvec"),
+        col("cnorm"))
     IvfIndex(cells,
       model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) },
       seed)
@@ -168,7 +175,12 @@ object Similarity {
         graft.functions.VectorExprs.scale(col("cvec"), col("cnorm")),
         col("__centroid")).as("__d"))
       .agg(avg("__d"))
-      .head.getDouble(0)
+      .head match {
+        // an empty cells table averages to null — report 0 scatter
+        // rather than NPE, so an empty index still writes its sidecar
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
   }
 
   /** Drift report for a persisted index: the build-time mean assignment
@@ -190,7 +202,16 @@ object Similarity {
         "rebuild it before measuring drift")
     val built = meta.getAs[Double]("built_mean_dist")
     val current = meanAssignedDist(idx.cells, idx.centroids)
-    IvfDriftReport(built, current, current / built)
+    // a degenerate build (empty index, or every member exactly at its
+    // centroid — e.g. nlist >= distinct vectors) has built==0: a plain
+    // ratio would be NaN/Inf. No scatter then vs no scatter now is "no
+    // drift" (1.0); any current scatter over a zero baseline is maximal
+    // drift, reported finitely so downstream comparisons stay ordered.
+    val ratio =
+      if (built > 0) current / built
+      else if (current == 0) 1.0
+      else Double.MaxValue
+    IvfDriftReport(built, current, ratio)
   }
 
   /** Re-train the coarse quantizer over the CURRENT cells table (the
