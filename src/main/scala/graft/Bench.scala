@@ -44,13 +44,19 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .toSeq.sortBy(_._1)
 
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 quiet: Boolean): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
-          if (!quiet) System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          if (!quiet) {
+            System.err.println(s"[bench] $name failed: $msg")
+            errors.getOrElseUpdate(name, msg.linesIterator.take(1).mkString.take(200))
+          }
           false
         }
       val secs = (System.nanoTime() - t0) / 1e9
@@ -60,15 +66,33 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
       selected.foreach { case (name, fn) => runOnce(name, fn, quiet = true) }
 
-    val results = selected.map { case (name, fn) => name -> runOnce(name, fn, quiet = false) }
+    // Best-of-N timing (default 2): one contention window on a shared
+    // machine otherwise shows up as a phantom 5-10x regression on
+    // whichever queries were in flight (rounds 7 and 8 each had one).
+    // min-of-reps is the standard steady-state estimator here — the
+    // true cost plus the smallest noise draw.
+    val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
+    val results = selected.map { case (name, fn) =>
+      val times = (1 to reps).map(_ => runOnce(name, fn, quiet = false))
+      val good = times.filter(_ > 0)
+      name -> (if (good.nonEmpty) good.min else times.head)
+    }
 
     def entries(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v > 0 => v }.sum
+    // Failures carry their message, not just a bare negative time — a
+    // vanished query must name itself in the artifact (round-8 lesson).
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+      .mkString(""","errors":{""", ",", "}")
     def wrap(qs: String, extra: String): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
 
-    val fullJson = wrap(entries(results), "")
+    val fullJson = wrap(entries(results), errJson)
     // a SPARK_GRAFT_ONLY-filtered run must not clobber the full-suite
     // artifact SKILL.md's regression procedure diffs against
     if (only.isEmpty)
@@ -86,7 +110,7 @@ object Bench {
       val cost = k.length + 12
       if (used + cost <= budget) { kept += ((k, v)); used += cost }
     }
-    val extra = s""","n_queries":${results.size},"queries_omitted":${results.size - kept.size},"full":"BENCH_FULL.json""""
+    val extra = s""","n_queries":${results.size},"queries_omitted":${results.size - kept.size},"n_errors":${errors.size},"full":"BENCH_FULL.json""""
     println(wrap(entries(kept.toSeq), extra))
     spark.stop()
   }

@@ -56,12 +56,17 @@ object Soak {
     }
     def shape(name: String)(df: => DataFrame): (String, Double) = {
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
-      val secs = (System.nanoTime() - t0) / 1e9
-      pinned.foreach(graft.util.Pins.release)
-      pinned.clear()
-      System.err.println(f"[soak] $name%-24s $secs%7.2f s")
-      name -> secs
+      try {
+        df.write.format("noop").mode("overwrite").save()
+        val secs = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[soak] $name%-24s $secs%7.2f s")
+        name -> secs
+      } finally {
+        // release even when the timed write throws — a failed shape must
+        // not leak its pinned checkpoints into the next shape's memory
+        pinned.foreach(graft.util.Pins.release)
+        pinned.clear()
+      }
     }
 
     // warm-up outside timing

@@ -19,13 +19,16 @@ object Verify {
     // contract as Bench's); the driver never sets it, so the gate always
     // dumps the full surface.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
+    val selected = SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
-      .foreach { case (name, fn) =>
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -43,6 +46,21 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Suite-parity gate: a loader/analysis break must fail the round
+    // LOUDLY, not shrink the correctness file to a smaller-but-green
+    // suite (round 8's silent loss of 10 events queries). Emit a
+    // machine-readable summary next to the dumps and a final stdout
+    // line the driver's bounded tail will keep.
+    val dumped = selected.size - errors.size
+    val summary =
+      s"""{"queries_declared":${SparkEntry.queries.size},"queries_selected":${selected.size},""" +
+      s""""queries_dumped":$dumped,"errors":${errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")}}"""
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summary)
+    if (errors.nonEmpty) {
+      println(s"[verify] PARITY FAIL: $dumped/${selected.size} dumped; " +
+        s"failed: ${errors.keys.mkString(", ")}")
+      println(summary)
+    } else println(s"[verify] PARITY OK: $dumped/${selected.size} queries dumped")
     spark.stop()
   }
 }

@@ -100,6 +100,14 @@ object Dedup {
     * counted. Fails loudly at plan-build time instead; callers with such
     * a side materialize it first (`localCheckpoint` → the plan becomes a
     * deterministic scan). Driver-side plan traversal, no job launched.
+    *
+    * INTENTIONALLY over-rejects: every `Sample`/`Limit` is refused, even
+    * a seeded sample or a limit over sorted input that would in fact be
+    * stable across the two evaluations. Stability there depends on
+    * partition layout and shuffle order staying identical between runs —
+    * an assumption AQE re-planning can silently break — so the guard
+    * trades a few false positives (workaround: one `localCheckpoint`)
+    * for never admitting a plan whose stability it cannot prove.
     */
   private def assertDeterministic(df: DataFrame, what: String): Unit = {
     import org.apache.spark.sql.catalyst.plans.logical._

@@ -204,13 +204,16 @@ object Similarity {
     val current = meanAssignedDist(idx.cells, idx.centroids)
     // a degenerate build (empty index, or every member exactly at its
     // centroid — e.g. nlist >= distinct vectors) has built==0: a plain
-    // ratio would be NaN/Inf. No scatter then vs no scatter now is "no
+    // ratio would be NaN. No scatter then vs no scatter now is "no
     // drift" (1.0); any current scatter over a zero baseline is maximal
-    // drift, reported finitely so downstream comparisons stay ordered.
+    // drift, reported as +Infinity — still totally ordered for
+    // threshold comparisons, and unlike a MaxValue sentinel it cannot
+    // be mistaken for a genuine (huge) ratio or silently wrap under
+    // downstream arithmetic (sums/averages propagate Infinity loudly).
     val ratio =
       if (built > 0) current / built
       else if (current == 0) 1.0
-      else Double.MaxValue
+      else Double.PositiveInfinity
     IvfDriftReport(built, current, ratio)
   }
 

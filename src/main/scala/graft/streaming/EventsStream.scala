@@ -13,23 +13,29 @@ import org.apache.spark.sql.Row
   */
 object EventsStream {
 
-  /** On-disk schema: `ts` is parquet TIMESTAMP(NANOS); with
-    * `spark.sql.legacy.parquet.nanosAsLong` it surfaces as LongType and is
-    * converted to a microsecond timestamp on read (see [[readEvents]]).
+  /** File-source stream over a directory of events parquet files.
+    *
+    * A file stream needs its schema up front, and `events.ts` has shipped
+    * in several encodings (native TIMESTAMP micros — surfaced as
+    * TIMESTAMP_NTZ when isAdjustedToUTC=false — and legacy
+    * TIMESTAMP(NANOS) readable only as int64 via `nanosAsLong`). One
+    * batch footer-read peeks the on-disk schema at stream DEFINITION
+    * time, then the stream normalizes `ts` to `TimestampType` exactly
+    * like the batch loader ([[graft.io.Tables.events]]) — the engine-wide
+    * event-time contract watermarks and windows type-check against.
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType),
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
-
-  /** File-source stream over a directory of events parquet files. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val onDisk = spark.read.parquet(dir).schema
+    val raw = spark.readStream.schema(onDisk).parquet(dir)
+    onDisk("ts").dataType match {
+      case _: TimestampType => raw
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case other => throw new IllegalStateException(
+        s"$dir: column 'ts' has unsupported type $other " +
+          "(expected TIMESTAMP, TIMESTAMP_NTZ, or int64 nanos)")
+    }
   }
 
   /** Watermarked tumbling-window aggregation: counts + sums per

@@ -66,4 +66,65 @@ class FormatsSpec extends AnyFunSuite {
       .filter(col("k").isNotNull && col("v").isNotNull)
     assert(back.count() == 2)
   }
+
+  // ---- loader schema contract (round-8 regression class) --------------
+  // A regenerated testdata export with a changed encoding must fail at
+  // LOAD time with a named table + column, not as a mid-query analysis
+  // error ten queries deep.
+
+  private def fakeSf(name: String)(write: String => Unit): String = {
+    val dir = Files.createTempDirectory(s"graft-schema-$name").toString
+    write(dir)
+    dir
+  }
+
+  test("loader rejects a re-typed column with a named table+column error") {
+    import spark.implicits._
+    val sf = fakeSf("retype") { dir =>
+      // doc_id re-exported as string — integral family violation
+      Seq(("1", "hello", "en", "web", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val e = intercept[IllegalStateException](Tables.documents(spark, sf))
+    assert(e.getMessage.contains("documents"))
+    assert(e.getMessage.contains("doc_id"))
+    assert(e.getMessage.contains("expected integral"))
+  }
+
+  test("loader rejects a missing column with a named table+column error") {
+    import spark.implicits._
+    val sf = fakeSf("missing") { dir =>
+      Seq((1L, "hello")).toDF("doc_id", "text")
+        .write.parquet(s"$dir/documents.parquet")
+    }
+    val e = intercept[IllegalStateException](Tables.documents(spark, sf))
+    assert(e.getMessage.contains("missing required column 'lang'"))
+  }
+
+  test("events loader accepts both ts encodings (native timestamp and int64 nanos)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.TimestampType
+    // native micros timestamp (current testdata encoding)
+    val sfNative = fakeSf("ev-native") { dir =>
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 7L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+    }
+    val native = Tables.events(spark, sfNative)
+    assert(native.schema("ts").dataType == TimestampType)
+    assert(native.count() == 1)
+
+    // legacy int64-nanos encoding: the shim must divide to micros
+    val nanos = 1704067201000000000L // 2024-01-01T00:00:01Z in ns
+    val sfLegacy = fakeSf("ev-legacy") { dir =>
+      Seq((1L, nanos, 7L, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+    }
+    val legacy = Tables.events(spark, sfLegacy)
+    assert(legacy.schema("ts").dataType == TimestampType)
+    val got = legacy.select(unix_timestamp(col("ts"))).as[Long].head()
+    assert(got == nanos / 1000000000L)
+  }
 }
