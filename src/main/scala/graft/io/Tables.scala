@@ -130,10 +130,24 @@ object Tables {
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, d, "events")
+    // Surface isAdjustedToUTC=false micros as TimestampType AT THE SCAN
+    // (conf scoped to this load, restored after): a post-scan NTZ→LTZ
+    // cast would sit between the relation and every `ts` predicate,
+    // defeating parquet filter pushdown / row-group pruning — the one
+    // thing an append-heavy events table at scale lives on. Under the
+    // pinned UTC session the two readings are numerically identical.
+    val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+    val prev = spark.conf.getOption(ntzKey)
+    spark.conf.set(ntzKey, "false")
+    val df =
+      try load(spark, d, "events")
+      finally prev match {
+        case Some(v) => spark.conf.set(ntzKey, v)
+        case None => spark.conf.unset(ntzKey)
+      }
     df.schema("ts").dataType match {
       case _: TimestampType => df
-      case _: TimestampNTZType =>
+      case _: TimestampNTZType => // e.g. a relation cached before the conf flip
         df.withColumn("ts", col("ts").cast(TimestampType))
       case _: LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

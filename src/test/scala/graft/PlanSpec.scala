@@ -110,6 +110,20 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed.contains("GreaterThan"), s"filter not pushed: $pushed")
   }
 
+  test("events ts-range predicates push down to the parquet scan (native timestamp read)") {
+    // events.ts must surface as TimestampType AT THE SCAN (not via a
+    // post-scan NTZ cast, which would sit between the relation and the
+    // predicate and defeat row-group pruning — the access pattern an
+    // append-heavy events table at scale lives on)
+    val ev = Tables.events(spark, SparkTestSession.sfDir)
+    val df = ev
+      .filter(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select("event_id", "ts")
+    val p = df.queryExecution.executedPlan.toString
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(p).getOrElse("")
+    assert(pushed.contains("GreaterThanOrEqual(ts"), s"ts filter not pushed: $pushed")
+  }
+
   test("grouping sets and rollup plan one Expand pass, not a union of re-scans") {
     Seq("a_grouping_sets", "a_rollup").foreach { q =>
       val p = plan(q)
