@@ -400,6 +400,28 @@ object Relational {
           col("__asof.click_id").as("click_id"))
     }),
 
+    // As-of join with a staleness tolerance: the latest click at-or-before
+    // each purchase counts only if it is at most 30 minutes old — the
+    // point-in-time FEATURE JOIN shape (features must exist at label time
+    // AND be fresh) training pipelines run. The tolerance is a post-pick
+    // projection over the same one-shuffle union+window plan as j_asof,
+    // not a join-condition change — no extra shuffle, and at scale the
+    // pick stays a single pass per key.
+    "ev_asof_tolerance" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      graft.operators.AsofJoin
+        .asofJoin(purchases, clicks, "user_id", "ts", "ts", Seq("click_id", "ts"))
+        .select(col("user_id"), col("purchase_id"),
+          when(col("__asof.ts").isNotNull &&
+            unix_timestamp(col("ts")) - unix_timestamp(col("__asof.ts")) <= 1800,
+            col("__asof.click_id")).as("click_id"))
+    }),
+
     // Same as-of semantics via the custom physical operator
     // (graft.operators.BroadcastAsofJoin: LogicalPlan + Strategy +
     // SparkPlan via SparkSessionExtensions). The dimension-sized right
@@ -620,6 +642,22 @@ object Relational {
          SELECT p.user_id, p.purchase_id, c.click_id
          FROM purchases p ASOF LEFT JOIN clicks c
            ON p.user_id = c.user_id AND p.ts >= c.ts""",
+
+    // same ASOF pick, tolerance applied after the pick (a too-old match
+    // nulls out, it does not fall back to an even older click)
+    "ev_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+        |  WHERE event_type = 'click' GROUP BY 1, 2),
+        |purchases AS (
+        |  SELECT user_id, event_id AS purchase_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.purchase_id,
+        |  CASE WHEN c.ts IS NOT NULL
+        |        AND floor(epoch(p.ts)) - floor(epoch(c.ts)) <= 1800
+        |       THEN c.click_id END AS click_id
+        |FROM purchases p ASOF LEFT JOIN clicks c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
 
     "j_asofb_broadcast" ->
       """WITH clicks AS (

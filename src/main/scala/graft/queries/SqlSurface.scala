@@ -315,6 +315,24 @@ object SqlSurface {
         when(pmod(h, lit(10L)) < 8, "train").otherwise("test").as("split"))
     }),
 
+    // Cross-split leakage audit: after the deterministic hash split, does
+    // any NORMALIZED document text appear in both train and test? The
+    // eval-integrity check a training run gates on (a raw-text split
+    // leaks every near-identical re-crawl). One shuffle on the content
+    // key — a window over the hash group, never a self-join — so the
+    // audit scales like exact dedup, not like a pair enumeration.
+    "tp_split_leakage" -> ((s, d) => {
+      val h = graft.functions.TextExprs.rollingHash(col("text"))
+      val norm = concat_ws(" ", graft.text.TextOps.cleanTokens(col("text")))
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"),
+        when(pmod(h, lit(10L)) < 8, "train").otherwise("test").as("split"),
+        md5(norm).as("content_hash"))
+      val w = Window.partitionBy("content_hash")
+      docs.select(col("doc_id"), col("split"),
+        (min("split").over(w) =!= max("split").over(w)).cast("int").as("leaked"))
+    }),
+
     // Training-pipeline: deterministic global shuffle (training-order
     // randomization). Every doc's sort key is a pure function of
     // (id, seed) via the engine-portable rolling hash — no RNG, so the
@@ -711,6 +729,27 @@ object SqlSurface {
                list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
              (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
            FROM documents) t""",
+
+    // same rolling hash for the split + the dd_exact_normalized
+    // normalization for the content key; leaked = the key's split set
+    // spans both sides
+    "tp_split_leakage" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |        (acc, x) -> (acc * 31 + x) % 1000000007) % 10 < 8
+        |      THEN 'train' ELSE 'test' END AS split,
+        |    md5(array_to_string(list_filter(string_split_regex(
+        |      lower(regexp_replace(text,
+        |        '[~!@#$%^&*()\-+\[\]"'':.,<>]', '', 'g')), '\s+'),
+        |      t -> t != ''), ' ')) AS content_hash
+        |  FROM documents)
+        |SELECT doc_id, split,
+        |  CASE WHEN min(split) OVER (PARTITION BY content_hash)
+        |         <> max(split) OVER (PARTITION BY content_hash)
+        |       THEN 1 ELSE 0 END AS leaked
+        |FROM t""".stripMargin,
 
     // same rolling hash, thresholded per language at the declared
     // basis-point keep-rates
