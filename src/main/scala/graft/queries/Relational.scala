@@ -422,6 +422,42 @@ object Relational {
             col("__asof.click_id")).as("click_id"))
     }),
 
+    // Ordered funnel analysis with a per-step conversion window: per
+    // user, the furthest stage of view → click within 24 h of the first
+    // view → purchase within 24 h of that click, then stage population
+    // counts. Sequential pattern matching as THREE stacked window
+    // minimums over ONE user_id partitioning (each stage's anchor is the
+    // previous stage's conditional min — no self-joins, no per-user
+    // event sorting), then a per-user reduce that reuses the same
+    // partitioning and a final tiny stage rollup. Two effective shuffles
+    // regardless of history length — the events-at-scale shape for
+    // conversion analysis.
+    "ev_funnel" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+      val day = 86400L
+      def within(next: org.apache.spark.sql.Column,
+                 anchor: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        next > anchor &&
+          unix_timestamp(next) - unix_timestamp(anchor) <= day
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_type"))
+        .withColumn("v",
+          min(when(col("event_type") === "view", col("ts"))).over(w))
+        .withColumn("c",
+          min(when(col("event_type") === "click" && within(col("ts"), col("v")),
+            col("ts"))).over(w))
+        .withColumn("p",
+          min(when(col("event_type") === "purchase" && within(col("ts"), col("c")),
+            col("ts"))).over(w))
+        .groupBy("user_id")
+        .agg(max(when(col("p").isNotNull, 3)
+          .when(col("c").isNotNull, 2)
+          .when(col("v").isNotNull, 1)
+          .otherwise(0)).as("funnel_stage"))
+        .groupBy("funnel_stage")
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Same as-of semantics via the custom physical operator
     // (graft.operators.BroadcastAsofJoin: LogicalPlan + Strategy +
     // SparkPlan via SparkSessionExtensions). The dimension-sized right
@@ -658,6 +694,29 @@ object Relational {
         |       THEN c.click_id END AS click_id
         |FROM purchases p ASOF LEFT JOIN clicks c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin,
+
+    // identical stacked conditional window minimums + 24 h step bound +
+    // stage CASE
+    "ev_funnel" ->
+      """WITH a AS (
+        |  SELECT user_id, ts, event_type,
+        |    min(CASE WHEN event_type = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id) AS v
+        |  FROM events),
+        |b AS (
+        |  SELECT *, min(CASE WHEN event_type = 'click' AND ts > v
+        |      AND floor(epoch(ts)) - floor(epoch(v)) <= 86400 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS c FROM a),
+        |f AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c
+        |      AND floor(epoch(ts)) - floor(epoch(c)) <= 86400 THEN ts END)
+        |    OVER (PARTITION BY user_id) AS p FROM b),
+        |u AS (
+        |  SELECT user_id, max(CASE WHEN p IS NOT NULL THEN 3
+        |    WHEN c IS NOT NULL THEN 2 WHEN v IS NOT NULL THEN 1
+        |    ELSE 0 END) AS funnel_stage
+        |  FROM f GROUP BY 1)
+        |SELECT funnel_stage, count(*) AS n_users FROM u GROUP BY 1""".stripMargin,
 
     "j_asofb_broadcast" ->
       """WITH clicks AS (
