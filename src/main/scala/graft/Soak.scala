@@ -105,6 +105,43 @@ object Soak {
       shape("hash_split_map") {
         docs.select(col("doc_id"),
           pmod(graft.functions.TextExprs.rollingHash(col("text")), lit(10L)).as("bucket"))
+      },
+      // ordered funnel on the amplified events: three stacked conditional
+      // window minimums on ONE user_id partitioning + a same-partitioning
+      // per-user reduce — per-row cost must hold as the user base scales
+      shape("funnel_windows") {
+        val w = Window.partitionBy("user_id")
+        def within(next: org.apache.spark.sql.Column,
+                   anchor: org.apache.spark.sql.Column) =
+          next > anchor &&
+            unix_timestamp(next) - unix_timestamp(anchor) <= 86400L
+        ev.select(col("user_id"), col("ts"), col("event_type"))
+          .withColumn("v",
+            min(when(col("event_type") === "view", col("ts"))).over(w))
+          .withColumn("c",
+            min(when(col("event_type") === "click" && within(col("ts"), col("v")),
+              col("ts"))).over(w))
+          .withColumn("p",
+            min(when(col("event_type") === "purchase" && within(col("ts"), col("c")),
+              col("ts"))).over(w))
+          .groupBy("user_id")
+          .agg(max(when(col("p").isNotNull, 3).when(col("c").isNotNull, 2)
+            .when(col("v").isNotNull, 1).otherwise(0)).as("funnel_stage"))
+          .groupBy("funnel_stage").agg(count(lit(1)).as("n_users"))
+      },
+      // split-leakage audit on the amplified corpus: every text is
+      // duplicated mult times, so every content-hash window group is a
+      // mult-sized dup clique — the audit's worst case; one shuffle on
+      // the content hash, never a pair join
+      shape("split_leakage") {
+        val h = graft.functions.TextExprs.rollingHash(col("text"))
+        val norm = concat_ws(" ", graft.text.TextOps.cleanTokens(col("text")))
+        val keyed = docs.select(col("doc_id"),
+          when(pmod(h, lit(10L)) < 8, "train").otherwise("test").as("split"),
+          md5(norm).as("content_hash"))
+        val w = Window.partitionBy("content_hash")
+        keyed.select(col("doc_id"), col("split"),
+          (min("split").over(w) =!= max("split").over(w)).cast("int").as("leaked"))
       }
     ) ++ (if (soakSets("text")) Seq(
       // Amplified docs share text across copies — a dup-heavy corpus, the
