@@ -458,6 +458,25 @@ object Relational {
         .agg(count(lit(1)).as("n_users"))
     }),
 
+    // Cohort retention: users bucketed by the epoch-week of their first
+    // event, counted per (cohort, weeks-since-cohort) cell — the
+    // engagement matrix behind every retention curve. All three stages
+    // key on user_id or small composites (distinct active weeks → first
+    // week per user → join-back → tiny cell rollup); no window over raw
+    // events, no self-join on the fact, output bounded by weeks², so the
+    // shape survives any event volume.
+    "ev_retention" -> ((s, d) => {
+      val weeks = Tables.events(s, d)
+        .select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 604800).cast("long").as("wk"))
+        .distinct()
+      val cohort = weeks.groupBy("user_id").agg(min("wk").as("cohort_week"))
+      weeks.join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("wk") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // Same as-of semantics via the custom physical operator
     // (graft.operators.BroadcastAsofJoin: LogicalPlan + Strategy +
     // SparkPlan via SparkSessionExtensions). The dimension-sized right
@@ -717,6 +736,19 @@ object Relational {
         |    ELSE 0 END) AS funnel_stage
         |  FROM f GROUP BY 1)
         |SELECT funnel_stage, count(*) AS n_users FROM u GROUP BY 1""".stripMargin,
+
+    // identical epoch-week bucketing + first-week cohort + cell counts
+    "ev_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS wk
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(wk) AS cohort_week FROM weeks GROUP BY 1)
+        |SELECT c.cohort_week, w.wk - c.cohort_week AS week_offset,
+        |  count(*) AS n_users
+        |FROM weeks w JOIN cohort c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "j_asofb_broadcast" ->
       """WITH clicks AS (
