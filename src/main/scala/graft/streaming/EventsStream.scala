@@ -192,6 +192,77 @@ object EventsStream {
         OutputMode.Append())
   }
 
+  /** Input/state/output rows for the streaming funnel. `-1` = unset in
+    * the state (Spark encodes `Option` fields awkwardly in state rows;
+    * a sentinel keeps the state a flat 3-long struct).
+    */
+  final case class FunnelEvent(user_id: Long, tsMicros: Long, event_type: String)
+  final case class FunnelState(v: Long, c: Long, p: Long)
+  final case class FunnelUpdate(user_id: Long, funnel_stage: Int)
+
+  /** Incremental ordered-funnel tracking — the streaming counterpart of
+    * the batch `ev_funnel` query: per user, the furthest
+    * view → click-within-step → purchase-within-step stage, maintained
+    * as three longs of state per user and emitted as an updated stage
+    * snapshot each batch (stage is monotone, so the latest snapshot is
+    * the answer).
+    *
+    * CONTRACT: per-user event-time-ordered delivery — rows are sorted
+    * within each microbatch here, ordering across batches is the
+    * upstream watermark's job (the standard streaming-funnel posture).
+    * Under ordered delivery the incremental anchors (first view = min
+    * view, first qualifying click = min qualifying click, likewise
+    * purchase) are exactly the batch query's stacked conditional
+    * minimums, so a full replay's final snapshot equals the batch
+    * result — `StreamingSpec` pins that equality.
+    */
+  class FunnelProcessor(stepMicros: Long)
+      extends StatefulProcessor[Long, FunnelEvent, FunnelUpdate] {
+    @transient private var st: ValueState[FunnelState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[FunnelState]("funnel",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+                                 timerValues: TimerValues): Iterator[FunnelUpdate] = {
+      var s = Option(st.get()).getOrElse(FunnelState(-1L, -1L, -1L))
+      rows.toSeq.sortBy(_.tsMicros).foreach { e =>
+        e.event_type match {
+          case "view" if s.v < 0 =>
+            s = s.copy(v = e.tsMicros)
+          case "click" if s.v >= 0 && s.c < 0 &&
+              e.tsMicros > s.v && e.tsMicros - s.v <= stepMicros =>
+            s = s.copy(c = e.tsMicros)
+          case "purchase" if s.c >= 0 && s.p < 0 &&
+              e.tsMicros > s.c && e.tsMicros - s.c <= stepMicros =>
+            s = s.copy(p = e.tsMicros)
+          case _ =>
+        }
+      }
+      st.update(s)
+      val stage = if (s.p >= 0) 3 else if (s.c >= 0) 2 else if (s.v >= 0) 1 else 0
+      Iterator.single(FunnelUpdate(key, stage))
+    }
+  }
+
+  /** The streaming funnel over an events stream (24 h step default, as
+    * in the batch `ev_funnel`). Requires the RocksDB state store
+    * provider like [[statefulUserTotalsV2]].
+    */
+  def streamingFunnel(events: DataFrame,
+                      stepSeconds: Long = 86400L): Dataset[FunnelUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("tsMicros"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor(stepSeconds * 1000000L),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Run a streaming frame to completion against static input via the
     * in-memory sink (test/driver harness; `availableNow` processes the
     * backlog then stops).

@@ -99,6 +99,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel replay equals the batch ev_funnel stage counts (RocksDB store)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = EventsStream.streamingFunnel(
+        EventsStream.readEvents(spark, eventsDir))
+      // stage is monotone under ordered delivery: the max snapshot per
+      // user is the final stage
+      val perUser = EventsStream.runToMemory(spark, streamed.toDF(), "funnel_tws")
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+        .groupBy(_._1).map { case (u, s) => u -> s.map(_._2).max }
+      val got = perUser.groupBy(_._2)
+        .map { case (stage, us) => stage -> us.size.toLong }
+      val want = SparkEntry.queries("ev_funnel")(spark, SparkTestSession.sfDir)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == want)
+      assert(got.values.sum > 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = EventsStream.purchaseClickJoin(
       EventsStream.readEvents(spark, eventsDir))
