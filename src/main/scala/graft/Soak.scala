@@ -129,6 +129,19 @@ object Soak {
             .when(col("v").isNotNull, 1).otherwise(0)).as("funnel_stage"))
           .groupBy("funnel_stage").agg(count(lit(1)).as("n_users"))
       },
+      // cohort retention on the amplified events: the one-shuffle
+      // min + collect_set pass — set state bounded by calendar weeks
+      // regardless of event volume
+      shape("retention_cells") {
+        ev.select(col("user_id"),
+            floor(unix_timestamp(col("ts")) / 604800).cast("long").as("wk"))
+          .groupBy("user_id")
+          .agg(min("wk").as("cohort_week"), collect_set("wk").as("wks"))
+          .select(col("cohort_week"), explode(col("wks")).as("wk"))
+          .groupBy(col("cohort_week"),
+            (col("wk") - col("cohort_week")).as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+      },
       // split-leakage audit on the amplified corpus: every text is
       // duplicated mult times, so every content-hash window group is a
       // mult-sized dup clique — the audit's worst case; one shuffle on

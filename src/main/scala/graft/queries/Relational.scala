@@ -460,22 +460,23 @@ object Relational {
 
     // Cohort retention: users bucketed by the epoch-week of their first
     // event, counted per (cohort, weeks-since-cohort) cell — the
-    // engagement matrix behind every retention curve. All three stages
-    // key on user_id or small composites (distinct active weeks → first
-    // week per user → join-back → tiny cell rollup); no window over raw
-    // events, no self-join on the fact, output bounded by weeks², so the
-    // shape survives any event volume.
-    "ev_retention" -> ((s, d) => {
-      val weeks = Tables.events(s, d)
+    // engagement matrix behind every retention curve. ONE shuffle on
+    // user_id does all the per-user work (min week + the distinct active
+    // week set in the same partial-aggregated pass — `collect_set` state
+    // is bounded by CALENDAR weeks, not event volume), then a tiny cell
+    // rollup over the exploded sets (≤ weeks² rows). No window over raw
+    // events, no self-join, no join-back — the distinct→min→rejoin
+    // formulation costs three shuffles for the same answer.
+    "ev_retention" -> ((s, d) =>
+      Tables.events(s, d)
         .select(col("user_id"),
           floor(unix_timestamp(col("ts")) / 604800).cast("long").as("wk"))
-        .distinct()
-      val cohort = weeks.groupBy("user_id").agg(min("wk").as("cohort_week"))
-      weeks.join(cohort, "user_id")
+        .groupBy("user_id")
+        .agg(min("wk").as("cohort_week"), collect_set("wk").as("wks"))
+        .select(col("cohort_week"), explode(col("wks")).as("wk"))
         .groupBy(col("cohort_week"),
           (col("wk") - col("cohort_week")).as("week_offset"))
-        .agg(count(lit(1)).as("n_users"))
-    }),
+        .agg(count(lit(1)).as("n_users"))),
 
     // Same as-of semantics via the custom physical operator
     // (graft.operators.BroadcastAsofJoin: LogicalPlan + Strategy +

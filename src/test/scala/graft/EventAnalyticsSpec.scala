@@ -81,6 +81,32 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (4L, 402L, Some(401L))))
   }
 
+  test("retention cells: cohort = first-event week, offsets count distinct active weeks") {
+    val w0 = ts("2024-01-04 00:00:00") // all within one epoch-week bucket
+    def plusWeeks(n: Int) = new java.sql.Timestamp(w0.getTime + n * 7L * 86400 * 1000)
+    val events = Seq[(Long, java.sql.Timestamp, Long, String)](
+      // user 1: cohort w0, active weeks 0, 1, 3; two events in week 1
+      // must count ONCE (distinct weeks, not events)
+      (1L, plusWeeks(0), 1L, "view"),
+      (2L, plusWeeks(1), 1L, "click"),
+      (3L, plusWeeks(1), 1L, "view"),
+      (4L, plusWeeks(3), 1L, "purchase"),
+      // user 2: cohort w0+1, active weeks 0 and 2 relative to ITS cohort
+      (5L, plusWeeks(1), 2L, "view"),
+      (6L, plusWeeks(3), 2L, "view"),
+      // user 3: single event -> one (cohort, 0) cell
+      (7L, plusWeeks(0), 3L, "view"))
+    val got = run("ev_retention", events)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val w0wk = w0.getTime / 1000 / 604800
+    assert(got == Map(
+      (w0wk, 0L) -> 2L,      // users 1 and 3 in cohort w0, week 0
+      (w0wk, 1L) -> 1L,      // user 1 active in offset 1 (once, not twice)
+      (w0wk, 3L) -> 1L,      // user 1 active in offset 3
+      (w0wk + 1, 0L) -> 1L,  // user 2's own cohort, week 0
+      (w0wk + 1, 2L) -> 1L)) // user 2 active two weeks later
+  }
+
   test("split leakage flags exactly the normalized-dup groups that straddle splits") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
