@@ -45,22 +45,20 @@ object Bench {
       .toSeq.sortBy(_._1)
 
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val flaky = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-                quiet: Boolean): Double = {
+                quiet: Boolean): (Double, Option[String]) = {
       val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      val failure =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
         catch { case e: Throwable =>
           val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          if (!quiet) {
-            System.err.println(s"[bench] $name failed: $msg")
-            errors.getOrElseUpdate(name, msg.linesIterator.take(1).mkString.take(200))
-          }
-          false
+          if (!quiet) System.err.println(s"[bench] $name failed: $msg")
+          Some(msg.linesIterator.take(1).mkString.take(200))
         }
       val secs = (System.nanoTime() - t0) / 1e9
-      if (ok) secs else -secs
+      (if (failure.isEmpty) secs else -secs, failure)
     }
 
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
@@ -71,11 +69,20 @@ object Bench {
     // whichever queries were in flight (rounds 7 and 8 each had one).
     // min-of-reps is the standard steady-state estimator here — the
     // true cost plus the smallest noise draw.
+    //
+    // A query lands in "errors" only when EVERY timed rep failed (so
+    // n_errors means "queries with no successful run", the reading the
+    // parity check assumes); a query that failed some reps but succeeded
+    // another keeps its best-of time and is tagged in "flaky" instead —
+    // one artifact entry per query, never both signals at once.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map(_ => runOnce(name, fn, quiet = false))
-      val good = times.filter(_ > 0)
-      name -> (if (good.nonEmpty) good.min else times.head)
+      val runs = (1 to reps).map(_ => runOnce(name, fn, quiet = false))
+      val good = runs.map(_._1).filter(_ > 0)
+      val firstMsg = runs.flatMap(_._2).headOption
+      if (good.isEmpty) firstMsg.foreach(m => errors(name) = m)
+      else firstMsg.foreach(m => flaky(name) = m)
+      name -> (if (good.nonEmpty) good.min else runs.head._1)
     }
 
     def entries(rs: Seq[(String, Double)]): String =
@@ -88,7 +95,9 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
     } + "\""
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-      .mkString(""","errors":{""", ",", "}")
+      .mkString(""","errors":{""", ",", "}") +
+      flaky.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
+        .mkString(""","flaky":{""", ",", "}")
     def wrap(qs: String, extra: String): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
 
@@ -110,7 +119,7 @@ object Bench {
       val cost = k.length + 12
       if (used + cost <= budget) { kept += ((k, v)); used += cost }
     }
-    val extra = s""","n_queries":${results.size},"queries_omitted":${results.size - kept.size},"n_errors":${errors.size},"full":"BENCH_FULL.json""""
+    val extra = s""","n_queries":${results.size},"queries_omitted":${results.size - kept.size},"n_errors":${errors.size},"n_flaky":${flaky.size},"full":"BENCH_FULL.json""""
     println(wrap(entries(kept.toSeq), extra))
     spark.stop()
   }

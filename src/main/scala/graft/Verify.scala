@@ -62,5 +62,9 @@ object Verify {
       println(summary)
     } else println(s"[verify] PARITY OK: $dumped/${selected.size} queries dumped")
     spark.stop()
+    // a failed round must fail the PROCESS too — a driver that checks the
+    // exit code (rather than grepping stdout for the parity line) must
+    // not see a shrunken dump as success
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

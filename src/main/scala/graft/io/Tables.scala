@@ -96,10 +96,23 @@ object Tables {
     df
   }
 
+  /** Serializes every Tables load: [[events]] scopes a session-global
+    * parquet conf flip around its first load, and a CONCURRENT load in
+    * the same session (parallel test suites share one) landing inside
+    * that window would silently read under the flipped conf. All loads
+    * taking this lock closes that window for every reader that comes
+    * through Tables; a direct `spark.read.parquet` elsewhere in the same
+    * session remains the caller's concern (the memoized relation cache
+    * makes the exposure one-time per path either way).
+    */
+  private[this] val loadLock = new Object
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    relationCache.getOrElseUpdate((System.identityHashCode(spark).toString, s"$sfDir/$name.parquet"),
-      requireSchema(name, s"$sfDir/$name.parquet",
-        spark.read.parquet(s"$sfDir/$name.parquet")))
+    loadLock.synchronized {
+      relationCache.getOrElseUpdate((System.identityHashCode(spark).toString, s"$sfDir/$name.parquet"),
+        requireSchema(name, s"$sfDir/$name.parquet",
+          spark.read.parquet(s"$sfDir/$name.parquet")))
+    }
 
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
@@ -136,15 +149,19 @@ object Tables {
     // defeating parquet filter pushdown / row-group pruning — the one
     // thing an append-heavy events table at scale lives on. Under the
     // pinned UTC session the two readings are numerically identical.
-    val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
-    val prev = spark.conf.getOption(ntzKey)
-    spark.conf.set(ntzKey, "false")
-    val df =
+    // The flip is session-global while it lasts, so it takes the same
+    // loadLock as every other Tables load (see [[loadLock]] — the lock
+    // is reentrant, the nested load() below deadlock-free).
+    val df = loadLock.synchronized {
+      val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
+      val prev = spark.conf.getOption(ntzKey)
+      spark.conf.set(ntzKey, "false")
       try load(spark, d, "events")
       finally prev match {
         case Some(v) => spark.conf.set(ntzKey, v)
         case None => spark.conf.unset(ntzKey)
       }
+    }
     df.schema("ts").dataType match {
       case _: TimestampType => df
       case _: TimestampNTZType => // e.g. a relation cached before the conf flip

@@ -13,6 +13,20 @@ import org.apache.spark.sql.Row
   */
 object EventsStream {
 
+  /** Declared events schema, used when the stream directory has no files
+    * yet (nothing to peek a footer from) — the canonical shape of the
+    * current testdata and of [[graft.io.Tables.events]]' output. A stream
+    * is routinely defined against a directory its producer hasn't written
+    * to yet, so this fallback keeps that start state working.
+    */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
   /** File-source stream over a directory of events parquet files.
     *
     * A file stream needs its schema up front, and `events.ts` has shipped
@@ -23,10 +37,22 @@ object EventsStream {
     * time, then the stream normalizes `ts` to `TimestampType` exactly
     * like the batch loader ([[graft.io.Tables.events]]) — the engine-wide
     * event-time contract watermarks and windows type-check against.
+    * An initially EMPTY (or absent) directory has no footer to peek:
+    * the stream starts on [[rawSchema]] instead, the shape the current
+    * producers write.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val onDisk = spark.read.parquet(dir).schema
+    val onDisk =
+      try spark.read.parquet(dir).schema
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if Option(e.getMessage).exists(m =>
+              m.contains("UNABLE_TO_INFER_SCHEMA") ||
+                m.toLowerCase.contains("unable to infer schema") ||
+                m.contains("PATH_NOT_FOUND")) =>
+          rawSchema
+      }
     val raw = spark.readStream.schema(onDisk).parquet(dir)
     onDisk("ts").dataType match {
       case _: TimestampType => raw

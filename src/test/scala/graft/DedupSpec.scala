@@ -264,4 +264,28 @@ class DedupSpec extends AnyFunSuite {
         s"expected a shuffled anti join past the cap:\n$forcedPlan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("determinism guard: a Sample-bearing span side is refused; localCheckpoint is accepted") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val spans = Seq((1L, 0, 2)).toDF("doc_id", "span_start", "span_end")
+    // even a SEEDED sample is refused — the documented over-rejection:
+    // stability across the count-then-join double evaluation depends on
+    // partition layout AQE can silently re-plan, so the guard refuses
+    // every Sample rather than admitting ones it cannot prove stable
+    val sampled = spans.sample(withReplacement = false, fraction = 1.0, seed = 42L)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.cutSpans(corpus, sampled, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("localCheckpoint"),
+      s"the refusal must name the workaround, got: ${e.getMessage}")
+    // and the named workaround is accepted: the checkpointed plan is a
+    // deterministic scan, evaluated identically by count and join
+    val pinnedSide = sampled.localCheckpoint(eager = true)
+    try {
+      val got = Dedup.cutSpans(corpus, pinnedSide, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got(1L) == "c d e f")
+    } finally graft.util.Pins.release(pinnedSide)
+  }
 }

@@ -216,6 +216,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(after == 1.0, s"refit must restore single-probe recall, got $after")
   }
 
+  test("drift on a degenerate zero-scatter build: 1.0 while clean, +Infinity on any scatter") {
+    // nlist == distinct vectors: every member sits exactly at its
+    // centroid, so built_mean_dist == 0 and a plain ratio would be NaN
+    val a = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val path = "target/test-ivf-drift-degenerate"
+    Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(a, "vec_id", "embedding", nlist = 2, seed = 42L), path)
+    val fresh = Similarity.ivfDrift(spark, path)
+    assert(fresh.builtMeanDist == 0.0,
+      s"fixture: 2 points in 2 cells must build with zero scatter, got $fresh")
+    assert(fresh.ratio == 1.0, s"no scatter then, none now -> no drift, got $fresh")
+    // any current scatter over the zero baseline is maximal drift:
+    // +Infinity (totally ordered for thresholds, loud under arithmetic),
+    // never a finite sentinel a caller could mistake for a real ratio
+    Similarity.appendToIvfIndex(spark, path,
+      Seq((2L, Array(0.7071f, 0.7071f, 0f, 0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val drifted = Similarity.ivfDrift(spark, path)
+    assert(drifted.ratio.isPosInfinity,
+      s"scatter over a zero baseline must report +Infinity, got $drifted")
+  }
+
   test("refit swap recovery: a stranded validated .refitting dir rolls forward") {
     val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
       .limit(200)

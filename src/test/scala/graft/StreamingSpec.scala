@@ -164,6 +164,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.count() == want)
   }
 
+  test("readEvents on an initially empty directory starts an empty stream on the declared schema") {
+    // the common producer-not-started-yet state: nothing to peek a
+    // parquet footer from, so the stream must fall back to rawSchema
+    // instead of failing stream DEFINITION with 'unable to infer schema'
+    val dir = java.nio.file.Files.createTempDirectory("events_empty")
+    val streamed = EventsStream.readEvents(spark, dir.toString)
+    assert(streamed.schema == EventsStream.rawSchema)
+    val got = EventsStream.runToMemory(spark,
+      EventsStream.tumblingAgg(streamed), "empty_dir_test", OutputMode.Complete())
+    assert(got.isEmpty)
+  }
+
   test("session windows produce per-user sessions with positive spans") {
     val streamed = EventsStream.sessionAgg(EventsStream.readEvents(spark, eventsDir))
     val rows = EventsStream.runToMemory(spark, streamed, "session_test").collect()
