@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{DataStreamWriter, ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
 
@@ -41,7 +41,8 @@ object EventsStream {
     * the stream starts on [[rawSchema]] instead, the shape the current
     * producers write.
     */
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+  def readEvents(spark: SparkSession, dir: String,
+                 options: Map[String, String] = Map.empty): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val onDisk =
       try spark.read.parquet(dir).schema
@@ -53,7 +54,7 @@ object EventsStream {
                 m.contains("PATH_NOT_FOUND")) =>
           rawSchema
       }
-    val raw = spark.readStream.schema(onDisk).parquet(dir)
+    val raw = spark.readStream.options(options).schema(onDisk).parquet(dir)
     onDisk("ts").dataType match {
       case _: TimestampType => raw
       case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
@@ -275,6 +276,10 @@ object EventsStream {
   /** The streaming funnel over an events stream (24 h step default, as
     * in the batch `ev_funnel`). Requires the RocksDB state store
     * provider like [[statefulUserTotalsV2]].
+    *
+    * Delivery NOT event-time-ordered (late events within a bounded
+    * delay)? Use [[streamingFunnelEventTime]] — this form processes in
+    * arrival order and can under-count a stage on a late click.
     */
   def streamingFunnel(events: DataFrame,
                       stepSeconds: Long = 86400L): Dataset[FunnelUpdate] = {
@@ -287,6 +292,105 @@ object EventsStream {
       .groupByKey(_.user_id)
       .transformWithState(new FunnelProcessor(stepSeconds * 1000000L),
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** A funnel snapshot finalized as of a watermark: `as_of_ms` orders
+    * snapshots for the same user (take the row with the max `as_of_ms`;
+    * anchors only ever fold events the watermark has sealed, so that
+    * row is the latest finalized stage).
+    */
+  final case class FunnelUpdateAt(user_id: Long, funnel_stage: Int, as_of_ms: Long)
+
+  /** Event-time funnel: correct under OUT-OF-ORDER delivery up to the
+    * input watermark, where [[FunnelProcessor]] requires ordered
+    * arrival.
+    *
+    * Arriving events are only BUFFERED (per-user `ListState`); an
+    * event-time timer fires once the watermark passes, and only then are
+    * the sealed events (ts <= watermark — nothing earlier can still
+    * arrive, Spark drops sub-watermark rows before the operator) folded
+    * in event-time order into the anchor state and a snapshot emitted.
+    * A late click landing anywhere within the watermark delay therefore
+    * takes the exact anchor position the batch query would give it —
+    * watermark-delayed emission buys batch-equal answers at the cost of
+    * result latency equal to the configured delay.
+    *
+    * State per user stays bounded by the watermark horizon: the buffer
+    * holds only unsealed events (at most the delay window), the anchors
+    * are three longs. Finite replays: the last `delay` of events seals
+    * only when the watermark moves past them, so a drained backlog
+    * needs one flush event with `ts > max(ts) + delay` (any key) to
+    * finalize the tail — the spec demonstrates the pattern.
+    */
+  class EventTimeFunnelProcessor(stepMicros: Long)
+      extends StatefulProcessor[Long, FunnelEvent, FunnelUpdateAt] {
+    @transient private var anchors: ValueState[FunnelState] = _
+    @transient private var buffer: ListState[FunnelEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      anchors = getHandle.getValueState[FunnelState]("anchors",
+        Encoders.product[FunnelState], TTLConfig.NONE)
+      buffer = getHandle.getListState[FunnelEvent]("buffer",
+        Encoders.product[FunnelEvent], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+                                 timerValues: TimerValues): Iterator[FunnelUpdateAt] = {
+      rows.foreach(buffer.appendValue)
+      // fire as soon as the watermark moves at all; idempotent on the
+      // (key, expiry)-keyed timer store, so re-registering is a no-op
+      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelUpdateAt] = {
+      val wmMs = timerValues.getCurrentWatermarkInMs()
+      val wmMicros = wmMs * 1000L
+      val (ripe, pending) = buffer.get().toSeq.partition(_.tsMicros <= wmMicros)
+      var s = Option(anchors.get()).getOrElse(FunnelState(-1L, -1L, -1L))
+      ripe.sortBy(_.tsMicros).foreach { e =>
+        e.event_type match {
+          case "view" if s.v < 0 =>
+            s = s.copy(v = e.tsMicros)
+          case "click" if s.v >= 0 && s.c < 0 &&
+              e.tsMicros > s.v && e.tsMicros - s.v <= stepMicros =>
+            s = s.copy(c = e.tsMicros)
+          case "purchase" if s.c >= 0 && s.p < 0 &&
+              e.tsMicros > s.c && e.tsMicros - s.c <= stepMicros =>
+            s = s.copy(p = e.tsMicros)
+          case _ =>
+        }
+      }
+      anchors.update(s)
+      buffer.clear()
+      if (pending.nonEmpty) {
+        pending.foreach(buffer.appendValue)
+        getHandle.registerTimer(wmMs + 1) // still-unsealed tail: re-arm
+      }
+      val stage = if (s.p >= 0) 3 else if (s.c >= 0) 2 else if (s.v >= 0) 1 else 0
+      Iterator.single(FunnelUpdateAt(key, stage, wmMs))
+    }
+  }
+
+  /** The event-time streaming funnel: watermark the events by `delay`,
+    * then fold each user's funnel only over watermark-sealed events
+    * (see [[EventTimeFunnelProcessor]]). RocksDB state store required,
+    * as for [[streamingFunnel]].
+    */
+  def streamingFunnelEventTime(events: DataFrame,
+                               stepSeconds: Long = 86400L,
+                               delay: String = "1 hour"): Dataset[FunnelUpdateAt] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("tsMicros"), col("event_type"))
+      .as[FunnelEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new EventTimeFunnelProcessor(stepSeconds * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Run a streaming frame to completion against static input via the

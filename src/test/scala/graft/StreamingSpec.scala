@@ -126,6 +126,66 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time funnel: deliberately out-of-order replay equals batch ev_funnel (RocksDB store)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ev = Tables.events(spark, SparkTestSession.sfDir)
+      val dir = java.nio.file.Files.createTempDirectory("events_ooo")
+      // stage `df` as one parquet FILE with a pinned mtime: the file
+      // source batches oldest-mtime-first under maxFilesPerTrigger=1,
+      // so mtimes dictate arrival order
+      def stage(df: org.apache.spark.sql.DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = java.nio.file.Files.createTempDirectory(s"stage_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(f => f.getName.endsWith(".parquet")).get
+        val dst = dir.resolve(name)
+        java.nio.file.Files.move(part.toPath, dst)
+        assert(dst.toFile.setLastModified(mtime))
+      }
+      // adversarial order: each user's LATER events arrive a whole
+      // microbatch before their earlier ones — the delivery the ordered
+      // FunnelProcessor documents it cannot survive
+      val split = lit("2024-01-15").cast("timestamp")
+      val t0 = System.currentTimeMillis()
+      val late = ev.filter(col("ts") >= split)
+      val early = ev.filter(col("ts") < split)
+      assert(late.count() > 0 && early.count() > 0, "split must cut the replay in two")
+      stage(late, "a_late.parquet", t0 - 300000)
+      stage(early, "b_early.parquet", t0 - 200000)
+      // flush sentinel far past max(ts)+delay: advances the watermark
+      // over every real event so the tail seals on a finite replay
+      stage(spark.sql(
+        "SELECT CAST(-1 AS BIGINT) AS event_id, TIMESTAMP'2024-06-01 00:00:00' AS ts, " +
+          "CAST(-1 AS BIGINT) AS user_id, 'view' AS event_type, " +
+          "CAST(0.0 AS DOUBLE) AS value, '' AS props"),
+        "c_flush.parquet", t0 - 100000)
+
+      // delay wider than the whole replay span: nothing is "too late",
+      // so the event-time fold must reproduce the batch answer exactly
+      val streamed = EventsStream.streamingFunnelEventTime(
+        EventsStream.readEvents(spark, dir.toString, Map("maxFilesPerTrigger" -> "1")),
+        delay = "45 days")
+      val snaps = EventsStream.runToMemory(spark, streamed.toDF(), "funnel_ooo")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val perUser = snaps.filter(_._1 != -1L).groupBy(_._1)
+        .map { case (u, s) => u -> s.maxBy(_._3)._2 }
+      val got = perUser.groupBy(_._2).map { case (st, us) => st -> us.size.toLong }
+      val want = SparkEntry.queries("ev_funnel")(spark, SparkTestSession.sfDir)
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got == want, s"out-of-order replay diverged: got $got want $want")
+      assert(got.values.sum > 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = EventsStream.purchaseClickJoin(
       EventsStream.readEvents(spark, eventsDir))
