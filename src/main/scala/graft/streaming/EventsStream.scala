@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
+import org.apache.spark.sql.streaming.{DataStreamWriter, ExpiredTimerInfo, GroupState, GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor, StreamingQuery, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
 
@@ -392,6 +392,73 @@ object EventsStream {
       .transformWithState(new EventTimeFunnelProcessor(stepSeconds * 1000000L),
         TimeMode.EventTime(), OutputMode.Append())
   }
+
+  /** Input/output rows for the streaming retention processor. A
+    * snapshot carries the user's full engagement profile — first-week
+    * cohort and every distinct active week — because both are bounded
+    * by CALENDAR weeks, not event volume.
+    */
+  final case class RetentionEvent(user_id: Long, wk: Long)
+  final case class RetentionSnapshot(user_id: Long, cohort_week: Long,
+                                     weeks: Seq[Long])
+
+  /** Incremental cohort retention — the streaming counterpart of the
+    * batch `ev_retention` query. Per-user state is a `MapState` keyed by
+    * epoch-week (the distinct active-week set; cohort = its min), and
+    * both updates are COMMUTATIVE MONOIDS (set union, min), so the
+    * result is identical under any arrival order and any batching — no
+    * event-time timers or watermark delay needed, unlike the funnel,
+    * whose anchors are order-sensitive.
+    *
+    * Each batch emits an updated snapshot for every user with input;
+    * any state change strictly grows the week set, so the snapshot with
+    * the LARGEST set per user is the latest — keep that one (e.g. via
+    * [[upsertToParquetLog]] keyed on user with `size(weeks)` as the
+    * version) and roll it up with [[retentionMatrix]].
+    */
+  class RetentionProcessor extends StatefulProcessor[Long, RetentionEvent, RetentionSnapshot] {
+    @transient private var weeks: MapState[Long, Boolean] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      weeks = getHandle.getMapState[Long, Boolean]("weeks",
+        Encoders.scalaLong, Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[RetentionEvent],
+                                 timerValues: TimerValues): Iterator[RetentionSnapshot] = {
+      rows.foreach(e => weeks.updateValue(e.wk, true))
+      val wks = weeks.keys().toSeq.sorted
+      Iterator.single(RetentionSnapshot(key, wks.head, wks))
+    }
+  }
+
+  /** Streaming retention over an events stream: same epoch-week
+    * bucketing as the batch `ev_retention`. RocksDB state store
+    * required, as for [[statefulUserTotalsV2]].
+    */
+  def streamingRetention(events: DataFrame): Dataset[RetentionSnapshot] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        floor(unix_timestamp(col("ts")) / 604800).cast("long").as("wk"))
+      .as[RetentionEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new RetentionProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
+  /** Roll latest-per-user [[RetentionSnapshot]]s up to the cohort
+    * engagement matrix `(cohort_week, week_offset, n_users)` — the same
+    * shape the batch `ev_retention` emits. Input must hold ONE row per
+    * user (the latest snapshot); the rollup is a tiny aggregation over
+    * the exploded week sets, at most weeks² cells.
+    */
+  def retentionMatrix(snapshots: DataFrame): DataFrame =
+    snapshots
+      .select(col("cohort_week"), explode(col("weeks")).as("wk"))
+      .groupBy(col("cohort_week"),
+        (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
 
   /** Run a streaming frame to completion against static input via the
     * in-memory sink (test/driver harness; `availableNow` processes the

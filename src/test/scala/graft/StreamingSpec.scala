@@ -186,6 +186,52 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming retention replay equals the batch ev_retention matrix (RocksDB store)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // two batches, same file staged twice: every user's weeks arrive
+      // twice across batches — set-union/min state must absorb the
+      // replays and emit the identical final profile
+      val dir = java.nio.file.Files.createTempDirectory("events_retention")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"),
+        dir.resolve("a.parquet"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"),
+        dir.resolve("b.parquet"))
+      val streamed = EventsStream.streamingRetention(
+        EventsStream.readEvents(spark, dir.toString, Map("maxFilesPerTrigger" -> "1")))
+      val snaps = EventsStream.runToMemory(spark, streamed.toDF(), "retention_tws")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      // latest snapshot per user = the one with the largest week set
+      // (any state change strictly grows it)
+      val latest = snaps.groupBy(_._1).map { case (_, s) => s.maxBy(_._3.size) }
+      val got = latest.toSeq
+        .flatMap { case (_, cohort, wks) => wks.map(w => (cohort, w - cohort)) }
+        .groupBy(identity).map { case (cell, hits) => cell -> hits.size.toLong }
+      val want = SparkEntry.queries("ev_retention")(spark, SparkTestSession.sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"retention replay diverged: got $got want $want")
+      assert(got.values.sum > 0)
+      // and the library rollup computes the same matrix from the
+      // latest-per-user snapshots
+      import spark.implicits._
+      val matrix = EventsStream.retentionMatrix(
+        latest.toSeq.toDF("user_id", "cohort_week", "weeks"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(matrix == want)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = EventsStream.purchaseClickJoin(
       EventsStream.readEvents(spark, eventsDir))
