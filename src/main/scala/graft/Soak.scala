@@ -54,7 +54,12 @@ object Soak {
       pinned += c
       c
     }
+    // optional comma-separated shape filter for single-shape iteration
+    // (same contract as Bench's SPARK_GRAFT_ONLY); skipped shapes are
+    // dropped from the output line entirely
+    val onlyShapes = sys.env.get("SPARK_GRAFT_SHAPES").map(_.split(",").toSet)
     def shape(name: String)(df: => DataFrame): (String, Double) = {
+      if (!onlyShapes.forall(_.contains(name))) return name -> -1.0
       val t0 = System.nanoTime()
       try {
         df.write.format("noop").mode("overwrite").save()
@@ -343,8 +348,9 @@ object Soak {
         })
     } else Seq.empty)
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val ran = results.filter(_._2 >= 0)
+    val qs = ran.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    val total = ran.map(_._2).sum
     println(f"""{"metric":"soak_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","mult":$mult}""")
     spark.stop()
   }

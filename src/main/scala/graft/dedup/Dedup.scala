@@ -665,15 +665,20 @@ object Dedup {
     *    driver headroom while each distributed round costs several
     *    shuffles; graphs past the threshold (the 100× soak's all-cliques
     *    case is ~25M pairs) take the distributed path.
-    *  - otherwise: iterative min-label propagation with pointer doubling
-    *    — each round every node takes the min of its own, its neighbors',
-    *    and its label's label, so convergence is O(log diameter) rounds.
-    *    Labels are `localCheckpoint`ed per round: without lineage
-    *    truncation the plan doubles every iteration and the driver OOMs
-    *    formatting it long before the data is large. (Same round bound as
-    *    the published large-star/small-star contraction — Kiveris et al.,
-    *    "Connected Components in MapReduce and Beyond", SoCC'14 — with
-    *    simpler per-round plans.)
+    *  - otherwise: min-label propagation with pointer doubling AND
+    *    per-round graph contraction — each round every node takes the
+    *    min of itself and its neighbors, follows that label's label,
+    *    and the edge set is rewritten between representatives with
+    *    self-loops dropped. Convergence is O(log diameter) rounds
+    *    (the round bound of the large-star/small-star formulation —
+    *    Kiveris et al., "Connected Components in MapReduce and
+    *    Beyond", SoCC'14), but unlike plain propagation the later
+    *    rounds shuffle only the still-unmerged residue: a dup clique,
+    *    the dominant dedup shape, contracts to nothing after one
+    *    round. Intermediates are `localCheckpoint`ed per round:
+    *    without lineage truncation the plan doubles every iteration
+    *    and the driver OOMs formatting it long before the data is
+    *    large.
     */
   def connectedComponents(nodes: DataFrame, idCol: String,
                           pairs: DataFrame, aCol: String, bCol: String,
@@ -705,46 +710,78 @@ object Dedup {
     // small fraction of the corpus, so every round's shuffles and the
     // convergence checks run on that fraction, not the full node set.
     val edgeNodes = edges.select(col("src").as("node")).distinct().cache()
-    var labels = edgeNodes.select(col("node"), col("node").as("component"))
+    // `overall`: ORIGINAL edge node -> its current representative.
+    var overall = edgeNodes.select(col("node"), col("node").as("component"))
       .localCheckpoint(true)
-    var converged = false
+    // The iteration CONTRACTS the graph each round instead of
+    // re-propagating over the full edge set: every node takes the least
+    // of itself and its neighbors, follows that label's label (pointer
+    // doubling), and the edge set is rewritten between representatives
+    // with self-loops dropped. A dup clique — the dominant shape in a
+    // dedup pair graph — collapses to NOTHING after one round, so later
+    // rounds shuffle only the geometrically shrinking unresolved
+    // residue; a chain still converges in O(log diameter) rounds via
+    // the doubling, as in the large-star/small-star formulation
+    // (Kiveris et al., SoCC'14).
+    var cur = edges
     var round = 0
-    while (!converged && round < maxRounds) {
-      // fresh aliases on both union inputs: reusing `labels`' attribute
-      // ids in both children trips Union's constraint rewriting
-      val neighborLabels = edges
-        .join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("component").as("component"))
-      val own = labels.select(col("node").as("node"), col("component").as("component"))
-      val minLabels = own.union(neighborLabels)
-        .groupBy("node").agg(min("component").as("component"))
-      // pointer doubling: follow the label's own label (components are
-      // node ids, so every label has a labels row)
-      val next = minLabels.as("l")
-        .join(minLabels.as("m"), col("l.component") === col("m.node"))
-        .select(col("l.node").as("node"), col("m.component").as("component"))
+    while (round < maxRounds && cur.head(1).nonEmpty) {
+      // the symmetric edge set lists every live node as a src, so one
+      // grouped pass computes min(self, neighbors) for all of them
+      val minL = cur.groupBy(col("src"))
+        .agg(least(col("src"), min(col("dst"))).as("component"))
+        .select(col("src").as("node"), col("component"))
+      // pointer doubling: follow the label's own label; a component min
+      // has no smaller-labeled row, so it keeps itself
+      val lab = minL.as("l")
+        .join(minL.as("m"), col("l.component") === col("m.node"), "left")
+        .select(col("l.node").as("node"),
+          coalesce(col("m.component"), col("l.component")).as("component"))
         .localCheckpoint(true)
-      // converged when no node's label shrank this round
-      val changed = next.join(labels.withColumnRenamed("component", "prev"), "node")
-        .filter(col("component") < col("prev")).limit(1).count()
-      graft.util.Pins.release(labels)
-      labels = next
-      converged = changed == 0
+      // resolve original nodes through this round's relabeling; nodes
+      // whose representative is already final (contracted away in an
+      // earlier round) pass through unchanged. Round 1's overall map is
+      // the identity, so the resolution IS this round's labels — skip
+      // the join.
+      val prevOverall = overall
+      overall =
+        if (round == 0) lab // identical node set, columns already (node, component)
+        else prevOverall.as("o")
+          .join(lab.as("u"), col("o.component") === col("u.node"), "left")
+          .select(col("o.node").as("node"),
+            coalesce(col("u.component"), col("o.component")).as("component"))
+          .localCheckpoint(true)
+      graft.util.Pins.release(prevOverall)
+      // contract: rewrite edges between the new representatives —
+      // intra-component edges become self-loops and vanish
+      val prevCur = cur
+      cur = prevCur.as("e")
+        .join(lab.as("a"), col("e.src") === col("a.node"))
+        .join(lab.as("b"), col("e.dst") === col("b.node"))
+        .select(col("a.component").as("src"), col("b.component").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint(true)
+      if (!(prevCur eq edges)) graft.util.Pins.release(prevCur)
+      // round 1: `overall` IS lab's checkpoint — its pin is released as
+      // `overall` at the end (or replaced next round)
+      if (!(overall eq lab)) graft.util.Pins.release(lab)
       round += 1
     }
+    if (!(cur eq edges)) graft.util.Pins.release(cur)
     val singletons = nodes
       .join(edgeNodes, nodes(idCol) === edgeNodes("node"), "left_anti")
       .select(col(idCol).as("node"), col(idCol).as("component"))
     // materialize before dropping the caches: the caller's action runs
     // later, and an unpersisted lazy plan would recompute the whole pair
     // pipeline for the anti-join
-    val result = labels
+    val result = overall
       .select(col("node").as("node"), col("component").as("component"))
       .union(singletons)
       .localCheckpoint(true)
     graft.util.Pins.release(edges)
     graft.util.Pins.release(edgeNodes)
-    graft.util.Pins.release(labels)
+    graft.util.Pins.release(overall)
     // released last, only once the checkpointed result can never trigger
     // a recompute of the cached edges (whose lineage reaches p)
     graft.util.Pins.release(p)
