@@ -12,10 +12,13 @@ import org.apache.spark.sql.functions._
   * container metadata is REAL ([[decodeVideoMeta]]: a hand-rolled ISO BMFF
   * box walker — pure JDK), and codec-level video FRAME decode is REAL for
   * MJPEG-in-AVI ([[decodeVideoFrames]]: RIFF `movi` walker + per-frame
-  * javax.imageio JPEG decode — MJPEG frames are standalone JPEGs). Only
-  * inter-frame codecs (H.264 etc.) stay out of scope (this container
-  * ships no such codecs); the deterministic [[stubDecode]] remains solely
-  * as the tagged fallback for unparseable payloads. The Spark-side
+  * javax.imageio JPEG decode — MJPEG frames are standalone JPEGs). Codec
+  * IDENTITY for inter-frame codecs is reported from the container's
+  * `stsd` sample entry (avc1/hev1/mp4v/vp09/av01 — no decoder needed to
+  * classify an H.264 corpus); only their frame DECODE stays out of scope
+  * (this container ships no such codecs), and the deterministic
+  * [[stubDecode]] remains solely as the tagged fallback for unparseable
+  * payloads. The Spark-side
   * plumbing — schema, encoder, partition-batched processing, metadata
   * extraction — is identical in real and fallback paths, so plugging a
   * JNI/javacv decoder for those codecs keeps every plan shape intact.
@@ -449,7 +452,13 @@ object Multimodal {
     * payload is a pure container header, which is all metadata extraction
     * reads at scale anyway.
     */
-  def synthesizeVideo(df: DataFrame, idCol: String): DataFrame = {
+  /** Codec fourccs round-robined into the synthesized `stsd` when
+    * `withCodec = true` — the common web-corpus sample-entry types.
+    */
+  val CodecFourccs: Seq[String] = Seq("avc1", "hev1", "mp4v", "vp09", "av01")
+
+  def synthesizeVideo(df: DataFrame, idCol: String,
+                      withCodec: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("media_id"))
@@ -458,12 +467,16 @@ object Multimodal {
         val w = 16 * (1 + (id % 40).toInt)
         val h = 9 * (1 + (id % 40).toInt)
         val durMs = 500 + (id % 10000).toInt
-        val buf = java.nio.ByteBuffer.allocate(20 + 216) // big-endian (MP4)
+        // with a codec: trak additionally carries the
+        // mdia { minf { stbl { stsd { <fourcc entry> } } } } chain
+        // (48 bytes) naming the sample-entry codec
+        val mdiaSz = if (withCodec) 48 else 0
+        val buf = java.nio.ByteBuffer.allocate(20 + 216 + mdiaSz) // big-endian (MP4)
         def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII")): Unit
         // ftyp
         buf.putInt(20); fourcc("ftyp"); fourcc("isom"); buf.putInt(0); fourcc("isom")
-        // moov { mvhd, trak { tkhd } }
-        buf.putInt(216); fourcc("moov")
+        // moov { mvhd, trak { tkhd [, mdia] } }
+        buf.putInt(216 + mdiaSz); fourcc("moov")
         buf.putInt(108); fourcc("mvhd")
         buf.putInt(0)           // version 0 + flags
         buf.putInt(0).putInt(0) // creation, modification
@@ -476,7 +489,7 @@ object Multimodal {
           .foreach(buf.putInt)  // identity matrix
         buf.put(new Array[Byte](24)) // pre_defined
         buf.putInt(2)           // next_track_id
-        buf.putInt(100); fourcc("trak")
+        buf.putInt(100 + mdiaSz); fourcc("trak")
         buf.putInt(92); fourcc("tkhd")
         buf.putInt(0x00000007)  // version 0, flags: enabled|in_movie|in_preview
         buf.putInt(0).putInt(0) // creation, modification
@@ -489,6 +502,16 @@ object Multimodal {
           .foreach(buf.putInt)
         buf.putInt(w << 16)     // width, 16.16 fixed point
         buf.putInt(h << 16)     // height
+        if (withCodec) {
+          buf.putInt(48); fourcc("mdia")
+          buf.putInt(40); fourcc("minf")
+          buf.putInt(32); fourcc("stbl")
+          buf.putInt(24); fourcc("stsd")
+          buf.putInt(0)  // version + flags
+          buf.putInt(1)  // entry_count
+          buf.putInt(8)  // minimal sample entry: size + fourcc only
+          fourcc(CodecFourccs((id % CodecFourccs.size).toInt))
+        }
         MediaFile(id, "video", buf.array())
       })
       .toDF()
@@ -546,6 +569,24 @@ object Multimodal {
           var width = 0
           var height = 0
           var tracks = 0
+          var codec: String = null
+          // codec IDENTITY lives in the sample description box: descend
+          // trak → mdia → minf → stbl → stsd and read the first sample
+          // entry's fourcc (avc1/hev1/mp4v/vp09/av01/...). Identity is
+          // container metadata — reporting it needs no codec DECODER,
+          // so a corpus of H.264 files still classifies correctly even
+          // though frame decode for inter-frame codecs stays out of
+          // scope (see the object scaladoc).
+          def sampleEntryFourcc(lo: Int, hi: Int): Option[String] =
+            for {
+              (_, ds, de) <- walk(lo, hi).find(_._1 == "mdia")
+              (_, ns, ne) <- walk(ds, de).find(_._1 == "minf")
+              (_, bs, be) <- walk(ns, ne).find(_._1 == "stbl")
+              (_, ss, se) <- walk(bs, be).find(_._1 == "stsd")
+              // stsd content: 4B version/flags + 4B entry_count, then
+              // sample entries, each a box whose TYPE is the codec fourcc
+              if se - ss >= 16 && u32(ss + 8) >= 1
+            } yield typ(ss + 12)
           walk(ms, me).foreach {
             case ("mvhd", s, _) =>
               // version 1 widens creation/modification to 64 bits and
@@ -562,9 +603,11 @@ object Multimodal {
                   height = (u32(te - 4) >> 16).toInt
                 case _ =>
               }
+              if (codec == null) codec = sampleEntryFourcc(s, e).orNull
             case _ =>
           }
-          VideoMeta(0L, payload.length, width, height, durationMs, tracks, "mp4")
+          VideoMeta(0L, payload.length, width, height, durationMs, tracks,
+            if (codec != null) codec else "mp4")
       }
     } catch { case _: Exception => null }
   }

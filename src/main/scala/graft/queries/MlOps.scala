@@ -251,6 +251,17 @@ object MlOps {
           "n_tracks", "codec")
     }),
 
+    // Codec IDENTITY from the container, oracle-checked: the synthesized
+    // stsd sample entry round-robins the common web fourccs, and a
+    // correct box walker must classify every payload without any frame
+    // decoder — the metadata pass a mixed-codec corpus runs first.
+    "mm_video_codec" -> ((s, d) => {
+      val vids = Multimodal.synthesizeVideo(Tables.documents(s, d), "doc_id",
+        withCodec = true)
+      Multimodal.decodeVideoMeta(s, vids).toDF()
+        .select("media_id", "n_bytes", "width", "codec")
+    }),
+
     // REAL audio downsample, oracle-checked end to end: decode PCM,
     // decimate 2x, re-encode WAV, and declare the metadata of the
     // RE-DECODED output — DuckDB predicts the halved rate and frame
@@ -437,6 +448,17 @@ object MlOps {
         |  CAST(9 * (1 + doc_id % 40) AS INT) AS height,
         |  CAST(500 + doc_id % 10000 AS BIGINT) AS duration_ms,
         |  1 AS n_tracks, 'mp4' AS codec
+        |FROM documents""".stripMargin,
+
+    // codec identity = the stsd sample-entry fourcc the synthesizer
+    // round-robined in (payload: ftyp 20 + moov 264 bytes)
+    "mm_video_codec" ->
+      """SELECT doc_id AS media_id,
+        |  284 AS n_bytes,
+        |  CAST(16 * (1 + doc_id % 40) AS INT) AS width,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1' WHEN 2 THEN 'mp4v'
+        |    WHEN 3 THEN 'vp09' ELSE 'av01' END AS codec
         |FROM documents""".stripMargin,
 
     // a correct decode->decimate->encode chain must halve the rate and

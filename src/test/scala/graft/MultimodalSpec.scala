@@ -66,6 +66,21 @@ class MultimodalSpec extends AnyFunSuite {
     assert(stub.nonEmpty && stub.forall(_.codec == "stub"))
   }
 
+  test("codec identity recovered from the stsd sample entry; codec-less containers stay 'mp4'") {
+    val ids = (0L to 9L).toDF("id")
+    val metas = Multimodal.decodeVideoMeta(spark,
+        Multimodal.synthesizeVideo(ids, "id", withCodec = true))
+      .collect().map(m => m.media_id -> m).toMap
+    metas.foreach { case (id, m) =>
+      val want = Multimodal.CodecFourccs((id % Multimodal.CodecFourccs.size).toInt)
+      assert(m.codec == want, s"id $id: got ${m.codec}, want $want")
+      // the identity pass must not disturb the rest of the walk
+      assert(m.width == 16 * (1 + (id % 40).toInt) && m.n_tracks == 1)
+    }
+    assert(metas.values.map(_.codec).toSet == Multimodal.CodecFourccs.toSet,
+      "10 ids must round-robin every fourcc")
+  }
+
   test("real PNG decode recovers the synthesized golden dimensions") {
     val ids = Seq(0L, 1L, 7L, 15L, 16L, 144L).toDF("id")
     val metas = Multimodal.decodeImageMeta(spark, Multimodal.synthesizeImages(ids, "id"))
