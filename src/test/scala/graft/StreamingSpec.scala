@@ -232,6 +232,39 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("retention snapshots through the upsert log resolve to the batch matrix (RocksDB store)") {
+    // the documented serving composition, end to end: stateful retention
+    // snapshots -> CDC upsert log keyed by user (week-set size as the
+    // version: any state change strictly grows it) -> latest-per-user
+    // read -> matrix rollup == the batch ev_retention answer
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val base = java.nio.file.Files.createTempDirectory("retention_upsert")
+      val target = base.resolve("log").toString
+      val ckpt = base.resolve("ckpt").toString
+      val snaps = EventsStream.streamingRetention(
+          EventsStream.readEvents(spark, eventsDir, Map("maxFilesPerTrigger" -> "1")))
+        .toDF()
+        .withColumn("ver", size(col("weeks")))
+      EventsStream.upsertToParquetLog(snaps, "user_id", "ver", target, ckpt)
+        .awaitTermination()
+      val latest = EventsStream.readUpserted(spark, target, "user_id", "ver")
+      val got = EventsStream.retentionMatrix(latest)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val want = SparkEntry.queries("ev_retention")(spark, SparkTestSession.sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"served matrix diverged: got $got want $want")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = EventsStream.purchaseClickJoin(
       EventsStream.readEvents(spark, eventsDir))
