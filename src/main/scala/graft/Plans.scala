@@ -29,6 +29,7 @@ object Plans {
     "ev_asof_tolerance" -> "point-in-time feature join: as-of pick + staleness bound as a post-pick projection — same one-shuffle union+window plan as j_asof, ts predicate pushable to the native-timestamp scan",
     "tp_split_leakage" -> "cross-split leakage audit: ONE content-hash window over the hash group (scales like exact dedup) — never a pair self-join",
     "ev_retention" -> "cohort retention in ONE user_id shuffle: min week + collect_set in the same partial-aggregated pass (set state bounded by calendar weeks), then a weeks-squared cell rollup — no join-back, no window over raw events",
+    "ev_anomaly" -> "rolling z-score anomalies: events CONTRACT to hours x types in one partial-aggregated shuffle, then the trailing-24-row mean/stddev window runs on the tiny aggregate — the raw events are never windowed",
     "j6b_nearest_centroid_map" -> "nearest-centroid as least + CaseWhen codegen argmin over literal centroids: map-only, fully inside whole-stage codegen, vs the cross-join form's rows x k shuffle",
     "dd_editdist_pairs" -> "fuzzy linkage: Levenshtein verify on DISTINCT names only, matched pairs broadcast back onto ids",
     "sk_bloom_join" -> "Bloom prefilter drops non-matching probe rows before the join shuffle — native might_contain expression inside whole-stage codegen, no scala UDF",

@@ -478,6 +478,31 @@ object Relational {
           (col("wk") - col("cohort_week")).as("week_offset"))
         .agg(count(lit(1)).as("n_users"))),
 
+    // Rolling z-score anomaly detection over the hourly event-type
+    // series: the events table first CONTRACTS to hours×types in one
+    // partial-aggregated shuffle, then the trailing-24h mean/stddev
+    // window runs over that TINY aggregate — window state is bounded by
+    // the calendar, not event volume, so the shape survives any event
+    // rate (the 100 TB posture: never window the raw events). Leading
+    // frames with fewer than two trailing points have no defined
+    // deviation and are excluded via `sigma > 0`.
+    "ev_anomaly" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+      val w = Window.partitionBy("event_type").orderBy("hour_ts")
+        .rowsBetween(-24, -1)
+      hourly
+        // one select → ONE Window operator computing both frame
+        // aggregates in a single pass (separate withColumns planned two)
+        .select(col("hour_ts"), col("event_type"), col("n_events"),
+          avg("n_events").over(w).as("mu"),
+          stddev_samp("n_events").over(w).as("sigma"))
+        .filter(col("sigma") > 0)
+        .select(col("hour_ts"), col("event_type"), col("n_events"),
+          ((col("n_events") - col("mu")) / col("sigma")).as("zscore"))
+    }),
+
     // Same as-of semantics via the custom physical operator
     // (graft.operators.BroadcastAsofJoin: LogicalPlan + Strategy +
     // SparkPlan via SparkSessionExtensions). The dimension-sized right
@@ -750,6 +775,23 @@ object Relational {
         |  count(*) AS n_users
         |FROM weeks w JOIN cohort c USING (user_id)
         |GROUP BY 1, 2""".stripMargin,
+
+    // identical hourly contraction + trailing-24-row frame
+    "ev_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |z AS (
+        |  SELECT hour_ts, event_type, n_events,
+        |    avg(n_events) OVER w AS mu,
+        |    stddev_samp(n_events) OVER w AS sigma
+        |  FROM hourly
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+        |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |SELECT hour_ts, event_type, n_events,
+        |  (n_events - mu) / sigma AS zscore
+        |FROM z WHERE sigma > 0""".stripMargin,
 
     "j_asofb_broadcast" ->
       """WITH clicks AS (
