@@ -393,6 +393,80 @@ object EventsStream {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** Input/state/output rows for the streaming anomaly detector. */
+  final case class HourlyCount(event_type: String, wStartMicros: Long, n: Long)
+  final case class HistPoint(w: Long, n: Long)
+  final case class AnomalyPoint(event_type: String, w_start_us: Long,
+                                n_events: Long, zscore: Double)
+
+  /** Incremental rolling z-score anomaly detection — the streaming
+    * counterpart of the batch `ev_anomaly` query, composed AFTER the
+    * watermarked tumbling aggregation: in Append mode the window agg
+    * emits each (window, event_type) count exactly once, when the
+    * watermark seals it, so this processor receives an event-time-
+    * ordered feed per key without any buffering of raw events. State is
+    * the trailing `frame` sealed counts per event type (a bounded
+    * deque — `frame` pairs of longs, regardless of event volume), and
+    * each arriving count is scored against the PREVIOUS frame
+    * (`ROWS BETWEEN frame PRECEDING AND 1 PRECEDING`, exactly the batch
+    * frame) before being appended. Points whose trailing frame has no
+    * defined deviation (fewer than 2 priors, or zero sigma) emit
+    * nothing, mirroring the batch `sigma > 0` filter.
+    */
+  class AnomalyProcessor(frame: Int)
+      extends StatefulProcessor[String, HourlyCount, AnomalyPoint] {
+    @transient private var hist: ListState[HistPoint] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getListState[HistPoint]("hist",
+        Encoders.product[HistPoint], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[HourlyCount],
+                                 timerValues: TimerValues): Iterator[AnomalyPoint] = {
+      var h = hist.get().toVector
+      val out = Vector.newBuilder[AnomalyPoint]
+      rows.toSeq.sortBy(_.wStartMicros).foreach { r =>
+        if (h.size >= 2) {
+          val xs = h.map(_.n.toDouble)
+          val mu = xs.sum / xs.size
+          val sigma = math.sqrt(
+            xs.map(x => (x - mu) * (x - mu)).sum / (xs.size - 1))
+          if (sigma > 0)
+            out += AnomalyPoint(key, r.wStartMicros, r.n, (r.n - mu) / sigma)
+        }
+        h = (h :+ HistPoint(r.wStartMicros, r.n)).takeRight(frame)
+      }
+      hist.clear()
+      h.foreach(hist.appendValue)
+      out.result().iterator
+    }
+  }
+
+  /** The streaming anomaly detector over an events stream: watermarked
+    * tumbling counts per event type, each sealed count z-scored against
+    * its type's trailing `frame` windows. RocksDB state store required,
+    * as for [[statefulUserTotalsV2]]. Finite replays: counts within the
+    * watermark delay of the stream's end never seal — flush with one
+    * event past `max(ts) + delay` (any key), as for
+    * [[streamingFunnelEventTime]].
+    */
+  def streamingAnomaly(events: DataFrame, windowLen: String = "1 hour",
+                       watermark: String = "30 minutes",
+                       frame: Int = 24): Dataset[AnomalyPoint] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), unix_micros(col("window.start")).as("wStartMicros"),
+        col("n"))
+      .as[HourlyCount]
+      .groupByKey(_.event_type)
+      .transformWithState(new AnomalyProcessor(frame), TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Input/output rows for the streaming retention processor. A
     * snapshot carries the user's full engagement profile — first-week
     * cohort and every distinct active week — because both are bounded

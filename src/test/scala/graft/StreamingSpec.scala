@@ -265,6 +265,58 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming anomaly replay equals the batch ev_anomaly z-scores (RocksDB store)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("events_anomaly")
+      val t0 = System.currentTimeMillis()
+      val a = dir.resolve("a.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"), a)
+      assert(a.toFile.setLastModified(t0 - 200000))
+      // flush sentinel on its OWN event_type: seals every real window
+      // without touching any real type's counts
+      val tmp = java.nio.file.Files.createTempDirectory("anomaly_flush")
+      spark.sql(
+        "SELECT CAST(-1 AS BIGINT) AS event_id, TIMESTAMP'2024-06-01 00:00:00' AS ts, " +
+          "CAST(-1 AS BIGINT) AS user_id, 'flush' AS event_type, " +
+          "CAST(0.0 AS DOUBLE) AS value, '' AS props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val b = dir.resolve("b.parquet")
+      java.nio.file.Files.move(part.toPath, b)
+      assert(b.toFile.setLastModified(t0 - 100000))
+
+      val streamed = EventsStream.streamingAnomaly(
+        EventsStream.readEvents(spark, dir.toString, Map("maxFilesPerTrigger" -> "1")))
+      val got = EventsStream.runToMemory(spark, streamed.toDF(), "anomaly_tws")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+        .filter(_._1._1 != "flush").toMap
+      val want = SparkEntry.queries("ev_anomaly")(spark, SparkTestSession.sfDir)
+        .collect()
+        .map(r => (r.getString(1), r.getTimestamp(0).getTime * 1000L) ->
+          (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(got.keySet == want.keySet,
+        s"row sets diverged: extra=${got.keySet -- want.keySet} missing=${want.keySet -- got.keySet}")
+      got.foreach { case (k, (n, z)) =>
+        val (wn, wz) = want(k)
+        assert(n == wn && math.abs(z - wz) < 1e-6, s"$k: got ($n,$z) want ($wn,$wz)")
+      }
+      assert(got.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val streamed = EventsStream.purchaseClickJoin(
       EventsStream.readEvents(spark, eventsDir))
