@@ -503,6 +503,61 @@ object Relational {
           ((col("n_events") - col("mu")) / col("sigma")).as("zscore"))
     }),
 
+    // Gap-based sessionization: a user's events belong to one session
+    // until a ≥30-minute silence, then session-level rollups (event
+    // count, bounds, duration). The classic formulation — lag → gap
+    // flag → running sum = session id — runs as TWO stacked Window
+    // operators over ONE (user_id, ts-sorted) exchange; the per-session
+    // groupBy then reuses that hash partitioning (user_id is a subset
+    // of the grouping keys, so EnsureRequirements inserts no second
+    // exchange). One shuffle total regardless of history length, and
+    // per-partition state is one row of look-behind — the shape
+    // survives any event volume. The gap rule is `gap ≥ 30 min` starts
+    // a new session, compared in exact integer MICROSECONDS
+    // (`unix_micros`, not truncated seconds) so the boundaries are
+    // bit-identical to Structured Streaming's half-open
+    // `session_window` and the incremental counterpart
+    // (EventsStream.sessionAgg) is anchor-identical — StreamingSpec
+    // pins that replay parity. Ties on ts break by event_id so the
+    // running session numbering is deterministic.
+    "ev_sessions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+        .withColumn("new_s",
+          when(col("gap_us").isNull || col("gap_us") >= 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("session_start"), max("ts").as("session_end"))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("session_start"), col("session_end"),
+          (unix_timestamp(col("session_end")) -
+            unix_timestamp(col("session_start"))).as("duration_s"))
+    }),
+
+    // Event-type transition matrix (first-order path analysis): counts
+    // of consecutive (prev → next) event-type pairs per user timeline.
+    // One lag over the same (user_id, ts, event_id) ordering as
+    // sessionize, then a tiny |types|²-bounded rollup — the second
+    // groupBy's input is already partitioned by user_id but its keys
+    // don't cover it, so this is the one-shuffle-window + one tiny-agg
+    // shape (the agg's partial/final combine contracts to |types|² rows
+    // map-side before the exchange moves anything).
+    "ev_transitions" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n_transitions"))
+    }),
+
     // Same as-of semantics via the custom physical operator
     // (graft.operators.BroadcastAsofJoin: LogicalPlan + Strategy +
     // SparkPlan via SparkSessionExtensions). The dimension-sized right
@@ -792,6 +847,35 @@ object Relational {
         |SELECT hour_ts, event_type, n_events,
         |  (n_events - mu) / sigma AS zscore
         |FROM z WHERE sigma > 0""".stripMargin,
+
+    "ev_sessions" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+        |    AS duration_s
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    "ev_transitions" ->
+      """WITH lagged AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type, count(*) AS n_transitions
+        |FROM lagged WHERE prev_type IS NOT NULL GROUP BY 1, 2""".stripMargin,
 
     "j_asofb_broadcast" ->
       """WITH clicks AS (

@@ -107,6 +107,52 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (w0wk + 1, 2L) -> 1L)) // user 2 active two weeks later
   }
 
+  test("sessionize: >=30min gap starts a session, <30min keeps it, ties are deterministic") {
+    val events = Seq[(Long, java.sql.Timestamp, Long, String)](
+      // user 1: three events 29:59 apart -> ONE session of 3
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 00:29:59"), 1L, "click"),
+      (3L, ts("2024-01-01 00:59:58"), 1L, "view"),
+      // user 2: gap of EXACTLY 1800s -> new session (matches the
+      // half-open streaming session_window; [t, t+30min) excludes t+30min)
+      (4L, ts("2024-01-01 00:00:00"), 2L, "view"),
+      (5L, ts("2024-01-01 00:30:00"), 2L, "view"),
+      // user 3: single event -> one session, zero duration
+      (6L, ts("2024-01-01 12:00:00"), 3L, "purchase"),
+      // user 4: identical timestamps -> one session, event_id tie-break
+      // keeps the numbering deterministic
+      (7L, ts("2024-01-01 08:00:00"), 4L, "view"),
+      (8L, ts("2024-01-01 08:00:00"), 4L, "click"))
+    val got = run("ev_sessions", events)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(5)))
+      .toMap
+    assert(got == Map(
+      (1L, 1L) -> (3L, 3598L),
+      (2L, 1L) -> (1L, 0L), (2L, 2L) -> (1L, 0L),
+      (3L, 1L) -> (1L, 0L),
+      (4L, 1L) -> (2L, 0L)))
+  }
+
+  test("transitions count consecutive same-user pairs only, in timeline order") {
+    val events = Seq[(Long, java.sql.Timestamp, Long, String)](
+      // user 1: view -> click -> view
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 00:10:00"), 1L, "click"),
+      (3L, ts("2024-01-01 00:20:00"), 1L, "view"),
+      // user 2: view -> view; no cross-user pair with user 1's tail
+      (4L, ts("2024-01-01 00:00:00"), 2L, "view"),
+      (5L, ts("2024-01-01 00:05:00"), 2L, "view"),
+      // user 3: single event contributes no transition
+      (6L, ts("2024-01-01 00:00:00"), 3L, "purchase"))
+    val got = run("ev_transitions", events)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("view", "click") -> 1L,
+      ("click", "view") -> 1L,
+      ("view", "view") -> 1L))
+  }
+
   test("split leakage flags exactly the normalized-dup groups that straddle splits") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

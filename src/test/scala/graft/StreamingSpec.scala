@@ -376,4 +376,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(r.getLong(3) >= 1)                            // n_events
     }
   }
+
+  test("streaming session_window replay equals the batch ev_sessionize sessions") {
+    import spark.implicits._
+    // Stage the events plus a far-future sentinel (nonexistent user -1)
+    // written as a SECOND file: the file source replays by mtime, so the
+    // sentinel lands with-or-after the real data, pushes the watermark
+    // past every real event, and the no-data batch then seals and emits
+    // EVERY real session (append-mode session_window only emits a
+    // session once the watermark passes its end).
+    val dir = java.nio.file.Files.createTempDirectory("events_sess_parity")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"${SparkTestSession.sfDir}/events.parquet"),
+      dir.resolve("events.parquet"))
+    val maxTs = Tables.events(spark, SparkTestSession.sfDir)
+      .agg(max("ts")).head().getTimestamp(0)
+    val sentinel = new java.sql.Timestamp(maxTs.getTime + 10L * 86400 * 1000)
+    // the file source does not recurse into nested dirs: stage the
+    // sentinel as a FLAT file (move the part file out of its write dir)
+    val tmp = java.nio.file.Files.createTempDirectory("sess_sentinel")
+    Seq((-1L, sentinel, -1L, "view", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath, dir.resolve("sentinel.parquet"))
+
+    // the sentinel is dropped AFTER collection, not with a .filter inside
+    // the streaming query — a deterministic filter pushes BELOW the
+    // EventTimeWatermark operator, which would exclude the sentinel from
+    // watermark computation and withhold the final hour's sessions
+    val streamed = EventsStream
+      .sessionAgg(EventsStream.readEvents(spark, dir.toString))
+    // java.sql.Timestamp equality includes the nanos field, so these
+    // tuples compare at full microsecond precision — the precision the
+    // anchor-identity claim is about
+    val got = EventsStream.runToMemory(spark, streamed, "session_parity")
+      .collect()
+      .map(r => (r.getLong(2), r.getTimestamp(0), r.getTimestamp(1), r.getLong(3)))
+      .filter(_._1 != -1L)
+      .toSet
+    val want = SparkEntry.queries("ev_sessions")(spark, SparkTestSession.sfDir)
+      .select(col("user_id"), col("session_start"),
+        expr("session_end + INTERVAL 30 MINUTES").as("s_end"), col("n_events"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(want.nonEmpty)
+    assert(got == want,
+      s"session parity diverged: ${(got -- want).take(3)} vs ${(want -- got).take(3)}")
+  }
 }
