@@ -31,6 +31,7 @@ object Plans {
     "ev_retention" -> "cohort retention in ONE user_id shuffle: min week + collect_set in the same partial-aggregated pass (set state bounded by calendar weeks), then a weeks-squared cell rollup — no join-back, no window over raw events",
     "ev_anomaly" -> "rolling z-score anomalies: events CONTRACT to hours x types in one partial-aggregated shuffle, then the trailing-24-row mean/stddev window runs on the tiny aggregate — the raw events are never windowed",
     "ev_sessions" -> "gap sessionization: lag -> flag -> running-sum as stacked Windows over ONE (user_id, ts) exchange, and the per-session groupBy REUSES that hash partitioning (grouping keys are a superset) — one shuffle total, one row of look-behind state",
+    "ev_transitions" -> "event-type transition matrix: one lag Window over the (user_id, ts) exchange, then a |types|^2-bounded rollup whose partial aggregate contracts map-side before the final exchange moves anything",
     "j6b_nearest_centroid_map" -> "nearest-centroid as least + CaseWhen codegen argmin over literal centroids: map-only, fully inside whole-stage codegen, vs the cross-join form's rows x k shuffle",
     "dd_editdist_pairs" -> "fuzzy linkage: Levenshtein verify on DISTINCT names only, matched pairs broadcast back onto ids",
     "sk_bloom_join" -> "Bloom prefilter drops non-matching probe rows before the join shuffle — native might_contain expression inside whole-stage codegen, no scala UDF",

@@ -570,6 +570,13 @@ object PipelineOps {
     "ta_unigram_logprob" -> ((s, d) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")),
 
+    // Bigram-LM fluency score (CCNet-style): mean ln P(w|prev) under the
+    // corpus-trained Laplace-smoothed bigram model. Bigrams built
+    // map-side (zip_with over slices), counts one shuffle, c(v) derived
+    // from the contracted counts.
+    "ta_bigram_logprob" -> ((s, d) =>
+      TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")),
+
     // Rabin-Karp rolling hash over the raw text (native expression).
     "ta_rolling_hash" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
@@ -1179,6 +1186,27 @@ object PipelineOps {
         |         avg(ln(freq * 1.0 / total)) AS avg_logprob
         |  FROM tk JOIN tf USING (tok) CROSS JOIN tot
         |  GROUP BY 1) s ON d.doc_id = s.doc_id""".stripMargin,
+
+    // Same bigram construction (positional pairs over the whitespace
+    // token list), same Laplace arithmetic in double; avg-of-ln ordering
+    // differences wash out at the harness's 6-sig-digit rounding.
+    "ta_bigram_logprob" ->
+      """WITH lt AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
+        |  FROM documents),
+        |ix AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM lt),
+        |bg AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur FROM ix),
+        |cnt AS (SELECT prev, cur, count(*) AS c FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT prev, sum(c) AS cv FROM cnt GROUP BY 1),
+        |v AS (SELECT count(DISTINCT tok) AS vsz
+        |      FROM (SELECT unnest(toks) AS tok FROM lt)),
+        |s AS (
+        |  SELECT doc_id AS sid, count(*) AS n_bigrams,
+        |         avg(ln((c + 1.0) / (cv + vsz))) AS avg_logprob
+        |  FROM bg JOIN cnt USING (prev, cur) JOIN ctx USING (prev) CROSS JOIN v
+        |  GROUP BY 1)
+        |SELECT d.doc_id, coalesce(s.n_bigrams, 0) AS n_bigrams, s.avg_logprob
+        |FROM documents d LEFT JOIN s ON d.doc_id = s.sid""".stripMargin,
 
     // identical counts (ta_token_counts words, ta_sentences segmentation,
     // one vowel-group regexp pass) and the identical left-assoc double

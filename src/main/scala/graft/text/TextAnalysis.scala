@@ -228,6 +228,54 @@ object TextAnalysis {
         col("avg_logprob"))
   }
 
+  /** Bigram-LM average log-probability — the next quality signal up from
+    * [[unigramLogProb]] (the CCNet-style fluency filter): per document,
+    * the mean over its bigrams of `ln P(w | v)` under a corpus-trained
+    * bigram model with Laplace smoothing over the corpus vocabulary,
+    * `P(w | v) = (c(v,w) + 1) / (c(v) + |V|)`. Word-salad text that
+    * passes a unigram filter (common words, nonsense order) scores far
+    * below fluent text here.
+    *
+    * Scale shape: bigrams are built MAP-SIDE by zipping each token array
+    * against its own tail (`zip_with` over two slices — no window, no
+    * self-join, no second exchange per doc); the bigram count table is
+    * one partial-aggregated shuffle on the pair key; the context count
+    * `c(v)` is a second rollup over the already-contracted counts, never
+    * another corpus pass; `|V|` rides as a broadcast single-row cross
+    * join. Scoring equi-joins the doc bigram stream to the counts on the
+    * pair key (shuffle join — the bigram table scales with the corpus,
+    * no broadcast assumption) and contracts back to one row per doc.
+    * Docs with fewer than two tokens get `n_bigrams = 0` and a null
+    * score.
+    */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val withToks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+    val n1 = greatest(size(col("__toks")) - 1, lit(0))
+    val bigrams = withToks
+      .select(col(idCol),
+        explode(zip_with(
+          slice(col("__toks"), lit(1), n1),
+          slice(col("__toks"), lit(2), n1),
+          (a, b) => struct(a.as("prev"), b.as("cur")))).as("__bg"))
+      .select(col(idCol), col("__bg.prev").as("prev"), col("__bg.cur").as("cur"))
+    val cnt = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("__c"))
+    val ctx = cnt.groupBy("prev").agg(sum("__c").as("__cv"))
+    val vocab = withToks.select(explode(col("__toks")).as("tok"))
+      .agg(count_distinct(col("tok")).as("__vsz"))
+    val scored = bigrams
+      .join(cnt, Seq("prev", "cur"))
+      .join(ctx, Seq("prev"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log((col("__c") + lit(1.0)) / (col("__cv") + col("__vsz"))))
+          .as("avg_logprob"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logprob"))
+  }
+
   /** PII patterns for [[redactPii]] — dialect-portable regexes (no word
     * boundaries, no lookaround; character classes and bounded repeats
     * only), so a SQL engine's RE2-style matcher reproduces the exact

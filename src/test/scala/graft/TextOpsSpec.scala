@@ -137,6 +137,27 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.values.flatMap(_._2).forall(_ < 0.0), "log-probs are negative")
   }
 
+  test("bigram log-prob: exact Laplace model on a hand corpus; sub-bigram docs null") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams (a,b) (b,a) (a,b)
+      (2L, "a b c"),   // bigrams (a,b) (b,c)
+      (3L, "x"),       // 1 token: no bigrams
+      (4L, "")         // no tokens
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+    assert(got(3L) == ((0L, None)) && got(4L) == ((0L, None)))
+    // c(a,b)=3 c(b,a)=1 c(b,c)=1; c(a)=3 c(b)=2; V={a,b,c,x} -> 4
+    val pAb = math.log(4.0 / 7) // (3+1)/(3+4)
+    val pBa = math.log(2.0 / 6) // (1+1)/(2+4)
+    val pBc = math.log(2.0 / 6)
+    assert(got(1L)._1 == 3L &&
+      math.abs(got(1L)._2.get - (pAb + pBa + pAb) / 3) < 1e-12, s"got ${got(1L)}")
+    assert(got(2L)._1 == 2L &&
+      math.abs(got(2L)._2.get - (pAb + pBc) / 2) < 1e-12, s"got ${got(2L)}")
+  }
+
   test("sentence stats: segmentation, no-punctuation fallback, empty-doc zeros") {
     val docs = Seq(
       (1L, "one two three. four five! six?"),   // 3 sentences: 3/2/1 tokens
