@@ -156,6 +156,19 @@ object PipelineOps {
       .select(col("query_id"), col("n_results"),
         (col("__matched") >= 2).cast("int").as("recall_ok"))
 
+  /** Build-once EXACT all-points KNN graph — [[Similarity.knnGraph]] at
+    * `nprobe == nlist` (every pair scored once via the cell join, so the
+    * result equals brute force) — the ground truth for `sim_knn_graph`'s
+    * per-point recall contract.
+    */
+  private def exactKnnGraph(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "ivf_exact_knn_graph") {
+      val idx = persistedIvfIndex(s, d)
+      Similarity.knnGraph(idx, Tables.embeddings(s, d), "vec_id", "embedding",
+        k = 5, nprobe = idx.centroids.length)
+        .localCheckpoint(true)
+    }
+
   /** Shingle inverted-index table (distinct (doc, 3-gram) rows) over
     * `documents`, built once per dataset — the last shared dedup
     * materialization to get the index treatment the MinHash/SimHash
@@ -444,6 +457,30 @@ object PipelineOps {
         Similarity.queryIvf(persistedIvfIndex(s, d),
           Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
           "vec_id", "embedding", k = 5, nprobe = 6))),
+
+    // All-points KNN GRAPH through the IVF index (the first stage of
+    // graph-based semantic dedup / clustering): EVERY corpus vector gets
+    // its approximate top-5 cosine neighbors from a 10-of-16-cell probe —
+    // a shuffle cell join (the probe side is the corpus, never broadcast)
+    // with the bounded-heap top_k_by contraction. Declared as its
+    // per-point RECALL against the exact graph (same cell-join machinery
+    // at nprobe == nlist, memoized): the floor is recall >= 2 of 5 for
+    // EVERY point — the sim_ann_ivf floor held corpus-wide, measured
+    // min 3/5 at sf0.01 and 2/5 at sf0.1 on the near-uniform synthetic
+    // embeddings (whose scattered true neighbors are the honest worst
+    // case, not a softball).
+    "sim_knn_graph" -> ((s, d) => {
+      val approx = Similarity.knnGraph(persistedIvfIndex(s, d),
+        Tables.embeddings(s, d), "vec_id", "embedding", k = 5, nprobe = 10)
+      exactKnnGraph(s, d)
+        .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__m")),
+          Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).cast("int").as("n_neighbors"),
+          sum(coalesce(col("__m"), lit(0))).as("__matched"))
+        .select(col("query_id"), col("n_neighbors"),
+          (col("__matched") >= 2).cast("int").as("recall_ok"))
+    }),
 
     // Index-health drift: the mean squared member-to-centroid distance of
     // the live cells vs the build-time value in the metadata sidecar
@@ -988,6 +1025,12 @@ object PipelineOps {
     "sim_ann_ivf" ->
       """SELECT vec_id AS query_id, 5 AS n_results, 1 AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    // The KNN-graph contract: EVERY corpus point has a full top-5
+    // neighbor list and clears the per-point recall floor vs the exact
+    // graph.
+    "sim_knn_graph" ->
+      "SELECT vec_id AS query_id, 5 AS n_neighbors, 1 AS recall_ok FROM embeddings",
 
     // Same contract for the IVFPQ+refine path: full top-5 per query,
     // recall floor held after ADC + exact rerank.

@@ -525,6 +525,44 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine_sim", "rank")
   }
 
+  /** All-points k-nearest-neighbor GRAPH over the corpus through an IVF
+    * index: every corpus vector becomes a query, probed against its
+    * `nprobe` nearest cells. Two deliberate departures from the
+    * query-set path in [[queryIvf]], both load-bearing at scale:
+    *
+    *  - the cell join is a plain SHUFFLE equi-join — the probe side here
+    *    IS the corpus, so the broadcast that makes a query-set probe
+    *    map-only would ship the whole corpus to every executor;
+    *  - the per-point top-k runs as the bounded-heap `top_k_by`
+    *    aggregate, not a rank window: map-side partials contract each
+    *    partition to ≤ k candidates per point before the exchange, so
+    *    shuffle and memory stay k-bounded no matter how large a cell
+    *    gets.
+    *
+    * Pair-scoring cost is corpus × nprobe × avg-cell-size — the standard
+    * IVF KNN-graph bound, never all-pairs. At `nprobe == nlist` the
+    * graph is EXACT (every pair scored once via the cell join), which is
+    * how the recall contract's ground truth is produced. Ranking is
+    * (cosine DESC, neighbor_id ASC), bit-identical to [[queryIvf]].
+    * Output: (query_id, neighbor_id, cosine_sim, rank).
+    */
+  def knnGraph(index: IvfIndex, corpus: DataFrame, idCol: String,
+               vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val qRaw = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qnorm"))
+    val scored = index.cells.join(probeCells(index, qRaw, nprobe), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKBy.topKBy(col("cosine_sim"), col("neighbor_id"),
+        struct(col("neighbor_id"), col("cosine_sim")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.payload.neighbor_id").as("neighbor_id"),
+        col("col.payload.cosine_sim").as("cosine_sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** One-shot IVF approximate top-k: build + query in a single call (no
     * persisted index). Prefer [[buildIvfIndex]]/[[writeIvfIndex]]/
     * [[queryIvf]] when the corpus is served more than once.

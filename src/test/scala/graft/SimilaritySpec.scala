@@ -78,6 +78,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("KNN graph: full probe equals brute force over every point; agrees with queryIvf per nprobe") {
+    val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 8, seed = 42L)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+
+    // every point is a query: at nprobe == nlist the graph is brute force
+    val exact = rows(Similarity.knnGraph(idx, emb, "vec_id", "embedding", k = 5, nprobe = 8))
+    val brute = rows(Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5))
+    assert(exact == brute, "full-probe KNN graph must equal brute force")
+
+    // the shuffle-join graph and the broadcast query-set path see the same
+    // candidates and rank identically at any nprobe
+    val g = rows(Similarity.knnGraph(idx, emb, "vec_id", "embedding", k = 5, nprobe = 3))
+    val q = rows(Similarity.queryIvf(idx, emb, "vec_id", "embedding", k = 5, nprobe = 3))
+    assert(g == q, "knnGraph and queryIvf must agree at the same probe depth")
+  }
+
   test("persisted IVF index: write/read round-trip equals one-shot, scan prunes by cell") {
     val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
     val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
