@@ -459,6 +459,61 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Weighted sparse cosine all-pairs over TF-IDF term vectors — the
+    * lexical near-dup scorer one notch finer than [[jaccardPairs]]
+    * (rare terms weighted up instead of shingle counting): all pairs
+    * with `cos(v_a, v_b) >= threshold`, where
+    * `v_d[t] = tf(d,t) · ln(N / df(t))` over whitespace tokens and
+    * `id_a < id_b`.
+    *
+    * Scale shape — the same posture as [[jaccardPairs]]: candidates come
+    * from the term inverted index (equi-join on an 8-byte xxhash64 term
+    * key, dot products partial-aggregated per pair before the exchange),
+    * NEVER all-pairs. `maxDf` caps the hottest term key before the join
+    * (a term shared by f docs costs f² candidate rows) and the cap is
+    * SYMMETRIC: capped terms leave the dot products and the norms
+    * together, so the score stays a true cosine of the capped vectors.
+    * The weight table feeds three plans (norms + both join sides) and is
+    * materialized once; the pin is released before returning.
+    */
+  def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
+                  threshold: Double = 0.3,
+                  maxDf: Option[Long] = None): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
+    val withDf = tf.withColumn("__df",
+      count(lit(1)).over(Window.partitionBy("term")))
+    val capped = maxDf match {
+      case None => withDf
+      case Some(cap) => withDf.filter(col("__df") <= cap)
+    }
+    val nDocs = docs.select(count(lit(1)).as("__n"))
+    val wts = capped
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), xxhash64(col("term")).as("__t"),
+        (col("__tf") * log(col("__n") / col("__df"))).as("__w"))
+      .localCheckpoint(true)
+    val result = {
+      val norms = wts.groupBy(idCol).agg(sqrt(sum(col("__w") * col("__w"))).as("__nrm"))
+      val a = wts.select(col(idCol).as("id_a"), col("__t"), col("__w").as("__wa"))
+      val b = wts.select(col(idCol).as("id_b"), col("__t"), col("__w").as("__wb"))
+      val dots = a.join(b, "__t")
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(sum(col("__wa") * col("__wb")).as("__dp"))
+      dots
+        .join(norms.withColumnRenamed(idCol, "id_a").withColumnRenamed("__nrm", "__na"), "id_a")
+        .join(norms.withColumnRenamed(idCol, "id_b").withColumnRenamed("__nrm", "__nb"), "id_b")
+        .withColumn("cosine_sim", col("__dp") / (col("__na") * col("__nb")))
+        .filter(col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+        .localCheckpoint(true)
+    }
+    graft.util.Pins.release(wts)
+    result
+  }
+
   /** One MinHash value as a *hex string*: min over shingles of
     * md5(seed_i ++ shingle) truncated to 15 hex chars. Fixed-width hex means
     * lexicographic MIN == numeric MIN, which keeps the whole signature

@@ -282,6 +282,15 @@ object PipelineOps {
       Dedup.jaccardPairsFromShingles(shingleTable(s, d), "doc_id",
         threshold = 0.5, maxDf = Some(50L))),
 
+    // TF-IDF weighted cosine all-pairs (the lexical scorer a notch finer
+    // than Jaccard: rare shared terms count for more). Same capped
+    // inverted-index posture as dd_jaccard_pairs — term-key equi-join,
+    // partial-aggregated dot products, symmetric maxDf cap — never
+    // all-pairs.
+    "dd_cosine_pairs" -> ((s, d) =>
+      Dedup.cosinePairs(Tables.documents(s, d), "doc_id", "text",
+        threshold = 0.3, maxDf = Some(50L))),
+
     // Exact-substring repeated spans (Lee et al. ACL'22 "ExactSubstr",
     // re-expressed on shuffle-partitioned positional k-gram hashes): the
     // maximal cross-document 8-token spans a training pipeline would cut.
@@ -884,6 +893,34 @@ object PipelineOps {
          |  JOIN sizes sa ON sa.doc_id = id_a
          |  JOIN sizes sb ON sb.doc_id = id_b
          |WHERE inter_size * 1.0 / (sa.set_size + sb.set_size - inter_size) >= 0.5""".stripMargin,
+
+    // Same tokenization as ta_token_counts, same symmetric df<=50 cap as
+    // dd_jaccard_pairs; weights and norms in double, 6-sig-digit rounding
+    // absorbs summation-order differences.
+    "dd_cosine_pairs" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tk GROUP BY 1, 2),
+        |fd AS (
+        |  SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df
+        |  FROM tf),
+        |n AS (SELECT count(*) AS nd FROM documents),
+        |wts AS (
+        |  SELECT doc_id, term, tf * ln(nd * 1.0 / df) AS w
+        |  FROM fd CROSS JOIN n
+        |  WHERE df <= 50),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wts GROUP BY 1),
+        |dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dp
+        |  FROM wts a JOIN wts b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, dp / (na.nrm * nb.nrm) AS cosine_sim
+        |FROM dots
+        |  JOIN nrm na ON na.doc_id = id_a
+        |  JOIN nrm nb ON nb.doc_id = id_b
+        |WHERE dp / (na.nrm * nb.nrm) >= 0.3""".stripMargin,
 
     "dd_minhash_sig" -> minhashSigSql,
 

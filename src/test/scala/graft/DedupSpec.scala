@@ -36,6 +36,32 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("cosine pairs: identical docs = 1.0, near dups high, unrelated absent; cap is symmetric") {
+    val pairs = Dedup.cosinePairs(docs, "doc_id", "text", threshold = 0.1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs.keySet.forall { case (a, b) => a < b })
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-12, s"exact dup must score 1.0: $pairs")
+    // TF-IDF downweights the shared common terms and upweights the one
+    // differing rare term, so the near dup lands well below jaccard's
+    // score for the same pair — still clearly separated from unrelated
+    assert(pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 0.99,
+      s"near dup must score mid-range: $pairs")
+    assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L },
+      s"unrelated doc must not pair: $pairs")
+
+    // symmetric cap: at df <= 2 every term shared by docs 1 and 3 is
+    // capped away (df = 3 via the exact dup), so the near-dup pair
+    // vanishes — while the exact-dup pair (1,2) STILL scores exactly 1.0
+    // on its one surviving term ("lazy", df = 2): the cap changes which
+    // terms count, never the cosine identity of equal capped vectors
+    val capped = Dedup.cosinePairs(docs, "doc_id", "text", threshold = 0.1,
+        maxDf = Some(2L))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(!capped.contains((1L, 3L)), s"capped shared terms must drop the pair: $capped")
+    assert(math.abs(capped((1L, 2L)) - 1.0) < 1e-12,
+      s"equal capped vectors still cosine 1.0: $capped")
+  }
+
   test("minhash signatures: identical docs share all hashes; lsh finds dups") {
     val sig = Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8).collect()
       .map(r => r.getLong(0) -> (1 to 8).map(r.getString)).toMap
