@@ -213,6 +213,19 @@ object Soak {
       shape("jaccard_capped_pairs") {
         graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5,
           maxDf = Some(50L))
+      },
+      // Same guard, weighted form: on the dup-heavy corpus every shared
+      // term's df blows past the cap, so the inverted-index join sees
+      // only the sub-cap tail — cost tracks content diversity, not mult²
+      shape("cosine_capped_pairs") {
+        graft.dedup.Dedup.cosinePairs(docs, "doc_id", "text",
+          threshold = 0.3, maxDf = Some(50L))
+      },
+      // Bigram LM over the amplified corpus: counts contract by content
+      // (dup copies multiply counts, not distinct pair keys), the scoring
+      // join scales linearly in corpus bigrams
+      shape("bigram_lm") {
+        graft.text.TextAnalysis.bigramLogProb(docs, "doc_id", "text")
       }
     ) else Seq.empty) ++ (if (soakSets("sim")) {
       val emb = amplify(Tables.embeddings(spark, sfDir), Seq("vec_id"), mult)
@@ -235,6 +248,17 @@ object Soak {
           graft.similarity.Similarity.queryIvf(idx,
             Tables.embeddings(spark, sfDir)
               .filter(pmod(col("vec_id"), lit(1000L)) === 0),
+            "vec_id", "embedding", k = 5, nprobe = 4)
+        },
+        // All-points KNN graph: nlist GROWS with the corpus (bounded
+        // cell size) while nprobe stays fixed, so pair scorings per
+        // point — nprobe × avg cell — are constant and total cost is
+        // linear in points. This is the knob an at-scale graph build
+        // turns; a fixed nlist would quietly go quadratic.
+        shape(s"knn_graph_nlist${16 * mult}") {
+          val idx = graft.similarity.Similarity.buildIvfIndex(
+            emb, "vec_id", "embedding", nlist = 16 * mult)
+          graft.similarity.Similarity.knnGraph(idx, emb,
             "vec_id", "embedding", k = 5, nprobe = 4)
         })
     } else Seq.empty) ++ (if (soakSets("ml")) {
