@@ -491,6 +491,24 @@ object PipelineOps {
           (col("__matched") >= 2).cast("int").as("recall_ok"))
     }),
 
+    // Graph-clustered semantic components: KNN-graph edges above a
+    // cosine threshold → transitive closure — the graph-clustering pass
+    // a semantic dedup / topic-discovery pipeline runs after the graph
+    // build (SemDeDup-adjacent, but neighbor-graph-based). Declared on
+    // the EXACT graph (full probe — bit-equal to brute force, so the
+    // oracle can replay it in SQL); production runs the same composition
+    // on the approximate graph, whose quality sim_knn_graph's recall
+    // contract pins. Closure runs on the thresholded edge set only — a
+    // small fraction of the corpus by construction, like dd_components.
+    "sim_knn_components" -> ((s, d) => {
+      val edges = exactKnnGraph(s, d).filter(col("cosine_sim") >= 0.4)
+        .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+      Dedup.connectedComponents(
+        Tables.embeddings(s, d).select("vec_id"), "vec_id",
+        edges, "id_a", "id_b")
+        .select(col("node").as("vec_id"), col("component"))
+    }),
+
     // Index-health drift: the mean squared member-to-centroid distance of
     // the live cells vs the build-time value in the metadata sidecar
     // (appendToIvfIndex never refits — drift is THE signal that recall
@@ -617,9 +635,9 @@ object PipelineOps {
       TextAnalysis.unigramLogProb(Tables.documents(s, d), "doc_id", "text")),
 
     // Bigram-LM fluency score (CCNet-style): mean ln P(w|prev) under the
-    // corpus-trained Laplace-smoothed bigram model. Bigrams built
-    // map-side (zip_with over slices), counts one shuffle, c(v) derived
-    // from the contracted counts.
+    // corpus-trained Laplace-smoothed bigram model. Bigrams map-side
+    // (codegen arrays_zip over slices), counts one shuffle, c(v)
+    // derived from the contracted counts.
     "ta_bigram_logprob" -> ((s, d) =>
       TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")),
 
@@ -1068,6 +1086,38 @@ object PipelineOps {
     // graph.
     "sim_knn_graph" ->
       "SELECT vec_id AS query_id, 5 AS n_neighbors, 1 AS recall_ok FROM embeddings",
+
+    // Exact KNN-graph edges (brute-force top-5 with cosine >= 0.4,
+    // replayed flat) symmetrized, then the same recursive min-label
+    // closure as dd_components.
+    "sim_knn_components" ->
+      s"""WITH RECURSIVE cand AS (
+         |WITH flat AS ($flatEmbSql),
+         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+         |dots AS (
+         |  SELECT a.vec_id AS qid, b.vec_id AS nid, sum(a.x * b.x) AS dp
+         |  FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id <> b.vec_id
+         |  GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT qid, nid, dp / (na.nrm * nb.nrm) AS cs
+         |  FROM dots
+         |    JOIN norms na ON na.vec_id = qid
+         |    JOIN norms nb ON nb.vec_id = nid),
+         |top AS (
+         |  SELECT qid, nid, cs,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid ASC) AS rk
+         |  FROM scored)
+         |SELECT DISTINCT least(qid, nid) AS id_a, greatest(qid, nid) AS id_b
+         |FROM top WHERE rk <= 5 AND cs >= 0.4),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cand
+         |  UNION SELECT id_b, id_a FROM cand),
+         |reach(node, root) AS (
+         |  SELECT vec_id, vec_id FROM embeddings
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
+         |SELECT node AS vec_id, min(root) AS component
+         |FROM reach GROUP BY 1""".stripMargin,
 
     // Same contract for the IVFPQ+refine path: full top-5 per query,
     // recall floor held after ADC + exact rerank.

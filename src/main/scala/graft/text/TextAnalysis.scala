@@ -236,10 +236,14 @@ object TextAnalysis {
     * passes a unigram filter (common words, nonsense order) scores far
     * below fluent text here.
     *
-    * Scale shape: bigrams are built MAP-SIDE by zipping each token array
-    * against its own tail (`zip_with` over two slices — no window, no
-    * self-join, no second exchange per doc); the bigram count table is
-    * one partial-aggregated shuffle on the pair key; the context count
+    * Scale shape: bigrams are built MAP-SIDE by zipping each token
+    * array against its own tail — `arrays_zip` over two slices, a plain
+    * codegen expression (NOT a zip_with lambda, which evaluates
+    * interpreted per row and is banned from hot paths by PlanSpec's
+    * fleet-wide net; and NOT the posexplode+lead window shape, whose
+    * per-token doc-id sort shuffle dominated the 100x soak at 55 s vs
+    * 22 s for the map form). The bigram count table is one
+    * partial-aggregated shuffle on the pair key; the context count
     * `c(v)` is a second rollup over the already-contracted counts, never
     * another corpus pass; `|V|` rides as a broadcast single-row cross
     * join. Scoring equi-joins the doc bigram stream to the counts on the
@@ -253,11 +257,12 @@ object TextAnalysis {
     val n1 = greatest(size(col("__toks")) - 1, lit(0))
     val bigrams = withToks
       .select(col(idCol),
-        explode(zip_with(
+        explode(arrays_zip(
           slice(col("__toks"), lit(1), n1),
-          slice(col("__toks"), lit(2), n1),
-          (a, b) => struct(a.as("prev"), b.as("cur")))).as("__bg"))
-      .select(col(idCol), col("__bg.prev").as("prev"), col("__bg.cur").as("cur"))
+          slice(col("__toks"), lit(2), n1))).as("__bg"))
+      .select(col(idCol),
+        col("__bg").getField("0").as("prev"),
+        col("__bg").getField("1").as("cur"))
     val cnt = bigrams.groupBy("prev", "cur").agg(count(lit(1)).as("__c"))
     val ctx = cnt.groupBy("prev").agg(sum("__c").as("__cv"))
     val vocab = withToks.select(explode(col("__toks")).as("tok"))

@@ -29,7 +29,8 @@ class EmptyInputSpec extends AnyFunSuite {
     "ml_doc_clusters", "ml_kmeans_assign", "ml_kmeans_cosine_sizes",
     "ml_lloyd_losses", "sim_ann_ivf",
     // route through the persisted IVF index (a k-means fit needs rows)
-    "sim_topk", "sim_ann_ivfpq", "sim_radius", "sim_ivf_drift")
+    "sim_topk", "sim_ann_ivfpq", "sim_radius", "sim_ivf_drift",
+    "sim_knn_graph", "sim_knn_components")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (n, _) => requiresData(n) }
