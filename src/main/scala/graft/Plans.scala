@@ -25,6 +25,8 @@ object Plans {
     "sim_near_dup" -> "SRP-LSH: bucket equi-join + exact in-bucket cosine verify (native vec_dot) — no cross join at any scale",
     "sim_ann_ivf" -> "recall check over the persisted cell-partitioned IVF index: broadcast probe equi-join (nprobe/nlist of the scan), joined against the memoized exact result — no per-call refit, no cross join",
     "dd_jaccard_pairs" -> "inverted-index shingle self-join with the hot-shingle maxDf cap (bounds the worst join key)",
+    "dd_cosine_pairs" -> "TF-IDF weighted cosine pairs through the SAME capped inverted index: 8-byte hashed term keys, dot products partial-aggregated per pair before the exchange, symmetric df cap — never all-pairs",
+    "sim_knn_graph" -> "all-points KNN graph: SHUFFLE cell equi-join (the probe side is the corpus — never broadcast, unlike the query-set path) + bounded-heap top_k_by contraction (map-side partials cap each partition at k candidates per point)",
     "tp_hash_split" -> "pure map: deterministic split, no exchange at any scale",
     "ev_asof_tolerance" -> "point-in-time feature join: as-of pick + staleness bound as a post-pick projection — same one-shuffle union+window plan as j_asof, ts predicate pushable to the native-timestamp scan",
     "tp_split_leakage" -> "cross-split leakage audit: ONE content-hash window over the hash group (scales like exact dedup) — never a pair self-join",
