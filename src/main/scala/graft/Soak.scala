@@ -278,6 +278,14 @@ object Soak {
         shape("lloyd_loop") {
           graft.cluster.Clustering
             .lloydLoop(spark, feats, "vec_id", k = 4, maxIter = 3).assignments
+        },
+        // PCA fit + project: one Gramian treeAggregate pass (driver
+        // state dim², corpus-independent) + a map-side codegen
+        // projection — per-row cost must stay flat as rows grow
+        shape("pca_fit_project") {
+          val m = graft.cluster.Pca.fit(emb, "embedding", k = 5)
+          graft.cluster.Pca.project(emb, "embedding", m)
+            .select(col("vec_id"), col("projection"))
         })
     } else Seq.empty) ++ (if (soakSets("pq")) {
       val emb = amplify(Tables.embeddings(spark, sfDir), Seq("vec_id"), mult)

@@ -108,7 +108,61 @@ object MlOps {
   private def sqDist(a: Column, b: Column): Column =
     graft.functions.VectorExprs.sqdist(a, b)
 
+  /** Build-once PCA model over `embeddings` (k = 5 of 64, seedless —
+    * the fit is one deterministic Gramian pass + a driver-side
+    * eigendecomposition; see [[graft.cluster.Pca]]).
+    */
+  private def pcaModel(s: SparkSession, d: String): graft.cluster.Pca.PcaModel =
+    pcaMemo
+      .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(d,
+        graft.cluster.Pca.fit(Tables.embeddings(s, d), "embedding", k = 5))
+
+  private val pcaMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, graft.cluster.Pca.PcaModel]]())
+
   val queries: Map[String, Q] = Map(
+    // PCA projection, declared as its per-row Bessel/Pythagoras
+    // contract: for an orthonormal projection onto k components,
+    // Σ y_j² can never exceed ‖x − μ‖² (equality iff k = dim). A wrong
+    // mean, a non-orthonormal basis, or a broken dot kernel violates it
+    // on most rows. The projection itself is map-side codegen — one
+    // vec_dot per component with the basis constant-folded as literals
+    // and the mean shift folded to one scalar per component; no
+    // centered intermediate array, no shuffle after the one-pass fit.
+    "ml_pca_project" -> ((s, d) => {
+      val m = pcaModel(s, d)
+      val proj = graft.cluster.Pca.project(Tables.embeddings(s, d), "embedding", m)
+      val projSq = graft.functions.VectorExprs.dot(col("projection"), col("projection"))
+      val cenSq = graft.cluster.Pca.centeredSqNorm("embedding", m)
+      proj.select(col("vec_id"), lit(m.k).as("k"),
+        (cenSq - projSq >= lit(-1e-6)).cast("int").as("proj_ok"))
+    }),
+
+    // The fit's variance accounting, checked against the DATA it claims
+    // to describe: the empirical per-component variance ratios of the
+    // projected corpus (Σ y_j² over Σ ‖x − μ‖², one aggregation job)
+    // must equal the model's eigen-derived ratios and be descending.
+    "ml_pca_variance" -> ((s, d) => {
+      import s.implicits._
+      val m = pcaModel(s, d)
+      val proj = graft.cluster.Pca.project(Tables.embeddings(s, d), "embedding", m)
+      val aggs = (0 until m.k).map(j =>
+        sum(col("projection")(j) * col("projection")(j)).as(s"__s$j"))
+      val totAgg = sum(graft.cluster.Pca.centeredSqNorm("embedding", m)).as("__tot")
+      val row = proj.agg(aggs.head, (aggs.tail :+ totAgg): _*).head()
+      val sums = (0 until m.k).map(row.getDouble)
+      val tot = row.getDouble(m.k)
+      val ratiosMatch = sums.zipWithIndex.forall { case (sj, j) =>
+        math.abs(sj / tot - m.varianceRatio(j)) < 1e-6
+      }
+      val descending = m.varianceRatio.zip(m.varianceRatio.drop(1))
+        .forall { case (a, b) => a >= b - 1e-12 }
+      Seq((m.k, if (ratiosMatch) 1 else 0, if (descending) 1 else 0))
+        .toDF("k", "ratios_match", "ratios_descending")
+    }),
+
     // M3/M7: MLlib K-Means (euclidean, k-means|| init) on embeddings,
     // declared as its nearest-center invariant: every vector must be
     // assigned to its closest center — hash-checked, not rows-only.
@@ -377,6 +431,15 @@ object MlOps {
     // vector to its closest center
     "ml_kmeans_assign" ->
       "SELECT vec_id, 1 AS is_nearest FROM embeddings",
+
+    // per-row Bessel/Pythagoras contract of the orthonormal projection
+    "ml_pca_project" ->
+      "SELECT vec_id, 5 AS k, 1 AS proj_ok FROM embeddings",
+
+    // the fit's eigen-derived variance ratios must equal the projected
+    // corpus's empirical ratios, in descending order
+    "ml_pca_variance" ->
+      "SELECT 5 AS k, 1 AS ratios_match, 1 AS ratios_descending",
 
     // structural contract: exactly k=5 non-empty clusters partitioning
     // every input row

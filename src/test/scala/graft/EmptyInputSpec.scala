@@ -30,7 +30,9 @@ class EmptyInputSpec extends AnyFunSuite {
     "ml_lloyd_losses", "sim_ann_ivf",
     // route through the persisted IVF index (a k-means fit needs rows)
     "sim_topk", "sim_ann_ivfpq", "sim_radius", "sim_ivf_drift",
-    "sim_knn_graph", "sim_knn_components")
+    "sim_knn_graph", "sim_knn_components",
+    // PCA's Gramian pass needs rows (no covariance of nothing)
+    "ml_pca_project", "ml_pca_variance")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (n, _) => requiresData(n) }
