@@ -31,12 +31,14 @@ import graft.functions.VectorExprs
 object Pca {
 
   /** k components (rows, sign-normalized, orthonormal), their explained
-    * variance RATIOS (descending, fractions of total variance), and the
-    * column mean — all driver-sized.
+    * variance RATIOS (descending, fractions of total variance), their
+    * absolute sample variances (the eigenvalues — what whitening divides
+    * by), and the column mean — all driver-sized.
     */
   case class PcaModel(dim: Int, k: Int, mean: Array[Double],
                       components: Array[Array[Double]],
-                      varianceRatio: Array[Double])
+                      varianceRatio: Array[Double],
+                      variance: Array[Double])
 
   def fit(emb: DataFrame, vecCol: String, k: Int): PcaModel = {
     import org.apache.spark.mllib.linalg.{Vectors => MlVectors}
@@ -45,14 +47,19 @@ object Pca {
       .map(r => MlVectors.dense(r.getSeq[Double](0).toArray))
     val mat = new RowMatrix(rows)
     val dim = mat.numCols().toInt
-    val mean = mat.computeColumnSummaryStatistics().mean.toArray
+    val stats = mat.computeColumnSummaryStatistics()
+    val mean = stats.mean.toArray
+    // total sample variance = trace of the covariance = Σ eigenvalues,
+    // so λ_j recovers from the ratio without a second distributed pass
+    val totalVar = stats.variance.toArray.sum
     val (pc, ratios) = mat.computePrincipalComponentsAndExplainedVariance(k)
     val comps = Array.tabulate(k) { j =>
       val c = Array.tabulate(dim)(i => pc(i, j))
       val m = c.indices.maxBy(i => math.abs(c(i)))
       if (c(m) < 0) c.map(x => -x) else c
     }
-    PcaModel(dim, k, mean, comps, ratios.toArray)
+    PcaModel(dim, k, mean, comps, ratios.toArray,
+      ratios.toArray.map(_ * totalVar))
   }
 
   /** Adds `projection` (array<double> of k coordinates) next to the
@@ -67,6 +74,24 @@ object Pca {
       VectorExprs.dot(col(vecCol), compLit) - lit(meanDot)
     }
     emb.withColumn("projection", array(coords.toSeq: _*))
+  }
+
+  /** Whitened projection — PCA coordinates scaled to unit sample
+    * variance (`y_j / √λ_j`, the OPQ/whitening step run before product
+    * quantization or isotropic clustering): the per-component divisor
+    * folds into the same constant-per-coordinate algebra as the mean
+    * shift, so this is exactly [[project]]'s codegen map with different
+    * literals. A degenerate component (λ ≈ 0: corpus rank below k)
+    * whitens to 0 rather than blowing up.
+    */
+  def whiten(emb: DataFrame, vecCol: String, model: PcaModel): DataFrame = {
+    val coords = model.components.zip(model.variance).map { case (c, v) =>
+      val scale = if (v > 1e-12) 1.0 / math.sqrt(v) else 0.0
+      val compLit = array(c.map(x => lit(x * scale)).toSeq: _*)
+      val meanDot = c.zip(model.mean).map { case (a, b) => a * b }.sum * scale
+      VectorExprs.dot(col(vecCol), compLit) - lit(meanDot)
+    }
+    emb.withColumn("whitened", array(coords.toSeq: _*))
   }
 
   /** ‖x − μ‖² as codegen scalar algebra: ‖x‖² − 2⟨x, μ⟩ + ‖μ‖² — no

@@ -140,6 +140,21 @@ object MlOps {
         (cenSq - projSq >= lit(-1e-6)).cast("int").as("proj_ok"))
     }),
 
+    // Whitening (the OPQ/whitening stage before PQ or isotropic
+    // clustering), declared as ITS defining contract: every whitened
+    // coordinate has unit sample variance over the corpus — checked
+    // empirically with var_samp in one aggregation job.
+    "ml_pca_whiten" -> ((s, d) => {
+      import s.implicits._
+      val m = pcaModel(s, d)
+      val w = graft.cluster.Pca.whiten(Tables.embeddings(s, d), "embedding", m)
+      val aggs = (0 until m.k).map(j =>
+        var_samp(col("whitened")(j)).as(s"__v$j"))
+      val row = w.agg(aggs.head, aggs.tail: _*).head()
+      val unitOk = (0 until m.k).forall(j => math.abs(row.getDouble(j) - 1.0) < 1e-6)
+      Seq((m.k, if (unitOk) 1 else 0)).toDF("k", "unit_variance_ok")
+    }),
+
     // The fit's variance accounting, checked against the DATA it claims
     // to describe: the empirical per-component variance ratios of the
     // projected corpus (Σ y_j² over Σ ‖x − μ‖², one aggregation job)
@@ -440,6 +455,10 @@ object MlOps {
     // corpus's empirical ratios, in descending order
     "ml_pca_variance" ->
       "SELECT 5 AS k, 1 AS ratios_match, 1 AS ratios_descending",
+
+    // whitening's defining contract: unit sample variance per coordinate
+    "ml_pca_whiten" ->
+      "SELECT 5 AS k, 1 AS unit_variance_ok",
 
     // structural contract: exactly k=5 non-empty clusters partitioning
     // every input row

@@ -32,7 +32,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "sim_topk", "sim_ann_ivfpq", "sim_radius", "sim_ivf_drift",
     "sim_knn_graph", "sim_knn_components",
     // PCA's Gramian pass needs rows (no covariance of nothing)
-    "ml_pca_project", "ml_pca_variance")
+    "ml_pca_project", "ml_pca_variance", "ml_pca_whiten")
 
   SparkEntry.queries.toSeq.sortBy(_._1)
     .filterNot { case (n, _) => requiresData(n) }

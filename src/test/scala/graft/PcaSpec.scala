@@ -64,6 +64,31 @@ class PcaSpec extends AnyFunSuite {
     assert(worstFull < 1e-4, s"full-rank projection must preserve the norm: $worstFull")
   }
 
+  test("whitening: unit sample variance and zero mean per coordinate; scales recover λ") {
+    val m = Pca.fit(emb, "embedding", k = 4)
+    val w = Pca.whiten(emb, "embedding", m)
+    val aggs = (0 until m.k).flatMap(j => Seq(
+      var_samp(col("whitened")(j)).as(s"v$j"), avg(col("whitened")(j)).as(s"m$j")))
+    val row = w.agg(aggs.head, aggs.tail: _*).head()
+    (0 until m.k).foreach { j =>
+      assert(math.abs(row.getDouble(2 * j) - 1.0) < 1e-6,
+        s"coordinate $j variance ${row.getDouble(2 * j)}")
+      assert(math.abs(row.getDouble(2 * j + 1)) < 1e-6,
+        s"coordinate $j mean ${row.getDouble(2 * j + 1)}")
+    }
+    // whiten == project scaled by 1/sqrt(λ): the two maps must agree
+    val p = Pca.project(emb, "embedding", m)
+      .select(col("vec_id"), col("projection")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    Pca.whiten(emb, "embedding", m).select(col("vec_id"), col("whitened"))
+      .collect().foreach { r =>
+        val ys = p(r.getLong(0)); val ws = r.getSeq[Double](1)
+        (0 until m.k).foreach { j =>
+          assert(math.abs(ws(j) - ys(j) / math.sqrt(m.variance(j))) < 1e-9)
+        }
+      }
+  }
+
   test("empirical variance of the projected corpus matches the eigen-derived ratios") {
     val m = Pca.fit(emb, "embedding", k = 5)
     val proj = Pca.project(emb, "embedding", m)
