@@ -393,6 +393,64 @@ object EventsStream {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  final case class TransEvent(user_id: Long, tsMicros: Long, event_id: Long,
+                              event_type: String)
+  final case class TransState(lastTs: Long, lastId: Long, lastType: String)
+  final case class Transition(user_id: Long, prev_type: String, event_type: String)
+
+  /** Incremental first-order transition tracking — the streaming
+    * counterpart of the batch `ev_transitions` lag: per user, each
+    * arriving event emits one (prev_type → event_type) step against the
+    * remembered last event, then becomes the new last event. State is
+    * ONE (ts, id, type) triple per user; the |types|²-bounded matrix is
+    * a downstream rollup over the emitted steps.
+    *
+    * CONTRACT: the same per-user event-time-ordered delivery the
+    * documented [[FunnelProcessor]] posture assumes — rows sort within
+    * each microbatch on (ts, event_id), the batch query's exact lag
+    * ordering, so a full replay's emitted steps equal the batch lag
+    * pairs row for row; `StreamingSpec` pins the aggregated-matrix
+    * equality.
+    */
+  class TransitionProcessor
+      extends StatefulProcessor[Long, TransEvent, Transition] {
+    @transient private var st: ValueState[TransState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[TransState]("last_event",
+        Encoders.product[TransState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[TransEvent],
+                                 timerValues: TimerValues): Iterator[Transition] = {
+      var s = Option(st.get()).orNull
+      val out = Seq.newBuilder[Transition]
+      rows.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+        if (s != null) out += Transition(key, s.lastType, e.event_type)
+        s = TransState(e.tsMicros, e.event_id, e.event_type)
+      }
+      st.update(s)
+      out.result().iterator
+    }
+  }
+
+  /** The streaming transition stream (one row per consecutive event
+    * pair per user). Compose `.groupBy("prev_type", "event_type").count()`
+    * downstream for the live matrix. Requires the RocksDB state store
+    * provider like the other transformWithState processors.
+    */
+  def streamingTransitions(events: DataFrame): Dataset[Transition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("tsMicros"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[TransEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new TransitionProcessor(),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Input/state/output rows for the streaming anomaly detector. */
   final case class HourlyCount(event_type: String, wStartMicros: Long, n: Long)
   final case class HistPoint(w: Long, n: Long)

@@ -186,6 +186,29 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming transitions replay equals the batch ev_transitions matrix (RocksDB store)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = EventsStream.streamingTransitions(
+        EventsStream.readEvents(spark, eventsDir))
+      val got = EventsStream.runToMemory(spark, streamed.toDF(), "trans_tws")
+        .groupBy("prev_type", "event_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = SparkEntry.queries("ev_transitions")(spark, SparkTestSession.sfDir)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == want, s"transition replay diverged")
+      assert(got.values.sum > 0)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming retention replay equals the batch ev_retention matrix (RocksDB store)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
