@@ -479,6 +479,26 @@ object SqlSurface {
         .select("doc_id", "lang")
     }),
 
+    // Training-pipeline: deterministic weighted sampling WITHOUT
+    // replacement (Efraimidis–Spirakis A-Res): inclusion probability
+    // proportional to weight (doc length here — any quality score
+    // works), via per-doc key ln(u)/w with u a deterministic uniform
+    // from the engine-portable rolling hash — no RNG, reproducible
+    // across engines, runs, and repartitioning. The top-n by key is a
+    // k-bounded TakeOrdered (partial top-n per partition), never a
+    // global sort materialization — the corpus-subsampling shape that
+    // holds at 100 TB.
+    "tp_weighted_sample" -> ((s, d) => {
+      val m = 1000000007L
+      val u = (graft.functions.TextExprs.rollingHash(col("text")).cast("double")
+        + 0.5) / m.toDouble
+      val w = greatest(col("n_chars"), lit(1L)).cast("double")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), (log(u) / w).as("es_key"))
+        .orderBy(desc("es_key"), asc("doc_id"))
+        .limit(200)
+    }),
+
     // Training-pipeline: next-fit sequence packing — documents assigned
     // to fixed-token-budget bins by a running token count, packed per
     // shard (window partitions by shard, never a global OVER (): packing
@@ -762,6 +782,18 @@ object SqlSurface {
            FROM documents) t
          WHERE h < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 8000
                              WHEN 'fr' THEN 7500 ELSE 10000 END""",
+
+    // same rolling hash -> uniform in (0,1) -> ln(u)/w A-Res key; the
+    // top-200 set is deterministic so the oracle replays it exactly
+    "tp_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+           ln((rhash + 0.5) / 1000000007.0) / greatest(n_chars, 1) AS es_key
+         FROM (SELECT doc_id, n_chars, list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
+           FROM documents) t
+         ORDER BY es_key DESC, doc_id LIMIT 200""",
 
     "tp_chunk" ->
       """WITH t AS (

@@ -19,6 +19,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(total == Tables.customer(spark, d).count())
   }
 
+  test("tp_weighted_sample: deterministic A-Res keys, negative, capped at n") {
+    val r1 = SqlSurface.queries("tp_weighted_sample")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val r2 = SqlSurface.queries("tp_weighted_sample")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(r1.toSeq == r2.toSeq, "no RNG: identical runs must agree exactly")
+    assert(r1.forall(_._2 < 0.0), "ln(u)/w keys are strictly negative")
+    val nDocs = Tables.documents(spark, d).count()
+    assert(r1.length == math.min(200L, nDocs).toInt)
+  }
+
   test("deterministicShuffle: total order is seeded, permutes, and is append-stable") {
     import spark.implicits._
     val docs = (0L until 200L).toDF("doc_id")
