@@ -540,6 +540,36 @@ object Relational {
             unix_timestamp(col("session_start"))).as("duration_s"))
     }),
 
+    // Top user journeys (whole-path analysis, the product-analytics
+    // counterpart of the first-order ev_transitions): per session, the
+    // '>'-joined ordered event-type sequence, then the 20 most common
+    // paths. The sessionization windows and the per-session path build
+    // all ride ONE (user_id, ts) exchange (the groupBy's keys are a
+    // superset of the window partitioning); the path rollup contracts
+    // map-side before its exchange and the top-20 is a k-bounded
+    // TakeOrdered. Per-session collect_list state is bounded by session
+    // length (the 30-min gap seals a session), the same bounded-state
+    // posture as ev_retention's calendar-bounded collect_set.
+    "ev_session_paths" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+        .withColumn("new_s",
+          when(col("gap_us").isNull || col("gap_us") >= 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum("new_s").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(concat_ws(">",
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type"))))
+            .getField("event_type")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), asc("path"))
+        .limit(20)
+    }),
+
     // Event-type transition matrix (first-order path analysis): counts
     // of consecutive (prev → next) event-type pairs per user timeline.
     // One lag over the same (user_id, ts, event_id) ordering as
@@ -867,6 +897,28 @@ object Relational {
         |  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
         |    AS duration_s
         |FROM sess GROUP BY 1, 2""".stripMargin,
+
+    // same session boundaries as ev_sessions; the ordered string_agg is
+    // the path; top-20 by (count DESC, path ASC) is a total order
+    "ev_session_paths" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
 
     "ev_transitions" ->
       """WITH lagged AS (

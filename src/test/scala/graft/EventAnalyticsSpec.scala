@@ -153,6 +153,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("view", "view") -> 1L))
   }
 
+  test("session paths: per-session ordered journeys, counted and top-k'd with a total tiebreak") {
+    val events = Seq[(Long, java.sql.Timestamp, Long, String)](
+      // user 1, one session: view > click > purchase
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 00:10:00"), 1L, "click"),
+      (3L, ts("2024-01-01 00:20:00"), 1L, "purchase"),
+      // user 1, SECOND session after a 31-min gap: view > click > purchase again
+      (4L, ts("2024-01-01 01:00:00"), 1L, "view"),
+      (5L, ts("2024-01-01 01:01:00"), 1L, "click"),
+      (6L, ts("2024-01-01 01:02:00"), 1L, "purchase"),
+      // user 2, one session: view > view
+      (7L, ts("2024-01-01 00:00:00"), 2L, "view"),
+      (8L, ts("2024-01-01 00:05:00"), 2L, "view"),
+      // user 3: identical timestamps -> event_id orders the path
+      (9L, ts("2024-01-01 02:00:00"), 3L, "click"),
+      (10L, ts("2024-01-01 02:00:00"), 3L, "view"))
+    val got = run("ev_session_paths", events)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "view>click>purchase" -> 2L,
+      "view>view" -> 1L,
+      "click>view" -> 1L), s"got $got")
+  }
+
   test("split leakage flags exactly the normalized-dup groups that straddle splits") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
