@@ -134,6 +134,27 @@ object Soak {
             .when(col("v").isNotNull, 1).otherwise(0)).as("funnel_stage"))
           .groupBy("funnel_stage").agg(count(lit(1)).as("n_users"))
       },
+      // session paths on the amplified events: amplification adds USERS
+      // (disjoint key ranges), per-user history — and so per-session
+      // collect_list state — stays bounded; both groupBys ride the one
+      // user_id exchange / contract map-side
+      shape("session_paths") {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("gap_us",
+            unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+          .withColumn("new_s",
+            when(col("gap_us").isNull || col("gap_us") >= 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(concat_ws(">", array_sort(
+            collect_list(struct(col("ts"), col("event_id"), col("event_type"))))
+            .getField("event_type")).as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+          .orderBy(desc("n_sessions"), asc("path")).limit(20)
+      },
       // cohort retention on the amplified events: the one-shuffle
       // min + collect_set pass — set state bounded by calendar weeks
       // regardless of event volume
