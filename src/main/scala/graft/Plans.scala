@@ -34,6 +34,8 @@ object Plans {
     "ev_anomaly" -> "rolling z-score anomalies: events CONTRACT to hours x types in one partial-aggregated shuffle, then the trailing-24-row mean/stddev window runs on the tiny aggregate — the raw events are never windowed",
     "ev_sessions" -> "gap sessionization: lag -> flag -> running-sum as stacked Windows over ONE (user_id, ts) exchange, and the per-session groupBy REUSES that hash partitioning (grouping keys are a superset) — one shuffle total, one row of look-behind state",
     "ev_transitions" -> "event-type transition matrix: one lag Window over the (user_id, ts) exchange, then a |types|^2-bounded rollup whose partial aggregate contracts map-side before the final exchange moves anything",
+    "ev_session_paths" -> "top user journeys: sessionization windows + per-session path build all on ONE (user_id, ts) exchange, path rollup contracting map-side, top-20 as TakeOrderedAndProject",
+    "tp_weighted_sample" -> "deterministic Efraimidis-Spirakis weighted sampling: ln(u)/w keys from the engine-portable rolling hash, all map-side codegen, top-n as TakeOrderedAndProject — no RNG, no global sort materialization",
     "j6b_nearest_centroid_map" -> "nearest-centroid as least + CaseWhen codegen argmin over literal centroids: map-only, fully inside whole-stage codegen, vs the cross-join form's rows x k shuffle",
     "dd_editdist_pairs" -> "fuzzy linkage: Levenshtein verify on DISTINCT names only, matched pairs broadcast back onto ids",
     "sk_bloom_join" -> "Bloom prefilter drops non-matching probe rows before the join shuffle — native might_contain expression inside whole-stage codegen, no scala UDF",
