@@ -428,7 +428,9 @@ object EventsStream {
         if (s != null) out += Transition(key, s.lastType, e.event_type)
         s = TransState(e.tsMicros, e.event_id, e.event_type)
       }
-      st.update(s)
+      // an empty row batch for a key leaves state untouched (never
+      // clobber the remembered last event with null)
+      if (s != null) st.update(s)
       out.result().iterator
     }
   }
