@@ -281,6 +281,21 @@ object Soak {
             emb, "vec_id", "embedding", nlist = 16 * mult)
           graft.similarity.Similarity.knnGraph(idx, emb,
             "vec_id", "embedding", k = 5, nprobe = 4)
+        },
+        // the SERVING split of the same row: fit + cell materialization
+        // run OUTSIDE the timed region (the persisted-index path), so
+        // this measures the graph pass alone — the recurring cost per
+        // graph rebuild once the index is built
+        {
+          val idx = graft.similarity.Similarity.buildIvfIndex(
+            emb, "vec_id", "embedding", nlist = 16 * mult)
+          val served = idx.copy(cells = idx.cells.localCheckpoint(true))
+          val r = shape("knn_graph_probe_only") {
+            graft.similarity.Similarity.knnGraph(served, emb,
+              "vec_id", "embedding", k = 5, nprobe = 4)
+          }
+          graft.util.Pins.release(served.cells)
+          r
         })
     } else Seq.empty) ++ (if (soakSets("ml")) {
       val emb = amplify(Tables.embeddings(spark, sfDir), Seq("vec_id"), mult)
