@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{MlOps, PipelineOps, Relational, SqlSurface, TextPipeline}
+import graft.queries.{GraphOps, MlOps, PipelineOps, Relational, SqlSurface, TextPipeline}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +20,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextPipeline.queries ++ PipelineOps.queries ++
-      MlOps.queries ++ SqlSurface.queries
+      MlOps.queries ++ SqlSurface.queries ++ GraphOps.queries
 
   /** DuckDB-equivalent SQL for every SQL-expressible query above. */
   def oracleSql: Map[String, String] =
     Relational.oracle ++ TextPipeline.oracle ++ PipelineOps.oracle ++
-      MlOps.oracle ++ SqlSurface.oracle
+      MlOps.oracle ++ SqlSurface.oracle ++ GraphOps.oracle
 }

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.queries.GraphOps
+
+/** PageRank invariants + a hand-computed fixture. The DuckDB oracle proves
+  * engine parity of g_pagerank on the shared testdata; these pin the
+  * algorithm's semantics: mass conservation, the teleport floor, dangling
+  * redistribution, and the closed-form two-node answer.
+  */
+class GraphOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def edges(rows: Seq[(Int, Int, Long)]) = {
+    import spark.implicits._
+    rows.toDF("src", "dst", "w")
+  }
+
+  private def ranks(rows: Seq[(Int, Int, Long)], iters: Int = 5,
+                    damping: Double = 0.85): Map[Int, Double] =
+    GraphOps.pageRank(edges(rows), "src", "dst", "w", iters, damping)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+  test("rank mass is conserved and every node clears the teleport floor") {
+    // 4 nodes, node 3 dangling (no out-edges).
+    val r = ranks(Seq((0, 1, 2L), (0, 2, 1L), (1, 2, 1L), (2, 3, 1L)))
+    assert(r.size == 4)
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+    val floor = (1.0 - 0.85) / 4
+    r.values.foreach(v => assert(v >= floor - 1e-12))
+    // 3 is the sink fed by everything through 2 -> it outranks sources.
+    assert(r(3) > r(0))
+  }
+
+  test("two-node cycle converges to the uniform fixpoint") {
+    // a <-> b is symmetric: pr = 0.5 each at EVERY iteration, any damping.
+    val r = ranks(Seq((0, 1, 1L), (1, 0, 1L)), iters = 3)
+    assert(math.abs(r(0) - 0.5) < 1e-12 && math.abs(r(1) - 0.5) < 1e-12)
+  }
+
+  test("one-iteration ranks match the hand-derived closed form") {
+    // Graph: 0 -> 1 (w 3), 0 -> 2 (w 1), 1 -> 2 (w 1); 2 dangling.
+    // r0 = 1/3 each; dangling mass = 1/3.
+    // contrib(1) = 1/3 * 3/4; contrib(2) = 1/3 * 1/4 + 1/3.
+    val d = 0.85
+    val r = ranks(Seq((0, 1, 3L), (0, 2, 1L), (1, 2, 1L)), iters = 1, damping = d)
+    val base = (1 - d) / 3 + d / 9 // teleport + dangling/N share
+    assert(math.abs(r(0) - base) < 1e-12)
+    assert(math.abs(r(1) - (base + d * (1.0 / 3 * 3 / 4))) < 1e-12)
+    assert(math.abs(r(2) - (base + d * (1.0 / 3 * 1 / 4 + 1.0 / 3))) < 1e-12)
+  }
+
+  test("weights matter: the heavier edge's target outranks the lighter one") {
+    val r = ranks(Seq((0, 1, 9L), (0, 2, 1L), (1, 0, 1L), (2, 0, 1L)))
+    assert(r(1) > r(2))
+  }
+
+  test("g_pagerank on testdata: full page set, mass conserved") {
+    val df = SparkEntry.queries("g_pagerank")(spark, SparkTestSession.sfDir)
+    val rows = df.collect()
+    assert(rows.length == 100)
+    val sum = rows.map(_.getDouble(1)).sum
+    assert(math.abs(sum - 1.0) < 1e-3) // pr rounded to 6dp in the query
+  }
+}
