@@ -168,6 +168,43 @@ object TextPipeline {
           (col("pos") + 1).cast("int").as("rn"))
     }),
 
+    // BM25 ranked retrieval (Robertson/Spärck Jones probabilistic
+    // weighting, the Okapi tf saturation form): top-20 documents for a
+    // fixed conjunctive keyword query. Serves from the build-once count
+    // matrix: per-doc lengths are ONE aggregation of the memoized matrix,
+    // the query-term document frequencies are a FILTERED tiny aggregate
+    // (|q| rows, broadcast), and the scoring input is only the posting
+    // rows of the query terms — the full corpus is never rescanned per
+    // query. At 100 TB the posting-row filter is the inverted-index read
+    // path (partition the matrix by token bucket and the scan prunes);
+    // the doc-length join is the one real shuffle, against a
+    // once-materialized |docs| table. Scores round to 6dp and order by
+    // (rounded score DESC, doc_id) so the top-20 cut is engine-portable.
+    "t8_bm25_search" -> ((s, d) => {
+      val counts = termDocCounts(s, d)
+      val docLen = counts.groupBy("doc_id").agg(sum("freq").as("dl"))
+      val stats = docLen.agg(count(lit(1)).cast("double").as("n_docs"),
+        avg("dl").as("avgdl"))
+      val hits = counts.filter(col("token").isin(Bm25Query: _*))
+      val dfs = hits.groupBy("token")
+        .agg(count(lit(1)).cast("double").as("df"))
+      val k1 = Bm25K1
+      val b = Bm25B
+      hits.join(docLen, "doc_id")
+        .join(broadcast(dfs), "token")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+        .withColumn("score_t",
+          col("idf") * (col("freq") * (k1 + 1)) /
+            (col("freq") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id")
+        .agg(round(sum("score_t"), 6).as("bm25"),
+          count(lit(1)).cast("int").as("n_matched"))
+        .orderBy(desc("bm25"), asc("doc_id"))
+        .limit(20)
+    }),
+
     // BPE merge-table induction ([[graft.text.Bpe]]): the 8-rank merge
     // table the corpus induces — (merge_rank, lhs, rhs, merged,
     // pair_count), deterministic (ties: count DESC, pair ASC). The model
@@ -210,6 +247,14 @@ object TextPipeline {
               .getField("seg_text"))).as("bpe_md5"))
     })
   )
+
+  /** Fixed keyword query + Okapi parameters for the declared BM25 query
+    * (the operator itself takes any term set; k1/b are the standard
+    * defaults from Robertson et al., TREC-3).
+    */
+  val Bm25Query: Seq[String] = Seq("spark", "hash", "join", "window")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
 
   /** Merge ranks the declared BPE queries train — small and fixed so the
     * oracle's unrolled SQL stays reviewable; the operator itself takes
@@ -292,6 +337,28 @@ object TextPipeline {
          |    FROM ($countsSql) c JOIN documents d ON c.doc_id = d.doc_id
          |    GROUP BY 1, 2) g) r
          |WHERE rn <= 10""".stripMargin,
+
+    // same Okapi constants interpolated from the Scala vals so both
+    // engines parse bit-identical double literals
+    "t8_bm25_search" -> {
+      val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+      s"""WITH c AS ($countsSql),
+         |dl AS (SELECT doc_id, sum(freq) AS dl FROM c GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+         |       FROM dl),
+         |hits AS (SELECT doc_id, token, freq FROM c WHERE token IN ($terms)),
+         |dfs AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+         |        FROM hits GROUP BY 1)
+         |SELECT h.doc_id,
+         |  round(sum(ln(1 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+         |    * (h.freq * ${Bm25K1 + 1}) /
+         |      (h.freq + $Bm25K1 * (${1 - Bm25B} + $Bm25B * dl.dl / st.avgdl))),
+         |    6) AS bm25,
+         |  CAST(count(*) AS INT) AS n_matched
+         |FROM hits h JOIN dl ON h.doc_id = dl.doc_id
+         |  JOIN dfs ON h.token = dfs.token CROSS JOIN st
+         |GROUP BY 1 ORDER BY bm25 DESC, h.doc_id LIMIT 20""".stripMargin
+    },
 
     "tp_bpe_train" -> bpeOracle(
       (0 until BpeMerges).map { k =>
