@@ -358,6 +358,38 @@ object Relational {
         .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
     }),
 
+    // Incremental cardinality via mergeable HLL sketches (Datasketches
+    // HllSketch, the built-in hll_* aggregates): per-day user sketches
+    // plus their UNION for the global count. The at-scale contract this
+    // pins: per-partition (per-day) sketches are a few KB, persist as
+    // binary columns, and union LOSSLESSLY at equal lgConfigK — so
+    // "distinct users ever" never rescans history, it merges yesterday's
+    // sketch with today's (SketchSpec pins the persist→reload→union
+    // round-trip). The hashed contract follows t7's rule: only the
+    // deterministic part (exact counts) is value-checked; the sketch
+    // estimate is asserted through the 5%-window flag (lgK=14 keeps the
+    // sketch hash-set-exact far beyond the bench scales, so the flag is
+    // stable; the exact countDistinct rides along only as the oracle
+    // anchor — a production query would drop it and keep one scan).
+    "ev_users_hll_merge" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val daily = ev
+        .groupBy(date_trunc("day", col("ts")).as("day_ts"))
+        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+          countDistinct(col("user_id")).as("exact_users"))
+        .localCheckpoint(true) // reused by both branches below
+      def okCol = (abs(hll_sketch_estimate(col("sk")).cast("double") -
+        col("exact_users")) <= col("exact_users") * lit(0.05))
+        .cast("int").as("hll_ok")
+      val dailyOut = daily.select(col("day_ts"), col("exact_users"), okCol)
+      val totalOut = daily
+        .agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
+        .crossJoin(ev.agg(countDistinct(col("user_id")).as("exact_users")))
+        .select(lit(null).cast("timestamp").as("day_ts"),
+          col("exact_users"), okCol)
+      dailyOut.unionByName(totalOut)
+    }),
+
     // Range join (graft.operators.RangeJoin): orders matched to price
     // bands via binning — hash equi-join on the bin + residual filter,
     // not a nested-loop cross product.
@@ -779,6 +811,16 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
            count(*) AS n_events, sum(value) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    // the exact side + constant-1 flags; the sketch estimate is engine
+    // internal and asserted only through the tolerance flag
+    "ev_users_hll_merge" ->
+      """SELECT date_trunc('day', ts) AS day_ts,
+           count(DISTINCT user_id) AS exact_users, 1 AS hll_ok
+         FROM events GROUP BY 1
+         UNION ALL
+         SELECT CAST(NULL AS TIMESTAMP), count(DISTINCT user_id), 1
+         FROM events""",
 
     "j_range" ->
       """WITH bands AS (

@@ -35,4 +35,42 @@ class SketchSpec extends AnyFunSuite {
         s"CMS estimate for '$t' outside the eps bracket: $est > $f + $slack")
     }
   }
+
+  test("HLL sketches survive a parquet persist and union losslessly") {
+    val ev = Tables.events(spark, SparkTestSession.sfDir)
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll")
+      .resolve("daily_sketches").toString
+    // persist per-day sketch binaries (the incremental-cardinality store)
+    ev.groupBy(date_trunc("day", col("ts")).as("day_ts"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+      .write.parquet(dir)
+    // reload + merge == sketching the whole table in one pass
+    val merged = spark.read.parquet(dir)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)))
+        .as("est"))
+      .head.getLong(0)
+    val direct = ev
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14)))
+        .as("est"))
+      .head.getLong(0)
+    assert(merged == direct,
+      s"union of persisted daily sketches ($merged) != one-pass sketch ($direct)")
+    // at fixture cardinality the lgK=14 sketch is hash-set-exact
+    val exact = ev.select(countDistinct(col("user_id"))).head.getLong(0)
+    assert(merged == exact,
+      s"sketch estimate $merged drifted from exact $exact at trivial cardinality")
+  }
+
+  test("an incremental day closes the gap: union(old days, new day) tracks exact") {
+    import spark.implicits._
+    // two "days" arriving separately; sketches merged without rescanning day 1
+    val d1 = (1L to 500L).toDF("uid")
+    val d2 = (400L to 900L).toDF("uid") // overlap 400..500
+    val s1 = d1.agg(hll_sketch_agg(col("uid"), lit(14)).as("sk"))
+    val s2 = d2.agg(hll_sketch_agg(col("uid"), lit(14)).as("sk"))
+    val est = s1.unionByName(s2)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))))
+      .head.getLong(0)
+    assert(est == 900L, s"merged estimate $est != exact 900 at hash-set scale")
+  }
 }
