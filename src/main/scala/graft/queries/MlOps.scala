@@ -252,6 +252,59 @@ object MlOps {
         .select(col("doc_id"), isNearest(col("features"), col("prediction")).as("is_nearest"))
     }),
 
+    // Model-based quality filtering (the fastText-linear shape used for
+    // corpus curation): logistic regression over hashed token features,
+    // trained on the deterministic rolling-hash split (the SAME split as
+    // tp_hash_split) and evaluated on the held-out side. The label is a
+    // deterministic token-presence signal standing in for human quality
+    // labels (the synthetic corpus has no real quality axis — same
+    // rationale as the multimodal decode stubs); the ARCHITECTURE is the
+    // deliverable: HashingTF is a pure map to fixed-width sparse vectors
+    // (no vocabulary build, no shuffle — the hashing trick is what makes
+    // 100 TB featurization one pass), the L-BFGS fit aggregates
+    // dim-bounded gradient vectors per iteration (treeAggregate — driver
+    // holds one coefficient vector, never rows), and scoring broadcasts
+    // the coefficients as a pure map. Hashed contract per t7's rule:
+    // exact split/label counts value-checked; the learned model asserted
+    // through wide-margin flags (the label is linearly separable in the
+    // features, so accuracy/AUC sit at ~1.0 vs the 0.95/0.98 gates).
+    "ml_quality_lr" -> ((s, d) => {
+      import s.implicits._
+      val h = graft.functions.TextExprs.rollingHash(col("text"))
+      val base = Tables.documents(s, d).select(
+        col("doc_id"),
+        graft.text.TextOps.tokens(graft.text.TextOps.clean(col("text")))
+          .as("toks"),
+        when(pmod(h, lit(10L)) < 8, "train").otherwise("test").as("split"),
+        (col("text").contains("spark") || col("text").contains("vector"))
+          .cast("double").as("label"))
+      val feats = new org.apache.spark.ml.feature.HashingTF()
+        .setInputCol("toks").setOutputCol("features")
+        .setNumFeatures(1 << 15)
+        .transform(base)
+        .select("doc_id", "split", "label", "features")
+        .localCheckpoint(true) // reused by the fit and both eval passes
+      val model = new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(25).setRegParam(1e-3)
+        .setFeaturesCol("features").setLabelCol("label")
+        .fit(feats.filter(col("split") === "train"))
+      val scored = model.transform(feats).localCheckpoint(true)
+      val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+        .setLabelCol("label").setRawPredictionCol("rawPrediction")
+      val rows = Seq("train", "test").map { sp =>
+        val part = scored.filter(col("split") === sp)
+        val agg = part.agg(
+          count(lit(1)).as("n_docs"),
+          sum("label").cast("long").as("n_pos"),
+          avg((col("prediction") === col("label")).cast("double")).as("acc"))
+          .head
+        (sp, agg.getLong(0), agg.getLong(1),
+          if (agg.getDouble(2) >= 0.95) 1 else 0,
+          if (auc.evaluate(part) >= 0.98) 1 else 0)
+      }
+      rows.toDF("split", "n_docs", "n_pos", "acc_ok", "auc_ok")
+    }),
+
     // Gap-based sessionization (30-min inactivity) — relational, oracled.
     "ev_sessionize" -> ((s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -446,6 +499,23 @@ object MlOps {
     // vector to its closest center
     "ml_kmeans_assign" ->
       "SELECT vec_id, 1 AS is_nearest FROM embeddings",
+
+    // exact split/label counts (same rolling-hash split as
+    // tp_hash_split); the learned model is asserted via the wide-margin
+    // accuracy/AUC flags
+    "ml_quality_lr" ->
+      """SELECT split, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  1 AS acc_ok, 1 AS auc_ok
+        |FROM (SELECT
+        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_split_to_array(text, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |        (acc, x) -> (acc * 31 + x) % 1000000007) % 10 < 8
+        |      THEN 'train' ELSE 'test' END AS split,
+        |    (text LIKE '%spark%' OR text LIKE '%vector%') AS label
+        |  FROM documents) t
+        |GROUP BY 1""".stripMargin,
 
     // per-row Bessel/Pythagoras contract of the orthonormal projection
     "ml_pca_project" ->
