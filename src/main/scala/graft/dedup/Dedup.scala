@@ -150,6 +150,54 @@ object Dedup {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** [[decontaminate]] with a Bloom prefilter ahead of the exact confirm
+    * join — identical output, different 100 TB posture. The broadcast
+    * semi-join in [[decontaminate]] degrades to a full corpus-gram
+    * shuffle once the eval shingle set outgrows `maxBroadcastRows`; here
+    * a Bloom filter over the eval shingles' xxhash64 keys (~1.2 MB per
+    * million shingles at 1% fpp — a task literal even when the shingle
+    * ROWS no longer broadcast) drops non-matching corpus grams inside
+    * whole-stage codegen BEFORE any exchange, so only the true-hit rate
+    * + fpp fraction of the corpus stream reaches the confirm join. False
+    * positives (and xxhash64 collisions) only ever pass rows onward —
+    * the confirm join is on the shingle itself, so the result equals
+    * [[decontaminate]]'s exactly.
+    */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String, textCol: String, n: Int = 3,
+                         fpp: Double = 0.01,
+                         maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    // materialized once: the filter build and the confirm join both read it
+    val benchShingles = shingles(benchmark, idCol, textCol, n)
+      .select("shingle").distinct().localCheckpoint(true)
+    val nBench = benchShingles.count()
+    // stat.bloomFilter NPEs on a zero-row build (null aggregation
+    // buffer); an empty eval set means an empty report regardless
+    if (nBench == 0L)
+      return corpus.select(col(idCol)).limit(0).withColumn("n_hits", lit(0L))
+    val bloomBytes = {
+      val bf = benchShingles.select(xxhash64(col("shingle")).as("h"))
+        .stat.bloomFilter("h", nBench, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    // native codegen probe (the InjectRuntimeFilter shape): raw-long
+    // insert via stat.bloomFilter ⇒ raw-long probe of the same xxhash64
+    val mightMatch = ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      ColumnBridge.expression(xxhash64(col("shingle")))))
+    shingles(corpus, idCol, textCol, n)
+      .filter(mightMatch)
+      .join(maybeBroadcast(benchShingles, maxBroadcastRows),
+        Seq("shingle"), "left_semi")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Contamination report — the benchmark owner's view of
     * [[decontaminate]]: for each BENCHMARK doc, how widely it leaks into
     * the corpus — `(idCol, n_corpus_docs, n_leaked_grams)`, only docs

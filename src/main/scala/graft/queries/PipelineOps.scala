@@ -376,6 +376,19 @@ object PipelineOps {
         "doc_id", "text")
     }),
 
+    // Same decontamination through [[Dedup.decontaminateBloom]]: a Bloom
+    // filter over the eval shingles' hashes drops non-matching corpus
+    // grams in codegen BEFORE any exchange — the scale path for when the
+    // eval shingle ROWS outgrow the broadcast threshold but their ~MB
+    // filter doesn't. Exact-confirmed, so the oracle is tp_decontaminate's.
+    "tp_decontaminate_bloom" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.decontaminateBloom(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text")
+    }),
+
     // The benchmark owner's view: per EVAL doc, how widely it leaks into
     // the training corpus (distinct corpus docs + distinct leaked
     // 8-grams) — ranks eval items by compromise, the report that decides
@@ -726,6 +739,15 @@ object PipelineOps {
        |  FROM ($posToksSql) pt) sh
        |WHERE last_tok IS NOT NULL""".stripMargin
 
+  // shared by tp_decontaminate and its bloom-prefiltered physical variant
+  private val decontaminateSql =
+    s"""WITH sh AS ($shinglesSql),
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
+       |SELECT doc_id, count(*) AS n_hits
+       |FROM sh JOIN bench USING (shingle)
+       |WHERE doc_id % 97 <> 0
+       |GROUP BY 1""".stripMargin
+
   private def mh(i: Int): String =
     s"min(substr(md5('mh$i|' || shingle), 1, 15)) AS mh$i"
 
@@ -867,13 +889,11 @@ object PipelineOps {
         |  CAST(max(pos) + 8 AS INT) AS span_end, count(*) AS n_windows
         |FROM spans GROUP BY doc_id, span_id""".stripMargin,
 
-    "tp_decontaminate" ->
-      s"""WITH sh AS ($shinglesSql),
-         |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0)
-         |SELECT doc_id, count(*) AS n_hits
-         |FROM sh JOIN bench USING (shingle)
-         |WHERE doc_id % 97 <> 0
-         |GROUP BY 1""".stripMargin,
+    "tp_decontaminate" -> decontaminateSql,
+
+    // IDENTICAL semantics to tp_decontaminate — the bloom prefilter is a
+    // physical-plan change only (false positives die at the confirm join)
+    "tp_decontaminate_bloom" -> decontaminateSql,
 
     // same 8-gram construction as the span oracles, aggregated from the
     // BENCHMARK side: per eval doc, distinct leaking corpus docs + grams

@@ -164,6 +164,35 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L) == 4L, s"got $got")
   }
 
+  test("bloom-prefiltered decontamination matches the plain form exactly") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "the capital of france is paris and everyone knows it")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "trivia time the capital of france is paris said the quiz"),
+      (2L, "unrelated text about distributed query engines and shuffles"),
+      (3L, "of france is")
+    ).toDF("doc_id", "text")
+    val plain = graft.dedup.Dedup.decontaminate(corpus, bench, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // aggressive fpp floods the prefilter with false positives — the
+    // confirm join must still kill every one of them
+    val bloom = graft.dedup.Dedup
+      .decontaminateBloom(corpus, bench, "doc_id", "text", fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom == plain, s"bloom=$bloom plain=$plain")
+  }
+
+  test("bloom decontamination: empty benchmark yields an empty report") {
+    import spark.implicits._
+    val corpus = Seq((1L, "some words here to shingle at least once")).toDF("doc_id", "text")
+    val bench = corpus.filter($"doc_id" < 0)
+    val got = graft.dedup.Dedup.decontaminateBloom(corpus, bench, "doc_id", "text")
+    assert(got.collect().isEmpty)
+    assert(got.columns.toSeq == Seq("doc_id", "n_hits"))
+  }
+
   test("repeated spans: cross-doc boilerplate merges to one maximal span per doc") {
     import spark.implicits._
     val boiler = "this content is provided as is without warranty of any kind either express"
