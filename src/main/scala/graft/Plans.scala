@@ -45,7 +45,11 @@ object Plans {
     "sim_radius" -> "cosine range search through the persisted IVF index: broadcast probe equi-join + threshold filter — NO per-query sort window at all (top-k needs one, a radius set doesn't)",
     "sim_ann_ivfpq" -> "IVFPQ + refine: IVF cell probe (broadcast equi-join) -> ADC as m lookups into a broadcast q*m*ksub table -> exact rerank of the shortlist — join keys at every stage, no cross join",
     "tp_zorder" -> "Z-order layout key: quantize + Morton bit-interleave, all codegen'd built-ins — one broadcast (min/max row), zero shuffles before the layout write",
-    "dd_repeated_spans" -> "ExactSubstr spans: codegen lead-window k-grams, one partial-aggregated shuffle on the gram hash, one on doc id for the interval merge — no suffix array, nothing quadratic")
+    "dd_repeated_spans" -> "ExactSubstr spans: codegen lead-window k-grams, one partial-aggregated shuffle on the gram hash, one on doc id for the interval merge — no suffix array, nothing quadratic",
+    "g_pagerank" -> "weighted PageRank, final iteration's plan: rank state (checkpointed RDD scan, |V| rows) joins the checkpointed pre-partitioned transition table, contribution aggregate partial/final pair, dangling mass + node count as 1-row broadcast cross joins — the |E| table never re-exchanges across iterations",
+    "t8_bm25_search" -> "BM25 retrieval: posting rows filtered to the query terms at the matrix scan, df stats + corpus stats broadcast, per-doc score aggregate, top-20 as TakeOrderedAndProject — no full sort, no corpus rescan per query",
+    "ev_users_hll_merge" -> "per-day HLL sketch aggregate (partial/final pair — map-side-mergeable fixed-KB state) + a 1-row lossless union branch; the exact countDistinct rides along only as the oracle anchor",
+    "tp_decontaminate_bloom" -> "Bloom-prefiltered decontamination: native might_contain on the corpus gram stream INSIDE whole-stage codegen before any exchange, then the exact-confirm semi join — only the hit fraction + fpp of the corpus reaches the shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

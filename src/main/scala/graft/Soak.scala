@@ -27,8 +27,8 @@ object Soak {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "10").toInt
-    // comma-separated extra shape sets: "text", "sim", "ml", "mm_image", "pq", "zorder", "spans"
-    // (relational always runs)
+    // comma-separated extra shape sets: "text", "sim", "ml", "mm_image",
+    // "pq", "zorder", "spans", "graph" (relational always runs)
     val soakSets: Set[String] =
       sys.env.get("SPARK_GRAFT_SOAK").map(_.split(",").toSet).getOrElse(Set.empty)
     val spark = SparkSession.builder()
@@ -181,6 +181,13 @@ object Soak {
         val w = Window.partitionBy("content_hash")
         keyed.select(col("doc_id"), col("split"),
           (min("split").over(w) =!= max("split").over(w)).cast("int").as("leaked"))
+      },
+      // daily HLL sketches + lossless union: the whole pass is map-side
+      // mergeable fixed-KB state per day — cost must stay one linear scan
+      shape("hll_daily_union") {
+        ev.groupBy(date_trunc("day", col("ts")).as("day_ts"))
+          .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("est"))
       }
     ) ++ (if (soakSets("text")) Seq(
       // Amplified docs share text across copies — a dup-heavy corpus, the
@@ -227,6 +234,39 @@ object Soak {
         graft.dedup.Dedup.decontaminate(docs,
           Tables.documents(spark, sfDir).filter(pmod(col("doc_id"), lit(97)) === 0),
           "doc_id", "text")
+      },
+      // same fixed-benchmark design point through the Bloom prefilter:
+      // the filter build cost is fixed (eval side), the probe is codegen
+      // map-side — amplified-corpus cost must track the plain form or
+      // better
+      shape("decontaminate_bloom") {
+        graft.dedup.Dedup.decontaminateBloom(docs,
+          Tables.documents(spark, sfDir).filter(pmod(col("doc_id"), lit(97)) === 0),
+          "doc_id", "text")
+      },
+      // BM25 over the amplified corpus: doc-length agg and the
+      // query-term posting filter both linear in rows; top-20 is a
+      // TakeOrdered — no full sort
+      shape("bm25_topk") {
+        val counts = docs.select(col("doc_id"),
+            explode(graft.text.TextOps.tokens(
+              graft.text.TextOps.clean(col("text")))).as("token"))
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("freq"))
+        val docLen = counts.groupBy("doc_id").agg(sum("freq").as("dl"))
+        val stats = docLen.agg(count(lit(1)).cast("double").as("n_docs"),
+          avg("dl").as("avgdl"))
+        val hits = counts.filter(col("token")
+          .isin(graft.queries.TextPipeline.Bm25Query: _*))
+        val dfs = hits.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+        hits.join(docLen, "doc_id").join(broadcast(dfs), "token")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf", log(lit(1.0) +
+            (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
+          .withColumn("score_t", col("idf") * (col("freq") * 2.2) /
+            (col("freq") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .groupBy("doc_id")
+          .agg(sum("score_t").as("bm25"))
+          .orderBy(desc("bm25"), asc("doc_id")).limit(20)
       },
       // Capped inverted-index Jaccard on the dup-heavy corpus: at high
       // mult every shingle's df exceeds the cap and is dropped before the
@@ -322,6 +362,52 @@ object Soak {
           val m = graft.cluster.Pca.fit(emb, "embedding", k = 5)
           graft.cluster.Pca.project(emb, "embedding", m)
             .select(col("vec_id"), col("projection"))
+        },
+        // hashed-feature LR fit + corpus scoring: featurization is a
+        // pure map (no vocab shuffle), each L-BFGS iteration one
+        // dim-bounded treeAggregate, scoring a broadcast-coefficients
+        // map — end-to-end must stay linear in docs
+        shape("quality_lr_fit_score") {
+          val base = docs.select(col("doc_id"),
+            graft.text.TextOps.tokens(graft.text.TextOps.clean(col("text")))
+              .as("toks"),
+            (col("text").contains("spark") || col("text").contains("vector"))
+              .cast("double").as("label"))
+          val f = new org.apache.spark.ml.feature.HashingTF()
+            .setInputCol("toks").setOutputCol("features")
+            .setNumFeatures(1 << 15).transform(base)
+          val model = new org.apache.spark.ml.classification.LogisticRegression()
+            .setMaxIter(10).setRegParam(1e-3)
+            .setFeaturesCol("features").setLabelCol("label").fit(f)
+          model.transform(f).select(col("doc_id"), col("prediction"))
+        })
+    } else Seq.empty) ++ (if (soakSets("graph")) {
+      // page-transition PageRank on the amplified events, two regimes.
+      val pages = ev.select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("page"))
+      def edgesFrom(p: DataFrame) = {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        p.withColumn("prev_page", lag("page", 1).over(w))
+          .filter(col("prev_page").isNotNull)
+          .groupBy(col("prev_page").as("src"), col("page").as("dst"))
+          .agg(count(lit(1)).as("w"))
+      }
+      Seq(
+        // fixed |V| (the real page space), edge WEIGHTS densify with the
+        // event volume: iteration cost is |V|-bounded, so total time must
+        // be dominated by the one edge-build pass (linear in events)
+        shape("pagerank_fixed_v") {
+          graft.queries.GraphOps.pageRank(edgesFrom(pages),
+            "src", "dst", "w", iters = 5, damping = 0.85)
+        },
+        // growing |V|: each amplified copy gets a disjoint page space
+        // (copy index from the user-id offset), so nodes AND edges scale
+        // with mult — per-iteration joins must stay linear in |E|
+        shape("pagerank_growing_v") {
+          val grown = pages.withColumn("page",
+            col("page") + floor(col("user_id") / 10000000L) * lit(1000L))
+          graft.queries.GraphOps.pageRank(edgesFrom(grown),
+            "src", "dst", "w", iters = 5, damping = 0.85)
         })
     } else Seq.empty) ++ (if (soakSets("pq")) {
       val emb = amplify(Tables.embeddings(spark, sfDir), Seq("vec_id"), mult)

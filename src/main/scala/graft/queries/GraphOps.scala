@@ -64,7 +64,7 @@ object GraphOps {
     var ranks = nodes.crossJoin(broadcast(nDf))
       .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ranks.join(trans, ranks("node") === trans("src"))
         .groupBy(trans("dst"))
         .agg(sum(ranks("pr") * trans("p")).as("contrib"))
@@ -77,7 +77,10 @@ object GraphOps {
           (lit(1.0 - damping) / col("n_nodes") +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
               col("dang") / col("n_nodes"))).as("pr"))
-        .localCheckpoint(true)
+      // truncate lineage between iterations; the LAST iteration stays a
+      // live plan so callers (and the PLANS.md audit) see the real
+      // per-iteration shape instead of a checkpoint scan
+      if (i < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }

@@ -146,6 +146,40 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pagerank final iteration: checkpointed loop-invariant inputs, partial-aggregated contributions, broadcast scalars") {
+    val p = plan("g_pagerank")
+    // the |E| transition table and |V| node table are checkpointed once
+    // (ExistingRDD scans) — no rebuild inside the iteration
+    assert(p.contains("Scan ExistingRDD"), s"expected checkpointed inputs:\n$p")
+    // contribution rollup partial-aggregates before its exchange
+    assert(p.contains("HashAggregate"), s"expected contribution aggregate:\n$p")
+    // node count + dangling mass ride as 1-row broadcast cross joins
+    assert(p.contains("BroadcastNestedLoopJoin"), s"expected 1-row broadcast scalars:\n$p")
+  }
+
+  test("bm25 plans top-20 as TakeOrderedAndProject with broadcast term stats") {
+    val p = plan("t8_bm25_search")
+    assert(p.contains("TakeOrderedAndProject"), s"expected partial top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast df/doc-length joins:\n$p")
+  }
+
+  test("bloom decontaminate probes might_contain before the confirm join") {
+    val p = plan("tp_decontaminate_bloom")
+    assert(p.contains("might_contain"), s"expected the native bloom probe:\n$p")
+  }
+
+  test("quality-LR featurization is a pure map (no vocabulary build, no exchange)") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir)
+    val base = docs.select(col("doc_id"),
+      graft.text.TextOps.tokens(graft.text.TextOps.clean(col("text"))).as("toks"),
+      col("text").contains("spark").cast("double").as("label"))
+    val f = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("toks").setOutputCol("features").setNumFeatures(1 << 15)
+      .transform(base)
+    val p = f.queryExecution.sparkPlan.toString
+    assert(!p.contains("Exchange"), s"featurization must not shuffle:\n$p")
+  }
+
   test("scalar subquery broadcasts the 1-row aggregate; winsorize broadcasts the bounds") {
     assert(plan("q_scalar_subquery").contains("BroadcastNestedLoopJoin"))
     assert(plan("tp_winsorize").contains("BroadcastHashJoin"))
