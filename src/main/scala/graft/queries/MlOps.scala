@@ -284,25 +284,35 @@ object MlOps {
         .transform(base)
         .select("doc_id", "split", "label", "features")
         .localCheckpoint(true) // reused by the fit and both eval passes
-      val model = new org.apache.spark.ml.classification.LogisticRegression()
-        .setMaxIter(25).setRegParam(1e-3)
-        .setFeaturesCol("features").setLabelCol("label")
-        .fit(feats.filter(col("split") === "train"))
-      val scored = model.transform(feats).localCheckpoint(true)
-      val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
-        .setLabelCol("label").setRawPredictionCol("rawPrediction")
-      val rows = Seq("train", "test").map { sp =>
-        val part = scored.filter(col("split") === sp)
-        val agg = part.agg(
-          count(lit(1)).as("n_docs"),
-          sum("label").cast("long").as("n_pos"),
-          avg((col("prediction") === col("label")).cast("double")).as("acc"))
-          .head
-        (sp, agg.getLong(0), agg.getLong(1),
-          if (agg.getDouble(2) >= 0.95) 1 else 0,
-          if (auc.evaluate(part) >= 0.98) 1 else 0)
+      val trainSplit = feats.filter(col("split") === "train")
+      // a fit needs rows; an empty corpus degrades to the oracle's empty
+      // grouped result instead of crashing (EmptyInputSpec contract)
+      if (trainSplit.isEmpty)
+        Seq.empty[(String, Long, Long, Int, Int)]
+          .toDF("split", "n_docs", "n_pos", "acc_ok", "auc_ok")
+      else {
+        val model = new org.apache.spark.ml.classification.LogisticRegression()
+          .setMaxIter(25).setRegParam(1e-3)
+          .setFeaturesCol("features").setLabelCol("label")
+          .fit(trainSplit)
+        val scored = model.transform(feats).localCheckpoint(true)
+        val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+          .setLabelCol("label").setRawPredictionCol("rawPrediction")
+        // only splits that exist emit a row (the oracle groups by split)
+        val rows = Seq("train", "test").flatMap { sp =>
+          val part = scored.filter(col("split") === sp)
+          val agg = part.agg(
+            count(lit(1)).as("n_docs"),
+            sum("label").cast("long").as("n_pos"),
+            avg((col("prediction") === col("label")).cast("double")).as("acc"))
+            .head
+          if (agg.getLong(0) == 0L) None
+          else Some((sp, agg.getLong(0), agg.getLong(1),
+            if (agg.getDouble(2) >= 0.95) 1 else 0,
+            if (auc.evaluate(part) >= 0.98) 1 else 0))
+        }
+        rows.toDF("split", "n_docs", "n_pos", "acc_ok", "auc_ok")
       }
-      rows.toDF("split", "n_docs", "n_pos", "acc_ok", "auc_ok")
     }),
 
     // Gap-based sessionization (30-min inactivity) — relational, oracled.

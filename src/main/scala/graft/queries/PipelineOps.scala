@@ -617,6 +617,11 @@ object PipelineOps {
     "ta_quality" -> ((s, d) =>
       TextAnalysis.qualityFeatures(Tables.documents(s, d), "doc_id", "text", stopwords)),
 
+    // PMI collocations: top-20 adjacent pairs by pointwise mutual
+    // information, pair count >= 5 ([[TextAnalysis.pmiBigrams]]).
+    "ta_pmi_bigrams" -> ((s, d) =>
+      TextAnalysis.pmiBigrams(Tables.documents(s, d), "text")),
+
     // Sentence statistics (Gopher/C4-family quality rules): sentence
     // count + mean/max sentence tokens per doc.
     "ta_sentences" -> ((s, d) =>
@@ -1340,6 +1345,30 @@ object PipelineOps {
     // Same bigram construction (positional pairs over the whitespace
     // token list), same Laplace arithmetic in double; avg-of-ln ordering
     // differences wash out at the harness's 6-sig-digit rounding.
+    // same raw-token bigram construction as ta_bigram_logprob; the cut
+    // orders on the ROUNDED pmi so both engines slice identically
+    "ta_pmi_bigrams" ->
+      """WITH lt AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks
+        |  FROM documents),
+        |ix AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM lt),
+        |bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2 FROM ix),
+        |pc AS (SELECT w1, w2, count(*) AS pair_count FROM bg GROUP BY 1, 2),
+        |uni AS (SELECT tok, count(*) AS tok_count
+        |        FROM (SELECT unnest(toks) AS tok FROM lt) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS n_tokens,
+        |               CAST(sum(greatest(len(toks) - 1, 0)) AS DOUBLE) AS n_bigrams
+        |        FROM lt)
+        |SELECT p.w1, p.w2, p.pair_count,
+        |  round(ln((p.pair_count / t.n_bigrams) /
+        |    ((u1.tok_count / t.n_tokens) * (u2.tok_count / t.n_tokens))), 6) AS pmi
+        |FROM pc p
+        |  JOIN uni u1 ON p.w1 = u1.tok
+        |  JOIN uni u2 ON p.w2 = u2.tok
+        |  CROSS JOIN tot t
+        |WHERE p.pair_count >= 5
+        |ORDER BY pmi DESC, p.w1, p.w2 LIMIT 20""".stripMargin,
+
     "ta_bigram_logprob" ->
       """WITH lt AS (
         |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS toks

@@ -281,6 +281,48 @@ object TextAnalysis {
         col("avg_logprob"))
   }
 
+  /** PMI collocation mining (Church & Hanks 1990): top-k adjacent token
+    * pairs by pointwise mutual information, with a minimum pair-count
+    * floor (PMI without a floor surfaces hapax noise). pmi(a,b) =
+    * ln( P(ab) / (P(a)·P(b)) ) with P(ab) over bigram positions and
+    * P(·) over token positions — the phrase-mining signal a curation
+    * pipeline uses to decide what to treat as a unit.
+    *
+    * Scale shape: bigrams build map-side (arrays_zip of two slices — no
+    * posexplode/window, same as [[bigramLogProb]]); pair and unigram
+    * counts contract BY CONTENT into vocab-bounded tables; the scoring
+    * joins key on tokens; the two corpus totals ride as a broadcast
+    * 1-row cross join; top-k is a TakeOrdered on the ROUNDED score
+    * (engine-portable cut, ties broken on the pair itself).
+    */
+  def pmiBigrams(docs: DataFrame, textCol: String,
+                 minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    val withToks = docs.select(TextOps.tokens(col(textCol)).as("__toks"))
+    val n1 = greatest(size(col("__toks")) - 1, lit(0))
+    val bigrams = withToks
+      .select(explode(arrays_zip(
+        slice(col("__toks"), lit(1), n1),
+        slice(col("__toks"), lit(2), n1))).as("__bg"))
+      .select(col("__bg").getField("0").as("w1"),
+        col("__bg").getField("1").as("w2"))
+    val pairCnt = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("pair_count"))
+    val uni = withToks.select(explode(col("__toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tok_count"))
+    val tot = withToks.agg(
+      sum(size(col("__toks"))).cast("double").as("n_tokens"),
+      sum(greatest(size(col("__toks")) - 1, lit(0))).cast("double").as("n_bigrams"))
+    pairCnt.filter(col("pair_count") >= minCount)
+      .join(uni.select(col("tok").as("w1"), col("tok_count").as("c1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("tok_count").as("c2")), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("pair_count"),
+        round(log((col("pair_count") / col("n_bigrams")) /
+          ((col("c1") / col("n_tokens")) * (col("c2") / col("n_tokens")))), 6)
+          .as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(topK)
+  }
+
   /** PII patterns for [[redactPii]] — dialect-portable regexes (no word
     * boundaries, no lookaround; character classes and bounded repeats
     * only), so a SQL engine's RE2-style matcher reproduces the exact

@@ -192,4 +192,35 @@ class TextOpsSpec extends AnyFunSuite {
       ((1L, 10L, "one two three four five six seven eight nine ten")))
     assert(got.size == 3)
   }
+
+  test("PMI collocations: exclusive pairs rank above promiscuous ones; the count floor holds") {
+    // "hong kong" always co-occurs exclusively (6x); "the cat" pairs a
+    // promiscuous token (the) so its PMI is lower; "rare gem" occurs
+    // 4x — below the floor of 5 — and must not appear.
+    val docs = Seq(
+      (1L, ("hong kong " * 6) + ("the cat " * 6) + ("the dog " * 6)),
+      (2L, "rare gem rare gem rare gem rare gem filler")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiBigrams(docs, "text", minCount = 5L, topK = 20)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.contains(("hong", "kong")))
+    assert(!got.keySet.exists(p => p == ("rare", "gem")),
+      s"sub-floor pair leaked: ${got.keySet}")
+    val pmiHk = got(("hong", "kong"))._2
+    val pmiCat = got(("the", "cat"))._2
+    assert(pmiHk > pmiCat,
+      s"exclusive pair must outrank the promiscuous one: $pmiHk <= $pmiCat")
+  }
+
+  test("PMI: a pair spanning every bigram position scores ~0 (independence)") {
+    // corpus of alternating "a b a b ..." — bigrams are (a,b) and (b,a)
+    // only; P(ab) ~ P(a)P(b) in the alternation, so PMI is near ln(2)
+    // scale rather than large — just pin that the computation is finite
+    // and deterministic here
+    val docs = Seq((1L, ("x y " * 20).trim)).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiBigrams(docs, "text", minCount = 5L, topK = 5)
+      .collect()
+    assert(got.nonEmpty && got.forall(r => !r.getDouble(3).isNaN))
+  }
 }
