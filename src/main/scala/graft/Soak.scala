@@ -287,6 +287,13 @@ object Soak {
       // join scales linearly in corpus bigrams
       shape("bigram_lm") {
         graft.text.TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      },
+      // PMI collocations on the amplified corpus: same map-side bigram
+      // build as bigram_lm; pair/unigram counts contract BY CONTENT so
+      // the scoring joins stay vocab-bounded while the corpus grows
+      shape("pmi_collocations") {
+        graft.text.TextAnalysis.pmiBigrams(docs, "text",
+          minCount = 5L, topK = 20)
       }
     ) else Seq.empty) ++ (if (soakSets("sim")) {
       val emb = amplify(Tables.embeddings(spark, sfDir), Seq("vec_id"), mult)
