@@ -35,7 +35,29 @@ object GraphOps {
     * d·(in-flow + dangling/N) redistributes all mass).
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               wCol: String, iters: Int, damping: Double): DataFrame = {
+               wCol: String, iters: Int, damping: Double): DataFrame =
+    powerIterate(edges, srcCol, dstCol, wCol, iters, damping, None)
+
+  /** Personalized PageRank (Jeh & Widom 2003): identical power iteration
+    * but BOTH the teleport and the dangling mass land only on the seed
+    * set (uniformly), so rank concentrates around the seeds — the
+    * "expand from what we trust" form of PageRank-weighted source
+    * selection. Seeds not in the graph are ignored; with an empty seed
+    * intersection every rank is 0 (no teleport mass anywhere).
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           wCol: String, seeds: DataFrame, seedCol: String,
+                           iters: Int, damping: Double): DataFrame =
+    powerIterate(edges, srcCol, dstCol, wCol, iters, damping,
+      Some(seeds.select(col(seedCol).as("node")).distinct()))
+
+  /** Shared power-iteration core. `seedNodes` = None → uniform teleport
+    * 1/N (classic PageRank); Some(s) → teleport 1/|s∩V| on the seed
+    * nodes, 0 elsewhere.
+    */
+  private def powerIterate(edges: DataFrame, srcCol: String, dstCol: String,
+                           wCol: String, iters: Int, damping: Double,
+                           seedNodes: Option[DataFrame]): DataFrame = {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("double").as("w"))
 
@@ -45,7 +67,23 @@ object GraphOps {
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
-    val nDf = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+
+    // Teleport vector (node, tp), checkpointed once. Uniform: tp = 1/N.
+    // Personalized: tp = 1/|seeds in graph| on seeds, 0 elsewhere.
+    val teleport = (seedNodes match {
+      case None =>
+        val nDf = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+        nodes.crossJoin(broadcast(nDf))
+          .select(col("node"), (lit(1.0) / col("n_nodes")).as("tp"))
+      case Some(s) =>
+        val inGraph = nodes.join(s, Seq("node"), "left_semi")
+        val sDf = inGraph.agg(count(lit(1)).cast("double").as("n_seeds"))
+        nodes.join(inGraph.withColumn("is_seed", lit(1)), Seq("node"), "left")
+          .crossJoin(broadcast(sDf))
+          .select(col("node"),
+            when(col("is_seed").isNotNull, lit(1.0) / col("n_seeds"))
+              .otherwise(lit(0.0)).as("tp"))
+    }).localCheckpoint(true)
 
     // Loop-invariant edge state: P(src→dst) = w / Σw(src), partitioned by
     // src so the per-iteration join reuses this layout.
@@ -55,14 +93,13 @@ object GraphOps {
       .repartition(col("src"))
       .localCheckpoint(true)
     // Nodes with no outgoing edges: their rank mass is redistributed
-    // uniformly each iteration (computed once; per-iteration cost is a
-    // broadcast-sized semi join + 1-row agg).
+    // along the teleport vector each iteration (computed once;
+    // per-iteration cost is a broadcast-sized semi join + 1-row agg).
     val dangling = nodes.join(trans.select(col("src").as("node")).distinct(),
         Seq("node"), "left_anti")
       .localCheckpoint(true)
 
-    var ranks = nodes.crossJoin(broadcast(nDf))
-      .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
+    var ranks = teleport.select(col("node"), col("tp").as("pr"))
       .localCheckpoint(true)
     for (i <- 1 to iters) {
       val contrib = ranks.join(trans, ranks("node") === trans("src"))
@@ -70,13 +107,12 @@ object GraphOps {
         .agg(sum(ranks("pr") * trans("p")).as("contrib"))
       val dangMass = ranks.join(dangling, Seq("node"), "left_semi")
         .agg(coalesce(sum("pr"), lit(0.0)).as("dang"))
-      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
-        .crossJoin(broadcast(nDf))
+      ranks = teleport.join(contrib, teleport("node") === contrib("dst"), "left")
         .crossJoin(broadcast(dangMass))
-        .select(nodes("node"),
-          (lit(1.0 - damping) / col("n_nodes") +
+        .select(teleport("node"),
+          (lit(1.0 - damping) * col("tp") +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              col("dang") / col("n_nodes"))).as("pr"))
+              col("dang") * col("tp"))).as("pr"))
       // truncate lineage between iterations; the LAST iteration stays a
       // live plan so callers (and the PLANS.md audit) see the real
       // per-iteration shape instead of a checkpoint scan
@@ -109,55 +145,85 @@ object GraphOps {
     // d = 0.85, dangling mass redistributed uniformly. Ranks sum to 1.
     "g_pagerank" -> ((s, d) =>
       pageRank(pageEdges(s, d), "src", "dst", "w", Iters, Damping)
-        .select(col("node").as("page"), round(col("pr"), 6).as("pr")))
+        .select(col("node").as("page"), round(col("pr"), 6).as("pr"))),
+
+    // Personalized PageRank from a fixed trust set (pages ≡ 0 mod 10):
+    // teleport AND dangling mass land only on the seeds, so rank measures
+    // proximity to the trusted set — the seed-expansion form of
+    // PageRank-weighted source selection. Ranks still sum to 1.
+    "g_ppr_seeded" -> ((s, d) => {
+      val edges = pageEdges(s, d)
+      val seeds = edges.select(col("src").as("page"))
+        .union(edges.select(col("dst").as("page")))
+        .distinct()
+        .filter(pmod(col("page"), lit(10)) === 0)
+      personalizedPageRank(edges, "src", "dst", "w", seeds, "page",
+        Iters, Damping)
+        .select(col("node").as("page"), round(col("pr"), 6).as("pr"))
+    })
   )
 
   /** The same 5 iterations as chained CTEs (fixed iteration count makes
-    * power iteration ANSI-SQL-expressible without recursion).
+    * power iteration ANSI-SQL-expressible without recursion). Both
+    * oracles share the teleport-vector formulation the Scala loop uses:
+    * pr' = (1−d)·tp + d·(inflow + dangling·tp).
     */
-  private def pagerankSql: String = {
+  private def pagerankSqlFor(seeded: Boolean): String = {
+    val tpCte =
+      if (!seeded)
+        """nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
+          |tp AS (SELECT node, 1.0 / (SELECT n_nodes FROM nn) AS tp FROM nodes)""".stripMargin
+      else
+        """seeds AS (SELECT node FROM nodes WHERE node % 10 = 0),
+          |ns AS (SELECT CAST(count(*) AS DOUBLE) AS n_seeds FROM seeds),
+          |tp AS (
+          |  SELECT n.node,
+          |    CASE WHEN s.node IS NULL THEN 0.0
+          |         ELSE 1.0 / (SELECT n_seeds FROM ns) END AS tp
+          |  FROM nodes n LEFT JOIN seeds s ON n.node = s.node)""".stripMargin
     val base =
-      """WITH ev AS (
-        |  SELECT user_id, ts, event_id,
-        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS page
-        |  FROM events),
-        |lagged AS (
-        |  SELECT page AS dst,
-        |    lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
-        |  FROM ev),
-        |edges AS (
-        |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
-        |  FROM lagged WHERE src IS NOT NULL GROUP BY 1, 2),
-        |nodes AS (
-        |  SELECT DISTINCT node FROM
-        |    (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) u),
-        |outw AS (SELECT src, sum(w) AS w_out FROM edges GROUP BY 1),
-        |trans AS (
-        |  SELECT e.src, e.dst, e.w / o.w_out AS p
-        |  FROM edges e JOIN outw o ON e.src = o.src),
-        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nodes),
-        |dang AS (
-        |  SELECT n.node FROM nodes n LEFT JOIN outw o ON n.node = o.src
-        |  WHERE o.src IS NULL),
-        |r0 AS (SELECT node, 1.0 / (SELECT n_nodes FROM nn) AS pr FROM nodes)""".stripMargin
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS page
+         |  FROM events),
+         |lagged AS (
+         |  SELECT page AS dst,
+         |    lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+         |  FROM ev),
+         |edges AS (
+         |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+         |  FROM lagged WHERE src IS NOT NULL GROUP BY 1, 2),
+         |nodes AS (
+         |  SELECT DISTINCT node FROM
+         |    (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) u),
+         |outw AS (SELECT src, sum(w) AS w_out FROM edges GROUP BY 1),
+         |trans AS (
+         |  SELECT e.src, e.dst, e.w / o.w_out AS p
+         |  FROM edges e JOIN outw o ON e.src = o.src),
+         |$tpCte,
+         |dang AS (
+         |  SELECT n.node FROM nodes n LEFT JOIN outw o ON n.node = o.src
+         |  WHERE o.src IS NULL),
+         |r0 AS (SELECT node, tp AS pr FROM tp)""".stripMargin
     val steps = (1 to Iters).map { k =>
       s"""r$k AS (
-         |  SELECT n.node,
-         |    (1 - $Damping) / (SELECT n_nodes FROM nn)
+         |  SELECT t.node,
+         |    (1 - $Damping) * t.tp
          |    + $Damping * (coalesce(c.contrib, 0)
          |      + (SELECT coalesce(sum(r.pr), 0) FROM r${k - 1} r
-         |         JOIN dang dg ON r.node = dg.node) / (SELECT n_nodes FROM nn))
+         |         JOIN dang dg ON r.node = dg.node) * t.tp)
          |      AS pr
-         |  FROM nodes n LEFT JOIN (
-         |    SELECT t.dst, sum(r.pr * t.p) AS contrib
-         |    FROM r${k - 1} r JOIN trans t ON r.node = t.src GROUP BY 1) c
-         |  ON n.node = c.dst)""".stripMargin
+         |  FROM tp t LEFT JOIN (
+         |    SELECT e.dst, sum(r.pr * e.p) AS contrib
+         |    FROM r${k - 1} r JOIN trans e ON r.node = e.src GROUP BY 1) c
+         |  ON t.node = c.dst)""".stripMargin
     }
     (base +: steps).mkString(",\n") +
       s"\nSELECT node AS page, round(pr, 6) AS pr FROM r$Iters"
   }
 
   val oracle: Map[String, String] = Map(
-    "g_pagerank" -> pagerankSql
+    "g_pagerank" -> pagerankSqlFor(seeded = false),
+    "g_ppr_seeded" -> pagerankSqlFor(seeded = true)
   )
 }

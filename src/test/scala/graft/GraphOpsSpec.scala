@@ -56,6 +56,49 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r(1) > r(2))
   }
 
+  test("personalized pagerank: mass conserved, only the seed's component holds mass") {
+    import spark.implicits._
+    // chain 0 -> 1 -> 2 (2 an absorbing sink) plus an isolated pair
+    // 3 <-> 4; seed = {0}
+    val e = edges(Seq((0, 1, 1L), (1, 2, 1L), (3, 4, 1L), (4, 3, 1L)))
+    val seeds = Seq(0).toDF("node")
+    val r = GraphOps.personalizedPageRank(e, "src", "dst", "w", seeds, "node",
+        iters = 5, damping = 0.85)
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-12)
+    // teleport favors the seed over its immediate successor (the chain's
+    // absorbing END legitimately accumulates the most — mass funnels
+    // there and only returns via the dangling redistribution)
+    assert(r(0) > r(1))
+    assert(r(2) > r(1), "the absorbing sink accumulates the funneled mass")
+    // the disconnected component gets NO mass: no teleport, no inflow
+    assert(r(3) == 0.0 && r(4) == 0.0)
+  }
+
+  test("personalized pagerank with every node seeded equals classic pagerank") {
+    import spark.implicits._
+    val es = Seq((0, 1, 2L), (0, 2, 1L), (1, 2, 1L), (2, 0, 1L))
+    val allNodes = Seq(0, 1, 2).toDF("node")
+    val classic = ranks(es)
+    val ppr = GraphOps.personalizedPageRank(edges(es), "src", "dst", "w",
+        allNodes, "node", iters = 5, damping = 0.85)
+      .collect().map(x => x.getInt(0) -> x.getDouble(1)).toMap
+    classic.foreach { case (n, v) =>
+      assert(math.abs(ppr(n) - v) < 1e-12, s"node $n: $v vs ${ppr(n)}")
+    }
+  }
+
+  test("g_ppr_seeded on testdata: mass conserved, seed mean outranks non-seed mean") {
+    val df = SparkEntry.queries("g_ppr_seeded")(spark, SparkTestSession.sfDir)
+    val rows = df.collect().map(r => r.getInt(0) -> r.getDouble(1))
+    assert(rows.length == 100)
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-3)
+    val (seedRows, rest) = rows.partition(_._1 % 10 == 0)
+    assert(seedRows.map(_._2).sum / seedRows.length >
+      rest.map(_._2).sum / rest.length,
+      "teleport mass must concentrate on the trust set")
+  }
+
   test("g_pagerank on testdata: full page set, mass conserved") {
     val df = SparkEntry.queries("g_pagerank")(spark, SparkTestSession.sfDir)
     val rows = df.collect()
