@@ -415,6 +415,15 @@ object Soak {
             col("page") + floor(col("user_id") / 10000000L) * lit(1000L))
           graft.queries.GraphOps.pageRank(edgesFrom(grown),
             "src", "dst", "w", iters = 5, damping = 0.85)
+        },
+        // triangle census with |V| and |E| growing with mult: the
+        // degree-ordered wedge join must track Σ outdeg² (O(E^1.5)
+        // worst case), not hub-degree² — per-copy page spaces keep the
+        // per-node degree profile fixed while the graph multiplies
+        shape("triangles_growing_v") {
+          val grown = pages.withColumn("page",
+            col("page") + floor(col("user_id") / 10000000L) * lit(1000L))
+          graft.queries.GraphOps.triangleStats(edgesFrom(grown), "src", "dst")
         })
     } else Seq.empty) ++ (if (soakSets("pq")) {
       val emb = amplify(Tables.embeddings(spark, sfDir), Seq("vec_id"), mult)

@@ -121,6 +121,60 @@ object GraphOps {
     ranks
   }
 
+  /** Triangle count + global clustering coefficient over an undirected
+    * graph, via the degree-ordered orientation (Schank & Wagner 2005 /
+    * Cohen's MapReduce form): orient every undirected edge from its
+    * lower-(degree, id) endpoint to the higher one, enumerate wedges as
+    * the oriented self-join on the source, and close each wedge against
+    * the oriented edge set. Each triangle is counted exactly once (at
+    * its lowest-order corner), and every vertex's oriented out-degree is
+    * O(√E), so the wedge join is Σ outdeg² = O(E^1.5) instead of the
+    * naive Σ deg² that a hub vertex makes quadratic — the standard trick
+    * that keeps triangle counting joinable at social-graph scale. Output
+    * is one row: (n_edges, n_wedges, n_triangles, clustering) with
+    * clustering = 3·triangles / wedges (the global transitivity ratio).
+    */
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // canonical undirected edge set (a < b), self-loops dropped
+    val und = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) -> high-(deg, id)
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(true)
+    // wedges at the lowest-order corner, emitted id-canonical (v1 < v2);
+    // the closing check is a plain EQUI-join against the id-canonical
+    // undirected edge set (an orientation-aware OR-condition here would
+    // plan as a nested loop — the orientation's job ends at bounding the
+    // wedge fan-out)
+    val w1 = oriented.select(col("u"), col("v").as("v1"))
+    val w2 = oriented.select(col("u"), col("v").as("v2"))
+    val wedgesAtCorner = w1.join(w2, "u").filter(col("v1") < col("v2"))
+    val triangles = wedgesAtCorner.join(und,
+        col("v1") === col("a") && col("v2") === col("b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val totals = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(
+        sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges")))
+    totals.crossJoin(broadcast(triangles))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering"))
+  }
+
   /** Page-transition edge table from the events stream: consecutive
     * `props.k` page visits per user (same (user_id, ts, event_id) ordering
     * as ev_transitions), weighted by transition count. One window shuffle
@@ -146,6 +200,11 @@ object GraphOps {
     "g_pagerank" -> ((s, d) =>
       pageRank(pageEdges(s, d), "src", "dst", "w", Iters, Damping)
         .select(col("node").as("page"), round(col("pr"), 6).as("pr"))),
+
+    // Triangle census of the undirected page graph: count + global
+    // clustering coefficient via the degree-ordered wedge join.
+    "g_triangles" -> ((s, d) =>
+      triangleStats(pageEdges(s, d), "src", "dst")),
 
     // Personalized PageRank from a fixed trust set (pages ≡ 0 mod 10):
     // teleport AND dangling mass land only on the seeds, so rank measures
@@ -224,6 +283,34 @@ object GraphOps {
 
   val oracle: Map[String, String] = Map(
     "g_pagerank" -> pagerankSqlFor(seeded = false),
-    "g_ppr_seeded" -> pagerankSqlFor(seeded = true)
+    "g_ppr_seeded" -> pagerankSqlFor(seeded = true),
+
+    // brute-force canonical a<b<c triple join — each triangle once; the
+    // engine's degree-ordered orientation must agree exactly
+    "g_triangles" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS page
+        |  FROM events),
+        |lagged AS (
+        |  SELECT page AS dst,
+        |    lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |  FROM ev),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM lagged WHERE src IS NOT NULL AND src <> dst),
+        |deg AS (
+        |  SELECT v, count(*) AS deg FROM
+        |    (SELECT a AS v FROM und UNION ALL SELECT b FROM und) x GROUP BY 1),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM und e1 JOIN und e2 ON e2.a = e1.b
+        |    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b)
+        |SELECT
+        |  (SELECT count(*) FROM und) AS n_edges,
+        |  (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) FROM deg) AS n_wedges,
+        |  (SELECT n_triangles FROM tri) AS n_triangles,
+        |  round(3.0 * (SELECT n_triangles FROM tri) /
+        |    (SELECT sum(deg * (deg - 1) / 2) FROM deg), 6) AS clustering""".stripMargin
   )
 }

@@ -99,6 +99,30 @@ class GraphOpsSpec extends AnyFunSuite {
       "teleport mass must concentrate on the trust set")
   }
 
+  test("triangle census: hand-counted fixture, duplicate/reversed/self edges normalized") {
+    import spark.implicits._
+    // K4 on {0,1,2,3} minus edge (2,3): triangles {0,1,2} and {0,1,3}.
+    // Noise: a reversed duplicate, an exact duplicate, a self-loop, and
+    // a pendant vertex 4 — none may change the census.
+    val e = Seq(
+      (0, 1, 1L), (1, 0, 1L), (0, 2, 1L), (0, 3, 1L), (1, 2, 1L),
+      (1, 3, 1L), (1, 3, 1L), (2, 2, 1L), (3, 4, 1L))
+      .toDF("src", "dst", "w")
+    val r = GraphOps.triangleStats(e, "src", "dst").head
+    assert(r.getLong(0) == 6L, s"n_edges ${r.getLong(0)}") // 5 K4-ish + pendant
+    // degrees: 0:3 1:3 2:2 3:3 4:1 -> wedges 3+3+1+3+0 = 10
+    assert(r.getLong(1) == 10L, s"n_wedges ${r.getLong(1)}")
+    assert(r.getLong(2) == 2L, s"n_triangles ${r.getLong(2)}")
+    assert(math.abs(r.getDouble(3) - 0.6) < 1e-9) // 3*2/10
+  }
+
+  test("triangle census: a triangle-free star has zero triangles") {
+    import spark.implicits._
+    val e = (1 to 5).map(i => (0, i, 1L)).toDF("src", "dst", "w")
+    val r = GraphOps.triangleStats(e, "src", "dst").head
+    assert(r.getLong(2) == 0L && r.getLong(1) == 10L)
+  }
+
   test("g_pagerank on testdata: full page set, mass conserved") {
     val df = SparkEntry.queries("g_pagerank")(spark, SparkTestSession.sfDir)
     val rows = df.collect()
