@@ -49,7 +49,8 @@ object Plans {
     "g_pagerank" -> "weighted PageRank, final iteration's plan: rank state (checkpointed RDD scan, |V| rows) joins the checkpointed pre-partitioned transition table, contribution aggregate partial/final pair, dangling mass + node count as 1-row broadcast cross joins — the |E| table never re-exchanges across iterations",
     "t8_bm25_search" -> "BM25 retrieval: posting rows filtered to the query terms at the matrix scan, df stats + corpus stats broadcast, per-doc score aggregate, top-20 as TakeOrderedAndProject — no full sort, no corpus rescan per query",
     "ev_users_hll_merge" -> "per-day HLL sketch aggregate (partial/final pair — map-side-mergeable fixed-KB state) + a 1-row lossless union branch; the exact countDistinct rides along only as the oracle anchor",
-    "tp_decontaminate_bloom" -> "Bloom-prefiltered decontamination: native might_contain on the corpus gram stream INSIDE whole-stage codegen before any exchange, then the exact-confirm semi join — only the hit fraction + fpp of the corpus reaches the shuffle")
+    "tp_decontaminate_bloom" -> "Bloom-prefiltered decontamination: native might_contain on the corpus gram stream INSIDE whole-stage codegen before any exchange, then the exact-confirm semi join — only the hit fraction + fpp of the corpus reaches the shuffle",
+    "g_triangles" -> "triangle census: degree-ordered wedge self-join + id-canonical EQUI closing join (hash joins throughout — the orientation-aware OR-condition form planned a nested loop, 4.4x slower); the only nested loops are 1-row Cross scalar attaches")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -168,6 +168,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("might_contain"), s"expected the native bloom probe:\n$p")
   }
 
+  test("triangle census joins stay equi (no nested-loop closing join)") {
+    val p = plan("g_triangles")
+    // the orientation-aware OR-condition closing join planned as an
+    // INNER BroadcastNestedLoopJoin and measured 4.4x slower — the only
+    // legitimate nested loops here are the 1-row Cross scalar attaches
+    assert(!p.contains("NestedLoopJoin BuildLeft, Inner") &&
+      !p.contains("NestedLoopJoin BuildRight, Inner"),
+      s"closing join must be an equi-join:\n$p")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      s"expected hash/merge joins:\n$p")
+  }
+
   test("quality-LR featurization is a pure map (no vocabulary build, no exchange)") {
     val docs = Tables.documents(spark, SparkTestSession.sfDir)
     val base = docs.select(col("doc_id"),
