@@ -206,6 +206,30 @@ object GraphOps {
     "g_triangles" -> ((s, d) =>
       triangleStats(pageEdges(s, d), "src", "dst")),
 
+    // Connected components of the STRONG page graph (transition weight
+    // >= 3x the mean edge weight — the "significant co-navigation"
+    // subgraph; the RELATIVE cut keeps the threshold meaningful at any
+    // event volume): every page keeps a row, weak-or-isolated pages
+    // become singletons. Reuses the dedup closure machinery (adaptive
+    // driver union-find / distributed min-label propagation) on
+    // graph-shaped input — one engine, one closure implementation. The
+    // mean rides as a broadcast 1-row cross join, not a collect.
+    "g_components" -> ((s, d) => {
+      val edges = pageEdges(s, d).localCheckpoint(true)
+      val nodes = edges.select(col("src").as("page"))
+        .union(edges.select(col("dst").as("page")))
+        .distinct()
+      val meanW = edges.agg(avg(col("w")).as("mean_w"))
+      val strong = edges.crossJoin(broadcast(meanW))
+        .filter(col("w") >= lit(3.0) * col("mean_w"))
+        .select(least(col("src"), col("dst")).as("a"),
+          greatest(col("src"), col("dst")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .distinct()
+      graft.dedup.Dedup.connectedComponents(nodes, "page", strong, "a", "b")
+        .select(col("node").as("page"), col("component"))
+    }),
+
     // Personalized PageRank from a fixed trust set (pages ≡ 0 mod 10):
     // teleport AND dangling mass land only on the seeds, so rank measures
     // proximity to the trusted set — the seed-expansion form of
@@ -284,6 +308,35 @@ object GraphOps {
   val oracle: Map[String, String] = Map(
     "g_pagerank" -> pagerankSqlFor(seeded = false),
     "g_ppr_seeded" -> pagerankSqlFor(seeded = true),
+
+    // min-label closure as a recursive CTE over the thresholded graph
+    "g_components" ->
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS page
+        |  FROM events),
+        |lagged AS (
+        |  SELECT page AS dst,
+        |    lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+        |  FROM ev),
+        |edges AS (
+        |  SELECT src, dst, count(*) AS w
+        |  FROM lagged WHERE src IS NOT NULL GROUP BY 1, 2),
+        |nodes AS (
+        |  SELECT DISTINCT node FROM
+        |    (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges) u),
+        |mw AS (SELECT avg(w) AS mean_w FROM edges),
+        |und AS (
+        |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |  FROM edges CROSS JOIN mw
+        |  WHERE w >= 3.0 * mean_w AND src <> dst),
+        |e2 AS (SELECT a AS src, b AS dst FROM und UNION SELECT b, a FROM und),
+        |reach(node, root) AS (
+        |  SELECT node, node FROM nodes
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN e2 e ON e.src = r.node)
+        |SELECT node AS page, min(root) AS component
+        |FROM reach GROUP BY 1""".stripMargin,
 
     // brute-force canonical a<b<c triple join — each triangle once; the
     // engine's degree-ordered orientation must agree exactly

@@ -123,6 +123,19 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(r.getLong(2) == 0L && r.getLong(1) == 10L)
   }
 
+  test("g_components on testdata: every page labeled, roots are members, strong graph fragments") {
+    val rows = SparkEntry.queries("g_components")(spark, SparkTestSession.sfDir)
+      .collect().map(r => r.getInt(0) -> r.getInt(1))
+    assert(rows.length == 100)
+    val byComp = rows.groupBy(_._2)
+    // min-label convention: every component's label is its smallest member
+    byComp.foreach { case (comp, members) =>
+      assert(members.map(_._1).min == comp, s"component $comp label not minimal")
+    }
+    // the 3x-mean cut must actually fragment the dense uniform graph
+    assert(byComp.size > 1, "strong graph should not be one giant component")
+  }
+
   test("g_pagerank on testdata: full page set, mass conserved") {
     val df = SparkEntry.queries("g_pagerank")(spark, SparkTestSession.sfDir)
     val rows = df.collect()
