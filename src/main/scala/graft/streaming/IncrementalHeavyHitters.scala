@@ -1,0 +1,121 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Incremental heavy hitters for a continuously-ingesting key stream: the
+  * classic candidates + sketch serving pattern ([[IncrementalCardinality]]'s
+  * frequency counterpart). Per microbatch, via `foreachBatch`:
+  *
+  *  1. ONE count-min sketch over the batch's keys (map-side-mergeable
+  *     fixed-memory aggregate — no key shuffle beyond the batch);
+  *  2. the batch's exact top-k keys as the CANDIDATE set (a heavy hitter
+  *     of the whole stream is necessarily a heavy hitter of some batch —
+  *     any key with global share > 1/k exceeds 1/k in at least one batch,
+  *     so the union of per-batch top-k candidate sets covers it);
+  *
+  * both written as idempotent `batch=<id>` subdirectories. Serving merges
+  * the sketches (CMS merge is exact — counters add — given equal
+  * eps/confidence/seed, which construction guarantees) and ranks the
+  * candidate union by merged-sketch estimate: counts are CMS estimates
+  * (never undercounts), ranking is estimate-based. Driver state is
+  * bounded: one ~MB sketch per batch dir (ONE after [[compactStore]])
+  * plus k candidates per batch.
+  */
+object IncrementalHeavyHitters {
+
+  /** Start sketch + candidate maintenance over a streaming keyed frame. */
+  def run(rows: DataFrame, keyCol: String, storeDir: String,
+          checkpointDir: String, eps: Double = 1e-4, confidence: Double = 0.999,
+          seed: Int = 42, k: Int = 20): StreamingQuery = {
+    val conf = rows.sparkSession.sparkContext.hadoopConfiguration
+    Seq(s"$storeDir/sketch", s"$storeDir/cand").foreach { d =>
+      CompactionSwap.recoverDanglingOld(CompactionSwap.fsFor(d, conf), d)
+    }
+    rows.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch, batchId, keyCol, storeDir, eps, confidence, seed, k)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One microbatch: sketch + exact batch top-k candidates, persisted
+    * idempotently. Factored out for direct unit/replay testing.
+    */
+  def processBatch(batch: Dataset[Row], batchId: Long, keyCol: String,
+                   storeDir: String, eps: Double, confidence: Double,
+                   seed: Int, k: Int): Unit = {
+    // keys are canonicalized to STRING at insert time so the driver-side
+    // estimateCount(String) at serve time hashes identically — CMS hashes
+    // by runtime type, so a long-inserted key would never match a string
+    // probe
+    val b = batch.toDF().select(col(keyCol).cast("string").as(keyCol))
+      .localCheckpoint(true) // sketch AND candidates read it
+    try {
+      b.agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed))
+          .as("sk"))
+        .write.mode("overwrite").parquet(s"$storeDir/sketch/batch=$batchId")
+      b.groupBy(col(keyCol).as("key"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("key"))
+        .limit(k)
+        .select(col("key"))
+        .write.mode("overwrite").parquet(s"$storeDir/cand/batch=$batchId")
+    } finally graft.util.Pins.release(b)
+  }
+
+  /** Global heavy hitters: candidate union ranked by merged-sketch
+    * estimate — (key, est_count), estimate-descending, key-ascending tie
+    * break, top k. Estimates never undercount the true frequency.
+    */
+  def readTopK(spark: SparkSession, storeDir: String, k: Int = 20): DataFrame = {
+    import spark.implicits._
+    val merged = mergedSketch(spark, storeDir)
+    val cands = spark.read.parquet(s"$storeDir/cand")
+      .select(col("key").cast("string"))
+      .distinct()
+      .as[String]
+      .collect() // bounded: <= k per batch dir, one dir after compaction
+    val scored = cands
+      .map(c => (c, merged.estimateCount(c)))
+      .sortBy { case (key, est) => (-est, key) }
+      .take(k)
+    scored.toSeq.toDF("key", "est_count")
+  }
+
+  /** All per-batch sketches merged driver-side (counters add exactly;
+    * equal shape/seed enforced by construction).
+    */
+  private def mergedSketch(spark: SparkSession, storeDir: String): CountMinSketch = {
+    val rows = spark.read.parquet(s"$storeDir/sketch")
+      .select(col("sk")).collect() // bounded: one ~MB row per batch dir
+    require(rows.nonEmpty, s"empty sketch store at $storeDir")
+    val sketches = rows.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
+    sketches.reduce { (a, b) => a.mergeInPlace(b); a }
+  }
+
+  /** Fold both stores to one `batch=0` each: sketches merge exactly,
+    * candidates union-distinct. Estimates and rankings are unchanged.
+    */
+  def compactStore(spark: SparkSession, storeDir: String): Unit = {
+    BatchStore.compact(spark, s"$storeDir/sketch") { (batches, outDir) =>
+      import spark.implicits._
+      val merged = spark.read.parquet(batches: _*)
+        .select(col("sk")).collect()
+        .map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
+        .reduce { (a, b) => a.mergeInPlace(b); a }
+      val bos = new java.io.ByteArrayOutputStream()
+      merged.writeTo(bos)
+      Seq(bos.toByteArray).toDF("sk")
+        .coalesce(1).write.mode("overwrite").parquet(outDir)
+    }
+    BatchStore.compact(spark, s"$storeDir/cand") { (batches, outDir) =>
+      spark.read.parquet(batches: _*).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(outDir)
+    }
+  }
+}
