@@ -358,6 +358,32 @@ object Relational {
         .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
     }),
 
+    // Rolling active users (DAU/WAU/MAU): distinct users per day and per
+    // trailing 7- and 30-day window ending each active day. Scale shape:
+    // events contract ONCE to the |days x users| distinct table; each
+    // trailing window is then a map-side explode of window-end offsets
+    // (a user active on day A counts toward ends A..A+n-1) into a
+    // count-distinct keyed by window end — an equi-aggregation, NOT the
+    // days x activity range join the naive form plans (the oracle uses
+    // exactly that range join, which is fine for DuckDB at oracle scale
+    // and exactly what we avoid at 100 TB). Phantom ends past the last
+    // active day drop at the inner join with the DAU day set.
+    "ev_active_users" -> ((s, d) => {
+      val du = Tables.events(s, d)
+        .select(to_date(date_trunc("day", col("ts"))).as("day"), col("user_id"))
+        .distinct()
+        .localCheckpoint(true) // three aggregations serve from one pass
+      val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      def trailing(n: Int, name: String) = du
+        .select(explode(sequence(lit(0), lit(n - 1))).as("off"),
+          col("day"), col("user_id"))
+        .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+        .groupBy("day").agg(countDistinct("user_id").as(name))
+      dau.join(trailing(7, "wau"), "day")
+        .join(trailing(30, "mau"), "day")
+        .select("day", "dau", "wau", "mau")
+    }),
+
     // Incremental cardinality via mergeable HLL sketches (Datasketches
     // HllSketch, the built-in hll_* aggregates): per-day user sketches
     // plus their UNION for the global count. The at-scale contract this
@@ -811,6 +837,25 @@ object Relational {
       """SELECT date_trunc('hour', ts) AS hour_ts, event_type,
            count(*) AS n_events, sum(value) AS total_value
          FROM events GROUP BY 1, 2""",
+
+    // the naive range-join formulation — correct at oracle scale; the
+    // engine's explode form must produce identical windows
+    "ev_active_users" ->
+      """WITH du AS (
+           SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+           FROM events),
+         days AS (SELECT DISTINCT day FROM du),
+         dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY 1),
+         wau AS (
+           SELECT d.day, count(DISTINCT u.user_id) AS wau
+           FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+           GROUP BY 1),
+         mau AS (
+           SELECT d.day, count(DISTINCT u.user_id) AS mau
+           FROM days d JOIN du u ON u.day BETWEEN d.day - 29 AND d.day
+           GROUP BY 1)
+         SELECT dau.day, dau.dau, wau.wau, mau.mau
+         FROM dau JOIN wau ON dau.day = wau.day JOIN mau ON dau.day = mau.day""",
 
     // the exact side + constant-1 flags; the sketch estimate is engine
     // internal and asserted only through the tolerance flag

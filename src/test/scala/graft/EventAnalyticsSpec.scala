@@ -205,4 +205,27 @@ class EventAnalyticsSpec extends AnyFunSuite {
           s"flags ${out(a)._2}/${out(b)._2}")
     }
   }
+
+  test("active users: trailing windows include exactly the last 7/30 days, multi-visits dedup") {
+    val events = Seq[(Long, java.sql.Timestamp, Long, String)](
+      // user 1 active on day 1 (twice — must count once)
+      (1L, ts("2024-01-01 08:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 20:00:00"), 1L, "click"),
+      // user 2 active on days 1 and 8 (day 8 is just past day 1's WAU)
+      (3L, ts("2024-01-01 09:00:00"), 2L, "view"),
+      (4L, ts("2024-01-08 09:00:00"), 2L, "view"),
+      // user 3 active on day 7 only (inside day 8's WAU? window is
+      // [day-6, day] -> day 7 IS inside day 8's; day 1's window ends day 1)
+      (5L, ts("2024-01-07 12:00:00"), 3L, "view"))
+    val got = run("ev_active_users", events)
+      .collect().map(r => r.getDate(0).toString ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // only days with activity appear
+    assert(got.keySet == Set("2024-01-01", "2024-01-07", "2024-01-08"))
+    assert(got("2024-01-01") == ((2L, 2L, 2L))) // users 1,2; dup visits dedup
+    assert(got("2024-01-07") == ((1L, 3L, 3L))) // day 1 within 7-day window
+    // day 8: WAU = [Jan 2..8] -> users 2 (Jan 8) and 3 (Jan 7); user 1's
+    // Jan 1 visit aged out of the 7-day window but stays in the 30-day
+    assert(got("2024-01-08") == ((1L, 2L, 3L)))
+  }
 }
