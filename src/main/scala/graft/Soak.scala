@@ -182,6 +182,21 @@ object Soak {
         keyed.select(col("doc_id"), col("split"),
           (min("split").over(w) =!= max("split").over(w)).cast("int").as("leaked"))
       },
+      // DAU/WAU/MAU on the amplified events: the |days x users| distinct
+      // contraction then map-side window-end explodes — must scale with
+      // the day-user table (users grow with amplification), never as a
+      // days x activity range join
+      shape("active_users_windows") {
+        val du = ev.select(to_date(date_trunc("day", col("ts"))).as("day"),
+            col("user_id")).distinct().localCheckpoint(true)
+        val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+        def trailing(n: Int, name: String) = du
+          .select(explode(sequence(lit(0), lit(n - 1))).as("off"),
+            col("day"), col("user_id"))
+          .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+          .groupBy("day").agg(countDistinct("user_id").as(name))
+        dau.join(trailing(7, "wau"), "day").join(trailing(30, "mau"), "day")
+      },
       // daily HLL sketches + lossless union: the whole pass is map-side
       // mergeable fixed-KB state per day — cost must stay one linear scan
       shape("hll_daily_union") {

@@ -232,6 +232,19 @@ object SqlSurface {
           covar_samp(col("l_quantity"), col("l_extendedprice")).cast("float").as("covar_qty_price"),
           count(lit(1)).as("n"))),
 
+    // Equi-width histogram: value -> bucket is a pure map (width_bucket
+    // over fixed bounds), counts one partial-aggregated shuffle keyed by
+    // (group, bucket) — the one-pass distribution profile; bucket count
+    // is bounded, so the result stays tiny at any scale.
+    "a_histogram" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      li.groupBy(col("l_returnflag"),
+          width_bucket(col("l_extendedprice"), lit(0.0), lit(120000.0), lit(12))
+            .as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          round(avg(col("l_extendedprice")), 2).as("avg_in_bucket"))
+    }),
+
     // Array aggregation: per-order sorted line numbers (collect_list is
     // unordered across partitions — array_sort canonicalizes), plus
     // element membership and cardinality. The array is emitted as a
@@ -691,6 +704,18 @@ object SqlSurface {
            CAST(covar_samp(l_quantity, l_extendedprice) AS FLOAT) AS covar_qty_price,
            count(*) AS n
          FROM lineitem GROUP BY 1""",
+
+    // width_bucket spelled arithmetically (same fixed bounds: 12 buckets
+    // of width 10000 over [0, 120000), overflow bucket 13)
+    "a_histogram" ->
+      """SELECT l_returnflag,
+           CAST(CASE WHEN l_extendedprice < 0 THEN 0
+                     WHEN l_extendedprice >= 120000 THEN 13
+                     ELSE floor(l_extendedprice / 10000) + 1 END AS BIGINT)
+             AS bucket,
+           count(*) AS n_rows,
+           round(avg(l_extendedprice), 2) AS avg_in_bucket
+         FROM lineitem GROUP BY 1, 2""",
 
     "f_array_agg" ->
       """SELECT l_orderkey,
