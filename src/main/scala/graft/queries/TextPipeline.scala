@@ -205,6 +205,25 @@ object TextPipeline {
         .limit(20)
     }),
 
+    // Per-document keyword extraction: each doc's top-3 terms by TF-IDF
+    // (deterministic ties: tfidf DESC, token ASC) — the topical-tag
+    // primitive a curation pipeline attaches to every document. Serves
+    // from the build-once TF-IDF matrix on the bounded-heap top_k_by
+    // aggregate: map-side partials keep <= k rows per doc per task, so
+    // shuffle and memory are k-bounded (the rank-window form sorts every
+    // doc's full term list in one task). Scores round to 6dp for the
+    // engine-portable cut.
+    "t9_doc_keywords" -> ((s, d) =>
+      tfidf(s, d)
+        .select(col("doc_id"), col("token"), round(col("tfidf"), 6).as("w"))
+        .groupBy("doc_id")
+        .agg(graft.functions.TopKBy.topKBy(col("w"), col("token"),
+          struct(col("token"), col("w")), 3).as("top"))
+        .select(col("doc_id"), posexplode(col("top")))
+        .select(col("doc_id"), col("col.payload.token").as("token"),
+          col("col.payload.w").as("tfidf_r"),
+          (col("pos") + 1).cast("int").as("rn"))),
+
     // BPE merge-table induction ([[graft.text.Bpe]]): the 8-rank merge
     // table the corpus induces — (merge_rank, lhs, rhs, merged,
     // pair_count), deterministic (ties: count DESC, pair ASC). The model
@@ -337,6 +356,18 @@ object TextPipeline {
          |    FROM ($countsSql) c JOIN documents d ON c.doc_id = d.doc_id
          |    GROUP BY 1, 2) g) r
          |WHERE rn <= 10""".stripMargin,
+
+    // rank-window replay of the bounded-heap cut, on the same rounded
+    // scores and the same (tfidf DESC, token ASC) order
+    "t9_doc_keywords" ->
+      s"""SELECT doc_id, token, tfidf_r, rn FROM (
+         |  SELECT doc_id, token, tfidf_r,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY doc_id ORDER BY tfidf_r DESC, token ASC) AS INT)
+         |      AS rn
+         |  FROM (SELECT doc_id, token, round(tfidf, 6) AS tfidf_r
+         |        FROM ($tfidfSql) t) x) r
+         |WHERE rn <= 3""".stripMargin,
 
     // same Okapi constants interpolated from the Scala vals so both
     // engines parse bit-identical double literals
