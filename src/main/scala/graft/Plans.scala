@@ -50,7 +50,10 @@ object Plans {
     "t8_bm25_search" -> "BM25 retrieval: posting rows filtered to the query terms at the matrix scan, df stats + corpus stats broadcast, per-doc score aggregate, top-20 as TakeOrderedAndProject — no full sort, no corpus rescan per query",
     "ev_users_hll_merge" -> "per-day HLL sketch aggregate (partial/final pair — map-side-mergeable fixed-KB state) + a 1-row lossless union branch; the exact countDistinct rides along only as the oracle anchor",
     "tp_decontaminate_bloom" -> "Bloom-prefiltered decontamination: native might_contain on the corpus gram stream INSIDE whole-stage codegen before any exchange, then the exact-confirm semi join — only the hit fraction + fpp of the corpus reaches the shuffle",
-    "g_triangles" -> "triangle census: degree-ordered wedge self-join + id-canonical EQUI closing join (hash joins throughout — the orientation-aware OR-condition form planned a nested loop, 4.4x slower); the only nested loops are 1-row Cross scalar attaches")
+    "g_triangles" -> "triangle census: degree-ordered wedge self-join + id-canonical EQUI closing join (hash joins throughout — the orientation-aware OR-condition form planned a nested loop, 4.4x slower); the only nested loops are 1-row Cross scalar attaches",
+    "ev_active_users" -> "DAU/WAU/MAU: ONE day-user distinct contraction (checkpointed, served three times), trailing windows as map-side offset explodes into partial-aggregated count-distincts keyed by window end — no days x activity range join anywhere in the plan",
+    "t9_doc_keywords" -> "per-doc keyword tags: bounded-heap top_k_by over the memoized TF-IDF matrix — map-side partials cap each task at k rows per doc before the exchange (the rank-window form would sort every doc's full term list)",
+    "a_histogram" -> "equi-width histogram: width_bucket is a pure-map projection feeding one partial/final aggregate pair keyed by (group, bucket) — result size bounded by the bucket count at any scale")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

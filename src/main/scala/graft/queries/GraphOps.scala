@@ -99,23 +99,32 @@ object GraphOps {
         Seq("node"), "left_anti")
       .localCheckpoint(true)
 
+    // by-NAME column references throughout the loop: once lineage spans
+    // two iterations (checkpoint cadence below), dataset-attribute
+    // references like trans("dst") become ambiguous — the previous
+    // iteration's rank plan embeds the same trans attributes — while
+    // name resolution against the joined OUTPUT schemas (kept disjoint:
+    // ranks (node, pr), trans (src, dst, p)) stays well-defined and lets
+    // DeduplicateRelations rewrite the reused subtree.
     var ranks = teleport.select(col("node"), col("tp").as("pr"))
       .localCheckpoint(true)
     for (i <- 1 to iters) {
-      val contrib = ranks.join(trans, ranks("node") === trans("src"))
-        .groupBy(trans("dst"))
-        .agg(sum(ranks("pr") * trans("p")).as("contrib"))
+      val contrib = ranks.join(trans, col("node") === col("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") * col("p")).as("contrib"))
       val dangMass = ranks.join(dangling, Seq("node"), "left_semi")
         .agg(coalesce(sum("pr"), lit(0.0)).as("dang"))
-      ranks = teleport.join(contrib, teleport("node") === contrib("dst"), "left")
+      ranks = teleport.join(contrib, col("node") === col("dst"), "left")
         .crossJoin(broadcast(dangMass))
-        .select(teleport("node"),
+        .select(col("node"),
           (lit(1.0 - damping) * col("tp") +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
               col("dang") * col("tp"))).as("pr"))
-      // truncate lineage between iterations; the LAST iteration stays a
-      // live plan so callers (and the PLANS.md audit) see the real
-      // per-iteration shape instead of a checkpoint scan
+      // truncate lineage between iterations (a halved, every-2nd cadence
+      // was measured and bought nothing — the barrier cost is offset by
+      // the deeper plan, so keep the simpler invariant); the LAST
+      // iteration stays a live plan so callers (and the PLANS.md audit)
+      // see the real per-iteration shape instead of a checkpoint scan
       if (i < iters) ranks = ranks.localCheckpoint(true)
     }
     ranks
