@@ -139,21 +139,9 @@ object Soak {
       // collect_list state — stays bounded; both groupBys ride the one
       // user_id exchange / contract map-side
       shape("session_paths") {
-        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-        ev.select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-          .withColumn("gap_us",
-            unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
-          .withColumn("new_s",
-            when(col("gap_us").isNull || col("gap_us") >= 1800000000L, 1L)
-              .otherwise(0L))
-          .withColumn("session_id", sum("new_s").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .groupBy(col("user_id"), col("session_id"))
-          .agg(concat_ws(">", array_sort(
-            collect_list(struct(col("ts"), col("event_id"), col("event_type"))))
-            .getField("event_type")).as("path"))
-          .groupBy("path").agg(count(lit(1)).as("n_sessions"))
-          .orderBy(desc("n_sessions"), asc("path")).limit(20)
+        // the DECLARED operator body on the amplified frame — one
+        // implementation, so the soak cannot drift from the query
+        graft.queries.Relational.sessionPaths(ev)
       },
       // cohort retention on the amplified events: the one-shuffle
       // min + collect_set pass — set state bounded by calendar weeks
@@ -187,15 +175,8 @@ object Soak {
       // the day-user table (users grow with amplification), never as a
       // days x activity range join
       shape("active_users_windows") {
-        val du = ev.select(to_date(date_trunc("day", col("ts"))).as("day"),
-            col("user_id")).distinct().localCheckpoint(true)
-        val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
-        def trailing(n: Int, name: String) = du
-          .select(explode(sequence(lit(0), lit(n - 1))).as("off"),
-            col("day"), col("user_id"))
-          .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
-          .groupBy("day").agg(countDistinct("user_id").as(name))
-        dau.join(trailing(7, "wau"), "day").join(trailing(30, "mau"), "day")
+        // the DECLARED operator body on the amplified frame
+        graft.queries.Relational.activeUsers(ev)
       },
       // daily HLL sketches + lossless union: the whole pass is map-side
       // mergeable fixed-KB state per day — cost must stay one linear scan
@@ -273,12 +254,16 @@ object Soak {
         val hits = counts.filter(col("token")
           .isin(graft.queries.TextPipeline.Bm25Query: _*))
         val dfs = hits.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+        // the SAME Okapi constants the declared query ships — tuning
+        // Bm25K1/Bm25B must keep the soak measuring the shipped operator
+        val k1 = graft.queries.TextPipeline.Bm25K1
+        val b = graft.queries.TextPipeline.Bm25B
         hits.join(docLen, "doc_id").join(broadcast(dfs), "token")
           .crossJoin(broadcast(stats))
           .withColumn("idf", log(lit(1.0) +
             (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)))
-          .withColumn("score_t", col("idf") * (col("freq") * 2.2) /
-            (col("freq") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+          .withColumn("score_t", col("idf") * (col("freq") * (k1 + 1)) /
+            (col("freq") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
           .groupBy("doc_id")
           .agg(sum("score_t").as("bm25"))
           .orderBy(desc("bm25"), asc("doc_id")).limit(20)
@@ -347,17 +332,23 @@ object Soak {
         // the SERVING split of the same row: fit + cell materialization
         // run OUTSIDE the timed region (the persisted-index path), so
         // this measures the graph pass alone — the recurring cost per
-        // graph rebuild once the index is built
+        // graph rebuild once the index is built. The whole setup sits
+        // behind the same SPARK_GRAFT_SHAPES gate shape() applies, so a
+        // filtered soak run doesn't pay the untimed k-means fit either.
         {
-          val idx = graft.similarity.Similarity.buildIvfIndex(
-            emb, "vec_id", "embedding", nlist = 16 * mult)
-          val served = idx.copy(cells = idx.cells.localCheckpoint(true))
-          val r = shape("knn_graph_probe_only") {
-            graft.similarity.Similarity.knnGraph(served, emb,
-              "vec_id", "embedding", k = 5, nprobe = 4)
+          if (!onlyShapes.forall(_.contains("knn_graph_probe_only")))
+            "knn_graph_probe_only" -> -1.0
+          else {
+            val idx = graft.similarity.Similarity.buildIvfIndex(
+              emb, "vec_id", "embedding", nlist = 16 * mult)
+            val served = idx.copy(cells = idx.cells.localCheckpoint(true))
+            val r = shape("knn_graph_probe_only") {
+              graft.similarity.Similarity.knnGraph(served, emb,
+                "vec_id", "embedding", k = 5, nprobe = 4)
+            }
+            graft.util.Pins.release(served.cells)
+            r
           }
-          graft.util.Pins.release(served.cells)
-          r
         })
     } else Seq.empty) ++ (if (soakSets("ml")) {
       val emb = amplify(Tables.embeddings(spark, sfDir), Seq("vec_id"), mult)

@@ -583,9 +583,13 @@ object Multimodal {
               (_, ns, ne) <- walk(ds, de).find(_._1 == "minf")
               (_, bs, be) <- walk(ns, ne).find(_._1 == "stbl")
               (_, ss, se) <- walk(bs, be).find(_._1 == "stsd")
-              // stsd content: 4B version/flags + 4B entry_count, then
-              // sample entries, each a box whose TYPE is the codec fourcc
-              if se - ss >= 16 && u32(ss + 8) >= 1
+              // stsd content: 4B version/flags + 4B entry_count (ss+4),
+              // then sample entries, each a box (size at ss+8, TYPE =
+              // codec fourcc at ss+12). Require a declared entry AND a
+              // plausible first-entry box size — entry_count alone
+              // admits a zero-size corrupt entry, the size alone admits
+              // padding after an entry_count of 0.
+              if se - ss >= 16 && u32(ss + 4) >= 1 && u32(ss + 8) >= 8
             } yield typ(ss + 12)
           walk(ms, me).foreach {
             case ("mvhd", s, _) =>

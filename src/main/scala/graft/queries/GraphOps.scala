@@ -106,8 +106,17 @@ object GraphOps {
     // name resolution against the joined OUTPUT schemas (kept disjoint:
     // ranks (node, pr), trans (src, dst, p)) stays well-defined and lets
     // DeduplicateRelations rewrite the reused subtree.
+    // nodes fed the (now-materialized) teleport and dangling checkpoints
+    // and nothing else — release its pinned blocks before the loop
+    graft.util.Pins.release(nodes)
+
     var ranks = teleport.select(col("node"), col("tp").as("pr"))
       .localCheckpoint(true)
+    // the superseded-checkpoint chain: once iteration i's checkpoint is
+    // materialized, iteration i−1's is dead weight (the house contract —
+    // Pins.scala — forbids leaving the loop's stale |V| pins to GC
+    // timing, same release discipline as connectedComponents' rounds)
+    var superseded = ranks
     for (i <- 1 to iters) {
       val contrib = ranks.join(trans, col("node") === col("src"))
         .groupBy(col("dst"))
@@ -123,9 +132,15 @@ object GraphOps {
       // truncate lineage between iterations (a halved, every-2nd cadence
       // was measured and bought nothing — the barrier cost is offset by
       // the deeper plan, so keep the simpler invariant); the LAST
-      // iteration stays a live plan so callers (and the PLANS.md audit)
-      // see the real per-iteration shape instead of a checkpoint scan
-      if (i < iters) ranks = ranks.localCheckpoint(true)
+      // iteration stays a live plan — reading the final checkpoint plus
+      // the teleport/trans/dangling artifacts, which therefore stay
+      // pinned for the caller — so callers (and the PLANS.md audit) see
+      // the real per-iteration shape instead of a checkpoint scan
+      if (i < iters) {
+        ranks = ranks.localCheckpoint(true)
+        graft.util.Pins.release(superseded)
+        superseded = ranks
+      }
     }
     ranks
   }

@@ -285,8 +285,10 @@ object MlOps {
         .select("doc_id", "split", "label", "features")
         .localCheckpoint(true) // reused by the fit and both eval passes
       val trainSplit = feats.filter(col("split") === "train")
-      // a fit needs rows; an empty corpus degrades to the oracle's empty
-      // grouped result instead of crashing (EmptyInputSpec contract)
+      // a fit needs rows; with no train split (empty corpus, or every doc
+      // hashed into 'test') there is no model and no evaluation — the
+      // oracle applies the SAME no-train-split guard, so both engines
+      // return the empty grouped result (EmptyInputSpec contract)
       if (trainSplit.isEmpty)
         Seq.empty[(String, Long, Long, Int, Int)]
           .toDF("split", "n_docs", "n_pos", "acc_ok", "auc_ok")
@@ -512,19 +514,22 @@ object MlOps {
 
     // exact split/label counts (same rolling-hash split as
     // tp_hash_split); the learned model is asserted via the wide-margin
-    // accuracy/AUC flags
+    // accuracy/AUC flags. The no-train-split guard mirrors the engine:
+    // with nothing to fit there are no rows, not a flagless 'test' row.
     "ml_quality_lr" ->
-      """SELECT split, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-        |  1 AS acc_ok, 1 AS auc_ok
-        |FROM (SELECT
+      """WITH t AS (SELECT
         |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
         |        list_transform(regexp_split_to_array(text, ''),
         |          c -> CAST(ascii(c) AS BIGINT))),
         |        (acc, x) -> (acc * 31 + x) % 1000000007) % 10 < 8
         |      THEN 'train' ELSE 'test' END AS split,
         |    (text LIKE '%spark%' OR text LIKE '%vector%') AS label
-        |  FROM documents) t
+        |  FROM documents)
+        |SELECT split, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  1 AS acc_ok, 1 AS auc_ok
+        |FROM t
+        |WHERE (SELECT count(*) FROM t WHERE split = 'train') > 0
         |GROUP BY 1""".stripMargin,
 
     // per-row Bessel/Pythagoras contract of the orthonormal projection

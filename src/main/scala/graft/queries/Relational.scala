@@ -23,6 +23,60 @@ object Relational {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Top user journeys over ANY events frame (the declared
+    * `ev_session_paths` and its amplified soak shape share this body —
+    * one implementation, measured and declared identically):
+    * gap-sessionization windows + the per-session ordered path build all
+    * on ONE (user_id, ts) exchange, path rollup contracting map-side,
+    * top-20 as a k-bounded TakeOrdered.
+    */
+  def sessionPaths(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
+      .withColumn("new_s",
+        when(col("gap_us").isNull || col("gap_us") >= 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum("new_s").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(concat_ws(">",
+        array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type"))))
+          .getField("event_type")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(20)
+  }
+
+  /** Rolling active users (DAU/WAU/MAU) over ANY events frame (shared by
+    * the declared `ev_active_users` and its soak shape). Scale shape:
+    * events contract ONCE to the |days x users| distinct table; each
+    * trailing window is then a map-side explode of window-end offsets
+    * (a user active on day A counts toward ends A..A+n-1) into a
+    * count-distinct keyed by window end — an equi-aggregation, NOT the
+    * days x activity range join the naive form plans (the oracle uses
+    * exactly that range join, fine at oracle scale and exactly what this
+    * shape avoids at 100 TB). Phantom ends past the last active day drop
+    * at the inner join with the DAU day set.
+    */
+  def activeUsers(events: DataFrame): DataFrame = {
+    val du = events
+      .select(to_date(date_trunc("day", col("ts"))).as("day"), col("user_id"))
+      .distinct()
+      .localCheckpoint(true) // three aggregations serve from one pass
+    val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    def trailing(n: Int, name: String) = du
+      .select(explode(sequence(lit(0), lit(n - 1))).as("off"),
+        col("day"), col("user_id"))
+      .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+      .groupBy("day").agg(countDistinct("user_id").as(name))
+    dau.join(trailing(7, "wau"), "day")
+      .join(trailing(30, "mau"), "day")
+      .select("day", "dau", "wau", "mau")
+  }
+
   val queries: Map[String, Q] = Map(
     // A1: group-by count with automatic partial aggregation.
     "a1_groupby_count" -> ((s, d) => {
@@ -358,31 +412,7 @@ object Relational {
         .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
     }),
 
-    // Rolling active users (DAU/WAU/MAU): distinct users per day and per
-    // trailing 7- and 30-day window ending each active day. Scale shape:
-    // events contract ONCE to the |days x users| distinct table; each
-    // trailing window is then a map-side explode of window-end offsets
-    // (a user active on day A counts toward ends A..A+n-1) into a
-    // count-distinct keyed by window end — an equi-aggregation, NOT the
-    // days x activity range join the naive form plans (the oracle uses
-    // exactly that range join, which is fine for DuckDB at oracle scale
-    // and exactly what we avoid at 100 TB). Phantom ends past the last
-    // active day drop at the inner join with the DAU day set.
-    "ev_active_users" -> ((s, d) => {
-      val du = Tables.events(s, d)
-        .select(to_date(date_trunc("day", col("ts"))).as("day"), col("user_id"))
-        .distinct()
-        .localCheckpoint(true) // three aggregations serve from one pass
-      val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
-      def trailing(n: Int, name: String) = du
-        .select(explode(sequence(lit(0), lit(n - 1))).as("off"),
-          col("day"), col("user_id"))
-        .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
-        .groupBy("day").agg(countDistinct("user_id").as(name))
-      dau.join(trailing(7, "wau"), "day")
-        .join(trailing(30, "mau"), "day")
-        .select("day", "dau", "wau", "mau")
-    }),
+    "ev_active_users" -> ((s, d) => activeUsers(Tables.events(s, d))),
 
     // Incremental cardinality via mergeable HLL sketches (Datasketches
     // HllSketch, the built-in hll_* aggregates): per-day user sketches
@@ -404,8 +434,12 @@ object Relational {
         .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
           countDistinct(col("user_id")).as("exact_users"))
         .localCheckpoint(true) // reused by both branches below
-      def okCol = (abs(hll_sketch_estimate(col("sk")).cast("double") -
-        col("exact_users")) <= col("exact_users") * lit(0.05))
+      // empty-input edge: a zero-row union yields a NULL sketch; its
+      // estimate coalesces to 0, which is exactly the exact count — the
+      // flag must stay 1 (the oracle's constant), never NULL
+      def okCol = (abs(coalesce(hll_sketch_estimate(col("sk")), lit(0L))
+        .cast("double") - col("exact_users")) <=
+        col("exact_users") * lit(0.05))
         .cast("int").as("hll_ok")
       val dailyOut = daily.select(col("day_ts"), col("exact_users"), okCol)
       val totalOut = daily
@@ -608,25 +642,7 @@ object Relational {
     // TakeOrdered. Per-session collect_list state is bounded by session
     // length (the 30-min gap seals a session), the same bounded-state
     // posture as ev_retention's calendar-bounded collect_set.
-    "ev_session_paths" -> ((s, d) => {
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
-        .withColumn("gap_us",
-          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(w)))
-        .withColumn("new_s",
-          when(col("gap_us").isNull || col("gap_us") >= 1800000000L, 1L)
-            .otherwise(0L))
-        .withColumn("session_id", sum("new_s").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(concat_ws(">",
-          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type"))))
-            .getField("event_type")).as("path"))
-        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
-        .orderBy(desc("n_sessions"), asc("path"))
-        .limit(20)
-    }),
+    "ev_session_paths" -> ((s, d) => sessionPaths(Tables.events(s, d))),
 
     // Event-type transition matrix (first-order path analysis): counts
     // of consecutive (prev → next) event-type pairs per user timeline.

@@ -18,6 +18,15 @@ object EventsStream {
     * current testdata and of [[graft.io.Tables.events]]' output. A stream
     * is routinely defined against a directory its producer hasn't written
     * to yet, so this fallback keeps that start state working.
+    *
+    * Boundary: the declared `ts: TIMESTAMP` reads both current on-disk
+    * encodings (native TIMESTAMP, and TIMESTAMP_NTZ micros — numerically
+    * identical under the engine's pinned UTC session), but NOT the
+    * legacy TIMESTAMP(NANOS) int64 files: a file-source schema is fixed
+    * at stream definition, so if a legacy producer starts writing nanos
+    * into an initially-empty directory the microbatch fails with a
+    * parquet schema-convert error — restart the stream (the schema is
+    * then peekable from the footer and the nanos branch engages).
     */
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),

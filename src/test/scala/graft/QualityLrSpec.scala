@@ -21,6 +21,31 @@ class QualityLrSpec extends AnyFunSuite {
     }
   }
 
+  test("a corpus whose every doc hashes to 'test' yields the empty grouped result") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // generate candidates, keep only those the rolling-hash split sends
+    // to 'test' (mod-10 bucket >= 8) — no model can be fit, and the
+    // oracle's no-train-split guard returns zero rows too
+    val candidates = (0 until 400).map(i => s"candidate text number $i tail${i % 17}")
+      .toDF("text")
+    val testOnly = candidates
+      .withColumn("bucket",
+        pmod(graft.functions.TextExprs.rollingHash(col("text")), lit(10L)))
+      .filter(col("bucket") >= 8)
+      .drop("bucket")
+      .collect().map(_.getString(0))
+    assert(testOnly.nonEmpty, "fixture needs at least one all-test doc")
+    val dir = java.nio.file.Files.createTempDirectory("graft-qlr-test").toString
+    testOnly.zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "src0", t.length.toLong) }
+      .toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("ml_quality_lr")(spark, dir)
+    assert(got.collect().isEmpty,
+      "no train split -> no model -> no rows (matching the oracle's guard)")
+  }
+
   test("crafted separable corpus: held-out accuracy flag stays green") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-qlr").toString
