@@ -30,7 +30,17 @@ object Relational {
     * on ONE (user_id, ts) exchange, path rollup contracting map-side,
     * top-20 as a k-bounded TakeOrdered.
     */
-  def sessionPaths(events: DataFrame): DataFrame = {
+  def sessionPaths(events: DataFrame): DataFrame =
+    sessionPathTable(events)
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(20)
+
+  /** The per-session path table behind [[sessionPaths]] — (user_id,
+    * session_id, path) with the 30-min gap rule; exposed so the
+    * streaming seal-parity test can compare sealed sessions one by one.
+    */
+  def sessionPathTable(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
@@ -45,9 +55,6 @@ object Relational {
       .agg(concat_ws(">",
         array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type"))))
           .getField("event_type")).as("path"))
-      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
-      .orderBy(desc("n_sessions"), asc("path"))
-      .limit(20)
   }
 
   /** Rolling active users (DAU/WAU/MAU) over ANY events frame (shared by

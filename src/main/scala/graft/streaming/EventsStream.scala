@@ -462,6 +462,67 @@ object EventsStream {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Input/state/output rows for the streaming session-path tracker. */
+  final case class SessEvent(user_id: Long, tsMicros: Long, event_id: Long,
+                             event_type: String)
+  final case class SessState(lastTs: Long, path: String, n: Long)
+  final case class SealedSession(user_id: Long, path: String, n_events: Long)
+
+  /** Incremental session paths — the streaming counterpart of the batch
+    * `ev_session_paths` rollup's per-session input: one OPEN session per
+    * user as state (30-min gap rule, micros arithmetic identical to the
+    * batch window), sealed and emitted the moment a user's next event
+    * arrives past the gap. State is bounded by the open session's length
+    * (the batch form holds the same per-session list in its aggregate);
+    * compose `.groupBy("path").count()` downstream for the live
+    * top-journeys table. Same arrival-order contract as
+    * [[TransitionProcessor]]: rows sort on (ts, event_id) within each
+    * microbatch, cross-batch delivery is assumed event-time-ordered per
+    * user. A user's FINAL session stays open forever by construction —
+    * there is no next event to seal it; a production variant would flush
+    * idle sessions with an event-time timer (the
+    * [[EventTimeFunnelProcessor]] pattern), which is exactly the
+    * difference the seal-parity spec accounts for.
+    */
+  class SessionPathProcessor
+      extends StatefulProcessor[Long, SessEvent, SealedSession] {
+    @transient private var st: ValueState[SessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[SessState]("open_session",
+        Encoders.product[SessState], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+                                 timerValues: TimerValues): Iterator[SealedSession] = {
+      var s = Option(st.get()).orNull
+      val out = Seq.newBuilder[SealedSession]
+      rows.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+        if (s == null) s = SessState(e.tsMicros, e.event_type, 1L)
+        else if (e.tsMicros - s.lastTs >= 1800000000L) {
+          out += SealedSession(key, s.path, s.n)
+          s = SessState(e.tsMicros, e.event_type, 1L)
+        } else s = SessState(e.tsMicros, s.path + ">" + e.event_type, s.n + 1)
+      }
+      // an empty row batch for a key leaves the open session untouched
+      if (s != null) st.update(s)
+      out.result().iterator
+    }
+  }
+
+  /** The streaming sealed-session stream (one row per closed session). */
+  def streamingSessionPaths(events: DataFrame): Dataset[SealedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("tsMicros"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionPathProcessor(),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Input/state/output rows for the streaming anomaly detector. */
   final case class HourlyCount(event_type: String, wStartMicros: Long, n: Long)
   final case class HistPoint(w: Long, n: Long)

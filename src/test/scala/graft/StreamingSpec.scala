@@ -186,6 +186,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming session paths: sealed sessions equal the batch table minus each user's open tail (RocksDB store)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val streamed = EventsStream.streamingSessionPaths(
+        EventsStream.readEvents(spark, eventsDir))
+      val got = EventsStream.runToMemory(spark, streamed.toDF(), "sess_paths_tws")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      // batch per-session paths, dropping each user's LAST session — the
+      // one the stream keeps open because no later event seals it
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val table = graft.queries.Relational.sessionPathTable(
+        graft.io.Tables.events(spark, SparkTestSession.sfDir))
+      val sealedBatch = table
+        .withColumn("max_sid",
+          max("session_id").over(Window.partitionBy("user_id")))
+        .filter(col("session_id") < col("max_sid"))
+        .select(col("user_id"), col("path"),
+          (size(split(col("path"), ">")) .cast("long")).as("n_events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .groupBy(identity).map { case (k, v) => k -> v.size }
+      assert(got == sealedBatch, "sealed-session multiset diverged from batch")
+      assert(got.nonEmpty)
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming transitions replay equals the batch ev_transitions matrix (RocksDB store)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
