@@ -66,6 +66,84 @@ object ZOrder {
       .drop("__minx", "__maxx", "__miny", "__maxy")
   }
 
+  /** The 4-stage (shift, mask) ladder that spreads 16 bits at stride
+    * `n`, computed by simulating the bit walk: bit b must travel
+    * b·(n−1) positions, decomposed over shifts (n−1)·{8,4,2,1}; each
+    * stage's mask keeps exactly the current bit positions (clearing the
+    * unshifted duplicates the OR leaves behind). For n = 2 this
+    * reproduces the classic 0x00FF00FF/0x0F0F0F0F/0x33333333/0x55555555
+    * ladder; `ZOrderSpec` checks every stride against the literal
+    * per-bit reference spread (all-ones patterns detect any collision).
+    */
+  private def ladder(n: Int): Seq[(Int, Long)] = {
+    val pos = Array.tabulate(16)(b => (b * n).toLong) // target...
+    val cur = Array.tabulate(16)(_.toLong)
+    Seq(8, 4, 2, 1).map { k =>
+      val s = k * (n - 1)
+      var mask = 0L
+      var b = 0
+      while (b < 16) {
+        if (pos(b) - cur(b) >= s) cur(b) += s
+        mask |= 1L << cur(b)
+        b += 1
+      }
+      (s, mask)
+    }
+  }
+
+  /** Spread the low 16 bits of `c` at stride `n` (bit b lands at
+    * position b·n) — the generalized mask-shift ladder: 4 shift/AND
+    * stages whatever the stride, so the expression stays as small and
+    * codegen-friendly as the 2-dim ladder (the naive 16-term-per-dim
+    * spread compiled past the codegen method limit and ran interpreted,
+    * 25x slower on the declared 3-dim query).
+    */
+  def spreadBitsStride(c: Column, n: Int): Column =
+    if (n == 1) c.cast("long")
+    else ladder(n).foldLeft(c.cast("long")) { case (x, (s, m)) =>
+      (x.bitwiseOR(shiftleft(x, s))).bitwiseAND(lit(m))
+    }
+
+  /** Morton code of 1–4 quantized 16-bit values (≤ 64-bit key):
+    * dimension j's bits land on positions ≡ j (mod n), so adjacent codes
+    * are adjacent in EVERY dimension — the N-column data-skipping key
+    * (16·n bits; 4 dims fill the long exactly).
+    */
+  def mortonN(qs: Seq[Column]): Column = {
+    require(qs.nonEmpty && qs.length <= 4,
+      s"mortonN interleaves 1..4 dims into 64 bits, got ${qs.length}")
+    qs.zipWithIndex
+      .map { case (q, j) => shiftleft(spreadBitsStride(q, qs.length), j) }
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** [[withZCode]] for 1–4 dimensions: one min/max aggregate over ALL
+    * columns rides in as a single broadcast 1-row cross join, the
+    * quantize + interleave stays a pure map.
+    */
+  def withZCodeN(df: DataFrame, colNames: Seq[String],
+                 zCol: String = "__z"): DataFrame = {
+    val aggs = colNames.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(c).as(s"__min$i"), max(c).as(s"__max$i"))
+    }
+    val mm = df.agg(aggs.head, aggs.tail: _*)
+    val qs = colNames.zipWithIndex.map { case (c, i) =>
+      quantize16(col(c), col(s"__min$i"), col(s"__max$i"))
+    }
+    df.crossJoin(broadcast(mm))
+      .withColumn(zCol, mortonN(qs))
+      .drop(colNames.indices
+        .flatMap(i => Seq(s"__min$i", s"__max$i")): _*)
+  }
+
+  /** [[zorderBy]] for 1–4 dimensions. */
+  def zorderByN(df: DataFrame, colNames: Seq[String],
+                numFiles: Int): DataFrame =
+    withZCodeN(df, colNames)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+
   /** Rewrite `df` in Z-order on `(xCol, yCol)`: compute the Morton code
     * of the quantized pair, range-partition into `numFiles` partitions
     * on it, and sort each partition by it. Written as-is, every file

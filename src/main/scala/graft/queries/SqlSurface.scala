@@ -553,8 +553,29 @@ object SqlSurface {
           Tables.lineitem(s, d)
             .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
           "l_partkey", "l_suppkey", zCol = "zcode")
+        .select("l_orderkey", "l_linenumber", "zcode")),
+
+    // The N-dimensional generalization ([[graft.layout.ZOrder.mortonN]]):
+    // three quantized dims interleaved at stride 3 (48-bit key) — the
+    // layout key for a table queried on any of THREE columns. The
+    // stride-3 spread is 16 shift-AND terms per dim (no 2-dim magic
+    // masks), still pure codegen; the oracle replays the identical
+    // generated term list.
+    "tp_zorder3" -> ((s, d) =>
+      graft.layout.ZOrder.withZCodeN(
+          Tables.lineitem(s, d)
+            .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+              "l_quantity"),
+          Seq("l_partkey", "l_suppkey", "l_quantity"), zCol = "zcode")
         .select("l_orderkey", "l_linenumber", "zcode"))
   )
+
+  /** Stride-3 bit spread as generated SQL (bit b of `v` → position 3b) —
+    * the same 16 terms [[graft.layout.ZOrder.spreadBitsStride]] folds.
+    */
+  private def spread3Sql(v: String): String =
+    (0 until 16).map(b => s"(($v & ${1L << b}) << ${2 * b})")
+      .mkString("(", " | ", ")")
 
   /** The DuckDB form of [[graft.text.TextAnalysis.markupPatterns]]'s
     * regexp_replace chain, BUILT from the same sequence the Spark
@@ -945,6 +966,30 @@ object SqlSurface {
          s4 AS (SELECT l_orderkey, l_linenumber,
                   ((qx | (qx << 1)) & 1431655765) AS qx,
                   ((qy | (qy << 1)) & 1431655765) AS qy FROM s3)
-         SELECT l_orderkey, l_linenumber, (qx | (qy << 1)) AS zcode FROM s4"""
+         SELECT l_orderkey, l_linenumber, (qx | (qy << 1)) AS zcode FROM s4""",
+
+    // identical quantize + the GENERATED stride-3 spread terms
+    "tp_zorder3" ->
+      s"""WITH mm AS (
+         |  SELECT min(l_partkey) AS min0, max(l_partkey) AS max0,
+         |         min(l_suppkey) AS min1, max(l_suppkey) AS max1,
+         |         min(l_quantity) AS min2, max(l_quantity) AS max2
+         |  FROM lineitem),
+         |q AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CASE WHEN max0 = min0 THEN 0 ELSE
+         |      CAST(floor((l_partkey - min0) * 65535.0 / (max0 - min0)) AS BIGINT)
+         |    END AS q0,
+         |    CASE WHEN max1 = min1 THEN 0 ELSE
+         |      CAST(floor((l_suppkey - min1) * 65535.0 / (max1 - min1)) AS BIGINT)
+         |    END AS q1,
+         |    CASE WHEN max2 = min2 THEN 0 ELSE
+         |      CAST(floor((l_quantity - min2) * 65535.0 / (max2 - min2)) AS BIGINT)
+         |    END AS q2
+         |  FROM lineitem, mm)
+         |SELECT l_orderkey, l_linenumber,
+         |  (${spread3Sql("q0")} | (${spread3Sql("q1")} << 1)
+         |    | (${spread3Sql("q2")} << 2)) AS zcode
+         |FROM q""".stripMargin
   )
 }

@@ -31,6 +31,40 @@ class ZOrderSpec extends AnyFunSuite {
     assert(got((0xFFFFL, 0xFFFFL)) == 0xFFFFFFFFL) // full 32-bit coverage
   }
 
+  test("mortonN: stride-3/4 interleave matches the reference bit spread; stride-2 equals morton") {
+    import spark.implicits._
+    def refN(vs: Seq[Long]): Long = {
+      val n = vs.length
+      (for (j <- vs.indices; b <- 0 until 16)
+        yield ((vs(j) >> b) & 1L) << (b * n + j)).reduce(_ | _)
+    }
+    val triples = Seq((0L, 0L, 0L), (1L, 1L, 1L), (0xFFFFL, 0L, 0L),
+      (0L, 0xFFFFL, 0L), (0L, 0L, 0xFFFFL), (0x1234L, 0x0F0FL, 0x00FFL),
+      (0xFFFFL, 0xFFFFL, 0xFFFFL))
+    val got3 = triples.toDF("a", "b", "c")
+      .select(ZOrder.mortonN(Seq(col("a"), col("b"), col("c"))).as("z"))
+      .collect().map(_.getLong(0))
+    triples.zip(got3).foreach { case ((a, b, c), z) =>
+      assert(z == refN(Seq(a, b, c)), s"($a,$b,$c)")
+    }
+    // full 48-bit coverage at all-ones
+    assert(got3.last == (1L << 48) - 1)
+    // 4 dims fill the long exactly
+    val got4 = Seq((0xFFFFL, 0xFFFFL, 0xFFFFL, 0xFFFFL)).toDF("a", "b", "c", "d")
+      .select(ZOrder.mortonN(Seq(col("a"), col("b"), col("c"), col("d"))))
+      .head.getLong(0)
+    assert(got4 == -1L) // all 64 bits set
+    // the 2-dim special case must equal the ladder implementation
+    val pairs = Seq((0x1234L, 0x0F0FL), (0xFFFFL, 0L))
+    val viaN = pairs.toDF("x", "y")
+      .select(ZOrder.mortonN(Seq(col("x"), col("y"))).as("z"))
+      .collect().map(_.getLong(0))
+    val viaLadder = pairs.toDF("x", "y")
+      .select(ZOrder.morton(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(viaN.toSeq == viaLadder.toSeq)
+  }
+
   test("morton preserves locality: nearby points share code prefixes") {
     import spark.implicits._
     // quadrant = top 2 bits of the code: points in the same half-plane
