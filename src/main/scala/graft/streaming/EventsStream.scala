@@ -523,6 +523,92 @@ object EventsStream {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Event-time session paths: correct under OUT-OF-ORDER delivery up
+    * to the watermark, and — unlike [[SessionPathProcessor]] — seals
+    * IDLE sessions too. Arriving events only buffer (per-user
+    * `ListState`); when the watermark moves, the sealed prefix folds
+    * into the open-session state in event-time order, emitting a
+    * [[SealedSession]] at every 30-min gap. The idle flush is the
+    * event-time-timer argument: once the watermark passes
+    * `lastTs + gap`, NO future event can extend the open session (any
+    * later arrival is above the watermark and therefore past the gap),
+    * so it seals immediately — every session is eventually emitted, a
+    * user's last one included, as soon as the watermark advances far
+    * enough. State per user = the open session + at most a
+    * watermark-delay window of buffered events.
+    */
+  class EventTimeSessionPathProcessor(gapMicros: Long)
+      extends StatefulProcessor[Long, SessEvent, SealedSession] {
+    @transient private var open: ValueState[SessState] = _
+    @transient private var buffer: ListState[SessEvent] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      open = getHandle.getValueState[SessState]("open_session",
+        Encoders.product[SessState], TTLConfig.NONE)
+      buffer = getHandle.getListState[SessEvent]("buffer",
+        Encoders.product[SessEvent], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[SessEvent],
+                                 timerValues: TimerValues): Iterator[SealedSession] = {
+      rows.foreach(buffer.appendValue)
+      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SealedSession] = {
+      val wmMs = timerValues.getCurrentWatermarkInMs()
+      val wmMicros = wmMs * 1000L
+      val (ripe, pending) = buffer.get().toSeq.partition(_.tsMicros <= wmMicros)
+      var s = Option(open.get()).orNull
+      val out = Seq.newBuilder[SealedSession]
+      ripe.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
+        if (s == null) s = SessState(e.tsMicros, e.event_type, 1L)
+        else if (e.tsMicros - s.lastTs >= gapMicros) {
+          out += SealedSession(key, s.path, s.n)
+          s = SessState(e.tsMicros, e.event_type, 1L)
+        } else s = SessState(e.tsMicros, s.path + ">" + e.event_type, s.n + 1)
+      }
+      // idle flush: the watermark passed the open session's gap horizon,
+      // so nothing can ever extend it — seal now
+      if (s != null && s.lastTs + gapMicros <= wmMicros) {
+        out += SealedSession(key, s.path, s.n)
+        s = null
+      }
+      if (s != null) open.update(s) else open.clear()
+      buffer.clear()
+      if (pending.nonEmpty) {
+        pending.foreach(buffer.appendValue)
+        getHandle.registerTimer(wmMs + 1) // unsealed tail: re-arm
+      } else if (s != null)
+        // nothing buffered but a session is open: arm the flush timer at
+        // its gap horizon so idleness alone seals it
+        getHandle.registerTimer(s.lastTs / 1000L + gapMicros / 1000L + 1)
+      out.result().iterator
+    }
+  }
+
+  /** The event-time sealed-session stream (see
+    * [[EventTimeSessionPathProcessor]]): watermark by `delay`, buffer,
+    * fold on seal. RocksDB state store required.
+    */
+  def streamingSessionPathsEventTime(events: DataFrame,
+                                     gapSeconds: Long = 1800L,
+                                     delay: String = "1 hour"): Dataset[SealedSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", delay)
+      .select(col("user_id").cast("long"),
+        unix_micros(col("ts")).as("tsMicros"),
+        col("event_id").cast("long"), col("event_type"))
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .transformWithState(new EventTimeSessionPathProcessor(gapSeconds * 1000000L),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Input/state/output rows for the streaming anomaly detector. */
   final case class HourlyCount(event_type: String, wStartMicros: Long, n: Long)
   final case class HistPoint(w: Long, n: Long)

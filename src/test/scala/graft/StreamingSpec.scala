@@ -221,6 +221,62 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("event-time session paths: out-of-order delivery + idle flush seal EVERY session batch-equal (RocksDB store)") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import spark.implicits._
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // user 1: session A (2 events), 40-min gap, session B (2 events);
+      // user 2: one 3-event session. File ONE delivers everything EXCEPT
+      // an early session-A event that arrives LATE in file two (out of
+      // order, within the 1h watermark delay); file three is the flush
+      // event that drives the watermark past every gap horizon.
+      val f1 = Seq(
+        (2L, ts("2024-01-01 10:05:00"), 1L, "click"),
+        (3L, ts("2024-01-01 10:50:00"), 1L, "view"),  // session B starts
+        (4L, ts("2024-01-01 10:51:00"), 1L, "purchase"),
+        (10L, ts("2024-01-01 09:00:00"), 2L, "view"),
+        (11L, ts("2024-01-01 09:10:00"), 2L, "click"),
+        (12L, ts("2024-01-01 09:20:00"), 2L, "error"))
+      val f2 = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "view")) // late!
+      val f3 = Seq((99L, ts("2024-01-02 00:00:00"), 999L, "view")) // flush
+      val dir = java.nio.file.Files.createTempDirectory("events_etsess")
+      val t0 = System.currentTimeMillis()
+      Seq(("a.parquet", f1, t0 - 300000L), ("b.parquet", f2, t0 - 200000L),
+        ("c.parquet", f3, t0 - 100000L)).foreach { case (n, rows, mtime) =>
+        val tmp = java.nio.file.Files.createTempDirectory(s"etsess_$n")
+        rows.map { case (id, t, u, ty) => (id, t, u, ty, 1.0, "{}") }
+          .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = new java.io.File(tmp.toString).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = dir.resolve(n)
+        java.nio.file.Files.move(part.toPath, dst)
+        assert(dst.toFile.setLastModified(mtime))
+      }
+      val streamed = EventsStream.streamingSessionPathsEventTime(
+        EventsStream.readEvents(spark, dir.toString,
+          Map("maxFilesPerTrigger" -> "1")))
+      val got = EventsStream
+        .runToMemory(spark, streamed.toDF(), "etsess_tws")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      // the late view must head session A despite arriving after the
+      // click was processed; idle flush seals B and user 2's session
+      assert(got == Set(
+        (1L, "view>click", 2L),
+        (1L, "view>purchase", 2L),
+        (2L, "view>click>error", 3L)), s"got $got")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("streaming transitions replay equals the batch ev_transitions matrix (RocksDB store)") {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
