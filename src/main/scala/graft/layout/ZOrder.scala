@@ -123,6 +123,10 @@ object ZOrder {
     */
   def withZCodeN(df: DataFrame, colNames: Seq[String],
                  zCol: String = "__z"): DataFrame = {
+    // bounds-check HERE so an empty column list fails with the designed
+    // message, not aggs.head's bare NoSuchElementException
+    require(colNames.nonEmpty && colNames.length <= 4,
+      s"z-order interleaves 1..4 dims into 64 bits, got ${colNames.length}")
     val aggs = colNames.zipWithIndex.flatMap { case (c, i) =>
       Seq(min(c).as(s"__min$i"), max(c).as(s"__max$i"))
     }

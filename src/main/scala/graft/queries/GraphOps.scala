@@ -61,8 +61,12 @@ object GraphOps {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("double").as("w"))
 
-    // |V|-sized node table; checkpoint once (reused every iteration and in
-    // the final left join that keeps zero-inflow nodes in the result).
+    // |V|-sized node table, checkpointed so the three derived artifacts
+    // below build from one materialization. Its LIFETIME ends there:
+    // teleport/trans/dangling are themselves eagerly checkpointed, so
+    // nodes' blocks are released before the loop (Pins.release below) —
+    // do NOT reference it after that point (a released localCheckpoint
+    // cannot recompute).
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()

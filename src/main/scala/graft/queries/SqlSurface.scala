@@ -557,10 +557,12 @@ object SqlSurface {
 
     // The N-dimensional generalization ([[graft.layout.ZOrder.mortonN]]):
     // three quantized dims interleaved at stride 3 (48-bit key) — the
-    // layout key for a table queried on any of THREE columns. The
-    // stride-3 spread is 16 shift-AND terms per dim (no 2-dim magic
-    // masks), still pure codegen; the oracle replays the identical
-    // generated term list.
+    // layout key for a table queried on any of THREE columns. The ENGINE
+    // ships the generalized 4-stage mask-shift ladder (the naive 16-term
+    // spread broke codegen — BASELINE.md); the ORACLE replays the
+    // semantically-equal per-bit spread, so engine/oracle equivalence is
+    // carried by ZOrderSpec's ladder-vs-reference bit goldens plus this
+    // 60k-row hash check, not by sharing one generated term list.
     "tp_zorder3" -> ((s, d) =>
       graft.layout.ZOrder.withZCodeN(
           Tables.lineitem(s, d)

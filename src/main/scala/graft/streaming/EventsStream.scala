@@ -356,7 +356,12 @@ object EventsStream {
         expiredTimerInfo: ExpiredTimerInfo): Iterator[FunnelUpdateAt] = {
       val wmMs = timerValues.getCurrentWatermarkInMs()
       val wmMicros = wmMs * 1000L
-      val (ripe, pending) = buffer.get().toSeq.partition(_.tsMicros <= wmMicros)
+      // strictly BELOW the watermark: Spark's late filter admits rows at
+      // ts == watermark, so a boundary-ts event could still arrive in a
+      // later batch — folding its equal-ts sibling now would freeze an
+      // order the batch query (which sees both) might not choose. Ties
+      // at the boundary stay pending until the watermark passes them.
+      val (ripe, pending) = buffer.get().toSeq.partition(_.tsMicros < wmMicros)
       var s = Option(anchors.get()).getOrElse(FunnelState(-1L, -1L, -1L))
       ripe.sortBy(_.tsMicros).foreach { e =>
         e.event_type match {
@@ -484,7 +489,20 @@ object EventsStream {
     * [[EventTimeFunnelProcessor]] pattern), which is exactly the
     * difference the seal-parity spec accounts for.
     */
-  class SessionPathProcessor
+  /** The ONE session-fold rule both session processors share (a boundary
+    * fix here cannot diverge the seal-parity the specs pin): returns the
+    * state after `e`, plus the sealed session if `e` opened a new one.
+    */
+  private def foldSession(key: Long, s: SessState, e: SessEvent,
+                          gapMicros: Long): (SessState, Option[SealedSession]) =
+    if (s == null) (SessState(e.tsMicros, e.event_type, 1L), None)
+    else if (e.tsMicros - s.lastTs >= gapMicros)
+      (SessState(e.tsMicros, e.event_type, 1L),
+        Some(SealedSession(key, s.path, s.n)))
+    else
+      (SessState(e.tsMicros, s.path + ">" + e.event_type, s.n + 1), None)
+
+  class SessionPathProcessor(gapMicros: Long = 1800000000L)
       extends StatefulProcessor[Long, SessEvent, SealedSession] {
     @transient private var st: ValueState[SessState] = _
 
@@ -497,11 +515,9 @@ object EventsStream {
       var s = Option(st.get()).orNull
       val out = Seq.newBuilder[SealedSession]
       rows.toSeq.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
-        if (s == null) s = SessState(e.tsMicros, e.event_type, 1L)
-        else if (e.tsMicros - s.lastTs >= 1800000000L) {
-          out += SealedSession(key, s.path, s.n)
-          s = SessState(e.tsMicros, e.event_type, 1L)
-        } else s = SessState(e.tsMicros, s.path + ">" + e.event_type, s.n + 1)
+        val (next, closed) = foldSession(key, s, e, gapMicros)
+        closed.foreach(out += _)
+        s = next
       }
       // an empty row batch for a key leaves the open session untouched
       if (s != null) st.update(s)
@@ -510,7 +526,8 @@ object EventsStream {
   }
 
   /** The streaming sealed-session stream (one row per closed session). */
-  def streamingSessionPaths(events: DataFrame): Dataset[SealedSession] = {
+  def streamingSessionPaths(events: DataFrame,
+                            gapSeconds: Long = 1800L): Dataset[SealedSession] = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -519,7 +536,7 @@ object EventsStream {
         col("event_id").cast("long"), col("event_type"))
       .as[SessEvent]
       .groupByKey(_.user_id)
-      .transformWithState(new SessionPathProcessor(),
+      .transformWithState(new SessionPathProcessor(gapSeconds * 1000000L),
         TimeMode.None(), OutputMode.Append())
   }
 
@@ -541,12 +558,20 @@ object EventsStream {
       extends StatefulProcessor[Long, SessEvent, SealedSession] {
     @transient private var open: ValueState[SessState] = _
     @transient private var buffer: ListState[SessEvent] = _
+    @transient private var horizon: ValueState[Long] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       open = getHandle.getValueState[SessState]("open_session",
         Encoders.product[SessState], TTLConfig.NONE)
       buffer = getHandle.getListState[SessEvent]("buffer",
         Encoders.product[SessEvent], TTLConfig.NONE)
+      // the currently-armed idle-flush timer (0 = none): a session
+      // extension supersedes its horizon, and without deleting the old
+      // timer every extension would later fire a no-op expiry that
+      // rewrites the whole buffer ListState — O(buffer) churn per stale
+      // timer
+      horizon = getHandle.getValueState[Long]("horizon",
+        Encoders.scalaLong, TTLConfig.NONE)
     }
 
     override def handleInputRows(key: Long, rows: Iterator[SessEvent],
@@ -560,15 +585,18 @@ object EventsStream {
         expiredTimerInfo: ExpiredTimerInfo): Iterator[SealedSession] = {
       val wmMs = timerValues.getCurrentWatermarkInMs()
       val wmMicros = wmMs * 1000L
-      val (ripe, pending) = buffer.get().toSeq.partition(_.tsMicros <= wmMicros)
+      // strictly BELOW the watermark: Spark's late filter admits rows at
+      // ts == watermark, so a boundary-ts event can still arrive in a
+      // later batch; folding its already-buffered equal-ts sibling now
+      // would freeze an order the batch (ts, event_id) sort might not
+      // choose. Boundary ties stay pending until the watermark passes.
+      val (ripe, pending) = buffer.get().toSeq.partition(_.tsMicros < wmMicros)
       var s = Option(open.get()).orNull
       val out = Seq.newBuilder[SealedSession]
       ripe.sortBy(e => (e.tsMicros, e.event_id)).foreach { e =>
-        if (s == null) s = SessState(e.tsMicros, e.event_type, 1L)
-        else if (e.tsMicros - s.lastTs >= gapMicros) {
-          out += SealedSession(key, s.path, s.n)
-          s = SessState(e.tsMicros, e.event_type, 1L)
-        } else s = SessState(e.tsMicros, s.path + ">" + e.event_type, s.n + 1)
+        val (next, closed) = foldSession(key, s, e, gapMicros)
+        closed.foreach(out += _)
+        s = next
       }
       // idle flush: the watermark passed the open session's gap horizon,
       // so nothing can ever extend it — seal now
@@ -578,13 +606,23 @@ object EventsStream {
       }
       if (s != null) open.update(s) else open.clear()
       buffer.clear()
+      val prevHorizon = Option(horizon.get()).getOrElse(0L)
       if (pending.nonEmpty) {
         pending.foreach(buffer.appendValue)
         getHandle.registerTimer(wmMs + 1) // unsealed tail: re-arm
-      } else if (s != null)
+      } else if (s != null) {
         // nothing buffered but a session is open: arm the flush timer at
-        // its gap horizon so idleness alone seals it
-        getHandle.registerTimer(s.lastTs / 1000L + gapMicros / 1000L + 1)
+        // its gap horizon so idleness alone seals it, deleting the
+        // horizon a session extension superseded
+        val h = s.lastTs / 1000L + gapMicros / 1000L + 1
+        if (prevHorizon != 0L && prevHorizon != h)
+          getHandle.deleteTimer(prevHorizon)
+        if (prevHorizon != h) getHandle.registerTimer(h)
+        horizon.update(h)
+      } else if (prevHorizon != 0L) {
+        getHandle.deleteTimer(prevHorizon)
+        horizon.clear()
+      }
       out.result().iterator
     }
   }
