@@ -74,10 +74,11 @@ object BbcRun {
     val res22 = BbcTasks.docKMeansExplicit(spark, vecs, k = 5, iters = 10)
     writeDocArtifacts(spark, res22.assignments, res22.centers, res22.losses,
       docs, s"${p.outDir}/task_2_2")
-    val model23 = BbcTasks.docKMeansScalable(vecs, k = 5, iters = 10)
-    val assigned23 = model23.transform(vecs)
-      .select(col("doc_id"), col("prediction").as("cluster"))
-    writeDocArtifacts(spark, assigned23, model23.clusterCenters, Seq.empty,
+    // the reference's 2.3 is 2.2's loop with k-means|| init — run the
+    // explicit loop from a k-means|| seed so the per-iteration `.losses`
+    // artifact exists for 2.3 too (the MLlib fit hides iteration state)
+    val res23 = BbcTasks.docKMeansScalableExplicit(spark, vecs, k = 5, iters = 10)
+    writeDocArtifacts(spark, res23.assignments, res23.centers, res23.losses,
       docs, s"${p.outDir}/task_2_3")
   }
 

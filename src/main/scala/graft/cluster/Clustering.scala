@@ -89,7 +89,8 @@ object Clustering {
     */
   def lloydLoop(spark: SparkSession, data: DataFrame, idCol: String, k: Int,
                 maxIter: Int, tol: Double = 1e-5,
-                distanceMeasure: String = "euclidean"): LloydResult = {
+                distanceMeasure: String = "euclidean",
+                initCenters: Option[Array[Vector]] = None): LloydResult = {
     require(distanceMeasure == "euclidean" || distanceMeasure == "cosine",
       s"unknown distanceMeasure $distanceMeasure")
     val cosineMode = distanceMeasure == "cosine"
@@ -106,8 +107,14 @@ object Clustering {
         if (nn == 0) 1.0 else 1.0 - vdot(v, c) / nn
       } else Vectors.sqdist(v, c)
     val cached = data.select(col(idCol), col("features")).cache()
-    var centers: Array[Vector] = cached.orderBy(col(idCol)).limit(k)
-      .select("features").collect().map(_.getAs[Vector](0))
+    // seedable: a caller may hand in centers (e.g. a k-means|| seeding —
+    // task 2.3's structure: the same loop as 2.2, different init);
+    // default stays the deterministic first-k-by-id
+    var centers: Array[Vector] = initCenters.getOrElse(
+      cached.orderBy(col(idCol)).limit(k)
+        .select("features").collect().map(_.getAs[Vector](0)))
+    require(centers.length == k,
+      s"initCenters must supply exactly $k centers, got ${centers.length}")
     val losses = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
     var iter = 0
     var moved = Double.MaxValue
