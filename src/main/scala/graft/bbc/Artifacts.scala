@@ -2,7 +2,7 @@ package graft.bbc
 
 import org.apache.spark.ml.linalg.Vector
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.{col, concat_ws}
+import org.apache.spark.sql.functions.{col, concat, concat_ws, lit}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
@@ -52,6 +52,23 @@ object Artifacts {
   def writeClasses2DDf(assignments: DataFrame, path: String): Unit = {
     val Seq(c, x, y) = assignments.columns.toSeq.take(3).map(col)
     streamLines(assignments.select(concat_ws(",", c, x, y).as("line")), path)
+  }
+
+  /** One reference-style per-iteration snapshot dir (2.1's
+    * `iterations/iter_N/`): `part-r-00000` with `cluster,\tx,y` lines
+    * (the reference reducer's literal tab after the first comma —
+    * `sources/2.1/output/iterations/iter_0/part-r-00000`) plus the empty
+    * `_SUCCESS` marker Hadoop leaves.
+    */
+  def writeIterAssignments2D(assignments: DataFrame, dir: String): Unit = {
+    val Seq(c, x, y) = assignments.columns.toSeq.take(3).map(col)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    streamLines(
+      assignments.select(
+        concat(c, lit(",\t"), x, lit(","), y).as("line")),
+      s"$dir/part-r-00000")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/_SUCCESS"),
+      Array.empty[Byte])
   }
 
   /** `.clusters` (2.2 format): `<id>\t<v1> <v2> …` per centroid. */

@@ -59,9 +59,12 @@ object BbcRun {
       java.nio.file.Paths.get(s"${p.outDir}/task_1_5.txt"),
       report.mkString("\n").getBytes("UTF-8"))
 
-    // 2.1 K=3 euclidean on the 2-D points
+    // 2.1 K=3 euclidean on the 2-D points, with the reference's
+    // per-iteration snapshot dirs (output/iterations/iter_N)
     val pts = Points.readPoints(spark, p.pointsCsv).cache()
-    val res21 = Points.kmeans2D(spark, pts, k = 3, maxIter = 20, tol = 1e-5)
+    val res21 = Points.kmeans2D(spark, pts, k = 3, maxIter = 20, tol = 1e-5,
+      onIteration = Some((i, asg) =>
+        Artifacts.writeIterAssignments2D(asg, s"${p.outDir}/iterations/iter_$i")))
     Artifacts.writeClusters2D(res21.centers, s"${p.outDir}/task_2_1.clusters")
     // streamed, not collected: the 2.1 fixture is 500 points, but this
     // writer is the shape that holds if the runner ever points at a real

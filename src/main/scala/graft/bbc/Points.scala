@@ -34,14 +34,21 @@ object Points {
     * deterministic synthetic id ordered by (x, y).
     */
   def kmeans2D(spark: SparkSession, points: DataFrame, k: Int = 3,
-               maxIter: Int = 20, tol: Double = 1e-5): LloydResult = {
+               maxIter: Int = 20, tol: Double = 1e-5,
+               onIteration: Option[(Int, DataFrame) => Unit] = None): LloydResult = {
     val feats = points
       .select(array_to_vector(array(col("x"), col("y"))).as("features"),
         col("x"), col("y"))
       .withColumn("pid",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy("x", "y")))
-    Clustering.lloydLoop(spark, feats, "pid", k, maxIter, tol)
+    // the iteration hook sees (cluster, x, y) rows — the reference's
+    // per-iteration snapshot shape — by joining coordinates back on pid
+    Clustering.lloydLoop(spark, feats, "pid", k, maxIter, tol,
+      onIteration = onIteration.map(f => (i: Int, asg: org.apache.spark.sql.DataFrame) =>
+        f(i, feats.select("pid", "x", "y")
+          .join(asg.select("pid", "cluster"), "pid")
+          .select(col("cluster"), col("x"), col("y")))))
   }
 
   /** `.classes` rows in the 2.1 golden format: `cluster,x,y`. */

@@ -90,7 +90,8 @@ object Clustering {
   def lloydLoop(spark: SparkSession, data: DataFrame, idCol: String, k: Int,
                 maxIter: Int, tol: Double = 1e-5,
                 distanceMeasure: String = "euclidean",
-                initCenters: Option[Array[Vector]] = None): LloydResult = {
+                initCenters: Option[Array[Vector]] = None,
+                onIteration: Option[(Int, DataFrame) => Unit] = None): LloydResult = {
     require(distanceMeasure == "euclidean" || distanceMeasure == "cosine",
       s"unknown distanceMeasure $distanceMeasure")
     val cosineMode = distanceMeasure == "cosine"
@@ -132,6 +133,11 @@ object Clustering {
       }
       val sqd = udf { (v: Vector, c: Int) => dist(v, bc.value(c)) }
       assignments = cached.withColumn("cluster", assign(col("features")))
+      // per-iteration artifact hook (the reference's iter_N snapshot
+      // dirs, task 2.1): receives the 0-based iteration and the
+      // assignments AGAINST THE ENTERING CENTERS, exactly what the
+      // reference's per-iteration reducer output holds
+      onIteration.foreach(f => f(iter, assignments))
       val stats = assignments
         .withColumn("sqdist", sqd(col("features"), col("cluster")))
         .groupBy("cluster")
