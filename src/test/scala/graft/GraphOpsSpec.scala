@@ -99,6 +99,40 @@ class GraphOpsSpec extends AnyFunSuite {
       "teleport mass must concentrate on the trust set")
   }
 
+  test("seeded random graphs: distributed ranks equal a driver-side reference to 1e-9") {
+    // plain-Scala power iteration — an INDEPENDENT implementation of the
+    // same semantics (teleport + dangling-to-teleport, synchronous)
+    def refRanks(edges: Seq[(Int, Int, Long)], iters: Int, d: Double): Map[Int, Double] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val outW = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum.toDouble }
+      val tp = 1.0 / nodes.size
+      var r = nodes.map(_ -> tp).toMap
+      for (_ <- 1 to iters) {
+        val inflow = edges.groupBy(_._2).map { case (dst, es) =>
+          dst -> es.map(e => r(e._1) * e._3 / outW(e._1)).sum
+        }
+        val dang = nodes.filterNot(outW.contains).map(r).sum
+        r = nodes.map(n =>
+          n -> ((1 - d) * tp + d * (inflow.getOrElse(n, 0.0) + dang * tp))).toMap
+      }
+      r
+    }
+    val rng = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val n = 8 + trial * 2
+      val es = (0 until 3 * n).map { _ =>
+        (rng.nextInt(n), rng.nextInt(n), 1L + rng.nextInt(5))
+      }.filter(e => e._1 != e._2).distinct
+      val got = ranks(es, iters = 4)
+      val want = refRanks(es, iters = 4, d = 0.85)
+      assert(got.keySet == want.keySet, s"trial $trial node sets differ")
+      got.foreach { case (node, v) =>
+        assert(math.abs(v - want(node)) < 1e-9,
+          s"trial $trial node $node: $v vs ${want(node)}")
+      }
+    }
+  }
+
   test("triangle census: hand-counted fixture, duplicate/reversed/self edges normalized") {
     import spark.implicits._
     // K4 on {0,1,2,3} minus edge (2,3): triangles {0,1,2} and {0,1,3}.
