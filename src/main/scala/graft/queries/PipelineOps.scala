@@ -31,10 +31,15 @@ object PipelineOps {
     * production dedup pipeline has (signatures are an *index*, not a
     * per-query intermediate).
     */
-  // weak-keyed on the session OBJECT: a GC'd (stopped, dropped) session's
-  // entries vanish with it — no identityHashCode collisions handing a new
-  // session checkpointed frames bound to a dead one, no unbounded growth
-  // in multi-session JVMs
+  // keyed on the session OBJECT so entries can never leak across
+  // sessions (no identityHashCode collisions handing a new session
+  // checkpointed frames bound to a dead one). NOTE the weak key does NOT
+  // buy automatic eviction here: the memoized Datasets strongly
+  // reference their SparkSession, and the map holds the values strongly,
+  // so the key stays reachable — the WeakHashMap javadoc's
+  // value-references-key caveat. Fine for the one-session-per-JVM
+  // processes this engine runs in; a long-lived multi-session service
+  // must call [[releaseMemo]] when it stops a session.
   private val sharedMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
@@ -44,6 +49,18 @@ object PipelineOps {
     sharedMemo
       .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
       .getOrElseUpdate((d, key), build)
+
+  /** Drop every memoized artifact bound to `s` (shared frames AND the
+    * persisted-IVF handles), releasing their pinned checkpoint blocks —
+    * the explicit hook a multi-session service calls before stopping a
+    * session (see the eviction caveat on [[sharedMemo]]).
+    */
+  def releaseMemo(s: SparkSession): Unit = {
+    Option(sharedMemo.remove(s)).foreach(_.values.foreach { df =>
+      try graft.util.Pins.release(df) catch { case _: Throwable => }
+    })
+    ivfMemo.remove(s): Unit
+  }
 
   /** Build-once bucketed copy of a test table (hash-bucketed + sorted on
     * the join key): subsequent equi-joins between co-bucketed tables are
@@ -56,7 +73,10 @@ object PipelineOps {
                             key: String, cols: Seq[String],
                             buckets: Int): DataFrame =
     memoized(s, d, s"bkt_$src") {
-      val tbl = s"graft_bkt_${src}_${math.abs(d.hashCode.toLong)}"
+      // md5 of the dataset id, not hashCode/sanitization: two distinct
+      // dataset dirs must never map to one table name (a collision would
+      // silently cross-wire datasets sharing a warehouse)
+      val tbl = s"graft_bkt_${src}_${datasetTag(d)}"
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       // stale table dirs from a prior JVM live under the SESSION'S
       // configured warehouse (not necessarily ./spark-warehouse) and make
@@ -84,9 +104,19 @@ object PipelineOps {
   // hardcoded relative "spark-warehouse/" diverges from where the
   // session actually writes when warehouse.dir is overridden
   private def ivfIndexPath(s: SparkSession, d: String): String =
+    // collision-free dataset tag (see bucketedTable): character
+    // sanitization would map "sf0.1 a" and "sf0.1-a" to one directory,
+    // letting the second build overwrite the first's index while its
+    // memoized handle lazily re-reads the path
     new org.apache.hadoop.fs.Path(
       s.conf.get("spark.sql.warehouse.dir"),
-      s"graft_ivf_${d.replaceAll("[^A-Za-z0-9.]", "_")}").toString
+      s"graft_ivf_${datasetTag(d)}").toString
+
+  /** Filesystem/catalog-safe, collision-free tag for a dataset id. */
+  private def datasetTag(d: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+  }
 
   def persistedIvfIndex(s: SparkSession, d: String): Similarity.IvfIndex =
     ivfMemo
@@ -140,21 +170,44 @@ object PipelineOps {
         .localCheckpoint(true)
     }
 
-  /** The shared ANN accuracy contract both `sim_ann_*` queries declare:
-    * per query, the exact top-5's size (hash-checked) plus a flag that
-    * `approx` recovered at least 2 of it — one definition of the floor,
-    * used by the IVF-only and the IVFPQ paths.
+  /** The shared ANN accuracy contract (`sim_ann_*`, `sim_knn_graph`):
+    * per query, the APPROXIMATE result's row count — hash-checked
+    * against the oracle's full-k claim; counting the exact side here
+    * would let a shrunken approximate result (a regressed probe
+    * returning 2 rows) pass as long as those rows matched — plus the
+    * recall-floor flag (>= `floor` of the exact top-k recovered).
     */
-  private def recallVsExact(s: SparkSession, d: String,
-                            approx: DataFrame): DataFrame =
-    exactIvfTopK(s, d)
-      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__m")),
+  private def recallContract(exact: DataFrame, approx: DataFrame,
+                             countName: String, floor: Int): DataFrame = {
+    val apx = approx.select(col("query_id"), col("neighbor_id"))
+    val apxN = apx.groupBy("query_id")
+      .agg(count(lit(1)).cast("int").as(countName))
+    exact
+      .join(apx.withColumn("__m", lit(1)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
-      .agg(count(lit(1)).cast("int").as("n_results"),
-        sum(coalesce(col("__m"), lit(0))).as("__matched"))
-      .select(col("query_id"), col("n_results"),
-        (col("__matched") >= 2).cast("int").as("recall_ok"))
+      .agg(sum(coalesce(col("__m"), lit(0))).as("__matched"))
+      .join(apxN, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col(countName), lit(0)).cast("int").as(countName),
+        (col("__matched") >= floor).cast("int").as("recall_ok"))
+  }
+
+  private def recallVsExact(s: SparkSession, d: String,
+                            approx: DataFrame): DataFrame =
+    recallContract(exactIvfTopK(s, d), approx, "n_results", floor = 2)
+
+  /** Build-once SRP near-dup pair table — `sim_near_dup` declares it and
+    * `sim_dedup_apply`'s closure consumes the identical set; memoizing
+    * stops the bucket + in-bucket-verify pipeline from running twice per
+    * harness pass (the same rationale as the shingle/signature tables).
+    */
+  private def srpPairs(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "srp_pairs") {
+      Similarity.srpNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+        threshold = 0.4, numPlanes = 4, dim = 64)
+        .localCheckpoint(true)
+    }
 
   /** Build-once EXACT all-points KNN graph — [[Similarity.knnGraph]] at
     * `nprobe == nlist` (every pair scored once via the cell join, so the
@@ -445,9 +498,7 @@ object PipelineOps {
     // the bucketing deterministic, so the DuckDB oracle reproduces it
     // exactly (plane weights inlined as literals). The brute-force
     // cosineNearDupPairs stays as the verification baseline in specs.
-    "sim_near_dup" -> ((s, d) =>
-      Similarity.srpNearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-        threshold = 0.4, numPlanes = 4, dim = 64)),
+    "sim_near_dup" -> ((s, d) => srpPairs(s, d)),
 
     // Semantic dedup, APPLIED (SemDeDup-shaped: embedding near-dups
     // collapse to one representative): SRP-bucketed cosine pairs →
@@ -458,10 +509,8 @@ object PipelineOps {
     // pair graph only (a small fraction of the corpus by construction).
     "sim_dedup_apply" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      val pairs = Similarity.srpNearDupPairs(emb, "vec_id", "embedding",
-        threshold = 0.4, numPlanes = 4, dim = 64)
       Dedup.connectedComponents(emb.select("vec_id"), "vec_id",
-        pairs, "id_a", "id_b")
+        srpPairs(s, d), "id_a", "id_b")
         .filter(col("node") === col("component"))
         .select(col("node").as("vec_id"))
     }),
@@ -491,18 +540,12 @@ object PipelineOps {
     // min 3/5 at sf0.01 and 2/5 at sf0.1 on the near-uniform synthetic
     // embeddings (whose scattered true neighbors are the honest worst
     // case, not a softball).
-    "sim_knn_graph" -> ((s, d) => {
-      val approx = Similarity.knnGraph(persistedIvfIndex(s, d),
-        Tables.embeddings(s, d), "vec_id", "embedding", k = 5, nprobe = 10)
-      exactKnnGraph(s, d)
-        .join(approx.select(col("query_id"), col("neighbor_id"), lit(1).as("__m")),
-          Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).cast("int").as("n_neighbors"),
-          sum(coalesce(col("__m"), lit(0))).as("__matched"))
-        .select(col("query_id"), col("n_neighbors"),
-          (col("__matched") >= 2).cast("int").as("recall_ok"))
-    }),
+    "sim_knn_graph" -> ((s, d) =>
+      recallContract(
+        exactKnnGraph(s, d),
+        Similarity.knnGraph(persistedIvfIndex(s, d),
+          Tables.embeddings(s, d), "vec_id", "embedding", k = 5, nprobe = 10),
+        "n_neighbors", floor = 2)),
 
     // Graph-clustered semantic components: KNN-graph edges above a
     // cosine threshold → transitive closure — the graph-clustering pass

@@ -92,6 +92,7 @@ object Pq {
     val subDim = dim / m
     val spark = corpus.sparkSession
     val sl = slices(corpus, idCol, vecCol, m, subDim).localCheckpoint(true)
+    try {
 
     // init: per subspace, the slices of the ksub lowest-hashed vectors
     // (deterministic, spread across the corpus). Selected with the
@@ -129,10 +130,12 @@ object Pq {
         }
       }
     }
-    // the checkpointed n×m slice table is consumed: without the unpersist
-    // every buildCodebook call pins it in executor storage for the session
-    graft.util.Pins.release(sl)
     PqCodebook(m, subDim, cents)
+    } finally
+      // the checkpointed n×m slice table is consumed: release even when
+      // a Lloyd/collect job fails — a retrying service must not
+      // accumulate one pinned slice table per attempt
+      graft.util.Pins.release(sl)
   }
 
   /** Encode the corpus: (vec_id, codes array<int> of length m) — the m
@@ -140,8 +143,24 @@ object Pq {
     * argmin, one shuffle on vec_id to pack the code array.
     */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
-             cb: PqCodebook): DataFrame =
-    assign(slices(corpus, idCol, vecCol, cb.m, cb.subDim),
+             cb: PqCodebook): DataFrame = {
+    // the codes table is a FEATURE STORE keyed by vec_id: with a
+    // duplicate id, the per-(id, subspace) argmin in `assign` SILENTLY
+    // blends the two vectors into one chimera encoding (each subspace's
+    // winner can come from either row) — corrupted ADC scores with no
+    // error. Fail loudly instead, in-plan (lazy raise_error behind a
+    // per-id count window; no extra driver action — the cells table
+    // tolerates duplicate ids, the PQ store by construction cannot).
+    val w = Window.partitionBy(col(idCol))
+    val guarded = corpus
+      .withColumn("__idn", count(lit(1)).over(w))
+      .withColumn("__checked_vec",
+        when(col("__idn") === 1, col(vecCol))
+          .otherwise(raise_error(concat(
+            lit("PQ encode requires unique ids: "),
+            col(idCol).cast("string"),
+            lit(" appears "), col("__idn").cast("string"), lit(" times")))))
+    assign(slices(guarded, idCol, "__checked_vec", cb.m, cb.subDim),
       codebookDf(corpus.sparkSession, cb.centroids))
       .groupBy("vec_id")
       // direct field extraction on the sorted struct array (codegen
@@ -149,6 +168,7 @@ object Pq {
       // (interpreted per element)
       .agg(array_sort(collect_list(struct(col("subspace"), col("code"))))
         .getField("code").as("codes"))
+  }
 
   /** IVFPQ + refine top-k: IVF cells prune candidates (`nprobe` of
     * nlist cells, hash join on `cell`), ADC scores every candidate as

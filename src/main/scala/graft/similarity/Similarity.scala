@@ -110,6 +110,12 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     val raw = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       norm(col(vecCol)).as("cnorm"))
+      // a zero-norm vector has no direction: scale() would emit NaN
+      // features into the k-means fit, and at query time its cosine is
+      // NaN — which ranks FIRST under descending order, making the zero
+      // vector the top-1 neighbor of every query probing its cell. Drop
+      // here, the same guard appendToIvfIndex and Pq.slices apply.
+      .filter(col("cnorm") > 0)
     val withFeats = raw.withColumn("features",
       // codegen vec_scale, not transform(_ / norm) (interpreted)
       array_to_vector(graft.functions.VectorExprs.scale(col("cvec"), col("cnorm"))))
@@ -305,27 +311,38 @@ object Similarity {
       // vector would become the top-1 neighbor of every query probing its
       // cell. Drop them here, consistent with Pq.slices' guard.
       .filter(col("cnorm") > 0)
+      // per-ROW identity: ids may legitimately repeat (the cells table
+      // supports that — buildIvfIndex's scaladoc), so the argmin below
+      // must group on a row key, NOT on neighbor_id — grouping by id
+      // would collapse two different vectors sharing an id into one
+      // cell, silently mis-assigning one of them. The id is generated
+      // BEFORE the eager checkpoint, which freezes its values: the
+      // assign and the join-back read the same materialized rows.
+      .withColumn("__rid", monotonically_increasing_id())
       .localCheckpoint(true)
-    val centroidLits = idx.centroids.map { case (i, c) =>
-      struct(lit(i).as("cell"), array(c.map(lit).toSeq: _*).as("centroid"),
-        lit(c.map(x => x * x).sum / 2).as("halfnormsq"))
-    }
-    val assigned = raw
-      .select(col("neighbor_id"),
-        graft.functions.VectorExprs.scale(col("cvec"), col("cnorm")).as("__unit"),
-        explode(array(centroidLits.toSeq: _*)).as("cc"))
-      .withColumn("__cdist",
-        col("cc.halfnormsq") - dot(col("__unit"), col("cc.centroid")))
-      .groupBy("neighbor_id")
-      // min(struct) ties break on cell id (zero norms filtered above)
-      .agg(min(struct(col("__cdist"), col("cc.cell").as("cell"))).as("__best"))
-      .select(col("neighbor_id"), col("__best.cell").as("cell"))
-    assigned.join(raw, "neighbor_id")
-      .select("cell", "neighbor_id", "cvec", "cnorm")
-      .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
-    // the write consumed the checkpointed batch: release the pin, or a
-    // long-lived index service leaks one pinned RDD per append
-    graft.util.Pins.release(raw)
+    try {
+      val centroidLits = idx.centroids.map { case (i, c) =>
+        struct(lit(i).as("cell"), array(c.map(lit).toSeq: _*).as("centroid"),
+          lit(c.map(x => x * x).sum / 2).as("halfnormsq"))
+      }
+      val assigned = raw
+        .select(col("__rid"),
+          graft.functions.VectorExprs.scale(col("cvec"), col("cnorm")).as("__unit"),
+          explode(array(centroidLits.toSeq: _*)).as("cc"))
+        .withColumn("__cdist",
+          col("cc.halfnormsq") - dot(col("__unit"), col("cc.centroid")))
+        .groupBy("__rid")
+        // min(struct) ties break on cell id (zero norms filtered above)
+        .agg(min(struct(col("__cdist"), col("cc.cell").as("cell"))).as("__best"))
+        .select(col("__rid"), col("__best.cell").as("cell"))
+      assigned.join(raw, "__rid")
+        .select("cell", "neighbor_id", "cvec", "cnorm")
+        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+    } finally
+      // the write consumed the checkpointed batch: release the pin even
+      // on a failed write, or a long-lived (retrying) index service
+      // leaks one pinned RDD per attempt
+      graft.util.Pins.release(raw)
   }
 
   /** Compact a persisted index's cells table: [[appendToIvfIndex]] adds
@@ -613,6 +630,9 @@ object Similarity {
         dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("cosine_sim") >= threshold)
       .select("id_a", "id_b", "cosine_sim")
-      .distinct()
+    // no trailing distinct: each vector has exactly ONE bucket string,
+    // so the equi-join yields each (id_a, id_b) at most once — a dedup
+    // here would cost a full extra shuffle of the verified pair set
+    // (and the DuckDB oracle replay carries no DISTINCT either)
   }
 }

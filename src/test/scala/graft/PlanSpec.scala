@@ -52,9 +52,19 @@ class PlanSpec extends AnyFunSuite {
       s"per-group top-k must not shuffle whole groups into a rank window:\n$p")
   }
 
+  // the declared sim_near_dup serves a memoized CHECKPOINT (one SRP pass
+  // feeds it and sim_dedup_apply), so the plan worth auditing is the
+  // builder's, inspected directly
+  private def srpPlan: String =
+    graft.similarity.Similarity.srpNearDupPairs(
+        Tables.embeddings(spark, SparkTestSession.sfDir),
+        "vec_id", "embedding", threshold = 0.4, numPlanes = 4, dim = 64)
+      .queryExecution.sparkPlan.toString
+
   test("similarity pair scoring has no per-pair array allocation (native vec_dot)") {
-    assert(plan("sim_near_dup").contains("vec_dot"))
-    assert(!plan("sim_near_dup").contains("zip_with"))
+    val p = srpPlan
+    assert(p.contains("vec_dot"))
+    assert(!p.contains("zip_with"))
   }
 
   test("bucketed co-located join: sort-merge with zero exchanges on the join inputs") {
@@ -71,7 +81,7 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("SRP near-dup candidates come from a bucket equi-join, never a cross join") {
-    val p = plan("sim_near_dup")
+    val p = srpPlan
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"declared near-dup must not plan an all-pairs join:\n$p")
     assert(p.contains("bucket"), "candidates must join on the SRP bucket key")

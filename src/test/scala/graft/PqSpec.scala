@@ -38,6 +38,22 @@ class PqSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("encode fails loudly on duplicate vec_ids (a corrupted code array, not garbage scores)") {
+    import spark.implicits._
+    val dup = Seq(
+      (1L, Array.fill(64)(1.0f)),
+      (1L, Array.fill(64)(2.0f)), // same id, different vector
+      (2L, Array.fill(64)(3.0f))
+    ).toDF("vec_id", "embedding")
+    val ex = intercept[Exception] {
+      Pq.encode(dup, "vec_id", "embedding", cb).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("PQ encode requires unique ids")),
+      s"expected the loud unique-id error, got: ${ex.getMessage}")
+  }
+
   test("ivfPqTopK with full probe + full shortlist equals the exact top-k") {
     val idx = PipelineOps.persistedIvfIndex(spark, d)
     val queries = Tables.embeddings(spark, d)

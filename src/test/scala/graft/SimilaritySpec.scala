@@ -148,6 +148,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaGrown == exact, "appended index must serve the exact full-probe result")
   }
 
+  test("build drops zero-norm vectors; append assigns duplicate-id rows per ROW") {
+    import spark.implicits._
+    // 2-D toy corpus with two well-separated clusters + a zero vector
+    val base = Seq(
+      (1L, Array(10.0f, 0.0f)), (2L, Array(11.0f, 0.5f)),
+      (3L, Array(0.0f, 10.0f)), (4L, Array(0.5f, 11.0f)),
+      (5L, Array(0.0f, 0.0f)) // zero norm: no direction, must be dropped
+    ).toDF("vec_id", "embedding")
+    val idx = Similarity.buildIvfIndex(base, "vec_id", "embedding",
+      nlist = 2, seed = 42L)
+    assert(idx.cells.count() == 4L, "the zero vector must not enter the index")
+    assert(idx.centroids.forall(_._2.forall(v => !v.isNaN)),
+      "a zero vector must never poison the centroids with NaN")
+
+    // duplicate-id append: id 7 carries TWO vectors whose nearest cells
+    // differ — each ROW must land in its own nearest cell (an id-keyed
+    // argmin would collapse them into one)
+    val path = "target/test-ivf-dupid"
+    Similarity.writeIvfIndex(idx, path)
+    val dup = Seq(
+      (7L, Array(10.5f, 0.2f)), // x-cluster
+      (7L, Array(0.2f, 10.5f))  // y-cluster
+    ).toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(spark, path, dup, "vec_id", "embedding")
+    val grown = Similarity.readIvfIndex(spark, path)
+    val cellsOf7 = grown.cells.filter(col("neighbor_id") === 7L)
+      .select("cell").collect().map(_.getInt(0)).sorted.toSeq
+    assert(cellsOf7.length == 2, "both duplicate-id rows must be appended")
+    assert(cellsOf7.distinct.length == 2,
+      s"duplicate-id rows must each reach their OWN nearest cell, got $cellsOf7")
+  }
+
   test("cell compaction merges append fragments; results and metadata unchanged") {
     val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
     val half = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
