@@ -170,37 +170,51 @@ object GraphOps {
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
-    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
-      .groupBy("v").agg(count(lit(1)).as("deg"))
-    // orient low-(deg, id) -> high-(deg, id)
-    val oriented = und
-      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-      .select(
-        when(col("da") < col("db") ||
-          (col("da") === col("db") && col("a") < col("b")),
-          struct(col("a").as("u"), col("b").as("v")))
-          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"))
-      .localCheckpoint(true)
-    // wedges at the lowest-order corner, emitted id-canonical (v1 < v2);
-    // the closing check is a plain EQUI-join against the id-canonical
-    // undirected edge set (an orientation-aware OR-condition here would
-    // plan as a nested loop — the orientation's job ends at bounding the
-    // wedge fan-out)
-    val w1 = oriented.select(col("u"), col("v").as("v1"))
-    val w2 = oriented.select(col("u"), col("v").as("v2"))
-    val wedgesAtCorner = w1.join(w2, "u").filter(col("v1") < col("v2"))
-    val triangles = wedgesAtCorner.join(und,
-        col("v1") === col("a") && col("v2") === col("b"))
-      .agg(count(lit(1)).as("n_triangles"))
-    val totals = und.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(deg.agg(
-        sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges")))
-    totals.crossJoin(broadcast(triangles))
-      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
-          .as("clustering"))
+    var oriented: DataFrame = null
+    try {
+      val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      // orient low-(deg, id) -> high-(deg, id); checkpointed because the
+      // wedge self-join reads it twice
+      oriented = und
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")),
+            struct(col("a").as("u"), col("b").as("v")))
+            .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .localCheckpoint(true)
+      // wedges at the lowest-order corner, emitted id-canonical (v1 < v2);
+      // the closing check is a plain EQUI-join against the id-canonical
+      // undirected edge set (an orientation-aware OR-condition here would
+      // plan as a nested loop — the orientation's job ends at bounding the
+      // wedge fan-out)
+      val w1 = oriented.select(col("u"), col("v").as("v1"))
+      val w2 = oriented.select(col("u"), col("v").as("v2"))
+      val wedgesAtCorner = w1.join(w2, "u").filter(col("v1") < col("v2"))
+      val triangles = wedgesAtCorner.join(und,
+          col("v1") === col("a") && col("v2") === col("b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val totals = und.agg(count(lit(1)).as("n_edges"))
+        .crossJoin(deg.agg(
+          sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges")))
+      // the result is ONE row — materialize it inside the pin's lifetime
+      // so the checkpoint can be released here instead of leaking to the
+      // caller (the try/finally discipline of Pq.buildCodebook)
+      val r = totals.crossJoin(broadcast(triangles))
+        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+            .as("clustering"))
+        .head
+      import edges.sparkSession.implicits._
+      Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toDF("n_edges", "n_wedges", "n_triangles", "clustering")
+    } finally {
+      graft.util.Pins.release(und)
+      if (oriented != null) graft.util.Pins.release(oriented)
+    }
   }
 
   /** Page-transition edge table from the events stream: consecutive
@@ -244,18 +258,25 @@ object GraphOps {
     // mean rides as a broadcast 1-row cross join, not a collect.
     "g_components" -> ((s, d) => {
       val edges = pageEdges(s, d).localCheckpoint(true)
-      val nodes = edges.select(col("src").as("page"))
-        .union(edges.select(col("dst").as("page")))
-        .distinct()
-      val meanW = edges.agg(avg(col("w")).as("mean_w"))
-      val strong = edges.crossJoin(broadcast(meanW))
-        .filter(col("w") >= lit(3.0) * col("mean_w"))
-        .select(least(col("src"), col("dst")).as("a"),
-          greatest(col("src"), col("dst")).as("b"))
-        .filter(col("a") =!= col("b"))
-        .distinct()
-      graft.dedup.Dedup.connectedComponents(nodes, "page", strong, "a", "b")
-        .select(col("node").as("page"), col("component"))
+      try {
+        val nodes = edges.select(col("src").as("page"))
+          .union(edges.select(col("dst").as("page")))
+          .distinct()
+        val meanW = edges.agg(avg(col("w")).as("mean_w"))
+        val strong = edges.crossJoin(broadcast(meanW))
+          .filter(col("w") >= lit(3.0) * col("mean_w"))
+          .select(least(col("src"), col("dst")).as("a"),
+            greatest(col("src"), col("dst")).as("b"))
+          .filter(col("a") =!= col("b"))
+          .distinct()
+        // materialize BEFORE releasing `edges`: connectedComponents' local
+        // (driver union-find) path returns a plan whose singleton anti-join
+        // still reads `nodes` → `edges` lazily. The caller owns the
+        // returned |V|-sized pin (powerIterate's documented contract).
+        graft.dedup.Dedup.connectedComponents(nodes, "page", strong, "a", "b")
+          .select(col("node").as("page"), col("component"))
+          .localCheckpoint(true)
+      } finally graft.util.Pins.release(edges)
     }),
 
     // Personalized PageRank from a fixed trust set (pages ≡ 0 mod 10):

@@ -284,36 +284,50 @@ object MlOps {
         .transform(base)
         .select("doc_id", "split", "label", "features")
         .localCheckpoint(true) // reused by the fit and both eval passes
-      val trainSplit = feats.filter(col("split") === "train")
-      // a fit needs rows; with no train split (empty corpus, or every doc
-      // hashed into 'test') there is no model and no evaluation — the
-      // oracle applies the SAME no-train-split guard, so both engines
-      // return the empty grouped result (EmptyInputSpec contract)
-      if (trainSplit.isEmpty)
-        Seq.empty[(String, Long, Long, Int, Int)]
-          .toDF("split", "n_docs", "n_pos", "acc_ok", "auc_ok")
-      else {
-        val model = new org.apache.spark.ml.classification.LogisticRegression()
-          .setMaxIter(25).setRegParam(1e-3)
-          .setFeaturesCol("features").setLabelCol("label")
-          .fit(trainSplit)
-        val scored = model.transform(feats).localCheckpoint(true)
-        val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
-          .setLabelCol("label").setRawPredictionCol("rawPrediction")
-        // only splits that exist emit a row (the oracle groups by split)
-        val rows = Seq("train", "test").flatMap { sp =>
-          val part = scored.filter(col("split") === sp)
-          val agg = part.agg(
-            count(lit(1)).as("n_docs"),
-            sum("label").cast("long").as("n_pos"),
-            avg((col("prediction") === col("label")).cast("double")).as("acc"))
-            .head
-          if (agg.getLong(0) == 0L) None
-          else Some((sp, agg.getLong(0), agg.getLong(1),
-            if (agg.getDouble(2) >= 0.95) 1 else 0,
-            if (auc.evaluate(part) >= 0.98) 1 else 0))
+      // both checkpoints are fully consumed inside this body (the result
+      // rows are a driver Seq), so their pins are dropped before returning
+      var scoredPin: DataFrame = null
+      try {
+        val trainSplit = feats.filter(col("split") === "train")
+        // a fit needs rows; with no train split (empty corpus, or every doc
+        // hashed into 'test') there is no model and no evaluation — the
+        // oracle applies the SAME no-train-split guard, so both engines
+        // return the empty grouped result (EmptyInputSpec contract)
+        if (trainSplit.isEmpty)
+          Seq.empty[(String, Long, Long, Int, Int)]
+            .toDF("split", "n_docs", "n_pos", "acc_ok", "auc_ok")
+        else {
+          val model = new org.apache.spark.ml.classification.LogisticRegression()
+            .setMaxIter(25).setRegParam(1e-3)
+            .setFeaturesCol("features").setLabelCol("label")
+            .fit(trainSplit)
+          val scored = model.transform(feats).localCheckpoint(true)
+          scoredPin = scored
+          val auc = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+            .setLabelCol("label").setRawPredictionCol("rawPrediction")
+          // only splits that exist emit a row (the oracle groups by split)
+          val rows = Seq("train", "test").flatMap { sp =>
+            val part = scored.filter(col("split") === sp)
+            val agg = part.agg(
+              count(lit(1)).as("n_docs"),
+              sum("label").cast("long").as("n_pos"),
+              avg((col("prediction") === col("label")).cast("double")).as("acc"))
+              .head
+            // a single-class split has no ROC curve — the evaluator
+            // returns NaN, which is "trivially separable", not a failure;
+            // the oracle pins auc_ok = 1 unconditionally, so NaN must map
+            // to 1, not to a dataset-dependent 0
+            val aucVal = auc.evaluate(part)
+            if (agg.getLong(0) == 0L) None
+            else Some((sp, agg.getLong(0), agg.getLong(1),
+              if (agg.getDouble(2) >= 0.95) 1 else 0,
+              if (aucVal.isNaN || aucVal >= 0.98) 1 else 0))
+          }
+          rows.toDF("split", "n_docs", "n_pos", "acc_ok", "auc_ok")
         }
-        rows.toDF("split", "n_docs", "n_pos", "acc_ok", "auc_ok")
+      } finally {
+        graft.util.Pins.release(feats)
+        if (scoredPin != null) graft.util.Pins.release(scoredPin)
       }
     }),
 

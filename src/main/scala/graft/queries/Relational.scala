@@ -73,15 +73,21 @@ object Relational {
       .select(to_date(date_trunc("day", col("ts"))).as("day"), col("user_id"))
       .distinct()
       .localCheckpoint(true) // three aggregations serve from one pass
-    val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
-    def trailing(n: Int, name: String) = du
-      .select(explode(sequence(lit(0), lit(n - 1))).as("off"),
-        col("day"), col("user_id"))
-      .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
-      .groupBy("day").agg(countDistinct("user_id").as(name))
-    dau.join(trailing(7, "wau"), "day")
-      .join(trailing(30, "mau"), "day")
-      .select("day", "dau", "wau", "mau")
+    try {
+      val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+      def trailing(n: Int, name: String) = du
+        .select(explode(sequence(lit(0), lit(n - 1))).as("off"),
+          col("day"), col("user_id"))
+        .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+        .groupBy("day").agg(countDistinct("user_id").as(name))
+      // materialize the days-sized serving table inside the pin's
+      // lifetime, so the |days x users| checkpoint never outlives the
+      // call; the caller owns the (tiny) returned pin
+      dau.join(trailing(7, "wau"), "day")
+        .join(trailing(30, "mau"), "day")
+        .select("day", "dau", "wau", "mau")
+        .localCheckpoint(true)
+    } finally graft.util.Pins.release(du)
   }
 
   val queries: Map[String, Q] = Map(
@@ -441,20 +447,25 @@ object Relational {
         .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
           countDistinct(col("user_id")).as("exact_users"))
         .localCheckpoint(true) // reused by both branches below
-      // empty-input edge: a zero-row union yields a NULL sketch; its
-      // estimate coalesces to 0, which is exactly the exact count — the
-      // flag must stay 1 (the oracle's constant), never NULL
-      def okCol = (abs(coalesce(hll_sketch_estimate(col("sk")), lit(0L))
-        .cast("double") - col("exact_users")) <=
-        col("exact_users") * lit(0.05))
-        .cast("int").as("hll_ok")
-      val dailyOut = daily.select(col("day_ts"), col("exact_users"), okCol)
-      val totalOut = daily
-        .agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
-        .crossJoin(ev.agg(countDistinct(col("user_id")).as("exact_users")))
-        .select(lit(null).cast("timestamp").as("day_ts"),
-          col("exact_users"), okCol)
-      dailyOut.unionByName(totalOut)
+      try {
+        // empty-input edge: a zero-row union yields a NULL sketch; its
+        // estimate coalesces to 0, which is exactly the exact count — the
+        // flag must stay 1 (the oracle's constant), never NULL
+        def okCol = (abs(coalesce(hll_sketch_estimate(col("sk")), lit(0L))
+          .cast("double") - col("exact_users")) <=
+          col("exact_users") * lit(0.05))
+          .cast("int").as("hll_ok")
+        val dailyOut = daily.select(col("day_ts"), col("exact_users"), okCol)
+        val totalOut = daily
+          .agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
+          .crossJoin(ev.agg(countDistinct(col("user_id")).as("exact_users")))
+          .select(lit(null).cast("timestamp").as("day_ts"),
+            col("exact_users"), okCol)
+        // materialize the days+1-row result inside the pin's lifetime so
+        // the sketch-bearing daily checkpoint is released here; the caller
+        // owns the (tiny) returned pin
+        dailyOut.unionByName(totalOut).localCheckpoint(true)
+      } finally graft.util.Pins.release(daily)
     }),
 
     // Range join (graft.operators.RangeJoin): orders matched to price

@@ -71,31 +71,55 @@ object IncrementalHeavyHitters {
   /** Global heavy hitters: candidate union ranked by merged-sketch
     * estimate — (key, est_count), estimate-descending, key-ascending tie
     * break, top k. Estimates never undercount the true frequency.
+    * An empty store (serving before the first batch, or an empty input
+    * stream) yields the empty frame — the same graceful-degradation
+    * contract as the rest of the store layout (recoverDanglingOld,
+    * idempotent batch dirs), not a failure.
     */
   def readTopK(spark: SparkSession, storeDir: String, k: Int = 20): DataFrame = {
     import spark.implicits._
-    val merged = mergedSketch(spark, storeDir)
-    val cands = spark.read.parquet(s"$storeDir/cand")
-      .select(col("key").cast("string"))
-      .distinct()
-      .as[String]
-      .collect() // bounded: <= k per batch dir, one dir after compaction
-    val scored = cands
-      .map(c => (c, merged.estimateCount(c)))
-      .sortBy { case (key, est) => (-est, key) }
-      .take(k)
-    scored.toSeq.toDF("key", "est_count")
+    mergedSketch(spark, storeDir) match {
+      case None => Seq.empty[(String, Long)].toDF("key", "est_count")
+      case Some(merged) =>
+        val candDir = s"$storeDir/cand"
+        val cands =
+          if (!hasBatchData(spark, candDir)) Array.empty[String]
+          else spark.read.parquet(candDir)
+            .select(col("key").cast("string"))
+            .distinct()
+            .as[String]
+            .collect() // bounded: <= k per batch dir, one dir after compaction
+        val scored = cands
+          .map(c => (c, merged.estimateCount(c)))
+          .sortBy { case (key, est) => (-est, key) }
+          .take(k)
+        scored.toSeq.toDF("key", "est_count")
+    }
+  }
+
+  /** Whether a store subdirectory exists and has at least one batch dir —
+    * the read paths must not throw before the first batch lands.
+    */
+  private def hasBatchData(spark: SparkSession, dir: String): Boolean = {
+    val fs = CompactionSwap.fsFor(dir, spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
   }
 
   /** All per-batch sketches merged driver-side (counters add exactly;
-    * equal shape/seed enforced by construction).
+    * equal shape/seed enforced by construction). None when the store has
+    * no sketch batches yet.
     */
-  private def mergedSketch(spark: SparkSession, storeDir: String): CountMinSketch = {
-    val rows = spark.read.parquet(s"$storeDir/sketch")
+  private def mergedSketch(spark: SparkSession, storeDir: String): Option[CountMinSketch] = {
+    val skDir = s"$storeDir/sketch"
+    if (!hasBatchData(spark, skDir)) return None
+    val rows = spark.read.parquet(skDir)
       .select(col("sk")).collect() // bounded: one ~MB row per batch dir
-    require(rows.nonEmpty, s"empty sketch store at $storeDir")
-    val sketches = rows.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
-    sketches.reduce { (a, b) => a.mergeInPlace(b); a }
+    if (rows.isEmpty) None
+    else {
+      val sketches = rows.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
+      Some(sketches.reduce { (a, b) => a.mergeInPlace(b); a })
+    }
   }
 
   /** Fold both stores to one `batch=0` each: sketches merge exactly,
