@@ -121,25 +121,23 @@ object Clustering {
     var moved = Double.MaxValue
     var assignments: DataFrame = null
     while (iter < maxIter && moved > tol) {
-      val bc = spark.sparkContext.broadcast(centers)
-      val assign = udf { (v: Vector) =>
-        var best = 0; var bestD = Double.MaxValue; var i = 0
-        while (i < bc.value.length) {
-          val d = dist(v, bc.value(i))
-          if (d < bestD) { bestD = d; best = i }
-          i += 1
-        }
-        best
-      }
-      val sqd = udf { (v: Vector, c: Int) => dist(v, bc.value(c)) }
-      assignments = cached.withColumn("cluster", assign(col("features")))
+      // codegen kernels, not UDFs: the argmin and the to-assigned-center
+      // distance read the VectorUDT storage struct inside whole-stage
+      // codegen (sparse-aware — O(nnz) in cosine mode), with the k
+      // centers shipped once per stage as plan reference objects. Same
+      // math, same accumulation order, same tie rule as the driver-side
+      // dist() above — the swap is bit-compatible with the 2.1 goldens.
+      val cArr = centers.map(_.toArray)
+      assignments = cached.withColumn("cluster",
+        graft.functions.CenterKernels.nearestCenter(col("features"), cArr, cosineMode))
       // per-iteration artifact hook (the reference's iter_N snapshot
       // dirs, task 2.1): receives the 0-based iteration and the
       // assignments AGAINST THE ENTERING CENTERS, exactly what the
       // reference's per-iteration reducer output holds
       onIteration.foreach(f => f(iter, assignments))
       val stats = assignments
-        .withColumn("sqdist", sqd(col("features"), col("cluster")))
+        .withColumn("sqdist", graft.functions.CenterKernels
+          .centerDistance(col("features"), col("cluster"), cArr, cosineMode))
         .groupBy("cluster")
         .agg(Summarizer.mean(col("features")).as("mean"),
           count(lit(1)).as("n"), sum("sqdist").as("wcss"))

@@ -172,42 +172,11 @@ object GraphOps {
       .localCheckpoint(true)
     var oriented: DataFrame = null
     try {
-      val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
-        .groupBy("v").agg(count(lit(1)).as("deg"))
-      // orient low-(deg, id) -> high-(deg, id); checkpointed because the
-      // wedge self-join reads it twice
-      oriented = und
-        .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
-        .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
-        .select(
-          when(col("da") < col("db") ||
-            (col("da") === col("db") && col("a") < col("b")),
-            struct(col("a").as("u"), col("b").as("v")))
-            .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
-        .select(col("e.u").as("u"), col("e.v").as("v"))
-        .localCheckpoint(true)
-      // wedges at the lowest-order corner, emitted id-canonical (v1 < v2);
-      // the closing check is a plain EQUI-join against the id-canonical
-      // undirected edge set (an orientation-aware OR-condition here would
-      // plan as a nested loop — the orientation's job ends at bounding the
-      // wedge fan-out)
-      val w1 = oriented.select(col("u"), col("v").as("v1"))
-      val w2 = oriented.select(col("u"), col("v").as("v2"))
-      val wedgesAtCorner = w1.join(w2, "u").filter(col("v1") < col("v2"))
-      val triangles = wedgesAtCorner.join(und,
-          col("v1") === col("a") && col("v2") === col("b"))
-        .agg(count(lit(1)).as("n_triangles"))
-      val totals = und.agg(count(lit(1)).as("n_edges"))
-        .crossJoin(deg.agg(
-          sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges")))
+      val lazyStats = triangleStatsPlan(und, { o => oriented = o })
       // the result is ONE row — materialize it inside the pin's lifetime
-      // so the checkpoint can be released here instead of leaking to the
+      // so the checkpoints can be released here instead of leaking to the
       // caller (the try/finally discipline of Pq.buildCodebook)
-      val r = totals.crossJoin(broadcast(triangles))
-        .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
-          round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
-            .as("clustering"))
-        .head
+      val r = lazyStats.head
       import edges.sparkSession.implicits._
       Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
         .toDF("n_edges", "n_wedges", "n_triangles", "clustering")
@@ -215,6 +184,49 @@ object GraphOps {
       graft.util.Pins.release(und)
       if (oriented != null) graft.util.Pins.release(oriented)
     }
+  }
+
+  /** The lazy 1-row triangle-census plan over a canonical undirected edge
+    * checkpoint — split out so PlanSpec can pin the wedge join's shape
+    * (equi-join, never nested-loop) before [[triangleStats]] collapses
+    * the row to a local result. `onOriented` hands back the oriented-edge
+    * checkpoint for release.
+    */
+  private[graft] def triangleStatsPlan(und: DataFrame,
+                                       onOriented: DataFrame => Unit): DataFrame = {
+    val deg = und.select(col("a").as("v")).union(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) -> high-(deg, id); checkpointed because the
+    // wedge self-join reads it twice
+    val oriented = und
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(true)
+    onOriented(oriented)
+    // wedges at the lowest-order corner, emitted id-canonical (v1 < v2);
+    // the closing check is a plain EQUI-join against the id-canonical
+    // undirected edge set (an orientation-aware OR-condition here would
+    // plan as a nested loop — the orientation's job ends at bounding the
+    // wedge fan-out)
+    val w1 = oriented.select(col("u"), col("v").as("v1"))
+    val w2 = oriented.select(col("u"), col("v").as("v2"))
+    val wedgesAtCorner = w1.join(w2, "u").filter(col("v1") < col("v2"))
+    val triangles = wedgesAtCorner.join(und,
+        col("v1") === col("a") && col("v2") === col("b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val totals = und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(
+        sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges")))
+    totals.crossJoin(broadcast(triangles))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering"))
   }
 
   /** Page-transition edge table from the events stream: consecutive

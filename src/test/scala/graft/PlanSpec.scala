@@ -179,7 +179,23 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("triangle census joins stay equi (no nested-loop closing join)") {
-    val p = plan("g_triangles")
+    // triangleStats materializes its 1-row result eagerly (pin-release
+    // discipline), so pin the shape of the lazy internal plan instead
+    val edges = graft.queries.GraphOps.pageEdges(spark, SparkTestSession.sfDir)
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var oriented: org.apache.spark.sql.DataFrame = null
+    val p =
+      try graft.queries.GraphOps.triangleStatsPlan(und, { o => oriented = o })
+        .queryExecution.sparkPlan.toString
+      finally {
+        graft.util.Pins.release(und)
+        if (oriented != null) graft.util.Pins.release(oriented)
+      }
     // the orientation-aware OR-condition closing join planned as an
     // INNER BroadcastNestedLoopJoin and measured 4.4x slower — the only
     // legitimate nested loops here are the 1-row Cross scalar attaches
@@ -285,5 +301,26 @@ class PlanSpec extends AnyFunSuite {
     // ADC table + probe + query side broadcast (all query-sized);
     // the corpus-sized encoded table must arrive via hash joins
     assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("Lloyd loop's per-iteration plan is UDF-free (codegen nearest_center / center_distance)") {
+    // capture the iteration-0 assignment plan via the hook; the stats
+    // pass reuses the same frame plus center_distance
+    var asgPlan: String = null
+    val emb = graft.cluster.Clustering.embeddingFeatures(
+      Tables.embeddings(spark, SparkTestSession.sfDir), "vec_id", "embedding")
+    graft.cluster.Clustering.lloydLoop(spark, emb, "vec_id", k = 3, maxIter = 1,
+      onIteration = Some((_, asg) => {
+        if (asgPlan == null) asgPlan = asg.queryExecution.sparkPlan.toString
+      }))
+    assert(asgPlan != null)
+    assert(asgPlan.contains("nearest_center"),
+      s"expected the codegen argmin kernel:\n$asgPlan")
+    // the input-side array_to_vector conversion runs once at cache fill
+    // (it sits under the InMemoryRelation boundary); the ITERATION's own
+    // operators — everything above the cached scan — must be UDF-free
+    val iterPart = asgPlan.split("InMemoryTableScan").head
+    assert(!iterPart.contains("UDF("),
+      s"serialization-boxed UDF survived in the Lloyd iteration:\n$asgPlan")
   }
 }
