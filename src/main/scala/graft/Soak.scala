@@ -212,6 +212,23 @@ object Soak {
       shape("repetition_signal") {
         graft.text.TextAnalysis.repetitionRatio(docs, "doc_id", "text")
       },
+      // batched BPE at production merge counts: the synthetic corpus has
+      // ~31 natural words, so per-doc hash-derived words supply the vocab
+      // diversity a 1k-merge table needs (one distinct 64-letter word per
+      // doc_id — amplification grows the vocab with the corpus). 64
+      // merges per pass → 2 jobs per 64 ranks; the pass count, not the
+      // rank count, is what the driver loop pays for
+      shape("bpe_train_batched") {
+        val synth = docs.select(col("doc_id"),
+          concat_ws(" ", col("text"),
+            translate(sha2(col("doc_id").cast("string"), 256),
+              "0123456789", "ghijklmnop")).as("text"))
+        val model = graft.text.Bpe.train(synth, "text",
+          numMerges = 1000, batchSize = 64)
+        System.err.println(s"[soak]   bpe_train_batched ranks=${model.merges.size}")
+        pinned += model.vocabSyms
+        model.vocabSyms
+      },
       // sentence chunking: split + prefix-sum window + per-chunk rebuild —
       // must stay linear in tokens like the other doc-id-window shapes
       shape("sentence_chunking") {

@@ -103,4 +103,92 @@ class BpeSpec extends AnyFunSuite {
     assert(model.merges.isEmpty)
     model.release()
   }
+
+  test("batched training equals sequential when passes are conflict-free") {
+    // 2-letter words: each merge completes its word, so no pass creates a
+    // super-pair and the top pairs are symbol-disjoint — the batch path
+    // must reproduce the sequential table exactly (ranks and counts)
+    val docs = Seq(
+      (1L, "ab ab ab ab ab ab ab ab cd cd cd cd cd cd ef ef ef ef"))
+      .toDF("doc_id", "text")
+    val seqModel = Bpe.train(docs, "text", 3)
+    val batModel = Bpe.train(docs, "text", 3, batchSize = 3)
+    assert(batModel.merges == seqModel.merges,
+      s"conflict-free batches must match sequential:\n" +
+        s"seq: ${seqModel.merges}\nbat: ${batModel.merges}")
+    seqModel.release(); batModel.release()
+  }
+
+  test("batched displacement is exactly the documented one-pass deferral") {
+    // 'abc' x8, 'de' x6: pairs (a,b):8, (b,c):8, (d,e):6.
+    // Sequential: (a,b):8, then the created (ab,c):8 wins rank 2, (d,e):6
+    // is rank 3. Batch=2: (b,c) conflicts with (a,b), so the pass takes
+    // (a,b) and (d,e); (ab,c) surfaces next pass — same merge SET, the
+    // super-pair displaced by one pass, every recorded count exact.
+    val docs = Seq(
+      (1L, "abc abc abc abc abc abc abc abc de de de de de de"))
+      .toDF("doc_id", "text")
+    val seqModel = Bpe.train(docs, "text", 3)
+    val batModel = Bpe.train(docs, "text", 3, batchSize = 2)
+    assert(seqModel.merges.map(m => (m.lhs, m.rhs, m.pair_count)) ==
+      Seq(("a", "b", 8L), ("ab", "c", 8L), ("d", "e", 6L)))
+    assert(batModel.merges.map(m => (m.lhs, m.rhs, m.pair_count)) ==
+      Seq(("a", "b", 8L), ("d", "e", 6L), ("ab", "c", 8L)))
+    assert(seqModel.merges.map(m => (m.lhs, m.rhs)).toSet ==
+      batModel.merges.map(m => (m.lhs, m.rhs)).toSet,
+      "displacement must never change the merge set")
+    seqModel.release(); batModel.release()
+  }
+
+  test("batched simultaneous pass keeps greedy-leftmost per merge and round-trips") {
+    // self-pair runs + a disjoint pair in the same batch: the run-parity
+    // selection must stay per-merge correct when applied simultaneously
+    val docs = Seq(
+      (1L, "aaaa aaaa aaaa bc bc bc aaaa bc aaa"),
+      (2L, "bc aaaa aaa bc")).toDF("doc_id", "text")
+    val batModel = Bpe.train(docs, "text", 4, batchSize = 4)
+    val bad = batModel.vocabSyms
+      .groupBy("word")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("pos"), col("sym"))))
+        .getField("sym")).as("rebuilt"))
+      .filter(col("rebuilt") =!= col("word"))
+      .count()
+    assert(bad == 0, "batched passes must keep symbol tables lossless")
+    // the (a,a) self-pair merged greedy-leftmost: 'aaaa' -> aa|aa,
+    // 'aaa' -> aa|a in the training vocab
+    val aaaa = batModel.vocabSyms.filter(col("word") === "aaaa")
+      .orderBy("pos").select("sym").as[String].collect().toSeq
+    val aaa = batModel.vocabSyms.filter(col("word") === "aaa")
+      .orderBy("pos").select("sym").as[String].collect().toSeq
+    assert(aaaa.headOption.contains("aa") || aaaa == Seq("aaaa"),
+      s"unexpected aaaa segmentation $aaaa")
+    assert(aaa.take(1) == Seq("aa") || aaa == Seq("aaa"),
+      s"unexpected aaa segmentation $aaa")
+    batModel.release()
+  }
+
+  test("large batched vocab: ranks per pass stay disjoint and counts exact per pass") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the rat sat on the flat mat"),
+      (2L, "that hat is the cat hat that the bat had"),
+      (3L, "splendid wordforms multiply the merge frontier considerably"))
+      .toDF("doc_id", "text")
+    val batModel = Bpe.train(docs, "text", 24, batchSize = 6)
+    assert(batModel.merges.size > 6, "expected multiple passes")
+    // ranks are 1..n dense
+    assert(batModel.merges.map(_.merge_rank) == (1 to batModel.merges.size))
+    // within each pass (6 consecutive ranks) counts are non-increasing
+    // and symbols disjoint — the batching contract
+    batModel.merges.grouped(6).foreach { pass =>
+      val counts = pass.map(_.pair_count)
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+        s"counts within a pass must be non-increasing: $pass")
+      // self-pairs carry one symbol; disjointness is ACROSS pairs
+      val symSets = pass.map(p => Set(p.lhs, p.rhs))
+      for (i <- symSets.indices; j <- i + 1 until symSets.size)
+        assert((symSets(i) & symSets(j)).isEmpty,
+          s"symbols across a pass's pairs must be disjoint: $pass")
+    }
+    batModel.release()
+  }
 }
