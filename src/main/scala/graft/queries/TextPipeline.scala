@@ -264,6 +264,42 @@ object TextPipeline {
           md5(concat_ws(" ",
             array_sort(collect_list(struct(col("widx"), col("seg_text"))))
               .getField("seg_text"))).as("bpe_md5"))
+    }),
+
+    // Unigram-LM tokenizer training ([[graft.text.UnigramLm]]): the final
+    // piece table — (piece, cost_micro, usage) — after seed + EM. The
+    // model is a build-once artifact per (session, dataset), like the
+    // BPE model; the oracle replays seed and every EM round as GENERATED
+    // SQL from the same constants ([[unigramOracle]]), with the Viterbi
+    // DP unrolled over end positions in integer micro-nat costs so both
+    // engines compute the identical segmentation.
+    "tp_unigram_train" -> ((s, d) => {
+      import s.implicits._
+      unigramModel(s, d).pieces.toDF()
+    }),
+
+    // Unigram-LM application: per document, letter-run word count,
+    // subword piece count under the trained model, and an md5 over the
+    // in-order piece stream — tp_bpe_apply's contract for the second
+    // tokenizer family. Same scale shape: corpus exploded once,
+    // equi-joined against the vocab-sized final segmentation.
+    "tp_unigram_tok" -> ((s, d) => {
+      val seg = unigramModel(s, d).segs
+        .groupBy("word")
+        .agg(
+          concat_ws(" ", array_sort(collect_list(struct(col("pos"), col("piece"))))
+            .getField("piece")).as("seg_text"),
+          count(lit(1)).as("n_pieces"))
+      val docWords = Tables.documents(s, d).select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as(Seq("widx", "word")))
+      docWords.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_pieces").as("n_unigram_tokens"),
+          md5(concat_ws(" ",
+            array_sort(collect_list(struct(col("widx"), col("seg_text"))))
+              .getField("seg_text"))).as("tok_md5"))
     })
   )
 
@@ -291,6 +327,26 @@ object TextPipeline {
     bpeMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
       .getOrElseUpdate(d,
         graft.text.Bpe.train(Tables.documents(s, d), "text", BpeMerges))
+
+  /** Unigram-LM constants for the declared queries — small and fixed so
+    * the oracle's generated SQL stays reviewable (the operator itself
+    * takes any values). `UniMaxWordLen` bounds the oracle's unrolled DP;
+    * the corpus's longest letter-run word is 8 chars, asserted in spec.
+    */
+  val UniVocabSize = 48
+  val UniMaxPieceLen = 4
+  val UniEmIters = 2
+  val UniMaxWordLen = 10
+
+  private val uniMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, graft.text.UnigramLm.UnigramModel]]())
+
+  def unigramModel(s: SparkSession, d: String): graft.text.UnigramLm.UnigramModel =
+    uniMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(d,
+        graft.text.UnigramLm.train(Tables.documents(s, d), "text",
+          UniVocabSize, UniMaxPieceLen, UniEmIters))
 
   private val tokensSql =
     """SELECT doc_id, unnest(string_split_regex(lower(regexp_replace(text,
@@ -413,6 +469,26 @@ object TextPipeline {
          |SELECT doc_id, count(*) AS n_words, CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
          |  md5(string_agg(seg_text, ' ' ORDER BY widx)) AS bpe_md5
          |FROM docw JOIN seg USING (word)
+         |GROUP BY doc_id""".stripMargin, extraCtes = true),
+
+    "tp_unigram_train" -> unigramOracle(
+      s"""SELECT v.piece, v.cost AS cost_micro,
+         |  CAST(coalesce(u.usage, 0) AS BIGINT) AS usage
+         |FROM cost$UniEmIters v LEFT JOIN usage$UniEmIters u USING (piece)""".stripMargin),
+
+    "tp_unigram_tok" -> unigramOracle(
+      s"""docw AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word,
+         |    unnest(range(len(regexp_extract_all(lower(text), '[a-z]+')))) AS widx
+         |  FROM documents),
+         |segt AS (
+         |  SELECT word, seg, len(string_split(seg, ' ')) AS n_pieces
+         |  FROM fin$UniEmIters)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(n_pieces) AS BIGINT) AS n_unigram_tokens,
+         |  md5(string_agg(seg, ' ' ORDER BY widx)) AS tok_md5
+         |FROM docw JOIN segt USING (word)
          |GROUP BY doc_id""".stripMargin, extraCtes = true)
   )
 
@@ -467,6 +543,96 @@ object TextPipeline {
          |  WHERE NOT coalesce(prev_sel, false))""".stripMargin
     }
     val ctes = (base +: iters).mkString(",\n")
+    if (extraCtes) s"$ctes,\n$finalSelect" else s"$ctes\n$finalSelect"
+  }
+
+  /** The unigram-LM train loop as GENERATED DuckDB SQL, from the same
+    * constants the Scala operator uses: seed substring counts →
+    * char-complete top-`UniVocabSize` vocabulary → integer micro-nat
+    * costs → `UniEmIters` Viterbi-EM rounds → a final E-pass. The
+    * Viterbi DP is unrolled over end positions 1..`UniMaxWordLen` (the
+    * corpus bound), each step carrying the accumulated cost AND the
+    * segmentation string, with ties broken toward the longer piece —
+    * exactly [[graft.text.UnigramLm.viterbi]]. Integer costs make the
+    * DP sums exact, so the engines cannot drift on float association.
+    * Multi-referenced DP CTEs are `MATERIALIZED` to keep DuckDB from
+    * inlining the (j − l)-chained lattice exponentially.
+    */
+  private def unigramOracle(finalSelect: String, extraCtes: Boolean = false): String = {
+    val base =
+      s"""WITH words AS MATERIALIZED (
+         |  SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |    FROM documents) t
+         |  GROUP BY 1),
+         |cand AS MATERIALIZED (
+         |  SELECT substr(word, start, l) AS piece, CAST(sum(cnt) AS BIGINT) AS pcnt
+         |  FROM (SELECT word, cnt, unnest(range(1, length(word) + 1)) AS start
+         |        FROM words) t
+         |  CROSS JOIN (SELECT unnest(range(1, $UniMaxPieceLen + 1)) AS l) ls
+         |  WHERE start + l - 1 <= length(word)
+         |  GROUP BY 1),
+         |chars AS MATERIALIZED (
+         |  SELECT piece, pcnt FROM cand WHERE length(piece) = 1),
+         |multi AS (
+         |  SELECT piece, pcnt FROM (
+         |    SELECT piece, pcnt,
+         |      row_number() OVER (ORDER BY pcnt DESC, piece ASC) AS rn
+         |    FROM cand WHERE length(piece) > 1) q
+         |  WHERE rn <= $UniVocabSize - (SELECT count(*) FROM chars)),
+         |vocab0 AS MATERIALIZED (
+         |  SELECT piece, pcnt FROM chars UNION ALL SELECT piece, pcnt FROM multi),
+         |cost0 AS MATERIALIZED (
+         |  SELECT piece, CAST(round(-ln(CAST(pcnt AS DOUBLE) /
+         |    (SELECT CAST(sum(pcnt) AS DOUBLE) FROM vocab0)) * 1000000) AS BIGINT)
+         |    AS cost
+         |  FROM vocab0)""".stripMargin
+    // one E-pass per cost table: DP lattice + final segmentations + usage
+    def ePass(e: Int): String = {
+      val dp = (1 to UniMaxWordLen).map { j =>
+        val branches = (1 to math.min(UniMaxPieceLen, j)).map { l =>
+          s"""      SELECT b.word, b.cnt, b.acc + c.cost AS acc,
+             |        CASE WHEN b.seg = '' THEN c.piece
+             |             ELSE b.seg || ' ' || c.piece END AS seg, $l AS l
+             |      FROM b${e}_${j - l} b JOIN cost$e c
+             |        ON c.piece = substr(b.word, ${j - l + 1}, $l)
+             |      WHERE length(b.word) >= $j""".stripMargin
+        }.mkString("\n      UNION ALL\n")
+        s"""b${e}_$j AS MATERIALIZED (
+           |  SELECT word, cnt, acc, seg FROM (
+           |    SELECT word, cnt, acc, seg,
+           |      row_number() OVER (PARTITION BY word ORDER BY acc ASC, l DESC) AS rn
+           |    FROM (
+           |$branches) u) q
+           |  WHERE rn = 1)""".stripMargin
+      }
+      val finBranches = (1 to UniMaxWordLen).map { j =>
+        s"  SELECT word, cnt, seg FROM b${e}_$j WHERE length(word) = $j"
+      }.mkString("\n  UNION ALL\n")
+      s"""b${e}_0 AS (
+         |  SELECT word, cnt, CAST(0 AS BIGINT) AS acc, '' AS seg FROM words),
+         |${dp.mkString(",\n")},
+         |fin$e AS MATERIALIZED (
+         |$finBranches),
+         |usage$e AS MATERIALIZED (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS usage
+         |  FROM (SELECT cnt, unnest(string_split(seg, ' ')) AS piece FROM fin$e) s
+         |  GROUP BY 1)""".stripMargin
+    }
+    // M-step: add-one smoothing over the kept (used or single-char) set
+    def mStep(e: Int): String =
+      s"""kept$e AS MATERIALIZED (
+         |  SELECT v.piece, coalesce(u.usage, 0) AS usage
+         |  FROM cost$e v LEFT JOIN usage$e u USING (piece)
+         |  WHERE coalesce(u.usage, 0) > 0 OR length(v.piece) = 1),
+         |cost${e + 1} AS MATERIALIZED (
+         |  SELECT piece, CAST(round(-ln(CAST(usage + 1 AS DOUBLE) /
+         |    (SELECT CAST(sum(usage + 1) AS DOUBLE) FROM kept$e)) * 1000000)
+         |    AS BIGINT) AS cost
+         |  FROM kept$e)""".stripMargin
+    val rounds = (0 until UniEmIters).flatMap(e => Seq(ePass(e), mStep(e))) :+
+      ePass(UniEmIters)
+    val ctes = (base +: rounds).mkString(",\n")
     if (extraCtes) s"$ctes,\n$finalSelect" else s"$ctes\n$finalSelect"
   }
 }

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.text.UnigramLm
+
+class UnigramLmSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def totalCost(model: UnigramLm.UnigramModel): Long = {
+    val costMap = model.pieces.map(p => p.piece -> p.cost_micro).toMap
+    model.segs
+      .select(col("cnt"), col("piece")).collect()
+      .map(r => r.getLong(0) * costMap(r.getString(1))).sum
+  }
+
+  test("segmentation is lossless: pieces concatenate back to every word") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "pack my box with five dozen liquor jugs"),
+      (3L, "the jay pig fox zebra and my wolves quack")).toDF("doc_id", "text")
+    val model = UnigramLm.train(docs, "text", vocabSize = 40)
+    val bad = model.segs
+      .groupBy("word")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("pos"), col("piece"))))
+        .getField("piece")).as("rebuilt"))
+      .filter(col("rebuilt") =!= col("word"))
+      .count()
+    assert(bad == 0, "every word must be exactly the concat of its pieces")
+    model.release()
+  }
+
+  test("training is deterministic and keeps every single character") {
+    val docs = Seq(
+      (1L, "banana bandana cabana"),
+      (2L, "the banana and the bandana")).toDF("doc_id", "text")
+    val m1 = UnigramLm.train(docs, "text", vocabSize = 32)
+    val m2 = UnigramLm.train(docs, "text", vocabSize = 32)
+    assert(m1.pieces == m2.pieces, "same corpus must induce the same model")
+    val corpusChars = "bananabandanacabanatheand".toSet.map((c: Char) => c.toString)
+    val vocabChars = m1.pieces.map(_.piece).filter(_.length == 1).toSet
+    assert(corpusChars.subsetOf(vocabChars),
+      s"single chars must never prune: missing ${corpusChars -- vocabChars}")
+    m1.release(); m2.release()
+  }
+
+  test("Viterbi-EM does not increase the corpus segmentation cost") {
+    // hard EM re-estimates costs from the chosen segmentation; under the
+    // re-estimated model the total Viterbi cost of the corpus must not
+    // grow (add-one smoothing + micro-nat rounding can wobble the last
+    // digits, hence the 0.1% tolerance)
+    val docs = Seq(
+      (1L, "internationalization and localization considerations"),
+      (2L, "the nation nationalized international rationalization"),
+      (3L, "rational nationalism internationalism and nationality")).toDF("doc_id", "text")
+    val m0 = UnigramLm.train(docs, "text", vocabSize = 48, emIters = 0)
+    val m1 = UnigramLm.train(docs, "text", vocabSize = 48, emIters = 1)
+    val m2 = UnigramLm.train(docs, "text", vocabSize = 48, emIters = 2)
+    val (c0, c1, c2) = (totalCost(m0), totalCost(m1), totalCost(m2))
+    assert(c1 <= c0 + c0 / 1000, s"EM round 1 must not worsen cost: $c0 -> $c1")
+    assert(c2 <= c1 + c1 / 1000, s"EM round 2 must not worsen cost: $c1 -> $c2")
+    m0.release(); m1.release(); m2.release()
+  }
+
+  test("ties prefer the longer piece; multi-char pieces actually win frequent strings") {
+    val docs = Seq((1L,
+      ("lowing " * 20) + ("low " * 10) + ("ing " * 10))).toDF("doc_id", "text")
+    val model = UnigramLm.train(docs, "text", vocabSize = 24)
+    // 'low' and 'ing' are frequent enough to earn cheap pieces; 'lowing'
+    // must segment through them, not char-by-char
+    val seg = model.segs.filter(col("word") === "lowing")
+      .orderBy("pos").select("piece").as[String].collect().toSeq
+    assert(seg.length < 6, s"frequent substrings must win over chars: $seg")
+    model.release()
+  }
+
+  test("OOV characters at apply time stay lossless via the unk fallback") {
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val model = UnigramLm.train(docs, "text", vocabSize = 24)
+    val costs = model.pieces.map(p => (p.piece, p.cost_micro)).toArray
+    // 'qzx' shares no character with the training corpus
+    val seg = Seq("qzxa").toDF("word")
+      .select(UnigramLm.viterbiPieces(col("word"), costs, 4).as("pieces"))
+      .select(concat_ws("", col("pieces")).as("w")).as[String].head()
+    assert(seg == "qzxa", s"OOV segmentation must round-trip, got $seg")
+    model.release()
+  }
+
+  test("train owns its intermediate pins; release drops the model pin") {
+    val docs = Seq((1L, "pinned pins pin")).toDF("doc_id", "text")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val model = UnigramLm.train(docs, "text", vocabSize = 16)
+    model.segs.count()
+    model.release()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after == before,
+      s"pinned blocks leaked across train+release: $before -> $after")
+  }
+
+  test("declared-query corpus respects the oracle's unrolled DP bound") {
+    val maxLen = graft.io.Tables.documents(spark, SparkTestSession.sfDir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("w"))
+      .agg(max(length(col("w")))).head.getInt(0)
+    assert(maxLen <= graft.queries.TextPipeline.UniMaxWordLen,
+      s"corpus word length $maxLen exceeds the oracle DP bound " +
+        s"${graft.queries.TextPipeline.UniMaxWordLen} — regenerate the oracle")
+  }
+}
