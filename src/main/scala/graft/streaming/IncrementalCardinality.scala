@@ -64,6 +64,42 @@ object IncrementalCardinality {
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))))
       .head.getLong(0)
 
+  /** Rolling DAU/WAU/MAU served FROM THE SKETCH STORE — the streaming
+    * completion of the batch `ev_active_users` query: one row per active
+    * day with the 1/7/30-day trailing distinct-user estimates, computed
+    * by merging per-day sketches (a few KB each) instead of rescanning
+    * events. Same scale shape as the batch query: each trailing window is
+    * a map-side explode of window-end offsets into a partial-aggregated
+    * sketch union keyed by window end — an equi-aggregation, never a
+    * days × activity range join — and the per-day contraction is served
+    * from one checkpointed pass. Phantom window ends past the last
+    * active day drop at the inner join with the day set. HLL unions are
+    * lossless at equal lgConfigK, so serving after [[compactStore]]
+    * returns identical estimates.
+    */
+  def readActiveUsers(spark: SparkSession, storeDir: String): DataFrame = {
+    val daily = spark.read.parquet(storeDir)
+      .groupBy(to_date(col("day_ts")).as("day"))
+      .agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
+      .localCheckpoint(true) // three window rollups serve from one pass
+    try {
+      def trailing(n: Int, name: String) = daily
+        .select(explode(sequence(lit(0), lit(n - 1))).as("off"),
+          col("day"), col("sk"))
+        .select(date_add(col("day"), col("off")).as("day"), col("sk"))
+        .groupBy("day")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as(name))
+      val dau = daily.select(col("day"),
+        hll_sketch_estimate(col("sk")).as("dau_est"))
+      // materialize the days-sized serving table inside the pin's
+      // lifetime (activeUsers' contract); the caller owns the tiny pin
+      dau.join(trailing(7, "wau_est"), "day")
+        .join(trailing(30, "mau_est"), "day")
+        .select("day", "dau_est", "wau_est", "mau_est")
+        .localCheckpoint(true)
+    } finally graft.util.Pins.release(daily)
+  }
+
   /** Fold all `batch=*` subdirs into one `batch=0` holding exactly one
     * merged sketch row per day. Batch 0 sorts below every live microbatch
     * id, and the union is lossless, so estimates are unchanged.

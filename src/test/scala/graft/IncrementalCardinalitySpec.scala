@@ -95,4 +95,41 @@ class IncrementalCardinalitySpec extends AnyFunSuite {
     assert(before == Map(
       ts("2024-01-01 00:00:00") -> 2L, ts("2024-01-02 00:00:00") -> 2L))
   }
+
+  test("rolling DAU/WAU/MAU from the store matches the batch ev_active_users shape") {
+    val base = Files.createTempDirectory("graft-inccard-active")
+    val store = base.resolve("store").toString
+    // the real events table, replayed through the store in 3 microbatches
+    // split by event hash — arbitrary batch boundaries, same totals
+    val events = graft.io.Tables.events(spark, SparkTestSession.sfDir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("ts"),
+        org.apache.spark.sql.functions.col("event_id"))
+    (0 until 3).foreach { b =>
+      IncrementalCardinality.processBatch(
+        events.filter(org.apache.spark.sql.functions
+          .pmod(org.apache.spark.sql.functions.col("event_id"),
+            org.apache.spark.sql.functions.lit(3)) === b),
+        b.toLong, "user_id", "ts", store, 14)
+    }
+    def served: Map[java.sql.Date, (Long, Long, Long)] = {
+      val df = IncrementalCardinality.readActiveUsers(spark, store)
+      val m = df.collect()
+        .map(r => r.getDate(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      graft.util.Pins.release(df)
+      m
+    }
+    val batchDf = graft.queries.Relational.activeUsers(events)
+    val expected = batchDf.collect()
+      .map(r => r.getDate(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    graft.util.Pins.release(batchDf)
+    val fromStore = served
+    // lgK=14 is hash-set-exact at this scale: full per-day equality, the
+    // suite's standard (not just the 5% window)
+    assert(fromStore == expected,
+      s"served active-users diverged from batch: ${fromStore.toSeq.sortBy(_._1.toString).take(3)} vs ${expected.toSeq.sortBy(_._1.toString).take(3)}")
+    // compaction must preserve every window estimate
+    IncrementalCardinality.compactStore(spark, store)
+    assert(served == expected, "compaction changed the served windows")
+  }
 }

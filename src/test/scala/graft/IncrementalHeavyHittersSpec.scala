@@ -90,4 +90,12 @@ class IncrementalHeavyHittersSpec extends AnyFunSuite {
     // one physical row per store after the fold
     assert(spark.read.parquet(s"$store/sketch").count() == 1L)
   }
+
+  test("serving before the first batch returns the empty frame, not a failure") {
+    val base = Files.createTempDirectory("graft-inchh-empty")
+    val store = base.resolve("store").toString
+    val got = IncrementalHeavyHitters.readTopK(spark, store, 5)
+    assert(got.columns.toSeq == Seq("key", "est_count"))
+    assert(got.count() == 0L, "empty store must serve an empty ranking")
+  }
 }
