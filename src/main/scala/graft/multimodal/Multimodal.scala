@@ -439,6 +439,138 @@ object Multimodal {
     })
   }
 
+  /** Audio near-dup fixture geometry: 72 equal 4-sample windows arranged
+    * as a 9 (time-major column) × 8 grid, so the energy-envelope
+    * fingerprint's window strides are exact integers (288 / 72 = 4) and
+    * every windowed energy is arithmetically predictable — the audio
+    * counterpart of [[NearDupW]]/[[NearDupH]].
+    */
+  val NearDupAudioWindows = 72
+  val NearDupAudioWin = 4
+  val NearDupAudioFrames: Int = NearDupAudioWindows * NearDupAudioWin
+
+  /** The audio fixture's sample formula — single source of truth for the
+    * synthesizer, the spec, and the oracle-SQL builder ([[nearDupPixel]]'s
+    * contract): window w = i/4 maps to grid cell (cx = w % 9, cy = w / 9),
+    * the sample value repeats [[nearDupPixel]]'s quadratic pattern over
+    * the cell plus a within-window ramp. Values land in 0..255 (positive
+    * 16-bit PCM), so |sample| = sample and window energies are exact
+    * integer sums. Variant v = 1 perturbs only window (0,0), which feeds
+    * exactly ONE fingerprint bit — paired clips are perceptually
+    * identical; different groups are unrelated envelopes.
+    */
+  def nearDupSample(g: Long, v: Long, i: Int): Int = {
+    val w = i / NearDupAudioWin
+    val cx = w % 9
+    val cy = w / 9
+    ((g * (53 + 11 * cx + 13 * cy) + (3 * cx * cx + 5 * cy * cy + 7 * cx * cy) +
+      (i % NearDupAudioWin) +
+      (if (v == 1 && cx == 0 && cy == 0) 200L else 0L)) % 256).toInt
+  }
+
+  /** Synthesize REAL RIFF/WAVE near-dup pairs (16-bit mono PCM, 8 kHz):
+    * ids 2g and 2g+1 render the same [[nearDupSample]] envelope, the odd
+    * variant with one perturbed window — the audio counterpart of
+    * [[synthesizeNearDupImages]]. Same bounded mapPartitions batch shape.
+    */
+  def synthesizeNearDupAudio(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val (g, v) = (id / 2, id % 2)
+        val dataLen = NearDupAudioFrames * 2
+        val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        buf.put("WAVE".getBytes("US-ASCII"))
+        buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        buf.putShort(1) // PCM
+        buf.putShort(1) // mono
+        buf.putInt(8000)
+        buf.putInt(8000 * 2)
+        buf.putShort(2)
+        buf.putShort(16)
+        buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < NearDupAudioFrames) {
+          buf.putShort(nearDupSample(g, v, i).toShort)
+          i += 1
+        }
+        MediaFile(id, "audio", buf.array())
+      })
+      .toDF()
+  }
+
+  final case class AudioHash(media_id: Long, afp: String, codec: String)
+
+  /** Perceptual audio fingerprint: decode the PCM with
+    * `javax.sound.sampled`, AVERAGE |sample| over a 9×8 grid of
+    * consecutive time windows (window (cx, cy) covers samples
+    * `[w·n/72, (w+1)·n/72)` for w = cy·9 + cx — every sample contributes
+    * to exactly one window; tiny clips keep ≥ 1 sample per window via
+    * the lo+1 floor), then one bit per adjacent window pair in each row
+    * (`left > right`) — a 64-char '0'/'1' energy-envelope contour in
+    * exactly the SimHash fingerprint representation, so the pigeonhole
+    * band join + codegen Hamming verify
+    * ([[graft.dedup.Dedup.simhashPairsFromSignatures]]) applies verbatim,
+    * mirroring [[dHash]] for images.
+    *
+    * Mean (not sum) comparison makes the contour RESAMPLE-ROBUST: a k×
+    * decimation or upsample preserves each window's mean |amplitude|, so
+    * the same recording at different rates fingerprints near-identically
+    * — the property a real audio corpus needs. On the integer-stride
+    * fixtures the windows are equal-width, so the mean comparison is the
+    * integer-exact sum comparison the SQL oracle replays. Non-PCM-16 or
+    * unparseable payloads yield a NULL hash tagged `codec='stub'`
+    * (hostile bytes never throw). Bounded mapPartitions batches.
+    */
+  def audioFingerprint(spark: SparkSession, media: DataFrame): Dataset[AudioHash] = {
+    import spark.implicits._
+    media.as[MediaFile].mapPartitions(_.map { m =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        val fmt = ais.getFormat
+        val bytes = ais.readAllBytes()
+        val n = bytes.length / 2
+        if (fmt.getSampleSizeInBits != 16 || n < 1)
+          AudioHash(m.media_id, null, "stub")
+        else {
+          val be = fmt.isBigEndian
+          def sample(i: Int): Int = {
+            val b0 = bytes(2 * i)
+            val b1 = bytes(2 * i + 1)
+            if (be) (b0 << 8) | (b1 & 0xff) else (b1 << 8) | (b0 & 0xff)
+          }
+          def winMean(w: Int): Double = {
+            val i0 = w * n / NearDupAudioWindows
+            val i1 = math.max(i0 + 1, (w + 1) * n / NearDupAudioWindows)
+            var s = 0L
+            var i = i0
+            while (i < i1) { s += math.abs(sample(i)); i += 1 }
+            s.toDouble / (i1 - i0)
+          }
+          val sb = new java.lang.StringBuilder(64)
+          var cy = 0
+          while (cy < 8) {
+            val row = new Array[Double](9)
+            var c = 0
+            while (c < 9) { row(c) = winMean(cy * 9 + c); c += 1 }
+            var x = 0
+            while (x < 8) {
+              sb.append(if (row(x) > row(x + 1)) '1' else '0')
+              x += 1
+            }
+            cy += 1
+          }
+          AudioHash(m.media_id, sb.toString, "pcm16")
+        }
+      } catch { case _: Exception => AudioHash(m.media_id, null, "stub") }
+    })
+  }
+
   final case class VideoMeta(media_id: Long, n_bytes: Int, width: Int,
                              height: Int, duration_ms: Long, n_tracks: Int,
                              codec: String)

@@ -488,6 +488,27 @@ object MlOps {
           .localCheckpoint(true)
       }
       graft.dedup.Dedup.simhashPairsFromSignatures(sig, "media_id", bands = 4, maxDist = 3)
+    }),
+
+    // Audio perceptual near-dup: energy-envelope fingerprint over REAL
+    // decoded PCM (9×8 time-window |amplitude| means, one bit per
+    // adjacent-window comparison — resample-robust, the audio analogue
+    // of mm_image_neardup's dHash), then the SimHash pigeonhole
+    // machinery VERBATIM. Fixtures are paired envelopes (ids 2g/2g+1,
+    // one perturbed window → at most one bit) whose window energies are
+    // arithmetic in the id, so DuckDB recomputes the exact fingerprint
+    // a correct decoder+hash must produce and replays the banding. The
+    // fingerprint table is a build-once memoized artifact, like the
+    // image hash table.
+    "mm_audio_neardup" -> ((s, d) => {
+      val sig = PipelineOps.memoized(s, d, "audio_afp_sigs") {
+        val clips = Multimodal.synthesizeNearDupAudio(Tables.documents(s, d), "doc_id")
+        Multimodal.audioFingerprint(s, clips).toDF()
+          .filter(col("afp").isNotNull)
+          .select(col("media_id"), col("afp").as("simhash"))
+          .localCheckpoint(true)
+      }
+      graft.dedup.Dedup.simhashPairsFromSignatures(sig, "media_id", bands = 4, maxDist = 3)
     })
   )
 
@@ -517,6 +538,27 @@ object MlOps {
     }
     val bits = for { y <- 0 until 8; x <- 0 until 8 } yield
       s"CASE WHEN ${cellSum(x, y)} > ${cellSum(x + 1, y)} THEN '1' ELSE '0' END"
+    bits.mkString(" || ")
+  }
+
+  /** The audio fixture's energy-envelope fingerprint as DuckDB SQL over
+    * `g` and `v` — generated from [[Multimodal.nearDupSample]]'s
+    * constants. Every window is exactly [[Multimodal.NearDupAudioWin]]
+    * samples, so the mean comparison the real decoder path computes is
+    * the integer-exact SUM comparison over the per-sample `% 256` terms
+    * (equal widths cancel the divide — no floats cross engines).
+    */
+  private def nearDupAudioFpSql: String = {
+    def winSum(cx: Int, cy: Int): String = {
+      val a = 53 + 11 * cx + 13 * cy
+      val c = 3 * cx * cx + 5 * cy * cy + 7 * cx * cy
+      val p = if (cx == 0 && cy == 0) " + CASE WHEN v = 1 THEN 200 ELSE 0 END" else ""
+      (0 until Multimodal.NearDupAudioWin)
+        .map(k => s"((g * $a + ${c + k}$p) % 256)")
+        .mkString("(", " + ", ")")
+    }
+    val bits = for { cy <- 0 until 8; cx <- 0 until 8 } yield
+      s"CASE WHEN ${winSum(cx, cy)} > ${winSum(cx + 1, cy)} THEN '1' ELSE '0' END"
     bits.mkString(" || ")
   }
 
@@ -585,6 +627,30 @@ object MlOps {
       s"""WITH ids AS (
          |  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents),
          |sims AS (SELECT doc_id, $nearDupDhashSql AS simhash FROM ids),
+         |bands AS (
+         |  SELECT doc_id, b AS band, substr(simhash, CAST(1 + 16 * b AS INT), 16) AS band_key
+         |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT id_a, id_b,
+         |    len(list_filter(range(1, 65), i ->
+         |      substr(sa.simhash, CAST(i AS INT), 1) != substr(sb.simhash, CAST(i AS INT), 1)))
+         |      AS hamming
+         |  FROM cand
+         |    JOIN sims sa ON sa.doc_id = id_a
+         |    JOIN sims sb ON sb.doc_id = id_b) v
+         |WHERE hamming <= 3""".stripMargin,
+
+    // the envelope fingerprint a correct PCM decoder+hash must produce,
+    // recomputed arithmetically per id; banding + Hamming replay the
+    // Spark join exactly (mm_image_neardup's contract for audio)
+    "mm_audio_neardup" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents),
+         |sims AS (SELECT doc_id, $nearDupAudioFpSql AS simhash FROM ids),
          |bands AS (
          |  SELECT doc_id, b AS band, substr(simhash, CAST(1 + 16 * b AS INT), 16) AS band_key
          |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),

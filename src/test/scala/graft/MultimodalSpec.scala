@@ -188,6 +188,13 @@ class MultimodalSpec extends AnyFunSuite {
     val hashes = Multimodal.dHash(spark, media).collect()
     assert(hashes.length == n)
     assert(hashes.forall(h => h.codec == "stub" && h.dhash == null))
+    // audio fingerprint: same contract — note a truncated/corrupted WAV
+    // that still parses as PCM-16 legitimately fingerprints, so only
+    // count and never-throw are pinned here (stub tagging is pinned on
+    // pure noise below)
+    val afps = Multimodal.audioFingerprint(spark, media).collect()
+    assert(afps.length == n)
+    assert(afps.forall(h => (h.afp == null) == (h.codec == "stub")))
   }
 
   test("dHash: decoded fingerprint matches the arithmetic prediction; pairs are near, groups far") {
@@ -225,6 +232,77 @@ class MultimodalSpec extends AnyFunSuite {
     for (ga <- 0L until 6L; gb <- (ga + 1) until 6L)
       assert(dist(got(2 * ga), got(2 * gb)) > 3,
         s"groups $ga and $gb unexpectedly close")
+  }
+
+  test("audio fingerprint matches the arithmetic prediction; pairs near, groups far") {
+    import spark.implicits._
+    val ids = (0L until 12L).toDF("id")
+    val clips = Multimodal.synthesizeNearDupAudio(ids, "id")
+    val got = Multimodal.audioFingerprint(spark, clips).collect()
+      .map(h => h.media_id -> h.afp).toMap
+    // the real decode+window-mean path must reproduce the closed-form
+    // envelope hash: equal 4-sample windows make the mean comparison the
+    // integer-exact sum comparison
+    def predicted(id: Long): String = {
+      val (g, v) = (id / 2, id % 2)
+      def winSum(cx: Int, cy: Int): Long = {
+        val w = cy * 9 + cx
+        (0 until Multimodal.NearDupAudioWin)
+          .map(k => Multimodal.nearDupSample(g, v,
+            w * Multimodal.NearDupAudioWin + k).toLong).sum
+      }
+      (for { cy <- 0 until 8; cx <- 0 until 8 } yield
+        if (winSum(cx, cy) > winSum(cx + 1, cy)) '1' else '0').mkString
+    }
+    def dist(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    (0L until 12L).foreach(id =>
+      assert(got(id) == predicted(id), s"decoded afp diverges for id $id"))
+    // the v=1 perturbation touches only window (0,0): at most one bit
+    (0L until 6L).foreach(g =>
+      assert(dist(got(2 * g), got(2 * g + 1)) <= 1, s"pair $g too far"))
+    for (ga <- 0L until 6L; gb <- (ga + 1) until 6L)
+      assert(dist(got(2 * ga), got(2 * gb)) > 3,
+        s"groups $ga and $gb unexpectedly close")
+  }
+
+  // The property the window-mean contour exists for: the same recording
+  // at a different sample rate must fingerprint near-identically.
+  test("audio fingerprint resample robustness: 2x decimation stays within the pairing radius") {
+    import spark.implicits._
+    val ids = (0L until 8L).toDF("id")
+    val clips = Multimodal.synthesizeNearDupAudio(ids, "id").localCheckpoint(true)
+    val orig = Multimodal.audioFingerprint(spark, clips).collect()
+      .map(h => h.media_id -> h.afp).toMap
+    // decimate via the real downsample chain, then re-fingerprint the
+    // re-encoded WAV
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val halved = clips.collect().map { r =>
+      val m = Multimodal.MediaFile(r.getLong(0), r.getString(1),
+        r.getAs[Array[Byte]](2))
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      val fmt = ais.getFormat
+      val bytes = ais.readAllBytes()
+      val nFrames = bytes.length / 2
+      val out = new Array[Byte]((nFrames / 2) * 2)
+      (0 until nFrames / 2).foreach(i =>
+        System.arraycopy(bytes, i * 4, out, i * 2, 2))
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(out),
+        new AudioFormat(fmt.getSampleRate / 2, 16, 1, true, fmt.isBigEndian),
+        nFrames / 2), AudioFileFormat.Type.WAVE, baos)
+      Multimodal.MediaFile(m.media_id, "audio", baos.toByteArray)
+    }.toSeq.toDF()
+    val dec = Multimodal.audioFingerprint(spark, halved).collect()
+      .map(h => h.media_id -> h.afp).toMap
+    def dist(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    (0L until 8L).foreach { id =>
+      assert(dec(id) != null, s"decimated clip $id failed to fingerprint")
+      assert(dist(orig(id), dec(id)) <= 3,
+        s"decimation moved id $id ${dist(orig(id), dec(id))} bits — envelope not rate-robust")
+    }
+    graft.util.Pins.release(clips)
   }
 
   // The property the box-mean (area-average) rewrite exists for: the same
