@@ -53,7 +53,9 @@ object Plans {
     "g_triangles" -> "triangle census: degree-ordered wedge self-join + id-canonical EQUI closing join (hash joins throughout — the orientation-aware OR-condition form planned a nested loop, 4.4x slower); the only nested loops are 1-row Cross scalar attaches",
     "ev_active_users" -> "DAU/WAU/MAU: ONE day-user distinct contraction (checkpointed, served three times), trailing windows as map-side offset explodes into partial-aggregated count-distincts keyed by window end — no days x activity range join anywhere in the plan",
     "t9_doc_keywords" -> "per-doc keyword tags: bounded-heap top_k_by over the memoized TF-IDF matrix — map-side partials cap each task at k rows per doc before the exchange (the rank-window form would sort every doc's full term list)",
-    "a_histogram" -> "equi-width histogram: width_bucket is a pure-map projection feeding one partial/final aggregate pair keyed by (group, bucket) — result size bounded by the bucket count at any scale")
+    "a_histogram" -> "equi-width histogram: width_bucket is a pure-map projection feeding one partial/final aggregate pair keyed by (group, bucket) — result size bounded by the bucket count at any scale",
+    "tp_unigram_tok" -> "unigram-LM tokenize: the per-word Viterbi DP is ONE codegen projection (unigram_viterbi expression, vocab as a plan reference object) over the distinct-word table; the corpus is exploded once and equi-joined against the vocab-sized segmentation — no per-word driver loop, no UDF, AQE owns the join side",
+    "mm_audio_neardup" -> "audio perceptual near-dup: PCM decode + 9x8 energy-envelope fingerprint in the bounded mapPartitions codec layer, then the SimHash pigeonhole band equi-join + codegen Hamming verify VERBATIM — candidates by band key, never all-pairs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

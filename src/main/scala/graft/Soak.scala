@@ -447,6 +447,41 @@ object Soak {
           val grown = pages.withColumn("page",
             col("page") + floor(col("user_id") / 10000000L) * lit(1000L))
           graft.queries.GraphOps.triangleStats(edgesFrom(grown), "src", "dst")
+        },
+        // POWER-LAW stress: synthetic Zipf-ish graph (dst = ⌊V^u⌋ for
+        // uniform u — node k drawn with p ∝ 1/k, so node 1 is a hub
+        // holding Θ(E/ln V) of all edges) over a fixed V = 100k space,
+        // |E| = the amplified event count. This is the profile the
+        // per-copy shapes above deliberately avoid: the hub key hammers
+        // the per-iteration contribution rollup (groupBy dst) — which
+        // survives because partial aggregation contracts the hub's
+        // contributions map-side before the exchange
+        shape("pagerank_powerlaw") {
+          val v = 100000L
+          val edges = ev.select(
+            pmod(xxhash64(col("event_id")), lit(v)).as("src"),
+            least(lit(v - 1), floor(pow(lit(v.toDouble),
+              pmod(xxhash64(col("event_id"), lit(1)), lit(1000000L)) /
+                lit(1000000.0))).cast("long")).as("dst"),
+            lit(1.0).as("w"))
+          graft.queries.GraphOps.pageRank(edges, "src", "dst", "w",
+            iters = 5, damping = 0.85)
+        },
+        // same hub profile through the wedge join: the degree-ordered
+        // orientation must keep the hub's wedges at its NEIGHBORS
+        // (low-degree corners), never hub-degree². Edge count is capped
+        // at a tenth of the events (logged below) — the uncapped 100x
+        // graph's Σ outdeg² is ~1e9 wedges, which measures patience,
+        // not the join's scaling
+        shape("triangles_powerlaw") {
+          val v = 100000L
+          System.err.println("[soak]   triangles_powerlaw edge source capped to events/10")
+          val edges = ev.filter(pmod(col("event_id"), lit(10)) === 0).select(
+            pmod(xxhash64(col("event_id")), lit(v)).as("src"),
+            least(lit(v - 1), floor(pow(lit(v.toDouble),
+              pmod(xxhash64(col("event_id"), lit(1)), lit(1000000L)) /
+                lit(1000000.0))).cast("long")).as("dst"))
+          graft.queries.GraphOps.triangleStats(edges, "src", "dst")
         })
     } else Seq.empty) ++ (if (soakSets("pq")) {
       val emb = amplify(Tables.embeddings(spark, sfDir), Seq("vec_id"), mult)
