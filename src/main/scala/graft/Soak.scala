@@ -213,21 +213,42 @@ object Soak {
         graft.text.TextAnalysis.repetitionRatio(docs, "doc_id", "text")
       },
       // batched BPE at production merge counts: the synthetic corpus has
-      // ~31 natural words, so per-doc hash-derived words supply the vocab
-      // diversity a 1k-merge table needs (one distinct 64-letter word per
-      // doc_id — amplification grows the vocab with the corpus). 64
-      // merges per pass → 2 jobs per 64 ranks; the pass count, not the
-      // rank count, is what the driver loop pays for
+      // ~31 natural words, so hash-derived 64-letter words supply the
+      // vocab diversity a 1k-merge table needs. Distinct-word growth
+      // follows HEAPS' LAW (vocabulary ~ sqrt of corpus size — real
+      // corpora never grow word diversity linearly): 5000·√mult distinct
+      // synthetic words, so the trainer's working set scales the way a
+      // real 100 TB vocabulary would. 64 merges per pass → 2 jobs per
+      // 64 ranks; the pass count, not the rank count, is what the
+      // driver loop pays for
       shape("bpe_train_batched") {
+        val vocabWords = 5000L * math.max(1, math.round(math.sqrt(mult.toDouble)))
+        System.err.println(s"[soak]   bpe_train_batched heaps-law vocab=$vocabWords")
         val synth = docs.select(col("doc_id"),
           concat_ws(" ", col("text"),
-            translate(sha2(col("doc_id").cast("string"), 256),
+            translate(sha2(pmod(col("doc_id"), lit(vocabWords)).cast("string"), 256),
               "0123456789", "ghijklmnop")).as("text"))
         val model = graft.text.Bpe.train(synth, "text",
           numMerges = 1000, batchSize = 64)
         System.err.println(s"[soak]   bpe_train_batched ranks=${model.merges.size}")
         pinned += model.vocabSyms
         model.vocabSyms
+      },
+      // unigram-LM training over the same Heaps-law vocabulary: per EM
+      // pass one codegen Viterbi projection + one piece rollup + one
+      // vocab-bounded collect — cost must track the distinct-word
+      // table, never corpus x vocab
+      shape("unigram_train") {
+        val vocabWords = 5000L * math.max(1, math.round(math.sqrt(mult.toDouble)))
+        val synth = docs.select(col("doc_id"),
+          concat_ws(" ", col("text"),
+            translate(sha2(pmod(col("doc_id"), lit(vocabWords)).cast("string"), 256),
+              "0123456789", "ghijklmnop")).as("text"))
+        val model = graft.text.UnigramLm.train(synth, "text",
+          vocabSize = 1000, maxPieceLen = 6, emIters = 2)
+        System.err.println(s"[soak]   unigram_train vocab=${model.pieces.size}")
+        pinned += model.segs
+        model.segs
       },
       // sentence chunking: split + prefix-sum window + per-chunk rebuild —
       // must stay linear in tokens like the other doc-id-window shapes
