@@ -178,7 +178,11 @@ object GraphOps {
       // caller (the try/finally discipline of Pq.buildCodebook)
       val r = lazyStats.head
       import edges.sparkSession.implicits._
-      Seq((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      // empty graph: n_wedges (a SUM) and clustering are NULL while the
+      // counts are 0 — carry the nulls through, as the lazy plan did
+      def optLong(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      def optDouble(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+      Seq((optLong(0), optLong(1), optLong(2), optDouble(3)))
         .toDF("n_edges", "n_wedges", "n_triangles", "clustering")
     } finally {
       graft.util.Pins.release(und)

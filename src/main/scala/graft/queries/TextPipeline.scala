@@ -266,6 +266,32 @@ object TextPipeline {
               .getField("seg_text"))).as("bpe_md5"))
     }),
 
+    // The composed pretraining data-prep chain: TOKENIZE (the memoized
+    // BPE model's vocab-sized segmentation joined onto the exploded
+    // corpus — tp_bpe_apply's shape) then PACK (next-fit into
+    // fixed-token-budget bins per shard — tp_pack_nextfit's shape, but
+    // budgeted in SUBWORD tokens, the unit a training pipeline actually
+    // packs by). One vocab join + one per-shard window; nothing
+    // corpus-quadratic, no global window. Docs with no letter-run words
+    // tokenize to nothing and emit no row (as in tp_bpe_apply).
+    "tp_tokenize_pack" -> ((s, d) => {
+      val seg = bpeModel(s, d).vocabSyms
+        .groupBy("word").agg(count(lit(1)).as("n_syms"))
+      val docWords = Tables.documents(s, d).select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+      val docTokens = docWords.join(seg, "word")
+        .groupBy("doc_id").agg(sum("n_syms").as("n_tokens"))
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docTokens
+        .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .withColumn("bin",
+          floor((col("cum_tokens") - col("n_tokens")) / 512).cast("long"))
+        .select("doc_id", "shard", "n_tokens", "bin")
+    }),
+
     // Unigram-LM tokenizer training ([[graft.text.UnigramLm]]): the final
     // piece table — (piece, cost_micro, usage) — after seed + EM. The
     // model is a build-once artifact per (session, dataset), like the
@@ -470,6 +496,22 @@ object TextPipeline {
          |  md5(string_agg(seg_text, ' ' ORDER BY widx)) AS bpe_md5
          |FROM docw JOIN seg USING (word)
          |GROUP BY doc_id""".stripMargin, extraCtes = true),
+
+    "tp_tokenize_pack" -> bpeOracle(
+      s"""seg AS (
+         |  SELECT word, count(*) AS n_syms FROM syms$BpeMerges GROUP BY word),
+         |docw AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |  FROM documents),
+         |doctok AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |    CAST(sum(n_syms) AS BIGINT) AS n_tokens
+         |  FROM docw JOIN seg USING (word) GROUP BY doc_id)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS bin
+         |FROM doctok""".stripMargin, extraCtes = true),
 
     "tp_unigram_train" -> unigramOracle(
       s"""SELECT v.piece, v.cost AS cost_micro,
