@@ -77,8 +77,38 @@ object Plans {
     w.println("`WholeStageCodegen` spans (codegen coverage), partial/final `HashAggregate`")
     w.println("pairs (map-side combine).")
     w.println()
+    // Queries that eagerly materialize their (small) result inside the
+    // pin's lifetime would print a LocalTableScan / checkpoint scan —
+    // zero audit value. For those, explain the LAZY internal plan the
+    // materialization collects, releasing its prologue pins afterwards.
+    val lazyOverrides: Map[String, () => (org.apache.spark.sql.DataFrame, () => Unit)] = Map(
+      "g_triangles" -> { () =>
+        val und = graft.queries.GraphOps.canonicalUndirected(
+          graft.queries.GraphOps.pageEdges(spark, sfDir), "src", "dst")
+        var oriented: org.apache.spark.sql.DataFrame = null
+        val plan = graft.queries.GraphOps.triangleStatsPlan(und, { o => oriented = o })
+        (plan, () => {
+          graft.util.Pins.release(und)
+          if (oriented != null) graft.util.Pins.release(oriented)
+        })
+      },
+      "ev_active_users" -> { () =>
+        val du = graft.queries.Relational.dayUsers(
+          graft.io.Tables.events(spark, sfDir))
+        (graft.queries.Relational.activeUsersPlan(du),
+          () => graft.util.Pins.release(du))
+      },
+      "ev_users_hll_merge" -> { () =>
+        val ev = graft.io.Tables.events(spark, sfDir)
+        val daily = graft.queries.Relational.dailyUserSketches(ev)
+        (graft.queries.Relational.usersHllMergePlan(ev, daily),
+          () => graft.util.Pins.release(daily))
+      })
+
     headline.foreach { case (name, why) =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val (df, cleanup) = lazyOverrides.get(name)
+        .map(_.apply())
+        .getOrElse((SparkEntry.queries(name)(spark, sfDir), () => ()))
       val qe: QueryExecution = df.queryExecution
       val formatted = qe.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
@@ -92,6 +122,7 @@ object Plans {
       w.println(formatted.trim.replaceAll("0x[0-9A-Fa-f]{256,}", "0x…<binary literal elided>"))
       w.println("```")
       w.println()
+      cleanup()
     }
     w.close()
     println(s"[plans] wrote ${headline.size} plans to $out")

@@ -200,14 +200,18 @@ object Soak {
       // content diversity, not copy count
       shape("components_cliques") {
         val sig = graft.dedup.Dedup.minhashSignatures(docs, "doc_id", "text", 3, 8)
-        graft.dedup.Dedup.lshComponentsFromSignatures(docs, "doc_id", sig, 4, 2)
+        val r = graft.dedup.Dedup.lshComponentsFromSignatures(docs, "doc_id", sig, 4, 2)
+        pinned += r // the closure returns a checkpointed result — release after the write
+        r
       },
       // force the distributed min-label path regardless of pair count, so
       // the soak keeps exercising the shape a >driver-memory graph needs
       shape("components_distributed") {
         val pairs = graft.dedup.Dedup.minhashLshCandidates(docs, "doc_id", "text", 3, 4, 2)
-        graft.dedup.Dedup.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b",
+        val r = graft.dedup.Dedup.connectedComponents(docs, "doc_id", pairs, "id_a", "id_b",
           localThreshold = 0L)
+        pinned += r
+        r
       },
       shape("repetition_signal") {
         graft.text.TextAnalysis.repetitionRatio(docs, "doc_id", "text")

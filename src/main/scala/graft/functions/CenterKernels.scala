@@ -67,6 +67,13 @@ object CenterKernels {
                    cosine: Boolean): Double = {
     val dense = row.getByte(0) == 1
     val values = row.getArray(3)
+    // the UDF path this replaced (Vectors.sqdist) THREW on dimension
+    // mismatch; a kernel that silently ignored out-of-range entries
+    // would return a too-small distance and a wrong argmin instead
+    val dim = if (dense) values.numElements() else row.getInt(1)
+    if (dim != c.length)
+      throw new IllegalArgumentException(
+        s"vector dimension $dim does not match center dimension ${c.length}")
     if (cosine) {
       // dot + ‖v‖ in one pass over the ACTIVE entries, in storage order —
       // identical accumulation to foreachActive + Vectors.norm(v, 2)

@@ -534,22 +534,40 @@ object Multimodal {
           new java.io.ByteArrayInputStream(m.payload))
         val fmt = ais.getFormat
         val bytes = ais.readAllBytes()
-        val n = bytes.length / 2
+        val ch = math.max(fmt.getChannels, 1)
+        val n = bytes.length / (2 * ch) // FRAMES, not interleaved samples
         if (fmt.getSampleSizeInBits != 16 || n < 1)
           AudioHash(m.media_id, null, "stub")
         else {
           val be = fmt.isBigEndian
-          def sample(i: Int): Int = {
+          def rawSample(i: Int): Int = {
             val b0 = bytes(2 * i)
             val b1 = bytes(2 * i + 1)
             if (be) (b0 << 8) | (b1 & 0xff) else (b1 << 8) | (b0 & 0xff)
           }
+          // |amplitude| of frame f: mono reads the sample directly;
+          // multi-channel DOWNMIXES (mean across channels) so a stereo
+          // master and its mono downmix land on the same contour —
+          // interleaved channels must never masquerade as time steps.
+          // scaled by ch (not divided) so the mono path stays INTEGER —
+          // the oracle's arithmetic — and the comparison is scale-free.
+          def frameAmp(f: Int): Long =
+            if (ch == 1) math.abs(rawSample(f)).toLong
+            else {
+              var s = 0L
+              var c = 0
+              while (c < ch) { s += rawSample(f * ch + c); c += 1 }
+              math.abs(s)
+            }
           def winMean(w: Int): Double = {
-            val i0 = w * n / NearDupAudioWindows
-            val i1 = math.max(i0 + 1, (w + 1) * n / NearDupAudioWindows)
+            // Long window arithmetic: w * n overflows Int from ~30M
+            // frames (~11 min at 44.1 kHz) — the silent-stub bug class
+            val i0 = (w.toLong * n / NearDupAudioWindows).toInt
+            val i1 = math.max(i0 + 1,
+              ((w + 1).toLong * n / NearDupAudioWindows).toInt)
             var s = 0L
             var i = i0
-            while (i < i1) { s += math.abs(sample(i)); i += 1 }
+            while (i < i1) { s += frameAmp(i); i += 1 }
             s.toDouble / (i1 - i0)
           }
           val sb = new java.lang.StringBuilder(64)

@@ -162,14 +162,22 @@ object GraphOps {
     * is one row: (n_edges, n_wedges, n_triangles, clustering) with
     * clustering = 3·triangles / wedges (the global transitivity ratio).
     */
-  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // canonical undirected edge set (a < b), self-loops dropped
-    val und = edges
+  /** Canonical undirected edge set — (a < b), self-loops dropped,
+    * checkpointed (the census reads it three times). Shared with
+    * PlanSpec's wedge-join shape pin so the test sees the production
+    * prologue, not a copy.
+    */
+  private[graft] def canonicalUndirected(edges: DataFrame, srcCol: String,
+                                         dstCol: String): DataFrame =
+    edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
       .localCheckpoint(true)
+
+  def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = canonicalUndirected(edges, srcCol, dstCol)
     var oriented: DataFrame = null
     try {
       val lazyStats = triangleStatsPlan(und, { o => oriented = o })

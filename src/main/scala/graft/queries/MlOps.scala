@@ -313,15 +313,17 @@ object MlOps {
               sum("label").cast("long").as("n_pos"),
               avg((col("prediction") === col("label")).cast("double")).as("acc"))
               .head
-            // a single-class split has no ROC curve — the evaluator
-            // returns NaN, which is "trivially separable", not a failure;
-            // the oracle pins auc_ok = 1 unconditionally, so NaN must map
-            // to 1, not to a dataset-dependent 0
-            val aucVal = auc.evaluate(part)
-            if (agg.getLong(0) == 0L) None
-            else Some((sp, agg.getLong(0), agg.getLong(1),
-              if (agg.getDouble(2) >= 0.95) 1 else 0,
-              if (aucVal.isNaN || aucVal >= 0.98) 1 else 0))
+            if (agg.getLong(0) == 0L) None // absent split: no evaluator job
+            else {
+              // a single-class split has no ROC curve — the evaluator
+              // returns NaN, which is "trivially separable", not a
+              // failure; the oracle pins auc_ok = 1 unconditionally, so
+              // NaN must map to 1, not to a dataset-dependent 0
+              val aucVal = auc.evaluate(part)
+              Some((sp, agg.getLong(0), agg.getLong(1),
+                if (agg.getDouble(2) >= 0.95) 1 else 0,
+                if (aucVal.isNaN || aucVal >= 0.98) 1 else 0))
+            }
           }
           rows.toDF("split", "n_docs", "n_pos", "acc_ok", "auc_ok")
         }

@@ -68,25 +68,71 @@ object Relational {
     * shape avoids at 100 TB). Phantom ends past the last active day drop
     * at the inner join with the DAU day set.
     */
-  def activeUsers(events: DataFrame): DataFrame = {
-    val du = events
+  /** The |days × users| distinct contraction, checkpointed (three
+    * aggregations serve from the one pass).
+    */
+  private[graft] def dayUsers(events: DataFrame): DataFrame =
+    events
       .select(to_date(date_trunc("day", col("ts"))).as("day"), col("user_id"))
       .distinct()
-      .localCheckpoint(true) // three aggregations serve from one pass
+      .localCheckpoint(true)
+
+  /** The lazy DAU/WAU/MAU serving plan over a day-user checkpoint —
+    * split out so the plan audit ([[graft.Plans]]) pins the real shape
+    * (offset explodes + partial-aggregated count-distincts, no range
+    * join) rather than the materialized scan.
+    */
+  private[graft] def activeUsersPlan(du: DataFrame): DataFrame = {
+    val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    def trailing(n: Int, name: String) = du
+      .select(explode(sequence(lit(0), lit(n - 1))).as("off"),
+        col("day"), col("user_id"))
+      .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
+      .groupBy("day").agg(countDistinct("user_id").as(name))
+    dau.join(trailing(7, "wau"), "day")
+      .join(trailing(30, "mau"), "day")
+      .select("day", "dau", "wau", "mau")
+  }
+
+  /** Per-day user HLL sketches + exact counts, checkpointed (both output
+    * branches read it).
+    */
+  private[graft] def dailyUserSketches(ev: DataFrame): DataFrame =
+    ev.groupBy(date_trunc("day", col("ts")).as("day_ts"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .localCheckpoint(true)
+
+  /** The lazy per-day + global HLL serving plan over the daily-sketch
+    * checkpoint — split out for the plan audit, like [[activeUsersPlan]].
+    * Empty-input edge: a zero-row union yields a NULL sketch; its
+    * estimate coalesces to 0, which equals the exact count — the flag
+    * must stay 1 (the oracle's constant), never NULL.
+    */
+  private[graft] def usersHllMergePlan(ev: DataFrame, daily: DataFrame): DataFrame = {
+    def okCol = (abs(coalesce(hll_sketch_estimate(col("sk")), lit(0L))
+      .cast("double") - col("exact_users")) <=
+      col("exact_users") * lit(0.05))
+      .cast("int").as("hll_ok")
+    val dailyOut = daily.select(col("day_ts"), col("exact_users"), okCol)
+    val totalOut = daily
+      .agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
+      .crossJoin(ev.agg(countDistinct(col("user_id")).as("exact_users")))
+      .select(lit(null).cast("timestamp").as("day_ts"),
+        col("exact_users"), okCol)
+    dailyOut.unionByName(totalOut)
+  }
+
+  def activeUsers(events: DataFrame): DataFrame = {
+    val du = dayUsers(events)
     try {
-      val dau = du.groupBy("day").agg(countDistinct("user_id").as("dau"))
-      def trailing(n: Int, name: String) = du
-        .select(explode(sequence(lit(0), lit(n - 1))).as("off"),
-          col("day"), col("user_id"))
-        .select(date_add(col("day"), col("off")).as("day"), col("user_id"))
-        .groupBy("day").agg(countDistinct("user_id").as(name))
-      // materialize the days-sized serving table inside the pin's
-      // lifetime, so the |days x users| checkpoint never outlives the
-      // call; the caller owns the (tiny) returned pin
-      dau.join(trailing(7, "wau"), "day")
-        .join(trailing(30, "mau"), "day")
-        .select("day", "dau", "wau", "mau")
-        .localCheckpoint(true)
+      // the serving table is DAYS-sized (a calendar bounds the row
+      // count), so it materializes as a local relation inside the pin's
+      // lifetime — nothing stays pinned after the call
+      val plan = activeUsersPlan(du)
+      val rows = plan.collect()
+      events.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), plan.schema)
     } finally graft.util.Pins.release(du)
   }
 
@@ -442,29 +488,14 @@ object Relational {
     // anchor — a production query would drop it and keep one scan).
     "ev_users_hll_merge" -> ((s, d) => {
       val ev = Tables.events(s, d)
-      val daily = ev
-        .groupBy(date_trunc("day", col("ts")).as("day_ts"))
-        .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"),
-          countDistinct(col("user_id")).as("exact_users"))
-        .localCheckpoint(true) // reused by both branches below
+      val daily = dailyUserSketches(ev)
       try {
-        // empty-input edge: a zero-row union yields a NULL sketch; its
-        // estimate coalesces to 0, which is exactly the exact count — the
-        // flag must stay 1 (the oracle's constant), never NULL
-        def okCol = (abs(coalesce(hll_sketch_estimate(col("sk")), lit(0L))
-          .cast("double") - col("exact_users")) <=
-          col("exact_users") * lit(0.05))
-          .cast("int").as("hll_ok")
-        val dailyOut = daily.select(col("day_ts"), col("exact_users"), okCol)
-        val totalOut = daily
-          .agg(hll_union_agg(col("sk"), lit(true)).as("sk"))
-          .crossJoin(ev.agg(countDistinct(col("user_id")).as("exact_users")))
-          .select(lit(null).cast("timestamp").as("day_ts"),
-            col("exact_users"), okCol)
-        // materialize the days+1-row result inside the pin's lifetime so
-        // the sketch-bearing daily checkpoint is released here; the caller
-        // owns the (tiny) returned pin
-        dailyOut.unionByName(totalOut).localCheckpoint(true)
+        // days+1-row result: local materialization inside the pin's
+        // lifetime — the sketch-bearing daily checkpoint is released
+        // here and nothing stays pinned after the call
+        val plan = usersHllMergePlan(ev, daily)
+        val rows = plan.collect()
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), plan.schema)
       } finally graft.util.Pins.release(daily)
     }),
 

@@ -91,12 +91,14 @@ object IncrementalCardinality {
         .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as(name))
       val dau = daily.select(col("day"),
         hll_sketch_estimate(col("sk")).as("dau_est"))
-      // materialize the days-sized serving table inside the pin's
-      // lifetime (activeUsers' contract); the caller owns the tiny pin
-      dau.join(trailing(7, "wau_est"), "day")
+      // days-sized serving table: local materialization inside the pin's
+      // lifetime (activeUsers' contract) — nothing stays pinned after
+      // the call
+      val plan = dau.join(trailing(7, "wau_est"), "day")
         .join(trailing(30, "mau_est"), "day")
         .select("day", "dau_est", "wau_est", "mau_est")
-        .localCheckpoint(true)
+      val rows = plan.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), plan.schema)
     } finally graft.util.Pins.release(daily)
   }
 

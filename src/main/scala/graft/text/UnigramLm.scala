@@ -72,6 +72,7 @@ object UnigramLm {
     val wordsDf = Bpe.words(docs, textCol).localCheckpoint(true)
     try {
       // ---- seed: substring counts over the distinct-word table --------
+      // checkpointed: the char and multi-piece collects below both read it
       val cands = wordsDf
         .select(col("word"), col("cnt"),
           explode(sequence(lit(1), length(col("word")))).as("start"))
@@ -82,16 +83,19 @@ object UnigramLm {
         .select(col("word").substr(col("start"), col("l")).as("piece"), col("cnt"))
         .groupBy("piece")
         .agg(sum("cnt").as("pcnt"))
+        .localCheckpoint(true)
       // alphabet-bounded + vocab-bounded collects: the piece table IS the
       // model (driver state by design, like k centroids)
-      val chars = cands.filter(length(col("piece")) === 1)
-        .orderBy(asc("piece"))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      val multi = cands.filter(length(col("piece")) > 1)
-        .orderBy(desc("pcnt"), asc("piece"))
-        .limit(math.max(vocabSize - chars.length, 0))
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      val seed = chars ++ multi
+      val seed = try {
+        val chars = cands.filter(length(col("piece")) === 1)
+          .orderBy(asc("piece"))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val multi = cands.filter(length(col("piece")) > 1)
+          .orderBy(desc("pcnt"), asc("piece"))
+          .limit(math.max(vocabSize - chars.length, 0))
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        chars ++ multi
+      } finally graft.util.Pins.release(cands)
       val seedTot = seed.map(_._2).sum.toDouble
       var costs: Array[(String, Long)] = seed.map { case (p, c) =>
         (p, math.round(-math.log(c / seedTot) * 1e6))
@@ -117,12 +121,17 @@ object UnigramLm {
       }
 
       // ---- final E-pass: served segmentation + reported usage ---------
-      val finalUsage = usageUnder(costs)
+      // ONE Viterbi pass: the segmentation table is checkpointed first
+      // and the usage rollup reads the checkpoint (recomputing the
+      // projection for usage would double the most expensive pass)
       val segs = wordsDf
         .select(col("word"), col("cnt"),
           posexplode(viterbiPieces(col("word"), costs, maxPieceLen))
             .as(Seq("pos", "piece")))
         .localCheckpoint(true)
+      val finalUsage = segs
+        .groupBy("piece").agg(sum("cnt").as("usage"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val pieces = costs.map { case (p, c) =>
         Piece(p, c, finalUsage.getOrElse(p, 0L))
       }.toSeq

@@ -305,6 +305,43 @@ class MultimodalSpec extends AnyFunSuite {
     graft.util.Pins.release(clips)
   }
 
+  test("audio fingerprint downmixes stereo: L=R stereo master equals the mono fingerprint") {
+    import spark.implicits._
+    val ids = (0L until 4L).toDF("id")
+    val monoClips = Multimodal.synthesizeNearDupAudio(ids, "id").localCheckpoint(true)
+    val mono = Multimodal.audioFingerprint(spark, monoClips).collect()
+      .map(h => h.media_id -> h.afp).toMap
+    // duplicate each mono sample into two channels — the stereo master
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val stereo = monoClips.collect().map { r =>
+      val m = Multimodal.MediaFile(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(m.payload))
+      val fmt = ais.getFormat
+      val bytes = ais.readAllBytes()
+      val nFrames = bytes.length / 2
+      val out = new Array[Byte](nFrames * 4)
+      (0 until nFrames).foreach { i =>
+        System.arraycopy(bytes, i * 2, out, i * 4, 2)
+        System.arraycopy(bytes, i * 2, out, i * 4 + 2, 2)
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(out),
+        new AudioFormat(fmt.getSampleRate, 16, 2, true, fmt.isBigEndian),
+        nFrames), AudioFileFormat.Type.WAVE, baos)
+      Multimodal.MediaFile(m.media_id, "audio", baos.toByteArray)
+    }.toSeq.toDF()
+    val st = Multimodal.audioFingerprint(spark, stereo).collect()
+      .map(h => h.media_id -> h.afp).toMap
+    (0L until 4L).foreach { id =>
+      assert(st(id) == mono(id),
+        s"stereo master of id $id diverged from its mono fingerprint " +
+          "(channels leaked into the time axis)")
+    }
+    graft.util.Pins.release(monoClips)
+  }
+
   // The property the box-mean (area-average) rewrite exists for: the same
   // image circulating at several resolutions must hash near-identically.
   test("dHash rescale robustness: replication is bit-exact, interpolation stays within the pairing radius") {

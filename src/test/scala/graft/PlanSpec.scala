@@ -180,14 +180,10 @@ class PlanSpec extends AnyFunSuite {
 
   test("triangle census joins stay equi (no nested-loop closing join)") {
     // triangleStats materializes its 1-row result eagerly (pin-release
-    // discipline), so pin the shape of the lazy internal plan instead
+    // discipline), so pin the shape of the lazy internal plan instead —
+    // built from the SAME canonicalUndirected prologue production runs
     val edges = graft.queries.GraphOps.pageEdges(spark, SparkTestSession.sfDir)
-    val und = edges
-      .select(least(col("src"), col("dst")).as("a"),
-        greatest(col("src"), col("dst")).as("b"))
-      .filter(col("a") =!= col("b"))
-      .distinct()
-      .localCheckpoint(true)
+    val und = graft.queries.GraphOps.canonicalUndirected(edges, "src", "dst")
     var oriented: org.apache.spark.sql.DataFrame = null
     val p =
       try graft.queries.GraphOps.triangleStatsPlan(und, { o => oriented = o })
