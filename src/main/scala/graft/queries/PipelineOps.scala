@@ -21,6 +21,14 @@ object PipelineOps {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  /** MMR re-rank parameters for the declared `sim_mmr_rerank`: pool the
+    * top-25 candidates by (rounded) relevance per query, select 8 with
+    * λ = 0.7. Exposed so the soak measures the shipped operator.
+    */
+  val MmrPoolK = 25
+  val MmrK = 8
+  val MmrLambda = 0.7
+
   /** Shared materialization for the dedup chain: the LSH candidate pairs
     * and their connected components each feed several declared queries
     * (`dd_minhash_lsh`, `dd_components`, `dd_apply`), and recomputing the
@@ -617,6 +625,70 @@ object PipelineOps {
             v => round(v.cast("double") / col("scale")).cast("int").cast("string")))
             .as("q"))),
 
+    // Diversified re-rank (maximal marginal relevance): after retrieval
+    // contracts the corpus to a per-query candidate pool, greedily pick
+    // the k results balancing relevance against redundancy with what's
+    // already picked — the standard answer to near-duplicate hits
+    // crowding a result page. The distributed shape is pool-then-select:
+    // full-probe IVF scoring (the contraction), relevance ROUNDED to 6dp
+    // so the pool cut is engine-portable, a bounded-heap `top_k_by`
+    // pooling (map-side partials keep <= poolK rows per query per task),
+    // then the sequential greedy runs in `mmr_select` on ONE row per
+    // query — never on the corpus. Every score comparison happens on
+    // rounded values (house float convention), so the DuckDB oracle
+    // replays the identical selection via chained per-pick CTEs.
+    "sim_mmr_rerank" -> ((s, d) => {
+      val idx = persistedIvfIndex(s, d)
+      val emb = Tables.embeddings(s, d)
+      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
+      // no k-cut here: queryIvf's rank orders by RAW cosine; the portable
+      // cut happens below on the rounded relevance
+      val scored = Similarity.queryIvf(idx, queries, "vec_id", "embedding",
+        k = Int.MaxValue, nprobe = idx.centroids.length)
+      scored
+        .withColumn("rel", round(col("cosine_sim"), 6))
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("nvec")), "neighbor_id")
+        .groupBy("query_id")
+        .agg(graft.functions.TopKBy.topKBy(col("rel"), col("neighbor_id"),
+          col("nvec"), MmrPoolK).as("pool"))
+        .select(col("query_id"),
+          posexplode(graft.functions.MmrSelect.mmrSelect(
+            col("pool"), MmrK, MmrLambda)))
+        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.tie").as("neighbor_id"), col("col.mmr").as("mmr"))
+    }),
+
+    // Hybrid retrieval via reciprocal-rank fusion: the lexical arm (BM25
+    // top-20, the t8 machinery) and the dense arm (cosine top-20 through
+    // the IVF index) fused by rrf = Σ 1/(60 + rank) — the
+    // score-calibration-free fusion every hybrid search stack ships.
+    // Both arms are already contractions (<= 20 rows each; at 100 TB the
+    // lexical arm is the posting-filter read path and the dense arm the
+    // IVF probe), so the fusion itself is a constant-size full-outer
+    // join — the global rank windows below run on 20-row inputs, not
+    // corpus data. doc_id and vec_id share the id space by corpus
+    // construction (embeddings(i) embeds documents(i)).
+    "ret_hybrid_rrf" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = TextPipeline.queries("t8_bm25_search")(s, d)
+        .select(col("doc_id"), row_number().over(
+          Window.orderBy(desc("bm25"), asc("doc_id"))).cast("int").as("rank_lex"))
+      val idx = persistedIvfIndex(s, d)
+      val dense = Similarity.queryIvf(idx,
+        Tables.embeddings(s, d).filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 20, nprobe = idx.centroids.length)
+        .select(col("neighbor_id").as("doc_id"), col("rank").as("rank_dense"))
+      lex.join(dense, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          round(coalesce(lit(1.0) / (lit(60) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_dense")), lit(0.0)), 6)
+            .as("rrf"),
+          col("rank_lex"), col("rank_dense"))
+        .orderBy(desc("rrf"), asc("doc_id"))
+        .limit(10)
+    }),
+
     // The composed corpus-cleaning pipeline — what a training run actually
     // reads: quality-filtered (token count, stopword ratio, distinct-token
     // ratio) AND exact-dup keeper AND near-dup component root, in one
@@ -838,6 +910,86 @@ object PipelineOps {
       (plane, pid) <- planes.zipWithIndex
       (w, i) <- plane.zipWithIndex
     } yield s"($pid, ${i + 1}, $w)").mkString(", ")
+  }
+
+  /** The `sim_mmr_rerank` oracle: the same greedy selection the
+    * `mmr_select` expression runs, unrolled as one CTE per pick. The λ
+    * and (1−λ) factors are interpolated via `Double.toString` and CAST
+    * to DOUBLE so DuckDB multiplies by the IDENTICAL IEEE values the JVM
+    * computes with (a bare `0.3` literal would be the decimal 0.3, not
+    * the binary `1.0 - 0.7`).
+    */
+  private def mmrOracle: String = {
+    // integer micro-unit scoring, mirroring the mmr_select expression:
+    // λₙ = round(λ·1000), relevance/cosines quantized to 1e-6 as
+    // BIGINTs, score = λₙ·relµ − (1000−λₙ)·simµ exactly — no float
+    // rounding in any pick comparison, and the reported mmr
+    // (score / 1e9) is an exact integer→double conversion both engines
+    // agree on. Every CTE is MATERIALIZED: the sel chain is referenced
+    // multiple times per later step, and DuckDB's default CTE inlining
+    // would re-expand it exponentially (and reopen the parquet per
+    // expansion — the "too many open files" failure mode).
+    val lamNum = math.round(MmrLambda * 1000.0)
+    val oneMinusNum = 1000L - lamNum
+    val picks = (2 to MmrK).map { p =>
+      s"""sc$p AS MATERIALIZED (
+         |  SELECT pl.query_id, pl.cand_id,
+         |    $lamNum * pl.rel_u - $oneMinusNum * max(ps.s_u) AS score
+         |  FROM pool pl
+         |    JOIN psim ps ON ps.query_id = pl.query_id AND ps.id_a = pl.cand_id
+         |    JOIN sel${p - 1} t ON t.query_id = ps.query_id AND t.cand_id = ps.id_b
+         |    LEFT JOIN sel${p - 1} e
+         |      ON e.query_id = pl.query_id AND e.cand_id = pl.cand_id
+         |  WHERE e.cand_id IS NULL
+         |  GROUP BY pl.query_id, pl.cand_id, pl.rel_u),
+         |pick$p AS MATERIALIZED (
+         |  SELECT query_id, cand_id, score, $p AS rank FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, cand_id) AS rn
+         |    FROM sc$p) x WHERE rn = 1),
+         |sel$p AS MATERIALIZED (SELECT query_id, cand_id FROM sel${p - 1}
+         |          UNION ALL SELECT query_id, cand_id FROM pick$p)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (1 to MmrK).map(p => s"SELECT * FROM pick$p").mkString("\n    UNION ALL ")
+    s"""WITH flat AS MATERIALIZED ($flatEmbSql),
+       |norms AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+       |rel0 AS MATERIALIZED (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+       |    round(sum(q.x * c.x) / (nq.nrm * nc.nrm), 6) AS rel
+       |  FROM flat q JOIN flat c ON q.i = c.i AND c.vec_id != q.vec_id
+       |    JOIN norms nq ON nq.vec_id = q.vec_id
+       |    JOIN norms nc ON nc.vec_id = c.vec_id
+       |  WHERE q.vec_id % 100 = 0
+       |  GROUP BY q.vec_id, c.vec_id, nq.nrm, nc.nrm),
+       |pool AS MATERIALIZED (
+       |  SELECT query_id, cand_id,
+       |    CAST(round(rel * 1000000) AS BIGINT) AS rel_u
+       |  FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+       |    FROM rel0) x
+       |  WHERE rn <= $MmrPoolK),
+       |psim AS MATERIALIZED (
+       |  SELECT pa.query_id, pa.cand_id AS id_a, pb.cand_id AS id_b,
+       |    CAST(round(sum(fa.x * fb.x) / (na.nrm * nb.nrm) * 1000000) AS BIGINT) AS s_u
+       |  FROM pool pa JOIN pool pb
+       |    ON pa.query_id = pb.query_id AND pa.cand_id != pb.cand_id
+       |    JOIN flat fa ON fa.vec_id = pa.cand_id
+       |    JOIN flat fb ON fb.vec_id = pb.cand_id AND fb.i = fa.i
+       |    JOIN norms na ON na.vec_id = pa.cand_id
+       |    JOIN norms nb ON nb.vec_id = pb.cand_id
+       |  GROUP BY pa.query_id, pa.cand_id, pb.cand_id, na.nrm, nb.nrm),
+       |pick1 AS MATERIALIZED (
+       |  SELECT query_id, cand_id, score, 1 AS rank FROM (
+       |    SELECT query_id, cand_id, $lamNum * rel_u AS score,
+       |      row_number() OVER (
+       |        PARTITION BY query_id ORDER BY $lamNum * rel_u DESC, cand_id) AS rn
+       |    FROM pool) x WHERE rn = 1),
+       |sel1 AS MATERIALIZED (SELECT query_id, cand_id FROM pick1),
+       |$picks
+       |SELECT query_id, CAST(rank AS INT) AS rank, cand_id AS neighbor_id,
+       |  CAST(score AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS mmr
+       |FROM ($unionAll) u""".stripMargin
   }
 
   /** The full SRP near-dup pair query (sim_near_dup's oracle), reusable
@@ -1245,6 +1397,42 @@ object PipelineOps {
         |    greatest(list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))), 1e-12)
         |      / 127.0 AS scale
         |  FROM embeddings) t""".stripMargin,
+
+    // The greedy MMR selection replayed as chained per-pick CTEs: pool
+    // by ROUNDED relevance (the engine-portable cut), pairwise candidate
+    // cosines rounded to 6dp, then one CTE per pick — each scores the
+    // unselected pool against the selected set and takes the
+    // (mmr DESC, cand_id ASC) head, exactly the expression's arithmetic.
+    "sim_mmr_rerank" -> mmrOracle,
+
+    // RRF fusion: both arms' rank lists (each arm its own oracle-exact
+    // SQL — the t8 BM25 top-20 and the sim_topk-style dense top-20 for
+    // query vector 0), full-outer joined, 1/(60+rank) summed.
+    "ret_hybrid_rrf" ->
+      s"""WITH lex AS (
+         |  SELECT doc_id, CAST(row_number() OVER (
+         |    ORDER BY bm25 DESC, doc_id) AS INT) AS rank_lex
+         |  FROM (${TextPipeline.bm25TopSql}) b),
+         |flat AS ($flatEmbSql),
+         |norms AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+         |dscored AS (
+         |  SELECT c.vec_id AS doc_id, sum(q.x * c.x) / (nq.nrm * nc.nrm) AS cos
+         |  FROM flat q JOIN flat c ON q.i = c.i AND c.vec_id != q.vec_id
+         |    JOIN norms nq ON nq.vec_id = q.vec_id
+         |    JOIN norms nc ON nc.vec_id = c.vec_id
+         |  WHERE q.vec_id = 0
+         |  GROUP BY c.vec_id, nq.nrm, nc.nrm),
+         |dense AS (
+         |  SELECT doc_id, CAST(rn AS INT) AS rank_dense FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rn
+         |    FROM dscored) x
+         |  WHERE rn <= 20)
+         |SELECT COALESCE(l.doc_id, de.doc_id) AS doc_id,
+         |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.rank_lex), 0) +
+         |        COALESCE(CAST(1 AS DOUBLE) / (60 + de.rank_dense), 0), 6) AS rrf,
+         |  l.rank_lex, de.rank_dense
+         |FROM lex l FULL JOIN dense de ON l.doc_id = de.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "sk_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines, sum(l_quantity) AS sum_qty

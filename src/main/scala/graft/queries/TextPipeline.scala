@@ -391,6 +391,30 @@ object TextPipeline {
        |       / (count(*) OVER (PARTITION BY token))) AS idf
        |  FROM ($countsSql) c) t""".stripMargin
 
+  /** t8's full BM25 top-20 oracle (doc_id, bm25, n_matched) — also the
+    * lexical arm of `ret_hybrid_rrf`'s oracle (wrapped as a derived
+    * table there, which DuckDB allows to carry its own WITH chain).
+    */
+  private[queries] val bm25TopSql: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH c AS ($countsSql),
+       |dl AS (SELECT doc_id, sum(freq) AS dl FROM c GROUP BY 1),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+       |       FROM dl),
+       |hits AS (SELECT doc_id, token, freq FROM c WHERE token IN ($terms)),
+       |dfs AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
+       |        FROM hits GROUP BY 1)
+       |SELECT h.doc_id,
+       |  round(sum(ln(1 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
+       |    * (h.freq * ${Bm25K1 + 1}) /
+       |      (h.freq + $Bm25K1 * (${1 - Bm25B} + $Bm25B * dl.dl / st.avgdl))),
+       |    6) AS bm25,
+       |  CAST(count(*) AS INT) AS n_matched
+       |FROM hits h JOIN dl ON h.doc_id = dl.doc_id
+       |  JOIN dfs ON h.token = dfs.token CROSS JOIN st
+       |GROUP BY 1 ORDER BY bm25 DESC, h.doc_id LIMIT 20""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "t1_term_doc_count" -> countsSql,
 
@@ -453,25 +477,7 @@ object TextPipeline {
 
     // same Okapi constants interpolated from the Scala vals so both
     // engines parse bit-identical double literals
-    "t8_bm25_search" -> {
-      val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
-      s"""WITH c AS ($countsSql),
-         |dl AS (SELECT doc_id, sum(freq) AS dl FROM c GROUP BY 1),
-         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
-         |       FROM dl),
-         |hits AS (SELECT doc_id, token, freq FROM c WHERE token IN ($terms)),
-         |dfs AS (SELECT token, CAST(count(*) AS DOUBLE) AS df
-         |        FROM hits GROUP BY 1)
-         |SELECT h.doc_id,
-         |  round(sum(ln(1 + (st.n_docs - dfs.df + 0.5) / (dfs.df + 0.5))
-         |    * (h.freq * ${Bm25K1 + 1}) /
-         |      (h.freq + $Bm25K1 * (${1 - Bm25B} + $Bm25B * dl.dl / st.avgdl))),
-         |    6) AS bm25,
-         |  CAST(count(*) AS INT) AS n_matched
-         |FROM hits h JOIN dl ON h.doc_id = dl.doc_id
-         |  JOIN dfs ON h.token = dfs.token CROSS JOIN st
-         |GROUP BY 1 ORDER BY bm25 DESC, h.doc_id LIMIT 20""".stripMargin
-    },
+    "t8_bm25_search" -> bm25TopSql,
 
     "tp_bpe_train" -> bpeOracle(
       (0 until BpeMerges).map { k =>
