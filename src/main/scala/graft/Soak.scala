@@ -371,6 +371,31 @@ object Soak {
           graft.similarity.Similarity.knnGraph(idx, emb,
             "vec_id", "embedding", k = 5, nprobe = 4)
         },
+        // MMR diversified re-rank at scale: the timed region is the IVF
+        // probe + bounded-heap pooling (the corpus-linear part — nlist
+        // grows, nprobe fixed, so per-point work is constant like the
+        // KNN graph row); the greedy select is per-query constant and
+        // must stay invisible. FIXED query set for the same reason as
+        // ivf_build_and_probe.
+        shape(s"mmr_rerank_nlist${16 * mult}") {
+          val idx = graft.similarity.Similarity.buildIvfIndex(
+            emb, "vec_id", "embedding", nlist = 16 * mult)
+          graft.similarity.Similarity.scoreIvf(idx,
+            Tables.embeddings(spark, sfDir)
+              .filter(pmod(col("vec_id"), lit(1000L)) === 0),
+            "vec_id", "embedding", nprobe = 4)
+            .withColumn("rel", round(col("cosine_sim"), 6))
+            .join(emb.select(col("vec_id").as("nb_id"),
+              col("embedding").as("nvec")),
+              col("nb_id") === col("neighbor_id"))
+            .groupBy("query_id")
+            .agg(graft.functions.TopKBy.topKBy(col("rel"), col("neighbor_id"),
+              col("nvec"), graft.queries.PipelineOps.MmrPoolK).as("pool"))
+            .select(col("query_id"),
+              posexplode(graft.functions.MmrSelect.mmrSelect(col("pool"),
+                graft.queries.PipelineOps.MmrK,
+                graft.queries.PipelineOps.MmrLambda)))
+        },
         // the SERVING split of the same row: fit + cell materialization
         // run OUTSIDE the timed region (the persisted-index path), so
         // this measures the graph pass alone — the recurring cost per

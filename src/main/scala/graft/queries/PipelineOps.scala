@@ -641,10 +641,10 @@ object PipelineOps {
       val idx = persistedIvfIndex(s, d)
       val emb = Tables.embeddings(s, d)
       val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
-      // no k-cut here: queryIvf's rank orders by RAW cosine; the portable
-      // cut happens below on the rounded relevance
-      val scored = Similarity.queryIvf(idx, queries, "vec_id", "embedding",
-        k = Int.MaxValue, nprobe = idx.centroids.length)
+      // scoreIvf, not queryIvf: no rank window — the only contraction is
+      // the bounded heap below, cut on the ROUNDED relevance (portable)
+      val scored = Similarity.scoreIvf(idx, queries, "vec_id", "embedding",
+        nprobe = idx.centroids.length)
       scored
         .withColumn("rel", round(col("cosine_sim"), 6))
         .join(emb.select(col("vec_id").as("neighbor_id"),

@@ -529,17 +529,29 @@ object Similarity {
     */
   def queryIvf(index: IvfIndex, queries: DataFrame, idCol: String,
                vecCol: String, k: Int, nprobe: Int): DataFrame = {
-    val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
-      norm(col(vecCol)).as("qnorm"))
-    val probed = probeCells(index, qRaw, nprobe)
-    val scored = index.cells.join(broadcast(probed), "cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine_sim",
-        dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+    val scored = scoreIvf(index, queries, idCol, vecCol, nprobe)
     val w = Window.partitionBy("query_id").orderBy(desc("cosine_sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine_sim", "rank")
+  }
+
+  /** [[queryIvf]]'s candidate generation + scoring WITHOUT the top-k
+    * rank window: (query_id, neighbor_id, cosine_sim) for every pair the
+    * probe surfaces. The entry point for consumers that apply their own
+    * bounded contraction (e.g. the MMR pool's `top_k_by`) — tacking the
+    * rank window on first would sort every query's full candidate list
+    * in one task just to throw the ordering away.
+    */
+  def scoreIvf(index: IvfIndex, queries: DataFrame, idCol: String,
+               vecCol: String, nprobe: Int): DataFrame = {
+    val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qnorm"))
+    val probed = probeCells(index, qRaw, nprobe)
+    index.cells.join(broadcast(probed), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine_sim",
+        dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
   }
 
   /** All-points k-nearest-neighbor GRAPH over the corpus through an IVF

@@ -52,6 +52,21 @@ class PlanSpec extends AnyFunSuite {
       s"per-group top-k must not shuffle whole groups into a rank window:\n$p")
   }
 
+  test("MMR re-rank: bounded-heap pooling, no rank window, no cross join") {
+    val p = plan("sim_mmr_rerank")
+    assert(p.contains("partial_top_k_by"),
+      s"expected map-side pool contraction:\n$p")
+    assert(p.contains("mmr_select"), s"expected the greedy select:\n$p")
+    // probeCells legitimately uses a per-query window over the NLIST
+    // centroids (crank, ordered by cdist — bounded by nlist, tiny); what
+    // must NOT appear is a rank window over the scored candidate pairs,
+    // which orders by cosine_sim DESC
+    assert(!p.contains("cosine_sim DESC") && !p.contains("cosine_sim#"),
+      s"the MMR path must not sort full candidate lists in a rank window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cross join in the MMR scoring path:\n$p")
+  }
+
   // the declared sim_near_dup serves a memoized CHECKPOINT (one SRP pass
   // feeds it and sim_dedup_apply), so the plan worth auditing is the
   // builder's, inspected directly
