@@ -560,6 +560,20 @@ object Soak {
             Tables.embeddings(spark, sfDir)
               .filter(pmod(col("vec_id"), lit(1000L)) === 0),
             "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 50)
+        },
+        // the codebook-free quantizer through the same chain: coarse
+        // index + SQ8 encode (pure map — no training jobs at all) +
+        // int8 probe + rerank. Same FIXED query set; vs ivfpq_probe the
+        // delta is the missing codebook fit, so this row isolates what
+        // SQ8 buys an append-heavy corpus at scale.
+        shape("ivfsq8_probe") {
+          val idx = graft.similarity.Similarity.buildIvfIndex(
+            emb, "vec_id", "embedding", nlist = 16)
+          val enc = graft.similarity.Sq.encode(emb, "vec_id", "embedding")
+          graft.similarity.Sq.ivfSq8TopK(idx, enc,
+            Tables.embeddings(spark, sfDir)
+              .filter(pmod(col("vec_id"), lit(1000L)) === 0),
+            "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 50)
         })
     } else Seq.empty) ++ (if (soakSets("spans")) Seq(
       // span-decontamination worst case: the FIXED unamplified benchmark

@@ -258,6 +258,126 @@ object ScaleArray {
   }
 }
 
+/** Symmetric int8 scalar quantization pack: `byteᵢ = round(aᵢ / s)` clamped
+  * to [−127, 127], emitted as BINARY — 4× smaller than float32, the storage
+  * form FAISS calls SQ8. `s` is the per-vector scale (max |aᵢ| / 127 at
+  * encode time, materialized alongside the code so the decode is exact
+  * arithmetic: `âᵢ = s·byteᵢ`). The clamp guards against a caller-supplied
+  * scale tighter than max|a|/127 — saturation, not byte overflow.
+  */
+case class Sq8Pack(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def okArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okArray(left.dataType) && right.dataType == DoubleType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, double), got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def dataType: DataType = BinaryType
+
+  override def prettyName: String = "sq8_pack"
+
+  private def elemIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sq8Pack.pack(a.asInstanceOf[ArrayData], b.asInstanceOf[Double], elemIsFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.Sq8Pack.pack($a, $b, $elemIsFloat);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8Pack =
+    copy(left = newLeft, right = newRight)
+}
+
+object Sq8Pack {
+  /** Static helper the generated code calls. */
+  def pack(arr: ArrayData, s: Double, isFloat: Boolean): Array[Byte] = {
+    val n = arr.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val v = (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)) / s
+      val r = math.round(v)
+      out(i) = (if (r > 127L) 127L else if (r < -127L) -127L else r).toByte
+      i += 1
+    }
+    out
+  }
+}
+
+/** Σ aᵢ·byteᵢ in double precision — the asymmetric float×int8 inner-product
+  * kernel (query stays float, corpus is SQ8-packed BINARY; multiply the
+  * result by the code's scale to recover the approximate dot). Signed
+  * bytes, single codegen loop over the raw byte[] — no unpack allocation.
+  * Length mismatch sums the common prefix (same fast-path contract as
+  * [[DotProduct]]).
+  */
+case class DotI8(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def okArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType | DoubleType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okArray(left.dataType) && right.dataType == BinaryType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float|double>, binary), got " +
+        s"${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "vec_dot_i8"
+
+  private def elemIsFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[Array[Byte]]
+    val n = math.min(x.numElements(), y.length)
+    val xf = elemIsFloat
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      s += xv * y(i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("dotI8N")
+      val s = ctx.freshName("dotI8Sum")
+      val i = ctx.freshName("dotI8I")
+      val xGet = if (elemIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.length);
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $xGet * (double) $b[$i]; }
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotI8 =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExprs {
   /** Σ aᵢ·bᵢ in double precision, single codegen loop (fast path: non-null
     * fixed-dimension elements assumed — the engine's own vector columns).
@@ -277,4 +397,14 @@ object VectorExprs {
   def sqdist(a: Column, b: Column): Column =
     ColumnBridge.column(SquaredDistance(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Symmetric int8 pack: `round(aᵢ/s)` clamped to [−127,127] as BINARY. */
+  def sq8Pack(a: Column, s: Column): Column =
+    ColumnBridge.column(Sq8Pack(
+      ColumnBridge.expression(a), ColumnBridge.expression(s)))
+
+  /** Σ aᵢ·byteᵢ — asymmetric float×int8 inner product over a BINARY code. */
+  def dotI8(a: Column, code: Column): Column =
+    ColumnBridge.column(DotI8(
+      ColumnBridge.expression(a), ColumnBridge.expression(code)))
 }

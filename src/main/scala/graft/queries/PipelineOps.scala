@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.dedup.Dedup
-import graft.similarity.{Pq, Similarity}
+import graft.similarity.{Pq, Similarity, Sq}
 import graft.text.{TextAnalysis, TextOps}
 
 /** Declared queries for the training-data-pipeline operators: dedup (exact,
@@ -175,6 +175,17 @@ object PipelineOps {
   def pqEncoded(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "pq_encoded") {
       Pq.encode(Tables.embeddings(s, d), "vec_id", "embedding", pqCodebook(s, d))
+        .localCheckpoint(true)
+    }
+
+  /** Build-once SQ8-encoded corpus (per-vector scale + packed int8
+    * code): the 4×-compressed, codebook-free storage form. The encode
+    * is a pure map; memoizing mirrors `pq_encoded` so both quantizers
+    * serve repeated probes from one materialization.
+    */
+  def sq8Encoded(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "sq8_encoded") {
+      Sq.encode(Tables.embeddings(s, d), "vec_id", "embedding")
         .localCheckpoint(true)
     }
 
@@ -602,6 +613,17 @@ object PipelineOps {
       recallVsExact(s, d,
         Pq.ivfPqTopK(persistedIvfIndex(s, d), pqEncoded(s, d),
           pqCodebook(s, d),
+          Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
+          "vec_id", "embedding", k = 5, nprobe = 6, shortlist = 50))),
+
+    // IVF-SQ8+refine: the codebook-FREE quantized path (per-vector int8
+    // scale quantization, 4x compression, no trained state — append-only
+    // corpora never refit). Same probe/shortlist/rerank architecture and
+    // the same recall contract as the PQ row; the int8 scoring loop is
+    // the codegen vec_dot_i8 over the packed BINARY codes.
+    "sim_ann_sq8" -> ((s, d) =>
+      recallVsExact(s, d,
+        Sq.ivfSq8TopK(persistedIvfIndex(s, d), sq8Encoded(s, d),
           Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
           "vec_id", "embedding", k = 5, nprobe = 6, shortlist = 50))),
 
@@ -1342,6 +1364,12 @@ object PipelineOps {
     // Same contract for the IVFPQ+refine path: full top-5 per query,
     // recall floor held after ADC + exact rerank.
     "sim_ann_ivfpq" ->
+      """SELECT vec_id AS query_id, 5 AS n_results, 1 AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    // And for the IVF-SQ8+refine path: full top-5 per query, recall
+    // floor held after int8 scoring + exact rerank.
+    "sim_ann_sq8" ->
       """SELECT vec_id AS query_id, 5 AS n_results, 1 AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
 
