@@ -52,6 +52,28 @@ class PlanSpec extends AnyFunSuite {
       s"per-group top-k must not shuffle whole groups into a rank window:\n$p")
   }
 
+  test("IVF-SQ8: codegen int8 scoring, WindowGroupLimit shortlist, no cross join") {
+    val p = plan("sim_ann_sq8")
+    assert(p.contains("vec_dot_i8"),
+      s"expected the asymmetric int8 scoring kernel:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"the shortlist rank window must contract via WindowGroupLimit partials:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cross join in the SQ8 path:\n$p")
+    // the shortlist window exchanges only (query, neighbor, sq_sim):
+    // the float vectors must not ride through the rank shuffle
+    val windows = SparkEntry.queries("sim_ann_sq8")(spark, SparkTestSession.sfDir)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    val sqWindow = windows.find(_.output.exists(_.name == "sq_rank"))
+    assert(sqWindow.isDefined, s"no shortlist rank window found:\n$p")
+    val wide = sqWindow.get.child.output.map(_.name)
+      .filter(n => n.contains("vec") && n != "neighbor_id")
+    assert(wide.isEmpty,
+      s"vectors riding the shortlist rank exchange: $wide\n$p")
+  }
+
   test("MMR re-rank: bounded-heap pooling, no rank window, no cross join") {
     val p = plan("sim_mmr_rerank")
     assert(p.contains("partial_top_k_by"),
