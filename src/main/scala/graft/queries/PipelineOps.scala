@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.dedup.Dedup
-import graft.similarity.{Pq, Similarity, Sq}
+import graft.similarity.{Pq, Retrieval, Similarity, Sq}
 import graft.text.{TextAnalysis, TextOps}
 
 /** Declared queries for the training-data-pipeline operators: dedup (exact,
@@ -626,6 +626,17 @@ object PipelineOps {
         Sq.ivfSq8TopK(persistedIvfIndex(s, d), sq8Encoded(s, d),
           Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
           "vec_id", "embedding", k = 5, nprobe = 6, shortlist = 50))),
+
+    // Retrieval evaluation: precision@5 / recall@5 / reciprocal rank /
+    // nDCG@5 of the EXACT top-5 (the memoized full-probe result — the
+    // oracle replays it by brute force) against the embeddings table's
+    // label column as binary relevance. The metrics pass itself is the
+    // operator under test: q·k ranked rows + label joins + one groupBy,
+    // never corpus-shaped — the same pass a deployment runs to tune
+    // nprobe/shortlist/fusion against a labeled query sample.
+    "ret_eval_metrics" -> ((s, d) =>
+      Retrieval.metrics(exactIvfTopK(s, d), Tables.embeddings(s, d),
+        "vec_id", "label", k = 5)),
 
     // Symmetric int8 quantization of embeddings (the storage/ANN-speed
     // form at scale: 4x smaller vectors, SIMD-friendly). Pure map; the
@@ -1372,6 +1383,59 @@ object PipelineOps {
     "sim_ann_sq8" ->
       """SELECT vec_id AS query_id, 5 AS n_results, 1 AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    // Retrieval metrics replayed in full: brute-force exact top-5 (the
+    // same rank the declared query's memoized full-probe result holds,
+    // bit-parity proven by the sim_knn_components oracle), label joins,
+    // the identical rank-discounted folds. generate_series is LATERAL
+    // per query for the ideal DCG. n_rel sums to HUGEINT — CAST before
+    // dividing (house DuckDB trap list).
+    "ret_eval_metrics" ->
+      s"""WITH flat AS MATERIALIZED ($flatEmbSql),
+         |norms AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+         |scored AS MATERIALIZED (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    sum(q.x * c.x) / (nq.nrm * nc.nrm) AS cs
+         |  FROM flat q JOIN flat c ON q.i = c.i AND c.vec_id != q.vec_id
+         |    JOIN norms nq ON nq.vec_id = q.vec_id
+         |    JOIN norms nc ON nc.vec_id = c.vec_id
+         |  WHERE q.vec_id % 100 = 0
+         |  GROUP BY 1, 2, nq.nrm, nc.nrm),
+         |topk AS (
+         |  SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rn
+         |    FROM scored) x WHERE rn <= 5),
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |labc AS (SELECT label, count(*) AS n_label FROM lab GROUP BY 1),
+         |rel AS (
+         |  SELECT t.query_id, ql.label AS qlabel, t.rank,
+         |    CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel
+         |  FROM topk t
+         |    JOIN lab ql ON ql.vec_id = t.query_id
+         |    JOIN lab nl ON nl.vec_id = t.neighbor_id),
+         |agg AS (
+         |  SELECT query_id, qlabel,
+         |    CAST(sum(rel) AS BIGINT) AS n_rel,
+         |    sum(CAST(rel AS DOUBLE) / log2(rank + 1)) AS dcg,
+         |    min(CASE WHEN rel = 1 THEN rank END) AS first_rel
+         |  FROM rel GROUP BY 1, 2),
+         |fin AS (
+         |  SELECT a.*, c.n_label,
+         |    least(c.n_label - 1, 5) AS rk
+         |  FROM agg a JOIN labc c ON c.label = a.qlabel),
+         |series AS (SELECT unnest(range(1, 6)) AS i),
+         |ideal AS (
+         |  SELECT f.query_id, sum(1.0 / log2(s.i + 1)) AS idcg
+         |  FROM fin f JOIN series s ON s.i <= f.rk
+         |  GROUP BY 1)
+         |SELECT f.query_id,
+         |  round(CAST(f.n_rel AS DOUBLE) / 5, 6) AS p_at_k,
+         |  CASE WHEN f.n_label > 1
+         |    THEN round(CAST(f.n_rel AS DOUBLE) / (f.n_label - 1), 6) END AS recall_at_k,
+         |  round(coalesce(1.0 / f.first_rel, 0.0), 6) AS rr,
+         |  CASE WHEN f.rk >= 1 THEN round(f.dcg / i.idcg, 6) END AS ndcg_at_k
+         |FROM fin f LEFT JOIN ideal i ON i.query_id = f.query_id""".stripMargin,
 
     // A freshly built index self-reports zero drift (current mean sq
     // assignment distance == the sidecar's build-time value).

@@ -1,0 +1,65 @@
+package graft.similarity
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Retrieval evaluation — the measurement half of the retrieval stack
+  * (IVF/PQ/SQ8 probes, RRF fusion, MMR re-rank all tune against these
+  * numbers): per-query precision@k, recall@k, reciprocal rank, and
+  * nDCG@k over a ranked result table and a relevance labeling.
+  *
+  * Everything is one pass over the ranked rows (q·k of them — never
+  * corpus-shaped): two equi-joins attach query/neighbor labels, one
+  * groupBy(query) folds the rank-discounted sums, and the label
+  * population counts (distinct-label-sized, broadcast) supply the
+  * recall/IDCG denominators. The ideal DCG is computed per query from
+  * `sequence(1, min(R, k))` — a k-bounded array fold, not a join.
+  *
+  * Conventions (all engine-portable, replayed by the DuckDB oracle):
+  * relevance is binary label equality; `rr` is 0 when no relevant
+  * result is retrieved; `recall_at_k`/`ndcg_at_k` are NULL when the
+  * query's label has no other member in the corpus (R = 0 — the metric
+  * is undefined, not zero); outputs round to 6 dp (house float rule).
+  */
+object Retrieval {
+
+  /** @param ranked  (query_id, neighbor_id, rank) with rank 1-based —
+    *                the shape every probe in this package emits
+    * @param labels  (idCol, labelCol) relevance labeling of the corpus
+    * @param k       the cut the metrics are reported at (ranks > k are
+    *                filtered out defensively; self-matches are assumed
+    *                already excluded, as the probes guarantee)
+    */
+  def metrics(ranked: DataFrame, labels: DataFrame, idCol: String,
+              labelCol: String, k: Int): DataFrame = {
+    val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__label"))
+    val labCounts = lab.groupBy("__label").agg(count(lit(1)).as("n_label"))
+
+    val rel = ranked
+      .filter(col("rank") <= k)
+      .join(lab.select(col("__id").as("query_id"), col("__label").as("qlabel")),
+        "query_id")
+      .join(lab.select(col("__id").as("neighbor_id"), col("__label").as("nlabel")),
+        "neighbor_id")
+      .withColumn("rel", (col("qlabel") === col("nlabel")).cast("int"))
+
+    rel.groupBy("query_id", "qlabel")
+      .agg(
+        sum("rel").as("n_rel"),
+        sum(col("rel").cast("double") / log2(col("rank") + lit(1))).as("dcg"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"))
+      .join(broadcast(labCounts.withColumnRenamed("__label", "qlabel")),
+        Seq("qlabel"), "left")
+      .withColumn("rk", least(col("n_label") - 1, lit(k)).cast("int"))
+      .withColumn("idcg", when(col("rk") >= 1,
+        aggregate(sequence(lit(1), col("rk")), lit(0.0),
+          (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0)))))
+      .select(
+        col("query_id"),
+        round(col("n_rel") / k, 6).as("p_at_k"),
+        when(col("n_label") > 1,
+          round(col("n_rel") / (col("n_label") - 1), 6)).as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("first_rel"), lit(0.0)), 6).as("rr"),
+        when(col("rk") >= 1, round(col("dcg") / col("idcg"), 6)).as("ndcg_at_k"))
+  }
+}
