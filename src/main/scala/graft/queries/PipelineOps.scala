@@ -638,6 +638,19 @@ object PipelineOps {
       Retrieval.metrics(exactIvfTopK(s, d), Tables.embeddings(s, d),
         "vec_id", "label", k = 5)),
 
+    // Hard-negative mining at full probe (exact — the oracle replays it
+    // brute-force): per anchor, the 5 most-similar different-label
+    // vectors under the 0.95 near-dup cap. The partial-probe form is
+    // the same call with nprobe < nlist (corpus-linear, soak-covered by
+    // the scoreIvf machinery the MMR row exercises).
+    "sim_hard_negatives" -> ((s, d) => {
+      val idx = persistedIvfIndex(s, d)
+      Retrieval.hardNegatives(idx,
+        Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
+        Tables.embeddings(s, d), "vec_id", "embedding", "label",
+        k = 5, nprobe = idx.centroids.length, maxSim = 0.95)
+    }),
+
     // Symmetric int8 quantization of embeddings (the storage/ANN-speed
     // form at scale: 4x smaller vectors, SIMD-friendly). Pure map; the
     // per-vector scale is materialized as its own projection so the
@@ -1383,6 +1396,31 @@ object PipelineOps {
     "sim_ann_sq8" ->
       """SELECT vec_id AS query_id, 5 AS n_results, 1 AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    // Hard negatives replayed brute-force: every pair's rounded cosine,
+    // different-label + sub-cap filter, (hn_sim DESC, neighbor ASC)
+    // top-5 — the identical portable cut on the identical rounded value.
+    "sim_hard_negatives" ->
+      s"""WITH flat AS MATERIALIZED ($flatEmbSql),
+         |norms AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(sum(q.x * c.x) / (nq.nrm * nc.nrm), 6) AS hn_sim
+         |  FROM flat q JOIN flat c ON q.i = c.i AND c.vec_id != q.vec_id
+         |    JOIN norms nq ON nq.vec_id = q.vec_id
+         |    JOIN norms nc ON nc.vec_id = c.vec_id
+         |  WHERE q.vec_id % 100 = 0
+         |  GROUP BY 1, 2, nq.nrm, nc.nrm),
+         |banded AS (
+         |  SELECT s.query_id, s.neighbor_id, s.hn_sim
+         |  FROM scored s
+         |    JOIN embeddings ql ON ql.vec_id = s.query_id
+         |    JOIN embeddings nl ON nl.vec_id = s.neighbor_id
+         |  WHERE s.hn_sim < 0.95 AND ql.label != nl.label)
+         |SELECT query_id, neighbor_id, hn_sim, CAST(rn AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY hn_sim DESC, neighbor_id) AS rn
+         |  FROM banded) x WHERE rn <= 5""".stripMargin,
 
     // Retrieval metrics replayed in full: brute-force exact top-5 (the
     // same rank the declared query's memoized full-probe result holds,

@@ -30,6 +30,42 @@ object Retrieval {
     *                filtered out defensively; self-matches are assumed
     *                already excluded, as the probes guarantee)
     */
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * `k` most-similar corpus vectors with a DIFFERENT label, capped at
+    * `maxSim` — close enough to be informative gradients, label-disjoint
+    * so they are true negatives, and capped so near-duplicates/label
+    * noise at the very top of the similarity range are excluded (the
+    * standard false-negative guard). Candidates come from the IVF probe
+    * ([[Similarity.scoreIvf]] — corpus-linear, never all-pairs; at
+    * `nprobe == nlist` the mining is exact), similarity is ROUNDED to
+    * 6 dp before the cut (house portable-cut convention), and the
+    * per-anchor top-k is the bounded-heap `top_k_by` aggregate — the
+    * exchange moves ≤ k skinny rows per anchor per task, the vectors
+    * never ride it. Output: (query_id, neighbor_id, hn_sim, rank).
+    */
+  def hardNegatives(index: Similarity.IvfIndex, queries: DataFrame,
+                    labels: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String, k: Int, nprobe: Int,
+                    maxSim: Double = 0.95): DataFrame = {
+    val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__label"))
+    Similarity.scoreIvf(index, queries, idCol, vecCol, nprobe)
+      .withColumn("hn_sim", round(col("cosine_sim"), 6))
+      .filter(col("hn_sim") < maxSim)
+      .select("query_id", "neighbor_id", "hn_sim")
+      .join(lab.select(col("__id").as("query_id"), col("__label").as("qlabel")),
+        "query_id")
+      .join(lab.select(col("__id").as("neighbor_id"), col("__label").as("nlabel")),
+        "neighbor_id")
+      .filter(col("qlabel") =!= col("nlabel"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKBy.topKBy(col("hn_sim"), col("neighbor_id"),
+        struct(col("neighbor_id"), col("hn_sim")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.payload.neighbor_id").as("neighbor_id"),
+        col("col.payload.hn_sim").as("hn_sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   def metrics(ranked: DataFrame, labels: DataFrame, idCol: String,
               labelCol: String, k: Int): DataFrame = {
     val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__label"))

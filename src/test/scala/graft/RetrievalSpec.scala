@@ -60,6 +60,36 @@ class RetrievalSpec extends AnyFunSuite {
     assert(m.getDouble(1) == math.rint(1.0 / 3 * 1e6) / 1e6) // only rank 1 counted
   }
 
+  test("hard negatives: label-disjoint, capped, contiguous ranks, sims non-increasing") {
+    val d = SparkTestSession.sfDir
+    val idx = graft.queries.PipelineOps.persistedIvfIndex(spark, d)
+    val emb = graft.io.Tables.embeddings(spark, d)
+    val hn = Retrieval.hardNegatives(idx,
+      emb.filter(pmod(col("vec_id"), lit(100)) === 0), emb,
+      "vec_id", "embedding", "label", k = 5,
+      nprobe = idx.centroids.length, maxSim = 0.95)
+    val lab = emb.select(col("vec_id"), col("label"))
+    // no mined negative shares the anchor's label, none breaches the cap
+    val bad = hn
+      .join(lab.select(col("vec_id").as("query_id"), col("label").as("ql")), "query_id")
+      .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), "neighbor_id")
+      .filter(col("ql") === col("nl") || col("hn_sim") >= 0.95)
+      .count()
+    assert(bad == 0)
+    // per anchor: ranks 1..n contiguous, hn_sim non-increasing in rank
+    val rows = hn.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 >= b._3, s"sim increasing: $a -> $b")
+        case _ =>
+      }
+    }
+  }
+
   test("a perfect ranking scores 1.0 everywhere") {
     val ranked = Seq((1L, 2L, 1), (1L, 10L, 2), (1L, 11L, 3))
       .toDF("query_id", "neighbor_id", "rank")
