@@ -289,39 +289,44 @@ object Multimodal {
     media.as[MediaFile].mapPartitions(_.map { m =>
       val img = readImage(m.payload)
       if (img == null) ImageHash(m.media_id, null, "stub")
-      else {
-        val (w, h) = (img.getWidth, img.getHeight)
-        val raster = img.getRaster
-        def boxMean(xCell: Int, yCell: Int): Double = {
-          val x0 = xCell * w / 9
-          val x1 = math.max(x0 + 1, (xCell + 1) * w / 9)
-          val y0 = yCell * h / 8
-          val y1 = math.max(y0 + 1, (yCell + 1) * h / 8)
-          var s = 0L
-          var y = y0
-          while (y < y1) {
-            var x = x0
-            while (x < x1) { s += raster.getSample(x, y, 0); x += 1 }
-            y += 1
-          }
-          s.toDouble / ((x1 - x0) * (y1 - y0))
-        }
-        val sb = new java.lang.StringBuilder(64)
-        var y = 0
-        while (y < 8) {
-          val row = new Array[Double](9)
-          var c = 0
-          while (c < 9) { row(c) = boxMean(c, y); c += 1 }
-          var x = 0
-          while (x < 8) {
-            sb.append(if (row(x) > row(x + 1)) '1' else '0')
-            x += 1
-          }
-          y += 1
-        }
-        ImageHash(m.media_id, sb.toString, "imageio")
-      }
+      else ImageHash(m.media_id, dHashOf(img), "imageio")
     })
+  }
+
+  /** The 64-bit dHash of one decoded image (shared by the still-image
+    * path above and the per-frame hashing of [[videoFingerprint]]).
+    */
+  private def dHashOf(img: java.awt.image.BufferedImage): String = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val raster = img.getRaster
+    def boxMean(xCell: Int, yCell: Int): Double = {
+      val x0 = xCell * w / 9
+      val x1 = math.max(x0 + 1, (xCell + 1) * w / 9)
+      val y0 = yCell * h / 8
+      val y1 = math.max(y0 + 1, (yCell + 1) * h / 8)
+      var s = 0L
+      var y = y0
+      while (y < y1) {
+        var x = x0
+        while (x < x1) { s += raster.getSample(x, y, 0); x += 1 }
+        y += 1
+      }
+      s.toDouble / ((x1 - x0) * (y1 - y0))
+    }
+    val sb = new java.lang.StringBuilder(64)
+    var y = 0
+    while (y < 8) {
+      val row = new Array[Double](9)
+      var c = 0
+      while (c < 9) { row(c) = boxMean(c, y); c += 1 }
+      var x = 0
+      while (x < 8) {
+        sb.append(if (row(x) > row(x + 1)) '1' else '0')
+        x += 1
+      }
+      y += 1
+    }
+    sb.toString
   }
 
   final case class AudioMeta(media_id: Long, n_bytes: Int, sample_rate: Int,
@@ -922,6 +927,162 @@ object Multimodal {
       }
       if (frames.isEmpty) null else frames.toSeq
     } catch { case _: Exception => null }
+  }
+
+  /** Frames per near-dup video fixture (odd, so the per-bit majority
+    * vote of [[videoFingerprint]] never ties on the fixtures).
+    */
+  val NearDupVideoFrames = 3
+
+  /** The near-dup VIDEO fixture's frame pixels: [[nearDupPixel]]'s
+    * pattern with a per-frame brightness drift (+17·f — frames differ,
+    * so per-frame hashes are not trivially identical) and the v=1
+    * perturbation applied in frames 0 AND 1 (2 of 3 — enough to flip
+    * the MAJORITY for the one affected bit, so the pair's temporal
+    * fingerprints differ in at most one bit; a single-frame
+    * perturbation would be voted away and test nothing).
+    */
+  def nearDupFramePixel(g: Long, v: Long, x: Int, y: Int, f: Int): Int =
+    ((g * (53 + 11 * x + 13 * y) + (3 * x * x + 5 * y * y + 7 * x * y) + 17L * f +
+      (if (v == 1 && x == 0 && y == 0 && f < 2) 200L else 0L)) % 256).toInt
+
+  /** Synthesize REAL Motion-PNG-in-AVI pairs for video perceptual
+    * near-dup testing: ids 2g and 2g+1 render [[nearDupFramePixel]]
+    * over [[NearDupVideoFrames]] losslessly-encoded PNG frames (fourcc
+    * `MPNG` — unlike MJPEG, PNG frames decode to the EXACT synthesized
+    * pixels, so the SQL oracle can predict the fingerprint
+    * bit-for-bit), wrapped in the same RIFF/AVI container layout as
+    * [[synthesizeAviMjpeg]].
+    */
+  def synthesizeNearDupVideo(df: DataFrame, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"))
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val (g, v) = (id / 2, id % 2)
+        val (w, h) = (NearDupW, NearDupH)
+        val nFrames = NearDupVideoFrames
+        val pngs = (0 until nFrames).map { f =>
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.getRaster.setSample(x, y, 0, nearDupFramePixel(g, v, x, y, f))
+              x += 1
+            }
+            y += 1
+          }
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", baos)
+          baos.toByteArray
+        }
+        MediaFile(id, "video", aviContainer(pngs, w, h, "MPNG"))
+      })
+      .toDF()
+  }
+
+  /** A structurally valid RIFF/AVI container around pre-encoded frame
+    * payloads — the writer [[synthesizeNearDupVideo]] uses, exposed so
+    * specs can assemble frame sequences (vote suppression, frame-drop
+    * robustness) without duplicating the RIFF layout.
+    */
+  def aviContainer(frames: Seq[Array[Byte]], w: Int, h: Int,
+                   codec: String): Array[Byte] = {
+    val nFrames = frames.length
+    val moviContent = 4 + frames.map(p => 8 + p.length + (p.length & 1)).sum
+    val hdrlContent = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+    val riffContent = 4 + (8 + hdrlContent) + (8 + moviContent)
+    val buf = java.nio.ByteBuffer.allocate(8 + riffContent)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def fourcc(s: String): Unit = buf.put(s.getBytes("US-ASCII")): Unit
+    fourcc("RIFF"); buf.putInt(riffContent); fourcc("AVI ")
+    fourcc("LIST"); buf.putInt(hdrlContent); fourcc("hdrl")
+    fourcc("avih"); buf.putInt(56)
+    buf.putInt(33333)
+    buf.putInt(0).putInt(0)
+    buf.putInt(0)
+    buf.putInt(nFrames)
+    buf.putInt(0)
+    buf.putInt(1)
+    buf.putInt(0)
+    buf.putInt(w).putInt(h)
+    buf.putInt(0).putInt(0).putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(4 + 64 + 48); fourcc("strl")
+    fourcc("strh"); buf.putInt(56)
+    fourcc("vids"); fourcc(codec)
+    buf.putInt(0)
+    buf.putShort(0).putShort(0)
+    buf.putInt(0)
+    buf.putInt(1).putInt(30)
+    buf.putInt(0)
+    buf.putInt(nFrames)
+    buf.putInt(0)
+    buf.putInt(-1)
+    buf.putInt(0)
+    buf.putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+    fourcc("strf"); buf.putInt(40)
+    buf.putInt(40)
+    buf.putInt(w).putInt(h)
+    buf.putShort(1).putShort(24)
+    fourcc(codec)
+    buf.putInt(0)
+    buf.putInt(0).putInt(0)
+    buf.putInt(0).putInt(0)
+    fourcc("LIST"); buf.putInt(moviContent); fourcc("movi")
+    frames.foreach { f =>
+      fourcc("00dc"); buf.putInt(f.length); buf.put(f)
+      if ((f.length & 1) == 1) buf.put(0.toByte): Unit
+    }
+    buf.array()
+  }
+
+  final case class VideoHash(media_id: Long, vfp: String, codec: String)
+
+  /** Temporal perceptual fingerprint for video: decode every container
+    * frame through the REAL codec path ([[parseAviFrames]] +
+    * javax.imageio — MJPEG and Motion-PNG both work, each frame is a
+    * standalone still), per-frame 64-bit dHash with the SAME cell
+    * geometry as the still-image path, then one MAJORITY vote per bit
+    * position across the decodable frames (strict majority → '1';
+    * ties → '0'). Majority voting is what makes the fingerprint robust
+    * to frame drops, re-encodes of a few frames, and boundary
+    * trims — the failure modes video near-dups actually exhibit — while
+    * staying a 64-bit SimHash-representation string, so the pigeonhole
+    * band join + codegen Hamming verify
+    * ([[graft.dedup.Dedup.simhashPairsFromSignatures]]) applies
+    * VERBATIM, completing the image/audio/video near-dup triple on one
+    * shared band machinery. Non-AVI or undecodable payloads yield a
+    * NULL fingerprint tagged `codec='stub'` (hostile bytes never
+    * throw) — same real/stub split as every decoder here.
+    */
+  def videoFingerprint(spark: SparkSession, media: DataFrame): Dataset[VideoHash] = {
+    import spark.implicits._
+    media.as[MediaFile].mapPartitions(_.map { m =>
+      val frames = parseAviFrames(m.payload)
+      if (frames == null) VideoHash(m.media_id, null, "stub")
+      else {
+        val hashes = frames.flatMap { f =>
+          val img = try readImage(f) catch { case _: Exception => null }
+          if (img == null) None else Some(dHashOf(img))
+        }
+        if (hashes.isEmpty) VideoHash(m.media_id, null, "stub")
+        else {
+          val n = hashes.length
+          val sb = new java.lang.StringBuilder(64)
+          var i = 0
+          while (i < 64) {
+            var ones = 0
+            hashes.foreach(h => if (h.charAt(i) == '1') ones += 1)
+            sb.append(if (2 * ones > n) '1' else '0')
+            i += 1
+          }
+          VideoHash(m.media_id, sb.toString, "imageio")
+        }
+      }
+    })
   }
 
   final case class Features(media_id: Long, features: Array[Double])

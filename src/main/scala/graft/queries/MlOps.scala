@@ -511,6 +511,25 @@ object MlOps {
           .localCheckpoint(true)
       }
       graft.dedup.Dedup.simhashPairsFromSignatures(sig, "media_id", bands = 4, maxDist = 3)
+    }),
+
+    // Video perceptual near-dup, completing the image/audio/video triple
+    // on the one shared band machinery: Motion-PNG-in-AVI fixtures decode
+    // through the REAL RIFF walker + per-frame javax.imageio path
+    // (lossless frames — the oracle predicts every pixel), per-frame
+    // dHash, per-bit MAJORITY vote across frames (the temporal
+    // fingerprint — robust to frame drops/re-encodes), then the SimHash
+    // pigeonhole machinery VERBATIM. The v=1 twin perturbs 2 of 3
+    // frames, so the majority flips for exactly the one affected bit.
+    "mm_video_neardup" -> ((s, d) => {
+      val sig = PipelineOps.memoized(s, d, "video_vfp_sigs") {
+        val vids = Multimodal.synthesizeNearDupVideo(Tables.documents(s, d), "doc_id")
+        Multimodal.videoFingerprint(s, vids).toDF()
+          .filter(col("vfp").isNotNull)
+          .select(col("media_id"), col("vfp").as("simhash"))
+          .localCheckpoint(true)
+      }
+      graft.dedup.Dedup.simhashPairsFromSignatures(sig, "media_id", bands = 4, maxDist = 3)
     })
   )
 
@@ -561,6 +580,39 @@ object MlOps {
     }
     val bits = for { cy <- 0 until 8; cx <- 0 until 8 } yield
       s"CASE WHEN ${winSum(cx, cy)} > ${winSum(cx + 1, cy)} THEN '1' ELSE '0' END"
+    bits.mkString(" || ")
+  }
+
+  /** The near-dup VIDEO fixture's temporal fingerprint as DuckDB SQL
+    * over `g` and `v` — [[Multimodal.nearDupFramePixel]]'s constants
+    * (the image formula + 17·f drift, v=1 perturbing frames 0 and 1)
+    * through the per-frame integer-exact cell-SUM comparisons, then the
+    * per-bit MAJORITY across [[Multimodal.NearDupVideoFrames]] frames —
+    * exactly what a correct RIFF walk + lossless frame decode + dHash +
+    * vote must produce, bit for bit.
+    */
+  private def nearDupVideoFpSql: String = {
+    def pix(i: Int, j: Int, f: Int): String = {
+      val a = 53 + 11 * i + 13 * j
+      val c = 3 * i * i + 5 * j * j + 7 * i * j + 17 * f
+      val p = if (i == 0 && j == 0 && f < 2) " + CASE WHEN v = 1 THEN 200 ELSE 0 END" else ""
+      s"((g * $a + $c$p) % 256)"
+    }
+    def cellSum(cx: Int, cy: Int, f: Int): String = {
+      val x0 = cx * Multimodal.NearDupW / 9
+      val x1 = (cx + 1) * Multimodal.NearDupW / 9
+      val y0 = cy * Multimodal.NearDupH / 8
+      val y1 = (cy + 1) * Multimodal.NearDupH / 8
+      (for { j <- y0 until y1; i <- x0 until x1 } yield pix(i, j, f))
+        .mkString("(", " + ", ")")
+    }
+    val n = Multimodal.NearDupVideoFrames
+    val bits = for { y <- 0 until 8; x <- 0 until 8 } yield {
+      val votes = (0 until n)
+        .map(f => s"CASE WHEN ${cellSum(x, y, f)} > ${cellSum(x + 1, y, f)} THEN 1 ELSE 0 END")
+        .mkString("(", " + ", ")")
+      s"CASE WHEN $votes * 2 > $n THEN '1' ELSE '0' END"
+    }
     bits.mkString(" || ")
   }
 
@@ -649,6 +701,31 @@ object MlOps {
     // the envelope fingerprint a correct PCM decoder+hash must produce,
     // recomputed arithmetically per id; banding + Hamming replay the
     // Spark join exactly (mm_image_neardup's contract for audio)
+    // the temporal majority-vote fingerprint a correct RIFF walk +
+    // lossless frame decode + per-frame dHash must produce, recomputed
+    // arithmetically per id; banding + Hamming replay the Spark join
+    // exactly (mm_image_neardup's contract for video)
+    "mm_video_neardup" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents),
+         |sims AS (SELECT doc_id, $nearDupVideoFpSql AS simhash FROM ids),
+         |bands AS (
+         |  SELECT doc_id, b AS band, substr(simhash, CAST(1 + 16 * b AS INT), 16) AS band_key
+         |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT id_a, id_b,
+         |    len(list_filter(range(1, 65), i ->
+         |      substr(sa.simhash, CAST(i AS INT), 1) != substr(sb.simhash, CAST(i AS INT), 1)))
+         |      AS hamming
+         |  FROM cand
+         |    JOIN sims sa ON sa.doc_id = id_a
+         |    JOIN sims sb ON sb.doc_id = id_b) v
+         |WHERE hamming <= 3""".stripMargin,
+
     "mm_audio_neardup" ->
       s"""WITH ids AS (
          |  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents),

@@ -195,6 +195,77 @@ class MultimodalSpec extends AnyFunSuite {
     val afps = Multimodal.audioFingerprint(spark, media).collect()
     assert(afps.length == n)
     assert(afps.forall(h => (h.afp == null) == (h.codec == "stub")))
+    // video fingerprint: same contract — a corrupted AVI whose surviving
+    // frames still decode legitimately fingerprints, so count/never-throw
+    // plus the null-iff-stub pairing are the pinned invariants
+    val vfps = Multimodal.videoFingerprint(spark, media).collect()
+    assert(vfps.length == n)
+    assert(vfps.forall(h => (h.vfp == null) == (h.codec == "stub")))
+  }
+
+  test("video fingerprint matches the arithmetic prediction; pairs near, groups far") {
+    import spark.implicits._
+    val ids = (0L until 12L).toDF("id")
+    val vids = Multimodal.synthesizeNearDupVideo(ids, "id")
+    val got = Multimodal.videoFingerprint(spark, vids).collect()
+      .map(h => h.media_id -> h.vfp).toMap
+    // the real RIFF walk + lossless PNG frame decode + per-frame dHash +
+    // majority vote must reproduce the closed-form fingerprint: exact
+    // 2x2 cells make each frame's mean comparison the integer-exact sum
+    // comparison, and the vote is over NearDupVideoFrames frames
+    def predicted(id: Long): String = {
+      val (g, v) = (id / 2, id % 2)
+      def cellSum(cx: Int, cy: Int, f: Int): Long = {
+        val x0 = cx * Multimodal.NearDupW / 9
+        val x1 = (cx + 1) * Multimodal.NearDupW / 9
+        val y0 = cy * Multimodal.NearDupH / 8
+        val y1 = (cy + 1) * Multimodal.NearDupH / 8
+        (for { j <- y0 until y1; i <- x0 until x1 }
+          yield Multimodal.nearDupFramePixel(g, v, i, j, f).toLong).sum
+      }
+      (for { cy <- 0 until 8; cx <- 0 until 8 } yield {
+        val ones = (0 until Multimodal.NearDupVideoFrames)
+          .count(f => cellSum(cx, cy, f) > cellSum(cx + 1, cy, f))
+        if (2 * ones > Multimodal.NearDupVideoFrames) '1' else '0'
+      }).mkString
+    }
+    def dist(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    (0L until 12L).foreach(id =>
+      assert(got(id) == predicted(id), s"decoded vfp diverges for id $id"))
+    // the v=1 perturbation flips the majority for at most bit (0,0)
+    (0L until 6L).foreach(g =>
+      assert(dist(got(2 * g), got(2 * g + 1)) <= 1, s"pair $g too far"))
+    for (ga <- 0L until 6L; gb <- (ga + 1) until 6L)
+      assert(dist(got(2 * ga), got(2 * gb)) > 3,
+        s"groups $ga and $gb unexpectedly close")
+  }
+
+  // The property the majority vote exists for: a minority of outlier
+  // frames (corrupt re-encodes, inserted slates) is voted away, and
+  // losing the outlier doesn't move the fingerprint.
+  test("video fingerprint: majority vote suppresses a minority frame; dropping it is a no-op") {
+    import spark.implicits._
+    def png(g: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(Multimodal.NearDupW,
+        Multimodal.NearDupH, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until Multimodal.NearDupH; x <- 0 until Multimodal.NearDupW)
+        img.getRaster.setSample(x, y, 0, Multimodal.nearDupFramePixel(g, 0, x, y, 0))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    def avi(frames: Array[Byte]*): Array[Byte] =
+      Multimodal.aviContainer(frames, Multimodal.NearDupW, Multimodal.NearDupH, "MPNG")
+    val (a, b) = (png(5L), png(9L)) // two unrelated patterns
+    val media = Seq(
+      (0L, "video", avi(a)),          // the pattern-A reference hash
+      (1L, "video", avi(a, a, b)),    // B is the outvoted minority
+      (2L, "video", avi(a, a))        // the same video with B dropped
+    ).toDF("media_id", "kind", "payload")
+    val got = Multimodal.videoFingerprint(spark, media).collect()
+      .map(h => h.media_id -> h.vfp).toMap
+    assert(got(1L) == got(0L), "minority frame leaked into the vote")
+    assert(got(2L) == got(0L), "dropping the outvoted frame moved the fingerprint")
   }
 
   test("dHash: decoded fingerprint matches the arithmetic prediction; pairs are near, groups far") {
