@@ -387,6 +387,37 @@ object SqlSurface {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Temperature-scaled mixture (the XLM-R/mT5 multinomial-α sampler):
+    // per-domain sampling weight p_d ∝ n_d^α with α = 0.5, so tail
+    // domains are UPWEIGHTED relative to their corpus share — the rates
+    // are DERIVED from the corpus (one tiny groupBy + 1-row total,
+    // broadcast back), unlike tp_domain_mix's operator-supplied table.
+    // All rate arithmetic is INTEGER: s_d = floor(sqrt(n_d·10⁶)) is the
+    // fixed-point √n (exact in any engine — correctly-rounded sqrt of a
+    // non-square is never an integer at these magnitudes), and the
+    // basis-point rate is one integer DIV, so the oracle replays the
+    // keep set hash-exactly. Budget = half the corpus. Keep decisions
+    // ride the same content-hash threshold as tp_domain_mix: no RNG,
+    // same corpus → same mixture across runs and engines. NOTE the
+    // rates REFIT on append (they are corpus statistics) — the
+    // append-stability contract belongs to the static-rate operator.
+    "tp_temperature_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val stats = docs.groupBy("lang").agg(count(lit(1)).as("n_dom"))
+        .withColumn("s_dom",
+          floor(sqrt(col("n_dom") * lit(1000000L))).cast("long"))
+      val tot = stats.agg(sum("n_dom").as("n_tot"), sum("s_dom").as("s_tot"))
+      val rates = stats.crossJoin(broadcast(tot))
+        .select(col("lang"),
+          least(lit(10000L),
+            expr("(10000 * (n_tot DIV 2) * s_dom) DIV (s_tot * n_dom)"))
+            .as("rate_bp"))
+      val h = pmod(graft.functions.TextExprs.rollingHash(col("text")), lit(10000L))
+      docs.join(broadcast(rates), "lang")
+        .filter(h < col("rate_bp"))
+        .select(col("doc_id"), col("lang"), col("rate_bp"))
+    }),
+
     // Training-pipeline: overlapping token chunking (50-token windows,
     // stride 40) — the context-window prep step. Token array materialized
     // once, chunk starts generated per doc, slice per chunk; a flat map,
@@ -830,6 +861,29 @@ object SqlSurface {
            FROM documents) t
          WHERE h < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 8000
                              WHEN 'fr' THEN 7500 ELSE 10000 END""",
+
+    // the corpus-derived α=0.5 rates replayed with the identical integer
+    // arithmetic (fixed-point sqrt + one integer division), then the
+    // same rolling-hash threshold
+    "tp_temperature_mix" ->
+      """WITH stats AS (
+           SELECT lang, count(*) AS n_dom,
+             CAST(floor(sqrt(count(*) * 1000000)) AS BIGINT) AS s_dom
+           FROM documents GROUP BY 1),
+         tot AS (SELECT CAST(sum(n_dom) AS BIGINT) AS n_tot,
+                        CAST(sum(s_dom) AS BIGINT) AS s_tot FROM stats),
+         rates AS (
+           SELECT lang,
+             least(10000, (10000 * (n_tot // 2) * s_dom) // (s_tot * n_dom)) AS rate_bp
+           FROM stats CROSS JOIN tot)
+         SELECT doc_id, t.lang, rate_bp FROM (
+           SELECT doc_id, lang, list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007) % 10000 AS h
+           FROM documents) t
+           JOIN rates r ON r.lang = t.lang
+         WHERE h < rate_bp""",
 
     // same rolling hash -> uniform in (0,1) -> ln(u)/w A-Res key; the
     // top-200 set is deterministic so the oracle replays it exactly

@@ -88,6 +88,35 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(perSet(0) == nRows && perSet(1) == nRows, "each set partitions all rows")
   }
 
+  test("tp_temperature_mix: α<1 upweights tail domains, total tracks budget, deterministic") {
+    val mix = SqlSurface.queries("tp_temperature_mix")(spark, d)
+    val kept = mix.groupBy("lang").agg(count(lit(1)).as("n_kept"),
+      first("rate_bp").as("rate_bp")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val corpus = Tables.documents(spark, d).groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // keep-RATE is monotone non-increasing in domain size: p_d/n_d ∝
+    // 1/sqrt(n_d) — the defining property of α=0.5 temperature sampling
+    val bySize = corpus.toSeq.sortBy(_._2)
+    bySize.sliding(2).foreach {
+      case Seq((small, _), (big, _)) =>
+        assert(kept(small)._2 >= kept(big)._2,
+          s"smaller domain $small got a lower rate than $big")
+      case _ =>
+    }
+    // every domain is sampled (no domain starves), and the kept total
+    // tracks the half-corpus budget (hash threshold is uniform-ish)
+    assert(corpus.keySet.forall(l => kept.contains(l) && kept(l)._1 > 0))
+    val total = kept.values.map(_._1).sum.toDouble
+    val budget = corpus.values.sum / 2.0
+    assert(total > budget * 0.8 && total < budget * 1.2,
+      s"kept $total vs budget $budget")
+    // deterministic: a second run yields the identical keep set
+    val again = SqlSurface.queries("tp_temperature_mix")(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == mix.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("tp_hash_split: deterministic, buckets in [0,10), ~80/20 split") {
     val s1 = SqlSurface.queries("tp_hash_split")(spark, d).collect()
     val s2 = SqlSurface.queries("tp_hash_split")(spark, d).collect()
