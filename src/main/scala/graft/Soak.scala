@@ -532,6 +532,30 @@ object Soak {
               pmod(xxhash64(col("event_id"), lit(1)), lit(1000000L)) /
                 lit(1000000.0))).cast("long")).as("dst"))
           graft.queries.GraphOps.triangleStats(edges, "src", "dst")
+        },
+        // LPA sweeps on the growing-|V| profile: like pagerank_growing_v,
+        // per-sweep cost must be linear in |E| (one label join + one
+        // (node, label) rollup — the rollup key space is bounded by |E|,
+        // and map-side partials contract dense labels before exchange)
+        shape("labelprop_growing_v") {
+          val grown = pages.withColumn("page",
+            col("page") + floor(col("user_id") / 10000000L) * lit(1000L))
+          graft.queries.GraphOps.labelPropagation(edgesFrom(grown),
+            "src", "dst", "w", iters = 3)
+        },
+        // LPA under the hub: the hub node's (node, label) rollup sees
+        // Θ(E/ln V) contributions for ONE node key — survives the same
+        // way pagerank_powerlaw's rollup does (map-side partial
+        // aggregation contracts per (node, label) before the exchange)
+        shape("labelprop_powerlaw") {
+          val v = 100000L
+          val edges = ev.select(
+            pmod(xxhash64(col("event_id")), lit(v)).as("src"),
+            least(lit(v - 1), floor(pow(lit(v.toDouble),
+              pmod(xxhash64(col("event_id"), lit(1)), lit(1000000L)) /
+                lit(1000000.0))).cast("long")).as("dst"),
+            lit(1.0).as("w"))
+          graft.queries.GraphOps.labelPropagation(edges, "src", "dst", "w", iters = 3)
         })
     } else Seq.empty) ++ (if (soakSets("pq")) {
       val emb = amplify(Tables.embeddings(spark, sfDir), Seq("vec_id"), mult)
@@ -637,6 +661,27 @@ object Soak {
           graft.multimodal.Multimodal.resizeImage(spark,
             graft.multimodal.Multimodal.synthesizeImages(ids, "doc_id"),
             targetW = 8, targetH = 8).toDF()
+        })
+    } else Seq.empty) ++ (if (soakSets("mm_video")) {
+      val ids = amplify(Tables.documents(spark, sfDir).select("doc_id"),
+        Seq("doc_id"), mult)
+      Seq(
+        // the full video near-dup chain: per-row 3-frame PNG encode +
+        // RIFF assembly (the synthesize), RIFF walk + per-frame decode +
+        // dHash + majority vote (the fingerprint), then the SimHash band
+        // join. Codec work is the dominant cost and is a pure map —
+        // must stay linear in rows; the band join moves only 64-bit
+        // signatures. amplify() offsets ids by i·10⁷ (even), so
+        // amplified copies keep the 2g/2g+1 pairing and pair volume
+        // scales with rows, never quadratically (distinct g's hashes
+        // stay unrelated, same as the image fixture).
+        shape("video_fingerprint_pairs") {
+          val vids = graft.multimodal.Multimodal.synthesizeNearDupVideo(ids, "doc_id")
+          val sig = graft.multimodal.Multimodal.videoFingerprint(spark, vids).toDF()
+            .filter(col("vfp").isNotNull)
+            .select(col("media_id"), col("vfp").as("simhash"))
+          graft.dedup.Dedup.simhashPairsFromSignatures(sig, "media_id",
+            bands = 4, maxDist = 3)
         })
     } else Seq.empty)
 

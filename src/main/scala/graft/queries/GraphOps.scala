@@ -149,6 +149,57 @@ object GraphOps {
     ranks
   }
 
+  /** Synchronous label propagation (community detection — Raghavan et
+    * al. 2007) over the undirected weighted graph: every node starts
+    * labeled with itself; each iteration relabels every node with the
+    * neighbor label of maximum total edge weight, ties to the SMALLEST
+    * label. The deterministic argmax and the FIXED iteration count are
+    * deliberate departures from plain LPA's random tie-breaks and
+    * update order — they make the sweep reproducible and
+    * oracle-expressible as unrolled SQL CTEs (the same trade
+    * [[pageRank]] makes with fixed power iterations).
+    *
+    * Scale shape mirrors [[powerIterate]]: the symmetrized edge table
+    * (2|E| rows) is built ONCE, hash-partitioned by `src` and locally
+    * checkpointed; each iteration then moves only the |V|-sized label
+    * table — one join shuffle into the edges, one (node, label)
+    * partial-aggregated rollup, one bounded argmax per node (weight
+    * sums of integer counts are double-exact, so the tie-break is
+    * engine-portable). Superseded label checkpoints are released per
+    * the house Pins contract; the last iteration stays a live plan so
+    * callers see the real per-iteration shape.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       wCol: String, iters: Int): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+      col(wCol).cast("double").as("w"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst"), col("w")))
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var lab = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var superseded = lab
+    for (i <- 1 to iters) {
+      val contrib = sym.join(lab.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(sum("w").as("wsum"))
+      val winner = contrib.groupBy("node")
+        .agg(min(struct((-col("wsum")).as("nw"), col("label").as("l"))).as("best"))
+        .select(col("node"), col("best.l").as("new_label"))
+      lab = lab.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+      if (i < iters) {
+        lab = lab.localCheckpoint(true)
+        graft.util.Pins.release(superseded)
+        superseded = lab
+      }
+    }
+    // sym and the last label checkpoint stay pinned for the caller (the
+    // returned plan reads both), same lifetime contract as powerIterate
+    lab
+  }
+
   /** Triangle count + global clustering coefficient over an undirected
     * graph, via the degree-ordered orientation (Schank & Wagner 2005 /
     * Cohen's MapReduce form): orient every undirected edge from its
@@ -259,6 +310,7 @@ object GraphOps {
 
   private val Damping = 0.85
   private val Iters = 5
+  private val LpIters = 3
 
   val queries: Map[String, Q] = Map(
     // Link analysis over the page-transition graph: 5 power iterations,
@@ -271,6 +323,12 @@ object GraphOps {
     // clustering coefficient via the degree-ordered wedge join.
     "g_triangles" -> ((s, d) =>
       triangleStats(pageEdges(s, d), "src", "dst")),
+
+    // Community detection on the page graph: 3 synchronous LPA sweeps,
+    // weighted argmax, deterministic min-label ties.
+    "g_label_prop" -> ((s, d) =>
+      labelPropagation(pageEdges(s, d), "src", "dst", "w", LpIters)
+        .select(col("node").as("page"), col("label").as("community"))),
 
     // Connected components of the STRONG page graph (transition weight
     // >= 3x the mean edge weight — the "significant co-navigation"
@@ -378,7 +436,47 @@ object GraphOps {
       s"\nSELECT node AS page, round(pr, 6) AS pr FROM r$Iters"
   }
 
+  /** The LPA sweeps unrolled as one (count, argmax, relabel) CTE triple
+    * per iteration — weight sums are integer-valued doubles, so the
+    * (wsum DESC, label ASC) argmax replays the Scala struct-min exactly.
+    */
+  private def labelPropSql: String = {
+    val base =
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS page
+         |  FROM events),
+         |lagged AS (
+         |  SELECT page AS dst,
+         |    lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+         |  FROM ev),
+         |edges AS (
+         |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+         |  FROM lagged WHERE src IS NOT NULL GROUP BY 1, 2),
+         |sym AS (
+         |  SELECT src, dst, w FROM edges
+         |  UNION ALL SELECT dst, src, w FROM edges),
+         |lab0 AS (SELECT DISTINCT src AS node, src AS label FROM sym)""".stripMargin
+    val steps = (1 to LpIters).map { k =>
+      s"""cnt$k AS (
+         |  SELECT s.dst AS node, l.label, sum(s.w) AS wsum
+         |  FROM sym s JOIN lab${k - 1} l ON l.node = s.src
+         |  GROUP BY 1, 2),
+         |win$k AS (
+         |  SELECT node, label FROM (
+         |    SELECT node, label, row_number() OVER (
+         |      PARTITION BY node ORDER BY wsum DESC, label) AS rn
+         |    FROM cnt$k) x WHERE rn = 1),
+         |lab$k AS (
+         |  SELECT l.node, coalesce(w.label, l.label) AS label
+         |  FROM lab${k - 1} l LEFT JOIN win$k w ON w.node = l.node)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"\nSELECT node AS page, label AS community FROM lab$LpIters"
+  }
+
   val oracle: Map[String, String] = Map(
+    "g_label_prop" -> labelPropSql,
     "g_pagerank" -> pagerankSqlFor(seeded = false),
     "g_ppr_seeded" -> pagerankSqlFor(seeded = true),
 

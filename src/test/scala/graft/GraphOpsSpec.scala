@@ -22,6 +22,35 @@ class GraphOpsSpec extends AnyFunSuite {
     GraphOps.pageRank(edges(rows), "src", "dst", "w", iters, damping)
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
 
+  private def communities(rows: Seq[(Int, Int, Long)], iters: Int = 3): Map[Int, Int] =
+    GraphOps.labelPropagation(edges(rows), "src", "dst", "w", iters)
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+
+  test("label propagation: two cliques joined by one weak edge split into two communities") {
+    // cliques {1,2,3} and {10,11,12} (heavy internal edges), one light
+    // bridge 3-10: LPA must converge each clique to its min label and
+    // never merge across the bridge
+    val es = Seq(
+      (1, 2, 5L), (2, 3, 5L), (1, 3, 5L),
+      (10, 11, 5L), (11, 12, 5L), (10, 12, 5L),
+      (3, 10, 1L))
+    val c = communities(es)
+    assert(c(1) == c(2) && c(2) == c(3), s"clique A split: $c")
+    assert(c(10) == c(11) && c(11) == c(12), s"clique B split: $c")
+    assert(c(1) != c(10), s"bridge merged the cliques: $c")
+  }
+
+  test("label propagation: labels are node ids, every node labeled, deterministic") {
+    val es = Seq((1, 2, 1L), (2, 3, 2L), (4, 5, 1L), (5, 4, 3L))
+    val c1 = communities(es)
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(c1.keySet == nodes)
+    assert(c1.values.toSet.subsetOf(nodes), s"labels outside the node set: $c1")
+    // disconnected components never share a community
+    assert(Set(c1(1), c1(2), c1(3)).intersect(Set(c1(4), c1(5))).isEmpty)
+    assert(communities(es) == c1, "re-run diverged")
+  }
+
   test("rank mass is conserved and every node clears the teleport floor") {
     // 4 nodes, node 3 dangling (no out-edges).
     val r = ranks(Seq((0, 1, 2L), (0, 2, 1L), (1, 2, 1L), (2, 3, 1L)))
