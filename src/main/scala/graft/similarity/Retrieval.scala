@@ -87,9 +87,19 @@ object Retrieval {
       .join(broadcast(labCounts.withColumnRenamed("__label", "qlabel")),
         Seq("qlabel"), "left")
       .withColumn("rk", least(col("n_label") - 1, lit(k)).cast("int"))
-      .withColumn("idcg", when(col("rk") >= 1,
-        aggregate(sequence(lit(1), col("rk")), lit(0.0),
-          (acc, i) => acc + lit(1.0) / log2(i.cast("double") + lit(1.0)))))
+      // the ideal DCG depends only on rk ∈ [1, k]: fold the k cumulative
+      // sums at PLAN TIME and emit a CaseWhen lookup — stays inside
+      // whole-stage codegen (an aggregate-over-sequence HOF would run
+      // interpreted), and the sequential 1..rk summation order matches
+      // the oracle's fold
+      .withColumn("idcg", {
+        val cums = (1 to k).scanLeft(0.0) { (acc, i) =>
+          acc + 1.0 / (math.log(i + 1.0) / math.log(2.0))
+        }.tail
+        (1 to k).foldLeft(lit(null).cast("double")) { (acc, j) =>
+          when(col("rk") === j, lit(cums(j - 1))).otherwise(acc)
+        }
+      })
       .select(
         col("query_id"),
         round(col("n_rel") / k, 6).as("p_at_k"),

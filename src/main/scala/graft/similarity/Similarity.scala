@@ -302,7 +302,41 @@ object Similarity {
     * wide vector column never multiplies through the shuffle.
     */
   def appendToIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                       newVecs: DataFrame, idCol: String, vecCol: String): Unit = {
+                       newVecs: DataFrame, idCol: String, vecCol: String): Unit =
+    writeAssignedCells(spark, path, newVecs, idCol, vecCol,
+      s"$path/cells", "append")
+
+  /** Stage a batch of assigned rows OUTSIDE the live cells table
+    * (overwrite semantics — safe to re-run): the first half of a
+    * crash-idempotent append, used by the streaming index maintainer
+    * ([[graft.streaming.IncrementalAnnIndex]]), which then renames the
+    * staged files into the cell partitions under a batch marker.
+    */
+  def stageAssignedCells(spark: org.apache.spark.sql.SparkSession, path: String,
+                         newVecs: DataFrame, idCol: String, vecCol: String,
+                         stagingPath: String): Unit =
+    writeAssignedCells(spark, path, newVecs, idCol, vecCol,
+      stagingPath, "overwrite")
+
+  /** Recover any crashed maintenance swap on a persisted index — a
+    * refit at the index level, a compaction at the cells level. Both
+    * maintenance entry points self-recover when next invoked; call this
+    * at process (re)start so a crash mid-swap doesn't leave the index
+    * unreadable until the NEXT maintenance run happens to fire. No-op
+    * on a clean index.
+    */
+  def recoverIvfMaintenance(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    recoverMarkedSwap(fs, path, ".refitting")
+    recoverMarkedSwap(fs, s"$path/cells", ".compacting")
+  }
+
+  private def writeAssignedCells(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, newVecs: DataFrame,
+                                 idCol: String, vecCol: String,
+                                 outPath: String, mode: String): Unit = {
     val idx = readIvfIndex(spark, path)
     val raw = newVecs.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"),
       norm(col(vecCol)).as("cnorm"))
@@ -337,7 +371,7 @@ object Similarity {
         .select(col("__rid"), col("__best.cell").as("cell"))
       assigned.join(raw, "__rid")
         .select("cell", "neighbor_id", "cvec", "cnorm")
-        .write.mode("append").partitionBy("cell").parquet(s"$path/cells")
+        .write.mode(mode).partitionBy("cell").parquet(outPath)
     } finally
       // the write consumed the checkpointed batch: release the pin even
       // on a failed write, or a long-lived (retrying) index service

@@ -1,0 +1,136 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.similarity.Similarity
+import graft.streaming.IncrementalAnnIndex
+
+/** Streaming IVF index maintenance: bootstrap-then-append through the
+  * streaming runner, exactly-once append under crash replays (the
+  * batch-marker + deterministic-file-name protocol), and the
+  * drift-triggered refit on its batch cadence.
+  */
+class IncrementalAnnIndexSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // the SimilaritySpec drift fixture: two tight blobs on axes (the
+  // build distribution) and one 45-degree blob between them (the
+  // out-of-distribution append that drives the ratio up)
+  private def blob(center: Array[Double], n: Int, jitterAxis: Int, idBase: Long) =
+    (0 until n).map { i =>
+      val v = center.clone()
+      v(jitterAxis) += 0.03 * ((i % 7) - 3)
+      (idBase + i, v.map(_.toFloat))
+    }
+  private def blobA = blob(Array(1, 0, 0, 0), 30, 2, 0L) ++
+    blob(Array(0, 1, 0, 0), 30, 2, 100L)
+  private def blobB = blob(Array(0.7071, 0.7071, 0, 0), 20, 0, 200L)
+
+  private def writeBatch(dir: Path, rows: Seq[(Long, Array[Float])]): Unit =
+    rows.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("append").parquet(dir.toString)
+
+  private def runOnce(in: Path, index: Path, ckpt: Path,
+                      refitAt: Double = 1000.0, driftCheckEvery: Int = 0): Unit = {
+    val vecs = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .parquet(in.toString)
+    IncrementalAnnIndex.run(vecs, "vec_id", "embedding",
+      index.toString, ckpt.toString, nlist = 2,
+      refitAt = refitAt, driftCheckEvery = driftCheckEvery)
+      .awaitTermination()
+  }
+
+  test("bootstrap, append across restart, idle restart — index stays exact at full probe") {
+    val base = Files.createTempDirectory("graft-annidx")
+    val (in, index, ckpt) =
+      (base.resolve("in"), base.resolve("index"), base.resolve("ckpt"))
+    Files.createDirectories(in)
+
+    writeBatch(in, blobA)
+    runOnce(in, index, ckpt)
+    val built = Similarity.readIvfIndex(spark, index.toString)
+    assert(built.cells.count() == 60, "bootstrap must index the first batch")
+
+    // restart with new vectors: appended to the frozen quantizer
+    writeBatch(in, blobB)
+    runOnce(in, index, ckpt)
+    val grown = Similarity.readIvfIndex(spark, index.toString)
+    assert(grown.cells.count() == 80, "append must grow the cells table")
+
+    // full probe over the grown index finds a B member's true B neighbor
+    val queries = blobB.take(1).toDF("vec_id", "embedding")
+    val res = Similarity.queryIvf(grown, queries, "vec_id", "embedding",
+      k = 3, nprobe = grown.centroids.length)
+      .collect().map(_.getLong(1)).toSet
+    assert(res.exists(_ >= 200L), s"appended members must be probeable, got $res")
+
+    // idle restart: nothing new, nothing duplicated
+    runOnce(in, index, ckpt)
+    assert(Similarity.readIvfIndex(spark, index.toString).cells.count() == 80)
+  }
+
+  test("crash replays never double-append: committed, uncommitted, and partial windows") {
+    val base = Files.createTempDirectory("graft-annidx-replay")
+    val index = base.resolve("index")
+    val b0 = blobA.toDF("vec_id", "embedding")
+    val b1 = blobB.toDF("vec_id", "embedding")
+    def process(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      IncrementalAnnIndex.processBatch(df, id, "vec_id", "embedding",
+        index.toString, nlist = 2, refitAt = 1000.0, driftCheckEvery = 0, seed = 42L)
+    def rows(): Long = spark.read.parquet(s"$index/cells").count()
+
+    process(b0, 0L)
+    assert(rows() == 60)
+    // bootstrap replay (crash after build, before the append marker):
+    // the _bootstrap marker routes it back to the idempotent rebuild
+    val fs = new org.apache.hadoop.fs.Path(index.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$index/_appended/0"), false)
+    process(b0, 0L)
+    assert(rows() == 60, "bootstrap replay must rebuild, not append")
+
+    process(b1, 1L)
+    assert(rows() == 80)
+    // committed replay: marker present -> no-op
+    process(b1, 1L)
+    assert(rows() == 80, "a committed batch must replay as a no-op")
+
+    // uncommitted replay (crash after the renames, before the marker):
+    // cleanup by deterministic file name, then re-append — still 80
+    fs.delete(new org.apache.hadoop.fs.Path(s"$index/_appended/1"), false)
+    process(b1, 1L)
+    assert(rows() == 80, "an uncommitted replay must converge, not double-append")
+
+    // partial replay (crash mid-rename): drop ONE of the batch's files,
+    // delete the marker — replay must restore exactly the batch's rows
+    val placed = fs.globStatus(new org.apache.hadoop.fs.Path(s"$index/cells/cell=*/b1-*"))
+    assert(placed.nonEmpty)
+    fs.delete(placed.head.getPath, false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$index/_appended/1"), false)
+    process(b1, 1L)
+    assert(rows() == 80, "a partial replay must converge to exactly-once")
+  }
+
+  test("drift past the threshold triggers the atomic refit on the check cadence") {
+    val base = Files.createTempDirectory("graft-annidx-drift")
+    val index = base.resolve("index")
+    def process(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      IncrementalAnnIndex.processBatch(df, id, "vec_id", "embedding",
+        index.toString, nlist = 2, refitAt = 2.0, driftCheckEvery = 2, seed = 42L)
+
+    process(blobA.toDF("vec_id", "embedding"), 0L)         // bootstrap
+    process(blobB.toDF("vec_id", "embedding"), 1L)         // OOD append, no check yet
+    assert(Similarity.ivfDrift(spark, index.toString).ratio > 2.0,
+      "precondition: the OOD append must push drift past the refit threshold")
+
+    // batch 2 hits the cadence: drift is checked and the refit fires
+    process(Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), 2L)
+    val after = Similarity.ivfDrift(spark, index.toString)
+    assert(math.abs(after.ratio - 1.0) < 1e-6,
+      s"the refit must restore drift to ~1, got $after")
+    assert(Similarity.readIvfIndex(spark, index.toString).cells.count() == 80,
+      "the refit must never lose or duplicate a vector")
+  }
+}
