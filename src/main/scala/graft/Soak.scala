@@ -371,30 +371,23 @@ object Soak {
           graft.similarity.Similarity.knnGraph(idx, emb,
             "vec_id", "embedding", k = 5, nprobe = 4)
         },
-        // MMR diversified re-rank at scale: the timed region is the IVF
-        // probe + bounded-heap pooling (the corpus-linear part — nlist
-        // grows, nprobe fixed, so per-point work is constant like the
-        // KNN graph row); the greedy select is per-query constant and
-        // must stay invisible. FIXED query set for the same reason as
-        // ivf_build_and_probe.
+        // MMR diversified re-rank at scale, via the SAME PipelineOps
+        // helper the declared (plan-pinned) query runs. The timed
+        // region is coarse fit + IVF probe + bounded-heap pooling —
+        // like the knn_graph row, the build is IN the clock (see
+        // knn_graph_probe_only for the measured fit/serve split; at
+        // 100x the fit dominates, which the persisted-index serving
+        // path amortizes away). nlist grows with the corpus, nprobe is
+        // fixed, so per-point probe work is constant; the greedy select
+        // is per-query constant and must stay invisible. FIXED query
+        // set for the same reason as ivf_build_and_probe.
         shape(s"mmr_rerank_nlist${16 * mult}") {
           val idx = graft.similarity.Similarity.buildIvfIndex(
             emb, "vec_id", "embedding", nlist = 16 * mult)
-          graft.similarity.Similarity.scoreIvf(idx,
+          graft.queries.PipelineOps.mmrRerank(idx,
             Tables.embeddings(spark, sfDir)
               .filter(pmod(col("vec_id"), lit(1000L)) === 0),
-            "vec_id", "embedding", nprobe = 4)
-            .withColumn("rel", round(col("cosine_sim"), 6))
-            .join(emb.select(col("vec_id").as("nb_id"),
-              col("embedding").as("nvec")),
-              col("nb_id") === col("neighbor_id"))
-            .groupBy("query_id")
-            .agg(graft.functions.TopKBy.topKBy(col("rel"), col("neighbor_id"),
-              col("nvec"), graft.queries.PipelineOps.MmrPoolK).as("pool"))
-            .select(col("query_id"),
-              posexplode(graft.functions.MmrSelect.mmrSelect(col("pool"),
-                graft.queries.PipelineOps.MmrK,
-                graft.queries.PipelineOps.MmrLambda)))
+            emb, nprobe = 4)
         },
         // the SERVING split of the same row: fit + cell materialization
         // run OUTSIDE the timed region (the persisted-index path), so

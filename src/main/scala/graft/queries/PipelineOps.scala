@@ -189,6 +189,29 @@ object PipelineOps {
         .localCheckpoint(true)
     }
 
+  /** The full MMR re-rank pipeline — ONE definition shared by the
+    * declared `sim_mmr_rerank` (whose plan PlanSpec pins) and the soak
+    * shape that measures it, so the pinned path and the timed path can
+    * never silently diverge. scoreIvf (not queryIvf): no rank window —
+    * the only contraction is the bounded-heap pool, cut on the ROUNDED
+    * relevance (engine-portable); the sequential greedy then runs in
+    * the `mmr_select` expression on ONE row per query.
+    */
+  def mmrRerank(idx: Similarity.IvfIndex, queries: DataFrame,
+                corpus: DataFrame, nprobe: Int): DataFrame =
+    Similarity.scoreIvf(idx, queries, "vec_id", "embedding", nprobe)
+      .withColumn("rel", round(col("cosine_sim"), 6))
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nvec")), "neighbor_id")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKBy.topKBy(col("rel"), col("neighbor_id"),
+        col("nvec"), MmrPoolK).as("pool"))
+      .select(col("query_id"),
+        posexplode(graft.functions.MmrSelect.mmrSelect(
+          col("pool"), MmrK, MmrLambda)))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.tie").as("neighbor_id"), col("col.mmr").as("mmr"))
+
   /** The shared ANN accuracy contract (`sim_ann_*`, `sim_knn_graph`):
     * per query, the APPROXIMATE result's row count — hash-checked
     * against the oracle's full-k claim; counting the exact side here
@@ -686,23 +709,8 @@ object PipelineOps {
     "sim_mmr_rerank" -> ((s, d) => {
       val idx = persistedIvfIndex(s, d)
       val emb = Tables.embeddings(s, d)
-      val queries = emb.filter(pmod(col("vec_id"), lit(100)) === 0)
-      // scoreIvf, not queryIvf: no rank window — the only contraction is
-      // the bounded heap below, cut on the ROUNDED relevance (portable)
-      val scored = Similarity.scoreIvf(idx, queries, "vec_id", "embedding",
+      mmrRerank(idx, emb.filter(pmod(col("vec_id"), lit(100)) === 0), emb,
         nprobe = idx.centroids.length)
-      scored
-        .withColumn("rel", round(col("cosine_sim"), 6))
-        .join(emb.select(col("vec_id").as("neighbor_id"),
-          col("embedding").as("nvec")), "neighbor_id")
-        .groupBy("query_id")
-        .agg(graft.functions.TopKBy.topKBy(col("rel"), col("neighbor_id"),
-          col("nvec"), MmrPoolK).as("pool"))
-        .select(col("query_id"),
-          posexplode(graft.functions.MmrSelect.mmrSelect(
-            col("pool"), MmrK, MmrLambda)))
-        .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
-          col("col.tie").as("neighbor_id"), col("col.mmr").as("mmr"))
     }),
 
     // Hybrid retrieval via reciprocal-rank fusion: the lexical arm (BM25

@@ -392,11 +392,14 @@ object SqlSurface {
     // domains are UPWEIGHTED relative to their corpus share — the rates
     // are DERIVED from the corpus (one tiny groupBy + 1-row total,
     // broadcast back), unlike tp_domain_mix's operator-supplied table.
-    // All rate arithmetic is INTEGER: s_d = floor(sqrt(n_d·10⁶)) is the
-    // fixed-point √n (exact in any engine — correctly-rounded sqrt of a
-    // non-square is never an integer at these magnitudes), and the
-    // basis-point rate is one integer DIV, so the oracle replays the
-    // keep set hash-exactly. Budget = half the corpus. Keep decisions
+    // The fixed-point √n (s_d = floor(sqrt(n_d·10⁶)), BIGINT — exact in
+    // any engine) feeds a DOUBLE rate combine with a final floor: a
+    // pure-integer product 10⁴·(n_tot/2)·s_d overflows int64 past
+    // ~1.4e8 docs (numerator ~5e6·N^1.5), silently flipping rates
+    // negative, so the combine runs in IEEE doubles — the identical
+    // expression tree of correctly-rounded ops on both engines, the
+    // same determinism contract tp_weighted_sample's ln(u)/w keys
+    // already rely on. Budget = half the corpus. Keep decisions
     // ride the same content-hash threshold as tp_domain_mix: no RNG,
     // same corpus → same mixture across runs and engines. NOTE the
     // rates REFIT on append (they are corpus statistics) — the
@@ -410,7 +413,10 @@ object SqlSurface {
       val rates = stats.crossJoin(broadcast(tot))
         .select(col("lang"),
           least(lit(10000L),
-            expr("(10000 * (n_tot DIV 2) * s_dom) DIV (s_tot * n_dom)"))
+            floor(lit(10000.0) * expr("n_tot DIV 2").cast("double") *
+              col("s_dom").cast("double") /
+              (col("s_tot").cast("double") * col("n_dom").cast("double")))
+              .cast("long"))
             .as("rate_bp"))
       val h = pmod(graft.functions.TextExprs.rollingHash(col("text")), lit(10000L))
       docs.join(broadcast(rates), "lang")
@@ -862,9 +868,11 @@ object SqlSurface {
          WHERE h < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 8000
                              WHEN 'fr' THEN 7500 ELSE 10000 END""",
 
-    // the corpus-derived α=0.5 rates replayed with the identical integer
-    // arithmetic (fixed-point sqrt + one integer division), then the
-    // same rolling-hash threshold
+    // the corpus-derived α=0.5 rates replayed with the identical
+    // arithmetic: exact fixed-point sqrt (BIGINT), then the same IEEE
+    // double combine + floor (an all-integer product overflows int64 at
+    // scale — see the engine-side comment), then the same rolling-hash
+    // threshold
     "tp_temperature_mix" ->
       """WITH stats AS (
            SELECT lang, count(*) AS n_dom,
@@ -874,7 +882,10 @@ object SqlSurface {
                         CAST(sum(s_dom) AS BIGINT) AS s_tot FROM stats),
          rates AS (
            SELECT lang,
-             least(10000, (10000 * (n_tot // 2) * s_dom) // (s_tot * n_dom)) AS rate_bp
+             least(10000, CAST(floor(
+               10000.0 * CAST(n_tot // 2 AS DOUBLE) * CAST(s_dom AS DOUBLE)
+                 / (CAST(s_tot AS DOUBLE) * CAST(n_dom AS DOUBLE))) AS BIGINT))
+               AS rate_bp
            FROM stats CROSS JOIN tot)
          SELECT doc_id, t.lang, rate_bp FROM (
            SELECT doc_id, lang, list_reduce(

@@ -23,13 +23,6 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
-  /** @param ranked  (query_id, neighbor_id, rank) with rank 1-based —
-    *                the shape every probe in this package emits
-    * @param labels  (idCol, labelCol) relevance labeling of the corpus
-    * @param k       the cut the metrics are reported at (ranks > k are
-    *                filtered out defensively; self-matches are assumed
-    *                already excluded, as the probes guarantee)
-    */
   /** Hard-negative mining for contrastive training: per anchor, the
     * `k` most-similar corpus vectors with a DIFFERENT label, capped at
     * `maxSim` — close enough to be informative gradients, label-disjoint
@@ -66,6 +59,13 @@ object Retrieval {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** @param ranked  (query_id, neighbor_id, rank) with rank 1-based —
+    *                the shape every probe in this package emits
+    * @param labels  (idCol, labelCol) relevance labeling of the corpus
+    * @param k       the cut the metrics are reported at (ranks > k are
+    *                filtered out defensively; self-matches are assumed
+    *                already excluded, as the probes guarantee)
+    */
   def metrics(ranked: DataFrame, labels: DataFrame, idCol: String,
               labelCol: String, k: Int): DataFrame = {
     val lab = labels.select(col(idCol).as("__id"), col(labelCol).as("__label"))

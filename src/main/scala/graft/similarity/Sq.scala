@@ -52,25 +52,31 @@ object Sq {
         VectorExprs.sq8Pack(col("__v"), col("sq_scale")).as("sq_code"))
 
   /** IVF-SQ8 top-k: coarse probe → int8 candidate scoring → shortlist
-    * → exact float rerank. Same null-routing contract as
-    * [[Pq.ivfPqTopK]]: the `encoded` join is LEFT, so a cell member
-    * with no code row (vectors appended via
-    * [[Similarity.appendToIvfIndex]] before a re-encode) surfaces
-    * with a NULL `sq_sim`, is kept past the shortlist cut by the
-    * explicit isNull arm, and routes straight into the exact rerank —
-    * never silently dropped, so "full probe + full shortlist == exact"
-    * holds even when `encoded` lags the cells table.
+    * → exact float rerank. Same unencoded-member contract as
+    * [[Pq.ivfPqTopK]]: a cell member with no code row (vectors appended
+    * via [[Similarity.appendToIvfIndex]] before a re-encode) routes
+    * STRAIGHT into the exact rerank via an anti-join branch — never
+    * silently dropped and never competing for shortlist slots, so
+    * "full probe + full shortlist == exact" holds even when `encoded`
+    * lags the cells table (the branch is bounded by the append delta
+    * since the last encode).
     *
     * Plan shape: the shortlist window moves only `(query_id,
     * neighbor_id, sq_sim)` — the float vectors do NOT ride through the
-    * rank exchange; the rerank re-joins the shortlist against the
-    * cells table (shortlist-sized, k·q rows) and broadcasts the query
-    * set. At 100 TB the rank window runs on WindowGroupLimit-contracted
-    * partials, and the candidate⋈encoded equi-join is the only
-    * corpus-keyed shuffle — at scale a deployment folds the codes INTO
-    * the cells table at build time (one sort-free column append) and
-    * drops that join entirely; keeping `encoded` separate here mirrors
-    * the PQ API so both quantizers serve from one IVF index.
+    * rank exchange — and its rank cut is a PLAIN `sq_rank <= shortlist`
+    * predicate precisely so InferWindowGroupLimit contracts each
+    * partition to the top `shortlist` rows BEFORE the exchange (an
+    * OR-with-isNull arm, the obvious single-pass way to keep unencoded
+    * rows, defeats that rule and turns the window into a full per-query
+    * candidate sort — the split into an inner-join scored branch and an
+    * anti-join unencoded branch is what buys the contraction back, at
+    * the price of a second pass over the candidate set). The rerank
+    * re-joins the shortlist against the cells table (shortlist-sized,
+    * k·q rows) and broadcasts the query set. At scale a deployment
+    * folds the codes INTO the cells table at build time (one sort-free
+    * column append) and drops the encoded join entirely; keeping
+    * `encoded` separate here mirrors the PQ API so both quantizers
+    * serve from one IVF index.
     */
   def ivfSq8TopK(index: Similarity.IvfIndex, encoded: DataFrame,
                  queries: DataFrame, idCol: String, vecCol: String,
@@ -78,14 +84,15 @@ object Sq {
     val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       Similarity.norm(col(vecCol)).as("qnorm"))
     val probed = Similarity.probeCells(index, qRaw, nprobe)
-
-    // int8 approximate cosine per candidate: scale·(q · code) normalized
-    // by the TRUE norms (qnorm from the probe, cnorm stored in the cells
-    // table) — the only approximation is the quantized dot itself
-    val sqScored = index.cells.join(broadcast(probed), "cell")
+    val candidates = index.cells.join(broadcast(probed), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .join(encoded.select(col("vec_id").as("neighbor_id"),
-        col("sq_scale"), col("sq_code")), Seq("neighbor_id"), "left")
+    val enc = encoded.select(col("vec_id").as("neighbor_id"),
+      col("sq_scale"), col("sq_code"))
+
+    // int8 approximate cosine per ENCODED candidate: scale·(q · code)
+    // normalized by the TRUE norms (qnorm from the probe, cnorm stored
+    // in the cells table) — the only approximation is the quantized dot
+    val sqScored = candidates.join(enc, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (col("sq_scale") * VectorExprs.dotI8(col("qvec"), col("sq_code"))
           / (col("qnorm") * col("cnorm"))).as("sq_sim"))
@@ -93,8 +100,12 @@ object Sq {
     val short = sqScored
       .withColumn("sq_rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("sq_sim"), asc("neighbor_id"))))
-      .filter(col("sq_rank") <= shortlist || col("sq_sim").isNull)
+      .filter(col("sq_rank") <= shortlist)
       .select("query_id", "neighbor_id")
+      // cell members the codes table lags: straight to the exact rerank
+      .unionAll(candidates
+        .join(enc.select("neighbor_id"), Seq("neighbor_id"), "left_anti")
+        .select("query_id", "neighbor_id"))
 
     // refine: exact cosine over the raw vectors, shortlist-sized work
     short

@@ -47,6 +47,18 @@ object IncrementalAnnIndex {
           driftCheckEvery: Int = 5, seed: Long = 42L): StreamingQuery = {
     val spark = vecs.sparkSession
     Similarity.recoverIvfMaintenance(spark, indexDir)
+    // re-check drift at (re)start: a crash DURING a cadence-triggered
+    // refit lands after the batch's append marker committed, so the
+    // replayed batch is a no-op and the in-run cadence wouldn't
+    // reconsider the breach until the next divisible batchId — which an
+    // AvailableNow run may never reach. The restart check closes that
+    // window: a rolled-back (still-drifted) index refits here instead
+    // of serving degraded recall for the rest of the run.
+    val fs = CompactionSwap.fsFor(indexDir,
+      spark.sparkContext.hadoopConfiguration)
+    if (refitAt > 0 && fs.exists(new Path(s"$indexDir/meta")) &&
+        Similarity.ivfDrift(spark, indexDir).ratio > refitAt)
+      Similarity.refitIvfIndex(spark, indexDir, seed = seed)
     vecs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, idCol, vecCol, indexDir,

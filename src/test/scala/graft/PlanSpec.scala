@@ -56,18 +56,27 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("sim_ann_sq8")
     assert(p.contains("vec_dot_i8"),
       s"expected the asymmetric int8 scoring kernel:\n$p")
-    assert(p.contains("WindowGroupLimit"),
-      s"the shortlist rank window must contract via WindowGroupLimit partials:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"cross join in the SQ8 path:\n$p")
-    // the shortlist window exchanges only (query, neighbor, sq_sim):
-    // the float vectors must not ride through the rank shuffle
     val windows = SparkEntry.queries("sim_ann_sq8")(spark, SparkTestSession.sfDir)
       .queryExecution.sparkPlan.collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
     val sqWindow = windows.find(_.output.exists(_.name == "sq_rank"))
     assert(sqWindow.isDefined, s"no shortlist rank window found:\n$p")
+    // the contraction must sit UNDER the shortlist window itself — a
+    // plan-wide substring check passes vacuously via the rerank/probe
+    // windows (that exact false pass shipped once: the former
+    // `rank <= shortlist || isNull` filter defeated
+    // InferWindowGroupLimit and the window fully sorted every query's
+    // candidate list)
+    val contracted = sqWindow.get.child.collect {
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec => g
+    }
+    assert(contracted.nonEmpty,
+      s"the shortlist window must contract via WindowGroupLimit partials:\n$p")
+    // and it exchanges only (query, neighbor, sq_sim): the float
+    // vectors must not ride through the rank shuffle
     val wide = sqWindow.get.child.output.map(_.name)
       .filter(n => n.contains("vec") && n != "neighbor_id")
     assert(wide.isEmpty,
