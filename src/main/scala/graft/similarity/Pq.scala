@@ -205,24 +205,28 @@ object Pq {
         dot(col("svec"), col("cvec")).as("partial"))
 
     // candidates -> codes -> m table lookups -> ADC score. The join with
-    // `encoded` is LEFT + posexplode_outer, ONE pass: a cell member
-    // without a code row (vectors added via appendToIvfIndex before a
-    // re-encode) keeps a single null-code row, misses every ADC lookup,
-    // and surfaces with a NULL adc_sim — which ranks past the shortlist
-    // (desc puts nulls last) but is kept by the explicit isNull arm, so
-    // it routes STRAIGHT into the exact rerank instead of being silently
-    // dropped. "Full probe + full shortlist == exact" therefore holds
-    // even when `encoded` lags the cells table; unencoded candidates are
-    // bounded by the append delta since the last encode, and a re-encode
-    // restores the pure-ADC path.
+    // `encoded` is INNER: a cell member without a code row (vectors
+    // added via appendToIvfIndex before a re-encode) routes through a
+    // separate anti-join branch STRAIGHT into the exact rerank — never
+    // silently dropped and never competing for shortlist slots, so
+    // "full probe + full shortlist == exact" holds even when `encoded`
+    // lags the cells table (the branch is bounded by the append delta
+    // since the last encode; a re-encode restores the pure-ADC path).
+    // The split — rather than a LEFT join with an `adc_rank <= shortlist
+    // || adc_sim IS NULL` filter — keeps the shortlist window's rank cut
+    // a PLAIN predicate, which is what lets InferWindowGroupLimit
+    // contract each partition to the top `shortlist` rows BEFORE the
+    // exchange; the OR-with-isNull arm defeats that rule and turns the
+    // window into a full per-query candidate sort (caught on the SQ8
+    // twin of this path by the round-12 review).
     val candidates = index.cells
       .join(broadcast(probed), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id")
+    val encRenamed = encoded.withColumnRenamed("vec_id", "neighbor_id")
     val adcScored = candidates
-      .join(encoded.withColumnRenamed("vec_id", "neighbor_id"),
-        Seq("neighbor_id"), "left")
-      .select(col("query_id"), col("neighbor_id"), posexplode_outer(col("codes")))
+      .join(encRenamed, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), posexplode(col("codes")))
       .withColumnRenamed("pos", "subspace")
       .withColumnRenamed("col", "code")
       .join(broadcast(adcTable), Seq("query_id", "subspace", "code"), "left")
@@ -231,8 +235,12 @@ object Pq {
     val short = adcScored
       .withColumn("adc_rank", row_number().over(
         Window.partitionBy("query_id").orderBy(desc("adc_sim"), asc("neighbor_id"))))
-      .filter(col("adc_rank") <= shortlist || col("adc_sim").isNull)
+      .filter(col("adc_rank") <= shortlist)
       .select("query_id", "neighbor_id")
+      // cell members the codes table lags: straight to the exact rerank
+      .unionAll(candidates
+        .join(encRenamed.select("neighbor_id"), Seq("neighbor_id"), "left_anti")
+        .select("query_id", "neighbor_id"))
 
     // refine: exact cosine over the raw vectors, shortlist-sized work
     val reranked = short

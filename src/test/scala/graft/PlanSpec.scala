@@ -343,6 +343,19 @@ class PlanSpec extends AnyFunSuite {
     // ADC table + probe + query side broadcast (all query-sized);
     // the corpus-sized encoded table must arrive via hash joins
     assert(p.contains("BroadcastHashJoin"))
+    // the ADC shortlist window must contract via WindowGroupLimit UNDER
+    // the window itself (same structural pin as the SQ8 twin — a plain
+    // rank cut, not the OR-isNull form that defeats the rule)
+    val adcWindow = SparkEntry.queries("sim_ann_ivfpq")(spark, SparkTestSession.sfDir)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.output.exists(_.name == "adc_rank") => w
+      }
+    assert(adcWindow.nonEmpty, s"no ADC shortlist window found:\n$p")
+    assert(adcWindow.head.child.collect {
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec => g
+    }.nonEmpty,
+      s"the ADC shortlist window must contract via WindowGroupLimit partials:\n$p")
   }
 
   test("Lloyd loop's per-iteration plan is UDF-free (codegen nearest_center / center_distance)") {
