@@ -59,6 +59,18 @@ object GraftFunctions {
         require(children.length == 1, "char_code_sum expects exactly 1 argument")
         CharCodeSum(children.head)
       }),
+    (FunctionIdentifier("sq8_pack"),
+      new ExpressionInfo(classOf[Sq8Pack].getName, "sq8_pack"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "sq8_pack expects exactly 2 arguments")
+        Sq8Pack(children.head, children(1))
+      }),
+    (FunctionIdentifier("vec_dot_i8"),
+      new ExpressionInfo(classOf[DotI8].getName, "vec_dot_i8"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dot_i8 expects exactly 2 arguments")
+        DotI8(children.head, children(1))
+      }),
     (FunctionIdentifier("hamming"),
       new ExpressionInfo(classOf[HammingDistance].getName, "hamming"),
       (children: Seq[Expression]) => {

@@ -13,6 +13,11 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(spark.sql("SELECT rolling_hash('abc') AS h").head.getLong(0) > 0)
     assert(spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS v")
       .head.getDouble(0) == 11.0)
+    // the SQ8 pair: pack then asymmetric float x int8 dot — round-trips
+    // through SQL (scale = 2/127 -> code = [127, -76], dot = 127 + 2*(-76))
+    assert(spark.sql(
+      "SELECT vec_dot_i8(array(1.0d, 2.0d), sq8_pack(array(2.0d, -1.2d), 0.015748031496062992d)) AS v")
+      .head.getDouble(0) == -25.0)
     // strategy present: the custom as-of plans through its physical node
     import spark.implicits._
     val l = Seq((1L, 10L, "p")).toDF("k", "t", "x")
