@@ -572,7 +572,13 @@ object Soak {
             emb, "vec_id", "embedding", nlist = 16)
           val cb = graft.similarity.Pq.buildCodebook(emb, "vec_id", "embedding",
             m = 8, ksub = 16, dim = 64, iters = 3)
-          val enc = graft.similarity.Pq.encode(emb, "vec_id", "embedding", cb)
+          // pinned: ivfPqTopK consumes the encoded table twice (the ADC
+          // inner branch + the unencoded anti branch) — unmaterialized,
+          // the second consumer re-runs the whole encode join, which is
+          // the persisted-artifact production path's cost TWICE (the
+          // declared query serves the same table from a memoized
+          // checkpoint)
+          val enc = pin(graft.similarity.Pq.encode(emb, "vec_id", "embedding", cb))
           graft.similarity.Pq.ivfPqTopK(idx, enc, cb,
             Tables.embeddings(spark, sfDir)
               .filter(pmod(col("vec_id"), lit(1000L)) === 0),
@@ -586,7 +592,10 @@ object Soak {
         shape("ivfsq8_probe") {
           val idx = graft.similarity.Similarity.buildIvfIndex(
             emb, "vec_id", "embedding", nlist = 16)
-          val enc = graft.similarity.Sq.encode(emb, "vec_id", "embedding")
+          // pinned for the same two-consumer reason as ivfpq_probe's
+          // encoded table (the SQ8 encode is a pure map, but re-running
+          // it per branch still doubles a corpus-wide pass)
+          val enc = pin(graft.similarity.Sq.encode(emb, "vec_id", "embedding"))
           graft.similarity.Sq.ivfSq8TopK(idx, enc,
             Tables.embeddings(spark, sfDir)
               .filter(pmod(col("vec_id"), lit(1000L)) === 0),
