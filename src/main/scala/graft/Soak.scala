@@ -568,8 +568,14 @@ object Soak {
         // x mult — while the corpus scales: probe cost tracks cell
         // occupancy, not corpus size, once the builds amortize.
         shape("ivfpq_probe") {
-          val idx = graft.similarity.Similarity.buildIvfIndex(
+          // cells pinned: the two-branch shortlist consumes the cells
+          // table twice, and a LIVE build plan would re-run the corpus
+          // k-means assignment per consumer — the production path reads
+          // cells from the PERSISTED parquet layout, which the pin
+          // stands in for (same rationale as the encoded-table pin)
+          val idx0 = graft.similarity.Similarity.buildIvfIndex(
             emb, "vec_id", "embedding", nlist = 16)
+          val idx = idx0.copy(cells = pin(idx0.cells))
           val cb = graft.similarity.Pq.buildCodebook(emb, "vec_id", "embedding",
             m = 8, ksub = 16, dim = 64, iters = 3)
           // pinned: ivfPqTopK consumes the encoded table twice (the ADC
@@ -590,11 +596,11 @@ object Soak {
         // delta is the missing codebook fit, so this row isolates what
         // SQ8 buys an append-heavy corpus at scale.
         shape("ivfsq8_probe") {
-          val idx = graft.similarity.Similarity.buildIvfIndex(
+          // cells + encode pinned for the same two-consumer reason as
+          // ivfpq_probe (the persisted-artifact stand-in)
+          val idx0 = graft.similarity.Similarity.buildIvfIndex(
             emb, "vec_id", "embedding", nlist = 16)
-          // pinned for the same two-consumer reason as ivfpq_probe's
-          // encoded table (the SQ8 encode is a pure map, but re-running
-          // it per branch still doubles a corpus-wide pass)
+          val idx = idx0.copy(cells = pin(idx0.cells))
           val enc = pin(graft.similarity.Sq.encode(emb, "vec_id", "embedding"))
           graft.similarity.Sq.ivfSq8TopK(idx, enc,
             Tables.embeddings(spark, sfDir)
