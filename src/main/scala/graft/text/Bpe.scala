@@ -276,6 +276,36 @@ object Bpe {
     * contract. Without the handle, repeated tokenize calls (a soak loop,
     * a long-lived service) would accumulate pinned vocab-sized blocks.
     */
+  /** Persist a trained model: the merge list (the portable tokenizer —
+    * [[tokenize]] needs nothing else) plus the training-vocabulary
+    * symbol table, both parquet (overwrite). The serve-many artifact a
+    * production pipeline trains once and applies to every corpus after.
+    */
+  def save(model: BpeModel, path: String): Unit = {
+    val spark = model.vocabSyms.sparkSession
+    import spark.implicits._
+    model.merges.toDF().coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/merges")
+    model.vocabSyms.write.mode("overwrite").parquet(s"$path/vocab_syms")
+  }
+
+  /** Load a persisted model. Merges are re-collected in rank order and
+    * asserted contiguous from rank 1 (a truncated or partially
+    * overwritten write fails loudly, the same contract as the IVF
+    * index's metadata sidecar); the vocab table serves from parquet, so
+    * nothing is pinned and `release()` is a no-op.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): BpeModel = {
+    import spark.implicits._
+    val merges = spark.read.parquet(s"$path/merges").as[Merge]
+      .collect().sortBy(_.merge_rank).toSeq
+    require(merges.nonEmpty, s"no BPE merges at $path/merges")
+    require(merges.map(_.merge_rank) == (1 to merges.length),
+      s"BPE merge list at $path is not contiguous from rank 1 — " +
+        "truncated or partially overwritten model")
+    BpeModel(merges, spark.read.parquet(s"$path/vocab_syms"), () => ())
+  }
+
   final case class TokenizedCorpus(tokens: DataFrame, release: () => Unit)
 
   /** Tokenize a corpus with a merge list: segment its DISTINCT words

@@ -55,6 +55,34 @@ object UnigramLm {
   final case class UnigramModel(pieces: Seq[Piece], segs: DataFrame,
                                 release: () => Unit)
 
+  /** Persist a trained model: the piece table (the portable tokenizer —
+    * [[viterbiPieces]] needs nothing else) plus the training-vocabulary
+    * segmentation, both parquet (overwrite) — the [[Bpe.save]] contract
+    * for the unigram family.
+    */
+  def save(model: UnigramModel, path: String): Unit = {
+    val spark = model.segs.sparkSession
+    import spark.implicits._
+    model.pieces.toDF().coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/pieces")
+    model.segs.write.mode("overwrite").parquet(s"$path/segs")
+  }
+
+  /** Load a persisted model: pieces re-collected (asserted non-empty
+    * and unique — a truncated or double-written table fails loudly),
+    * segmentation served straight from parquet (nothing pinned,
+    * `release()` is a no-op).
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): UnigramModel = {
+    import spark.implicits._
+    val pieces = spark.read.parquet(s"$path/pieces").as[Piece]
+      .collect().sortBy(p => (p.cost_micro, p.piece)).toSeq
+    require(pieces.nonEmpty, s"no unigram pieces at $path/pieces")
+    require(pieces.map(_.piece).distinct.length == pieces.length,
+      s"duplicate pieces at $path — corrupted or double-written model")
+    UnigramModel(pieces, spark.read.parquet(s"$path/segs"), () => ())
+  }
+
   /** Sentinel cost for characters never seen at train time: the apply
     * path stays lossless on OOV alphabets (each unknown char becomes its
     * own piece). Never triggers when applying to the training corpus —

@@ -67,6 +67,38 @@ class BpeSpec extends AnyFunSuite {
     model.release()
   }
 
+  test("save/load round-trips the model; a truncated merge list fails loudly") {
+    val docs = Seq(
+      (1L, "banana bandana cabana"),
+      (2L, "the banana and the bandana")).toDF("doc_id", "text")
+    val model = Bpe.train(docs, "text", 5)
+    val path = java.nio.file.Files.createTempDirectory("graft-bpe-model").toString
+    Bpe.save(model, path)
+    val loaded = Bpe.load(spark, path)
+    assert(loaded.merges == model.merges, "merge list must round-trip exactly")
+    // the loaded model tokenizes identically (merges are the tokenizer)
+    val corpus = Seq((9L, "a banana cabana")).toDF("doc_id", "text")
+    def toks(ms: Seq[Bpe.Merge]): Seq[(Long, Int, Int, String)] = {
+      val tc = Bpe.tokenize(corpus, "doc_id", "text", ms)
+      val out = tc.tokens.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .toSeq.sorted
+      tc.release(); out
+    }
+    assert(toks(loaded.merges) == toks(model.merges))
+    // vocab table round-trips (as a set — parquet has no row order)
+    assert(loaded.vocabSyms.collect().map(_.toString).sorted.toSeq ==
+      model.vocabSyms.collect().map(_.toString).sorted.toSeq)
+    model.release(); loaded.release()
+    // truncation detection: drop rank 1, the load must refuse
+    import spark.implicits._
+    spark.read.parquet(s"$path/merges")
+      .filter(col("merge_rank") =!= 1)
+      .write.mode("overwrite").parquet(s"$path-trunc/merges")
+    val ex = intercept[IllegalArgumentException](Bpe.load(spark, s"$path-trunc"))
+    assert(ex.getMessage.contains("not contiguous"))
+  }
+
   test("tokenize handles OOV words via the merge list alone") {
     val train = Seq((1L, "lower lowest newer newest")).toDF("doc_id", "text")
     val model = Bpe.train(train, "text", 4)

@@ -15,6 +15,34 @@ class UnigramLmSpec extends AnyFunSuite {
       .map(r => r.getLong(0) * costMap(r.getString(1))).sum
   }
 
+  test("save/load round-trips the model; duplicate pieces fail loudly") {
+    val docs = Seq((1L, "banana bandana cabana banana")).toDF("doc_id", "text")
+    val model = UnigramLm.train(docs, "text", vocabSize = 24)
+    val path = java.nio.file.Files.createTempDirectory("graft-uni-model").toString
+    UnigramLm.save(model, path)
+    val loaded = UnigramLm.load(spark, path)
+    // piece table round-trips as a set (load re-sorts; order is not part
+    // of the model — the Viterbi cost map is keyed, not positional)
+    assert(loaded.pieces.toSet == model.pieces.toSet)
+    // the loaded pieces segment identically
+    val costs = loaded.pieces.map(p => (p.piece, p.cost_micro)).toArray
+    val origCosts = model.pieces.map(p => (p.piece, p.cost_micro)).toArray
+    val words = Seq("banana", "cabana", "ban").toDF("word")
+    def seg(cs: Array[(String, Long)]) = words
+      .select(col("word"), UnigramLm.viterbiPieces(col("word"), cs, 4).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(seg(costs) == seg(origCosts))
+    assert(loaded.segs.collect().map(_.toString).sorted.toSeq ==
+      model.segs.collect().map(_.toString).sorted.toSeq)
+    model.release(); loaded.release()
+    // corruption detection: a double-written piece table must refuse
+    spark.read.parquet(s"$path/pieces")
+      .unionAll(spark.read.parquet(s"$path/pieces"))
+      .write.mode("overwrite").parquet(s"$path-dup/pieces")
+    val ex = intercept[IllegalArgumentException](UnigramLm.load(spark, s"$path-dup"))
+    assert(ex.getMessage.contains("duplicate pieces"))
+  }
+
   test("segmentation is lossless: pieces concatenate back to every word") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
