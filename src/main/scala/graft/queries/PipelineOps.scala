@@ -356,6 +356,42 @@ object PipelineOps {
     "dd_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
 
+    // Cross-corpus vocabulary overlap WITHOUT a corpus join — the audit
+    // run before mixing two sources (shared-vocabulary Jaccard is the
+    // cheap proxy for domain similarity). One distinct-word shuffle
+    // carries BOTH sides: per word, presence flags for the en split and
+    // the rest, then a single global fold computes the exact distinct
+    // counts, the exact overlap, the Jaccard, AND the HLL
+    // inclusion-exclusion estimate (|A|+|B|−|A∪B|) from the SAME
+    // deduped rows (HLL is duplicate-insensitive — a7b's trick). The
+    // sketch path is what scales to corpora too large to co-shuffle:
+    // each side's sketch is a fixed-KB mergeable aggregate computable
+    // in separate passes/clusters; here the exact values ride along as
+    // the oracle anchor and the estimate is declared as a bounded-error
+    // flag (estimates are engine-specific, bounds are not).
+    "dd_vocab_overlap" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select((col("lang") === "en").as("in_a"),
+          explode(TextOps.tokens(col("text"))).as("word"))
+      words.groupBy("word")
+        .agg(max(when(col("in_a"), 1).otherwise(0)).as("a"),
+          max(when(!col("in_a"), 1).otherwise(0)).as("b"))
+        .agg(
+          sum("a").cast("long").as("n_vocab_en"),
+          sum("b").cast("long").as("n_vocab_rest"),
+          sum(col("a") * col("b")).cast("long").as("overlap_exact"),
+          approx_count_distinct(when(col("a") === 1, col("word")), 0.02).as("__ha"),
+          approx_count_distinct(when(col("b") === 1, col("word")), 0.02).as("__hb"),
+          approx_count_distinct(col("word"), 0.02).as("__hu"))
+        .select(col("n_vocab_en"), col("n_vocab_rest"), col("overlap_exact"),
+          round(col("overlap_exact").cast("double") /
+            (col("n_vocab_en") + col("n_vocab_rest") - col("overlap_exact")), 6)
+            .as("jaccard"),
+          (abs(col("__ha") + col("__hb") - col("__hu") - col("overlap_exact")) <=
+            greatest(lit(8L), ((col("n_vocab_en") + col("n_vocab_rest")) / 10)))
+            .cast("int").as("sketch_ok"))
+    }),
+
     // Exact dedup AFTER normalization (clean charset + lowercase +
     // whitespace collapse): catches the case/punctuation/spacing
     // variants byte-exact dedup misses — the standard second dedup mode
@@ -1095,6 +1131,26 @@ object PipelineOps {
         |          t -> t != ''), ' ') AS norm
         |      FROM documents) t
         |GROUP BY 1""".stripMargin,
+
+    // exact vocab counts/overlap/Jaccard replayed per word (whitespace
+    // tokens, empties dropped); the HLL estimate is engine-specific, so
+    // the oracle pins its BOUND flag, not its value (a7b's convention)
+    "dd_vocab_overlap" ->
+      """WITH w AS (
+        |  SELECT word, max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a,
+        |         max(CASE WHEN lang != 'en' THEN 1 ELSE 0 END) AS b
+        |  FROM (SELECT lang,
+        |          unnest(list_filter(string_split_regex(text, '\s+'),
+        |            t -> t != '')) AS word
+        |        FROM documents) tk
+        |  GROUP BY 1)
+        |SELECT CAST(sum(a) AS BIGINT) AS n_vocab_en,
+        |  CAST(sum(b) AS BIGINT) AS n_vocab_rest,
+        |  CAST(sum(a * b) AS BIGINT) AS overlap_exact,
+        |  round(CAST(sum(a * b) AS DOUBLE)
+        |    / (sum(a) + sum(b) - sum(a * b)), 6) AS jaccard,
+        |  1 AS sketch_ok
+        |FROM w""".stripMargin,
 
     "dd_shingles" -> shinglesSql,
 
