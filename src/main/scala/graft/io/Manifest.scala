@@ -1,0 +1,100 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset manifests — the reproducibility anchor a training pipeline
+  * records beside every frozen input: per table, the row count, the
+  * schema signature, and an ORDER-INSENSITIVE content fingerprint, so
+  * a later run (or another engine) can prove it is reading byte-the-same
+  * data before spending compute on it.
+  *
+  * The fingerprint is `Σ rolling_hash(row repr) mod p` over all rows —
+  * one partial-aggregated pass per table (map-side sums, a single long
+  * of state per partition, no sort and no collect), insensitive to row
+  * order and file layout (a compaction or repartition of the same rows
+  * fingerprints identically) and engine-portable: `rolling_hash` is the
+  * house polynomial hash every DuckDB oracle replays, and the sum
+  * accumulates in DECIMAL(38,0) — 2³¹-sized terms in an int64 would
+  * wrap past ~4·10⁹ rows, a row count a 100 TB table exceeds (DuckDB's
+  * `sum(BIGINT)` widens to HUGEINT on its own, the same contract). The row
+  * repr joins the STRING forms of all columns with `\u0001` — a
+  * delimiter that cannot appear in the data — so column boundaries
+  * cannot alias (`("ab","c")` vs `("a","bc")`).
+  *
+  * Not a cryptographic digest: this detects drift (a regenerated
+  * export, a lost partition, a truncated copy), not adversaries.
+  */
+object Manifest {
+
+  private val P = 2147483647L // 2^31 − 1 (Mersenne), the house hash modulus
+
+  final case class TableManifest(table: String, n_rows: Long,
+                                 schema_sig: String, fingerprint: Long)
+
+  /** The fingerprint AGGREGATE over a row-repr column — exposed so a
+    * declared query can emit the manifest arithmetic relationally (and
+    * the DuckDB oracle replay it value-for-value).
+    */
+  def fingerprintCol(repr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (sum((graft.functions.TextExprs.rollingHash(repr) % P)
+      .cast("decimal(38,0)")) % P).cast("long")
+
+  /** The fingerprint row of one DataFrame: every column stringified
+    * (nulls become the literal `\u0002` sentinel, distinct from both
+    * empty string and any data), concatenated with the `\u0001`
+    * delimiter, rolling-hashed, summed mod [[P]].
+    */
+  def fingerprint(df: DataFrame): (Long, Long) = {
+    val repr = concat_ws("\u0001",
+      df.schema.fieldNames.map(f =>
+        coalesce(col(f).cast("string"), lit("\u0002"))).toSeq: _*)
+    val row = df.select(
+      count(lit(1)).as("n"),
+      fingerprintCol(repr).as("fp"))
+      .head
+    (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+  }
+
+  private def schemaSig(df: DataFrame): String =
+    df.schema.fields.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
+
+  /** Compute the manifest of every table under `sfDir` ([[Tables.names]]). */
+  def compute(spark: SparkSession, sfDir: String): Seq[TableManifest] =
+    Tables.names.map { t =>
+      val df = Tables.load(spark, sfDir, t)
+      val (n, fp) = fingerprint(df)
+      TableManifest(t, n, schemaSig(df), fp)
+    }
+
+  /** Write the manifest of `sfDir` to `path` (one tiny parquet). */
+  def write(spark: SparkSession, sfDir: String, path: String): Unit = {
+    import spark.implicits._
+    compute(spark, sfDir).toDF()
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Verify `sfDir` against a written manifest: recompute every table's
+    * count/schema/fingerprint and return the mismatches (empty = the
+    * data is provably the same rows). A table missing from either side
+    * is a mismatch.
+    */
+  def verify(spark: SparkSession, sfDir: String, path: String): Seq[String] = {
+    import spark.implicits._
+    val recorded = spark.read.parquet(path).as[TableManifest]
+      .collect().map(m => m.table -> m).toMap
+    val current = compute(spark, sfDir).map(m => m.table -> m).toMap
+    val tables = (recorded.keySet ++ current.keySet).toSeq.sorted
+    tables.flatMap { t =>
+      (recorded.get(t), current.get(t)) match {
+        case (None, _) => Some(s"$t: not in the recorded manifest")
+        case (_, None) => Some(s"$t: missing from the dataset")
+        case (Some(r), Some(c)) if r != c =>
+          Some(s"$t: recorded (rows=${r.n_rows}, fp=${r.fingerprint}) != " +
+            s"current (rows=${c.n_rows}, fp=${c.fingerprint})" +
+            (if (r.schema_sig != c.schema_sig) " [schema changed]" else ""))
+        case _ => None
+      }
+    }
+  }
+}

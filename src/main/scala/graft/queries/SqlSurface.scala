@@ -387,6 +387,20 @@ object SqlSurface {
         .select(col("doc_id"), col("lang"))
     }),
 
+    // Dataset manifest fingerprint (graft.io.Manifest's arithmetic,
+    // declared over documents' (doc_id, lang, text) projection): the
+    // ORDER-INSENSITIVE content hash — Σ rolling_hash(row repr) mod
+    // 2³¹−1, accumulated in decimal(38,0) so a 100 TB row count can't
+    // wrap the sum — that a pipeline records beside every frozen input
+    // and re-verifies before training. One partial-aggregated pass, a
+    // single long of state per partition.
+    "io_manifest" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(concat_ws("\u0001", col("doc_id").cast("string"),
+          col("lang"), col("text")).as("__r"))
+        .agg(count(lit(1)).as("n_rows"),
+          graft.io.Manifest.fingerprintCol(col("__r")).as("fingerprint"))),
+
     // Temperature-scaled mixture (the XLM-R/mT5 multinomial-α sampler):
     // per-domain sampling weight p_d ∝ n_d^α with α = 0.5, so tail
     // domains are UPWEIGHTED relative to their corpus share — the rates
@@ -867,6 +881,20 @@ object SqlSurface {
            FROM documents) t
          WHERE h < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 8000
                              WHEN 'fr' THEN 7500 ELSE 10000 END""",
+
+    // the manifest fingerprint replayed value-for-value: the same
+    // rolling hash over the same \x01-joined row repr, HUGEINT sum
+    // (DuckDB's native sum(BIGINT) widening — the decimal(38,0)
+    // counterpart), mod 2^31-1
+    "io_manifest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(h % 2147483647) % 2147483647 AS BIGINT) AS fingerprint
+        |FROM (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(regexp_split_to_array(
+        |          CAST(doc_id AS VARCHAR) || chr(1) || lang || chr(1) || text, ''),
+        |          c -> CAST(ascii(c) AS BIGINT))),
+        |        (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+        |      FROM documents) t""".stripMargin,
 
     // the corpus-derived α=0.5 rates replayed with the identical
     // arithmetic: exact fixed-point sqrt (BIGINT), then the same IEEE

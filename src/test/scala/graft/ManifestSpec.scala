@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.io.{Manifest, Tables}
+
+/** Dataset-manifest invariants: order-insensitivity of the fingerprint,
+  * write/verify round-trip on the real testdata tree, and drift
+  * detection (a changed row, a dropped row, a schema change).
+  */
+class ManifestSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("fingerprint is order- and layout-insensitive, and column boundaries don't alias") {
+    val a = Seq((1L, "ab", "c"), (2L, "x", "y")).toDF("id", "u", "v")
+    val (n1, f1) = Manifest.fingerprint(a)
+    // reversed row order, different partitioning — same rows
+    val b = Seq((2L, "x", "y"), (1L, "ab", "c")).toDF("id", "u", "v").repartition(7)
+    val (n2, f2) = Manifest.fingerprint(b)
+    assert((n1, f1) == (n2, f2))
+    // ("ab","c") vs ("a","bc"): without the delimiter these would collide
+    val c = Seq((1L, "a", "bc"), (2L, "x", "y")).toDF("id", "u", "v")
+    assert(Manifest.fingerprint(c)._2 != f1, "column boundaries must not alias")
+    // null is distinct from empty string
+    val d1 = Seq((1L, null.asInstanceOf[String])).toDF("id", "u")
+    val d2 = Seq((1L, "")).toDF("id", "u")
+    assert(Manifest.fingerprint(d1)._2 != Manifest.fingerprint(d2)._2)
+  }
+
+  test("write/verify round-trips on the testdata tree; drift is detected and named") {
+    val sfDir = SparkTestSession.sfDir
+    val base = Files.createTempDirectory("graft-manifest")
+    val manPath = base.resolve("manifest").toString
+    Manifest.write(spark, sfDir, manPath)
+    assert(Manifest.verify(spark, sfDir, manPath).isEmpty,
+      "an unchanged tree must verify clean")
+
+    // a drifted copy: same tree with one documents row's text changed
+    val drifted = base.resolve("drifted").toString
+    Tables.names.foreach { t =>
+      val df = Tables.load(spark, sfDir, t)
+      val out =
+        if (t == "documents")
+          df.withColumn("text",
+            when(col("doc_id") === 0L, lit("tampered")).otherwise(col("text")))
+        else df
+      out.write.parquet(s"$drifted/$t.parquet")
+    }
+    val diffs = Manifest.verify(spark, drifted, manPath)
+    assert(diffs.length == 1 && diffs.head.startsWith("documents:"),
+      s"exactly the tampered table must be flagged, got $diffs")
+
+    // a truncated copy: one dropped row flips the count and fingerprint
+    val truncated = base.resolve("truncated").toString
+    Tables.names.foreach { t =>
+      val df = Tables.load(spark, sfDir, t)
+      val out = if (t == "events") df.limit((df.count() - 1).toInt) else df
+      out.write.parquet(s"$truncated/$t.parquet")
+    }
+    val tdiffs = Manifest.verify(spark, truncated, manPath)
+    assert(tdiffs.length == 1 && tdiffs.head.startsWith("events:"), s"got $tdiffs")
+  }
+}
