@@ -95,6 +95,15 @@ object Soak {
         ord.hint("merge").join(li, col("l_orderkey") === col("o_orderkey"))
           .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
       },
+      // the manifest fingerprint pass: one codegen hash projection into a
+      // partial-aggregated 1-row fold — must stay a pure linear scan
+      shape("manifest_fingerprint") {
+        li.select(concat_ws("\u0001", col("l_orderkey").cast("string"),
+          col("l_partkey").cast("string"), col("l_quantity").cast("string"))
+          .as("__r"))
+          .agg(count(lit(1)).as("n_rows"),
+            graft.io.Manifest.fingerprintCol(col("__r")).as("fingerprint"))
+      },
       shape("asof_broadcast_probe") {
         // dimension-sized right (one copy), amplified fact probe: the
         // custom operator's map-only scaling path

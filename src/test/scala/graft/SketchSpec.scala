@@ -36,6 +36,24 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("HLL inclusion-exclusion overlap tracks a KNOWN synthetic overlap within the declared bound") {
+    import spark.implicits._
+    // sides A = [0, 3000), B = [2000, 5000): true overlap 1000
+    val rows = ((0 until 3000).map(i => (s"w$i", true, i >= 2000)) ++
+      (3000 until 5000).map(i => (s"w$i", false, true)))
+      .toDF("word", "in_a", "in_b")
+    val r = rows
+      .agg(
+        approx_count_distinct(when(col("in_a"), col("word")), 0.02).as("ha"),
+        approx_count_distinct(when(col("in_b"), col("word")), 0.02).as("hb"),
+        approx_count_distinct(col("word"), 0.02).as("hu"))
+      .select((col("ha") + col("hb") - col("hu")).as("est"))
+      .head.getLong(0)
+    // the declared dd_vocab_overlap bound: |est - exact| <= (|A|+|B|)/10
+    assert(math.abs(r - 1000L) <= (3000L + 3000L) / 10,
+      s"inclusion-exclusion estimate $r strayed outside the declared bound")
+  }
+
   test("HLL sketches survive a parquet persist and union losslessly") {
     val ev = Tables.events(spark, SparkTestSession.sfDir)
     val dir = java.nio.file.Files.createTempDirectory("graft-hll")
