@@ -56,7 +56,7 @@ object Plans {
     "a_histogram" -> "equi-width histogram: width_bucket is a pure-map projection feeding one partial/final aggregate pair keyed by (group, bucket) — result size bounded by the bucket count at any scale",
     "tp_unigram_tok" -> "unigram-LM tokenize: the per-word Viterbi DP is ONE codegen projection (unigram_viterbi expression, vocab as a plan reference object) over the distinct-word table; the corpus is exploded once and equi-joined against the vocab-sized segmentation — no per-word driver loop, no UDF, AQE owns the join side",
     "mm_audio_neardup" -> "audio perceptual near-dup: PCM decode + 9x8 energy-envelope fingerprint in the bounded mapPartitions codec layer, then the SimHash pigeonhole band equi-join + codegen Hamming verify VERBATIM — candidates by band key, never all-pairs",
-    "sim_ann_sq8" -> "IVF-SQ8 + refine: cell probe (broadcast equi-join) -> asymmetric float*int8 scoring as ONE codegen loop over the packed BINARY codes (vec_dot_i8 — no unpack allocation, no ADC explode) -> bounded-heap top_k_by shortlist (map-side partials, nothing sorted, vectors never ride the exchange) -> exact rerank; unencoded cell members route via the anti-join branch; no codebook anywhere in the plan",
+    "sim_ann_sq8" -> "IVF-SQ8 + refine: cell probe (broadcast equi-join) -> asymmetric float*int8 scoring as ONE codegen loop over the packed BINARY codes (vec_dot_i8 — no unpack allocation, no ADC explode) -> WindowGroupLimit-contracted shortlist moving only (query, neighbor, score) -> exact rerank; no codebook anywhere in the plan",
     "sim_mmr_rerank" -> "MMR diversified re-rank: windowless IVF scoring (scoreIvf — no vacuous rank window) -> bounded-heap top_k_by pool per query (map-side partials) -> the sequential greedy inside the mmr_select expression on ONE row per query — never a candidate-list sort, never a cross join",
     "g_label_prop" -> "label propagation, final sweep's plan: the |V| label state joins the checkpointed pre-partitioned symmetrized edges, (node, label) rollup partial/final pair, bounded struct-min argmax — the 2|E| table never re-exchanges across sweeps")
 

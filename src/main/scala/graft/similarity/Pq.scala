@@ -213,12 +213,12 @@ object Pq {
     // lags the cells table (the branch is bounded by the append delta
     // since the last encode; a re-encode restores the pure-ADC path).
     // The split — rather than a LEFT join with an `adc_rank <= shortlist
-    // || adc_sim IS NULL` filter — is what makes a contracted shortlist
-    // possible at all: with null ADC rows mixed in, the cut needs the
-    // OR-with-isNull arm, which forces a full per-query candidate sort
-    // (caught on the SQ8 twin of this path by the round-12 review). The
-    // shortlist itself is the bounded-heap top_k_by below — map-side
-    // partials, nothing sorted.
+    // || adc_sim IS NULL` filter — keeps the shortlist window's rank cut
+    // a PLAIN predicate, which is what lets InferWindowGroupLimit
+    // contract each partition to the top `shortlist` rows BEFORE the
+    // exchange; the OR-with-isNull arm defeats that rule and turns the
+    // window into a full per-query candidate sort (caught on the SQ8
+    // twin of this path by the round-12 review).
     val candidates = index.cells
       .join(broadcast(probed), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -232,16 +232,11 @@ object Pq {
       .join(broadcast(adcTable), Seq("query_id", "subspace", "code"), "left")
       .groupBy("query_id", "neighbor_id")
       .agg(sum("partial").as("adc_sim"))
-    // shortlist via the bounded-heap top_k_by ((ord DESC, tie ASC) —
-    // identical ordering to the rank-window form it supersedes):
-    // map-side partials cap each task at `shortlist` rows per query
-    // before the exchange and nothing is sorted
     val short = adcScored
-      .groupBy("query_id")
-      .agg(graft.functions.TopKBy.topKBy(col("adc_sim"), col("neighbor_id"),
-        col("neighbor_id"), shortlist).as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("__t"))
-      .select(col("query_id"), col("__t.payload").as("neighbor_id"))
+      .withColumn("adc_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("adc_sim"), asc("neighbor_id"))))
+      .filter(col("adc_rank") <= shortlist)
+      .select("query_id", "neighbor_id")
       // cell members the codes table lags: straight to the exact rerank
       .unionAll(candidates
         .join(encRenamed.select("neighbor_id"), Seq("neighbor_id"), "left_anti")

@@ -61,17 +61,16 @@ object Sq {
     * lags the cells table (the branch is bounded by the append delta
     * since the last encode).
     *
-    * Plan shape: the shortlist is the bounded-heap `top_k_by`
-    * aggregate — map-side partials cap each task at `shortlist` skinny
-    * `(query_id, neighbor_id, sq_sim)` rows per query BEFORE the
-    * exchange, the float vectors never ride it, and nothing is ever
-    * sorted (the first-shipped form was a rank window whose
-    * OR-with-isNull filter — the obvious single-pass way to keep
-    * unencoded rows — defeated InferWindowGroupLimit and fully sorted
-    * every query's candidate list; the split into an inner-join scored
-    * branch and an anti-join unencoded branch is what makes the
-    * contraction possible, at the price of a second pass over the
-    * candidate set). The rerank
+    * Plan shape: the shortlist window moves only `(query_id,
+    * neighbor_id, sq_sim)` — the float vectors do NOT ride through the
+    * rank exchange — and its rank cut is a PLAIN `sq_rank <= shortlist`
+    * predicate precisely so InferWindowGroupLimit contracts each
+    * partition to the top `shortlist` rows BEFORE the exchange (an
+    * OR-with-isNull arm, the obvious single-pass way to keep unencoded
+    * rows, defeats that rule and turns the window into a full per-query
+    * candidate sort — the split into an inner-join scored branch and an
+    * anti-join unencoded branch is what buys the contraction back, at
+    * the price of a second pass over the candidate set). The rerank
     * re-joins the shortlist against the cells table (shortlist-sized,
     * k·q rows) and broadcasts the query set. At scale a deployment
     * folds the codes INTO the cells table at build time (one sort-free
@@ -98,17 +97,11 @@ object Sq {
         (col("sq_scale") * VectorExprs.dotI8(col("qvec"), col("sq_code"))
           / (col("qnorm") * col("cnorm"))).as("sq_sim"))
 
-    // shortlist via the bounded-heap top_k_by — map-side partials cap
-    // each task at `shortlist` rows per query BEFORE the exchange and
-    // nothing is ever sorted (a rank window, even WindowGroupLimit-
-    // contracted, still sorts the surviving rows); (ord DESC, tie ASC)
-    // matches the rank ordering exactly
     val short = sqScored
-      .groupBy("query_id")
-      .agg(graft.functions.TopKBy.topKBy(col("sq_sim"), col("neighbor_id"),
-        col("neighbor_id"), shortlist).as("__top"))
-      .select(col("query_id"), explode(col("__top")).as("__t"))
-      .select(col("query_id"), col("__t.payload").as("neighbor_id"))
+      .withColumn("sq_rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("sq_sim"), asc("neighbor_id"))))
+      .filter(col("sq_rank") <= shortlist)
+      .select("query_id", "neighbor_id")
       // cell members the codes table lags: straight to the exact rerank
       .unionAll(candidates
         .join(enc.select("neighbor_id"), Seq("neighbor_id"), "left_anti")

@@ -52,35 +52,35 @@ class PlanSpec extends AnyFunSuite {
       s"per-group top-k must not shuffle whole groups into a rank window:\n$p")
   }
 
-  test("IVF-SQ8: codegen int8 scoring, bounded-heap shortlist, no cross join") {
+  test("IVF-SQ8: codegen int8 scoring, WindowGroupLimit shortlist, no cross join") {
     val p = plan("sim_ann_sq8")
     assert(p.contains("vec_dot_i8"),
       s"expected the asymmetric int8 scoring kernel:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"cross join in the SQ8 path:\n$p")
-    // the shortlist is the bounded-heap top_k_by aggregate: map-side
-    // partials cap each task at `shortlist` rows per query BEFORE the
-    // exchange and nothing is sorted. (The history here: a rank window
-    // with an `|| isNull` arm shipped first, defeated
-    // InferWindowGroupLimit, and fully sorted every query's candidate
-    // list — the heap form supersedes even the repaired window.)
-    assert(p.contains("partial_top_k_by"),
-      s"expected the map-side shortlist heap:\n$p")
-    assert(!p.contains("sq_rank"),
-      s"a rank window crept back into the shortlist path:\n$p")
-    // and the heap's input is skinny: the float vectors must not ride
-    // into the shortlist aggregate
-    val aggs = SparkEntry.queries("sim_ann_sq8")(spark, SparkTestSession.sfDir)
+    val windows = SparkEntry.queries("sim_ann_sq8")(spark, SparkTestSession.sfDir)
       .queryExecution.sparkPlan.collect {
-        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
-          if a.aggregateExpressions.exists(_.toString.contains("top_k_by")) => a
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
       }
-    assert(aggs.nonEmpty, s"no top_k_by aggregate in the plan:\n$p")
-    aggs.foreach { a =>
-      val wide = a.child.output.map(_.name)
-        .filter(n => n.contains("vec") && n != "neighbor_id")
-      assert(wide.isEmpty, s"vectors riding the shortlist aggregate: $wide\n$p")
+    val sqWindow = windows.find(_.output.exists(_.name == "sq_rank"))
+    assert(sqWindow.isDefined, s"no shortlist rank window found:\n$p")
+    // the contraction must sit UNDER the shortlist window itself — a
+    // plan-wide substring check passes vacuously via the rerank/probe
+    // windows (that exact false pass shipped once: the former
+    // `rank <= shortlist || isNull` filter defeated
+    // InferWindowGroupLimit and the window fully sorted every query's
+    // candidate list)
+    val contracted = sqWindow.get.child.collect {
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec => g
     }
+    assert(contracted.nonEmpty,
+      s"the shortlist window must contract via WindowGroupLimit partials:\n$p")
+    // and it exchanges only (query, neighbor, sq_sim): the float
+    // vectors must not ride through the rank shuffle
+    val wide = sqWindow.get.child.output.map(_.name)
+      .filter(n => n.contains("vec") && n != "neighbor_id")
+    assert(wide.isEmpty,
+      s"vectors riding the shortlist rank exchange: $wide\n$p")
   }
 
   test("MMR re-rank: bounded-heap pooling, no rank window, no cross join") {
@@ -343,13 +343,19 @@ class PlanSpec extends AnyFunSuite {
     // ADC table + probe + query side broadcast (all query-sized);
     // the corpus-sized encoded table must arrive via hash joins
     assert(p.contains("BroadcastHashJoin"))
-    // the ADC shortlist is the bounded-heap top_k_by aggregate (same
-    // contraction pin as the SQ8 twin): map-side partials, no rank
-    // window, nothing sorted
-    assert(p.contains("partial_top_k_by"),
-      s"expected the map-side ADC shortlist heap:\n$p")
-    assert(!p.contains("adc_rank"),
-      s"a rank window crept back into the ADC shortlist path:\n$p")
+    // the ADC shortlist window must contract via WindowGroupLimit UNDER
+    // the window itself (same structural pin as the SQ8 twin — a plain
+    // rank cut, not the OR-isNull form that defeats the rule)
+    val adcWindow = SparkEntry.queries("sim_ann_ivfpq")(spark, SparkTestSession.sfDir)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.output.exists(_.name == "adc_rank") => w
+      }
+    assert(adcWindow.nonEmpty, s"no ADC shortlist window found:\n$p")
+    assert(adcWindow.head.child.collect {
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec => g
+    }.nonEmpty,
+      s"the ADC shortlist window must contract via WindowGroupLimit partials:\n$p")
   }
 
   test("Lloyd loop's per-iteration plan is UDF-free (codegen nearest_center / center_distance)") {
