@@ -227,6 +227,53 @@ object GraphOps {
       .distinct()
       .localCheckpoint(true)
 
+  /** Bounded k-core peel (Seidman 1983's degeneracy filter, the standard
+    * graph cleaner — low-degree fringe nodes are dropped, and dropping
+    * them exposes the next fringe): `rounds` synchronous passes, each
+    * removing every node whose CURRENT degree in the canonical
+    * undirected graph is below `k`, then restricting the edge set to
+    * survivors on BOTH endpoints. A FIXED round count (not a fixpoint
+    * loop) keeps it oracle-expressible as unrolled CTEs — peeling is
+    * monotone (survivor sets only shrink), so `rounds` is a documented
+    * lower bound on the true core: by round r every node peeled needed
+    * at most r fringe layers removed to expose it, and the true k-core
+    * is the limit. Per round: one degree rollup (|E| partial-aggregated)
+    * + two semi-joins; the edge set is checkpointed per round so the
+    * next round's joins read a materialized shrinking table, superseded
+    * checkpoints released per the Pins contract.
+    *
+    * Output: the surviving nodes with their degree inside the surviving
+    * subgraph — (node, degree).
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    var und = canonicalUndirected(edges, srcCol, dstCol) // checkpointed
+    var superseded = und
+    var r = 0
+    while (r < rounds) {
+      val deg = und.select(col("a").as("node"))
+        .union(und.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      val kept = deg.filter(col("degree") >= k).select("node")
+      und = und
+        .join(kept.withColumnRenamed("node", "a"), Seq("a"), "left_semi")
+        .join(kept.withColumnRenamed("node", "b"), Seq("b"), "left_semi")
+        .select("a", "b")
+      r += 1
+      if (r < rounds) {
+        und = und.localCheckpoint(true)
+        graft.util.Pins.release(superseded)
+        superseded = und
+      }
+    }
+    // final degrees inside the surviving subgraph, re-filtered at k
+    // (the last peel can re-expose sub-k nodes; they are NOT survivors)
+    und.select(col("a").as("node"))
+      .union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .filter(col("degree") >= k)
+  }
+
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val und = canonicalUndirected(edges, srcCol, dstCol)
     var oriented: DataFrame = null
@@ -311,6 +358,8 @@ object GraphOps {
   private val Damping = 0.85
   private val Iters = 5
   private val LpIters = 3
+  private val KcoreK = 3
+  private val KcoreRounds = 3
 
   val queries: Map[String, Q] = Map(
     // Link analysis over the page-transition graph: 5 power iterations,
@@ -329,6 +378,13 @@ object GraphOps {
     "g_label_prop" -> ((s, d) =>
       labelPropagation(pageEdges(s, d), "src", "dst", "w", LpIters)
         .select(col("node").as("page"), col("label").as("community"))),
+
+    // Graph cleaning: 3 bounded k-core peels at k = 3 — the degeneracy
+    // filter that drops the low-degree fringe (and the fringe exposed by
+    // dropping it) before link analysis trusts the structure.
+    "g_kcore" -> ((s, d) =>
+      kCore(pageEdges(s, d), "src", "dst", k = KcoreK, rounds = KcoreRounds)
+        .select(col("node").as("page"), col("degree"))),
 
     // Connected components of the STRONG page graph (transition weight
     // >= 3x the mean edge weight — the "significant co-navigation"
@@ -475,7 +531,46 @@ object GraphOps {
       s"\nSELECT node AS page, label AS community FROM lab$LpIters"
   }
 
+  /** The bounded peel unrolled: one (degree, keep, restrict) CTE triple
+    * per round, then the surviving-subgraph degrees re-filtered at k.
+    */
+  private def kCoreSql: String = {
+    val base =
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS page
+         |  FROM events),
+         |lagged AS (
+         |  SELECT page AS dst,
+         |    lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+         |  FROM ev),
+         |edges AS (
+         |  SELECT src, dst FROM lagged WHERE src IS NOT NULL GROUP BY 1, 2),
+         |und0 AS (
+         |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+         |  FROM edges WHERE src != dst)""".stripMargin
+    val steps = (1 to KcoreRounds).map { r =>
+      s"""deg$r AS (
+         |  SELECT node, count(*) AS degree FROM (
+         |    SELECT a AS node FROM und${r - 1}
+         |    UNION ALL SELECT b FROM und${r - 1}) u
+         |  GROUP BY 1),
+         |kept$r AS (SELECT node FROM deg$r WHERE degree >= $KcoreK),
+         |und$r AS (
+         |  SELECT u.a, u.b FROM und${r - 1} u
+         |    JOIN kept$r x ON x.node = u.a
+         |    JOIN kept$r y ON y.node = u.b)""".stripMargin
+    }
+    (base +: steps).mkString(",\n") +
+      s"""
+         |SELECT node AS page, CAST(count(*) AS BIGINT) AS degree FROM (
+         |  SELECT a AS node FROM und$KcoreRounds
+         |  UNION ALL SELECT b FROM und$KcoreRounds) u
+         |GROUP BY 1 HAVING count(*) >= $KcoreK""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "g_kcore" -> kCoreSql,
     "g_label_prop" -> labelPropSql,
     "g_pagerank" -> pagerankSqlFor(seeded = false),
     "g_ppr_seeded" -> pagerankSqlFor(seeded = true),

@@ -51,6 +51,36 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(communities(es) == c1, "re-run diverged")
   }
 
+  private def core(rows: Seq[(Int, Int, Long)], k: Int, rounds: Int): Map[Int, Long] =
+    GraphOps.kCore(edges(rows), "src", "dst", k, rounds)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  test("k-core: the fringe peels layer by layer, the core survives with its degrees") {
+    // triangle {1,2,3} with a pendant chain 3-10-11-12: at k=2 the chain
+    // is fringe (each round exposes the next link), the triangle is core
+    val es = Seq((1, 2, 1L), (2, 3, 1L), (1, 3, 1L),
+      (3, 10, 1L), (10, 11, 1L), (11, 12, 1L))
+    // round 1 peels only the current degree-1 node (12)
+    val r1 = core(es, k = 2, rounds = 1)
+    assert(!r1.contains(12) && r1.contains(11) == false,
+      // 11's degree drops below 2 only AFTER 12 is gone; but the final
+      // report re-filters at k, so 11 (now degree 1) is not a survivor
+      s"round-1 report must already re-filter the exposed fringe: $r1")
+    assert(r1.keySet == Set(1, 2, 3, 10), s"got $r1")
+    // three rounds reach the true 2-core: the triangle alone, degree 2 each
+    val r3 = core(es, k = 2, rounds = 3)
+    assert(r3 == Map(1 -> 2L, 2 -> 2L, 3 -> 2L), s"got $r3")
+    // peeling is monotone: survivors only shrink with more rounds
+    assert(r3.keySet.subsetOf(r1.keySet))
+  }
+
+  test("k-core: k above the max degree empties the graph; duplicate/reversed edges canonicalize") {
+    val es = Seq((1, 2, 1L), (2, 1, 5L), (2, 3, 1L), (1, 3, 1L), (3, 3, 9L))
+    assert(core(es, k = 5, rounds = 2).isEmpty)
+    // the triangle survives k=2 with degree 2 (dup/reversed/self edges collapse)
+    assert(core(es, k = 2, rounds = 2) == Map(1 -> 2L, 2 -> 2L, 3 -> 2L))
+  }
+
   test("rank mass is conserved and every node clears the teleport floor") {
     // 4 nodes, node 3 dangling (no out-edges).
     val r = ranks(Seq((0, 1, 2L), (0, 2, 1L), (1, 2, 1L), (2, 3, 1L)))
