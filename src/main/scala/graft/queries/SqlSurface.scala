@@ -592,6 +592,35 @@ object SqlSurface {
           count(lit(1)).as("dup_count"))
     }),
 
+    // Curriculum ordering: bucket the corpus by difficulty (token count
+    // — the classic short-to-long schedule) into B quantile bins, each
+    // internally shuffled by the deterministic key. NO global ntile
+    // window (that single-partitions the corpus): the bin comes from
+    // the cumulative distribution over the BOUNDED score domain — a
+    // token-count histogram (≤ max-doc-tokens rows), a cumulative
+    // window over that tiny table, and a broadcast join back, so
+    // bucketing is one partial-aggregated rollup + a map. Ties (equal
+    // scores) share a bin by construction (bin = floor(B·cum_before/N))
+    // — deterministic, append-shiftable like any corpus statistic, and
+    // engine-exact (pure integer arithmetic).
+    "tp_curriculum" -> ((s, d) => {
+      val B = 4
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      val hist = scored.groupBy("n_tokens").agg(count(lit(1)).as("__c"))
+      val w = Window.orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("__cum_before", sum("__c").over(w) - col("__c"))
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("__n"))))
+        .select(col("n_tokens"),
+          expr(s"($B * __cum_before) DIV __n").cast("int").as("bucket"))
+      scored.join(broadcast(cum), "n_tokens")
+        .select(col("doc_id"), col("n_tokens"), col("bucket"),
+          shuffleKey(col("doc_id"), seed = 7L).as("order_key"))
+    }),
+
     // Layout: Z-order (Morton) code over (l_partkey, l_suppkey) — the
     // multi-dimensional data-skipping layout key ([[graft.layout.ZOrder]]).
     // The declared query hash-checks the quantize + bit-interleave
@@ -985,6 +1014,32 @@ object SqlSurface {
            CAST(NULL AS DOUBLE) AS div_zero,
            l_quantity + l_extendedprice AS sum_ok
          FROM lineitem""",
+
+    // curriculum bins replayed from the same token-count histogram
+    // cumulative (integer DIV), the same seed-7 shuffle key
+    "tp_curriculum" ->
+      """WITH scored AS (
+           SELECT doc_id,
+             len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))
+               AS n_tokens
+           FROM documents),
+         hist AS (
+           SELECT n_tokens, count(*) AS c FROM scored GROUP BY 1),
+         cum AS (
+           SELECT n_tokens,
+             CAST((4 * (sum(c) OVER (ORDER BY n_tokens
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c))
+               // (SELECT count(*) FROM scored) AS INT) AS bucket
+           FROM hist)
+         SELECT s.doc_id, s.n_tokens, c.bucket,
+           (list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(
+                 regexp_split_to_array(CAST(s.doc_id AS VARCHAR) || ':7', ''),
+                 c2 -> CAST(ascii(c2) AS BIGINT))),
+             (acc, x) -> (acc * 31 + x) % 1000000007)
+            * 2654435761) % 1000000007 AS order_key
+         FROM scored s JOIN cum c ON c.n_tokens = s.n_tokens""",
 
     "tp_global_shuffle" ->
       """WITH keyed AS (

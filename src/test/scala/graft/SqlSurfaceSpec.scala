@@ -117,6 +117,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(again == mix.select("doc_id").collect().map(_.getLong(0)).toSet)
   }
 
+  test("tp_curriculum: bins are monotone in difficulty, near-balanced, deterministic") {
+    val cur = SqlSurface.queries("tp_curriculum")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val n = cur.length
+    assert(n == Tables.documents(spark, d).count())
+    assert(cur.forall(r => r._3 >= 0 && r._3 < 4))
+    // monotone: the bin never decreases as difficulty (token count) grows
+    cur.sortBy(r => (r._2, r._1)).map(_._3).toSeq.sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b, "bins must be monotone in n_tokens")
+      case _ =>
+    }
+    // equal scores share a bin (ties never straddle a boundary)
+    cur.groupBy(_._2).values.foreach(g =>
+      assert(g.map(_._3).distinct.length == 1, "a score straddled bins"))
+    // near-balanced: each bin within the largest score-tie group of n/4
+    val maxTie = cur.groupBy(_._2).values.map(_.length).max
+    val sizes = cur.groupBy(_._3).values.map(_.length)
+    assert(sizes.forall(s => s <= n / 4 + maxTie && s > 0),
+      s"bin sizes $sizes too skewed for n=$n, maxTie=$maxTie")
+    // deterministic, including the within-bin order keys
+    val again = SqlSurface.queries("tp_curriculum")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(again.toSet == cur.toSet)
+  }
+
   test("tp_hash_split: deterministic, buckets in [0,10), ~80/20 split") {
     val s1 = SqlSurface.queries("tp_hash_split")(spark, d).collect()
     val s2 = SqlSurface.queries("tp_hash_split")(spark, d).collect()
