@@ -535,6 +535,15 @@ object Soak {
                 lit(1000000.0))).cast("long")).as("dst"))
           graft.queries.GraphOps.triangleStats(edges, "src", "dst")
         },
+        // k-core peel on the growing-|V| profile: per round one degree
+        // rollup + two semi-joins over the shrinking checkpointed edge
+        // set — per-round cost must stay linear in surviving |E|
+        shape("kcore_growing_v") {
+          val grown = pages.withColumn("page",
+            col("page") + floor(col("user_id") / 10000000L) * lit(1000L))
+          graft.queries.GraphOps.kCore(edgesFrom(grown),
+            "src", "dst", k = 3, rounds = 3)
+        },
         // LPA sweeps on the growing-|V| profile: like pagerank_growing_v,
         // per-sweep cost must be linear in |E| (one label join + one
         // (node, label) rollup — the rollup key space is bounded by |E|,
