@@ -227,6 +227,64 @@ object GraphOps {
       .distinct()
       .localCheckpoint(true)
 
+  /** Deterministic hash-walk table — DeepWalk-style random-walk
+    * sequences (Perozzi et al. 2014) with the RNG replaced by the
+    * engine-portable rolling hash: from every node, one walk of
+    * `steps` hops where hop t moves to the out-neighbor minimizing
+    * `rolling_hash("<walk>:<t>:<dst>:<seed>")` — uniform-ish over
+    * neighbors, reproducible across runs/engines/partitionings (the
+    * same determinism trade `deterministicShuffle` makes), and
+    * oracle-expressible as unrolled CTEs. Walks stop at sinks (no
+    * out-edges — no row emitted past the sink).
+    *
+    * Scale shape: the distinct edge table is built once, partitioned by
+    * `src` and checkpointed; each hop moves only the |V|-sized frontier
+    * (one join into the edges + one per-walk argmin whose partial
+    * aggregate contracts map-side). Output: (walk_id, step, node) —
+    * step 0 is the start node.
+    */
+  def hashWalks(edges: DataFrame, srcCol: String, dstCol: String,
+                steps: Int, seed: Long): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint(true)
+    var frontier = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .select(col("node").as("walk_id"), col("node"))
+      .localCheckpoint(true)
+    // the result ACCUMULATES as its own checkpoint chain: each round's
+    // acc materializes before the superseded acc/frontier are released,
+    // so the returned table is one self-contained checkpoint and no
+    // intermediate pin outlives the loop (releasing a checkpoint a
+    // later plan still reads would break it — checkpoints can't
+    // recompute)
+    var acc = frontier.select(col("walk_id"), lit(0).as("step"), col("node"))
+      .localCheckpoint(true)
+    for (t <- 1 to steps) {
+      val key = pmod(graft.functions.TextExprs.rollingHash(
+        concat_ws(":", col("walk_id").cast("string"), lit(t),
+          col("dst").cast("string"), lit(seed))), lit(1000000007L))
+      val next = frontier
+        .join(e, col("node") === col("src"))
+        .groupBy("walk_id")
+        .agg(min(struct(key.as("k"), col("dst").as("d"))).as("__best"))
+        .select(col("walk_id"), col("__best.d").as("node"))
+        .localCheckpoint(true)
+      val nextAcc = acc
+        .unionAll(next.select(col("walk_id"), lit(t).as("step"), col("node")))
+        .localCheckpoint(true)
+      graft.util.Pins.release(frontier)
+      graft.util.Pins.release(acc)
+      frontier = next
+      acc = nextAcc
+    }
+    graft.util.Pins.release(frontier)
+    graft.util.Pins.release(e)
+    acc
+  }
+
   /** Bounded k-core peel (Seidman 1983's degeneracy filter, the standard
     * graph cleaner — low-degree fringe nodes are dropped, and dropping
     * them exposes the next fringe): `rounds` synchronous passes, each
@@ -360,6 +418,8 @@ object GraphOps {
   private val LpIters = 3
   private val KcoreK = 3
   private val KcoreRounds = 3
+  private val WalkSteps = 3
+  private val WalkSeed = 7L
 
   val queries: Map[String, Q] = Map(
     // Link analysis over the page-transition graph: 5 power iterations,
@@ -378,6 +438,13 @@ object GraphOps {
     "g_label_prop" -> ((s, d) =>
       labelPropagation(pageEdges(s, d), "src", "dst", "w", LpIters)
         .select(col("node").as("page"), col("label").as("community"))),
+
+    // Graph-embedding corpus generation: one deterministic 3-hop
+    // hash-walk per page (DeepWalk sequences with the RNG replaced by
+    // the portable rolling hash — reproducible and oracle-replayable).
+    "g_hash_walks" -> ((s, d) =>
+      hashWalks(pageEdges(s, d), "src", "dst", steps = WalkSteps, seed = WalkSeed)
+        .select(col("walk_id").as("walk"), col("step"), col("node").as("page"))),
 
     // Graph cleaning: 3 bounded k-core peels at k = 3 — the degeneracy
     // filter that drops the low-degree fringe (and the fringe exposed by
@@ -569,7 +636,50 @@ object GraphOps {
          |GROUP BY 1 HAVING count(*) >= $KcoreK""".stripMargin
   }
 
+  /** The hash-walks unrolled: per hop, a candidate join + the
+    * (key, dst)-minimum pick replayed with the identical rolling-hash
+    * key arithmetic.
+    */
+  private def hashWalksSql: String = {
+    val base =
+      s"""WITH ev AS (
+         |  SELECT user_id, ts, event_id,
+         |    CAST(regexp_extract(props, '"k": (\\d+)', 1) AS INT) AS page
+         |  FROM events),
+         |lagged AS (
+         |  SELECT page AS dst,
+         |    lag(page) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src
+         |  FROM ev),
+         |edges AS (
+         |  SELECT DISTINCT src, dst FROM lagged WHERE src IS NOT NULL),
+         |w0 AS (
+         |  SELECT node AS walk_id, node FROM (
+         |    SELECT DISTINCT src AS node FROM edges
+         |    UNION SELECT DISTINCT dst FROM edges) u)""".stripMargin
+    val steps = (1 to WalkSteps).map { t =>
+      s"""cand$t AS (
+         |  SELECT w.walk_id, e.dst,
+         |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(regexp_split_to_array(
+         |        CAST(w.walk_id AS VARCHAR) || ':$t:' ||
+         |          CAST(e.dst AS VARCHAR) || ':$WalkSeed', ''),
+         |        c -> CAST(ascii(c) AS BIGINT))),
+         |      (acc, x) -> (acc * 31 + x) % 1000000007)) % 1000000007 AS k
+         |  FROM w${t - 1} w JOIN edges e ON e.src = w.node),
+         |w$t AS (
+         |  SELECT walk_id, dst AS node FROM (
+         |    SELECT walk_id, dst, row_number() OVER (
+         |      PARTITION BY walk_id ORDER BY k, dst) AS rn
+         |    FROM cand$t) x WHERE rn = 1)""".stripMargin
+    }
+    val union = (0 to WalkSteps)
+      .map(t => s"SELECT walk_id AS walk, $t AS step, node AS page FROM w$t")
+      .mkString("\nUNION ALL ")
+    (base +: steps).mkString(",\n") + "\n" + union
+  }
+
   val oracle: Map[String, String] = Map(
+    "g_hash_walks" -> hashWalksSql,
     "g_kcore" -> kCoreSql,
     "g_label_prop" -> labelPropSql,
     "g_pagerank" -> pagerankSqlFor(seeded = false),

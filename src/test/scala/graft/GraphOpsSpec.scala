@@ -81,6 +81,36 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(core(es, k = 2, rounds = 2) == Map(1 -> 2L, 2 -> 2L, 3 -> 2L))
   }
 
+  test("hash walks: every hop follows an edge, sinks stop walks, deterministic") {
+    import spark.implicits._
+    // 1 -> {2, 3}; 2 -> 3; 3 is a SINK
+    val es = Seq((1, 2, 1L), (1, 3, 1L), (2, 3, 1L))
+    val walks = GraphOps.hashWalks(edges(es), "src", "dst", steps = 3, seed = 7L)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    val byWalk = walks.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // step 0 covers every node
+    assert(byWalk.keySet == Set(1, 2, 3))
+    assert(byWalk.forall { case (w, seq) => seq.head == w })
+    // every consecutive hop is a real directed edge
+    val edgeSet = es.map(e => (e._1, e._2)).toSet
+    byWalk.values.foreach(seq => seq.sliding(2).foreach {
+      case Seq(a, b) => assert(edgeSet.contains((a, b)), s"phantom hop $a->$b")
+      case _ =>
+    })
+    // walk from the sink stops immediately; every walk ends at the sink
+    assert(byWalk(3) == Seq(3))
+    assert(byWalk.values.forall(_.last == 3))
+    // deterministic across runs
+    val again = GraphOps.hashWalks(edges(es), "src", "dst", steps = 3, seed = 7L)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSet
+    assert(again == walks.toSet)
+    // a different seed may choose differently at the branch node, but
+    // structure invariants hold; same seed is pinned above — also check
+    // walk 1's first hop is a function of the seed arithmetic (either
+    // neighbor, but consistently one of them)
+    assert(Set(2, 3).contains(byWalk(1)(1)))
+  }
+
   test("rank mass is conserved and every node clears the teleport floor") {
     // 4 nodes, node 3 dangling (no out-edges).
     val r = ranks(Seq((0, 1, 2L), (0, 2, 1L), (1, 2, 1L), (2, 3, 1L)))
