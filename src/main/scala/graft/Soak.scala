@@ -467,6 +467,11 @@ object Soak {
       // page-transition PageRank on the amplified events, two regimes.
       val pages = ev.select(col("user_id"), col("ts"), col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("page"))
+      // ONE definition of the per-copy disjoint page space (copy index
+      // from the user-id offset) — four growing-|V| shapes share it, so
+      // the amplification scheme cannot silently diverge between them
+      lazy val grownPages = pages.withColumn("page",
+        col("page") + floor(col("user_id") / 10000000L) * lit(1000L))
       def edgesFrom(p: DataFrame) = {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
         p.withColumn("prev_page", lag("page", 1).over(w))
@@ -486,9 +491,7 @@ object Soak {
         // (copy index from the user-id offset), so nodes AND edges scale
         // with mult — per-iteration joins must stay linear in |E|
         shape("pagerank_growing_v") {
-          val grown = pages.withColumn("page",
-            col("page") + floor(col("user_id") / 10000000L) * lit(1000L))
-          graft.queries.GraphOps.pageRank(edgesFrom(grown),
+          graft.queries.GraphOps.pageRank(edgesFrom(grownPages),
             "src", "dst", "w", iters = 5, damping = 0.85)
         },
         // triangle census with |V| and |E| growing with mult: the
@@ -496,9 +499,7 @@ object Soak {
         // worst case), not hub-degree² — per-copy page spaces keep the
         // per-node degree profile fixed while the graph multiplies
         shape("triangles_growing_v") {
-          val grown = pages.withColumn("page",
-            col("page") + floor(col("user_id") / 10000000L) * lit(1000L))
-          graft.queries.GraphOps.triangleStats(edgesFrom(grown), "src", "dst")
+          graft.queries.GraphOps.triangleStats(edgesFrom(grownPages), "src", "dst")
         },
         // POWER-LAW stress: synthetic Zipf-ish graph (dst = ⌊V^u⌋ for
         // uniform u — node k drawn with p ∝ 1/k, so node 1 is a hub
@@ -539,9 +540,7 @@ object Soak {
         // rollup + two semi-joins over the shrinking checkpointed edge
         // set — per-round cost must stay linear in surviving |E|
         shape("kcore_growing_v") {
-          val grown = pages.withColumn("page",
-            col("page") + floor(col("user_id") / 10000000L) * lit(1000L))
-          graft.queries.GraphOps.kCore(edgesFrom(grown),
+          graft.queries.GraphOps.kCore(edgesFrom(grownPages),
             "src", "dst", k = 3, rounds = 3)
         },
         // LPA sweeps on the growing-|V| profile: like pagerank_growing_v,
@@ -549,9 +548,7 @@ object Soak {
         // (node, label) rollup — the rollup key space is bounded by |E|,
         // and map-side partials contract dense labels before exchange)
         shape("labelprop_growing_v") {
-          val grown = pages.withColumn("page",
-            col("page") + floor(col("user_id") / 10000000L) * lit(1000L))
-          graft.queries.GraphOps.labelPropagation(edgesFrom(grown),
+          graft.queries.GraphOps.labelPropagation(edgesFrom(grownPages),
             "src", "dst", "w", iters = 3)
         },
         // LPA under the hub: the hub node's (node, label) rollup sees

@@ -396,8 +396,10 @@ object SqlSurface {
     // single long of state per partition.
     "io_manifest" -> ((s, d) =>
       Tables.documents(s, d)
-        .select(concat_ws("\u0001", col("doc_id").cast("string"),
-          col("lang"), col("text")).as("__r"))
+        .select(concat_ws("\u0001",
+          coalesce(col("doc_id").cast("string"), lit("\u0002")),
+          coalesce(col("lang"), lit("\u0002")),
+          coalesce(col("text"), lit("\u0002"))).as("__r"))
         .agg(count(lit(1)).as("n_rows"),
           graft.io.Manifest.fingerprintCol(col("__r")).as("fingerprint"))),
 
@@ -611,9 +613,11 @@ object SqlSurface {
       val hist = scored.groupBy("n_tokens").agg(count(lit(1)).as("__c"))
       val w = Window.orderBy("n_tokens")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // N comes from the histogram itself (sum of bucket counts) — an
+      // extra scored.count() would re-scan the corpus a third time
       val cum = hist
         .withColumn("__cum_before", sum("__c").over(w) - col("__c"))
-        .crossJoin(broadcast(scored.agg(count(lit(1)).as("__n"))))
+        .crossJoin(broadcast(hist.agg(sum("__c").as("__n"))))
         .select(col("n_tokens"),
           expr(s"($B * __cum_before) DIV __n").cast("int").as("bucket"))
       scored.join(broadcast(cum), "n_tokens")
@@ -920,7 +924,9 @@ object SqlSurface {
         |  CAST(sum(h % 2147483647) % 2147483647 AS BIGINT) AS fingerprint
         |FROM (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
         |        list_transform(regexp_split_to_array(
-        |          CAST(doc_id AS VARCHAR) || chr(1) || lang || chr(1) || text, ''),
+        |          coalesce(CAST(doc_id AS VARCHAR), chr(2)) || chr(1) ||
+        |            coalesce(lang, chr(2)) || chr(1) ||
+        |            coalesce(text, chr(2)), ''),
         |          c -> CAST(ascii(c) AS BIGINT))),
         |        (acc, x) -> (acc * 31 + x) % 1000000007) AS h
         |      FROM documents) t""".stripMargin,

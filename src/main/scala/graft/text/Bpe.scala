@@ -270,12 +270,6 @@ object Bpe {
     out
   }
 
-  /** A tokenized corpus plus OWNERSHIP of the segmentation pin backing
-    * it: `tokens` is valid until `release()` is called, which drops the
-    * [[segmentWords]] localCheckpoint pin — the [[BpeModel.release]]
-    * contract. Without the handle, repeated tokenize calls (a soak loop,
-    * a long-lived service) would accumulate pinned vocab-sized blocks.
-    */
   /** Persist a trained model: the merge list (the portable tokenizer —
     * [[tokenize]] needs nothing else) plus the training-vocabulary
     * symbol table, both parquet (overwrite). The serve-many artifact a
@@ -306,6 +300,12 @@ object Bpe {
     BpeModel(merges, spark.read.parquet(s"$path/vocab_syms"), () => ())
   }
 
+  /** A tokenized corpus plus OWNERSHIP of the segmentation pin backing
+    * it: `tokens` is valid until `release()` is called, which drops the
+    * [[segmentWords]] localCheckpoint pin — the [[BpeModel.release]]
+    * contract. Without the handle, repeated tokenize calls (a soak loop,
+    * a long-lived service) would accumulate pinned vocab-sized blocks.
+    */
   final case class TokenizedCorpus(tokens: DataFrame, release: () => Unit)
 
   /** Tokenize a corpus with a merge list: segment its DISTINCT words
