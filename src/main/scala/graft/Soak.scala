@@ -543,6 +543,13 @@ object Soak {
           graft.queries.GraphOps.kCore(edgesFrom(grownPages),
             "src", "dst", k = 3, rounds = 3)
         },
+        // hash walks on the growing-|V| profile: each hop is one
+        // frontier join + per-walk argmin (map-side contracted) — per
+        // hop cost must stay linear in |E|
+        shape("walks_growing_v") {
+          graft.queries.GraphOps.hashWalks(edgesFrom(grownPages),
+            "src", "dst", steps = 3, seed = 7L)
+        },
         // LPA sweeps on the growing-|V| profile: like pagerank_growing_v,
         // per-sweep cost must be linear in |E| (one label join + one
         // (node, label) rollup — the rollup key space is bounded by |E|,
