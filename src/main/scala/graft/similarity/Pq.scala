@@ -138,6 +138,46 @@ object Pq {
       graft.util.Pins.release(sl)
   }
 
+  /** Persist a trained codebook as one tiny parquet (m·ksub rows of
+    * subDim doubles) — the serve-many artifact completing the
+    * persistence story alongside the IVF index and the tokenizer
+    * models: train once, encode/probe everywhere after.
+    */
+  def saveCodebook(spark: SparkSession, cb: PqCodebook, path: String): Unit = {
+    import spark.implicits._
+    (for {
+      (subs, j) <- cb.centroids.zipWithIndex
+      (c, code) <- subs.zipWithIndex
+    } yield (j, code, c.toSeq)).toSeq
+      .toDF("subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted codebook, asserting its shape: every subspace must
+    * hold the same contiguous code range and every centroid the same
+    * dimension — a truncated or mixed write fails loudly (the IVF
+    * sidecar contract).
+    */
+  def loadCodebook(spark: SparkSession, path: String): PqCodebook = {
+    val rows = spark.read.parquet(path).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"no PQ codebook at $path")
+    val bySub = rows.groupBy(_._1)
+    val m = bySub.size
+    require(bySub.keySet == (0 until m).toSet,
+      s"PQ codebook at $path: non-contiguous subspaces ${bySub.keySet}")
+    val ksub = bySub.values.head.length
+    val subDim = rows.head._3.length
+    require(bySub.values.forall(s => s.map(_._2).sorted.toSeq == (0 until ksub)),
+      s"PQ codebook at $path: ragged or non-contiguous code ranges")
+    require(rows.forall(_._3.length == subDim),
+      s"PQ codebook at $path: mixed centroid dimensions")
+    val cents = (0 until m).toArray.map { j =>
+      bySub(j).sortBy(_._2).map(_._3)
+    }
+    PqCodebook(m, subDim, cents)
+  }
+
   /** Encode the corpus: (vec_id, codes array<int> of length m) — the m
     * bytes/row a 100 TB corpus actually stores. Broadcast join +
     * argmin, one shuffle on vec_id to pack the code array.

@@ -54,6 +54,25 @@ class PqSpec extends AnyFunSuite {
       s"expected the loud unique-id error, got: ${ex.getMessage}")
   }
 
+  test("codebook save/load round-trips; a truncated write fails loudly") {
+    val path = java.nio.file.Files.createTempDirectory("graft-pq-cb").toString
+    Pq.saveCodebook(spark, cb, s"$path/cb")
+    val loaded = Pq.loadCodebook(spark, s"$path/cb")
+    assert(loaded.m == cb.m && loaded.subDim == cb.subDim)
+    assert(loaded.centroids.flatten.flatten.toSeq == cb.centroids.flatten.flatten.toSeq)
+    // the loaded codebook encodes identically
+    val a = Pq.encode(Tables.embeddings(spark, d), "vec_id", "embedding", loaded)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val b = encoded.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(a == b)
+    // drop one subspace: the load must refuse
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(s"$path/cb").filter(col("subspace") =!= 0)
+      .write.parquet(s"$path/trunc")
+    val ex = intercept[IllegalArgumentException](Pq.loadCodebook(spark, s"$path/trunc"))
+    assert(ex.getMessage.contains("non-contiguous subspaces"))
+  }
+
   test("ivfPqTopK with full probe + full shortlist equals the exact top-k") {
     val idx = PipelineOps.persistedIvfIndex(spark, d)
     val queries = Tables.embeddings(spark, d)
