@@ -40,18 +40,34 @@ object Manifest {
     (sum((graft.functions.TextExprs.rollingHash(repr) % P)
       .cast("decimal(38,0)")) % P).cast("long")
 
+  /** The canonical row repr of a frame (every column stringified, nulls
+    * → the `\u0002` sentinel, `\u0001`-joined) — the exact input
+    * [[fingerprint]] hashes, exposed for incremental maintainers that
+    * fingerprint one batch at a time.
+    */
+  def reprCol(df: DataFrame): org.apache.spark.sql.Column =
+    concat_ws("\u0001",
+      df.schema.fieldNames.map(f =>
+        coalesce(col(f).cast("string"), lit("\u0002"))).toSeq: _*)
+
+  /** Fold PARTIAL fingerprints (each already reduced mod p) into the
+    * whole-dataset fingerprint: the modular sum is a commutative group,
+    * so per-batch sums combine to exactly [[fingerprint]] of the union —
+    * what makes the manifest incrementally maintainable
+    * ([[graft.streaming.IncrementalManifest]]).
+    */
+  def foldFingerprints(partial: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (sum(partial.cast("decimal(38,0)")) % P).cast("long")
+
   /** The fingerprint row of one DataFrame: every column stringified
     * (nulls become the literal `\u0002` sentinel, distinct from both
     * empty string and any data), concatenated with the `\u0001`
     * delimiter, rolling-hashed, summed mod [[P]].
     */
   def fingerprint(df: DataFrame): (Long, Long) = {
-    val repr = concat_ws("\u0001",
-      df.schema.fieldNames.map(f =>
-        coalesce(col(f).cast("string"), lit("\u0002"))).toSeq: _*)
     val row = df.select(
       count(lit(1)).as("n"),
-      fingerprintCol(repr).as("fp"))
+      fingerprintCol(reprCol(df)).as("fp"))
       .head
     (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
   }

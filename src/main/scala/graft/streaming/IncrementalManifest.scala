@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.io.Manifest
+
+/** Incremental dataset manifest for a continuously-ingesting table —
+  * the streaming half of [[graft.io.Manifest]]: the fingerprint is a
+  * modular SUM, i.e. a commutative group element, so per-microbatch
+  * partial fingerprints fold to exactly the batch fingerprint of the
+  * union. A pipeline that appends for a week can verify the whole
+  * week's ingest against a one-shot [[Manifest.fingerprint]] of the
+  * landed data — without ever rescanning history.
+  *
+  * Per microbatch, via `foreachBatch`: one pass computes the batch's
+  * `(n_rows, partial fingerprint)` and writes it as an idempotent
+  * `batch=<id>` row (overwrite semantics — a crash replay rewrites the
+  * same row, never double-counts). [[read]] folds all batch rows
+  * ([[Manifest.foldFingerprints]] — decimal accumulator, mod p at the
+  * end); [[compact]] replaces the accumulated rows with their fold
+  * under the crash-recoverable [[CompactionSwap]], LOSSLESSLY (the
+  * group fold is associative).
+  */
+object IncrementalManifest {
+
+  def run(rows: DataFrame, storeDir: String,
+          checkpointDir: String): StreamingQuery = {
+    val conf = rows.sparkSession.sparkContext.hadoopConfiguration
+    CompactionSwap.recoverDanglingOld(CompactionSwap.fsFor(storeDir, conf), storeDir)
+    rows.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch, batchId, storeDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One microbatch: the batch's count + partial fingerprint, one
+    * idempotent row. Factored out for direct testing.
+    */
+  def processBatch(batch: Dataset[Row], batchId: Long, storeDir: String): Unit =
+    batch.select(
+      count(lit(1)).as("n_rows"),
+      coalesce(Manifest.fingerprintCol(Manifest.reprCol(batch.toDF())), lit(0L))
+        .as("partial_fp"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+
+  /** The manifest of everything ingested so far: (n_rows, fingerprint) —
+    * equal to [[Manifest.fingerprint]] of the concatenated batches.
+    * An empty store reads as (0, 0).
+    */
+  def read(spark: SparkSession, storeDir: String): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = CompactionSwap.fsFor(storeDir, conf)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(storeDir))) return (0L, 0L)
+    val row = spark.read.parquet(storeDir)
+      .agg(coalesce(sum("n_rows"), lit(0L)).as("n"),
+        coalesce(Manifest.foldFingerprints(col("partial_fp")), lit(0L)).as("fp"))
+      .head
+    (row.getLong(0), row.getLong(1))
+  }
+
+  /** Fold the accumulated batch rows into one — lossless (the modular
+    * sum is associative), crash-recoverable via [[CompactionSwap]].
+    */
+  def compact(spark: SparkSession, storeDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = CompactionSwap.fsFor(storeDir, conf)
+    CompactionSwap.swap(fs, storeDir) { tmp =>
+      val (n, fp) = read(spark, storeDir)
+      import spark.implicits._
+      Seq((n, fp)).toDF("n_rows", "partial_fp")
+        .coalesce(1).write.parquet(s"$tmp/batch=0")
+    }: Unit
+  }
+}
