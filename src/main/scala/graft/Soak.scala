@@ -236,13 +236,19 @@ object Soak {
       // driver loop pays for
       shape("bpe_train_batched") {
         val vocabWords = 5000L * math.max(1, math.round(math.sqrt(mult.toDouble)))
-        System.err.println(s"[soak]   bpe_train_batched heaps-law vocab=$vocabWords")
+        // SPARK_GRAFT_BPE_RANKS overrides the default 1000 ranks — the
+        // knob for the production-vocab demonstration (32000 ranks at
+        // batch 256 ≈ 125 passes over the distinct-word table)
+        val ranks = sys.env.getOrElse("SPARK_GRAFT_BPE_RANKS", "1000").toInt
+        val batch = if (ranks > 2000) 256 else 64
+        System.err.println(
+          s"[soak]   bpe_train_batched heaps-law vocab=$vocabWords ranks=$ranks batch=$batch")
         val synth = docs.select(col("doc_id"),
           concat_ws(" ", col("text"),
             translate(sha2(pmod(col("doc_id"), lit(vocabWords)).cast("string"), 256),
               "0123456789", "ghijklmnop")).as("text"))
         val model = graft.text.Bpe.train(synth, "text",
-          numMerges = 1000, batchSize = 64)
+          numMerges = ranks, batchSize = batch)
         System.err.println(s"[soak]   bpe_train_batched ranks=${model.merges.size}")
         pinned += model.vocabSyms
         model.vocabSyms

@@ -113,6 +113,29 @@ class IncrementalAnnIndexSpec extends AnyFunSuite {
     assert(rows() == 80, "a partial replay must converge to exactly-once")
   }
 
+  test("a drifted index heals at stream (re)start — the crashed-refit window") {
+    val base = Files.createTempDirectory("graft-annidx-restart")
+    val (in, index, ckpt) =
+      (base.resolve("in"), base.resolve("index"), base.resolve("ckpt"))
+    Files.createDirectories(in)
+    // bootstrap + OOD append with the refit threshold effectively OFF —
+    // the state a crash mid-refit leaves behind (markers committed,
+    // index still drifted)
+    writeBatch(in, blobA)
+    runOnce(in, index, ckpt)
+    writeBatch(in, blobB)
+    runOnce(in, index, ckpt)
+    assert(Similarity.ivfDrift(spark, index.toString).ratio > 2.0,
+      "precondition: the index must be drifted")
+    // restart with the real threshold and NOTHING new to process: the
+    // startup check must refit even though no batch fires the cadence
+    runOnce(in, index, ckpt, refitAt = 2.0, driftCheckEvery = 5)
+    val healed = Similarity.ivfDrift(spark, index.toString)
+    assert(math.abs(healed.ratio - 1.0) < 1e-6,
+      s"restart must heal a drifted index, got $healed")
+    assert(Similarity.readIvfIndex(spark, index.toString).cells.count() == 80)
+  }
+
   test("drift past the threshold triggers the atomic refit on the check cadence") {
     val base = Files.createTempDirectory("graft-annidx-drift")
     val index = base.resolve("index")
