@@ -59,6 +59,12 @@ object GraftFunctions {
         require(children.length == 1, "char_code_sum expects exactly 1 argument")
         CharCodeSum(children.head)
       }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "nfc_normalize expects exactly 1 argument")
+        NfcNormalize(children.head)
+      }),
     (FunctionIdentifier("sq8_pack"),
       new ExpressionInfo(classOf[Sq8Pack].getName, "sq8_pack"),
       (children: Seq[Expression]) => {

@@ -57,6 +57,45 @@ object RollingHash {
   }
 }
 
+/** Unicode NFC normalization (java.text.Normalizer — JDK-standard,
+  * portable): composes decomposed sequences ("e" + COMBINING ACUTE →
+  * "é") so visually identical text hashes/dedups identically — stage 0
+  * of any multilingual corpus pipeline, ahead of lowercasing and
+  * tokenization. Codegen via a one-line static call; already-NFC input
+  * (the common case — includes all ASCII) short-circuits inside
+  * Normalizer.isNormalized without allocating.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string operand, got ${child.dataType.sql}")
+
+  override def dataType: DataType = StringType
+
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.nfc(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.nfc($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Static helper the generated code calls. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** Byte-wise Hamming distance between two strings: count of differing
   * positions over the common prefix plus the length difference (so equal
   * strings are 0 and a missing suffix counts fully). The hot use is the
@@ -217,6 +256,9 @@ object CountInSet {
 }
 
 object TextExprs {
+  def nfcNormalize(c: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(c)))
+
   def rollingHash(c: Column): Column =
     ColumnBridge.column(RollingHash(ColumnBridge.expression(c)))
 

@@ -819,6 +819,15 @@ object PipelineOps {
     "ta_langid" -> ((s, d) =>
       TextAnalysis.languageId(s, Tables.documents(s, d), "doc_id", "text")),
 
+    // Canonical normalization (NFC + lower + control-strip + whitespace
+    // collapse): pure codegen map; the unicode behavior itself is
+    // spec-pinned on composed/decomposed fixtures (the corpus is ASCII,
+    // where NFC is the identity — the oracle still replays the full
+    // chain value-for-value).
+    "ta_normalize" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("norm_text"))),
+
     "ta_quality" -> ((s, d) =>
       TextAnalysis.qualityFeatures(Tables.documents(s, d), "doc_id", "text", stopwords)),
 
@@ -1670,6 +1679,15 @@ object PipelineOps {
          |  JOIN keepers k ON k.doc_id = d.doc_id
          |  JOIN comp c ON c.doc_id = d.doc_id AND c.doc_id = c.component
          |WHERE q.n_tokens >= 30 AND q.stop_ratio >= 0.05 AND q.distinct_ratio >= 0.4""".stripMargin,
+
+    // the identical normalization chain, DuckDB's nfc_normalize standing
+    // in for the codegen expression (same Unicode NFC)
+    "ta_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(
+        |    lower(nfc_normalize(text)), '[[:cntrl:]]', ' ', 'g'),
+        |    '\s+', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
 
     "ta_langid" ->
       s"""WITH lex(cand_lang, marker) AS (VALUES

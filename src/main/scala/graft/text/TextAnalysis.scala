@@ -391,4 +391,18 @@ object TextAnalysis {
       trim(markupPatterns.foldLeft(col(textCol)) { case (c, (pat, repl)) =>
         regexp_replace(c, pat, repl)
       }))
+
+  /** Canonical text normalization — stage 0 of a multilingual pipeline,
+    * BEFORE hashing/dedup/tokenization so visually identical text
+    * compares identically: Unicode NFC (the codegen `nfc_normalize`
+    * expression — composes decomposed accents), lowercase, control
+    * characters → space, whitespace collapsed, trimmed. One narrow
+    * codegen pass, no UDF, no shuffle; the same chain replays in any
+    * engine with an NFC function (DuckDB: `nfc_normalize`).
+    */
+  def normalizeText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(
+      regexp_replace(lower(graft.functions.TextExprs.nfcNormalize(text)),
+        "\\p{Cntrl}", " "),
+      "\\s+", " "))
 }

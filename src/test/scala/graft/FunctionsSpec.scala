@@ -46,6 +46,31 @@ class FunctionsSpec extends AnyFunSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("nfc_normalize composes decomposed sequences; normalizeText canonicalizes") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val composed = "caf\u00e9"          // e-acute as one codepoint
+    val decomposed = "cafe\u0301"       // e + COMBINING ACUTE ACCENT
+    val rows = Seq((1L, decomposed), (2L, composed), (3L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+    val out = rows.select(col("id"),
+      graft.functions.TextExprs.nfcNormalize(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).contains(composed), "NFC must compose the decomposed accent")
+    assert(out(2L).contains(composed), "already-NFC input is the identity")
+    assert(out(3L).isEmpty, "null stays null")
+    // the full normalization chain: NFC + lower + control-strip + collapse
+    val messy = "  CAFE\u0301\tx y   z "   // decomposed UPPERCASE + tab + runs
+    val norm = Seq(Tuple1(messy)).toDF("t")
+      .select(graft.text.TextAnalysis.normalizeText(col("t")).as("n"))
+      .head.getString(0)
+    assert(norm == s"$composed x y z", s"got '$norm'")
+    // and the SQL registration round-trips
+    assert(spark.sql(s"SELECT nfc_normalize('$decomposed') AS n")
+      .head.getString(0) == composed)
+  }
+
   test("count_in_set counts duplicates, ignores nulls, and matches the HOF form") {
     GraftFunctions.register(spark)
     val r = spark.sql(
