@@ -58,6 +58,35 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  test("SQ8 pack/dot: scale/2 reconstruction bound and exact integer dot, any vector") {
+    check(Prop.forAll(vec, vec) { (v, q) =>
+      val maxAbs = math.max(v.map(math.abs).max, 1e-12)
+      val scale = maxAbs / 127.0
+      val code = new Array[Byte](v.length)
+      var i = 0
+      while (i < v.length) {
+        val r = math.round(v(i) / scale)
+        code(i) = (if (r > 127L) 127L else if (r < -127L) -127L else r).toByte
+        i += 1
+      }
+      // the Catalyst expressions evaluated directly (interpreted path —
+      // the same nullSafeEval codegen delegates to)
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types._
+      val exprCode = graft.functions.Sq8Pack.pack(
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v), scale, isFloat = false)
+      val reconstructionOk = v.indices.forall { j =>
+        math.abs(v(j) - scale * code(j)) <= scale / 2 + 1e-9
+      }
+      val exprDot = graft.functions.DotI8(
+        Literal.create(v, ArrayType(DoubleType, containsNull = false)),
+        Literal.create(code, BinaryType)).eval(null).asInstanceOf[Double]
+      val refDot = v.zip(code).map { case (x, b) => x * b.toDouble }.sum
+      code.sameElements(exprCode) && reconstructionOk &&
+        math.abs(exprDot - refDot) < 1e-9
+    })
+  }
+
   test("rolling hash: deterministic, order-sensitive, in [0, 1e9+7)") {
     import org.apache.spark.unsafe.types.UTF8String
     def h(s: String): Long =
