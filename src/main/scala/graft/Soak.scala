@@ -239,7 +239,12 @@ object Soak {
         // SPARK_GRAFT_BPE_RANKS overrides the default 1000 ranks — the
         // knob for the production-vocab demonstration (32000 ranks at
         // batch 256 ≈ 125 passes over the distinct-word table)
-        val ranks = sys.env.getOrElse("SPARK_GRAFT_BPE_RANKS", "1000").toInt
+        val ranks = sys.env.get("SPARK_GRAFT_BPE_RANKS") match {
+          case None => 1000
+          case Some(v) => scala.util.Try(v.toInt).getOrElse(
+            throw new IllegalArgumentException(
+              s"SPARK_GRAFT_BPE_RANKS must be an integer, got '$v'"))
+        }
         val batch = if (ranks > 2000) 256 else 64
         System.err.println(
           s"[soak]   bpe_train_batched heaps-law vocab=$vocabWords ranks=$ranks batch=$batch")

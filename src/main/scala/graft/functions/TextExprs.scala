@@ -87,8 +87,21 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 }
 
 object NfcNormalize {
-  /** Static helper the generated code calls. */
+  /** Static helper the generated code calls. Pure-ASCII input — the
+    * dominant case, and always NFC by definition — is detected by a
+    * raw byte scan for a high bit, so the common path allocates
+    * NOTHING (no String decode); only non-ASCII rows pay the decode +
+    * Normalizer check.
+    */
   def nfc(s: UTF8String): UTF8String = {
+    val n = s.numBytes
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      if ((s.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

@@ -21,6 +21,15 @@ import graft.io.Manifest
   * end); [[compact]] replaces the accumulated rows with their fold
   * under the crash-recoverable [[CompactionSwap]], LOSSLESSLY (the
   * group fold is associative).
+  *
+  * A modular SUM is not duplicate-tolerant, so replay idempotency must
+  * survive COMPACTION too (the set-like sibling stores don't have this
+  * problem): compact records every folded batch id as a `_folded/<id>`
+  * marker inside the swapped-in store, and [[processBatch]] skips any
+  * batch whose marker exists — a batch replayed after its fold neither
+  * double-counts nor (the batch-0 case) clobbers the fold row.
+  * Single-writer contract for [[compact]]: stop the stream first, like
+  * every compactor in this package.
   */
 object IncrementalManifest {
 
@@ -40,13 +49,21 @@ object IncrementalManifest {
   /** One microbatch: the batch's count + partial fingerprint, one
     * idempotent row. Factored out for direct testing.
     */
-  def processBatch(batch: Dataset[Row], batchId: Long, storeDir: String): Unit =
+  def processBatch(batch: Dataset[Row], batchId: Long, storeDir: String): Unit = {
+    val fs = CompactionSwap.fsFor(storeDir,
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    // already folded into batch=0 by a compaction: a replay must not
+    // re-add its contribution (and a batch-0 replay must not clobber
+    // the fold row)
+    if (fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/_folded/$batchId")))
+      return
     batch.select(
       count(lit(1)).as("n_rows"),
       coalesce(Manifest.fingerprintCol(Manifest.reprCol(batch.toDF())), lit(0L))
         .as("partial_fp"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+  }
 
   /** The manifest of everything ingested so far: (n_rows, fingerprint) —
     * equal to [[Manifest.fingerprint]] of the concatenated batches.
@@ -55,6 +72,10 @@ object IncrementalManifest {
   def read(spark: SparkSession, storeDir: String): (Long, Long) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = CompactionSwap.fsFor(storeDir, conf)
+    // a compaction stranded between its two renames leaves history only
+    // under `.old` — recover first, or the manifest reads as empty
+    // until the next writer start (the listPriorBatches precedent)
+    CompactionSwap.recoverDanglingOld(fs, storeDir)
     if (!fs.exists(new org.apache.hadoop.fs.Path(storeDir))) return (0L, 0L)
     val row = spark.read.parquet(storeDir)
       .agg(coalesce(sum("n_rows"), lit(0L)).as("n"),
@@ -69,11 +90,26 @@ object IncrementalManifest {
   def compact(spark: SparkSession, storeDir: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = CompactionSwap.fsFor(storeDir, conf)
-    CompactionSwap.swap(fs, storeDir) { tmp =>
+    BatchStore.compact(spark, storeDir) { (batches, tmpBatch0) =>
+      val tmp = tmpBatch0.stripSuffix("/batch=0")
       val (n, fp) = read(spark, storeDir)
       import spark.implicits._
       Seq((n, fp)).toDF("n_rows", "partial_fp")
-        .coalesce(1).write.parquet(s"$tmp/batch=0")
-    }: Unit
+        .coalesce(1).write.parquet(tmpBatch0)
+      // carry every previously folded id forward, and record the ids
+      // folded now — the markers are what keep a post-compaction
+      // replay from double-counting (underscore prefix: invisible to
+      // the parquet reader)
+      val priorMarkers = {
+        val dir = new org.apache.hadoop.fs.Path(s"$storeDir/_folded")
+        if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath.getName).toSeq
+        else Seq.empty
+      }
+      val foldedNow = batches.map(b => b.substring(b.lastIndexOf("batch=") + 6))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/_folded"))
+      (priorMarkers ++ foldedNow).distinct.foreach { id =>
+        fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_folded/$id"), true).close()
+      }
+    }
   }
 }

@@ -59,5 +59,26 @@ class IncrementalManifestSpec extends AnyFunSuite {
     assert(IncrementalManifest.read(spark, store.toString) == (oneN, oneFp))
     // and the store is now a single folded row
     assert(spark.read.parquet(store.toString).count() == 1)
+
+    // POST-COMPACTION replays: a modular sum is not duplicate-tolerant,
+    // so a batch folded into batch=0 must be skipped on replay — both
+    // the double-count case (batch 1) and the fold-clobber case (batch 0)
+    IncrementalManifest.processBatch(b2.toDF("id", "text"), 1L, store.toString)
+    assert(IncrementalManifest.read(spark, store.toString) == (oneN, oneFp),
+      "a batch replayed after its fold must not double-count")
+    IncrementalManifest.processBatch(b1.toDF("id", "text"), 0L, store.toString)
+    assert(IncrementalManifest.read(spark, store.toString) == (oneN, oneFp),
+      "a batch-0 replay must not clobber the fold row")
+
+    // new batches after compaction still land and fold forward
+    val b3 = Seq((6L, "epsilon"))
+    IncrementalManifest.processBatch(b3.toDF("id", "text"), 2L, store.toString)
+    val (allN, allFp) = Manifest.fingerprint((b1 ++ b2 ++ b3).toDF("id", "text"))
+    assert(IncrementalManifest.read(spark, store.toString) == (allN, allFp))
+    // a second compaction folds again and keeps every marker honest
+    IncrementalManifest.compact(spark, store.toString)
+    IncrementalManifest.processBatch(b3.toDF("id", "text"), 2L, store.toString)
+    assert(IncrementalManifest.read(spark, store.toString) == (allN, allFp),
+      "markers must carry forward across repeated compactions")
   }
 }
