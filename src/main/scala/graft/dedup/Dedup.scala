@@ -507,6 +507,53 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** CONTAINMENT pairs — the asymmetric near-dup score symmetric
+    * Jaccard misses: `|A ∩ B| / min(|A|, |B|)`, which fires when a
+    * small document is embedded (quoted, scraped, prepended) inside a
+    * much larger one — |A∩B| ≈ |A| with |A| ≪ |B| keeps Jaccard tiny
+    * while the smaller doc is fully contained. The standard companion
+    * filter to [[jaccardPairs]] in web-corpus dedup (Broder's
+    * "containment" coefficient).
+    *
+    * Identical scale posture to [[jaccardPairsFromShingles]]: the same
+    * hashed shingle inverted-index equi-join (8-byte keys, per-pair
+    * partial aggregation, optional symmetric `maxDf` cap), one extra
+    * `least()` in the scorer — the two scores can share one candidate
+    * pass in a pipeline that wants both.
+    */
+  def containmentPairsFromShingles(sh0: DataFrame, idCol: String,
+                                   threshold: Double = 0.8,
+                                   maxDf: Option[Long] = None): DataFrame = {
+    val sh = maxDf match {
+      case None => sh0
+      case Some(cap) =>
+        sh0.withColumn("__df",
+            count(lit(1)).over(Window.partitionBy("shingle")))
+          .filter(col("__df") <= cap)
+          .drop("__df")
+    }
+    val hashed = sh.select(col(idCol), xxhash64(col("shingle")).as("__sh"))
+      .localCheckpoint(true)
+    val sizes = hashed.groupBy(idCol).agg(count(lit(1)).as("set_size"))
+    val a = hashed.select(col(idCol).as("id_a"), col("__sh"))
+    val b = hashed.select(col(idCol).as("id_b"), col("__sh"))
+    val result = a.join(b, "__sh")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter_size"))
+      .join(sizes.withColumnRenamed(idCol, "id_a")
+        .withColumnRenamed("set_size", "size_a"), "id_a")
+      .join(sizes.withColumnRenamed(idCol, "id_b")
+        .withColumnRenamed("set_size", "size_b"), "id_b")
+      .withColumn("containment",
+        col("inter_size") / least(col("size_a"), col("size_b")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+      .localCheckpoint(true)
+    graft.util.Pins.release(hashed)
+    result
+  }
+
   /** Weighted sparse cosine all-pairs over TF-IDF term vectors — the
     * lexical near-dup scorer one notch finer than [[jaccardPairs]]
     * (rare terms weighted up instead of shingle counting): all pairs

@@ -413,6 +413,16 @@ object PipelineOps {
       Dedup.jaccardPairsFromShingles(shingleTable(s, d), "doc_id",
         threshold = 0.5, maxDf = Some(50L))),
 
+    // Asymmetric CONTAINMENT pairs (|A∩B| / min size): fires when a
+    // small doc is embedded inside a much larger one — |A∩B| ≈ |A| with
+    // |A| << |B| keeps Jaccard tiny while the smaller doc is fully
+    // contained. Same capped inverted-index machinery off the same
+    // build-once shingle table; the threshold is lower-signal than 1.0
+    // so partial quoting still surfaces.
+    "dd_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairsFromShingles(shingleTable(s, d), "doc_id",
+        threshold = 0.8, maxDf = Some(50L))),
+
     // TF-IDF weighted cosine all-pairs (the lexical scorer a notch finer
     // than Jaccard: rare shared terms count for more). Same capped
     // inverted-index posture as dd_jaccard_pairs — term-key equi-join,
@@ -1250,6 +1260,26 @@ object PipelineOps {
          |  JOIN sizes sa ON sa.doc_id = id_a
          |  JOIN sizes sb ON sb.doc_id = id_b
          |WHERE inter_size * 1.0 / (sa.set_size + sb.set_size - inter_size) >= 0.5""".stripMargin,
+
+    // the same shingle/cap machinery, the asymmetric min-size scorer
+    "dd_containment_pairs" ->
+      s"""WITH sh0 AS ($shinglesSql),
+         |sh AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+         |    FROM sh0) c
+         |  WHERE df <= 50),
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  inter_size * 1.0 / least(sa.set_size, sb.set_size) AS containment
+         |FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE inter_size * 1.0 / least(sa.set_size, sb.set_size) >= 0.8""".stripMargin,
 
     // Same tokenization as ta_token_counts, same symmetric df<=50 cap as
     // dd_jaccard_pairs; weights and norms in double, 6-sig-digit rounding

@@ -36,6 +36,30 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keySet.exists { case (a, b) => b == 4L || a == 4L })
   }
 
+  test("containment: an embedded doc fires the asymmetric score where Jaccard stays silent") {
+    // doc 20 is doc 10's middle verbatim; the long doc's extra content
+    // keeps symmetric Jaccard small while containment of 20 in 10 is 1.0
+    val embedded = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega " +
+        "one two three four five six seven eight nine ten"),
+      (20L, "eta theta iota kappa lambda mu nu"),
+      (30L, "entirely different content with no shared trigram at all")
+    ).toDF("doc_id", "text")
+    val sh = graft.dedup.Dedup.shingles(embedded, "doc_id", "text", 3)
+    val cont = graft.dedup.Dedup
+      .containmentPairsFromShingles(sh, "doc_id", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(cont.map(t => (t._1, t._2)).toSet == Set((10L, 20L)),
+      s"only the embedded pair may fire, got ${cont.toSeq}")
+    assert(cont.head._3 == 1.0, "a verbatim-embedded doc has containment 1.0")
+    // and symmetric Jaccard on the same table stays below its threshold
+    val jac = graft.dedup.Dedup
+      .jaccardPairsFromShingles(sh, "doc_id", threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty, "Jaccard must miss the asymmetric embedding case")
+  }
+
   test("cosine pairs: identical docs = 1.0, near dups high, unrelated absent; cap is symmetric") {
     val pairs = Dedup.cosinePairs(docs, "doc_id", "text", threshold = 0.1)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
