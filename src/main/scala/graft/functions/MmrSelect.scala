@@ -61,6 +61,17 @@ case class MmrSelect(pool: Expression, kExpr: Expression, lambdaExpr: Expression
   override def checkInputDataTypes(): TypeCheckResult = poolStruct match {
     case _ if !kExpr.foldable || !lambdaExpr.foldable =>
       TypeCheckResult.TypeCheckFailure("mmr_select: k and lambda must be literals")
+    case _ if kExpr.eval() == null || lambdaExpr.eval() == null =>
+      TypeCheckResult.TypeCheckFailure("mmr_select: k and lambda must be non-null")
+    // range-check the foldables at ANALYSIS time: a negative k would
+    // throw NegativeArraySizeException mid-job, and a lambda outside
+    // [0,1] silently flips the redundancy penalty into a bonus
+    // (1000 - lamNum goes negative)
+    case _ if k < 0 =>
+      TypeCheckResult.TypeCheckFailure(s"mmr_select: k must be >= 0, got $k")
+    case _ if lambda.isNaN || lambda < 0.0 || lambda > 1.0 =>
+      TypeCheckResult.TypeCheckFailure(
+        s"mmr_select: lambda must be in [0, 1], got $lambda")
     case Some(st) =>
       val relOk = st(0).dataType.isInstanceOf[NumericType]
       val tieOk = org.apache.spark.sql.catalyst.expressions.RowOrdering

@@ -18,9 +18,16 @@ import org.apache.spark.sql.functions._
   * accumulates in DECIMAL(38,0) — 2³¹-sized terms in an int64 would
   * wrap past ~4·10⁹ rows, a row count a 100 TB table exceeds (DuckDB's
   * `sum(BIGINT)` widens to HUGEINT on its own, the same contract). The row
-  * repr joins the STRING forms of all columns with `\u0001` — a
-  * delimiter that cannot appear in the data — so column boundaries
-  * cannot alias (`("ab","c")` vs `("a","bc")`).
+  * repr joins the STRING forms of all columns with `\u0001` and encodes
+  * NULL as `\u0002`, which keeps column boundaries from aliasing
+  * (`("ab","c")` vs `("a","bc")`) — ASSUMING the data itself carries
+  * neither control character. Both are legal in string columns, so a
+  * value containing `\u0001` can alias a boundary and a literal
+  * `"\u0002"` collides with NULL; tables where sentinel-bearing
+  * strings are in scope should pre-escape those columns before
+  * manifesting (the fingerprint only needs ANY injective repr — the
+  * two codepoints were picked because real text corpora don't contain
+  * them, not because the encoding rejects them).
   *
   * Not a cryptographic digest: this detects drift (a regenerated
   * export, a lost partition, a truncated copy), not adversaries.

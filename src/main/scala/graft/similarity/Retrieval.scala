@@ -61,7 +61,15 @@ object Retrieval {
 
   /** @param ranked  (query_id, neighbor_id, rank) with rank 1-based —
     *                the shape every probe in this package emits
-    * @param labels  (idCol, labelCol) relevance labeling of the corpus
+    * @param labels  (idCol, labelCol) relevance labeling of the corpus.
+    *                QUERIES must be covered: a query_id with no label
+    *                row has no ground truth and emits no metrics row
+    *                (inner join, by design — as is a query whose ranked
+    *                rows all fall past k, since an empty cut has no
+    *                measurable precision). NEIGHBORS need not be: an
+    *                unlabeled neighbor counts as non-relevant (left
+    *                join, rel = 0) rather than silently vanishing from
+    *                the p@k/nDCG denominators.
     * @param k       the cut the metrics are reported at (ranks > k are
     *                filtered out defensively; self-matches are assumed
     *                already excluded, as the probes guarantee)
@@ -76,8 +84,9 @@ object Retrieval {
       .join(lab.select(col("__id").as("query_id"), col("__label").as("qlabel")),
         "query_id")
       .join(lab.select(col("__id").as("neighbor_id"), col("__label").as("nlabel")),
-        "neighbor_id")
-      .withColumn("rel", (col("qlabel") === col("nlabel")).cast("int"))
+        Seq("neighbor_id"), "left")
+      .withColumn("rel",
+        coalesce((col("qlabel") === col("nlabel")).cast("int"), lit(0)))
 
     rel.groupBy("query_id", "qlabel")
       .agg(

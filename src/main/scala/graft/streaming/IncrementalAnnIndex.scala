@@ -35,6 +35,32 @@ import graft.similarity.Similarity
   *     after which partial-probe recall is restored. Open readers
   *     re-read the index per its contract.
   *
+  * With an `encoder` supplied, the maintainer also keeps a QUANTIZED
+  * sidecar (`<indexDir>/encoded` — the `encoded` table
+  * [[graft.similarity.Sq.ivfSq8TopK]] / [[graft.similarity.Pq.ivfPqTopK]]
+  * serve from) warm, closing the lifecycle hole where appended vectors
+  * reach quantized search only through the exact-rerank anti-join
+  * branch (correct, but its cost grows with the append delta until
+  * someone re-encodes):
+  *
+  *  - each streamed batch is encoded INLINE under the same batch
+  *    marker + deterministic-name protocol (`e<batchId>-<n>.parquet`),
+  *    so the sidecar never lags the stream — post-batch queries take
+  *    the pure int8/ADC path, not the fallback;
+  *  - the `driftCheckEvery` cadence (and stream (re)start) additionally
+  *    measures the OUT-OF-BAND delta — rows someone appended via plain
+  *    [[Similarity.appendToIvfIndex]] outside this stream — and when
+  *    `unencoded / total > reencodeAt` re-encodes the whole cells table
+  *    under a crash-recoverable [[CompactionSwap.swap]], the same
+  *    heal-on-threshold posture the drift→refit loop has.
+  *
+  * The encoder receives a `(vec_id, vec)` frame (zero-norm rows already
+  * dropped, mirroring the cells table's guard, so sidecar and cells
+  * row counts stay comparable) and must return rows keyed `vec_id` —
+  * e.g. `df => Sq.encode(df, "vec_id", "vec")`, or a PQ closure over a
+  * loaded codebook. An IVF refit never invalidates the sidecar: codes
+  * depend only on the vectors, not on cell assignment.
+  *
   * [[run]] calls [[Similarity.recoverIvfMaintenance]] on (re)start so a
   * crash mid-refit/compaction never leaves the index unreadable until
   * the next maintenance run happens to fire. Single-writer contract,
@@ -44,9 +70,24 @@ object IncrementalAnnIndex {
 
   def run(vecs: DataFrame, idCol: String, vecCol: String, indexDir: String,
           checkpointDir: String, nlist: Int, refitAt: Double = 2.0,
-          driftCheckEvery: Int = 5, seed: Long = 42L): StreamingQuery = {
+          driftCheckEvery: Int = 5, seed: Long = 42L,
+          encoder: Option[DataFrame => DataFrame] = None,
+          reencodeAt: Double = 0.1): StreamingQuery = {
     val spark = vecs.sparkSession
     Similarity.recoverIvfMaintenance(spark, indexDir)
+    encoder.foreach { enc =>
+      val fs0 = CompactionSwap.fsFor(indexDir,
+        spark.sparkContext.hadoopConfiguration)
+      // a crashed re-encode swap strands the sidecar under `.old`;
+      // recover before the startup delta check reads its footer counts
+      CompactionSwap.recoverDanglingOld(fs0, encodedDir(indexDir))
+      // startup delta check, for the same reason as the startup drift
+      // check below: out-of-band appends between runs shouldn't wait
+      // for the next divisible batchId (which AvailableNow may never
+      // reach) to get their codes
+      if (fs0.exists(new Path(s"$indexDir/meta")))
+        reencodeIfStale(spark, indexDir, enc, reencodeAt)
+    }
     // re-check drift at (re)start: a crash DURING a cadence-triggered
     // refit lands after the batch's append marker committed, so the
     // replayed batch is a no-op and the in-run cadence wouldn't
@@ -62,7 +103,7 @@ object IncrementalAnnIndex {
     vecs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, idCol, vecCol, indexDir,
-          nlist, refitAt, driftCheckEvery, seed)
+          nlist, refitAt, driftCheckEvery, seed, encoder, reencodeAt)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -75,7 +116,9 @@ object IncrementalAnnIndex {
     */
   def processBatch(batch: Dataset[Row], batchId: Long, idCol: String,
                    vecCol: String, indexDir: String, nlist: Int,
-                   refitAt: Double, driftCheckEvery: Int, seed: Long): Unit = {
+                   refitAt: Double, driftCheckEvery: Int, seed: Long,
+                   encoder: Option[DataFrame => DataFrame] = None,
+                   reencodeAt: Double = 0.1): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = CompactionSwap.fsFor(indexDir, conf)
@@ -94,12 +137,20 @@ object IncrementalAnnIndex {
       Similarity.writeIvfIndex(
         Similarity.buildIvfIndex(batch.toDF(), idCol, vecCol, nlist, seed),
         indexDir)
+      // initial sidecar from the WRITTEN cells (already zero-norm
+      // filtered); overwrite semantics — a crash replay re-runs the
+      // whole bootstrap branch, so a half-written sidecar self-heals
+      encoder.foreach { enc =>
+        enc(cellsAsVecInput(spark.read.parquet(s"$indexDir/cells")))
+          .write.mode("overwrite").parquet(encodedDir(indexDir))
+      }
       commitMarker(fs, appended)
     } else {
       // IDEMPOTENT APPEND: clean this batch's (possibly partial) prior
       // renames, stage fresh, rename in, then commit the marker
       val cellsDir = s"$indexDir/cells"
-      fs.globStatus(new Path(s"$cellsDir/cell=*/b$batchId-*"))
+      Option(fs.globStatus(new Path(s"$cellsDir/cell=*/b$batchId-*")))
+        .getOrElse(Array.empty)
         .foreach(st => fs.delete(st.getPath, false))
       val staging = s"$indexDir/.append-$batchId"
       Similarity.stageAssignedCells(spark, indexDir, batch.toDF(),
@@ -119,16 +170,117 @@ object IncrementalAnnIndex {
           }
       }
       fs.delete(new Path(staging), true)
+      // INLINE encode of the batch under the same uncommitted window:
+      // clean this batch's prior encoded files, stage, rename in with
+      // deterministic names — the sidecar commits atomically WITH the
+      // cells append at the marker below, so quantized queries never
+      // see this batch in cells but not in codes (or vice versa after
+      // a replay)
+      encoder.foreach { enc =>
+        val eDir = encodedDir(indexDir)
+        Option(fs.globStatus(new Path(s"$eDir/e$batchId-*")))
+          .getOrElse(Array.empty)
+          .foreach(st => fs.delete(st.getPath, false))
+        val eStaging = s"$indexDir/.encode-$batchId"
+        enc(batchAsVecInput(batch.toDF(), idCol, vecCol))
+          .write.mode("overwrite").parquet(eStaging)
+        fs.mkdirs(new Path(eDir))
+        Option(fs.globStatus(new Path(s"$eStaging/part-*.parquet")))
+          .getOrElse(Array.empty)
+          .zipWithIndex.foreach { case (f, i) =>
+            val target = new Path(eDir, s"e$batchId-$i.parquet")
+            if (!fs.rename(f.getPath, target))
+              throw new java.io.IOException(
+                s"sidecar encode failed: ${f.getPath} -> $target")
+          }
+        fs.delete(new Path(eStaging), true)
+      }
       commitMarker(fs, appended)
     }
 
-    // drift maintenance on a fixed batch cadence (not every batch — the
-    // drift scan reads the full cells table)
+    // drift + out-of-band-delta maintenance on a fixed batch cadence
+    // (not every batch — both scans read the full cells table / its
+    // footer counts)
     if (driftCheckEvery > 0 && batchId > 0 && batchId % driftCheckEvery == 0) {
       val report = Similarity.ivfDrift(spark, indexDir)
       if (report.ratio > refitAt)
         Similarity.refitIvfIndex(spark, indexDir, seed = seed)
+      encoder.foreach(enc => reencodeIfStale(spark, indexDir, enc, reencodeAt))
     }
+  }
+
+  /** Path of the quantized sidecar the maintainer keeps warm. */
+  def encodedDir(indexDir: String): String = s"$indexDir/encoded"
+
+  /** The live sidecar as a DataFrame — the `encoded` argument of
+    * [[graft.similarity.Sq.ivfSq8TopK]] / [[graft.similarity.Pq.ivfPqTopK]].
+    */
+  def readEncoded(spark: org.apache.spark.sql.SparkSession,
+                  indexDir: String): DataFrame =
+    spark.read.parquet(encodedDir(indexDir))
+
+  /** Rows in the cells table the sidecar has no code for — exactly the
+    * rows quantized search routes through its exact-rerank anti-join
+    * fallback. Two parquet footer counts, no data scan (encoded rows
+    * are only ever produced FROM cells rows, so the count difference
+    * IS the delta).
+    */
+  def unencodedCount(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String): Long = {
+    val fs = CompactionSwap.fsFor(indexDir,
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$indexDir/cells"))) return 0L
+    val cells = spark.read.parquet(s"$indexDir/cells").count()
+    val enc =
+      if (fs.exists(new Path(encodedDir(indexDir))))
+        spark.read.parquet(encodedDir(indexDir)).count()
+      else 0L
+    math.max(0L, cells - enc)
+  }
+
+  /** Full re-encode of the cells table into the sidecar when the
+    * out-of-band delta fraction exceeds `reencodeAt`, under a
+    * crash-recoverable swap. Returns true when a re-encode ran.
+    * Callable directly for one-shot maintenance of a batch-appended
+    * index (the non-streaming twin of [[Similarity.refitIvfIndex]]).
+    */
+  def reencodeIfStale(spark: org.apache.spark.sql.SparkSession,
+                      indexDir: String, encoder: DataFrame => DataFrame,
+                      reencodeAt: Double): Boolean = {
+    val fs = CompactionSwap.fsFor(indexDir,
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$indexDir/cells"))) return false
+    val total = spark.read.parquet(s"$indexDir/cells").count()
+    if (total == 0) return false
+    val delta = unencodedCount(spark, indexDir)
+    if (delta.toDouble / total <= reencodeAt) return false
+    val eDir = encodedDir(indexDir)
+    val write = (tmp: String) =>
+      encoder(cellsAsVecInput(spark.read.parquet(s"$indexDir/cells")))
+        .write.mode("overwrite").parquet(tmp)
+    if (fs.exists(new Path(eDir))) CompactionSwap.swap(fs, eDir)(write): Unit
+    else write(eDir) // first encode of a batch-built index: nothing live to swap
+    true
+  }
+
+  /** Normalize the cells projection to the encoder's `(vec_id, vec)`
+    * input contract.
+    */
+  private def cellsAsVecInput(cells: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    cells.select(col("neighbor_id").as("vec_id"), col("cvec").as("vec"))
+  }
+
+  /** Normalize a raw streamed batch to `(vec_id, vec)`, dropping
+    * zero-norm rows exactly like the cells writers do — the sidecar
+    * must never hold a code for a row the cells table rejected, or the
+    * footer-count delta would go negative and mask real staleness.
+    */
+  private def batchAsVecInput(batch: DataFrame, idCol: String,
+                              vecCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    batch.select(col(idCol).as("vec_id"), col(vecCol).as("vec"))
+      .filter(Similarity.norm(col("vec")) > 0)
   }
 
   private def commitMarker(fs: org.apache.hadoop.fs.FileSystem, m: Path): Unit = {

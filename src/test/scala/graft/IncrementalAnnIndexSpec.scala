@@ -136,6 +136,115 @@ class IncrementalAnnIndexSpec extends AnyFunSuite {
     assert(Similarity.readIvfIndex(spark, index.toString).cells.count() == 80)
   }
 
+  private val sq8Encoder: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+    df => graft.similarity.Sq.encode(df, "vec_id", "vec")
+
+  test("inline sidecar encode: streamed batches land codes atomically with the append") {
+    val base = Files.createTempDirectory("graft-annidx-enc")
+    val (in, index, ckpt) =
+      (base.resolve("in"), base.resolve("index"), base.resolve("ckpt"))
+    Files.createDirectories(in)
+    def runEnc(): Unit = {
+      val vecs = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .parquet(in.toString)
+      IncrementalAnnIndex.run(vecs, "vec_id", "embedding",
+        index.toString, ckpt.toString, nlist = 2,
+        refitAt = 1000.0, driftCheckEvery = 0, encoder = Some(sq8Encoder))
+        .awaitTermination()
+    }
+    writeBatch(in, blobA)
+    runEnc() // bootstrap: index + full sidecar
+    assert(IncrementalAnnIndex.unencodedCount(spark, index.toString) == 0,
+      "bootstrap must encode the whole initial corpus")
+    writeBatch(in, blobB)
+    runEnc() // append: cells AND codes grow together
+    assert(spark.read.parquet(s"$index/cells").count() == 80)
+    assert(IncrementalAnnIndex.readEncoded(spark, index.toString).count() == 80,
+      "a streamed append must encode inline — no fallback delta accumulates")
+    assert(IncrementalAnnIndex.unencodedCount(spark, index.toString) == 0)
+
+    // post-append quantized search serves the PURE int8 path (zero rows
+    // through the exact-rerank anti-join fallback) and, at full probe +
+    // full shortlist, equals the exact float result — the Sq contract
+    val idx = Similarity.readIvfIndex(spark, index.toString)
+    val enc = IncrementalAnnIndex.readEncoded(spark, index.toString)
+    val queries = blobB.take(2).toDF("vec_id", "embedding")
+    val fallbackRows = idx.cells
+      .join(enc.select(col("vec_id").as("neighbor_id")), Seq("neighbor_id"), "left_anti")
+      .count()
+    assert(fallbackRows == 0, "every cell member must have a code")
+    val sq = graft.similarity.Sq.ivfSq8TopK(idx, enc, queries,
+      "vec_id", "embedding", k = 3, nprobe = idx.centroids.length, shortlist = 100)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val exact = Similarity.queryIvf(idx, queries, "vec_id", "embedding",
+      k = 3, nprobe = idx.centroids.length)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(sq == exact, "full-probe full-shortlist SQ8 over the sidecar must equal exact")
+  }
+
+  test("sidecar crash replays never double codes; out-of-band delta heals on threshold") {
+    val base = Files.createTempDirectory("graft-annidx-reenc")
+    val index = base.resolve("index")
+    def process(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      IncrementalAnnIndex.processBatch(df, id, "vec_id", "embedding",
+        index.toString, nlist = 2, refitAt = 1000.0, driftCheckEvery = 2,
+        seed = 42L, encoder = Some(sq8Encoder), reencodeAt = 0.1)
+    def encRows(): Long =
+      IncrementalAnnIndex.readEncoded(spark, index.toString).count()
+
+    process(blobA.toDF("vec_id", "embedding"), 0L) // bootstrap
+    process(blobB.toDF("vec_id", "embedding"), 1L) // inline-encoded append
+    assert(encRows() == 80)
+
+    // uncommitted replay (crash after the renames, before the marker):
+    // both cells b1-* and sidecar e1-* files are cleaned and re-landed
+    val fs = new org.apache.hadoop.fs.Path(index.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$index/_appended/1"), false)
+    process(blobB.toDF("vec_id", "embedding"), 1L)
+    assert(encRows() == 80, "an uncommitted replay must not double the codes")
+    assert(spark.read.parquet(s"$index/cells").count() == 80)
+
+    // out-of-band append (plain batch API, outside the stream): cells
+    // grow, sidecar lags — quantized search falls back to the exact
+    // branch for those rows but stays CORRECT
+    val extra = blob(Array(0, 0, 1, 0), 20, 1, 300L)
+    Similarity.appendToIvfIndex(spark, index.toString,
+      extra.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(IncrementalAnnIndex.unencodedCount(spark, index.toString) == 20)
+    val idx = Similarity.readIvfIndex(spark, index.toString)
+    val queries = extra.take(1).toDF("vec_id", "embedding")
+    val viaFallback = graft.similarity.Sq.ivfSq8TopK(idx,
+      IncrementalAnnIndex.readEncoded(spark, index.toString), queries,
+      "vec_id", "embedding", k = 3, nprobe = idx.centroids.length, shortlist = 200)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val exact = Similarity.queryIvf(idx, queries, "vec_id", "embedding",
+      k = 3, nprobe = idx.centroids.length)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(viaFallback == exact,
+      "unencoded members must be served exactly via the anti-join branch")
+
+    // the next cadence batch (batchId % driftCheckEvery == 0) measures
+    // the 20/100 delta > 0.1 and re-encodes: back to the pure int8 path
+    process(Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"), 2L)
+    assert(IncrementalAnnIndex.unencodedCount(spark, index.toString) == 0,
+      "the cadence re-encode must clear the out-of-band delta")
+    assert(encRows() == 100)
+
+    // below-threshold deltas do NOT trigger (bounded fallback is cheaper
+    // than a full-table re-encode): 5/105 < 0.1 stays unencoded
+    val tiny = blob(Array(0, 0, 0, 1), 5, 0, 400L)
+    Similarity.appendToIvfIndex(spark, index.toString,
+      tiny.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    assert(!IncrementalAnnIndex.reencodeIfStale(spark, index.toString,
+      sq8Encoder, reencodeAt = 0.1))
+    assert(IncrementalAnnIndex.unencodedCount(spark, index.toString) == 5)
+    // ... and a direct maintenance call with a tighter threshold heals it
+    assert(IncrementalAnnIndex.reencodeIfStale(spark, index.toString,
+      sq8Encoder, reencodeAt = 0.0))
+    assert(IncrementalAnnIndex.unencodedCount(spark, index.toString) == 0)
+  }
+
   test("drift past the threshold triggers the atomic refit on the check cadence") {
     val base = Files.createTempDirectory("graft-annidx-drift")
     val index = base.resolve("index")

@@ -43,6 +43,13 @@ class MmrSpec extends AnyFunSuite {
     assert(picks.map(_._2) == Seq(0.9, 0.8, 0.7, 0.6))
   }
 
+  test("out-of-range k and lambda fail at analysis, not mid-job") {
+    val cands = Seq((10L, 0.9, e1), (11L, 0.8, e2))
+    assertThrows[org.apache.spark.sql.AnalysisException](mmr(cands, -1, 0.5))
+    assertThrows[org.apache.spark.sql.AnalysisException](mmr(cands, 2, -0.1))
+    assertThrows[org.apache.spark.sql.AnalysisException](mmr(cands, 2, 1.5))
+  }
+
   test("a near-duplicate of the top pick is demoted below a diverse candidate") {
     // 11 is an exact duplicate direction of 10 with almost the same
     // relevance; 12 is orthogonal with lower relevance. Pure relevance

@@ -60,6 +60,20 @@ class RetrievalSpec extends AnyFunSuite {
     assert(m.getDouble(1) == math.rint(1.0 / 3 * 1e6) / 1e6) // only rank 1 counted
   }
 
+  test("an unlabeled neighbor counts as non-relevant, not dropped from the cut") {
+    // id 99 has NO label row: it must still occupy a rank slot with
+    // rel=0, so q1's p@3 is 2/3 (relevant at 1 and 3), not 2/2
+    val ranked = Seq(
+      (1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val m = Retrieval.metrics(ranked, labels, "vec_id", "label", k = 3)
+      .collect().head
+    assert(m.getDouble(1) == math.rint(2.0 / 3 * 1e6) / 1e6)
+    // ... while an unlabeled QUERY has no ground truth and emits no row
+    val orphan = Seq((99L, 10L, 1)).toDF("query_id", "neighbor_id", "rank")
+    assert(Retrieval.metrics(orphan, labels, "vec_id", "label", k = 3).count() == 0)
+  }
+
   test("hard negatives: label-disjoint, capped, contiguous ranks, sims non-increasing") {
     val d = SparkTestSession.sfDir
     val idx = graft.queries.PipelineOps.persistedIvfIndex(spark, d)
