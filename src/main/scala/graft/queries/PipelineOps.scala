@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.io.Tables
 import graft.dedup.Dedup
-import graft.similarity.{Pq, Retrieval, Similarity, Sq}
+import graft.similarity.{Opq, Pq, Retrieval, Similarity, Sq}
 import graft.text.{TextAnalysis, TextOps}
 
 /** Declared queries for the training-data-pipeline operators: dedup (exact,
@@ -175,6 +175,28 @@ object PipelineOps {
   def pqEncoded(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "pq_encoded") {
       Pq.encode(Tables.embeddings(s, d), "vec_id", "embedding", pqCodebook(s, d))
+        .localCheckpoint(true)
+    }
+
+  /** Build-once OPQ model (rotation + rotated-space codebook) and
+    * encoded corpus — same shape discipline as the plain-PQ pair; the
+    * rotation adds dim² driver doubles and a codegen map, nothing
+    * corpus-sized.
+    */
+  def opqModel(s: SparkSession, d: String): Opq.OpqModel =
+    opqMemo
+      .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(d,
+        Opq.train(Tables.embeddings(s, d), "vec_id", "embedding",
+          m = 8, ksub = 16, dim = 64, iters = 5, seed = 42L))
+
+  private val opqMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Opq.OpqModel]]())
+
+  def opqEncoded(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "opq_encoded") {
+      Opq.encode(Tables.embeddings(s, d), "vec_id", "embedding", opqModel(s, d))
         .localCheckpoint(true)
     }
 
@@ -682,6 +704,21 @@ object PipelineOps {
       recallVsExact(s, d,
         Pq.ivfPqTopK(persistedIvfIndex(s, d), pqEncoded(s, d),
           pqCodebook(s, d),
+          Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
+          "vec_id", "embedding", k = 5, nprobe = 6, shortlist = 50))),
+
+    // IVFOPQ + refine ([[graft.similarity.Opq]]): the rotate-then-
+    // quantize composition — PCA eigenbasis as a pure (uncentered)
+    // rotation with eigenvalue-balanced subspace allocation, PQ trained
+    // and encoded in rotated space, ADC scored there too, while the
+    // coarse probe and the exact rerank stay on raw vectors. At real
+    // embedding dims OPQ is the difference between PQ being usable or
+    // not; the declared contract is the same recall floor as the
+    // plain-PQ row on the identical fixture/knobs.
+    "sim_ann_opq" -> ((s, d) =>
+      recallVsExact(s, d,
+        Opq.ivfOpqTopK(persistedIvfIndex(s, d), opqEncoded(s, d),
+          opqModel(s, d),
           Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
           "vec_id", "embedding", k = 5, nprobe = 6, shortlist = 50))),
 
@@ -1491,6 +1528,12 @@ object PipelineOps {
     // Same contract for the IVFPQ+refine path: full top-5 per query,
     // recall floor held after ADC + exact rerank.
     "sim_ann_ivfpq" ->
+      """SELECT vec_id AS query_id, 5 AS n_results, 1 AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    // Same contract for the IVFOPQ+refine path: full top-5 per query,
+    // recall floor held after rotated-space ADC + exact rerank.
+    "sim_ann_opq" ->
       """SELECT vec_id AS query_id, 5 AS n_results, 1 AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
 

@@ -221,7 +221,20 @@ object Pq {
   def ivfPqTopK(index: Similarity.IvfIndex, encoded: DataFrame,
                 cb: PqCodebook, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int, nprobe: Int,
-                shortlist: Int): DataFrame = {
+                shortlist: Int): DataFrame =
+    ivfPqTopKCore(index, encoded, cb, queries, idCol, vecCol,
+      k, nprobe, shortlist, identity)
+
+  /** The shared probe/ADC/rerank plan, with the query vector the ADC
+    * table slices mapped through `adcVec` — `identity` for plain PQ,
+    * the OPQ rotation for [[Opq.ivfOpqTopK]] (whose codes live in
+    * rotated space). Only the ADC arm moves: the coarse probe and the
+    * exact rerank always run on the raw vectors.
+    */
+  private[similarity] def ivfPqTopKCore(
+      index: Similarity.IvfIndex, encoded: DataFrame, cb: PqCodebook,
+      queries: DataFrame, idCol: String, vecCol: String, k: Int,
+      nprobe: Int, shortlist: Int, adcVec: Column => Column): DataFrame = {
     val spark = encoded.sparkSession
     val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       Similarity.norm(col(vecCol)).as("qnorm"))
@@ -236,7 +249,11 @@ object Pq {
 
     // ADC lookup table: partial inner product of each normalized query
     // slice against each codebook centroid — q×m×ksub rows, broadcast
-    val qSlices = slices(qRaw.select(col("query_id").as("vec_id"), col("qvec")),
+    // rotation (when present) commutes with the normalization inside
+    // `slices`: ‖Rq‖ = ‖q‖ for orthonormal R, so slicing adcVec(qvec)
+    // yields exactly the slices of the rotated unit query
+    val qSlices = slices(
+      qRaw.select(col("query_id").as("vec_id"), adcVec(col("qvec")).as("qvec")),
       "vec_id", "qvec", cb.m, cb.subDim)
       .withColumnRenamed("vec_id", "query_id")
     val adcTable = qSlices
