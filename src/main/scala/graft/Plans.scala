@@ -58,7 +58,9 @@ object Plans {
     "mm_audio_neardup" -> "audio perceptual near-dup: PCM decode + 9x8 energy-envelope fingerprint in the bounded mapPartitions codec layer, then the SimHash pigeonhole band equi-join + codegen Hamming verify VERBATIM — candidates by band key, never all-pairs",
     "sim_ann_sq8" -> "IVF-SQ8 + refine: cell probe (broadcast equi-join) -> asymmetric float*int8 scoring as ONE codegen loop over the packed BINARY codes (vec_dot_i8 — no unpack allocation, no ADC explode) -> WindowGroupLimit-contracted shortlist moving only (query, neighbor, score) -> exact rerank; no codebook anywhere in the plan",
     "sim_mmr_rerank" -> "MMR diversified re-rank: windowless IVF scoring (scoreIvf — no vacuous rank window) -> bounded-heap top_k_by pool per query (map-side partials) -> the sequential greedy inside the mmr_select expression on ONE row per query — never a candidate-list sort, never a cross join",
-    "g_label_prop" -> "label propagation, final sweep's plan: the |V| label state joins the checkpointed pre-partitioned symmetrized edges, (node, label) rollup partial/final pair, bounded struct-min argmax — the 2|E| table never re-exchanges across sweeps")
+    "g_label_prop" -> "label propagation, final sweep's plan: the |V| label state joins the checkpointed pre-partitioned symmetrized edges, (node, label) rollup partial/final pair, bounded struct-min argmax — the 2|E| table never re-exchanges across sweeps",
+    "sim_ann_opq" -> "IVFOPQ + refine: the sim_ann_ivfpq plan with the ADC arm's query slices first mapped through the constant-folded rotation (dim codegen vec_dots — zero extra exchanges); coarse probe and exact rerank identical, raw space",
+    "sim_ann_join" -> "cross-corpus ANN join (A queries x B index): SHUFFLE cell equi-join (corpus-sized probe side — never broadcast) + bounded-heap top_k_by per A-row on the 6dp-rounded cosine — the knnGraph posture pointed at an external corpus")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

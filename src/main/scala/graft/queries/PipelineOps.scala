@@ -138,6 +138,26 @@ object PipelineOps {
         Similarity.readIvfIndex(s, path)
       })
 
+  /** Build-once IVF index over the REFERENCE half of the embeddings
+    * (even vec_ids) for the cross-corpus ANN join — a genuinely separate
+    * index from [[persistedIvfIndex]] (different corpus, different
+    * quantizer), cells checkpointed so repeated probes don't re-run the
+    * k-means transform.
+    */
+  def annJoinRefIndex(s: SparkSession, d: String): Similarity.IvfIndex =
+    refIdxMemo
+      .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(d, {
+        val idx = Similarity.buildIvfIndex(
+          Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(2)) === 0),
+          "vec_id", "embedding", nlist = 8, seed = 42L)
+        idx.copy(cells = idx.cells.localCheckpoint(true))
+      })
+
+  private val refIdxMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]]())
+
   /** Build-once EXACT top-5 cosine neighbors of the `vec_id % 100 == 0`
     * query set, served through the persisted IVF index at nprobe == nlist
     * (bit-identical to brute force, but a hash join on `cell` rather than
@@ -721,6 +741,26 @@ object PipelineOps {
           opqModel(s, d),
           Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
           "vec_id", "embedding", k = 5, nprobe = 6, shortlist = 50))),
+
+    // Cross-corpus ANN JOIN ([[Similarity.annJoin]]): corpus A (odd
+    // vec_ids — "incoming batch") against an index built over corpus B
+    // (even vec_ids — "reference corpus"), exact top-3 B-neighbors per
+    // A-row at full probe. The retrieval-augmentation /
+    // dedup-against-reference primitive: A is corpus-sized, so the
+    // probe rides a SHUFFLE cell join (never broadcast — the queryIvf
+    // broadcast shape would ship all of A everywhere) and the per-row
+    // cut is the bounded-heap top_k_by. Ranked on the 6dp-rounded
+    // cosine (house portability convention) so the oracle replays the
+    // identical selection brute-force, value-for-value.
+    "sim_ann_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.annJoin(annJoinRefIndex(s, d),
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1),
+        "vec_id", "embedding", k = 3,
+        nprobe = annJoinRefIndex(s, d).centroids.length,
+        roundTo = Some(6))
+        .withColumnRenamed("cosine_sim", "xc_sim")
+    }),
 
     // IVF-SQ8+refine: the codebook-FREE quantized path (per-vector int8
     // scale quantization, 4x compression, no trained state — append-only
@@ -1530,6 +1570,26 @@ object PipelineOps {
     "sim_ann_ivfpq" ->
       """SELECT vec_id AS query_id, 5 AS n_results, 1 AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    // Cross-corpus ANN join replayed brute-force: every odd×even pair's
+    // rounded cosine, (xc_sim DESC, neighbor ASC) top-3 per query — the
+    // identical portable cut on the identical rounded value (exact at
+    // full probe, so the replay is value-for-value, not a recall flag).
+    "sim_ann_join" ->
+      s"""WITH flat AS MATERIALIZED ($flatEmbSql),
+         |norms AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(sum(q.x * c.x) / (nq.nrm * nc.nrm), 6) AS xc_sim
+         |  FROM flat q JOIN flat c ON q.i = c.i
+         |    JOIN norms nq ON nq.vec_id = q.vec_id
+         |    JOIN norms nc ON nc.vec_id = c.vec_id
+         |  WHERE q.vec_id % 2 = 1 AND c.vec_id % 2 = 0
+         |  GROUP BY 1, 2, nq.nrm, nc.nrm)
+         |SELECT query_id, neighbor_id, xc_sim, CAST(rn AS INT) AS rank FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY xc_sim DESC, neighbor_id) AS rn
+         |  FROM scored) x WHERE rn <= 3""".stripMargin,
 
     // Same contract for the IVFOPQ+refine path: full top-5 per query,
     // recall floor held after rotated-space ADC + exact rerank.

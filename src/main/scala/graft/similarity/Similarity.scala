@@ -613,10 +613,60 @@ object Similarity {
                vecCol: String, k: Int, nprobe: Int): DataFrame = {
     val qRaw = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
       norm(col(vecCol)).as("qnorm"))
-    val scored = index.cells.join(probeCells(index, qRaw, nprobe), "cell")
-      .filter(col("neighbor_id") =!= col("query_id"))
+    heapTopK(
+      shuffleProbeScored(index, qRaw, nprobe)
+        .filter(col("neighbor_id") =!= col("query_id")),
+      k)
+  }
+
+  /** Cross-corpus approximate-nearest-neighbor JOIN: every row of an
+    * EXTERNAL query corpus A against a (different) indexed corpus B,
+    * top-k B-neighbors per A-row — the retrieval-augmentation /
+    * dedup-against-reference-corpus primitive (A ≠ B, so there is no
+    * self-match to exclude; matching ids across the two id spaces are
+    * distinct entities and must surface).
+    *
+    * Scale shape is [[knnGraph]]'s, not [[queryIvf]]'s: corpus A is
+    * corpus-sized, so the probe side is a plain SHUFFLE cell equi-join
+    * (a broadcast would ship all of A to every executor), and the
+    * per-row top-k is the bounded-heap `top_k_by` aggregate (map-side
+    * partials keep ≤ k candidates per A-row per partition — no
+    * per-query candidate sort, no rank exchange carrying vectors).
+    * Cost is |A| × nprobe × avg-cell(B) — never |A|×|B|. At
+    * `nprobe == nlist` the join is EXACT.
+    *
+    * `roundTo = Some(d)` ranks on the d-decimal ROUNDED cosine
+    * (neighbor_id ascending tiebreak) and emits the rounded value —
+    * the engine-portable cut convention that lets an independent SQL
+    * engine replay the identical selection.
+    */
+  def annJoin(index: IvfIndex, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nprobe: Int,
+              roundTo: Option[Int] = None): DataFrame = {
+    val qRaw = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"),
+      norm(col(vecCol)).as("qnorm"))
+    val scored = shuffleProbeScored(index, qRaw, nprobe)
+    heapTopK(
+      roundTo.fold(scored)(d =>
+        scored.withColumn("cosine_sim", round(col("cosine_sim"), d))),
+      k)
+  }
+
+  /** The corpus-sized-probe candidate scorer [[knnGraph]] and [[annJoin]]
+    * share: shuffle equi-join on `cell` (probe side NOT broadcast),
+    * exact cosine per surfaced pair.
+    */
+  private def shuffleProbeScored(index: IvfIndex, qRaw: DataFrame,
+                                 nprobe: Int): DataFrame =
+    index.cells.join(probeCells(index, qRaw, nprobe), "cell")
       .withColumn("cosine_sim",
         dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+
+  /** Bounded-heap per-query top-k over a scored pair stream: ranking is
+    * (cosine_sim DESC, neighbor_id ASC), bit-identical to [[queryIvf]].
+    * Output: (query_id, neighbor_id, cosine_sim, rank).
+    */
+  private def heapTopK(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy("query_id")
       .agg(graft.functions.TopKBy.topKBy(col("cosine_sim"), col("neighbor_id"),
         struct(col("neighbor_id"), col("cosine_sim")), k).as("top"))
@@ -624,7 +674,6 @@ object Similarity {
       .select(col("query_id"), col("col.payload.neighbor_id").as("neighbor_id"),
         col("col.payload.cosine_sim").as("cosine_sim"),
         (col("pos") + 1).cast("int").as("rank"))
-  }
 
   /** One-shot IVF approximate top-k: build + query in a single call (no
     * persisted index). Prefer [[buildIvfIndex]]/[[writeIvfIndex]]/

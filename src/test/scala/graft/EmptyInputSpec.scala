@@ -31,7 +31,8 @@ class EmptyInputSpec extends AnyFunSuite {
     // route through the persisted IVF index (a k-means fit needs rows)
     "sim_topk", "sim_ann_ivfpq", "sim_radius", "sim_ivf_drift",
     "sim_knn_graph", "sim_knn_components",
-    "sim_ann_sq8", "sim_ann_opq", "sim_mmr_rerank", "ret_hybrid_rrf",
+    "sim_ann_sq8", "sim_ann_opq", "sim_ann_join", "sim_mmr_rerank",
+    "ret_hybrid_rrf",
     "sim_hard_negatives", "ret_eval_metrics",
     // PCA's Gramian pass needs rows (no covariance of nothing)
     "ml_pca_project", "ml_pca_variance", "ml_pca_whiten")

@@ -83,6 +83,36 @@ class PlanSpec extends AnyFunSuite {
       s"vectors riding the shortlist rank exchange: $wide\n$p")
   }
 
+  test("cross-corpus ANN join: bounded-heap top-k, no candidate rank window, no cross join") {
+    val p = plan("sim_ann_join")
+    assert(p.contains("partial_top_k_by"),
+      s"expected map-side heap contraction per A-row:\n$p")
+    // probeCells' crank window (nlist-bounded) is fine; a rank window
+    // over the scored candidate pairs (ordered by the cosine) is not
+    assert(!p.contains("xc_sim DESC") && !p.contains("cosine_sim DESC"),
+      s"the ANN join must not sort full candidate lists in a rank window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cross join in the ANN join path:\n$p")
+  }
+
+  test("IVFOPQ: rotated-ADC arm stays codegen (vec_dot), no cross join, WindowGroupLimit shortlist") {
+    val p = plan("sim_ann_opq")
+    assert(p.contains("vec_dot"), s"expected codegen rotation/ADC dots:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"cross join in the OPQ path:\n$p")
+    val windows = SparkEntry.queries("sim_ann_opq")(spark, SparkTestSession.sfDir)
+      .queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+    val adcWindow = windows.find(_.output.exists(_.name == "adc_rank"))
+    assert(adcWindow.isDefined, s"no ADC shortlist rank window found:\n$p")
+    val contracted = adcWindow.get.child.collect {
+      case g: org.apache.spark.sql.execution.window.WindowGroupLimitExec => g
+    }
+    assert(contracted.nonEmpty,
+      s"the OPQ shortlist window must contract via WindowGroupLimit partials:\n$p")
+  }
+
   test("MMR re-rank: bounded-heap pooling, no rank window, no cross join") {
     val p = plan("sim_mmr_rerank")
     assert(p.contains("partial_top_k_by"),

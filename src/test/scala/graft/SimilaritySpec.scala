@@ -96,6 +96,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(g == q, "knnGraph and queryIvf must agree at the same probe depth")
   }
 
+  test("cross-corpus ANN join: full probe equals brute force A-vs-B; same-id pairs surface") {
+    val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
+    val a = emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val b = emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val idx = Similarity.buildIvfIndex(b, "vec_id", "embedding", nlist = 8, seed = 42L)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Int)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val joined = rows(Similarity.annJoin(idx, a, "vec_id", "embedding", k = 4, nprobe = 8))
+    // brute force A-vs-B: bruteForceTopK excludes equal ids (self-match
+    // semantics), but A and B are disjoint here so none exist to drop
+    val brute = rows(Similarity.bruteForceTopK(b, a, "vec_id", "embedding", 4))
+    assert(joined == brute, "full-probe cross-corpus join must equal brute force")
+    // A≠B means an id shared across corpora is a legitimate neighbor:
+    // probe B with a B member's own vector under a fresh A-side id space
+    import spark.implicits._
+    val probe = b.limit(1).select(col("vec_id"), col("embedding")).collect().head
+    val aAliased = Seq((probe.getLong(0), probe.getSeq[Float](1).toArray))
+      .toDF("vec_id", "embedding")
+    val hit = Similarity.annJoin(idx, aAliased, "vec_id", "embedding", k = 1, nprobe = 8)
+      .collect().head
+    assert(hit.getLong(1) == probe.getLong(0) && math.abs(hit.getDouble(2) - 1.0) < 1e-6,
+      "a same-id cross-corpus twin must surface as its own top-1, not be self-filtered")
+  }
+
   test("persisted IVF index: write/read round-trip equals one-shot, scan prunes by cell") {
     val emb = spark.read.parquet(s"${SparkTestSession.sfDir}/embeddings.parquet")
     val queries = emb.filter(pmod(col("vec_id"), lit(50)) === 0)
