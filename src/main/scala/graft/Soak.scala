@@ -264,12 +264,26 @@ object Soak {
       // table, never corpus x vocab
       shape("unigram_train") {
         val vocabWords = 5000L * math.max(1, math.round(math.sqrt(mult.toDouble)))
+        // SPARK_GRAFT_UNIGRAM_VOCAB overrides the default 1000 pieces —
+        // the production-vocab demonstration knob (BPE's
+        // SPARK_GRAFT_BPE_RANKS twin). Past 2000 pieces the Kudo
+        // seed-then-prune schedule engages (2x seed pool, 0.75 shrink
+        // per round) — the configuration a real vocab build runs
+        val pieces = sys.env.get("SPARK_GRAFT_UNIGRAM_VOCAB") match {
+          case None => 1000
+          case Some(v) => scala.util.Try(v.toInt).getOrElse(
+            throw new IllegalArgumentException(
+              s"SPARK_GRAFT_UNIGRAM_VOCAB must be an integer, got '$v'"))
+        }
+        val (seedSize, plen) = if (pieces > 2000) (pieces * 2, 8) else (0, 6)
+        System.err.println(
+          s"[soak]   unigram_train heaps-law vocab=$vocabWords pieces=$pieces seed=$seedSize")
         val synth = docs.select(col("doc_id"),
           concat_ws(" ", col("text"),
             translate(sha2(pmod(col("doc_id"), lit(vocabWords)).cast("string"), 256),
               "0123456789", "ghijklmnop")).as("text"))
         val model = graft.text.UnigramLm.train(synth, "text",
-          vocabSize = 1000, maxPieceLen = 6, emIters = 2)
+          vocabSize = pieces, maxPieceLen = plen, emIters = 2, seedSize = seedSize)
         System.err.println(s"[soak]   unigram_train vocab=${model.pieces.size}")
         pinned += model.segs
         model.segs
@@ -685,6 +699,58 @@ object Soak {
         graft.layout.ZOrder.zorderBy(
           li.select("l_orderkey", "l_partkey", "l_suppkey"),
           "l_partkey", "l_suppkey", numFiles = 32)
+      },
+      // the END-TO-END skipping payoff the layout write buys: both
+      // layouts written, then a selective 2-D box predicate measured two
+      // ways — (a) files whose min/max bounding box intersects the box
+      // (what any stats-based catalog or the parquet footer check prunes
+      // by: the Z-order files cover compact rectangles, the natural
+      // files all span the whole domain) and (b) the rows the scan
+      // actually EMITS under parquet row-group pruning (the
+      // engine-enforced win — pushed min/max filters skip whole row
+      // groups on the clustered layout, nothing on the natural one).
+      // The timed body is the selective read off the Z-ordered files.
+      shape("zorder_skipping") {
+        val base = li.select("l_orderkey", "l_partkey", "l_suppkey")
+        val tmp = java.nio.file.Files.createTempDirectory("graft-zskip").toString
+        base.repartition(32).write.mode("overwrite").parquet(s"$tmp/natural")
+        graft.layout.ZOrder.zorderBy(base, "l_partkey", "l_suppkey", numFiles = 32)
+          .write.mode("overwrite").parquet(s"$tmp/zorder")
+        val mx = base.agg(max("l_partkey"), max("l_suppkey")).head
+        val (pCut, sCut) = (mx.getLong(0) / 8, mx.getLong(1) / 8)
+        def boxPred(df: DataFrame) =
+          df.filter(col("l_partkey") <= pCut && col("l_suppkey") <= sCut)
+        // (a) stats-based file skipping: per-file bounding boxes (keys
+        // start at the domain's low end, so a box intersects the
+        // predicate box iff both its minima do)
+        def fileCounts(dir: String): (Long, Long) = {
+          val boxes = spark.read.parquet(dir)
+            .groupBy(input_file_name().as("f"))
+            .agg(min("l_partkey").as("minp"), min("l_suppkey").as("mins"))
+            .localCheckpoint(true)
+          try (boxes.count(),
+            boxes.filter(col("minp") <= pCut && col("mins") <= sCut).count())
+          finally graft.util.Pins.release(boxes)
+        }
+        // (b) engine-enforced row-group pruning: rows the parquet scan
+        // emits under the pushed filters
+        def scanEmitted(dir: String): Long = {
+          val q = boxPred(spark.read.parquet(dir))
+          // drive THIS queryExecution (a .write/.count would plan its
+          // own) so the inspected scan node is the one that ran
+          q.queryExecution.toRdd.foreach(_ => ())
+          q.queryExecution.executedPlan.collect {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+              s.metrics("numOutputRows").value
+          }.sum
+        }
+        val (nFiles, nHit) = fileCounts(s"$tmp/natural")
+        val (zFiles, zHit) = fileCounts(s"$tmp/zorder")
+        val (nRows, zRows) = (scanEmitted(s"$tmp/natural"), scanEmitted(s"$tmp/zorder"))
+        System.err.println(
+          s"[soak]   zorder_skipping files-overlapping: natural=$nHit/$nFiles " +
+            s"zorder=$zHit/$zFiles; scan-emitted rows: natural=$nRows zorder=$zRows")
+        boxPred(spark.read.parquet(s"$tmp/zorder"))
       }
     ) else Seq.empty) ++ (if (soakSets("mm_image")) {
       val ids = amplify(Tables.documents(spark, sfDir).select("doc_id"),

@@ -94,9 +94,25 @@ object UnigramLm {
   /** Train on the corpus's letter-run words ([[Bpe.words]] pre-tokenizer:
     * `[a-z]+` runs of the lowercased text). `emIters` EM rounds, then one
     * final E-pass that produces the served segmentation and usage.
+    *
+    * `seedSize > vocabSize` switches on the SentencePiece PRUNING
+    * SCHEDULE (Kudo §3.2): seed with `seedSize` multi-character
+    * candidates and shrink per EM round — keep the used pieces, cap
+    * their count at `max(target, ⌈kept·shrink⌉)` by (usage DESC, piece
+    * ASC), with the LAST round capped at the target exactly — so the
+    * final vocabulary is distilled from a candidate pool rather than
+    * frozen at seed time (what production-vocab quality needs: a piece
+    * that only looks good before its competitors are priced can still
+    * be displaced). The default `seedSize = 0` keeps the legacy
+    * seed-at-final-size path BYTE-STABLE — the declared oracle replays
+    * that exact schedule. Per-round cost is unchanged in shape: one
+    * codegen Viterbi pass + one piece rollup + one ≤seedSize collect;
+    * only bounded driver state grows (seedSize rows, still k-centroid
+    * posture).
     */
   def train(docs: DataFrame, textCol: String, vocabSize: Int = 48,
-            maxPieceLen: Int = 4, emIters: Int = 2): UnigramModel = {
+            maxPieceLen: Int = 4, emIters: Int = 2, seedSize: Int = 0,
+            shrink: Double = 0.75): UnigramModel = {
     val wordsDf = Bpe.words(docs, textCol).localCheckpoint(true)
     try {
       // ---- seed: substring counts over the distinct-word table --------
@@ -114,15 +130,15 @@ object UnigramLm {
         .localCheckpoint(true)
       // alphabet-bounded + vocab-bounded collects: the piece table IS the
       // model (driver state by design, like k centroids)
-      val seed = try {
+      val (chars, seed) = try {
         val chars = cands.filter(length(col("piece")) === 1)
           .orderBy(asc("piece"))
           .collect().map(r => (r.getString(0), r.getLong(1)))
         val multi = cands.filter(length(col("piece")) > 1)
           .orderBy(desc("pcnt"), asc("piece"))
-          .limit(math.max(vocabSize - chars.length, 0))
+          .limit(math.max(math.max(seedSize, vocabSize) - chars.length, 0))
           .collect().map(r => (r.getString(0), r.getLong(1)))
-        chars ++ multi
+        (chars, chars ++ multi)
       } finally graft.util.Pins.release(cands)
       val seedTot = seed.map(_._2).sum.toDouble
       var costs: Array[(String, Long)] = seed.map { case (p, c) =>
@@ -137,10 +153,20 @@ object UnigramLm {
           .groupBy("piece").agg(sum("cnt").as("usage"))
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-      for (_ <- 1 to emIters) {
+      val multiTarget = math.max(vocabSize - chars.length, 0)
+      for (round <- 1 to emIters) {
         val usage = usageUnder(costs)
-        val kept = costs.filter { case (p, _) =>
+        var kept = costs.filter { case (p, _) =>
           usage.getOrElse(p, 0L) > 0L || p.length == 1
+        }
+        if (seedSize > vocabSize) { // pruning schedule (see scaladoc)
+          val (cs, multi) = kept.partition(_._1.length == 1)
+          val cap =
+            if (round == emIters) multiTarget
+            else math.max(multiTarget, math.ceil(multi.length * shrink).toInt)
+          kept = cs ++ multi
+            .sortBy { case (p, _) => (-usage.getOrElse(p, 0L), p) }
+            .take(cap)
         }
         val tot = kept.map { case (p, _) => usage.getOrElse(p, 0L) + 1L }.sum.toDouble
         costs = kept.map { case (p, _) =>

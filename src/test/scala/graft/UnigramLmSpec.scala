@@ -126,6 +126,43 @@ class UnigramLmSpec extends AnyFunSuite {
       s"pinned blocks leaked across train+release: $before -> $after")
   }
 
+  test("seed-then-prune schedule: caps at the target, keeps chars, legacy path byte-stable") {
+    val docs = Seq(
+      (1L, "banana bandana cabana banana anagram salamander"),
+      (2L, "panorama panama bananarama salamander anagram"),
+      (3L, "abracadabra alakazam bandana panorama")).toDF("doc_id", "text")
+    // defaults (seedSize = 0) must be byte-identical to the legacy
+    // schedule — the declared oracle replays it constant-for-constant
+    val legacy = UnigramLm.train(docs, "text", vocabSize = 24, emIters = 2)
+    val explicit = UnigramLm.train(docs, "text", vocabSize = 24, emIters = 2,
+      seedSize = 0)
+    assert(legacy.pieces == explicit.pieces)
+    legacy.release(); explicit.release()
+
+    // pruning schedule: a 3x seed pool distills down to <= vocabSize,
+    // all single chars survive, and segmentation stays lossless
+    val pruned = UnigramLm.train(docs, "text", vocabSize = 24, emIters = 3,
+      seedSize = 72)
+    assert(pruned.pieces.length <= 24,
+      s"pruning must land at the target, got ${pruned.pieces.length}")
+    val chars = docs.select(explode(split(regexp_replace(
+      lower(col("text")), "[^a-z]", ""), "")).as("c"))
+      .filter(col("c") =!= "").distinct().as[String].collect().toSet
+    assert(chars.subsetOf(pruned.pieces.map(_.piece).filter(_.length == 1).toSet),
+      "every corpus character must survive the prune")
+    val rejoined = pruned.segs
+      .groupBy("word")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("pos"), col("piece"))))
+        .getField("piece")).as("re"))
+      .filter(col("word") =!= col("re")).count()
+    assert(rejoined == 0, "pruned-vocab segmentation must stay lossless")
+    // determinism of the full schedule
+    val again = UnigramLm.train(docs, "text", vocabSize = 24, emIters = 3,
+      seedSize = 72)
+    assert(pruned.pieces == again.pieces)
+    pruned.release(); again.release()
+  }
+
   test("declared-query corpus respects the oracle's unrolled DP bound") {
     val maxLen = graft.io.Tables.documents(spark, SparkTestSession.sfDir)
       .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
