@@ -653,6 +653,26 @@ object Soak {
             Tables.embeddings(spark, sfDir)
               .filter(pmod(col("vec_id"), lit(1000L)) === 0),
             "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 50)
+        },
+        // BOUNDED FALLBACK COST: the same SQ8 probe with 10% of the
+        // corpus left UNENCODED (the out-of-band append-delta state the
+        // streaming maintainer's re-encode threshold tolerates) — those
+        // cell members route through the exact-rerank anti-join branch.
+        // The row's claim vs ivfsq8_probe: the fallback adds work
+        // proportional to the DELTA (10% of candidates take the exact
+        // path), never a regression to brute force — what makes
+        // reencodeAt a cost knob rather than a correctness one.
+        shape("ivfsq8_fallback_delta") {
+          val idx0 = graft.similarity.Similarity.buildIvfIndex(
+            emb, "vec_id", "embedding", nlist = 16)
+          val idx = idx0.copy(cells = pin(idx0.cells))
+          val enc = pin(graft.similarity.Sq.encode(
+            emb.filter(pmod(col("vec_id"), lit(10L)) =!= 0), // 10% unencoded
+            "vec_id", "embedding"))
+          graft.similarity.Sq.ivfSq8TopK(idx, enc,
+            Tables.embeddings(spark, sfDir)
+              .filter(pmod(col("vec_id"), lit(1000L)) === 0),
+            "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 50)
         })
     } else Seq.empty) ++ (if (soakSets("spans")) Seq(
       // span-decontamination worst case: the FIXED unamplified benchmark
