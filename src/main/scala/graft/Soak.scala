@@ -721,56 +721,69 @@ object Soak {
           "l_partkey", "l_suppkey", numFiles = 32)
       },
       // the END-TO-END skipping payoff the layout write buys: both
-      // layouts written, then a selective 2-D box predicate measured two
-      // ways — (a) files whose min/max bounding box intersects the box
-      // (what any stats-based catalog or the parquet footer check prunes
-      // by: the Z-order files cover compact rectangles, the natural
-      // files all span the whole domain) and (b) the rows the scan
-      // actually EMITS under parquet row-group pruning (the
-      // engine-enforced win — pushed min/max filters skip whole row
-      // groups on the clustered layout, nothing on the natural one).
-      // The timed body is the selective read off the Z-ordered files.
-      shape("zorder_skipping") {
-        val base = li.select("l_orderkey", "l_partkey", "l_suppkey")
-        val tmp = java.nio.file.Files.createTempDirectory("graft-zskip").toString
-        base.repartition(32).write.mode("overwrite").parquet(s"$tmp/natural")
-        graft.layout.ZOrder.zorderBy(base, "l_partkey", "l_suppkey", numFiles = 32)
-          .write.mode("overwrite").parquet(s"$tmp/zorder")
-        val mx = base.agg(max("l_partkey"), max("l_suppkey")).head
-        val (pCut, sCut) = (mx.getLong(0) / 8, mx.getLong(1) / 8)
-        def boxPred(df: DataFrame) =
-          df.filter(col("l_partkey") <= pCut && col("l_suppkey") <= sCut)
-        // (a) stats-based file skipping: per-file bounding boxes (keys
-        // start at the domain's low end, so a box intersects the
-        // predicate box iff both its minima do)
-        def fileCounts(dir: String): (Long, Long) = {
-          val boxes = spark.read.parquet(dir)
-            .groupBy(input_file_name().as("f"))
-            .agg(min("l_partkey").as("minp"), min("l_suppkey").as("mins"))
-            .localCheckpoint(true)
-          try (boxes.count(),
-            boxes.filter(col("minp") <= pCut && col("mins") <= sCut).count())
-          finally graft.util.Pins.release(boxes)
+      // layouts written UNTIMED (their cost is the zorder_layout row),
+      // then a selective 2-D box predicate measured two ways — (a)
+      // files whose min/max bounding box intersects the box (what any
+      // stats-based catalog or the parquet footer check prunes by: the
+      // Z-order files cover compact rectangles, the natural files all
+      // span the whole domain) and (b) the rows the scan actually
+      // EMITS under parquet row-group pruning (the engine-enforced win
+      // — pushed min/max filters skip whole row groups on the
+      // clustered layout, nothing on the natural one). The TIMED body
+      // is only the selective read off the Z-ordered files; the
+      // diagnostic scans run outside the clock and the temp layouts
+      // are deleted afterwards.
+      {
+        if (!onlyShapes.forall(_.contains("zorder_skipping")))
+          "zorder_skipping" -> -1.0
+        else {
+          val base = li.select("l_orderkey", "l_partkey", "l_suppkey")
+          val tmp = java.nio.file.Files.createTempDirectory("graft-zskip").toString
+          try {
+            base.repartition(32).write.mode("overwrite").parquet(s"$tmp/natural")
+            graft.layout.ZOrder.zorderBy(base, "l_partkey", "l_suppkey", numFiles = 32)
+              .write.mode("overwrite").parquet(s"$tmp/zorder")
+            val mx = base.agg(max("l_partkey"), max("l_suppkey")).head
+            val (pCut, sCut) = (mx.getLong(0) / 8, mx.getLong(1) / 8)
+            def boxPred(df: DataFrame) =
+              df.filter(col("l_partkey") <= pCut && col("l_suppkey") <= sCut)
+            // (a) stats-based file skipping: per-file bounding boxes
+            // (keys start at the domain's low end, so a box intersects
+            // the predicate box iff both its minima do)
+            def fileCounts(dir: String): (Long, Long) = {
+              val boxes = spark.read.parquet(dir)
+                .groupBy(input_file_name().as("f"))
+                .agg(min("l_partkey").as("minp"), min("l_suppkey").as("mins"))
+                .localCheckpoint(true)
+              try (boxes.count(),
+                boxes.filter(col("minp") <= pCut && col("mins") <= sCut).count())
+              finally graft.util.Pins.release(boxes)
+            }
+            // (b) engine-enforced row-group pruning: rows the parquet
+            // scan emits under the pushed filters
+            def scanEmitted(dir: String): Long = {
+              val q = boxPred(spark.read.parquet(dir))
+              // drive THIS queryExecution (a .write/.count would plan
+              // its own) so the inspected scan node is the one that ran
+              q.queryExecution.toRdd.foreach(_ => ())
+              q.queryExecution.executedPlan.collect {
+                case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+                  sc.metrics("numOutputRows").value
+              }.sum
+            }
+            val (nFiles, nHit) = fileCounts(s"$tmp/natural")
+            val (zFiles, zHit) = fileCounts(s"$tmp/zorder")
+            val (nRows, zRows) =
+              (scanEmitted(s"$tmp/natural"), scanEmitted(s"$tmp/zorder"))
+            System.err.println(
+              s"[soak]   zorder_skipping files-overlapping: natural=$nHit/$nFiles " +
+                s"zorder=$zHit/$zFiles; scan-emitted rows: natural=$nRows zorder=$zRows")
+            shape("zorder_skipping") {
+              boxPred(spark.read.parquet(s"$tmp/zorder"))
+            }
+          } finally
+            org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(tmp)): Unit
         }
-        // (b) engine-enforced row-group pruning: rows the parquet scan
-        // emits under the pushed filters
-        def scanEmitted(dir: String): Long = {
-          val q = boxPred(spark.read.parquet(dir))
-          // drive THIS queryExecution (a .write/.count would plan its
-          // own) so the inspected scan node is the one that ran
-          q.queryExecution.toRdd.foreach(_ => ())
-          q.queryExecution.executedPlan.collect {
-            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
-              s.metrics("numOutputRows").value
-          }.sum
-        }
-        val (nFiles, nHit) = fileCounts(s"$tmp/natural")
-        val (zFiles, zHit) = fileCounts(s"$tmp/zorder")
-        val (nRows, zRows) = (scanEmitted(s"$tmp/natural"), scanEmitted(s"$tmp/zorder"))
-        System.err.println(
-          s"[soak]   zorder_skipping files-overlapping: natural=$nHit/$nFiles " +
-            s"zorder=$zHit/$zFiles; scan-emitted rows: natural=$nRows zorder=$zRows")
-        boxPred(spark.read.parquet(s"$tmp/zorder"))
       }
     ) else Seq.empty) ++ (if (soakSets("mm_image")) {
       val ids = amplify(Tables.documents(spark, sfDir).select("doc_id"),

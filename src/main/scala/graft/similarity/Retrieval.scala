@@ -68,8 +68,9 @@ object Retrieval {
     *                rows all fall past k, since an empty cut has no
     *                measurable precision). NEIGHBORS need not be: an
     *                unlabeled neighbor counts as non-relevant (left
-    *                join, rel = 0) rather than silently vanishing from
-    *                the p@k/nDCG denominators.
+    *                join, rel = 0), so a query whose ENTIRE cut is
+    *                unlabeled still emits its zero-precision row
+    *                instead of vanishing from the report.
     * @param k       the cut the metrics are reported at (ranks > k are
     *                filtered out defensively; self-matches are assumed
     *                already excluded, as the probes guarantee)

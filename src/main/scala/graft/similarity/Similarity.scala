@@ -639,6 +639,15 @@ object Similarity {
     * (neighbor_id ascending tiebreak) and emits the rounded value —
     * the engine-portable cut convention that lets an independent SQL
     * engine replay the identical selection.
+    *
+    * PRECONDITION: A's ids are unique. The per-row top-k groups by
+    * `query_id`, so a duplicated A-id with two different vectors would
+    * silently pool both candidate sets into one blended top-k
+    * (the same feature-store contract as [[graft.similarity.Pq.encode]],
+    * which guards it in-plan; here the guard would cost an extra
+    * corpus-sized exchange of A, so the contract is documented
+    * instead — dedup A first if its key isn't trusted). [[knnGraph]]
+    * shares the same assumption about its corpus ids.
     */
   def annJoin(index: IvfIndex, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nprobe: Int,

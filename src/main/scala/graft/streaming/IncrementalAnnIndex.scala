@@ -219,30 +219,65 @@ object IncrementalAnnIndex {
                   indexDir: String): DataFrame =
     spark.read.parquet(encodedDir(indexDir))
 
-  /** Rows in the cells table the sidecar has no code for — exactly the
-    * rows quantized search routes through its exact-rerank anti-join
-    * fallback. Two parquet footer counts, no data scan (encoded rows
-    * are only ever produced FROM cells rows, so the count difference
-    * IS the delta).
+  /** (cells rows, sidecar rows) — two parquet footer counts, no data
+    * scan. Shared by [[unencodedCount]] and [[reencodeIfStale]] so the
+    * cells table is never footer-counted twice per maintenance check.
     */
-  def unencodedCount(spark: org.apache.spark.sql.SparkSession,
-                     indexDir: String): Long = {
+  private def storeCounts(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String): (Long, Long) = {
     val fs = CompactionSwap.fsFor(indexDir,
       spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(s"$indexDir/cells"))) return 0L
+    if (!fs.exists(new Path(s"$indexDir/cells"))) return (0L, 0L)
     val cells = spark.read.parquet(s"$indexDir/cells").count()
     val enc =
       if (fs.exists(new Path(encodedDir(indexDir))))
         spark.read.parquet(encodedDir(indexDir)).count()
       else 0L
+    (cells, enc)
+  }
+
+  /** Rows in the cells table the sidecar has no code for — exactly the
+    * rows quantized search routes through its exact-rerank anti-join
+    * fallback (encoded rows are only ever produced FROM cells rows, so
+    * the count difference IS the delta).
+    */
+  def unencodedCount(spark: org.apache.spark.sql.SparkSession,
+                     indexDir: String): Long = {
+    val (cells, enc) = storeCounts(spark, indexDir)
     math.max(0L, cells - enc)
   }
+
+  /** Cells-table batch ids whose `_appended` marker is missing — the
+    * signature of an append that crashed between its renames and its
+    * commit. The streaming engine will replay exactly these batches.
+    */
+  private def uncommittedAppendIds(fs: org.apache.hadoop.fs.FileSystem,
+                                   indexDir: String): Set[Long] =
+    Option(fs.globStatus(new Path(s"$indexDir/cells/cell=*/b*-*")))
+      .getOrElse(Array.empty)
+      .flatMap(st => scala.util.Try(
+        st.getPath.getName.stripPrefix("b").takeWhile(_ != '-').toLong).toOption)
+      .toSet
+      .filterNot(id => fs.exists(new Path(s"$indexDir/_appended/$id")))
 
   /** Full re-encode of the cells table into the sidecar when the
     * out-of-band delta fraction exceeds `reencodeAt`, under a
     * crash-recoverable swap. Returns true when a re-encode ran.
     * Callable directly for one-shot maintenance of a batch-appended
     * index (the non-streaming twin of [[Similarity.refitIvfIndex]]).
+    *
+    * REFUSES (returns false) while an UNCOMMITTED append batch is
+    * pending: its cells rows are already on disk but its replay is
+    * still coming, and that replay cleans up only its own
+    * `e<batchId>-*` sidecar files — a re-encode here would fold the
+    * batch's rows into anonymous part files the replay cannot see,
+    * and the replayed inline encode would then land the same vectors
+    * a SECOND time (duplicate code rows → duplicate shortlist
+    * candidates → wrong top-k, and a sidecar forever over-counted so
+    * the staleness check never fires again). The skipped check is not
+    * lost: the replay's inline encode covers the batch, and any
+    * out-of-band delta is re-measured at the next cadence or clean
+    * (re)start.
     */
   def reencodeIfStale(spark: org.apache.spark.sql.SparkSession,
                       indexDir: String, encoder: DataFrame => DataFrame,
@@ -250,9 +285,10 @@ object IncrementalAnnIndex {
     val fs = CompactionSwap.fsFor(indexDir,
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$indexDir/cells"))) return false
-    val total = spark.read.parquet(s"$indexDir/cells").count()
+    if (uncommittedAppendIds(fs, indexDir).nonEmpty) return false
+    val (total, enc) = storeCounts(spark, indexDir)
     if (total == 0) return false
-    val delta = unencodedCount(spark, indexDir)
+    val delta = math.max(0L, total - enc)
     if (delta.toDouble / total <= reencodeAt) return false
     val eDir = encodedDir(indexDir)
     val write = (tmp: String) =>

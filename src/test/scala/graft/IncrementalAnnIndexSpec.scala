@@ -245,6 +245,44 @@ class IncrementalAnnIndexSpec extends AnyFunSuite {
     assert(IncrementalAnnIndex.unencodedCount(spark, index.toString) == 0)
   }
 
+  test("re-encode refuses while an uncommitted batch is pending (the restart race)") {
+    // the double-encode window: a crash lands batch 1's cells renames
+    // but not its marker; a restart-time re-encode would fold those
+    // rows into anonymous part files, and the replay's inline encode
+    // would then land the same vectors a SECOND time
+    val base = Files.createTempDirectory("graft-annidx-race")
+    val index = base.resolve("index")
+    def process(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      IncrementalAnnIndex.processBatch(df, id, "vec_id", "embedding",
+        index.toString, nlist = 2, refitAt = 1000.0, driftCheckEvery = 0,
+        seed = 42L, encoder = Some(sq8Encoder), reencodeAt = 0.0)
+    process(blobA.toDF("vec_id", "embedding"), 0L)
+    process(blobB.toDF("vec_id", "embedding"), 1L)
+    val fs = new org.apache.hadoop.fs.Path(index.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: cells + sidecar files landed, marker gone
+    fs.delete(new org.apache.hadoop.fs.Path(s"$index/_appended/1"), false)
+    // ... and also delete batch 1's sidecar files, the worst variant
+    // (delta = the whole batch — far past any threshold)
+    fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"${IncrementalAnnIndex.encodedDir(index.toString)}/e1-*"))
+      .foreach(st => fs.delete(st.getPath, false))
+    assert(IncrementalAnnIndex.unencodedCount(spark, index.toString) == 20)
+    assert(!IncrementalAnnIndex.reencodeIfStale(spark, index.toString,
+      sq8Encoder, reencodeAt = 0.0),
+      "a pending uncommitted batch must veto the re-encode")
+    // the replay converges to exactly-once in BOTH tables...
+    process(blobB.toDF("vec_id", "embedding"), 1L)
+    assert(spark.read.parquet(s"$index/cells").count() == 80)
+    assert(IncrementalAnnIndex.readEncoded(spark, index.toString).count() == 80,
+      "the replayed inline encode must land the batch's codes exactly once")
+    // ...after which maintenance is allowed again (nothing pending)
+    assert(!IncrementalAnnIndex.reencodeIfStale(spark, index.toString,
+      sq8Encoder, reencodeAt = 0.0) ||
+      IncrementalAnnIndex.unencodedCount(spark, index.toString) == 0)
+    assert(IncrementalAnnIndex.unencodedCount(spark, index.toString) == 0)
+  }
+
   test("drift past the threshold triggers the atomic refit on the check cadence") {
     val base = Files.createTempDirectory("graft-annidx-drift")
     val index = base.resolve("index")

@@ -61,14 +61,24 @@ class RetrievalSpec extends AnyFunSuite {
   }
 
   test("an unlabeled neighbor counts as non-relevant, not dropped from the cut") {
-    // id 99 has NO label row: it must still occupy a rank slot with
-    // rel=0, so q1's p@3 is 2/3 (relevant at 1 and 3), not 2/2
+    // id 99 has NO label row: it still occupies a rank slot with rel=0
     val ranked = Seq(
       (1L, 10L, 1), (1L, 99L, 2), (1L, 11L, 3)
     ).toDF("query_id", "neighbor_id", "rank")
     val m = Retrieval.metrics(ranked, labels, "vec_id", "label", k = 3)
       .collect().head
     assert(m.getDouble(1) == math.rint(2.0 / 3 * 1e6) / 1e6)
+    // the case the left join actually CHANGES: a cut made entirely of
+    // unlabeled neighbors must emit the query's zero-precision row (the
+    // old inner join dropped every row and the query vanished)
+    val allUnlabeled = Seq(
+      (1L, 97L, 1), (1L, 98L, 2), (1L, 99L, 3)
+    ).toDF("query_id", "neighbor_id", "rank")
+    val z = Retrieval.metrics(allUnlabeled, labels, "vec_id", "label", k = 3)
+      .collect()
+    assert(z.length == 1, "an all-unlabeled cut must still report its query")
+    assert(z.head.getDouble(1) == 0.0 && z.head.getDouble(3) == 0.0,
+      "p@k and rr must be 0 on an all-unlabeled cut")
     // ... while an unlabeled QUERY has no ground truth and emits no row
     val orphan = Seq((99L, 10L, 1)).toDF("query_id", "neighbor_id", "rank")
     assert(Retrieval.metrics(orphan, labels, "vec_id", "label", k = 3).count() == 0)
