@@ -405,6 +405,21 @@ object Soak {
           graft.similarity.Similarity.knnGraph(idx, emb,
             "vec_id", "embedding", k = 5, nprobe = 4)
         },
+        // cross-corpus ANN join with BOTH corpora amplified: odd-keyed
+        // A-rows probe the index built over even-keyed B-rows. nlist
+        // grows with the corpus (bounded cell size) while nprobe stays
+        // fixed, so per-A-row pair scorings are constant and total cost
+        // is linear in |A| — the knnGraph scaling contract pointed at
+        // an external corpus (amplify preserves vec_id parity: the
+        // 10^7 offset is even).
+        shape(s"ann_join_cross_nlist${8 * mult}") {
+          val a = emb.filter(pmod(col("vec_id"), lit(2L)) === 1)
+          val b = emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
+          val idx = graft.similarity.Similarity.buildIvfIndex(
+            b, "vec_id", "embedding", nlist = 8 * mult)
+          graft.similarity.Similarity.annJoin(idx, a, "vec_id", "embedding",
+            k = 3, nprobe = 4)
+        },
         // MMR diversified re-rank at scale, via the SAME PipelineOps
         // helper the declared (plan-pinned) query runs. The timed
         // region is coarse fit + IVF probe + bounded-heap pooling —
@@ -650,6 +665,24 @@ object Soak {
           val idx = idx0.copy(cells = pin(idx0.cells))
           val enc = pin(graft.similarity.Sq.encode(emb, "vec_id", "embedding"))
           graft.similarity.Sq.ivfSq8TopK(idx, enc,
+            Tables.embeddings(spark, sfDir)
+              .filter(pmod(col("vec_id"), lit(1000L)) === 0),
+            "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 50)
+        },
+        // OPQ through the same chain: rotation fit (one Gramian pass)
+        // + rotated-space codebook + encode + rotated-ADC probe +
+        // raw-space rerank. Same FIXED query set; vs ivfpq_probe the
+        // delta is the rotation fit and the per-query rotation map —
+        // both corpus-independent at probe time, so the row must track
+        // ivfpq_probe's scaling.
+        shape("ivfopq_probe") {
+          val idx0 = graft.similarity.Similarity.buildIvfIndex(
+            emb, "vec_id", "embedding", nlist = 16)
+          val idx = idx0.copy(cells = pin(idx0.cells))
+          val opq = graft.similarity.Opq.train(emb, "vec_id", "embedding",
+            m = 8, ksub = 16, dim = 64, iters = 3)
+          val enc = pin(graft.similarity.Opq.encode(emb, "vec_id", "embedding", opq))
+          graft.similarity.Opq.ivfOpqTopK(idx, enc, opq,
             Tables.embeddings(spark, sfDir)
               .filter(pmod(col("vec_id"), lit(1000L)) === 0),
             "vec_id", "embedding", k = 5, nprobe = 4, shortlist = 50)

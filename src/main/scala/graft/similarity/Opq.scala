@@ -116,6 +116,48 @@ object Opq {
       corpus.select(col(idCol), rotateCol(col(vecCol), model.rotation).as("__rvec")),
       idCol, "__rvec", model.cb)
 
+  /** Persist a trained OPQ model: the codebook via [[Pq.saveCodebook]]
+    * plus the rotation as one tiny parquet (dim rows of dim doubles) —
+    * train once, encode/probe everywhere after, like the IVF index and
+    * the tokenizer models.
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, model: OpqModel,
+           path: String): Unit = {
+    import spark.implicits._
+    Pq.saveCodebook(spark, model.cb, s"$path/codebook")
+    model.rotation.zipWithIndex.map { case (r, i) => (i, r.toSeq) }.toSeq
+      .toDF("row", "coeffs")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/rotation")
+  }
+
+  /** Load a persisted OPQ model, asserting its shape: the rotation must
+    * be square, contiguous, and match the codebook's dimension
+    * (m·subDim), and its rows must be orthonormal to float tolerance —
+    * a truncated, double-written, or non-orthogonal artifact fails
+    * loudly instead of silently skewing every ADC score.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): OpqModel = {
+    val cb = Pq.loadCodebook(spark, s"$path/codebook")
+    val dim = cb.m * cb.subDim
+    val rows = spark.read.parquet(s"$path/rotation").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    require(rows.nonEmpty, s"no OPQ rotation at $path/rotation")
+    require(rows.map(_._1).sorted.toSeq == (0 until dim),
+      s"OPQ rotation at $path: rows ${rows.map(_._1).sorted.toSeq.take(5)}... " +
+        s"are not the contiguous 0 until $dim (truncated or double-written)")
+    val rot = rows.sortBy(_._1).map(_._2)
+    require(rot.forall(_.length == dim),
+      s"OPQ rotation at $path: non-square rows (dim must be $dim)")
+    for (i <- rot.indices; j <- i until rot.length) {
+      val d = rot(i).zip(rot(j)).map { case (a, b) => a * b }.sum
+      val want = if (i == j) 1.0 else 0.0
+      require(math.abs(d - want) < 1e-6,
+        s"OPQ rotation at $path is not orthonormal (R·Rᵀ[$i][$j] = $d) — " +
+          "corrupted artifact")
+    }
+    OpqModel(rot, cb)
+  }
+
   /** IVFOPQ + refine top-k: [[Pq.ivfPqTopK]]'s exact plan with the ADC
     * lookup table built from ROTATED query slices (matching the rotated
     * codes); coarse probe and exact rerank untouched in raw space.

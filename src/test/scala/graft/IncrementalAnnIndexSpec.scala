@@ -245,6 +245,40 @@ class IncrementalAnnIndexSpec extends AnyFunSuite {
     assert(IncrementalAnnIndex.unencodedCount(spark, index.toString) == 0)
   }
 
+  test("the sidecar protocol is encoder-agnostic: a PQ-codebook closure serves ivfPqTopK") {
+    // the PQ variant of the maintenance loop: a codebook trained on the
+    // first corpus, closed over in the encoder (the loadCodebook
+    // restart pattern) — streamed batches encode to (vec_id, codes)
+    // under the same markers, and full-probe IVFPQ over the sidecar
+    // equals exact
+    val base = Files.createTempDirectory("graft-annidx-pq")
+    val index = base.resolve("index")
+    val cb = graft.similarity.Pq.buildCodebook(
+      blobA.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      m = 2, ksub = 4, dim = 4, iters = 3, seed = 7L)
+    val pqEncoder: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => graft.similarity.Pq.encode(df, "vec_id", "vec", cb)
+    def process(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      IncrementalAnnIndex.processBatch(df, id, "vec_id", "embedding",
+        index.toString, nlist = 2, refitAt = 1000.0, driftCheckEvery = 0,
+        seed = 42L, encoder = Some(pqEncoder), reencodeAt = 0.1)
+    process(blobA.toDF("vec_id", "embedding"), 0L)
+    process(blobB.toDF("vec_id", "embedding"), 1L)
+    assert(IncrementalAnnIndex.unencodedCount(spark, index.toString) == 0)
+    val idx = Similarity.readIvfIndex(spark, index.toString)
+    val enc = IncrementalAnnIndex.readEncoded(spark, index.toString)
+    assert(enc.columns.toSet == Set("vec_id", "codes"), "PQ sidecar schema")
+    val queries = blobB.take(2).toDF("vec_id", "embedding")
+    val pq = graft.similarity.Pq.ivfPqTopK(idx, enc, cb, queries,
+      "vec_id", "embedding", k = 3, nprobe = idx.centroids.length, shortlist = 100)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val exact = Similarity.queryIvf(idx, queries, "vec_id", "embedding",
+      k = 3, nprobe = idx.centroids.length)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(pq == exact,
+      "full-probe full-shortlist IVFPQ over the streamed sidecar must equal exact")
+  }
+
   test("re-encode refuses while an uncommitted batch is pending (the restart race)") {
     // the double-encode window: a crash lands batch 1's cells renames
     // but not its marker; a restart-time re-encode would fold those

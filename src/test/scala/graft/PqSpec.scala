@@ -167,6 +167,26 @@ class PqSpec extends AnyFunSuite {
     assert(full == exact)
   }
 
+  test("OPQ model save/load round-trips; a corrupted rotation fails loudly") {
+    val model = PipelineOps.opqModel(spark, d)
+    val path = java.nio.file.Files.createTempDirectory("graft-opq-model").toString
+    graft.similarity.Opq.save(spark, model, s"$path/m")
+    val loaded = graft.similarity.Opq.load(spark, s"$path/m")
+    assert(loaded.rotation.map(_.toSeq).toSeq == model.rotation.map(_.toSeq).toSeq)
+    assert(loaded.cb.centroids.flatten.flatten.toSeq ==
+      model.cb.centroids.flatten.flatten.toSeq)
+    // corruption detection: a row-scaled (non-orthonormal) rotation refuses
+    import spark.implicits._
+    val bad = model.rotation.zipWithIndex
+      .map { case (r, i) => (i, r.map(_ * (if (i == 0) 2.0 else 1.0)).toSeq) }
+      .toSeq.toDF("row", "coeffs")
+    bad.coalesce(1).write.mode("overwrite").parquet(s"$path/m/rotation")
+    val ex = intercept[IllegalArgumentException] {
+      graft.similarity.Opq.load(spark, s"$path/m")
+    }
+    assert(ex.getMessage.contains("not orthonormal"))
+  }
+
   test("on a variance-skewed corpus, OPQ's ADC shortlist recall beats plain PQ's") {
     import spark.implicits._
     // anisotropic synthetic corpus: coordinate i scaled by 1/(1+i)
