@@ -29,6 +29,11 @@ object PipelineOps {
   val MmrK = 8
   val MmrLambda = 0.7
 
+  /** Rounded-cosine threshold for semantic decontamination — shared by
+    * the declared query and its oracle SQL (one constant, no drift).
+    */
+  val SemDecontThreshold = 0.4
+
   /** Shared materialization for the dedup chain: the LSH candidate pairs
     * and their connected components each feed several declared queries
     * (`dd_minhash_lsh`, `dd_components`, `dd_apply`), and recomputing the
@@ -741,6 +746,31 @@ object PipelineOps {
           opqModel(s, d),
           Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(100)) === 0),
           "vec_id", "embedding", k = 5, nprobe = 6, shortlist = 50))),
+
+    // SEMANTIC decontamination — the embedding-space counterpart of
+    // tp_decontaminate's n-gram overlap: drop every corpus vector whose
+    // cosine against ANY benchmark vector reaches the threshold (the
+    // paraphrased-contamination case lexical k-grams can't see), plus
+    // the benchmark members themselves. Scale shape: the benchmark is
+    // eval-set-sized, so it rides [[Similarity.queryIvfRadius]]'s
+    // BROADCAST probe over the persisted partition-pruned index (full
+    // probe — exact, no rank window at all), and the bounded hit set
+    // anti-joins back onto the corpus. Cut on the 6dp-rounded cosine
+    // (radius pre-filtered a hair below so the rounded cut is the only
+    // boundary), replayed value-for-value by the oracle.
+    "tp_decontaminate_semantic" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val idx = persistedIvfIndex(s, d)
+      val bench = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+      val hits = Similarity.queryIvfRadius(idx, bench, "vec_id", "embedding",
+          minSim = SemDecontThreshold - 1e-6, nprobe = idx.centroids.length)
+        .filter(round(col("cosine_sim"), 6) >= SemDecontThreshold)
+        .select(col("neighbor_id").as("vec_id"))
+      emb.join(
+          hits.unionAll(bench.select("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti")
+        .select("vec_id", "label")
+    }),
 
     // Cross-corpus ANN JOIN ([[Similarity.annJoin]]): corpus A (odd
     // vec_ids — "incoming batch") against an index built over corpus B
@@ -1570,6 +1600,23 @@ object PipelineOps {
     "sim_ann_ivfpq" ->
       """SELECT vec_id AS query_id, 5 AS n_results, 1 AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+
+    // Semantic decontamination replayed brute-force: every (bench,
+    // corpus) pair's rounded cosine; the drop set is the bench ids plus
+    // every corpus id reaching the threshold against any bench vector.
+    "tp_decontaminate_semantic" ->
+      s"""WITH flat AS MATERIALIZED ($flatEmbSql),
+         |norms AS MATERIALIZED (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY 1),
+         |hits AS (
+         |  SELECT c.vec_id
+         |  FROM flat q JOIN flat c ON q.i = c.i AND c.vec_id != q.vec_id
+         |    JOIN norms nq ON nq.vec_id = q.vec_id
+         |    JOIN norms nc ON nc.vec_id = c.vec_id
+         |  WHERE q.vec_id % 10 = 0
+         |  GROUP BY c.vec_id, q.vec_id, nq.nrm, nc.nrm
+         |  HAVING round(sum(q.x * c.x) / (nq.nrm * nc.nrm), 6) >= $SemDecontThreshold)
+         |SELECT vec_id, label FROM embeddings
+         |WHERE vec_id % 10 != 0 AND vec_id NOT IN (SELECT vec_id FROM hits)""".stripMargin,
 
     // Cross-corpus ANN join replayed brute-force: every odd×even pair's
     // rounded cosine, (xc_sim DESC, neighbor ASC) top-3 per query — the

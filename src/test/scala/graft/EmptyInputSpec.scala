@@ -32,7 +32,7 @@ class EmptyInputSpec extends AnyFunSuite {
     "sim_topk", "sim_ann_ivfpq", "sim_radius", "sim_ivf_drift",
     "sim_knn_graph", "sim_knn_components",
     "sim_ann_sq8", "sim_ann_opq", "sim_ann_join", "sim_mmr_rerank",
-    "ret_hybrid_rrf",
+    "tp_decontaminate_semantic", "ret_hybrid_rrf",
     "sim_hard_negatives", "ret_eval_metrics",
     // PCA's Gramian pass needs rows (no covariance of nothing)
     "ml_pca_project", "ml_pca_variance", "ml_pca_whiten")

@@ -205,6 +205,17 @@ class IncrementalAnnIndexSpec extends AnyFunSuite {
     assert(encRows() == 80, "an uncommitted replay must not double the codes")
     assert(spark.read.parquet(s"$index/cells").count() == 80)
 
+    // partial sidecar replay (crash mid-encode-rename): drop ONE of the
+    // batch's code files + the marker — the replay must restore exactly
+    // the batch's codes, not stack a second copy next to the survivors
+    val placedE = fs.globStatus(new org.apache.hadoop.fs.Path(
+      s"${IncrementalAnnIndex.encodedDir(index.toString)}/e1-*"))
+    assert(placedE.nonEmpty)
+    fs.delete(placedE.head.getPath, false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$index/_appended/1"), false)
+    process(blobB.toDF("vec_id", "embedding"), 1L)
+    assert(encRows() == 80, "a partial sidecar replay must converge to exactly-once")
+
     // out-of-band append (plain batch API, outside the stream): cells
     // grow, sidecar lags — quantized search falls back to the exact
     // branch for those rows but stays CORRECT
