@@ -596,6 +596,22 @@ object PipelineOps {
     "dd_components" -> ((s, d) =>
       dupComponents(s, d).select(col("node").as("doc_id"), col("component"))),
 
+    // GROUP-AWARE (leakage-safe) train/test split: the per-doc hash
+    // split (tp_hash_split) puts two near-duplicate crawls of one page
+    // on opposite sides whenever their bytes differ — the classic eval
+    // leak tp_split_leakage only AUDITS. This operator prevents it:
+    // every doc inherits its dedup COMPONENT's split, decided by the
+    // portable rolling hash of the component label, so a near-dup
+    // cluster moves as a unit (The-Stack-style dedup-aware splitting).
+    // Cost on top of the shared closure: one codegen hash projection.
+    "tp_group_split" -> ((s, d) => {
+      val h = pmod(graft.functions.TextExprs.rollingHash(
+        col("component").cast("string")), lit(10L))
+      dupComponents(s, d).select(col("node").as("doc_id"), col("component"))
+        .select(col("doc_id"), col("component"),
+          when(h < 8, "train").otherwise("test").as("split"))
+    }),
+
     // Radius (range) search through the persisted IVF index at full
     // probe: every corpus vector within cosine >= 0.2 of each query —
     // the "everything this similar" retrieval form (near-dup audits,
@@ -1449,6 +1465,37 @@ object PipelineOps {
          |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node)
          |SELECT node AS doc_id, min(root) AS component
          |FROM reach GROUP BY 1""".stripMargin,
+
+    // same closure + the tp_hash_split rolling hash applied to the
+    // component label: every member of a component lands on one side
+    "tp_group_split" ->
+      s"""WITH RECURSIVE cand AS (
+         |WITH sig AS ($minhashSigSql),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 || mh1 AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM cand
+         |  UNION SELECT id_b, id_a FROM cand),
+         |reach(node, root) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+         |comp AS (
+         |  SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY 1)
+         |SELECT doc_id, component,
+         |  CASE WHEN list_reduce(
+         |    list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(regexp_split_to_array(CAST(component AS VARCHAR), ''),
+         |        c -> CAST(ascii(c) AS BIGINT))),
+         |    (acc, x) -> (acc * 31 + x) % 1000000007) % 10 < 8
+         |  THEN 'train' ELSE 'test' END AS split
+         |FROM comp""".stripMargin,
 
     // same closure, rolled up to the component-size histogram
     "dd_cluster_sizes" ->

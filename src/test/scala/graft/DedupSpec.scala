@@ -234,6 +234,28 @@ class DedupSpec extends AnyFunSuite {
     assert(byDoc(2L).toSeq == Seq((2L, 0, 13, 6L)), s"got ${byDoc(2L).toSeq}")
   }
 
+  test("group-aware split: no LSH near-dup pair ever straddles train/test") {
+    import org.apache.spark.sql.functions._
+    val d = SparkTestSession.sfDir
+    val split = graft.queries.PipelineOps.queries("tp_group_split")(spark, d)
+    // every doc appears exactly once with a split
+    assert(split.count() ==
+      graft.io.Tables.documents(spark, d).count())
+    assert(split.select("split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "test")))
+    // the leakage guarantee: both ends of every candidate near-dup pair
+    // land on the SAME side (the per-doc hash split can't promise this)
+    val pairs = graft.queries.PipelineOps.queries("dd_minhash_lsh")(spark, d)
+      .select(col("id_a"), col("id_b"))
+    val straddling = pairs
+      .join(split.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(split.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb"))
+      .count()
+    assert(straddling == 0,
+      s"$straddling near-dup pairs straddle the group-aware split")
+  }
+
   test("contaminated spans locate the leak; cutSpans excises exactly those tokens") {
     import spark.implicits._
     val leak = "what is the capital of france the answer is paris of course"
