@@ -57,9 +57,24 @@ import graft.similarity.Similarity
   * The encoder receives a `(vec_id, vec)` frame (zero-norm rows already
   * dropped, mirroring the cells table's guard, so sidecar and cells
   * row counts stay comparable) and must return rows keyed `vec_id` —
-  * e.g. `df => Sq.encode(df, "vec_id", "vec")`, or a PQ closure over a
-  * loaded codebook. An IVF refit never invalidates the sidecar: codes
-  * depend only on the vectors, not on cell assignment.
+  * e.g. `df => Sq.encode(df, "vec_id", "vec")`, or a PQ/OPQ closure
+  * over a loaded codebook. An IVF refit never invalidates the sidecar:
+  * codes depend only on the vectors, not on cell assignment.
+  *
+  * Trained-encoder caveat: SQ8 is stateless (per-vector scale), so its
+  * codes never stale — the recommended streaming sidecar. A PQ/OPQ
+  * closure freezes its codebook/rotation; distribution drift erodes
+  * ADC quality the same way it erodes the coarse quantizer, and this
+  * maintainer deliberately does NOT retrain through the closure (the
+  * codebook is the caller's artifact, persisted via
+  * [[graft.similarity.Pq.saveCodebook]]/[[graft.similarity.Opq.save]]).
+  * The operational recipe: when [[Similarity.ivfDrift]] breaches —
+  * the same signal that triggers the refit here — retrain the
+  * codebook offline, persist it, restart the stream with the new
+  * closure, and run one [[reencode]] pass (the forced form — after a
+  * codebook swap the row-count delta is 0, so the threshold path
+  * correctly sees nothing stale) to rewrite the sidecar under the
+  * swap.
   *
   * [[run]] calls [[Similarity.recoverIvfMaintenance]] on (re)start so a
   * crash mid-refit/compaction never leaves the index unreadable until
@@ -290,6 +305,22 @@ object IncrementalAnnIndex {
     if (total == 0) return false
     val delta = math.max(0L, total - enc)
     if (delta.toDouble / total <= reencodeAt) return false
+    reencode(spark, indexDir, encoder)
+  }
+
+  /** UNCONDITIONAL full re-encode of the cells table into the sidecar
+    * (same swap and same uncommitted-batch veto as [[reencodeIfStale]],
+    * without the staleness gate — the row-count delta cannot see a
+    * CODEBOOK change, where every count matches but every code is
+    * wrong under the new encoder). Run this once after swapping a
+    * retrained PQ/OPQ artifact. Returns true when the re-encode ran.
+    */
+  def reencode(spark: org.apache.spark.sql.SparkSession,
+               indexDir: String, encoder: DataFrame => DataFrame): Boolean = {
+    val fs = CompactionSwap.fsFor(indexDir,
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(s"$indexDir/cells"))) return false
+    if (uncommittedAppendIds(fs, indexDir).nonEmpty) return false
     val eDir = encodedDir(indexDir)
     val write = (tmp: String) =>
       encoder(cellsAsVecInput(spark.read.parquet(s"$indexDir/cells")))

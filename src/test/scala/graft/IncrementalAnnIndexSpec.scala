@@ -288,6 +288,19 @@ class IncrementalAnnIndexSpec extends AnyFunSuite {
       .select("query_id", "neighbor_id", "rank").collect().toSet
     assert(pq == exact,
       "full-probe full-shortlist IVFPQ over the streamed sidecar must equal exact")
+
+    // the codebook-swap recipe: counts match so the threshold path
+    // correctly sees nothing stale, but the FORCED reencode rewrites
+    // the sidecar under the new encoder (here: swap PQ codes for SQ8)
+    assert(!IncrementalAnnIndex.reencodeIfStale(spark, index.toString,
+      sq8Encoder, reencodeAt = 0.0),
+      "a zero delta must not trip the staleness gate")
+    assert(IncrementalAnnIndex.reencode(spark, index.toString, sq8Encoder))
+    val swapped = IncrementalAnnIndex.readEncoded(spark, index.toString)
+    assert(swapped.columns.toSet == Set("vec_id", "sq_scale", "sq_code"),
+      "the forced reencode must serve the NEW encoder's codes")
+    assert(swapped.count() == 80)
+    assert(IncrementalAnnIndex.unencodedCount(spark, index.toString) == 0)
   }
 
   test("re-encode refuses while an uncommitted batch is pending (the restart race)") {
