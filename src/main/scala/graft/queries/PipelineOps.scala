@@ -515,6 +515,26 @@ object PipelineOps {
 
     "dd_simhash" -> ((s, d) => simhashSigs(s, d)),
 
+    // LSH TUNING instrumentation: how good are the banded MinHash
+    // candidates against the exact (capped) Jaccard truth — the
+    // confusion counts a pipeline reads before turning the
+    // bands/rows-per-band knobs (more bands → recall up, precision
+    // down). Both pair tables already exist at bounded size (banded
+    // equi-join / capped inverted index — never all-pairs), so the
+    // quality join is pair-table-sized and the output is ONE row of
+    // counts; precision and recall derive driver-side or in SQL.
+    "dd_lsh_quality" -> ((s, d) => {
+      val cand = lshCandidates(s, d).select("id_a", "id_b")
+      val truth = Dedup.jaccardPairsFromShingles(shingleTable(s, d), "doc_id",
+        threshold = 0.5, maxDf = Some(50L)).select("id_a", "id_b")
+      val hit = cand.join(truth, Seq("id_a", "id_b"))
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(truth.agg(count(lit(1)).as("n_true_pairs")))
+        .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+        .select(col("n_candidates"), col("n_true_pairs"), col("n_hit"),
+          (col("n_true_pairs") - col("n_hit")).as("n_missed"))
+    }),
+
     // Fuzzy record linkage: part-name pairs within Levenshtein distance 3.
     // The expensive verify runs on DISTINCT names only (prefix + length
     // blocked), never on rows — row blow-up happens after, as two
@@ -1444,6 +1464,41 @@ object PipelineOps {
          |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
          |FROM bands a JOIN bands b
          |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id""".stripMargin,
+
+    // both pair replays composed, reduced to the confusion counts
+    "dd_lsh_quality" ->
+      s"""WITH sig AS ($minhashSigSql),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, mh0 || mh1 AS band_key FROM sig
+         |  UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sh0 AS ($shinglesSql),
+         |sh AS (
+         |  SELECT doc_id, shingle FROM (
+         |    SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+         |    FROM sh0) c
+         |  WHERE df <= 50),
+         |sizes AS (SELECT doc_id, count(*) AS set_size FROM sh GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter_size
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |truth AS (
+         |  SELECT id_a, id_b FROM inter
+         |    JOIN sizes sa ON sa.doc_id = id_a
+         |    JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE inter_size * 1.0 / (sa.set_size + sb.set_size - inter_size) >= 0.5)
+         |SELECT
+         |  (SELECT count(*) FROM cand) AS n_candidates,
+         |  (SELECT count(*) FROM truth) AS n_true_pairs,
+         |  (SELECT count(*) FROM cand JOIN truth USING (id_a, id_b)) AS n_hit,
+         |  (SELECT count(*) FROM truth) -
+         |    (SELECT count(*) FROM cand JOIN truth USING (id_a, id_b)) AS n_missed""".stripMargin,
 
     "dd_components" ->
       s"""WITH RECURSIVE cand AS (
