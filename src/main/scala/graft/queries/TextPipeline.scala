@@ -326,6 +326,44 @@ object TextPipeline {
           md5(concat_ws(" ",
             array_sort(collect_list(struct(col("widx"), col("seg_text"))))
               .getField("seg_text"))).as("tok_md5"))
+    }),
+
+    // WordPiece training ([[graft.text.WordPiece]] — the third tokenizer
+    // family): BPE's bounded merge loop with the likelihood-gain argmax
+    // (score = ln pc − ln ca − ln cb in integer micro-nats, the unigram
+    // oracle's cross-engine float precedent). The oracle replays every
+    // rank as generated SQL from the same `WpMerges` constant
+    // ([[wordPieceOracle]]).
+    "tp_wordpiece_train" -> ((s, d) => {
+      import s.implicits._
+      wpModel(s, d).merges.toDF()
+    }),
+
+    // WordPiece application: greedy longest-match-first segmentation of
+    // the distinct-word table under the trained vocabulary (the codegen
+    // [[graft.functions.WordPieceKernels]] expression — NOT a merge
+    // replay, the defining WordPiece apply rule), joined back onto the
+    // exploded corpus. Output contract mirrors the other two families:
+    // per doc, word count, piece count, and an md5 over the in-order
+    // `##`-marked piece stream. The oracle unrolls the greedy scan over
+    // word positions (advance ≥ 1 char/step, `UniMaxWordLen` steps
+    // bound it — the corpus word-length bound the unigram oracle
+    // already relies on).
+    "tp_wordpiece_tok" -> ((s, d) => {
+      val model = wpModel(s, d)
+      val docWords = Tables.documents(s, d).select(col("doc_id"),
+        posexplode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as(Seq("widx", "word")))
+      val seg = graft.text.WordPiece.segmentWords(docWords.select("word"), model)
+        .select(col("word"), concat_ws(" ", col("pieces")).as("seg_text"),
+          size(col("pieces")).cast("long").as("n_pieces"))
+      docWords.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_pieces").as("n_wp_tokens"),
+          md5(concat_ws(" ",
+            array_sort(collect_list(struct(col("widx"), col("seg_text"))))
+              .getField("seg_text"))).as("wp_md5"))
     })
   )
 
@@ -367,6 +405,21 @@ object TextPipeline {
   private val uniMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, graft.text.UnigramLm.UnigramModel]]())
+
+  /** WordPiece merge ranks for the declared queries — small and fixed so
+    * the oracle's generated SQL stays reviewable (the operator takes any
+    * count; batching scales it like BPE's 32k demo).
+    */
+  val WpMerges = 8
+
+  private val wpMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, graft.text.WordPiece.WpModel]]())
+
+  def wpModel(s: SparkSession, d: String): graft.text.WordPiece.WpModel =
+    wpMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(d,
+        graft.text.WordPiece.train(Tables.documents(s, d), "text", WpMerges))
 
   def unigramModel(s: SparkSession, d: String): graft.text.UnigramLm.UnigramModel =
     uniMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
@@ -537,7 +590,31 @@ object TextPipeline {
          |  CAST(sum(n_pieces) AS BIGINT) AS n_unigram_tokens,
          |  md5(string_agg(seg, ' ' ORDER BY widx)) AS tok_md5
          |FROM docw JOIN segt USING (word)
-         |GROUP BY doc_id""".stripMargin, extraCtes = true)
+         |GROUP BY doc_id""".stripMargin, extraCtes = true),
+
+    "tp_wordpiece_train" -> wordPieceOracle(
+      (0 until WpMerges).map { k =>
+        val head = if (k == 0)
+          s"SELECT ${k + 1} AS merge_rank, a AS lhs, b AS rhs, " +
+            "a || b AS merged, sm AS score_micro, pc AS pair_count"
+        else s"SELECT ${k + 1}, a, b, a || b, sm, pc"
+        s"$head FROM wbest$k"
+      }.mkString(
+        "SELECT merge_rank, lhs, rhs, merged, score_micro, pair_count FROM (\n",
+        "\nUNION ALL\n", ") u")),
+
+    "tp_wordpiece_tok" -> wordPieceOracle(
+      s"""docw AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word,
+         |    unnest(range(len(regexp_extract_all(lower(text), '[a-z]+')))) AS widx
+         |  FROM documents)
+         |SELECT doc_id, count(*) AS n_words,
+         |  CAST(sum(n_pieces) AS BIGINT) AS n_wp_tokens,
+         |  md5(string_agg(seg, ' ' ORDER BY widx)) AS wp_md5
+         |FROM docw JOIN wfin USING (word)
+         |GROUP BY doc_id""".stripMargin,
+      withApply = true, extraCtes = true)
   )
 
   /** The BPE train loop as GENERATED DuckDB SQL: the word/char base CTEs
@@ -681,6 +758,113 @@ object TextPipeline {
     val rounds = (0 until UniEmIters).flatMap(e => Seq(ePass(e), mStep(e))) :+
       ePass(UniEmIters)
     val ctes = (base +: rounds).mkString(",\n")
+    if (extraCtes) s"$ctes,\n$finalSelect" else s"$ctes\n$finalSelect"
+  }
+
+  /** The WordPiece train loop — and, with `withApply`, the greedy
+    * longest-match segmentation — as GENERATED DuckDB SQL from the same
+    * constants the Scala operator uses. Per merge rank: symbol counts →
+    * pair counts → the likelihood argmax (`round((ln pc − ln ca −
+    * ln cb)·10⁶)` BIGINT, ties sm DESC → a ASC → b ASC — byte-for-byte
+    * [[graft.text.WordPiece.train]]'s sequential path) → the identical
+    * greedy-leftmost merge template [[bpeOracle]] uses. Every `wsyms_k`
+    * is MATERIALIZED: it is referenced three times per iteration, and
+    * un-materialized chained inlining would grow 3^k.
+    *
+    * The apply chain replays greedy longest-match WITHOUT length
+    * unrolling: step j joins the in-flight (word, pos, seg) row against
+    * the whole vocabulary on `substr(word, pos, length(piece)) = piece`
+    * and keeps the longest match (`row_number` by length DESC — ties
+    * impossible, equal-length matches at one position are the same
+    * string). Each step consumes ≥ 1 char, so `UniMaxWordLen` steps
+    * finish every corpus word (the word-length bound the unigram DP
+    * already relies on; spec-asserted). On-corpus words can never hit
+    * the `[UNK]` path — every single character is in the vocabulary by
+    * construction — so the oracle does not model it (the kernel spec
+    * covers it on hostile input).
+    */
+  private def wordPieceOracle(finalSelect: String, withApply: Boolean = false,
+                              extraCtes: Boolean = false): String = {
+    val base =
+      s"""WITH words AS MATERIALIZED (
+         |  SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |    FROM documents) t
+         |  GROUP BY 1),
+         |wsyms0 AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |    unnest(range(length(word))) AS pos,
+         |    unnest(string_split(word, '')) AS sym
+         |  FROM words)""".stripMargin
+    val iters = (0 until WpMerges).map { k =>
+      s"""wsc$k AS MATERIALIZED (
+         |  SELECT sym, CAST(sum(cnt) AS BIGINT) AS c FROM wsyms$k GROUP BY 1),
+         |wpc$k AS (
+         |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+         |    SELECT sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b,
+         |      cnt
+         |    FROM wsyms$k) p
+         |  WHERE b IS NOT NULL GROUP BY a, b),
+         |wbest$k AS MATERIALIZED (
+         |  SELECT a, b, pc,
+         |    CAST(round((ln(CAST(pc AS DOUBLE)) - ln(CAST(ca.c AS DOUBLE))
+         |      - ln(CAST(cb.c AS DOUBLE))) * 1000000) AS BIGINT) AS sm
+         |  FROM wpc$k JOIN wsc$k ca ON ca.sym = wpc$k.a
+         |    JOIN wsc$k cb ON cb.sym = wpc$k.b
+         |  ORDER BY sm DESC, a ASC, b ASC LIMIT 1),
+         |wm$k AS (
+         |  SELECT s.word, s.cnt, s.pos, s.sym,
+         |    coalesce(s.sym = b.a AND
+         |      lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.b,
+         |      false) AS m,
+         |    lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt
+         |  FROM wsyms$k s LEFT JOIN wbest$k b ON true),
+         |wsel$k AS (
+         |  SELECT word, cnt, pos, sym, m, nxt,
+         |    m AND (pos - (coalesce(max(CASE WHEN NOT m THEN pos END)
+         |      OVER (PARTITION BY word ORDER BY pos ROWS UNBOUNDED PRECEDING), -1)
+         |      + 1)) % 2 = 0 AS sel
+         |  FROM wm$k),
+         |wsyms${k + 1} AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |    row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+         |    CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
+         |  FROM (SELECT *, lag(sel) OVER (PARTITION BY word ORDER BY pos) AS prev_sel
+         |        FROM wsel$k) q
+         |  WHERE NOT coalesce(prev_sel, false))""".stripMargin
+    }
+    val applyCtes = if (!withApply) Seq.empty else {
+      val mergedUnion = (0 until WpMerges)
+        .map(k => s"  SELECT a || b AS piece FROM wbest$k").mkString("\n  UNION\n")
+      val vocab =
+        s"""wvocab AS MATERIALIZED (
+           |  SELECT DISTINCT sym AS piece FROM wsyms0
+           |  UNION
+           |$mergedUnion)""".stripMargin
+      val g0 = "wg0 AS (SELECT word, 1 AS pos, '' AS seg FROM words)"
+      val steps = (1 to UniMaxWordLen).map { j =>
+        s"""wg$j AS MATERIALIZED (
+           |  SELECT word, pos, seg FROM (
+           |    SELECT g.word, g.pos + length(v.piece) AS pos,
+           |      CASE WHEN g.seg = '' THEN v.piece
+           |           ELSE g.seg || ' ##' || v.piece END AS seg,
+           |      row_number() OVER (PARTITION BY g.word
+           |        ORDER BY length(v.piece) DESC) AS rn
+           |    FROM wg${j - 1} g JOIN wvocab v
+           |      ON g.pos <= length(g.word)
+           |     AND substr(g.word, g.pos, length(v.piece)) = v.piece) q
+           |  WHERE rn = 1
+           |  UNION ALL
+           |  SELECT word, pos, seg FROM wg${j - 1} WHERE pos > length(word))""".stripMargin
+      }
+      val fin =
+        s"""wfin AS MATERIALIZED (
+           |  SELECT word, seg, CAST(len(string_split(seg, ' ')) AS BIGINT)
+           |    AS n_pieces
+           |  FROM wg$UniMaxWordLen WHERE pos > length(word))""".stripMargin
+      (Seq(vocab, g0) ++ steps :+ fin)
+    }
+    val ctes = ((base +: iters) ++ applyCtes).mkString(",\n")
     if (extraCtes) s"$ctes,\n$finalSelect" else s"$ctes\n$finalSelect"
   }
 }

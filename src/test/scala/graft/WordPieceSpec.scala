@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.WordPieceSplit
+import graft.text.WordPiece
+
+class WordPieceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def split(word: String, pieces: Seq[String],
+                    mark: Boolean = true): Seq[String] =
+    Seq(word).toDF("word")
+      .select(WordPieceSplit.split(col("word"), pieces, mark).as("p"))
+      .as[Seq[String]].collect().head
+
+  test("greedy longest-match-first picks the longest piece at each position") {
+    val vocab = Seq("u", "n", "a", "f", "b", "l", "e", "un", "able", "unab")
+    // longest-first at pos 0 takes "unab" even though "un able" would
+    // cover with fewer pieces — greedy, not optimal (the defining
+    // WordPiece/BERT behavior)
+    assert(split("unable", vocab) == Seq("unab", "##l", "##e"))
+    assert(split("able", vocab) == Seq("able"))
+  }
+
+  test("continuation pieces carry ## marks; mark=false yields raw pieces") {
+    val vocab = Seq("p", "l", "a", "y", "ing", "play")
+    assert(split("playing", vocab) == Seq("play", "##ing"))
+    assert(split("playing", vocab, mark = false) == Seq("play", "ing"))
+    // a word equal to one piece gets no mark
+    assert(split("play", vocab) == Seq("play"))
+  }
+
+  test("a position with no matching piece makes the WHOLE word [UNK]") {
+    val vocab = Seq("a", "b", "ab")
+    assert(split("abq", vocab) == Seq("[UNK]"))
+    // even when a long prefix tokenizes cleanly
+    assert(split("ababababq", vocab) == Seq("[UNK]"))
+    assert(split("abab", vocab) == Seq("ab", "##ab"))
+  }
+
+  test("empty vocabulary maps every word to [UNK]; empty word to no pieces") {
+    assert(split("abc", Seq.empty) == Seq("[UNK]"))
+    assert(split("", Seq("a")) == Seq.empty)
+  }
+
+  test("train picks the likelihood argmax, not the raw pair count") {
+    // "zq" appears 4x from rare symbols (z:4, q:4); "th"/"he" ride the
+    // frequent t/h/e. Raw-count BPE would pick ("t","h") (count 8 > 4);
+    // the WordPiece score ln pc − ln ca − ln cb prefers the rare pair:
+    //   zq: ln4 − ln4 − ln4 = −ln4 ≈ −1.386
+    //   th: ln8 − ln(t: 8) − ln(h: 8) = −ln8 ≈ −2.079
+    val docs = Seq(
+      (1L, "the the the the the the the the zq zq zq zq")).toDF("doc_id", "text")
+    val wp = WordPiece.train(docs, "text", 1)
+    assert((wp.merges.head.lhs, wp.merges.head.rhs) == ("z", "q"),
+      s"expected the rare-pair argmax, got ${wp.merges.head}")
+    val bpe = graft.text.Bpe.train(docs, "text", 1)
+    assert(bpe.merges.head.pair_count == 8L,
+      "fixture broken: BPE should pick a frequent-pair (count 8) merge")
+    bpe.release()
+  }
+
+  test("train is deterministic; scores are recorded in micro-nats") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the rat sat on the cat"),
+      (3L, "that hat is the cat hat")).toDF("doc_id", "text")
+    val m1 = WordPiece.train(docs, "text", 6)
+    val m2 = WordPiece.train(docs, "text", 6)
+    assert(m1.merges == m2.merges, "same corpus must induce the same table")
+    assert(m1.merges.size == 6)
+    // scores are ln-ratios of counts ≤ the smaller marginal: never positive
+    assert(m1.merges.forall(_.score_micro <= 0L), s"${m1.merges}")
+    // every merged piece concatenates its parents
+    assert(m1.merges.forall(m => m.lhs + m.rhs == m.merged))
+  }
+
+  test("batched training: deterministic, first-pass prefix agrees with sequential") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the rat sat on the cat"),
+      (3L, "that hat is the cat hat")).toDF("doc_id", "text")
+    val seqM = WordPiece.train(docs, "text", 6)
+    val bat1 = WordPiece.train(docs, "text", 6, batchSize = 3)
+    val bat2 = WordPiece.train(docs, "text", 6, batchSize = 3)
+    assert(bat1.merges == bat2.merges, "batched path must be deterministic")
+    assert(bat1.merges.size == 6)
+    assert(bat1.merges.forall(m => m.lhs + m.rhs == m.merged))
+    // the FIRST batch is computed from the same initial table as
+    // sequential ranks 1..B, and on this corpus those ranks are
+    // symbol-disjoint and uncreated — so the prefix must agree exactly.
+    // LATER passes legitimately diverge (created super-pairs enter one
+    // pass late; disjointness rejects same-pass symbol conflicts) —
+    // Bpe.train's documented displacement contract, amplified under
+    // likelihood scoring because merges shift the marginals in the score.
+    assert(seqM.merges.take(3).map(m => (m.lhs, m.rhs)) ==
+      bat1.merges.take(3).map(m => (m.lhs, m.rhs)))
+    // (per-pass disjointness is internal: pass boundaries are not
+    // recorded in the merge table — a starved pass can be under-full,
+    // so rank positions cannot be grouped back into passes here)
+  }
+
+  test("tokenize: pieces concatenate back to each word; corpus join is complete") {
+    val docs = Seq(
+      (1L, "banana bandana cabana"),
+      (2L, "the banana and the bandana")).toDF("doc_id", "text")
+    val model = WordPiece.train(docs, "text", 5)
+    val toks = WordPiece.tokenize(docs, "doc_id", "text", model)
+    val rebuilt = toks
+      .groupBy("doc_id", "widx")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("pos"), col("token"))))
+        .getField("token")).as("joined"))
+      .withColumn("joined", regexp_replace(col("joined"), "##", ""))
+    val words = docs.select(col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as(Seq("widx", "word")))
+    val mismatch = rebuilt.join(words, Seq("doc_id", "widx"))
+      .filter(col("joined") =!= col("word")).count()
+    assert(mismatch == 0L)
+    assert(rebuilt.count() == words.count(), "every corpus word must tokenize")
+  }
+
+  test("save/load round-trips; truncated artifacts are refused") {
+    val dir = java.nio.file.Files.createTempDirectory("wp-model").toString
+    val docs = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val model = WordPiece.train(docs, "text", 4)
+    WordPiece.save(model, dir, spark)
+    val back = WordPiece.load(spark, dir)
+    assert(back.merges == model.merges)
+    assert(back.alphabet == model.alphabet)
+    assert(back.pieces.toSet == model.pieces.toSet)
+    // drop rank 1 → contiguity check fails loudly
+    spark.read.parquet(s"$dir/merges").filter(col("merge_rank") =!= 1)
+      .write.mode("overwrite").parquet(s"$dir/merges2")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/merges"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/merges2"),
+      new org.apache.hadoop.fs.Path(s"$dir/merges"))
+    val e = intercept[IllegalArgumentException] { WordPiece.load(spark, dir) }
+    assert(e.getMessage.contains("not contiguous"))
+  }
+
+  test("declared-query bound: every sf0.001 corpus word fits the oracle's greedy steps") {
+    val docs = graft.io.Tables.documents(spark, SparkTestSession.sfDir)
+    val maxLen = docs
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"),
+        lit(0))).as("w"))
+      .agg(max(length(col("w")))).collect().head.getInt(0)
+    assert(maxLen <= graft.queries.TextPipeline.UniMaxWordLen,
+      s"longest corpus word $maxLen exceeds the oracle's greedy unroll")
+  }
+
+  test("declared queries run and agree with a driver-side greedy reference") {
+    val d = SparkTestSession.sfDir
+    val train = graft.queries.TextPipeline.queries("tp_wordpiece_train")(spark, d)
+    val merges = train.orderBy("merge_rank").collect()
+    assert(merges.length == graft.queries.TextPipeline.WpMerges)
+    val tok = graft.queries.TextPipeline.queries("tp_wordpiece_tok")(spark, d)
+      .orderBy("doc_id").collect()
+    assert(tok.nonEmpty)
+    // driver-side reference: greedy longest-match with the same vocab on
+    // one sampled document
+    val model = graft.queries.TextPipeline.wpModel(spark, d)
+    val vocab = model.pieces.toSet
+    val maxL = model.pieces.map(_.length).max
+    def greedy(word: String): Seq[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = 0
+      while (pos < word.length) {
+        val l = (math.min(maxL, word.length - pos) to 1 by -1)
+          .find(len => vocab(word.substring(pos, pos + len)))
+          .getOrElse(sys.error(s"[UNK] on training corpus: $word"))
+        out += (if (pos == 0) word.substring(pos, pos + l)
+                else "##" + word.substring(pos, pos + l))
+        pos += l
+      }
+      out.toSeq
+    }
+    val doc = graft.io.Tables.documents(spark, d)
+      .orderBy("doc_id").select("doc_id", "text").first()
+    val words = "[a-z]+".r.findAllIn(doc.getString(1).toLowerCase).toSeq
+    val expected = words.map(w => greedy(w).mkString(" ")).mkString(" ")
+    val expMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = tok.find(_.getLong(0) == doc.getLong(0)).get
+    assert(got.getAs[String]("wp_md5") == expMd5)
+    assert(got.getAs[Long]("n_words") == words.length.toLong)
+  }
+}
