@@ -955,6 +955,58 @@ object PipelineOps {
         .select("doc_id", "lang", "n_chars")
     }),
 
+    // The WHOLE training-data prep chain as ONE declared query — clean
+    // (quality gate ∧ exact-dup keeper ∧ near-dup component root, the
+    // tp_corpus_clean composition) → decontaminate (drop the eval
+    // subset and every train doc sharing a 3-gram shingle with it) →
+    // tokenize survivors under the corpus-trained BPE artifact (the
+    // memoized build-once model; a production pipeline applies a
+    // pretrained tokenizer, it does not retrain per run) → next-fit
+    // pack into 512-subword-token bins per shard. Every stage reuses
+    // the shared materializations (dupComponents, bpeModel), so the
+    // end-to-end cost is the fragments' cost plus three doc_id-keyed
+    // contractions — and the oracle replays the full composition in one
+    // statement, certifying the cross-stage plumbing.
+    "tp_pipeline_e2e" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val keepQuality = TextAnalysis
+        .qualityFeatures(docs, "doc_id", "text", stopwords)
+        .filter(col("n_tokens") >= 30 &&
+          col("stopword_ratio") >= 0.05 && col("distinct_token_ratio") >= 0.4)
+        .select("doc_id")
+      val exactKeepers = Dedup.exact(docs, "doc_id", "text")
+        .select(col("keeper_id").as("doc_id"))
+      val componentRoots = dupComponents(s, d)
+        .filter(col("node") === col("component"))
+        .select(col("node").as("doc_id"))
+      val contaminated = Dedup.decontaminate(
+        docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(97)) === 0),
+        "doc_id", "text").select("doc_id")
+      val kept = docs.select("doc_id")
+        .filter(pmod(col("doc_id"), lit(97)) =!= 0)
+        .join(keepQuality, "doc_id")
+        .join(exactKeepers, "doc_id")
+        .join(componentRoots, "doc_id")
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      val seg = TextPipeline.bpeModel(s, d).vocabSyms
+        .groupBy("word").agg(count(lit(1)).as("n_syms"))
+      val docWords = docs.join(kept, "doc_id").select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("word"))
+      val docTokens = docWords.join(seg, "word")
+        .groupBy("doc_id").agg(sum("n_syms").as("n_tokens"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docTokens
+        .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+        .withColumn("cum_tokens", sum("n_tokens").over(w))
+        .withColumn("bin",
+          floor((col("cum_tokens") - col("n_tokens")) / 512).cast("long"))
+        .select("doc_id", "shard", "n_tokens", "bin")
+    }),
+
     // Co-located fact-fact join: both sides bucketed+sorted on the join
     // key at write time, so the sort-merge join runs with ZERO exchanges
     // on the join inputs (the only shuffle left is the final small agg).
@@ -1122,6 +1174,50 @@ object PipelineOps {
 
   private def mh(i: Int): String =
     s"min(substr(md5('mh$i|' || shingle), 1, 15)) AS mh$i"
+
+  /** The full corpus-clean statement (quality gate ∧ exact-dup keeper ∧
+    * near-dup component root) — `tp_corpus_clean`'s oracle, and the
+    * clean stage of `tp_pipeline_e2e`'s (where it nests as a derived
+    * table: DuckDB scopes a CTE body's own WITH RECURSIVE locally).
+    * Defined after [[minhashSigSql]]; kept as one self-contained
+    * statement so both uses stay byte-identical.
+    */
+  private lazy val corpusCleanSql =
+    s"""WITH RECURSIVE cand AS (
+       |WITH sig AS ($minhashSigSql),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, mh0 || mh1 AS band_key FROM sig
+       |  UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
+       |  UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
+       |  UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM cand
+       |  UNION SELECT id_b, id_a FROM cand),
+       |reach(node, root) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
+       |comp AS (
+       |  SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY 1),
+       |q AS (
+       |  SELECT doc_id,
+       |    len(toks) AS n_tokens,
+       |    len(list_filter(toks, t2 -> t2 IN ('the','a','of','and','to','in'))) * 1.0
+       |      / len(toks) AS stop_ratio,
+       |    len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio
+       |  FROM (SELECT doc_id,
+       |          list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
+       |        FROM documents) tq),
+       |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+       |SELECT d.doc_id, d.lang, d.n_chars
+       |FROM documents d
+       |  JOIN q ON q.doc_id = d.doc_id
+       |  JOIN keepers k ON k.doc_id = d.doc_id
+       |  JOIN comp c ON c.doc_id = d.doc_id AND c.doc_id = c.component
+       |WHERE q.n_tokens >= 30 AND q.stop_ratio >= 0.05 AND q.distinct_ratio >= 0.4""".stripMargin
 
   private val minhashSigSql =
     s"""SELECT doc_id, ${(0 until 8).map(mh).mkString(", ")}
@@ -1925,42 +2021,39 @@ object PipelineOps {
         |GROUP BY 1""".stripMargin,
 
     // same component CTE as dd_apply, plus the quality + exact-keeper gates
-    "tp_corpus_clean" ->
-      s"""WITH RECURSIVE cand AS (
-         |WITH sig AS ($minhashSigSql),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band, mh0 || mh1 AS band_key FROM sig
-         |  UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
-         |  UNION ALL SELECT doc_id, 2, mh4 || mh5 FROM sig
-         |  UNION ALL SELECT doc_id, 3, mh6 || mh7 FROM sig)
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |edges AS (
-         |  SELECT id_a AS src, id_b AS dst FROM cand
-         |  UNION SELECT id_b, id_a FROM cand),
-         |reach(node, root) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, r.root FROM reach r JOIN edges e ON e.src = r.node),
-         |comp AS (
-         |  SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY 1),
-         |q AS (
-         |  SELECT doc_id,
-         |    len(toks) AS n_tokens,
-         |    len(list_filter(toks, t2 -> t2 IN ('the','a','of','and','to','in'))) * 1.0
-         |      / len(toks) AS stop_ratio,
-         |    len(list_distinct(toks)) * 1.0 / len(toks) AS distinct_ratio
-         |  FROM (SELECT doc_id,
-         |          list_filter(string_split_regex(text, '\\s+'), x -> x != '') AS toks
-         |        FROM documents) tq),
-         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
-         |SELECT d.doc_id, d.lang, d.n_chars
-         |FROM documents d
-         |  JOIN q ON q.doc_id = d.doc_id
-         |  JOIN keepers k ON k.doc_id = d.doc_id
-         |  JOIN comp c ON c.doc_id = d.doc_id AND c.doc_id = c.component
-         |WHERE q.n_tokens >= 30 AND q.stop_ratio >= 0.05 AND q.distinct_ratio >= 0.4""".stripMargin,
+    "tp_corpus_clean" -> corpusCleanSql,
+
+    // The COMPOSED prep chain's oracle: corpus-clean (nested, its own
+    // recursive closure) → decontaminate-drop → the generated BPE merge
+    // chain → pack. One statement, every stage the fragment oracles
+    // above already pin, spliced — so a pass here certifies the
+    // cross-stage doc_id plumbing, not just each stage alone.
+    "tp_pipeline_e2e" -> TextPipeline.bpeOracle(
+      s"""clean AS (
+         |  SELECT doc_id FROM ($corpusCleanSql) cc),
+         |shc AS ($shinglesSql),
+         |contaminated AS (
+         |  SELECT DISTINCT s.doc_id FROM shc s
+         |    JOIN (SELECT DISTINCT shingle FROM shc WHERE doc_id % 97 = 0) b
+         |      USING (shingle)
+         |  WHERE s.doc_id % 97 <> 0),
+         |kept AS (
+         |  SELECT doc_id FROM clean WHERE doc_id % 97 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |seg AS (
+         |  SELECT word, count(*) AS n_syms
+         |  FROM syms${TextPipeline.BpeMerges} GROUP BY word),
+         |docw AS (
+         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |  FROM documents JOIN kept USING (doc_id)),
+         |doctok AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |    CAST(sum(n_syms) AS BIGINT) AS n_tokens
+         |  FROM docw JOIN seg USING (word) GROUP BY doc_id)
+         |SELECT doc_id, shard, n_tokens,
+         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 512) AS BIGINT) AS bin
+         |FROM doctok""".stripMargin, extraCtes = true),
 
     // the identical normalization chain, DuckDB's nfc_normalize standing
     // in for the codegen expression (same Unicode NFC)

@@ -626,7 +626,7 @@ object TextPipeline {
     * the pass a no-op, and the train output simply has fewer rows —
     * mirroring the Scala loop's early stop.
     */
-  private def bpeOracle(finalSelect: String, extraCtes: Boolean = false): String = {
+  private[queries] def bpeOracle(finalSelect: String, extraCtes: Boolean = false): String = {
     val base =
       s"""WITH words AS (
          |  SELECT word, count(*) AS cnt FROM (

@@ -25,6 +25,28 @@ class QueriesContractSpec extends AnyFunSuite {
     }
   }
 
+  test("tp_pipeline_e2e composes its stages: survivors clean, decontaminated, packed in order") {
+    import org.apache.spark.sql.functions._
+    val d = SparkTestSession.sfDir
+    val e2e = SparkEntry.queries("tp_pipeline_e2e")(spark, d)
+    val clean = SparkEntry.queries("tp_corpus_clean")(spark, d).select("doc_id")
+    val contaminated = SparkEntry.queries("tp_decontaminate")(spark, d).select("doc_id")
+    assert(e2e.count() > 0)
+    // survivors ⊆ clean
+    assert(e2e.join(clean, Seq("doc_id"), "left_anti").count() == 0)
+    // the eval subset and every contaminated doc are gone
+    assert(e2e.filter(pmod(col("doc_id"), lit(97)) === 0).count() == 0)
+    assert(e2e.join(contaminated, "doc_id").count() == 0)
+    // bins are non-decreasing in doc_id within each shard (next-fit by
+    // cumulative offset), and every doc's tokens are positive
+    val bad = e2e.withColumn("prev_bin",
+      lag("bin", 1).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("shard").orderBy("doc_id")))
+      .filter(col("prev_bin").isNotNull && col("bin") < col("prev_bin"))
+    assert(bad.count() == 0)
+    assert(e2e.filter(col("n_tokens") <= 0).count() == 0)
+  }
+
   test("quantile sketch brackets the exact percentiles") {
     import org.apache.spark.sql.functions._
     val d = SparkTestSession.sfDir
