@@ -60,7 +60,9 @@ object Plans {
     "sim_mmr_rerank" -> "MMR diversified re-rank: windowless IVF scoring (scoreIvf — no vacuous rank window) -> bounded-heap top_k_by pool per query (map-side partials) -> the sequential greedy inside the mmr_select expression on ONE row per query — never a candidate-list sort, never a cross join",
     "g_label_prop" -> "label propagation, final sweep's plan: the |V| label state joins the checkpointed pre-partitioned symmetrized edges, (node, label) rollup partial/final pair, bounded struct-min argmax — the 2|E| table never re-exchanges across sweeps",
     "sim_ann_opq" -> "IVFOPQ + refine: the sim_ann_ivfpq plan with the ADC arm's query slices first mapped through the constant-folded rotation (dim codegen vec_dots — zero extra exchanges); coarse probe and exact rerank identical, raw space",
-    "sim_ann_join" -> "cross-corpus ANN join (A queries x B index): SHUFFLE cell equi-join (corpus-sized probe side — never broadcast) + bounded-heap top_k_by per A-row on the 6dp-rounded cosine — the knnGraph posture pointed at an external corpus")
+    "sim_ann_join" -> "cross-corpus ANN join (A queries x B index): SHUFFLE cell equi-join (corpus-sized probe side — never broadcast) + bounded-heap top_k_by per A-row on the 6dp-rounded cosine — the knnGraph posture pointed at an external corpus",
+    "tp_wordpiece_tok" -> "WordPiece tokenize: greedy longest-match is ONE codegen projection (wordpiece_split expression, vocab as a plan reference object) over the distinct-word table — tp_unigram_tok's posture for the third tokenizer family; the corpus is exploded once and equi-joined against the vocab-sized segmentation, AQE owns the join side",
+    "tp_pipeline_e2e" -> "composed prep chain: clean/decontaminate/tokenize stages CONTRACT to doc_id-keyed keep-sets (each a semi/anti join onto the corpus — the corpus is scanned once per stage family, never self-joined), pack is one per-shard prefix-sum window on the doc-sized token rollup — the composition adds joins, never a new shuffle shape")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"

@@ -288,6 +288,34 @@ object Soak {
         pinned += model.segs
         model.segs
       },
+      // WordPiece over the same Heaps-law vocabulary: the BPE merge loop
+      // with the likelihood argmax (one extra symbol-count aggregate per
+      // pass) + the greedy longest-match APPLY (one codegen projection
+      // over distinct words + the corpus join) — train cost must track
+      // the distinct-word table like bpe_train_batched, apply cost the
+      // corpus scan
+      shape("wordpiece_train_apply") {
+        val vocabWords = 5000L * math.max(1, math.round(math.sqrt(mult.toDouble)))
+        val ranks = sys.env.get("SPARK_GRAFT_WP_RANKS") match {
+          case None => 1000
+          case Some(v) => scala.util.Try(v.toInt).getOrElse(
+            throw new IllegalArgumentException(
+              s"SPARK_GRAFT_WP_RANKS must be an integer, got '$v'"))
+        }
+        val batch = if (ranks > 2000) 256 else 64
+        System.err.println(
+          s"[soak]   wordpiece_train_apply heaps-law vocab=$vocabWords ranks=$ranks batch=$batch")
+        val synth = docs.select(col("doc_id"),
+          concat_ws(" ", col("text"),
+            translate(sha2(pmod(col("doc_id"), lit(vocabWords)).cast("string"), 256),
+              "0123456789", "ghijklmnop")).as("text"))
+        val model = graft.text.WordPiece.train(synth, "text",
+          numMerges = ranks, batchSize = batch)
+        System.err.println(
+          s"[soak]   wordpiece_train_apply merges=${model.merges.size} " +
+            s"pieces=${model.pieces.size}")
+        graft.text.WordPiece.tokenize(synth, "doc_id", "text", model)
+      },
       // sentence chunking: split + prefix-sum window + per-chunk rebuild —
       // must stay linear in tokens like the other doc-id-window shapes
       shape("sentence_chunking") {
