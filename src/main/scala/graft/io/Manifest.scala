@@ -82,6 +82,45 @@ object Manifest {
   private def schemaSig(df: DataFrame): String =
     df.schema.fields.map(f => s"${f.name}:${f.dataType.sql}").mkString(",")
 
+  /** Row-level content diff of two SAME-SCHEMA frames — the release
+    * audit the one-number fingerprint can't give: per distinct row-repr
+    * hash, the multiplicity on each side. One partial-aggregated
+    * shuffle per side on the hash + one full-outer equi-join of the
+    * (distinct-row-sized) count tables; the rows themselves never
+    * co-shuffle. Same caveat as the fingerprint: this is a HASH
+    * compare — colliding rows (mod-10⁹+7 rolling hash) alias, so it
+    * witnesses difference exactly but certifies equality only
+    * probabilistically (and inherits [[reprCol]]'s sentinel
+    * assumption).
+    */
+  def diff(a: DataFrame, b: DataFrame): DataFrame = {
+    require(schemaSig(a) == schemaSig(b),
+      s"manifest diff requires identical schemas: ${schemaSig(a)} vs ${schemaSig(b)}")
+    def side(df: DataFrame, n: String) =
+      df.select(graft.functions.TextExprs.rollingHash(reprCol(df)).as("h"))
+        .groupBy("h").agg(count(lit(1)).as(n))
+    side(a, "cnt_a").join(side(b, "cnt_b"), Seq("h"), "full_outer")
+      .select(col("h"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+  }
+
+  /** [[diff]] folded to the one-row release-audit summary: total rows
+    * per side, rows only in A / only in B (multiset semantics —
+    * `Σ max(cnt_a − cnt_b, 0)` per content hash, so extra duplicates
+    * count), and the common multiset size. A changed row is one
+    * only-A plus one only-B (content identity has no row keys).
+    */
+  def diffSummary(a: DataFrame, b: DataFrame): DataFrame =
+    diff(a, b).agg(
+      sum("cnt_a").cast("long").as("rows_a"),
+      sum("cnt_b").cast("long").as("rows_b"),
+      sum(greatest(col("cnt_a") - col("cnt_b"), lit(0L))).cast("long")
+        .as("rows_only_a"),
+      sum(greatest(col("cnt_b") - col("cnt_a"), lit(0L))).cast("long")
+        .as("rows_only_b"),
+      sum(least(col("cnt_a"), col("cnt_b"))).cast("long").as("rows_common"))
+
   /** Compute the manifest of every table under `sfDir` ([[Tables.names]]). */
   def compute(spark: SparkSession, sfDir: String): Seq[TableManifest] =
     Tables.names.map { t =>

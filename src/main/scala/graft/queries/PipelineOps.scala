@@ -955,6 +955,44 @@ object PipelineOps {
         .select("doc_id", "lang", "n_chars")
     }),
 
+    // Source-level curation stats (the CCNet/RefinedWeb axis: quality
+    // decisions per DOMAIN, not per document): per source, doc count,
+    // token mass, and stopword/distinct-token/dup rates. Every rate is
+    // a ratio of INTEGER sums (token counts, distinct-hash counts), so
+    // the doubles are exact single divisions — deterministic across
+    // engines and partition orders, never an avg-of-doubles. One
+    // partial-aggregated rollup keyed by the low-cardinality source.
+    "tp_source_stats" -> ((s, d) => {
+      val perDoc = sourcePerDoc(s, d)
+      perDoc.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("__n").as("n_tokens"),
+        (sum("__s").cast("double") / sum("__n")).as("stop_ratio"),
+        (sum("__d").cast("double") / sum("__n")).as("distinct_ratio"),
+        (lit(1.0) - countDistinct("__h").cast("double") / count(lit(1)))
+          .as("dup_rate"))
+    }),
+
+    // Applying the curation: keep documents from sources whose
+    // distinct-token ratio is at least the corpus-wide ratio (the
+    // "above-average domains" cut). The threshold compare is integer
+    // CROSS-MULTIPLICATION in decimal(38,0) — sum_d·tot_n ≥ tot_d·sum_n
+    // — never a float boundary (a source sitting exactly on the mean
+    // keeps; both engines agree exactly; 1e14-token sides fit 38
+    // digits). Kept sources broadcast back onto the corpus.
+    "tp_source_filter" -> ((s, d) => {
+      val perSrc = sourcePerDoc(s, d).groupBy("source")
+        .agg(sum("__d").as("__sd"), sum("__n").as("__sn"))
+      val tot = perSrc.agg(sum("__sd").as("__td"), sum("__sn").as("__tn"))
+      val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+      val keptSrc = perSrc.crossJoin(broadcast(tot))
+        .filter(dec(col("__sd")) * dec(col("__tn")) >=
+          dec(col("__td")) * dec(col("__sn")))
+        .select("source")
+      Tables.documents(s, d).join(broadcast(keptSrc), "source")
+        .select("doc_id", "source")
+    }),
+
     // The WHOLE training-data prep chain as ONE declared query — clean
     // (quality gate ∧ exact-dup keeper ∧ near-dup component root, the
     // tp_corpus_clean composition) → decontaminate (drop the eval
@@ -1171,6 +1209,34 @@ object PipelineOps {
        |FROM sh JOIN bench USING (shingle)
        |WHERE doc_id % 97 <> 0
        |GROUP BY 1""".stripMargin
+
+  /** Per-doc integer counts feeding the source-curation rollups: token
+    * count, stopword token count (codegen `count_in_set`), distinct
+    * token count, and the content hash — integers only, so every
+    * source-level rate is one exact division.
+    */
+  private def sourcePerDoc(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), md5(col("text")).as("__h"),
+        TextOps.tokens(col("text")).as("__t"))
+      .select(col("source"), col("__h"),
+        size(col("__t")).cast("long").as("__n"),
+        graft.functions.TextExprs.countInSet(col("__t"),
+          array(stopwords.map(lit): _*)).as("__s"),
+        size(array_distinct(col("__t"))).cast("long").as("__d"))
+
+  /** The shared per-doc CTE of the source-curation oracles — the same
+    * integer counts [[sourcePerDoc]] computes.
+    */
+  private val sourcePerDocSql =
+    """SELECT source, md5(text) AS h,
+      |  CAST(len(toks) AS BIGINT) AS n,
+      |  CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in')))
+      |    AS BIGINT) AS s,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS d
+      |FROM (SELECT source, text,
+      |        list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+      |      FROM documents) t""".stripMargin
 
   private def mh(i: Int): String =
     s"min(substr(md5('mh$i|' || shingle), 1, 15)) AS mh$i"
@@ -2022,6 +2088,29 @@ object PipelineOps {
 
     // same component CTE as dd_apply, plus the quality + exact-keeper gates
     "tp_corpus_clean" -> corpusCleanSql,
+
+    "tp_source_stats" ->
+      s"""WITH pd AS ($sourcePerDocSql)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS stop_ratio,
+         |  CAST(sum(d) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS distinct_ratio,
+         |  1.0 - CAST(count(DISTINCT h) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS dup_rate
+         |FROM pd GROUP BY 1""".stripMargin,
+
+    // the identical cross-multiplied threshold in HUGEINT (DuckDB's
+    // exact wide integer — decimal(38,0)'s role on the Spark side)
+    "tp_source_filter" ->
+      s"""WITH pd AS ($sourcePerDocSql),
+         |ps AS (SELECT source, CAST(sum(d) AS HUGEINT) AS sd,
+         |         CAST(sum(n) AS HUGEINT) AS sn
+         |       FROM pd GROUP BY 1),
+         |tot AS (SELECT CAST(sum(sd) AS HUGEINT) AS td,
+         |          CAST(sum(sn) AS HUGEINT) AS tn FROM ps),
+         |kept AS (SELECT source FROM ps, tot WHERE sd * tn >= td * sn)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN kept USING (source)""".stripMargin,
 
     // The COMPOSED prep chain's oracle: corpus-clean (nested, its own
     // recursive closure) → decontaminate-drop → the generated BPE merge

@@ -403,6 +403,23 @@ object SqlSurface {
         .agg(count(lit(1)).as("n_rows"),
           graft.io.Manifest.fingerprintCol(col("__r")).as("fingerprint"))),
 
+    // Release-audit diff between two dataset versions ([[graft.io
+    // .Manifest.diffSummary]]): the one-number fingerprint says THAT two
+    // releases differ, the diff says BY HOW MUCH — rows only in A /
+    // only in B / common, multiset semantics over the content-hash.
+    // The "next release" is derived deterministically (doc_id % 101
+    // rows dropped, doc_id % 103 texts edited), so the oracle knows the
+    // truth. Per side one partial-aggregated hash contraction; the
+    // full-outer join moves distinct-row-sized count tables, never the
+    // rows.
+    "io_manifest_diff" -> ((s, d) => {
+      val proj = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val next = proj.filter(pmod(col("doc_id"), lit(101)) =!= 0)
+        .withColumn("text", when(pmod(col("doc_id"), lit(103)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.io.Manifest.diffSummary(proj, next)
+    }),
+
     // Temperature-scaled mixture (the XLM-R/mT5 multinomial-α sampler):
     // per-domain sampling weight p_d ∝ n_d^α with α = 0.5, so tail
     // domains are UPWEIGHTED relative to their corpus share — the rates
@@ -930,6 +947,36 @@ object SqlSurface {
         |          c -> CAST(ascii(c) AS BIGINT))),
         |        (acc, x) -> (acc * 31 + x) % 1000000007) AS h
         |      FROM documents) t""".stripMargin,
+
+    // the same char-fold rolling-hash replay per side, multiset compare
+    // over the hash counts
+    "io_manifest_diff" -> {
+      def hashOf(textExpr: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |  list_transform(regexp_split_to_array(
+           |    coalesce(CAST(doc_id AS VARCHAR), chr(2)) || chr(1) ||
+           |      coalesce(lang, chr(2)) || chr(1) ||
+           |      coalesce($textExpr, chr(2)), ''),
+           |    c -> CAST(ascii(c) AS BIGINT))),
+           |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+      s"""WITH ha AS (
+         |  SELECT h, count(*) AS cnt_a FROM (
+         |    SELECT ${hashOf("text")} AS h FROM documents) t GROUP BY 1),
+         |hb AS (
+         |  SELECT h, count(*) AS cnt_b FROM (
+         |    SELECT ${hashOf(
+               "CASE WHEN doc_id % 103 = 0 THEN text || ' v2' ELSE text END")} AS h
+         |    FROM documents WHERE doc_id % 101 <> 0) t GROUP BY 1),
+         |j AS (
+         |  SELECT coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+         |  FROM ha FULL OUTER JOIN hb USING (h))
+         |SELECT CAST(sum(cnt_a) AS BIGINT) AS rows_a,
+         |  CAST(sum(cnt_b) AS BIGINT) AS rows_b,
+         |  CAST(sum(greatest(cnt_a - cnt_b, 0)) AS BIGINT) AS rows_only_a,
+         |  CAST(sum(greatest(cnt_b - cnt_a, 0)) AS BIGINT) AS rows_only_b,
+         |  CAST(sum(least(cnt_a, cnt_b)) AS BIGINT) AS rows_common
+         |FROM j""".stripMargin
+    },
 
     // the corpus-derived α=0.5 rates replayed with the identical
     // arithmetic: exact fixed-point sqrt (BIGINT), then the same IEEE

@@ -62,4 +62,30 @@ class ManifestSpec extends AnyFunSuite {
     val tdiffs = Manifest.verify(spark, truncated, manPath)
     assert(tdiffs.length == 1 && tdiffs.head.startsWith("events:"), s"got $tdiffs")
   }
+
+  test("diffSummary: multiset row accounting, identical frames, schema refusal") {
+    import spark.implicits._
+    val cols = Seq("rows_a", "rows_b", "rows_only_a", "rows_only_b", "rows_common")
+    def summary(a: org.apache.spark.sql.DataFrame,
+                b: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+      val r = Manifest.diffSummary(a, b).collect().head
+      cols.map(c => c -> r.getAs[Long](c)).toMap
+    }
+    val a = Seq((1L, "x"), (2L, "y"), (2L, "y"), (3L, "z")).toDF("id", "v")
+    // b: one copy of the duplicate dropped, one row changed, one added
+    val b = Seq((1L, "x"), (2L, "y"), (3L, "z2"), (4L, "w")).toDF("id", "v")
+    assert(summary(a, b) == Map(
+      "rows_a" -> 4L, "rows_b" -> 4L,
+      // only-A: the extra (2,y) copy + the old (3,z); only-B: (3,z2) + (4,w)
+      "rows_only_a" -> 2L, "rows_only_b" -> 2L, "rows_common" -> 2L))
+    // identical frames (order scrambled): zero diff
+    assert(summary(a, a.orderBy(org.apache.spark.sql.functions.rand(7))) == Map(
+      "rows_a" -> 4L, "rows_b" -> 4L,
+      "rows_only_a" -> 0L, "rows_only_b" -> 0L, "rows_common" -> 4L))
+    // schema mismatch fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Manifest.diff(a, Seq((1, "x")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("identical schemas"))
+  }
 }
