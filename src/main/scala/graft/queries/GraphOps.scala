@@ -424,9 +424,19 @@ object GraphOps {
   val queries: Map[String, Q] = Map(
     // Link analysis over the page-transition graph: 5 power iterations,
     // d = 0.85, dangling mass redistributed uniformly. Ranks sum to 1.
-    "g_pagerank" -> ((s, d) =>
-      pageRank(pageEdges(s, d), "src", "dst", "w", Iters, Damping)
-        .select(col("node").as("page"), round(col("pr"), 6).as("pr"))),
+    // pageEdges is pinned ONCE here (the g_components discipline):
+    // powerIterate references its edge frame ~5 times (node union x2,
+    // out-weight agg, transition join), and each reference would replay
+    // the events window plan. Safe to release in finally: every
+    // loop-invariant artifact (teleport/trans/dangling) is eagerly
+    // checkpointed inside powerIterate, so the returned plan never
+    // reads the edge frame.
+    "g_pagerank" -> ((s, d) => {
+      val edges = pageEdges(s, d).localCheckpoint(true)
+      try pageRank(edges, "src", "dst", "w", Iters, Damping)
+        .select(col("node").as("page"), round(col("pr"), 6).as("pr"))
+      finally graft.util.Pins.release(edges)
+    }),
 
     // Triangle census of the undirected page graph: count + global
     // clustering coefficient via the degree-ordered wedge join.
@@ -488,15 +498,21 @@ object GraphOps {
     // teleport AND dangling mass land only on the seeds, so rank measures
     // proximity to the trusted set — the seed-expansion form of
     // PageRank-weighted source selection. Ranks still sum to 1.
+    // pinned like g_pagerank — doubly worthwhile here because the SEED
+    // derivation adds two more references to the edge frame on top of
+    // powerIterate's ~5 (this query ran ~1.6x g_pagerank's time purely
+    // on replayed events-window scans before the pin)
     "g_ppr_seeded" -> ((s, d) => {
-      val edges = pageEdges(s, d)
-      val seeds = edges.select(col("src").as("page"))
-        .union(edges.select(col("dst").as("page")))
-        .distinct()
-        .filter(pmod(col("page"), lit(10)) === 0)
-      personalizedPageRank(edges, "src", "dst", "w", seeds, "page",
-        Iters, Damping)
-        .select(col("node").as("page"), round(col("pr"), 6).as("pr"))
+      val edges = pageEdges(s, d).localCheckpoint(true)
+      try {
+        val seeds = edges.select(col("src").as("page"))
+          .union(edges.select(col("dst").as("page")))
+          .distinct()
+          .filter(pmod(col("page"), lit(10)) === 0)
+        personalizedPageRank(edges, "src", "dst", "w", seeds, "page",
+          Iters, Damping)
+          .select(col("node").as("page"), round(col("pr"), 6).as("pr"))
+      } finally graft.util.Pins.release(edges)
     })
   )
 
