@@ -29,7 +29,7 @@ import org.apache.spark.sql.SparkSession
   * comes first. Single-writer contract: never call concurrently with a
   * running compaction on the same dir.
   */
-private[streaming] object CompactionSwap {
+private[graft] object CompactionSwap {
 
   /** The filesystem OF `dir` (not the default FS — an `hdfs://`/`s3a://`
     * store with a `file:` default FS would otherwise fail with Wrong-FS).

@@ -195,6 +195,36 @@ object WordPiece {
       .write.mode("overwrite").parquet(s"$path/alphabet")
   }
 
+  /** Crash-safe model publish: [[save]]'s two-directory overwrite is not
+    * atomic (a crash between the merges and alphabet writes leaves a
+    * torn model that [[load]] can only reject, not repair), so a LIVE
+    * model dir — one a serving pipeline reads while the drift monitor
+    * ([[graft.streaming.IncrementalTokenizerDrift]]) decides to retrain
+    * — is replaced through the shared
+    * [[graft.streaming.CompactionSwap.swap]] protocol instead: write
+    * the full model to a tmp dir, then swap it into place with the
+    * crash-recoverable rename pair (a reader sees the old model or the
+    * new one, never a torn mix; a crash mid-swap rolls forward/back on
+    * the next publish). First publish (no existing dir) is a single
+    * tmp-write + rename.
+    */
+  def publish(model: WpModel, modelDir: String, spark: SparkSession): Unit = {
+    import graft.streaming.CompactionSwap
+    import org.apache.hadoop.fs.Path
+    val fs = CompactionSwap.fsFor(modelDir,
+      spark.sparkContext.hadoopConfiguration)
+    val swapped = CompactionSwap.swap(fs, modelDir)(tmp => save(model, tmp, spark))
+    if (!swapped) {
+      // first publish: stage fully, then one rename into place
+      val tmp = new Path(modelDir + ".publishing")
+      fs.delete(tmp, true)
+      save(model, tmp.toString, spark)
+      if (!fs.rename(tmp, new Path(modelDir)))
+        throw new java.io.IOException(
+          s"model publish failed: $tmp -> $modelDir")
+    }
+  }
+
   /** Load a persisted model; merge ranks are asserted contiguous from 1
     * and the alphabet non-empty (truncated or partially overwritten
     * artifacts fail loudly — [[Bpe.load]]'s contract).

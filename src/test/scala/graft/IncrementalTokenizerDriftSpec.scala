@@ -113,6 +113,37 @@ class IncrementalTokenizerDriftSpec extends AnyFunSuite {
     assert(IncrementalTokenizerDrift.drift(spark, store.toString).count() == 0)
   }
 
+  test("the full lifecycle: drift pages -> retrain on the shifted mix -> publish heals OOV") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-tokdrift-lifecycle")
+    val (store, modelDir) = (base.resolve("store"), base.resolve("model"))
+    val oldCorpus = Seq((1L, "the cat sat the cat sat")).toDF("doc_id", "text")
+    val newCorpus = Seq((2L, "zorb zorb qixy zorb the")).toDF("doc_id", "text")
+    val v0 = WordPiece.train(oldCorpus, "text", 2)
+    WordPiece.publish(v0, modelDir.toString, spark)
+    // monitor with the PUBLISHED model: baseline clean, shifted batch pages
+    def monitor(id: Long, docs: org.apache.spark.sql.DataFrame): Unit =
+      IncrementalTokenizerDrift.processBatch(docs, id, "text",
+        WordPiece.load(spark, modelDir.toString).pieces, store.toString)
+    monitor(0L, oldCorpus)
+    monitor(1L, newCorpus)
+    val paged = IncrementalTokenizerDrift.drift(spark, store.toString)
+      .collect().head
+    assert(paged.getAs[Boolean]("drifted"), s"shifted batch must page: $paged")
+    // the operator's move: retrain on the shifted mix, publish atomically
+    val v1 = WordPiece.train(oldCorpus.union(newCorpus), "text", 2)
+    WordPiece.publish(v1, modelDir.toString, spark)
+    // a reader mid-rotation always sees a COMPLETE model
+    assert(WordPiece.load(spark, modelDir.toString).merges == v1.merges)
+    // re-monitoring the same shifted batch with the new vocab: OOV heals
+    val healedStore = base.resolve("store2")
+    IncrementalTokenizerDrift.processBatch(newCorpus, 0L, "text",
+      WordPiece.load(spark, modelDir.toString).pieces, healedStore.toString)
+    val healed = IncrementalTokenizerDrift.readStats(spark, healedStore.toString)
+      .collect().head
+    assert(healed.getAs[Double]("oov_rate") == 0.0, s"retrain must heal: $healed")
+  }
+
   test("monitors a REAL trained model over the real corpus: near-zero OOV on in-corpus text") {
     val d = SparkTestSession.sfDir
     val docs = graft.io.Tables.documents(spark, d)

@@ -143,6 +143,30 @@ class WordPieceSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not contiguous"))
   }
 
+  test("publish survives a crashed swap: stranded .old and .publishing dirs recover") {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+    val dir = java.nio.file.Files.createTempDirectory("wp-publish").toString + "/model"
+    val docs = Seq((1L, "the cat sat on the mat")).toDF("doc_id", "text")
+    val v0 = WordPiece.train(docs, "text", 2)
+    WordPiece.publish(v0, dir, spark)
+    assert(WordPiece.load(spark, dir).merges == v0.merges)
+    val v1 = WordPiece.train(docs, "text", 4)
+    // simulate the worst crash window of a prior swap: target renamed to
+    // .old, replacement rename never happened → next publish must roll
+    // the old model back into place before swapping in the new one
+    fs.rename(p(dir), p(s"$dir.old"))
+    WordPiece.publish(v1, dir, spark)
+    assert(WordPiece.load(spark, dir).merges == v1.merges)
+    assert(!fs.exists(p(s"$dir.old")) && !fs.exists(p(s"$dir.compacting")))
+    // a stranded first-publish staging dir is ignored and replaced
+    fs.delete(p(dir), true)
+    fs.mkdirs(p(s"$dir.publishing"))
+    WordPiece.publish(v0, dir, spark)
+    assert(WordPiece.load(spark, dir).merges == v0.merges)
+  }
+
   test("declared-query bound: every sf0.001 corpus word fits the oracle's greedy steps") {
     val docs = graft.io.Tables.documents(spark, SparkTestSession.sfDir)
     val maxLen = docs
