@@ -113,13 +113,17 @@ object Manifest {
     */
   def diffSummary(a: DataFrame, b: DataFrame): DataFrame =
     diff(a, b).agg(
-      sum("cnt_a").cast("long").as("rows_a"),
-      sum("cnt_b").cast("long").as("rows_b"),
-      sum(greatest(col("cnt_a") - col("cnt_b"), lit(0L))).cast("long")
-        .as("rows_only_a"),
-      sum(greatest(col("cnt_b") - col("cnt_a"), lit(0L))).cast("long")
-        .as("rows_only_b"),
-      sum(least(col("cnt_a"), col("cnt_b"))).cast("long").as("rows_common"))
+      // coalesce: two EMPTY releases produce a zero-row diff, and a bare
+      // sum would emit one all-NULL row — a gate reading the longs would
+      // NPE on unboxing instead of seeing the correct zeros
+      coalesce(sum("cnt_a"), lit(0L)).cast("long").as("rows_a"),
+      coalesce(sum("cnt_b"), lit(0L)).cast("long").as("rows_b"),
+      coalesce(sum(greatest(col("cnt_a") - col("cnt_b"), lit(0L))), lit(0L))
+        .cast("long").as("rows_only_a"),
+      coalesce(sum(greatest(col("cnt_b") - col("cnt_a"), lit(0L))), lit(0L))
+        .cast("long").as("rows_only_b"),
+      coalesce(sum(least(col("cnt_a"), col("cnt_b"))), lit(0L))
+        .cast("long").as("rows_common"))
 
   /** Compute the manifest of every table under `sfDir` ([[Tables.names]]). */
   def compute(spark: SparkSession, sfDir: String): Seq[TableManifest] =

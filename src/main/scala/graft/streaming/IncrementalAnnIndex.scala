@@ -305,7 +305,8 @@ object IncrementalAnnIndex {
     if (total == 0) return false
     val delta = math.max(0L, total - enc)
     if (delta.toDouble / total <= reencodeAt) return false
-    reencode(spark, indexDir, encoder)
+    doReencode(spark, fs, indexDir, encoder)
+    true
   }
 
   /** UNCONDITIONAL full re-encode of the cells table into the sidecar
@@ -321,13 +322,26 @@ object IncrementalAnnIndex {
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(s"$indexDir/cells"))) return false
     if (uncommittedAppendIds(fs, indexDir).nonEmpty) return false
+    doReencode(spark, fs, indexDir, encoder)
+    true
+  }
+
+  /** The swap itself, after the caller has cleared the cells-exist and
+    * uncommitted-batch gates — factored out so [[reencodeIfStale]]
+    * doesn't repeat the full-tree `b*-*` glob and exists checks it
+    * just ran (on an object store those are LIST round-trips, the same
+    * economy argument as storeCounts' single footer pass).
+    */
+  private def doReencode(spark: org.apache.spark.sql.SparkSession,
+                         fs: org.apache.hadoop.fs.FileSystem,
+                         indexDir: String,
+                         encoder: DataFrame => DataFrame): Unit = {
     val eDir = encodedDir(indexDir)
     val write = (tmp: String) =>
       encoder(cellsAsVecInput(spark.read.parquet(s"$indexDir/cells")))
         .write.mode("overwrite").parquet(tmp)
     if (fs.exists(new Path(eDir))) CompactionSwap.swap(fs, eDir)(write): Unit
     else write(eDir) // first encode of a batch-built index: nothing live to swap
-    true
   }
 
   /** Normalize the cells projection to the encoder's `(vec_id, vec)`

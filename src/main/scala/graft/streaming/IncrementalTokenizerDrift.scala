@@ -80,13 +80,21 @@ object IncrementalTokenizerDrift {
 
   /** Per-batch stats with exact rates. Serving BEFORE the first batch
     * returns an empty frame, never throws (the graceful-empty contract
-    * every sibling store follows). Zero-word batches carry rate 0.
+    * every sibling store follows) — including the torn-dir window where
+    * the first batch crashed mid-write and the store holds no committed
+    * parquet footers yet (schema inference would throw exactly during
+    * the incident the monitor exists to observe). Zero-word batches
+    * carry rate 0.
     */
   def readStats(spark: SparkSession, storeDir: String): DataFrame = {
     val fs = CompactionSwap.fsFor(storeDir, spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(storeDir))) return emptyStats(spark)
+    val empty = () => emptyStats(spark)
       .withColumn("oov_rate", lit(0.0)).withColumn("fertility", lit(0.0))
-    spark.read.parquet(storeDir)
+    if (!fs.exists(new Path(storeDir))) return empty()
+    val raw =
+      try spark.read.parquet(storeDir)
+      catch { case _: org.apache.spark.sql.AnalysisException => return empty() }
+    raw
       .select(col("batch").cast("long"), col("n_words"), col("n_unk_words"),
         col("n_pieces"))
       .withColumn("oov_rate",
@@ -100,16 +108,18 @@ object IncrementalTokenizerDrift {
 
   /** The drift verdict: latest batch vs the baseline window (the first
     * `baselineBatches` batches, pooled). Flags when the latest OOV rate
-    * exceeds `oovFactor` × baseline (with an `oovFloor` absolute
-    * minimum, so a zero-OOV baseline doesn't make any single unknown
-    * word a page) or fertility exceeds `fertilityFactor` × baseline.
+    * exceeds `oovFactor` × baseline — guarded by BOTH an absolute rate
+    * floor (`oovFloor`, so a near-zero-OOV baseline isn't paged by rate
+    * noise) and a minimum unknown-word COUNT (`minUnkWords`: a rate
+    * floor alone still lets one typo page a sub-100-word batch) — or
+    * when fertility exceeds `fertilityFactor` × baseline.
     * One row: baseline/latest rates + the boolean. Empty store or a
     * store still inside the baseline window → no verdict row (nothing
     * to compare yet).
     */
   def drift(spark: SparkSession, storeDir: String, baselineBatches: Int = 1,
             oovFactor: Double = 3.0, oovFloor: Double = 0.01,
-            fertilityFactor: Double = 1.5): DataFrame = {
+            fertilityFactor: Double = 1.5, minUnkWords: Long = 2L): DataFrame = {
     require(baselineBatches >= 1, s"baselineBatches must be >= 1")
     val stats = readStats(spark, storeDir)
       .select("batch", "n_words", "n_unk_words", "n_pieces")
@@ -129,8 +139,10 @@ object IncrementalTokenizerDrift {
     }
     val (bOov, bFert) = rates(stats.take(baselineBatches))
     val (lOov, lFert) = rates(Array(stats.last))
-    val drifted = (lOov > math.max(bOov * oovFactor, oovFloor)) ||
-      (bFert > 0 && lFert > bFert * fertilityFactor)
+    val lUnk = stats.last.getLong(2)
+    val drifted =
+      (lUnk >= minUnkWords && lOov > math.max(bOov * oovFactor, oovFloor)) ||
+        (bFert > 0 && lFert > bFert * fertilityFactor)
     Seq((bOov, lOov, bFert, lFert, drifted)).toDF(
       "baseline_oov", "latest_oov", "baseline_fertility",
       "latest_fertility", "drifted")

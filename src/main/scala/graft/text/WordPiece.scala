@@ -63,11 +63,16 @@ object WordPiece {
 
   /** All adjacent pairs of the current symbol table with their
     * likelihood scores: (lhs, rhs, pc, score_micro). Symbol counts join
-    * in by broadcast (symbol-alphabet-sized).
+    * in by broadcast (symbol-alphabet-sized). The symbol-count table is
+    * PINNED for the pass — the two broadcast joins would otherwise each
+    * replay its aggregation over the full symbol table (one extra job
+    * per pass × thousands of passes at production vocab); the caller
+    * releases via the returned handle after collecting the argmax.
     */
-  private def scoredPairs(syms: DataFrame): DataFrame = {
+  private def scoredPairs(syms: DataFrame): (DataFrame, () => Unit) = {
     val symCounts = syms.groupBy(col("sym")).agg(sum("cnt").as("c"))
-    syms
+      .localCheckpoint(true)
+    val scored = syms
       .withColumn("__nxt", lead("sym", 1).over(w))
       .filter(col("__nxt").isNotNull)
       .groupBy(col("sym").as("lhs"), col("__nxt").as("rhs"))
@@ -80,15 +85,19 @@ object WordPiece {
         round((log(col("pc").cast("double")) - log(col("__ca").cast("double"))
           - log(col("__cb").cast("double"))) * lit(1000000.0)).cast("long"))
       .select("lhs", "rhs", "pc", "score_micro")
+    (scored, () => graft.util.Pins.release(symCounts))
   }
 
-  private def bestScored(syms: DataFrame): Option[(String, String, Long, Long)] =
-    scoredPairs(syms)
+  private def bestScored(syms: DataFrame): Option[(String, String, Long, Long)] = {
+    val (scored, release) = scoredPairs(syms)
+    try scored
       .orderBy(desc("score_micro"), asc("lhs"), asc("rhs"))
       .limit(1)
       .collect()
       .headOption
       .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    finally release()
+  }
 
   /** Top `batchSize` SYMBOL-DISJOINT pairs by (score DESC, lhs, rhs) —
     * [[Bpe]]'s batching with the WordPiece ranking; the same 6×
@@ -96,10 +105,12 @@ object WordPiece {
     */
   private def bestScoredBatch(syms: DataFrame,
                               batchSize: Int): Seq[(String, String, Long, Long)] = {
-    val cand = scoredPairs(syms)
+    val (scored, release) = scoredPairs(syms)
+    val cand = try scored
       .orderBy(desc("score_micro"), asc("lhs"), asc("rhs"))
       .limit(math.max(batchSize * 6, 8))
       .collect()
+    finally release()
     val used = scala.collection.mutable.HashSet.empty[String]
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
     val it = cand.iterator

@@ -113,6 +113,33 @@ class IncrementalTokenizerDriftSpec extends AnyFunSuite {
     assert(IncrementalTokenizerDrift.drift(spark, store.toString).count() == 0)
   }
 
+  test("a torn first write (store dir with no committed footers) serves empty, not a throw") {
+    val base = Files.createTempDirectory("graft-tokdrift-torn")
+    val store = base.resolve("store")
+    // simulate the crash window: the batch dir exists but only holds the
+    // uncommitted _temporary staging — no parquet footer to infer from
+    Files.createDirectories(store.resolve("batch=0").resolve("_temporary"))
+    assert(IncrementalTokenizerDrift.readStats(spark, store.toString).count() == 0)
+    assert(IncrementalTokenizerDrift.drift(spark, store.toString).count() == 0)
+  }
+
+  test("one typo in a small batch does not page against a zero-OOV baseline") {
+    val base = Files.createTempDirectory("graft-tokdrift-typo")
+    val store = base.resolve("store")
+    def b(id: Long, text: String) = IncrementalTokenizerDrift.processBatch(
+      Seq((id, text)).toDF("doc_id", "text"), id, "text", vocab, store.toString)
+    b(0L, "the cat sat the cat sat the cat")   // baseline: 0 OOV
+    b(1L, "the cat sat the cat sat the catx")  // ONE unknown word (catx)
+    val v = IncrementalTokenizerDrift.drift(spark, store.toString).collect().head
+    assert(v.getAs[Double]("latest_oov") > 0.0)
+    assert(!v.getAs[Boolean]("drifted"), s"one typo must not page: $v")
+    // two unknown words at a surged rate DO page
+    b(2L, "catx qixy the")
+    val paged = IncrementalTokenizerDrift.drift(spark, store.toString)
+      .collect().head
+    assert(paged.getAs[Boolean]("drifted"), s"two unks at 2/3 rate must page: $paged")
+  }
+
   test("the full lifecycle: drift pages -> retrain on the shifted mix -> publish heals OOV") {
     import org.apache.spark.sql.functions._
     val base = Files.createTempDirectory("graft-tokdrift-lifecycle")

@@ -87,5 +87,8 @@ class ManifestSpec extends AnyFunSuite {
       Manifest.diff(a, Seq((1, "x")).toDF("id", "v"))
     }
     assert(e.getMessage.contains("identical schemas"))
+    // two EMPTY releases: exact zeros, not an all-NULL row
+    val none = a.limit(0)
+    assert(summary(none, none) == cols.map(_ -> 0L).toMap)
   }
 }
