@@ -55,6 +55,23 @@ class IncrementalTokenizerDriftSpec extends AnyFunSuite {
     assert(math.abs(st.getAs[Double]("fertility") - 2.0) < 1e-12)
   }
 
+  test("streaming run maintains the store across restarts — one row per microbatch") {
+    val base = Files.createTempDirectory("graft-tokdrift-stream")
+    val (in, store, ckpt) =
+      (base.resolve("in"), base.resolve("store"), base.resolve("ckpt"))
+    Files.createDirectories(in)
+    writeDocs(in, Seq((1L, "the cat sat"), (2L, "tax the")))
+    runOnce(in, store, ckpt)
+    assert(stats(store).size == 1)
+    assert(stats(store).values.head == ((5L, 1L, 9L)))
+    // stream stopped; a late file arrives; the restart processes ONLY it
+    writeDocs(in, Seq((3L, "cat cat")))
+    runOnce(in, store, ckpt)
+    val m = stats(store)
+    assert(m.size == 2, s"restart must add exactly one batch: $m")
+    assert(m.values.toSet.contains((2L, 0L, 4L)), s"late batch stats: $m")
+  }
+
   test("crash-replayed batch overwrites its own output — never double-counts") {
     val base = Files.createTempDirectory("graft-tokdrift-replay")
     val store = base.resolve("store")
