@@ -32,8 +32,15 @@ import graft.functions.WordPieceSplit
   * LATEST batch's rates against the baseline (the first
   * `baselineBatches` batches, normally fed from the tokenizer's own
   * training corpus). The monitor only signals; retraining and swapping
-  * the vocabulary is the operator's move, with the same staged-swap
-  * protocol the ANN index's refit uses.
+  * the vocabulary is the operator's move ([[graft.text.WordPiece
+  * .publish]] — the same staged-swap protocol the ANN index's refit
+  * uses).
+  *
+  * Unlike the sibling stores this one has NO compaction entry point,
+  * deliberately: the store grows one three-long row per microbatch (a
+  * year of minutely batches is half a million longs), and [[drift]]'s
+  * baseline-window-vs-latest comparison NEEDS the per-batch
+  * granularity a fold-to-one-row compaction would destroy.
   */
 object IncrementalTokenizerDrift {
 
