@@ -145,4 +145,34 @@ class PropertySpec extends AnyFunSuite {
       byBin.forall { case (_, tot) => tot <= budget + lens.max }
     })
   }
+
+  test("wordpiece greedy split: lossless-or-UNK, vocab-closed, longest-first, deterministic") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val word = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val vocabGen = Gen.chooseNum(0, 10).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1, 4).flatMap(l =>
+        Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString))))
+    check(Prop.forAll(word, vocabGen) { (w, pieces) =>
+      val vocab = new graft.functions.WordPieceKernels.Vocab(pieces.distinct.toArray)
+      def run() = {
+        val arr = graft.functions.WordPieceKernels
+          .split(UTF8String.fromString(w), vocab, mark = false)
+        (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+      }
+      val out = run()
+      val pset = pieces.toSet
+      val lossless = out == Seq("[UNK]") || out.mkString("") == w ||
+        (w.isEmpty && out.isEmpty)
+      val closed = out == Seq("[UNK]") || out.forall(pset.contains)
+      // greedy longest-first: the first piece is the LONGEST vocab
+      // piece prefixing the word
+      val greedyHead = out.isEmpty || out == Seq("[UNK]") || {
+        val best = (math.min(4, w.length) to 1 by -1)
+          .find(l => pset.contains(w.take(l)))
+        best.contains(out.head.length)
+      }
+      lossless && closed && greedyHead && out == run()
+    })
+  }
 }
