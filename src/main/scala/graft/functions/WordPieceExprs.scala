@@ -38,7 +38,7 @@ object WordPieceKernels {
     * greedy scan's upper bound). Built once per expression instance /
     * codegen reference, reused across rows.
     */
-  final class Vocab(pieces: Array[String]) extends Serializable {
+  final class Vocab(pieces: Seq[String]) extends Serializable {
     @transient lazy val set: java.util.HashSet[String] = {
       val s = new java.util.HashSet[String](pieces.length * 2)
       pieces.foreach(s.add)
@@ -81,8 +81,13 @@ object WordPieceKernels {
 
 /** `wordpiece_split(word)` over a fixed vocabulary — see
   * [[WordPieceKernels]] for semantics.
+  *
+  * `pieces` is a Seq, NOT an Array: case-class equality on an Array
+  * field is identity-based, which would make two semantically identical
+  * expressions never compare equal — breaking Catalyst canonicalization
+  * and common-subexpression dedup for this node.
   */
-case class WordPieceSplit(child: Expression, pieces: Array[String],
+case class WordPieceSplit(child: Expression, pieces: Seq[String],
                           mark: Boolean) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -113,5 +118,5 @@ object WordPieceSplit {
   /** Column API: greedy WordPiece pieces of a string column. */
   def split(word: Column, pieces: Seq[String], mark: Boolean = true): Column =
     ColumnBridge.column(
-      WordPieceSplit(ColumnBridge.expression(word), pieces.toArray, mark))
+      WordPieceSplit(ColumnBridge.expression(word), pieces, mark))
 }

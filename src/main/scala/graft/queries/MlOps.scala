@@ -542,7 +542,7 @@ object MlOps {
     * integer-exact SUM comparison over 4 [[Multimodal.nearDupPixel]]
     * terms each (equal areas cancel the ÷4 — no floats cross engines).
     */
-  private def nearDupDhashSql: String = {
+  private def nearDupDhashSql(cols: Int = 9, rows: Int = 8): String = {
     def pix(i: Int, j: Int): String = {
       val a = 53 + 11 * i + 13 * j
       val c = 3 * i * i + 5 * j * j + 7 * i * j
@@ -550,14 +550,14 @@ object MlOps {
       s"((g * $a + $c$p) % 256)"
     }
     def cellSum(cx: Int, cy: Int): String = {
-      val x0 = cx * Multimodal.NearDupW / 9
-      val x1 = (cx + 1) * Multimodal.NearDupW / 9
-      val y0 = cy * Multimodal.NearDupH / 8
-      val y1 = (cy + 1) * Multimodal.NearDupH / 8
+      val x0 = cx * Multimodal.NearDupW / cols
+      val x1 = (cx + 1) * Multimodal.NearDupW / cols
+      val y0 = cy * Multimodal.NearDupH / rows
+      val y1 = (cy + 1) * Multimodal.NearDupH / rows
       (for { j <- y0 until y1; i <- x0 until x1 } yield pix(i, j))
         .mkString("(", " + ", ")")
     }
-    val bits = for { y <- 0 until 8; x <- 0 until 8 } yield
+    val bits = for { y <- 0 until rows; x <- 0 until cols - 1 } yield
       s"CASE WHEN ${cellSum(x, y)} > ${cellSum(x + 1, y)} THEN '1' ELSE '0' END"
     bits.mkString(" || ")
   }
@@ -680,7 +680,7 @@ object MlOps {
     "mm_image_neardup" ->
       s"""WITH ids AS (
          |  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents),
-         |sims AS (SELECT doc_id, $nearDupDhashSql AS simhash FROM ids),
+         |sims AS (SELECT doc_id, ${nearDupDhashSql()} AS simhash FROM ids),
          |bands AS (
          |  SELECT doc_id, b AS band, substr(simhash, CAST(1 + 16 * b AS INT), 16) AS band_key
          |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),

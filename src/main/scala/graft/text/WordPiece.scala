@@ -21,8 +21,10 @@ import graft.functions.WordPieceSplit
   *    integer micro-nats (`round((ln pc − ln ca − ln cb) · 10⁶)`), the
   *    [[UnigramLm]] precedent that keeps the DuckDB oracle's float math
   *    bit-agreeing with the JVM's; ties break score DESC → lhs ASC →
-  *    rhs ASC. Merge mechanics (greedy-leftmost run-parity pass,
-  *    symbol-disjoint batching) are [[Bpe]]'s, shared code.
+  *    rhs ASC. Sequential merge mechanics (greedy-leftmost run-parity
+  *    pass) are [[Bpe]]'s, shared code; the batched trainer applies
+  *    whole rank-ordered batches per word through the codegen
+  *    [[graft.functions.MergeBatchApply]] kernel instead (see [[train]]).
   *  - APPLY is NOT a merge replay: WordPiece segments by greedy
   *    longest-match-first over the learned vocabulary
   *    ([[graft.functions.WordPieceKernels]], a codegen expression with
@@ -31,12 +33,13 @@ import graft.functions.WordPieceSplit
   *    Segmentation runs on the distinct-word table and joins back onto
   *    the exploded corpus — corpus touched once, vocab-sized work.
   *
-  * Scale shape: identical to [[Bpe]] — the loop's cost is vocabulary-
-  * bound (sublinear in corpus rows), per-pass state is one pinned
-  * vocab-sized table, and `batchSize` > 1 amortizes driver round-trips
-  * for production vocabularies exactly as [[Bpe.train]] does (the
-  * symbol-disjointness argument is score-agnostic: it is about merge
-  * mechanics, not ranking).
+  * Scale shape: the loop's cost is vocabulary-bound (sublinear in
+  * corpus rows), per-pass state is one pinned vocab-sized table, and
+  * `batchSize` > 1 guarantees ceil(numMerges / batchSize) passes — the
+  * array-representation trainer needs no symbol-disjointness, so the
+  * likelihood ranking's rare-symbol head clustering (which starved the
+  * disjoint batching to a mean fill of 17/256 at production vocab)
+  * cannot limit batch fill.
   */
 object WordPiece {
 
@@ -61,6 +64,13 @@ object WordPiece {
 
   private def w = Window.partitionBy("word").orderBy("pos")
 
+  /** ln pc − ln ca − ln cb in micro-nats: EXACTLY the oracle's
+    * ln(CAST(pc AS DOUBLE)) − ln(ca) − ln(cb) evaluation order.
+    */
+  private def scoreMicro(pc: Column, ca: Column, cb: Column): Column =
+    round((log(pc.cast("double")) - log(ca.cast("double"))
+      - log(cb.cast("double"))) * lit(1000000.0)).cast("long")
+
   /** All adjacent pairs of the current symbol table with their
     * likelihood scores: (lhs, rhs, pc, score_micro). Symbol counts join
     * in by broadcast (symbol-alphabet-sized). The symbol-count table is
@@ -79,11 +89,7 @@ object WordPiece {
       .agg(sum("cnt").as("pc"))
       .join(broadcast(symCounts.select(col("sym").as("lhs"), col("c").as("__ca"))), "lhs")
       .join(broadcast(symCounts.select(col("sym").as("rhs"), col("c").as("__cb"))), "rhs")
-      // ln pc − ln ca − ln cb in micro-nats: EXACTLY the oracle's
-      // ln(CAST(pc AS DOUBLE)) − ln(ca) − ln(cb) evaluation order
-      .withColumn("score_micro",
-        round((log(col("pc").cast("double")) - log(col("__ca").cast("double"))
-          - log(col("__cb").cast("double"))) * lit(1000000.0)).cast("long"))
+      .withColumn("score_micro", scoreMicro(col("pc"), col("__ca"), col("__cb")))
       .select("lhs", "rhs", "pc", "score_micro")
     (scored, () => graft.util.Pins.release(symCounts))
   }
@@ -99,89 +105,117 @@ object WordPiece {
     finally release()
   }
 
-  /** Top `batchSize` SYMBOL-DISJOINT pairs by (score DESC, lhs, rhs) —
-    * [[Bpe]]'s batching with the WordPiece ranking; the same 6×
-    * oversample, the same greedy conflict scan.
-    */
-  private def bestScoredBatch(syms: DataFrame,
-                              batchSize: Int): Seq[(String, String, Long, Long)] = {
-    val (scored, release) = scoredPairs(syms)
-    // 24x oversample (vs Bpe's 6x — a wider collect costs a few KB).
-    // MEASURED caveat: the likelihood ranking CLUSTERS its head on
-    // shared rare symbols (every pair touching the rarest symbol scores
-    // high together), so batch fill is conflict-limited, not
-    // truncation-limited — the 32k-rank demo fills ~17 of 256 per pass
-    // at 6x and 24x alike. WordPiece batching is therefore a ~15x pass
-    // cut over sequential, not BPE's ~250x; the criterion itself caps
-    // it (each accepted merge invalidates the rest of the rare-symbol
-    // head), which is why the production demo runs ~1800 passes
-    val cand = try scored
-      .orderBy(desc("score_micro"), asc("lhs"), asc("rhs"))
-      .limit(math.max(batchSize * 24, 8))
-      .collect()
-    finally release()
-    val used = scala.collection.mutable.HashSet.empty[String]
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long, Long)]
-    val it = cand.iterator
-    while (it.hasNext && out.size < batchSize) {
-      val r = it.next()
-      val (a, b) = (r.getString(0), r.getString(1))
-      if (!used(a) && !used(b)) {
-        out += ((a, b, r.getLong(2), r.getLong(3)))
-        used += a; used += b
-      }
-    }
-    out.toSeq
-  }
-
   /** Induce (at most) `numMerges` WordPiece merges. Driver state:
     * `numMerges` merge rows + the alphabet. Early-stops when no adjacent
-    * pair remains. `batchSize` > 1 applies symbol-disjoint batches per
-    * pass — [[Bpe.train]]'s contract (ranks can displace by at most one
-    * pass vs sequential; recorded scores/counts stay exact).
+    * pair remains.
+    *
+    * `batchSize` == 1 is the sequential trainer — byte-for-byte the
+    * DuckDB oracle's semantics (one exploded-table argmax + one window
+    * merge pass per rank).
+    *
+    * `batchSize` > 1 runs the ARRAY-representation trainer
+    * ([[trainBatched]]): the top-B pairs by (score DESC, lhs, rhs) are
+    * taken WITHOUT a disjointness filter and applied per word in rank
+    * order by the codegen [[graft.functions.MergeBatchApply]] kernel —
+    * every batch fills completely, where the previous symbol-disjoint
+    * batching starved on the likelihood head's shared-rare-symbol
+    * clusters (measured mean fill 17/256 → ~1,800 passes for 32k
+    * ranks). Contract: merge ranks can displace by at most one pass vs
+    * sequential (created super-pairs enter the candidate pool one pass
+    * late — [[Bpe.train]]'s language); recorded `score_micro`/
+    * `pair_count` are the PRE-PASS values, which for interacting batch
+    * members (one merge consuming another's occurrences) can differ
+    * from sequential's at-acceptance values — unlike disjoint batching,
+    * which kept them exact. The batched path trades that exactness for
+    * a full batch every pass; the oracle-declared queries train with
+    * `batchSize = 1` and are unaffected.
     */
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             batchSize: Int = 1): WpModel = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    if (batchSize > 1) return trainBatched(docs, textCol, numMerges, batchSize)
     var syms = Bpe.initialSymbols(Bpe.words(docs, textCol)).localCheckpoint(true)
     val alphabet = syms.select("sym").distinct().orderBy("sym")
       .collect().map(_.getString(0)).toSeq
+    val merges = scala.collection.mutable.ArrayBuffer.empty[WpMerge]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      bestScored(syms) match {
+        case Some((a, b, pc, sm)) =>
+          merges += WpMerge(rank + 1, a, b, a + b, sm, pc)
+          val next = Bpe.mergePass(syms, a, b).localCheckpoint(true)
+          graft.util.Pins.release(syms)
+          syms = next
+          rank += 1
+        case None => exhausted = true
+      }
+    }
+    graft.util.Pins.release(syms)
+    WpModel(merges.toSeq, alphabet)
+  }
+
+  /** The batched trainer: symbol tables live as ONE ROW PER WORD with an
+    * `array<string>` symbol column, so a pass is two explode-aggregates
+    * (pair counts, symbol counts — hash aggregation, no window sort) +
+    * one codegen projection applying the whole batch per word in rank
+    * order ([[graft.functions.MergeKernels]]). Per-pass pinned state is
+    * one word-sized table, exactly like the sequential loop; passes =
+    * ceil(numMerges / batchSize) by construction (a batch is under-full
+    * only when the corpus runs out of pairs).
+    */
+  private def trainBatched(docs: DataFrame, textCol: String, numMerges: Int,
+                           batchSize: Int): WpModel = {
+    import graft.functions.MergeBatchApply
+    var tbl = Bpe.words(docs, textCol)
+      .select(col("word"), col("cnt"),
+        regexp_extract_all(col("word"), lit("."), lit(0)).as("syms"))
+      .localCheckpoint(true)
+    val alphabet = tbl.select(explode(col("syms")).as("sym")).distinct()
+      .orderBy("sym").collect().map(_.getString(0)).toSeq
     val merges = scala.collection.mutable.ArrayBuffer.empty[WpMerge]
     var rank = 0
     var passes = 0
     var exhausted = false
     while (rank < numMerges && !exhausted) {
       passes += 1
-      if (batchSize == 1) {
-        bestScored(syms) match {
-          case Some((a, b, pc, sm)) =>
-            merges += WpMerge(rank + 1, a, b, a + b, sm, pc)
-            val next = Bpe.mergePass(syms, a, b).localCheckpoint(true)
-            graft.util.Pins.release(syms)
-            syms = next
-            rank += 1
-          case None => exhausted = true
+      val symCounts = tbl.select(explode(col("syms")).as("sym"), col("cnt"))
+        .groupBy("sym").agg(sum("cnt").as("c")).localCheckpoint(true)
+      val batch =
+        try tbl
+          .select(col("cnt"), explode(zip_with(
+            slice(col("syms"), lit(1), size(col("syms")) - 1),
+            slice(col("syms"), lit(2), size(col("syms")) - 1),
+            (l, r) => struct(l.as("lhs"), r.as("rhs")))).as("pr"))
+          .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+          .agg(sum("cnt").as("pc"))
+          .join(broadcast(symCounts.select(col("sym").as("lhs"), col("c").as("__ca"))), "lhs")
+          .join(broadcast(symCounts.select(col("sym").as("rhs"), col("c").as("__cb"))), "rhs")
+          .withColumn("score_micro", scoreMicro(col("pc"), col("__ca"), col("__cb")))
+          .select("lhs", "rhs", "pc", "score_micro")
+          .orderBy(desc("score_micro"), asc("lhs"), asc("rhs"))
+          .limit(math.min(batchSize, numMerges - rank))
+          .collect()
+        finally graft.util.Pins.release(symCounts)
+      if (batch.isEmpty) exhausted = true
+      else {
+        batch.zipWithIndex.foreach { case (r, i) =>
+          merges += WpMerge(rank + 1 + i, r.getString(0), r.getString(1),
+            r.getString(0) + r.getString(1), r.getLong(3), r.getLong(2))
         }
-      } else {
-        val batch = bestScoredBatch(syms, math.min(batchSize, numMerges - rank))
-        if (batch.isEmpty) exhausted = true
-        else {
-          batch.zipWithIndex.foreach { case ((a, b, pc, sm), i) =>
-            merges += WpMerge(rank + 1 + i, a, b, a + b, sm, pc)
-          }
-          val next = Bpe.multiMergePass(syms, batch.map(t => (t._1, t._2)))
-            .localCheckpoint(true)
-          graft.util.Pins.release(syms)
-          syms = next
-          rank += batch.size
-        }
+        val next = tbl.withColumn("syms",
+          MergeBatchApply(col("syms"),
+            batch.toSeq.map(r => (r.getString(0), r.getString(1)))))
+          .localCheckpoint(true)
+        graft.util.Pins.release(tbl)
+        tbl = next
+        rank += batch.length
       }
     }
-    graft.util.Pins.release(syms)
-    if (batchSize > 1)
-      System.err.println(
-        s"[wordpiece] ${merges.size} merges in $passes passes " +
-          s"(batch $batchSize, mean fill ${merges.size / math.max(1, passes)})")
+    graft.util.Pins.release(tbl)
+    System.err.println(
+      s"[wordpiece] ${merges.size} merges in $passes passes " +
+        s"(batch $batchSize, mean fill ${merges.size / math.max(1, passes)})")
     WpModel(merges.toSeq, alphabet)
   }
 
@@ -215,6 +249,14 @@ object WordPiece {
     */
   def save(model: WpModel, path: String, spark: SparkSession): Unit = {
     import spark.implicits._
+    // fail at save time, not at some later load: a zero-merge model
+    // (numMerges = 0, or a corpus of single-char words) would persist
+    // fine but be rejected by load()'s non-empty assertion — an
+    // artifact that can be written but never read back
+    require(model.merges.nonEmpty,
+      "refusing to persist a WordPiece model with no merges " +
+        "(load() would reject it; train with numMerges >= 1 on a " +
+        "corpus with at least one adjacent pair)")
     model.merges.toDF().coalesce(1)
       .write.mode("overwrite").parquet(s"$path/merges")
     model.alphabet.toDF("sym").coalesce(1)

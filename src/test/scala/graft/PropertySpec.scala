@@ -154,7 +154,7 @@ class PropertySpec extends AnyFunSuite {
       Gen.listOfN(n, Gen.chooseNum(1, 4).flatMap(l =>
         Gen.listOfN(l, Gen.oneOf('a', 'b', 'c')).map(_.mkString))))
     check(Prop.forAll(word, vocabGen) { (w, pieces) =>
-      val vocab = new graft.functions.WordPieceKernels.Vocab(pieces.distinct.toArray)
+      val vocab = new graft.functions.WordPieceKernels.Vocab(pieces.distinct)
       def run() = {
         val arr = graft.functions.WordPieceKernels
           .split(UTF8String.fromString(w), vocab, mark = false)

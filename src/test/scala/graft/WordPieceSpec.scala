@@ -102,6 +102,82 @@ class WordPieceSpec extends AnyFunSuite {
     // so rank positions cannot be grouped back into passes here)
   }
 
+  private def applyBatch(syms: Seq[String],
+                         pairs: Seq[(String, String)]): Seq[String] =
+    Seq(Tuple1(syms)).toDF("syms")
+      .select(graft.functions.MergeBatchApply(col("syms"), pairs).as("r"))
+      .as[Seq[String]].collect().head
+
+  test("merge-batch kernel: rank order wins conflicts; created pairs respect rank") {
+    // rank 1 (a,b) consumes the b that rank 2 (b,c) wanted — rank order
+    // is the sequential trainer's priority rule
+    assert(applyBatch(Seq("a", "b", "c"), Seq(("a", "b"), ("b", "c"))) ==
+      Seq("ab", "c"))
+    // rank 1 (a,b) CREATES rank 2's pair (ab,c): later ranks see
+    // earlier merges within the same pass
+    assert(applyBatch(Seq("a", "b", "c"), Seq(("a", "b"), ("ab", "c"))) ==
+      Seq("abc"))
+    // rank 2 (a,b) creates rank 1's pair (ab,c) AFTER rank 1's turn:
+    // stays unmerged this pass (enters next pass's counts) — the
+    // sequential contract
+    assert(applyBatch(Seq("a", "b", "c"), Seq(("ab", "c"), ("a", "b"))) ==
+      Seq("ab", "c"))
+  }
+
+  test("merge-batch kernel: greedy-leftmost self-runs; no-op words unchanged") {
+    assert(applyBatch(Seq("a", "a", "a", "a"), Seq(("a", "a"))) == Seq("aa", "aa"))
+    assert(applyBatch(Seq("a", "a", "a"), Seq(("a", "a"))) == Seq("aa", "a"))
+    // all occurrences of one rank merge in its single sweep
+    assert(applyBatch(Seq("x", "y", "z", "x", "y"), Seq(("x", "y"))) ==
+      Seq("xy", "z", "xy"))
+    assert(applyBatch(Seq("p", "q"), Seq(("a", "b"))) == Seq("p", "q"))
+    assert(applyBatch(Seq("p"), Seq(("p", "p"))) == Seq("p"))
+  }
+
+  test("batched training fills from a shared-symbol head (the disjoint-batch starver)") {
+    // every candidate pair shares lhs "z": symbol-disjoint batching
+    // fills 1 per pass here; the rank-order kernel takes all four in
+    // one pass, and on this corpus the (lhs, rhs) sequence matches
+    // sequential training exactly (scores differ: batched records
+    // pre-pass marginals)
+    val docs = Seq((1L, "zq zr zs zt")).toDF("doc_id", "text")
+    val batched = WordPiece.train(docs, "text", 4, batchSize = 4)
+    val seqM = WordPiece.train(docs, "text", 4)
+    assert(batched.merges.map(m => (m.lhs, m.rhs)) ==
+      seqM.merges.map(m => (m.lhs, m.rhs)))
+    assert(batched.merges.map(_.merge_rank) == Seq(1, 2, 3, 4))
+    assert(batched.merges.forall(m => m.lhs + m.rhs == m.merged))
+  }
+
+  test("tokenize round-trips under a batched-trained model") {
+    val docs = Seq(
+      (1L, "banana bandana cabana"),
+      (2L, "the banana and the bandana")).toDF("doc_id", "text")
+    val model = WordPiece.train(docs, "text", 8, batchSize = 4)
+    val toks = WordPiece.tokenize(docs, "doc_id", "text", model)
+    val rebuilt = toks
+      .groupBy("doc_id", "widx")
+      .agg(concat_ws("", array_sort(collect_list(struct(col("pos"), col("token"))))
+        .getField("token")).as("joined"))
+      .withColumn("joined", regexp_replace(col("joined"), "##", ""))
+    val words = docs.select(col("doc_id"),
+      posexplode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as(Seq("widx", "word")))
+    assert(rebuilt.join(words, Seq("doc_id", "widx"))
+      .filter(col("joined") =!= col("word")).count() == 0L)
+  }
+
+  test("save refuses a zero-merge model at write time") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text") // single-char words: no pairs
+    val model = WordPiece.train(docs, "text", 4)
+    assert(model.merges.isEmpty && model.alphabet.nonEmpty)
+    val dir = java.nio.file.Files.createTempDirectory("wp-empty").toString
+    val e = intercept[IllegalArgumentException] {
+      WordPiece.save(model, dir, spark)
+    }
+    assert(e.getMessage.contains("no merges"))
+  }
+
   test("tokenize: pieces concatenate back to each word; corpus join is complete") {
     val docs = Seq(
       (1L, "banana bandana cabana"),
