@@ -98,9 +98,10 @@ object Soak {
       // the manifest fingerprint pass: one codegen hash projection into a
       // partial-aggregated 1-row fold — must stay a pure linear scan
       shape("manifest_fingerprint") {
-        li.select(concat_ws("\u0001", col("l_orderkey").cast("string"),
-          col("l_partkey").cast("string"), col("l_quantity").cast("string"))
-          .as("__r"))
+        // the REAL reprCol (injective escaping included), so the soak
+        // prices the three replace passes per column too
+        val proj = li.select("l_orderkey", "l_partkey", "l_quantity")
+        proj.select(graft.io.Manifest.reprCol(proj).as("__r"))
           .agg(count(lit(1)).as("n_rows"),
             graft.io.Manifest.fingerprintCol(col("__r")).as("fingerprint"))
       },
@@ -195,6 +196,31 @@ object Soak {
           .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("est"))
       }
     ) ++ (if (soakSets("text")) Seq(
+      // Tokenizer drift monitor SERVE cost vs batch count: the store is
+      // batch-count-sized (three longs per microbatch, never corpus
+      // rows), so serving the drift verdict over mult× more batches
+      // must stay essentially flat — the every-streaming-store-has-a-
+      // cost-row discipline. The store build (mult batches of the
+      // UNAMPLIFIED corpus through the frozen greedy matcher) runs
+      // UNTIMED: the per-batch pass is corpus-linear codegen map work
+      // already priced by wordpiece_train_apply's apply half.
+      shape("tokenizer_drift_serve") {
+        val dir = java.nio.file.Files.createTempDirectory("drift-soak").toString
+        val store = s"$dir/store"
+        val docs0 = Tables.documents(spark, sfDir)
+        val model = graft.text.WordPiece.train(
+          docs0.limit(500), "text", 64, batchSize = 16)
+        (0 until mult).foreach(i =>
+          graft.streaming.IncrementalTokenizerDrift.processBatch(
+            docs0, i, "text", model.pieces, store))
+        val t0 = System.nanoTime()
+        val verdict = graft.streaming.IncrementalTokenizerDrift
+          .drift(spark, store, baselineBatches = math.max(1, mult / 2))
+        verdict.write.format("noop").mode("overwrite").save()
+        System.err.println(f"[soak]   tokenizer_drift_serve serve-only " +
+          f"${(System.nanoTime() - t0) / 1e9}%.3f s over $mult batches")
+        verdict
+      },
       // Amplified docs share text across copies — a dup-heavy corpus, the
       // worst case dedup is built for (each doc becomes a mult-sized
       // near-dup clique).
@@ -883,6 +909,20 @@ object Soak {
             .select(col("media_id"), col("vfp").as("simhash"))
           graft.dedup.Dedup.simhashPairsFromSignatures(sig, "media_id",
             bands = 4, maxDist = 3)
+        },
+        // the same chain at 128-bit fingerprints (9×16 grid, 4×32-bit
+        // band keys) — the production knob for the 64-bit row's
+        // O(n²/2¹⁶) birthday term: random band collisions drop by 2¹⁶,
+        // so the 100x point must lose the quadratic candidate-join
+        // component while the (linear) codec map stays
+        shape("video_fingerprint_pairs128") {
+          val vids = graft.multimodal.Multimodal.synthesizeNearDupVideo(ids, "doc_id")
+          val sig = graft.multimodal.Multimodal.videoFingerprint(spark, vids,
+            cols = 9, rows = 16).toDF()
+            .filter(col("vfp").isNotNull)
+            .select(col("media_id"), col("vfp").as("simhash"))
+          graft.dedup.Dedup.simhashPairsFromSignatures(sig, "media_id",
+            bands = 4, maxDist = 3, bits = 128)
         })
     } else Seq.empty)
 

@@ -774,12 +774,21 @@ object Dedup {
 
   /** [[simhashPairs]] over a prebuilt (and materialized) simhash table —
     * the signature table is an index, build once and serve many.
+    *
+    * `bits` is the fingerprint width (the length of every `simhash`
+    * string). At fixed `bands` (pinned by the pigeonhole recall bound
+    * `maxDist <= bands - 1`), a WIDER fingerprint is the scale knob:
+    * the band join's random-collision birthday term is O(n²/2^width)
+    * with width = bits/bands, so 128-bit signatures (4×32-bit keys)
+    * shrink it by 2¹⁶ vs 64-bit — the documented fix for ≥1e5-signature
+    * corpora (BASELINE.md `video_fingerprint_pairs`).
     */
   def simhashPairsFromSignatures(sig: DataFrame, idCol: String,
-                                 bands: Int = 4, maxDist: Int = 3): DataFrame = {
-    require(64 % bands == 0, "bands must divide 64")
+                                 bands: Int = 4, maxDist: Int = 3,
+                                 bits: Int = 64): DataFrame = {
+    require(bits % bands == 0, s"bands must divide the fingerprint width $bits")
     require(maxDist <= bands - 1, s"recall guarantee needs maxDist <= bands-1")
-    val width = 64 / bands
+    val width = bits / bands
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
       substring(col("simhash"), b * width + 1, width).as("key")))
     val bandRows = sig

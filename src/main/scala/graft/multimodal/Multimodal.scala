@@ -224,9 +224,22 @@ object Multimodal {
     * group (unrelated groups land ~32 bits apart); variant v=1 perturbs
     * only pixel (0,0), so paired images differ in AT MOST the one
     * fingerprint bit that samples it.
+    *
+    * The group enters through THREE base-256 digits with independent
+    * (x, y) coefficient planes — not `g · a % 256`, whose pattern
+    * depends on g mod 256 only, so a ≥256-group corpus would alias
+    * into ≤256 identical fingerprints and every soak past that size
+    * measured quadratic TRUE-dup cliques instead of the band join
+    * (the round-14 re-diagnosis of the `video_fingerprint_pairs`
+    * "birthday term"). Digit mixing keeps ~16M distinct patterns;
+    * for g < 256 the high digits vanish and the formula equals the
+    * original. DuckDB replays `//`/`%` exactly (g is non-negative).
     */
   def nearDupPixel(g: Long, v: Long, x: Int, y: Int): Int =
-    ((g * (53 + 11 * x + 13 * y) + (3 * x * x + 5 * y * y + 7 * x * y) +
+    (((g % 256) * (53 + 11 * x + 13 * y) +
+      ((g / 256) % 256) * (19 + 7 * x + 17 * y) +
+      ((g / 65536) % 256) * (23 + 29 * x + 3 * y) +
+      (3 * x * x + 5 * y * y + 7 * x * y) +
       (if (v == 1 && x == 0 && y == 0) 200L else 0L)) % 256).toInt
 
   /** Synthesize REAL encoded PNG pairs for perceptual near-dup testing:
@@ -283,27 +296,38 @@ object Multimodal {
     * exact fingerprint. Non-decodable payloads yield a NULL hash tagged
     * `codec='stub'` (hostile bytes never throw). Bounded mapPartitions
     * batches — the justified codec-work shape.
+    *
+    * `cols`/`rows` set the sample grid — (cols−1)·rows fingerprint
+    * bits. The 9×8 default is the classic 64-bit dHash; 9×16 yields the
+    * 128-BIT production variant, the documented knob for the band
+    * join's birthday term: 4 bands of 32-bit keys shrink the
+    * O(n²/2^width) random-collision floor by 2¹⁶, which a ≥1e5-signature
+    * corpus (any 100 TB media crawl) needs (BASELINE.md
+    * `video_fingerprint_pairs`).
     */
-  def dHash(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+  def dHash(spark: SparkSession, media: DataFrame,
+            cols: Int = 9, rows: Int = 8): Dataset[ImageHash] = {
     import spark.implicits._
     media.as[MediaFile].mapPartitions(_.map { m =>
       val img = readImage(m.payload)
       if (img == null) ImageHash(m.media_id, null, "stub")
-      else ImageHash(m.media_id, dHashOf(img), "imageio")
+      else ImageHash(m.media_id, dHashOf(img, cols, rows), "imageio")
     })
   }
 
-  /** The 64-bit dHash of one decoded image (shared by the still-image
-    * path above and the per-frame hashing of [[videoFingerprint]]).
+  /** The (cols−1)·rows-bit dHash of one decoded image (shared by the
+    * still-image path above and the per-frame hashing of
+    * [[videoFingerprint]]).
     */
-  private def dHashOf(img: java.awt.image.BufferedImage): String = {
+  private def dHashOf(img: java.awt.image.BufferedImage,
+                      cols: Int, rows: Int): String = {
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
     def boxMean(xCell: Int, yCell: Int): Double = {
-      val x0 = xCell * w / 9
-      val x1 = math.max(x0 + 1, (xCell + 1) * w / 9)
-      val y0 = yCell * h / 8
-      val y1 = math.max(y0 + 1, (yCell + 1) * h / 8)
+      val x0 = xCell * w / cols
+      val x1 = math.max(x0 + 1, (xCell + 1) * w / cols)
+      val y0 = yCell * h / rows
+      val y1 = math.max(y0 + 1, (yCell + 1) * h / rows)
       var s = 0L
       var y = y0
       while (y < y1) {
@@ -313,14 +337,14 @@ object Multimodal {
       }
       s.toDouble / ((x1 - x0) * (y1 - y0))
     }
-    val sb = new java.lang.StringBuilder(64)
+    val sb = new java.lang.StringBuilder((cols - 1) * rows)
     var y = 0
-    while (y < 8) {
-      val row = new Array[Double](9)
+    while (y < rows) {
+      val row = new Array[Double](cols)
       var c = 0
-      while (c < 9) { row(c) = boxMean(c, y); c += 1 }
+      while (c < cols) { row(c) = boxMean(c, y); c += 1 }
       var x = 0
-      while (x < 8) {
+      while (x < cols - 1) {
         sb.append(if (row(x) > row(x + 1)) '1' else '0')
         x += 1
       }
@@ -468,7 +492,10 @@ object Multimodal {
     val w = i / NearDupAudioWin
     val cx = w % 9
     val cy = w / 9
-    ((g * (53 + 11 * cx + 13 * cy) + (3 * cx * cx + 5 * cy * cy + 7 * cx * cy) +
+    (((g % 256) * (53 + 11 * cx + 13 * cy) +
+      ((g / 256) % 256) * (19 + 7 * cx + 17 * cy) +
+      ((g / 65536) % 256) * (23 + 29 * cx + 3 * cy) +
+      (3 * cx * cx + 5 * cy * cy + 7 * cx * cy) +
       (i % NearDupAudioWin) +
       (if (v == 1 && cx == 0 && cy == 0) 200L else 0L)) % 256).toInt
   }
@@ -530,8 +557,12 @@ object Multimodal {
     * integer-exact sum comparison the SQL oracle replays. Non-PCM-16 or
     * unparseable payloads yield a NULL hash tagged `codec='stub'`
     * (hostile bytes never throw). Bounded mapPartitions batches.
+    *
+    * `cols`/`rows` set the window grid — (cols−1)·rows bits; 9×16 is
+    * the 128-bit production variant (see [[dHash]]'s knob note).
     */
-  def audioFingerprint(spark: SparkSession, media: DataFrame): Dataset[AudioHash] = {
+  def audioFingerprint(spark: SparkSession, media: DataFrame,
+                       cols: Int = 9, rows: Int = 8): Dataset[AudioHash] = {
     import spark.implicits._
     media.as[MediaFile].mapPartitions(_.map { m =>
       try {
@@ -564,25 +595,26 @@ object Multimodal {
               while (c < ch) { s += rawSample(f * ch + c); c += 1 }
               math.abs(s)
             }
+          val windows = cols * rows
           def winMean(w: Int): Double = {
             // Long window arithmetic: w * n overflows Int from ~30M
             // frames (~11 min at 44.1 kHz) — the silent-stub bug class
-            val i0 = (w.toLong * n / NearDupAudioWindows).toInt
+            val i0 = (w.toLong * n / windows).toInt
             val i1 = math.max(i0 + 1,
-              ((w + 1).toLong * n / NearDupAudioWindows).toInt)
+              ((w + 1).toLong * n / windows).toInt)
             var s = 0L
             var i = i0
             while (i < i1) { s += frameAmp(i); i += 1 }
             s.toDouble / (i1 - i0)
           }
-          val sb = new java.lang.StringBuilder(64)
+          val sb = new java.lang.StringBuilder((cols - 1) * rows)
           var cy = 0
-          while (cy < 8) {
-            val row = new Array[Double](9)
+          while (cy < rows) {
+            val row = new Array[Double](cols)
             var c = 0
-            while (c < 9) { row(c) = winMean(cy * 9 + c); c += 1 }
+            while (c < cols) { row(c) = winMean(cy * cols + c); c += 1 }
             var x = 0
-            while (x < 8) {
+            while (x < cols - 1) {
               sb.append(if (row(x) > row(x + 1)) '1' else '0')
               x += 1
             }
@@ -943,7 +975,10 @@ object Multimodal {
     * perturbation would be voted away and test nothing).
     */
   def nearDupFramePixel(g: Long, v: Long, x: Int, y: Int, f: Int): Int =
-    ((g * (53 + 11 * x + 13 * y) + (3 * x * x + 5 * y * y + 7 * x * y) + 17L * f +
+    (((g % 256) * (53 + 11 * x + 13 * y) +
+      ((g / 256) % 256) * (19 + 7 * x + 17 * y) +
+      ((g / 65536) % 256) * (23 + 29 * x + 3 * y) +
+      (3 * x * x + 5 * y * y + 7 * x * y) + 17L * f +
       (if (v == 1 && x == 0 && y == 0 && f < 2) 200L else 0L)) % 256).toInt
 
   /** Synthesize REAL Motion-PNG-in-AVI pairs for video perceptual
@@ -1044,8 +1079,9 @@ object Multimodal {
   /** Temporal perceptual fingerprint for video: decode every container
     * frame through the REAL codec path ([[parseAviFrames]] +
     * javax.imageio — MJPEG and Motion-PNG both work, each frame is a
-    * standalone still), per-frame 64-bit dHash with the SAME cell
-    * geometry as the still-image path, then one MAJORITY vote per bit
+    * standalone still), per-frame dHash with the SAME cell geometry as
+    * the still-image path (`cols`/`rows` — 9×8 default 64 bits, 9×16
+    * the 128-bit production variant), then one MAJORITY vote per bit
     * position across the decodable frames (strict majority → '1';
     * ties → '0'). Majority voting is what makes the fingerprint robust
     * to frame drops, re-encodes of a few frames, and boundary
@@ -1058,22 +1094,24 @@ object Multimodal {
     * NULL fingerprint tagged `codec='stub'` (hostile bytes never
     * throw) — same real/stub split as every decoder here.
     */
-  def videoFingerprint(spark: SparkSession, media: DataFrame): Dataset[VideoHash] = {
+  def videoFingerprint(spark: SparkSession, media: DataFrame,
+                       cols: Int = 9, rows: Int = 8): Dataset[VideoHash] = {
     import spark.implicits._
+    val bits = (cols - 1) * rows
     media.as[MediaFile].mapPartitions(_.map { m =>
       val frames = parseAviFrames(m.payload)
       if (frames == null) VideoHash(m.media_id, null, "stub")
       else {
         val hashes = frames.flatMap { f =>
           val img = try readImage(f) catch { case _: Exception => null }
-          if (img == null) None else Some(dHashOf(img))
+          if (img == null) None else Some(dHashOf(img, cols, rows))
         }
         if (hashes.isEmpty) VideoHash(m.media_id, null, "stub")
         else {
           val n = hashes.length
-          val sb = new java.lang.StringBuilder(64)
+          val sb = new java.lang.StringBuilder(bits)
           var i = 0
-          while (i < 64) {
+          while (i < bits) {
             var ones = 0
             hashes.foreach(h => if (h.charAt(i) == '1') ones += 1)
             sb.append(if (2 * ones > n) '1' else '0')

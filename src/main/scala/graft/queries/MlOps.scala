@@ -530,6 +530,51 @@ object MlOps {
           .localCheckpoint(true)
       }
       graft.dedup.Dedup.simhashPairsFromSignatures(sig, "media_id", bands = 4, maxDist = 3)
+    }),
+
+    // 128-BIT perceptual near-dup triple: the same fixtures and the same
+    // band machinery, fingerprinted on the 9×16 grid (exact 2×1 boxes on
+    // the 18×16 images; exact 2-sample windows on the 288-frame audio) —
+    // 4 bands of 32-bit keys. At fixed bands (pigeonhole recall needs
+    // bands > maxDist) the WIDER fingerprint is the production scale
+    // knob: the band join's random-collision birthday term is
+    // O(n²/2^width), so 32-bit keys shrink it by 2¹⁶ vs 16-bit — what a
+    // ≥1e5-signature corpus needs (BASELINE.md video_fingerprint_pairs;
+    // soak row video_fingerprint_pairs128 measures the drop).
+    "mm_image_neardup128" -> ((s, d) => {
+      val sig = PipelineOps.memoized(s, d, "image_dhash128_sigs") {
+        val imgs = Multimodal.synthesizeNearDupImages(Tables.documents(s, d), "doc_id")
+        Multimodal.dHash(s, imgs, cols = 9, rows = 16).toDF()
+          .filter(col("dhash").isNotNull)
+          .select(col("media_id"), col("dhash").as("simhash"))
+          .localCheckpoint(true)
+      }
+      graft.dedup.Dedup.simhashPairsFromSignatures(sig, "media_id",
+        bands = 4, maxDist = 3, bits = 128)
+    }),
+
+    "mm_audio_neardup128" -> ((s, d) => {
+      val sig = PipelineOps.memoized(s, d, "audio_afp128_sigs") {
+        val clips = Multimodal.synthesizeNearDupAudio(Tables.documents(s, d), "doc_id")
+        Multimodal.audioFingerprint(s, clips, cols = 9, rows = 16).toDF()
+          .filter(col("afp").isNotNull)
+          .select(col("media_id"), col("afp").as("simhash"))
+          .localCheckpoint(true)
+      }
+      graft.dedup.Dedup.simhashPairsFromSignatures(sig, "media_id",
+        bands = 4, maxDist = 3, bits = 128)
+    }),
+
+    "mm_video_neardup128" -> ((s, d) => {
+      val sig = PipelineOps.memoized(s, d, "video_vfp128_sigs") {
+        val vids = Multimodal.synthesizeNearDupVideo(Tables.documents(s, d), "doc_id")
+        Multimodal.videoFingerprint(s, vids, cols = 9, rows = 16).toDF()
+          .filter(col("vfp").isNotNull)
+          .select(col("media_id"), col("vfp").as("simhash"))
+          .localCheckpoint(true)
+      }
+      graft.dedup.Dedup.simhashPairsFromSignatures(sig, "media_id",
+        bands = 4, maxDist = 3, bits = 128)
     })
   )
 
@@ -542,12 +587,18 @@ object MlOps {
     * integer-exact SUM comparison over 4 [[Multimodal.nearDupPixel]]
     * terms each (equal areas cancel the ÷4 — no floats cross engines).
     */
+  /** The fixture's three-digit group mixing as SQL — shared by all three
+    * formula replays below ([[Multimodal.nearDupPixel]]'s digit planes).
+    */
+  private def gMixSql(a1: Int, a2: Int, a3: Int): String =
+    s"(g % 256) * $a1 + ((g // 256) % 256) * $a2 + ((g // 65536) % 256) * $a3"
+
   private def nearDupDhashSql(cols: Int = 9, rows: Int = 8): String = {
     def pix(i: Int, j: Int): String = {
-      val a = 53 + 11 * i + 13 * j
+      val mix = gMixSql(53 + 11 * i + 13 * j, 19 + 7 * i + 17 * j, 23 + 29 * i + 3 * j)
       val c = 3 * i * i + 5 * j * j + 7 * i * j
       val p = if (i == 0 && j == 0) " + CASE WHEN v = 1 THEN 200 ELSE 0 END" else ""
-      s"((g * $a + $c$p) % 256)"
+      s"(($mix + $c$p) % 256)"
     }
     def cellSum(cx: Int, cy: Int): String = {
       val x0 = cx * Multimodal.NearDupW / cols
@@ -559,7 +610,9 @@ object MlOps {
     }
     val bits = for { y <- 0 until rows; x <- 0 until cols - 1 } yield
       s"CASE WHEN ${cellSum(x, y)} > ${cellSum(x + 1, y)} THEN '1' ELSE '0' END"
-    bits.mkString(" || ")
+    // variadic concat, not chained ||: DuckDB binds each || one level
+    // deeper and caps recursion at 128 — a 128-bit chain exceeds it
+    s"concat(${bits.mkString(", ")})"
   }
 
   /** The audio fixture's energy-envelope fingerprint as DuckDB SQL over
@@ -569,18 +622,35 @@ object MlOps {
     * the integer-exact SUM comparison over the per-sample `% 256` terms
     * (equal widths cancel the divide — no floats cross engines).
     */
-  private def nearDupAudioFpSql: String = {
-    def winSum(cx: Int, cy: Int): String = {
-      val a = 53 + 11 * cx + 13 * cy
-      val c = 3 * cx * cx + 5 * cy * cy + 7 * cx * cy
+  private def nearDupAudioFpSql(cols: Int = 9, rows: Int = 8): String = {
+    // the SAMPLE formula is the fixture's (fixed 9×8 64-bit geometry,
+    // [[Multimodal.nearDupSample]]); the fingerprint GRID is the
+    // engine's cols×rows — at 9×8 each window is the fixture's own
+    // 4-sample window, at 9×16 each is an exact half of one. Equal
+    // window widths keep the mean comparison the integer-exact SUM
+    // comparison either way.
+    val windows = cols * rows
+    val n = Multimodal.NearDupAudioFrames
+    require(n % windows == 0, "fixture frames must split into equal windows")
+    def sampleTerm(i: Int): String = {
+      val w64 = i / Multimodal.NearDupAudioWin
+      val cx = w64 % 9
+      val cy = w64 / 9
+      val mix = gMixSql(53 + 11 * cx + 13 * cy, 19 + 7 * cx + 17 * cy,
+        23 + 29 * cx + 3 * cy)
+      val c = 3 * cx * cx + 5 * cy * cy + 7 * cx * cy +
+        (i % Multimodal.NearDupAudioWin)
       val p = if (cx == 0 && cy == 0) " + CASE WHEN v = 1 THEN 200 ELSE 0 END" else ""
-      (0 until Multimodal.NearDupAudioWin)
-        .map(k => s"((g * $a + ${c + k}$p) % 256)")
-        .mkString("(", " + ", ")")
+      s"(($mix + $c$p) % 256)"
     }
-    val bits = for { cy <- 0 until 8; cx <- 0 until 8 } yield
-      s"CASE WHEN ${winSum(cx, cy)} > ${winSum(cx + 1, cy)} THEN '1' ELSE '0' END"
-    bits.mkString(" || ")
+    def winSum(w: Int): String =
+      (w * n / windows until (w + 1) * n / windows)
+        .map(sampleTerm).mkString("(", " + ", ")")
+    val bits = for { cy <- 0 until rows; cx <- 0 until cols - 1 } yield
+      s"CASE WHEN ${winSum(cy * cols + cx)} > ${winSum(cy * cols + cx + 1)} THEN '1' ELSE '0' END"
+    // variadic concat, not chained ||: DuckDB binds each || one level
+    // deeper and caps recursion at 128 — a 128-bit chain exceeds it
+    s"concat(${bits.mkString(", ")})"
   }
 
   /** The near-dup VIDEO fixture's temporal fingerprint as DuckDB SQL
@@ -591,29 +661,59 @@ object MlOps {
     * exactly what a correct RIFF walk + lossless frame decode + dHash +
     * vote must produce, bit for bit.
     */
-  private def nearDupVideoFpSql: String = {
+  private def nearDupVideoFpSql(cols: Int = 9, rows: Int = 8): String = {
     def pix(i: Int, j: Int, f: Int): String = {
-      val a = 53 + 11 * i + 13 * j
+      val mix = gMixSql(53 + 11 * i + 13 * j, 19 + 7 * i + 17 * j, 23 + 29 * i + 3 * j)
       val c = 3 * i * i + 5 * j * j + 7 * i * j + 17 * f
       val p = if (i == 0 && j == 0 && f < 2) " + CASE WHEN v = 1 THEN 200 ELSE 0 END" else ""
-      s"((g * $a + $c$p) % 256)"
+      s"(($mix + $c$p) % 256)"
     }
     def cellSum(cx: Int, cy: Int, f: Int): String = {
-      val x0 = cx * Multimodal.NearDupW / 9
-      val x1 = (cx + 1) * Multimodal.NearDupW / 9
-      val y0 = cy * Multimodal.NearDupH / 8
-      val y1 = (cy + 1) * Multimodal.NearDupH / 8
+      val x0 = cx * Multimodal.NearDupW / cols
+      val x1 = (cx + 1) * Multimodal.NearDupW / cols
+      val y0 = cy * Multimodal.NearDupH / rows
+      val y1 = (cy + 1) * Multimodal.NearDupH / rows
       (for { j <- y0 until y1; i <- x0 until x1 } yield pix(i, j, f))
         .mkString("(", " + ", ")")
     }
     val n = Multimodal.NearDupVideoFrames
-    val bits = for { y <- 0 until 8; x <- 0 until 8 } yield {
+    val bits = for { y <- 0 until rows; x <- 0 until cols - 1 } yield {
       val votes = (0 until n)
         .map(f => s"CASE WHEN ${cellSum(x, y, f)} > ${cellSum(x + 1, y, f)} THEN 1 ELSE 0 END")
         .mkString("(", " + ", ")")
       s"CASE WHEN $votes * 2 > $n THEN '1' ELSE '0' END"
     }
-    bits.mkString(" || ")
+    // variadic concat, not chained ||: DuckDB binds each || one level
+    // deeper and caps recursion at 128 — a 128-bit chain exceeds it
+    s"concat(${bits.mkString(", ")})"
+  }
+
+  /** The shared near-dup oracle template: formula-predicted fingerprint
+    * per id, 4-band pigeonhole candidate join, exact Hamming verify —
+    * replaying [[graft.dedup.Dedup.simhashPairsFromSignatures]] at any
+    * fingerprint width (band key width = bits/4).
+    */
+  private def nearDupOracle(fpSql: String, bits: Int): String = {
+    val width = bits / 4
+    s"""WITH ids AS (
+       |  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents),
+       |sims AS (SELECT doc_id, $fpSql AS simhash FROM ids),
+       |bands AS (
+       |  SELECT doc_id, b AS band, substr(simhash, CAST(1 + $width * b AS INT), $width) AS band_key
+       |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT id_a, id_b,
+       |    len(list_filter(range(1, ${bits + 1}), i ->
+       |      substr(sa.simhash, CAST(i AS INT), 1) != substr(sb.simhash, CAST(i AS INT), 1)))
+       |      AS hamming
+       |  FROM cand
+       |    JOIN sims sa ON sa.doc_id = id_a
+       |    JOIN sims sb ON sb.doc_id = id_b) v
+       |WHERE hamming <= 3""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -677,26 +777,14 @@ object MlOps {
     // the fingerprint every correct decoder+dHash must produce is
     // recomputed arithmetically per id; banding + Hamming replay the
     // Spark plan's join exactly (same shape as dd_simhash_pairs)
-    "mm_image_neardup" ->
-      s"""WITH ids AS (
-         |  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents),
-         |sims AS (SELECT doc_id, ${nearDupDhashSql()} AS simhash FROM ids),
-         |bands AS (
-         |  SELECT doc_id, b AS band, substr(simhash, CAST(1 + 16 * b AS INT), 16) AS band_key
-         |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, hamming FROM (
-         |  SELECT id_a, id_b,
-         |    len(list_filter(range(1, 65), i ->
-         |      substr(sa.simhash, CAST(i AS INT), 1) != substr(sb.simhash, CAST(i AS INT), 1)))
-         |      AS hamming
-         |  FROM cand
-         |    JOIN sims sa ON sa.doc_id = id_a
-         |    JOIN sims sb ON sb.doc_id = id_b) v
-         |WHERE hamming <= 3""".stripMargin,
+    "mm_image_neardup" -> nearDupOracle(nearDupDhashSql(), 64),
+    // the 128-bit production variant: 9×16 area-average grid (exact 2×1
+    // boxes on the 18×16 fixture) → 4 bands of 32-bit keys, shrinking
+    // the band join's birthday term by 2¹⁶ — the documented scale knob
+    // for ≥1e5-signature corpora
+    "mm_image_neardup128" -> nearDupOracle(nearDupDhashSql(9, 16), 128),
+    "mm_audio_neardup128" -> nearDupOracle(nearDupAudioFpSql(9, 16), 128),
+    "mm_video_neardup128" -> nearDupOracle(nearDupVideoFpSql(9, 16), 128),
 
     // the envelope fingerprint a correct PCM decoder+hash must produce,
     // recomputed arithmetically per id; banding + Hamming replay the
@@ -705,47 +793,9 @@ object MlOps {
     // lossless frame decode + per-frame dHash must produce, recomputed
     // arithmetically per id; banding + Hamming replay the Spark join
     // exactly (mm_image_neardup's contract for video)
-    "mm_video_neardup" ->
-      s"""WITH ids AS (
-         |  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents),
-         |sims AS (SELECT doc_id, $nearDupVideoFpSql AS simhash FROM ids),
-         |bands AS (
-         |  SELECT doc_id, b AS band, substr(simhash, CAST(1 + 16 * b AS INT), 16) AS band_key
-         |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, hamming FROM (
-         |  SELECT id_a, id_b,
-         |    len(list_filter(range(1, 65), i ->
-         |      substr(sa.simhash, CAST(i AS INT), 1) != substr(sb.simhash, CAST(i AS INT), 1)))
-         |      AS hamming
-         |  FROM cand
-         |    JOIN sims sa ON sa.doc_id = id_a
-         |    JOIN sims sb ON sb.doc_id = id_b) v
-         |WHERE hamming <= 3""".stripMargin,
+    "mm_video_neardup" -> nearDupOracle(nearDupVideoFpSql(), 64),
 
-    "mm_audio_neardup" ->
-      s"""WITH ids AS (
-         |  SELECT doc_id, doc_id // 2 AS g, doc_id % 2 AS v FROM documents),
-         |sims AS (SELECT doc_id, $nearDupAudioFpSql AS simhash FROM ids),
-         |bands AS (
-         |  SELECT doc_id, b AS band, substr(simhash, CAST(1 + 16 * b AS INT), 16) AS band_key
-         |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, hamming FROM (
-         |  SELECT id_a, id_b,
-         |    len(list_filter(range(1, 65), i ->
-         |      substr(sa.simhash, CAST(i AS INT), 1) != substr(sb.simhash, CAST(i AS INT), 1)))
-         |      AS hamming
-         |  FROM cand
-         |    JOIN sims sa ON sa.doc_id = id_a
-         |    JOIN sims sb ON sb.doc_id = id_b) v
-         |WHERE hamming <= 3""".stripMargin,
+    "mm_audio_neardup" -> nearDupOracle(nearDupAudioFpSql(), 64),
 
     // the stub decode is deterministic modular arithmetic over the
     // payload bytes (= the ASCII text's codes), so the oracle replays it

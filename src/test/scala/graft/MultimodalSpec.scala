@@ -305,6 +305,51 @@ class MultimodalSpec extends AnyFunSuite {
         s"groups $ga and $gb unexpectedly close")
   }
 
+  test("128-bit dHash (9x16 grid): arithmetic prediction holds; band join at 4x32-bit keys pairs the twins") {
+    import spark.implicits._
+    val ids = (0L until 12L).toDF("id")
+    val imgs = Multimodal.synthesizeNearDupImages(ids, "id")
+    val got = Multimodal.dHash(spark, imgs, cols = 9, rows = 16).collect()
+      .map(h => h.media_id -> h.dhash).toMap
+    // 18×16 fixture on a 9×16 grid: exact 2×1 boxes, same integer-exact
+    // sum-comparison argument as the 64-bit test
+    def predicted(id: Long): String = {
+      val (g, v) = (id / 2, id % 2)
+      def cellSum(cx: Int, cy: Int): Long = {
+        val x0 = cx * Multimodal.NearDupW / 9
+        val x1 = (cx + 1) * Multimodal.NearDupW / 9
+        (for { i <- x0 until x1 }
+          yield Multimodal.nearDupPixel(g, v, i, cy).toLong).sum
+      }
+      (for { y <- 0 until 16; x <- 0 until 8 } yield
+        if (cellSum(x, y) > cellSum(x + 1, y)) '1' else '0').mkString
+    }
+    def dist(a: String, b: String): Int = a.zip(b).count { case (x, y) => x != y }
+    (0L until 12L).foreach { id =>
+      assert(got(id).length == 128)
+      assert(got(id) == predicted(id), s"decoded 128-bit dhash diverges for id $id")
+    }
+    // v=1 perturbs pixel (0,0) → only cell (0,0) of row 0 moves → at
+    // most the (0,0)-(1,0) comparison flips, same locality as 64-bit
+    (0L until 6L).foreach(g =>
+      assert(dist(got(2 * g), got(2 * g + 1)) <= 1, s"pair $g too far"))
+    for (ga <- 0L until 6L; gb <- (ga + 1) until 6L)
+      assert(dist(got(2 * ga), got(2 * gb)) > 3,
+        s"groups $ga and $gb unexpectedly close")
+    // the band join at bits=128 (32-bit keys) must still pair every twin
+    val sig = (0L until 12L).map(id => (id, got(id))).toDF("media_id", "simhash")
+    val pairs = graft.dedup.Dedup.simhashPairsFromSignatures(sig, "media_id",
+      bands = 4, maxDist = 3, bits = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 6L).foreach(g => assert(pairs.contains((2 * g, 2 * g + 1))))
+    // a width that 4 bands cannot split is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.simhashPairsFromSignatures(sig, "media_id",
+        bands = 4, maxDist = 3, bits = 130)
+    }
+    assert(e.getMessage.contains("divide"))
+  }
+
   test("audio fingerprint matches the arithmetic prediction; pairs near, groups far") {
     import spark.implicits._
     val ids = (0L until 12L).toDF("id")
