@@ -17,17 +17,19 @@ import org.apache.spark.sql.functions._
   * house polynomial hash every DuckDB oracle replays, and the sum
   * accumulates in DECIMAL(38,0) — 2³¹-sized terms in an int64 would
   * wrap past ~4·10⁹ rows, a row count a 100 TB table exceeds (DuckDB's
-  * `sum(BIGINT)` widens to HUGEINT on its own, the same contract). The row
-  * repr joins the STRING forms of all columns with `\u0001` and encodes
-  * NULL as `\u0002`, which keeps column boundaries from aliasing
-  * (`("ab","c")` vs `("a","bc")`) — ASSUMING the data itself carries
-  * neither control character. Both are legal in string columns, so a
-  * value containing `\u0001` can alias a boundary and a literal
-  * `"\u0002"` collides with NULL; tables where sentinel-bearing
-  * strings are in scope should pre-escape those columns before
-  * manifesting (the fingerprint only needs ANY injective repr — the
-  * two codepoints were picked because real text corpora don't contain
-  * them, not because the encoding rejects them).
+  * `sum(BIGINT)` widens to HUGEINT on its own, the same contract).
+  *
+  * The row repr is INJECTIVE: every cell's string form is escaped
+  * (`\u0003` doubles itself, then prefixes any literal `\u0001`/`\u0002`),
+  * cells join with `\u0001`, and NULL encodes as a bare `\u0002` — which,
+  * post-escaping, can never be produced by data. A value containing a
+  * separator therefore cannot alias a column boundary, a literal
+  * `"\u0002"` cell stays distinct from NULL, and `("ab","c")` never
+  * collides with `("a","bc")` — no pre-escaping duty on the caller,
+  * even for adversarial corpora. Decode (never needed, but the
+  * injectivity witness): scan left to right, `\u0003` escapes the next
+  * char, a bare `\u0001` is a boundary, a bare single-`\u0002` cell is
+  * NULL.
   *
   * Not a cryptographic digest: this detects drift (a regenerated
   * export, a lost partition, a truncated copy), not adversaries.
@@ -55,7 +57,21 @@ object Manifest {
   def reprCol(df: DataFrame): org.apache.spark.sql.Column =
     concat_ws("\u0001",
       df.schema.fieldNames.map(f =>
-        coalesce(col(f).cast("string"), lit("\u0002"))).toSeq: _*)
+        coalesce(escCell(col(f).cast("string")), lit("\u0002"))).toSeq: _*)
+
+  /** Escape one cell's string form for the injective row repr: the
+    * escape char `\u0003` doubles itself FIRST, then prefixes each
+    * sentinel (that order matters — escaping sentinels first would let
+    * a literal `\u0003\u0001` in the data alias an escaped separator).
+    * Three codegen `replace` passes per column — pure map, replayed
+    * verbatim by the DuckDB oracles ([[graft.queries.SqlSurface]]).
+    */
+  def escCell(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    replace(
+      replace(
+        replace(c, lit("\u0003"), lit("\u0003\u0003")),
+        lit("\u0001"), lit("\u0003\u0001")),
+      lit("\u0002"), lit("\u0003\u0002"))
 
   /** Fold PARTIAL fingerprints (each already reduced mod p) into the
     * whole-dataset fingerprint: the modular sum is a commutative group,

@@ -394,14 +394,12 @@ object SqlSurface {
     // wrap the sum — that a pipeline records beside every frozen input
     // and re-verifies before training. One partial-aggregated pass, a
     // single long of state per partition.
-    "io_manifest" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(concat_ws("\u0001",
-          coalesce(col("doc_id").cast("string"), lit("\u0002")),
-          coalesce(col("lang"), lit("\u0002")),
-          coalesce(col("text"), lit("\u0002"))).as("__r"))
+    "io_manifest" -> ((s, d) => {
+      val proj = Tables.documents(s, d).select("doc_id", "lang", "text")
+      proj.select(graft.io.Manifest.reprCol(proj).as("__r"))
         .agg(count(lit(1)).as("n_rows"),
-          graft.io.Manifest.fingerprintCol(col("__r")).as("fingerprint"))),
+          graft.io.Manifest.fingerprintCol(col("__r")).as("fingerprint"))
+    }),
 
     // Release-audit diff between two dataset versions ([[graft.io
     // .Manifest.diffSummary]]): the one-number fingerprint says THAT two
@@ -693,6 +691,18 @@ object SqlSurface {
           s"'${repl.replace("'", "''")}', 'g')"
     }
 
+  /** DuckDB replay of [[graft.io.Manifest.escCell]] + `reprCol` over
+    * named column exprs: escape chr(3) first, then the separator and
+    * NULL sentinels, join with chr(1), NULL cells -> bare chr(2) — the
+    * byte-for-byte repr the engine hashes.
+    */
+  private def manifestReprSql(cols: Seq[String]): String = {
+    def esc(x: String) =
+      s"replace(replace(replace($x, chr(3), chr(3)||chr(3)), " +
+        s"chr(1), chr(3)||chr(1)), chr(2), chr(3)||chr(2))"
+    cols.map(c => s"coalesce(${esc(c)}, chr(2))").mkString(" || chr(1) || ")
+  }
+
   val oracle: Map[String, String] = Map(
     "tp_html_clean" -> {
       val chain = markupChainSql("t")
@@ -933,30 +943,34 @@ object SqlSurface {
                              WHEN 'fr' THEN 7500 ELSE 10000 END""",
 
     // the manifest fingerprint replayed value-for-value: the same
-    // rolling hash over the same \x01-joined row repr, HUGEINT sum
-    // (DuckDB's native sum(BIGINT) widening — the decimal(38,0)
-    // counterpart), mod 2^31-1
+    // rolling hash over the same injectively-escaped chr(1)-joined row
+    // repr (manifestReprSql), HUGEINT sum (DuckDB's native sum(BIGINT)
+    // widening — the decimal(38,0) counterpart), mod 2^31-1. The char
+    // fold uses ascii(c) codepoints where the engine folds UTF-8 bytes
+    // — they agree exactly on ASCII data, and the testdata corpus is
+    // ASCII by construction (the same documented cross-engine
+    // assumption every rolling-hash oracle in this file shares; a
+    // non-ASCII corpus would need a byte-fold oracle, not an engine
+    // change).
     "io_manifest" ->
-      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(h % 2147483647) % 2147483647 AS BIGINT) AS fingerprint
         |FROM (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
         |        list_transform(regexp_split_to_array(
-        |          coalesce(CAST(doc_id AS VARCHAR), chr(2)) || chr(1) ||
-        |            coalesce(lang, chr(2)) || chr(1) ||
-        |            coalesce(text, chr(2)), ''),
+        |          ${manifestReprSql(Seq("CAST(doc_id AS VARCHAR)", "lang", "text"))}, ''),
         |          c -> CAST(ascii(c) AS BIGINT))),
         |        (acc, x) -> (acc * 31 + x) % 1000000007) AS h
         |      FROM documents) t""".stripMargin,
 
-    // the same char-fold rolling-hash replay per side, multiset compare
-    // over the hash counts
+    // the same escaped-repr rolling-hash replay per side, multiset
+    // compare over the hash counts (ascii(c) codepoint fold — the
+    // ASCII-corpus assumption documented on io_manifest applies here
+    // identically)
     "io_manifest_diff" -> {
       def hashOf(textExpr: String) =
         s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
            |  list_transform(regexp_split_to_array(
-           |    coalesce(CAST(doc_id AS VARCHAR), chr(2)) || chr(1) ||
-           |      coalesce(lang, chr(2)) || chr(1) ||
-           |      coalesce($textExpr, chr(2)), ''),
+           |    ${manifestReprSql(Seq("CAST(doc_id AS VARCHAR)", "lang", textExpr))}, ''),
            |    c -> CAST(ascii(c) AS BIGINT))),
            |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
       s"""WITH ha AS (

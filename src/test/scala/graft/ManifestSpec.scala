@@ -29,6 +29,32 @@ class ManifestSpec extends AnyFunSuite {
     assert(Manifest.fingerprint(d1)._2 != Manifest.fingerprint(d2)._2)
   }
 
+  test("repr is injective under sentinel-bearing (adversarial) data") {
+    val SEP = ""; val NUL = ""; val ESC = ""
+    def fp(rows: Seq[(String, String)]): Long =
+      Manifest.fingerprint(rows.toDF("u", "v"))._2
+    // a separator INSIDE a value must not alias a column boundary:
+    // ("ab", "c") vs ("a", "bc") — pre-escaping these
+    // collided whenever the unescaped reprs matched
+    assert(fp(Seq((s"a${SEP}b", "c"))) != fp(Seq(("a", s"b${SEP}c"))))
+    // boundary shift without sentinels (regression for the classic case)
+    assert(fp(Seq(("ab", "c"))) != fp(Seq(("a", "bc"))))
+    // a literal "" value is NOT the same as NULL
+    assert(fp(Seq((NUL, "x"))) != fp(Seq((null.asInstanceOf[String], "x"))))
+    // the escape char itself round-trips unambiguously: a value that
+    // already LOOKS escaped ("") differs from a real
+    // separator-bearing value and from a bare escape char
+    assert(fp(Seq((s"$ESC$SEP", "x"))) != fp(Seq((SEP, "x"))))
+    assert(fp(Seq((s"$ESC$SEP", "x"))) != fp(Seq((ESC, "x"))))
+    // value ending in the escape char vs next value starting with one
+    assert(fp(Seq((s"a$ESC", "b"))) != fp(Seq(("a", s"${ESC}b"))))
+    // and diff must see sentinel-bearing rows as different content
+    val d = Manifest.diffSummary(
+      Seq((s"a${SEP}b", "c")).toDF("u", "v"),
+      Seq(("a", s"b${SEP}c")).toDF("u", "v")).head
+    assert(d.getAs[Long]("rows_only_a") == 1L && d.getAs[Long]("rows_only_b") == 1L)
+  }
+
   test("write/verify round-trips on the testdata tree; drift is detected and named") {
     val sfDir = SparkTestSession.sfDir
     val base = Files.createTempDirectory("graft-manifest")
