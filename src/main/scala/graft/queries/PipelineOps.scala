@@ -624,6 +624,14 @@ object PipelineOps {
     // portable rolling hash of the component label, so a near-dup
     // cluster moves as a unit (The-Stack-style dedup-aware splitting).
     // Cost on top of the shared closure: one codegen hash projection.
+    // CONTRACT: the closure is the UNCAPPED LSH candidate table
+    // (dupComponents) — no pair is ever silently dropped, so no LSH
+    // near-dup pair can straddle the split (DedupSpec pins this). A
+    // split keyed on components built from a CAPPED pair table
+    // (jaccard/cosine/containment with maxDf) does NOT inherit that
+    // guarantee: a capped-away pair can land its docs in different
+    // components and thus on opposite sides — the cap's recall trade,
+    // also spec-pinned.
     "tp_group_split" -> ((s, d) => {
       val h = pmod(graft.functions.TextExprs.rollingHash(
         col("component").cast("string")), lit(10L))
@@ -964,11 +972,18 @@ object PipelineOps {
     // partial-aggregated rollup keyed by the low-cardinality source.
     "tp_source_stats" -> ((s, d) => {
       val perDoc = sourcePerDoc(s, d)
+      // zero-token guard: a source whose documents are all empty gives
+      // sum(__n) = 0, where Spark's Divide yields NULL but DuckDB's
+      // double division yields NaN — pin both to 0.0 (the readStats
+      // zero-word convention)
+      def ratio(num: org.apache.spark.sql.Column) =
+        when(sum("__n") === 0, lit(0.0))
+          .otherwise(num.cast("double") / sum("__n"))
       perDoc.groupBy("source").agg(
         count(lit(1)).as("n_docs"),
         sum("__n").as("n_tokens"),
-        (sum("__s").cast("double") / sum("__n")).as("stop_ratio"),
-        (sum("__d").cast("double") / sum("__n")).as("distinct_ratio"),
+        ratio(sum("__s")).as("stop_ratio"),
+        ratio(sum("__d")).as("distinct_ratio"),
         (lit(1.0) - countDistinct("__h").cast("double") / count(lit(1)))
           .as("dup_rate"))
     }),
@@ -2089,12 +2104,17 @@ object PipelineOps {
     // same component CTE as dd_apply, plus the quality + exact-keeper gates
     "tp_corpus_clean" -> corpusCleanSql,
 
+    // CASE-guarded ratios: an all-empty source has sum(n) = 0, where
+    // DuckDB's double division gives NaN but Spark gives NULL — both
+    // sides pin 0.0 (see the engine-side guard)
     "tp_source_stats" ->
       s"""WITH pd AS ($sourcePerDocSql)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(n) AS BIGINT) AS n_tokens,
-         |  CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS stop_ratio,
-         |  CAST(sum(d) AS DOUBLE) / CAST(sum(n) AS DOUBLE) AS distinct_ratio,
+         |  CASE WHEN sum(n) = 0 THEN 0.0
+         |    ELSE CAST(sum(s) AS DOUBLE) / CAST(sum(n) AS DOUBLE) END AS stop_ratio,
+         |  CASE WHEN sum(n) = 0 THEN 0.0
+         |    ELSE CAST(sum(d) AS DOUBLE) / CAST(sum(n) AS DOUBLE) END AS distinct_ratio,
          |  1.0 - CAST(count(DISTINCT h) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |    AS dup_rate
          |FROM pd GROUP BY 1""".stripMargin,

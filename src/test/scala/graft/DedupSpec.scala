@@ -256,6 +256,44 @@ class DedupSpec extends AnyFunSuite {
       s"$straddling near-dup pairs straddle the group-aware split")
   }
 
+  test("capped pair tables trade recall: a capped-away pair can split components; the LSH closure cannot") {
+    import org.apache.spark.sql.functions._
+    // docs 1 and 2 overlap on two shingles, one of which ("x y z") is
+    // corpus-hot (10 filler docs carry it): UNCAPPED Jaccard keeps the
+    // pair at threshold 0.5; a maxDf=5 cap drops the hot shingle and the
+    // capped Jaccard (computed from the capped set, the documented
+    // semantics) falls below threshold — the pair vanishes
+    val docs = (Seq(
+      (1L, "x y z a b"),
+      (2L, "x y z a c")) ++
+      (3L to 10L).map(i => (i, s"x y z f$i g$i"))).toDF("doc_id", "text")
+    val uncapped = graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDf = None)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, maxDf = Some(5L))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((1L, 2L)), "fixture: uncapped must pair docs 1-2")
+    assert(!capped.contains((1L, 2L)), "fixture: the cap must drop the 1-2 pair")
+    // the CONTRACT a capped-component split inherits: components built
+    // from the capped table separate the two docs, so a split keyed on
+    // those components CAN place a true near-dup pair on opposite sides
+    // — capping trades exactly this recall for the bounded join key.
+    def compOf(pairs: Set[(Long, Long)]): Map[Long, Long] = {
+      val pdf = pairs.toSeq.toDF("id_a", "id_b")
+      graft.dedup.Dedup.connectedComponents(docs, "doc_id", pdf, "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val cc = compOf(capped)
+    val cu = compOf(uncapped)
+    assert(cu(1L) == cu(2L), "uncapped closure co-locates the pair")
+    assert(cc(1L) != cc(2L),
+      "capped closure must separate the dropped pair — the documented recall trade")
+    // the DECLARED tp_group_split path is immune by construction: it
+    // closes over the UNCAPPED LSH candidate table (dupComponents), the
+    // no-straddle test above — this case pins why that choice matters
+  }
+
   test("contaminated spans locate the leak; cutSpans excises exactly those tokens") {
     import spark.implicits._
     val leak = "what is the capital of france the answer is paris of course"

@@ -303,6 +303,52 @@ class IncrementalAnnIndexSpec extends AnyFunSuite {
     assert(IncrementalAnnIndex.unencodedCount(spark, index.toString) == 0)
   }
 
+  test("OPQ rotation swap: a refreshed fitRotation re-encodes the sidecar and serves exactly") {
+    // the rotation-swap case of the codebook-swap recipe: an OPQ encoder
+    // whose rotation was refit on newer data replaces the sidecar codes
+    // through the same forced-reencode path, and full-probe IVFOPQ over
+    // the swapped sidecar still equals exact — the full OPQ lifecycle
+    // (bootstrap -> append -> rotation refresh -> swap) crash-windowed
+    // like PQ/SQ8
+    val base = Files.createTempDirectory("graft-annidx-opq")
+    val index = base.resolve("index")
+    def opqEncoderOf(model: graft.similarity.Opq.OpqModel) =
+      (df: org.apache.spark.sql.DataFrame) =>
+        graft.similarity.Opq.encode(df, "vec_id", "vec", model)
+    // v1 model: rotation + codebook fit on blob A only
+    val v1 = graft.similarity.Opq.train(blobA.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", m = 2, ksub = 4, dim = 4, iters = 3, seed = 7L)
+    def process(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      IncrementalAnnIndex.processBatch(df, id, "vec_id", "embedding",
+        index.toString, nlist = 2, refitAt = 1000.0, driftCheckEvery = 0,
+        seed = 42L, encoder = Some(opqEncoderOf(v1)), reencodeAt = 0.1)
+    process(blobA.toDF("vec_id", "embedding"), 0L)
+    process(blobB.toDF("vec_id", "embedding"), 1L)
+    assert(IncrementalAnnIndex.unencodedCount(spark, index.toString) == 0)
+    // v2 model: rotation REFIT over the grown corpus (A ∪ B) — the
+    // drift-driven refresh a long-lived OPQ deployment performs
+    val grown = (blobA ++ blobB).toDF("vec_id", "embedding")
+    val v2 = graft.similarity.Opq.train(grown, "vec_id", "embedding",
+      m = 2, ksub = 4, dim = 4, iters = 3, seed = 11L)
+    assert(!IncrementalAnnIndex.reencodeIfStale(spark, index.toString,
+      opqEncoderOf(v2), reencodeAt = 0.0),
+      "a zero delta must not trip the staleness gate")
+    assert(IncrementalAnnIndex.reencode(spark, index.toString, opqEncoderOf(v2)))
+    assert(IncrementalAnnIndex.unencodedCount(spark, index.toString) == 0)
+    // the swapped sidecar serves the v2 model exactly at full probe
+    val idx = Similarity.readIvfIndex(spark, index.toString)
+    val enc = IncrementalAnnIndex.readEncoded(spark, index.toString)
+    val queries = blobB.take(2).toDF("vec_id", "embedding")
+    val opq = graft.similarity.Opq.ivfOpqTopK(idx, enc, v2, queries,
+      "vec_id", "embedding", k = 3, nprobe = idx.centroids.length, shortlist = 100)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    val exact = Similarity.queryIvf(idx, queries, "vec_id", "embedding",
+      k = 3, nprobe = idx.centroids.length)
+      .select("query_id", "neighbor_id", "rank").collect().toSet
+    assert(opq == exact,
+      "full-probe full-shortlist IVFOPQ over the rotation-swapped sidecar must equal exact")
+  }
+
   test("re-encode refuses while an uncommitted batch is pending (the restart race)") {
     // the double-encode window: a crash lands batch 1's cells renames
     // but not its marker; a restart-time re-encode would fold those
