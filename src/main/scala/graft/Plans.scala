@@ -62,7 +62,9 @@ object Plans {
     "sim_ann_opq" -> "IVFOPQ + refine: the sim_ann_ivfpq plan with the ADC arm's query slices first mapped through the constant-folded rotation (dim codegen vec_dots — zero extra exchanges); coarse probe and exact rerank identical, raw space",
     "sim_ann_join" -> "cross-corpus ANN join (A queries x B index): SHUFFLE cell equi-join (corpus-sized probe side — never broadcast) + bounded-heap top_k_by per A-row on the 6dp-rounded cosine — the knnGraph posture pointed at an external corpus",
     "tp_wordpiece_tok" -> "WordPiece tokenize: greedy longest-match is ONE codegen projection (wordpiece_split expression, vocab as a plan reference object) over the distinct-word table — tp_unigram_tok's posture for the third tokenizer family; the corpus is exploded once and equi-joined against the vocab-sized segmentation, AQE owns the join side",
-    "tp_pipeline_e2e" -> "composed prep chain: clean/decontaminate/tokenize stages CONTRACT to doc_id-keyed keep-sets (each a semi/anti join onto the corpus — the corpus is scanned once per stage family, never self-joined), pack is one per-shard prefix-sum window on the doc-sized token rollup — the composition adds joins, never a new shuffle shape")
+    "tp_pipeline_e2e" -> "composed prep chain: clean/decontaminate/tokenize stages CONTRACT to doc_id-keyed keep-sets (each a semi/anti join onto the corpus — the corpus is scanned once per stage family, never self-joined), pack is one per-shard prefix-sum window on the doc-sized token rollup — the composition adds joins, never a new shuffle shape",
+    "mm_video_neardup128" -> "128-bit perceptual near-dup: the mm_audio_neardup posture at 4x32-bit band keys — identical band equi-join plan, but the wider key shrinks the random-collision candidate term by 2^16 (the scale knob past ~1e5 signatures); codec + majority vote stay in the bounded mapPartitions layer, the join moves only (id, band, 32-char key)",
+    "io_manifest" -> "dataset manifest fingerprint: three codegen replace passes per column (the injective escaping) + rolling_hash into ONE partial/final aggregate pair folding a single decimal per partition — a pure scan at any scale, no shuffle beyond the 1-row final")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
