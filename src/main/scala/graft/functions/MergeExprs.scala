@@ -24,9 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * stays unmerged this pass and re-enters the count table next pass,
   * again matching the sequential trainer.
   *
-  * Replacing the window-based symbol-DISJOINT batch pass
-  * ([[graft.text.Bpe.multiMergePass]]) with this kernel removes the two
-  * structural costs that capped WordPiece training throughput
+  * Replacing the window-based symbol-DISJOINT batch pass with this
+  * kernel removes the two structural costs that capped WordPiece
+  * training throughput
   * (BASELINE.md `wordpiece_train_apply`: 1,815 passes at mean batch
   * fill 17/256, 1,719 s for 32k ranks): the likelihood ranking clusters
   * its head on shared rare symbols, so symbol-disjointness starved

@@ -126,70 +126,6 @@ object Bpe {
       .headOption
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
 
-  /** Top `batchSize` SYMBOL-DISJOINT pairs by (count DESC, lhs, rhs) —
-    * the standard distributed-BPE batching. Greedy scan of the top
-    * candidates: a pair is accepted only if neither symbol was touched
-    * by an earlier acceptance, which guarantees the accepted merges are
-    * non-interacting (no position can match two of them, and applying
-    * one cannot create or destroy occurrences of another — a created or
-    * destroyed adjacency always involves a touched symbol). The
-    * collected candidate list is oversampled 6× so conflicts rarely
-    * starve the batch; an under-full batch just means fewer merges this
-    * pass. One partial-aggregated shuffle + a batch-bounded collect.
-    */
-  private def bestPairs(syms: DataFrame, batchSize: Int): Seq[(String, String, Long)] = {
-    val cand = syms
-      .withColumn("__nxt", lead("sym", 1).over(w))
-      .filter(col("__nxt").isNotNull)
-      .groupBy(col("sym").as("lhs"), col("__nxt").as("rhs"))
-      .agg(sum("cnt").as("pc"))
-      .orderBy(desc("pc"), asc("lhs"), asc("rhs"))
-      .limit(math.max(batchSize * 6, 8))
-      .collect()
-    val used = scala.collection.mutable.HashSet.empty[String]
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
-    val it = cand.iterator
-    while (it.hasNext && out.size < batchSize) {
-      val r = it.next()
-      val (a, b) = (r.getString(0), r.getString(1))
-      if (!used(a) && !used(b)) {
-        out += ((a, b, r.getLong(2)))
-        used += a; used += b
-      }
-    }
-    out.toSeq
-  }
-
-  /** One simultaneous merge pass for a SYMBOL-DISJOINT batch: identical
-    * to [[mergePass]] except the match predicate is a broadcast
-    * equi-join against the batch table (B conditions never inflate the
-    * generated code). Disjointness makes consecutive match runs
-    * homogeneous (two different merges can never match at adjacent
-    * positions — they would share the middle symbol), so the same
-    * run-parity rule selects exactly the greedy-leftmost occurrences of
-    * every merge at once.
-    */
-  private[text] def multiMergePass(syms: DataFrame, batch: Seq[(String, String)]): DataFrame = {
-    val ss = syms.sparkSession
-    import ss.implicits._
-    val batchDf = batch.toDF("__lhs", "__rhs")
-    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    syms
-      .withColumn("__nxt", lead("sym", 1).over(w))
-      .join(broadcast(batchDf),
-        col("sym") === col("__lhs") && col("__nxt") === col("__rhs"), "left")
-      .withColumn("__m", col("__lhs").isNotNull)
-      .withColumn("__sel", col("__m") &&
-        (col("pos") - (coalesce(max(when(!col("__m"), col("pos"))).over(cum),
-          lit(-1)) + 1)) % 2 === 0)
-      .withColumn("__absorbed", coalesce(lag("__sel", 1).over(w), lit(false)))
-      .filter(!col("__absorbed"))
-      .select(col("word"), col("cnt"),
-        (row_number().over(w) - 1).cast("int").as("pos"),
-        when(col("__sel"), concat(col("sym"), col("__nxt")))
-          .otherwise(col("sym")).as("sym"))
-  }
-
   /** Induce a merge table of (at most) `numMerges` ranks over the corpus.
     * Stops early only when no adjacent pair remains (every word fully
     * merged). Bounded driver state: `numMerges` Merge rows.
@@ -209,38 +145,100 @@ object Bpe {
   def train(docs: DataFrame, textCol: String, numMerges: Int,
             batchSize: Int = 1): BpeModel = {
     require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    if (batchSize > 1) return trainBatched(docs, textCol, numMerges, batchSize)
     var syms = initialSymbols(words(docs, textCol)).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 0
     var exhausted = false
     while (rank < numMerges && !exhausted) {
-      if (batchSize == 1) {
-        // the sequential path, byte-for-byte the oracle's semantics
-        bestPair(syms) match {
-          case Some((a, b, pc)) =>
-            merges += Merge(rank + 1, a, b, a + b, pc)
-            val next = mergePass(syms, a, b).localCheckpoint(true)
-            graft.util.Pins.release(syms)
-            syms = next
-            rank += 1
-          case None => exhausted = true
-        }
-      } else {
-        val batch = bestPairs(syms, math.min(batchSize, numMerges - rank))
-        if (batch.isEmpty) exhausted = true
-        else {
-          batch.zipWithIndex.foreach { case ((a, b, pc), i) =>
-            merges += Merge(rank + 1 + i, a, b, a + b, pc)
-          }
-          val next = multiMergePass(syms, batch.map(t => (t._1, t._2)))
-            .localCheckpoint(true)
+      // the sequential path, byte-for-byte the oracle's semantics
+      bestPair(syms) match {
+        case Some((a, b, pc)) =>
+          merges += Merge(rank + 1, a, b, a + b, pc)
+          val next = mergePass(syms, a, b).localCheckpoint(true)
           graft.util.Pins.release(syms)
           syms = next
-          rank += batch.size
-        }
+          rank += 1
+        case None => exhausted = true
       }
     }
     val pinned = syms
+    BpeModel(merges.toSeq, pinned, () => graft.util.Pins.release(pinned))
+  }
+
+  /** The batched trainer on the ARRAY representation (round 14): the
+    * SAME symbol-disjoint batch selection as before — so accepted
+    * counts stay exact and ranks keep the documented one-pass
+    * displacement bound — but the symbol table lives as one row per
+    * word with an `array<string>` column, making each pass two hash
+    * explode-aggregates (pair counting — no window sort) plus one
+    * codegen [[graft.functions.MergeBatchApply]] projection. For a
+    * symbol-disjoint batch the kernel's per-word rank-order application
+    * selects exactly the greedy-leftmost occurrences of every merge at
+    * once (disjointness makes the merges non-interacting — no position
+    * can match two of them, and applying one cannot create or destroy
+    * occurrences of another), so results are unchanged vs the previous
+    * window-based simultaneous pass; the window-sort cost is gone. The
+    * collected candidate list is oversampled 6x so conflicts rarely
+    * starve a batch (count-ranked heads rarely cluster — unlike
+    * WordPiece's likelihood head, which is why that trainer dropped
+    * disjointness entirely). The final symbol
+    * table converts back to the exploded (word, cnt, pos, sym) form the
+    * model contract pins.
+    */
+  private def trainBatched(docs: DataFrame, textCol: String, numMerges: Int,
+                           batchSize: Int): BpeModel = {
+    import graft.functions.MergeBatchApply
+    var tbl = words(docs, textCol)
+      .select(col("word"), col("cnt"),
+        regexp_extract_all(col("word"), lit("."), lit(0)).as("syms"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var rank = 0
+    var exhausted = false
+    while (rank < numMerges && !exhausted) {
+      val want = math.min(batchSize, numMerges - rank)
+      val cand = tbl
+        .select(col("cnt"), explode(zip_with(
+          slice(col("syms"), lit(1), size(col("syms")) - 1),
+          slice(col("syms"), lit(2), size(col("syms")) - 1),
+          (l, r) => struct(l.as("lhs"), r.as("rhs")))).as("pr"))
+        .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+        .agg(sum("cnt").as("pc"))
+        .orderBy(desc("pc"), asc("lhs"), asc("rhs"))
+        .limit(math.max(want * 6, 8))
+        .collect()
+      // the same greedy symbol-disjoint scan as bestPairs
+      val used = scala.collection.mutable.HashSet.empty[String]
+      val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+      val it = cand.iterator
+      while (it.hasNext && batch.size < want) {
+        val r = it.next()
+        val (a, b) = (r.getString(0), r.getString(1))
+        if (!used(a) && !used(b)) {
+          batch += ((a, b, r.getLong(2)))
+          used += a; used += b
+        }
+      }
+      if (batch.isEmpty) exhausted = true
+      else {
+        batch.zipWithIndex.foreach { case ((a, b, pc), i) =>
+          merges += Merge(rank + 1 + i, a, b, a + b, pc)
+        }
+        val next = tbl.withColumn("syms",
+          MergeBatchApply(col("syms"), batch.toSeq.map(t => (t._1, t._2))))
+          .localCheckpoint(true)
+        graft.util.Pins.release(tbl)
+        tbl = next
+        rank += batch.size
+      }
+    }
+    // back to the exploded model contract; pin the result, drop the loop table
+    val pinned = tbl.select(col("word"), col("cnt"),
+      posexplode(col("syms")).as(Seq("pos", "sym")))
+      .select(col("word"), col("cnt"), col("pos").cast("int").as("pos"), col("sym"))
+      .localCheckpoint(true)
+    graft.util.Pins.release(tbl)
     BpeModel(merges.toSeq, pinned, () => graft.util.Pins.release(pinned))
   }
 
