@@ -175,4 +175,43 @@ class PropertySpec extends AnyFunSuite {
       lossless && closed && greedyHead && out == run()
     })
   }
+
+  test("merge-batch kernel equals the sequential per-rank greedy reference on any input") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val symsGen = Gen.chooseNum(0, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
+    val pairGen = for {
+      l <- Gen.chooseNum(1, 2).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+      r <- Gen.chooseNum(1, 2).flatMap(k =>
+        Gen.listOfN(k, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    } yield (l, r)
+    val batchGen = Gen.chooseNum(0, 5).flatMap(n =>
+      Gen.listOfN(n, pairGen)).map(_.distinct)
+    // reference semantics: in rank order, greedy-leftmost merge all
+    // occurrences of the pair in the CURRENT list (one sweep per rank —
+    // a later-created occurrence of an EARLIER rank stays unmerged)
+    def reference(syms: List[String], batch: List[(String, String)]): List[String] =
+      batch.foldLeft(syms) { case (cur, (a, b)) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var i = 0
+        while (i < cur.length) {
+          if (i + 1 < cur.length && cur(i) == a && cur(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += cur(i); i += 1 }
+        }
+        out.toList
+      }
+    check(Prop.forAll(symsGen, batchGen) { (syms, batch) =>
+      val kernel = new graft.functions.MergeKernels.Batch(batch.toArray)
+      val arr = new GenericArrayData(
+        syms.map(s => UTF8String.fromString(s): Any).toArray)
+      val got = {
+        val r = graft.functions.MergeKernels.applyBatch(arr, kernel)
+        (0 until r.numElements()).map(i => r.getUTF8String(i).toString).toList
+      }
+      got == reference(syms, batch)
+    })
+  }
 }
