@@ -149,6 +149,26 @@ class WordPieceSpec extends AnyFunSuite {
     assert(batched.merges.forall(m => m.lhs + m.rhs == m.merged))
   }
 
+  test("batched merge quality: high vocab overlap with sequential at small batch/rank ratios") {
+    // the displacement contract's QUALITY face, measured on the real
+    // corpus: the batched trainer picks each pass's top-B from pre-pass
+    // counts, so divergence from sequential grows with the batch/ranks
+    // ratio — measured 90% merged-piece overlap at 4/48, 79% at 8/48,
+    // 58% at 16/48. Production ratios are far smaller (256/32768 ~ 1:128),
+    // so the small-ratio bound is the relevant guarantee; thresholds
+    // leave margin under the measured values.
+    val docs = graft.io.Tables.documents(spark, SparkTestSession.sfDir)
+    val seqM = WordPiece.train(docs, "text", 48)
+    val ss = seqM.merges.map(_.merged).toSet
+    def overlap(b: Int): Double = {
+      val bs = WordPiece.train(docs, "text", 48, batchSize = b)
+        .merges.map(_.merged).toSet
+      (ss & bs).size.toDouble / ss.size
+    }
+    assert(overlap(4) >= 0.80, "batch=4 of 48 ranks must track sequential closely")
+    assert(overlap(8) >= 0.65, "batch=8 of 48 ranks must stay mostly sequential")
+  }
+
   test("tokenize round-trips under a batched-trained model") {
     val docs = Seq(
       (1L, "banana bandana cabana"),
