@@ -268,6 +268,56 @@ object Dedup {
     * one shuffle on gram hash (partial-aggregated map-side) + one on
     * doc id; nothing quadratic, no suffix array in memory.
     */
+  /** Content-defined chunking (the rsync/FastCDC rationale — Muthitacharoen
+    * et al., "A Low-Bandwidth Network File System", SOSP 2001 — at the
+    * token level): split each document into variable-size chunks whose
+    * boundaries are decided by CONTENT, not position — a boundary falls
+    * after token `pos` when the rolling hash of the k-token window ending
+    * at `pos` is ≡ 0 mod `divisor` (expected chunk length ≈ divisor
+    * tokens). Because boundaries depend only on the local window, an
+    * insertion or deletion re-aligns at the next boundary and every chunk
+    * after it hashes identically — the property that makes CHUNK-level
+    * dedup robust to edits where positional spans ([[repeatedSpans]])
+    * and whole-doc hashes are not. Returns one row per chunk:
+    * (id, chunk_id, chunk_start, chunk_end, n_tokens, chunk_hash) with
+    * `[chunk_start, chunk_end)` token positions and the house rolling
+    * hash of the space-joined chunk text (engine-portable — the DuckDB
+    * oracle replays it).
+    *
+    * Plan shape: one posexplode (corpus-linear), two windows on the SAME
+    * (id, pos) sort (boundary hash via lag parts, running boundary count),
+    * one (id, chunk) partial-aggregated rollup — no self-join, nothing
+    * quadratic; the chunk table contracts the corpus ~divisor-fold.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                k: Int = 4, divisor: Long = 16L): DataFrame = {
+    require(k >= 1 && divisor >= 1, s"need k >= 1 and divisor >= 1")
+    val toksPos = docs.select(col(idCol),
+      posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(idCol).orderBy("pos")
+    // the k-token window ENDING at pos (lag parts, oldest first)
+    val parts = (0 until k).map(i => lag("tok", k - 1 - i).over(w))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    toksPos
+      .withColumn("__bnd",
+        when(col("pos") >= k - 1 &&
+          pmod(graft.functions.TextExprs.rollingHash(concat_ws(" ", parts: _*)),
+            lit(divisor)) === 0, 1L).otherwise(0L))
+      // chunk of a token = boundaries strictly BEFORE it (a boundary
+      // token is the LAST token of its chunk)
+      .withColumn("chunk_id", coalesce(sum("__bnd").over(wPrev), lit(0L)))
+      .groupBy(col(idCol), col("chunk_id"))
+      .agg(min("pos").as("chunk_start"),
+        (max("pos") + 1).as("chunk_end"),
+        count(lit(1)).as("n_tokens"),
+        concat_ws(" ",
+          array_sort(collect_list(struct(col("pos"), col("tok"))))
+            .getField("tok")).as("__chunk_text"))
+      .withColumn("chunk_hash",
+        graft.functions.TextExprs.rollingHash(col("__chunk_text")))
+      .drop("__chunk_text")
+  }
+
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 8): DataFrame = {
     val grams = positionalGrams(docs, idCol, textCol, k)

@@ -403,6 +403,31 @@ object PipelineOps {
     "dd_exact" -> ((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")),
 
+    // Content-defined chunking dedup stats: per doc, total CDC chunks
+    // and chunks shared (same hash + length) with at least one OTHER
+    // doc — the edit-robust chunk-level redundancy measure positional
+    // spans can't give (an insertion shifts every span; CDC boundaries
+    // re-align at the next content boundary). The chunk table is a
+    // build-once artifact (memoized, like the signature index); the
+    // shared-chunk set contracts by content before the semi-join.
+    "dd_cdc_chunks" -> ((s, d) => {
+      val chunks = memoized(s, d, "cdc_chunks") {
+        Dedup.cdcChunks(Tables.documents(s, d), "doc_id", "text",
+          k = 4, divisor = 16L).localCheckpoint(true)
+      }
+      val shared = chunks.groupBy("chunk_hash", "n_tokens")
+        .agg(countDistinct("doc_id").as("__d"))
+        .filter(col("__d") >= 2)
+        .select("chunk_hash", "n_tokens")
+      val flagged = chunks
+        .join(shared, Seq("chunk_hash", "n_tokens"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_chunks"))
+      chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+        .join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_shared_chunks"), lit(0L)).as("n_shared_chunks"))
+    }),
+
     // Cross-corpus vocabulary overlap WITHOUT a corpus join — the audit
     // run before mixing two sources (shared-vocabulary Jaccard is the
     // cheap proxy for domain similarity). One distinct-word shuffle
@@ -1537,6 +1562,52 @@ object PipelineOps {
         |SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
         |  CAST(max(pos) + 8 AS INT) AS span_end, count(*) AS n_windows
         |FROM spans GROUP BY doc_id, span_id""".stripMargin,
+
+    // CDC chunking replayed: same whitespace tokens, boundary = rolling
+    // hash of the 4-token window ending at j ≡ 0 mod 16 (the house
+    // char-fold — the ASCII-corpus fold assumption shared by every
+    // rolling-hash oracle here), chunk id = boundaries strictly before
+    // j, chunk hash over the space-rejoined slice, shared = (hash, len)
+    // in >= 2 distinct docs
+    "dd_cdc_chunks" -> {
+      def fold(sExpr: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |      list_transform(regexp_split_to_array($sExpr, ''),
+           |        c -> CAST(ascii(c) AS BIGINT))),
+           |      (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS tk
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, tk, j
+         |  FROM toks, LATERAL unnest(range(1, len(tk) + 1)) t(j)),
+         |bnd AS (
+         |  SELECT doc_id, j,
+         |    CASE WHEN j >= 4 AND
+         |      ${fold("array_to_string(tk[j-3:j], ' ')")} % 16 = 0
+         |    THEN 1 ELSE 0 END AS b
+         |  FROM pos),
+         |cid AS (
+         |  SELECT doc_id, j,
+         |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY j
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+         |  FROM bnd),
+         |chunks AS (
+         |  SELECT doc_id, chunk_id, min(j) AS s, max(j) AS e
+         |  FROM cid GROUP BY 1, 2),
+         |hashed AS (
+         |  SELECT ch.doc_id, CAST(ch.e - ch.s + 1 AS BIGINT) AS n_tokens,
+         |    ${fold("array_to_string(tk[ch.s:ch.e], ' ')")} AS chunk_hash
+         |  FROM chunks ch JOIN toks USING (doc_id)),
+         |shared AS (
+         |  SELECT chunk_hash, n_tokens FROM hashed
+         |  GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(sum(CASE WHEN s.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_shared_chunks
+         |FROM hashed h LEFT JOIN shared s USING (chunk_hash, n_tokens)
+         |GROUP BY 1""".stripMargin
+    },
 
     "tp_decontaminate" -> decontaminateSql,
 

@@ -256,6 +256,36 @@ class DedupSpec extends AnyFunSuite {
       s"$straddling near-dup pairs straddle the group-aware split")
   }
 
+  test("CDC chunking: boundaries re-align after an insertion; an edit only touches its own chunk") {
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random word stream long enough for many
+    // content boundaries (divisor 16 -> ~25 chunks over 400 tokens)
+    val words = (0 until 400).map(i => s"w${(i * 37 + 11) % 97}x${i % 13}")
+    val a = words.mkString(" ")
+    val b = "inserted " + a // one-token edit at the front
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val chunks = graft.dedup.Dedup.cdcChunks(docs, "doc_id", "text",
+      k = 4, divisor = 16L).collect()
+    def hashes(id: Long) = chunks.filter(_.getLong(0) == id)
+      .map(r => (r.getAs[Long]("chunk_hash"), r.getAs[Long]("n_tokens"))).toSet
+    val (ha, hb) = (hashes(1L), hashes(2L))
+    assert(ha.size >= 5, s"fixture must produce several chunks, got ${ha.size}")
+    // boundary decisions are local (the 4-token window), so only windows
+    // overlapping the inserted token can change: every chunk of A past
+    // its first boundary reappears verbatim in B — the CDC property a
+    // positional scheme (fixed-width chunks, repeatedSpans' [start,end)
+    // coordinates) cannot have, since the insertion shifts every
+    // downstream position
+    val lost = ha -- hb
+    assert(lost.size <= 2,
+      s"an edit must only affect chunks overlapping it, lost ${lost.size} of ${ha.size}")
+    assert((ha & hb).size >= ha.size - 2)
+    // and chunking is deterministic
+    val again = graft.dedup.Dedup.cdcChunks(docs, "doc_id", "text",
+      k = 4, divisor = 16L).collect()
+    assert(again.map(_.toString).sorted.toSeq == chunks.map(_.toString).sorted.toSeq)
+  }
+
   test("capped pair tables trade recall: a capped-away pair can split components; the LSH closure cannot") {
     import org.apache.spark.sql.functions._
     // docs 1 and 2 overlap on two shingles, one of which ("x y z") is
