@@ -221,6 +221,23 @@ object Soak {
           f"${(System.nanoTime() - t0) / 1e9}%.3f s over $mult batches")
         verdict
       },
+      // content-defined chunking over the amplified corpus: one
+      // posexplode + two windows on one (doc, pos) sort + the chunk
+      // rollup and the cross-doc shared-set join — must stay linear in
+      // tokens (the dup-heavy amplified corpus maximizes the shared-set
+      // side: every chunk is cross-document, the worst case for the
+      // shared join, which still contracts BY CONTENT before joining)
+      shape("cdc_chunking") {
+        val chunks = graft.dedup.Dedup.cdcChunks(docs, "doc_id", "text",
+          k = 4, divisor = 16L)
+        val pinnedChunks = chunks.localCheckpoint(true)
+        pinned += pinnedChunks
+        val shared = pinnedChunks.groupBy("chunk_hash", "n_tokens")
+          .agg(countDistinct("doc_id").as("__d")).filter(col("__d") >= 2)
+          .select("chunk_hash", "n_tokens")
+        pinnedChunks.join(shared, Seq("chunk_hash", "n_tokens"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared_chunks"))
+      },
       // Amplified docs share text across copies — a dup-heavy corpus, the
       // worst case dedup is built for (each doc becomes a mult-sized
       // near-dup clique).
