@@ -771,25 +771,36 @@ object Dedup {
     labeled.union(missing)
   }
 
-  /** SimHash (64-bit, token-weighted): per token take 64 bits of md5,
+  /** SimHash (token-weighted): per token take `bits` bits of md5,
     * weight each ±1 bit by the token's frequency, sum per bit position,
-    * sign → fingerprint bit. Emitted as a 64-char '0'/'1' string so the
-    * result is engine-portable; [[simhashToLong]] converts when a numeric
-    * fingerprint is wanted.
+    * sign → fingerprint bit. Emitted as a `bits`-char '0'/'1' string so
+    * the result is engine-portable; [[simhashToLong]] converts when a
+    * numeric fingerprint is wanted (64-bit form only).
     *
-    * Plan shape: tokens → groupBy(id, token) count → groupBy(id) with 64
-    * bit-score sum columns → assemble bitstring. The 64 bit positions are
-    * 64 *aggregate columns* of one group-by, not a 64× row explosion —
-    * rows shuffled stay bounded by distinct (doc, token) count, and the
-    * whole thing is two exchanges instead of three.
+    * `bits` defaults to 64; 128 uses the full md5 and is the production
+    * width for ≥1e5-signature corpora — at fixed band count the banded
+    * pair join's random-collision birthday term is O(n²/2^(bits/bands)),
+    * so doubling the width shrinks it by 2¹⁶ (same knob as the 128-bit
+    * perceptual fingerprints; see [[simhashPairsFromSignatures]]).
+    * The first 64 bits of the 128-bit fingerprint equal the 64-bit
+    * fingerprint: both sign the same md5-prefix bit scores.
+    *
+    * Plan shape: tokens → groupBy(id, token) count → groupBy(id) with
+    * `bits` bit-score sum columns → assemble bitstring. The bit positions
+    * are aggregate columns of one group-by, not a row explosion — rows
+    * shuffled stay bounded by distinct (doc, token) count, and the whole
+    * thing is two exchanges instead of three.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 64): DataFrame = {
+    require(bits >= 1 && bits <= 128, s"md5 provides at most 128 bits, got $bits")
     val tokCounts = docs
       .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("tok"))
       .groupBy(idCol, "tok").agg(count(lit(1)).as("freq"))
-    // md5 hex -> 16 chars = 64 bits; bit j of hex char h = (value(h) >> (3 - j%4)) & 1
-    val withHash = tokCounts.withColumn("h", substring(md5(col("tok").cast("binary")), 1, 16))
-    val bitScores = (0 until 64).map { j =>
+    // md5 hex -> bits/4 chars; bit j of hex char h = (value(h) >> (3 - j%4)) & 1
+    val withHash = tokCounts
+      .withColumn("h", substring(md5(col("tok").cast("binary")), 1, (bits + 3) / 4))
+    val bitScores = (0 until bits).map { j =>
       val hexval = conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int")
       // bit j of the nibble: floor(hexval / 2^(3 - j%4)) % 2, all-arithmetic
       val bitval = pmod(floor(hexval / lit(1 << (3 - j % 4))).cast("long"), lit(2))
@@ -798,7 +809,7 @@ object Dedup {
     withHash.groupBy(col(idCol))
       .agg(bitScores.head, bitScores.tail: _*)
       .select(col(idCol),
-        concat((0 until 64).map(j =>
+        concat((0 until bits).map(j =>
           when(col(s"bs$j") > 0, "1").otherwise("0")): _*).as("simhash"))
   }
 

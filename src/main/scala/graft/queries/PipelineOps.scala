@@ -342,6 +342,18 @@ object PipelineOps {
         .localCheckpoint(true)
     }
 
+  /** 128-bit SimHash fingerprint table (full md5 width) — the production
+    * width for ≥1e5-signature corpora: at the same 4 bands the band keys
+    * widen from 16 to 32 bits, shrinking the pair join's birthday term
+    * by 2¹⁶ (the text-side counterpart of the 128-bit perceptual
+    * fingerprints).
+    */
+  def simhashSigs128(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "simhash_sigs128") {
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text", bits = 128)
+        .localCheckpoint(true)
+    }
+
   /** MinHash-LSH candidate pairs over `documents`, built once per dataset. */
   def lshCandidates(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSigs(s, d) // built outside the memo update (no nesting)
@@ -635,6 +647,14 @@ object PipelineOps {
     // served from the shared fingerprint table.
     "dd_simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairsFromSignatures(simhashSigs(s, d), "doc_id", 4, 3)),
+
+    // 128-bit SimHash signatures + banded pairs: identical recall bound
+    // (maxDist <= bands-1 by pigeonhole), 32-bit band keys instead of
+    // 16-bit — the O(n²/2^width) random-collision term drops by 2¹⁶.
+    "dd_simhash128" -> ((s, d) => simhashSigs128(s, d)),
+    "dd_simhash128_pairs" -> ((s, d) =>
+      Dedup.simhashPairsFromSignatures(simhashSigs128(s, d), "doc_id",
+        bands = 4, maxDist = 3, bits = 128)),
 
     // Transitive dedup closure: LSH candidate pairs -> connected
     // components (min-label propagation; oracle = recursive CTE).
@@ -1329,22 +1349,49 @@ object PipelineOps {
     s"""SELECT doc_id, ${(0 until 8).map(mh).mkString(", ")}
        |FROM ($shinglesSql) s GROUP BY doc_id""".stripMargin
 
-  /** SimHash fingerprints as 64-char '0'/'1' strings (mirrors
+  /** SimHash fingerprints as `bits`-char '0'/'1' strings (mirrors
     * Dedup.simhash; md5-nibble bit extraction in integer arithmetic).
     */
-  private val simhashSql =
+  private def simhashSqlAt(bits: Int): String =
     s"""WITH tc0 AS (
        |  SELECT doc_id, tok, count(*) AS freq FROM ($posToksSql) pt GROUP BY 1, 2),
        |bits0 AS (
        |  SELECT doc_id, bit,
        |    sum(freq * (2 * (((strpos('0123456789abcdef',
-       |        substr(substr(md5(tok), 1, 16), CAST(bit // 4 AS INT) + 1, 1)) - 1)
+       |        substr(substr(md5(tok), 1, ${(bits + 3) / 4}), CAST(bit // 4 AS INT) + 1, 1)) - 1)
        |      // (CASE bit % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2) - 1)) AS bit_score
-       |  FROM tc0 CROSS JOIN (SELECT unnest(range(0, 64)) AS bit) b
+       |  FROM tc0 CROSS JOIN (SELECT unnest(range(0, $bits)) AS bit) b
        |  GROUP BY 1, 2)
        |SELECT doc_id,
        |  string_agg(CASE WHEN bit_score > 0 THEN '1' ELSE '0' END, '' ORDER BY bit) AS simhash
        |FROM bits0 GROUP BY doc_id""".stripMargin
+
+  private val simhashSql = simhashSqlAt(64)
+
+  /** Banded SimHash Hamming-pairs oracle at fingerprint width `bits`
+    * over 4 bands (band key width = bits/4), maxDist 3 — the same
+    * pigeonhole join the engine runs.
+    */
+  private def simhashPairsSqlAt(bits: Int): String = {
+    val w = bits / 4
+    s"""WITH sims AS (${simhashSqlAt(bits)}),
+       |bands AS (
+       |  SELECT doc_id, b AS band, substr(simhash, CAST(1 + $w * b AS INT), $w) AS band_key
+       |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT id_a, id_b,
+       |    len(list_filter(range(1, ${bits + 1}), i ->
+       |      substr(sa.simhash, CAST(i AS INT), 1) != substr(sb.simhash, CAST(i AS INT), 1)))
+       |      AS hamming
+       |  FROM cand
+       |    JOIN sims sa ON sa.doc_id = id_a
+       |    JOIN sims sb ON sb.doc_id = id_b) v
+       |WHERE hamming <= 3""".stripMargin
+  }
 
   /** 64-dim embeddings flattened to (vec_id, i, x) in double precision. */
   private val flatEmbSql =
@@ -1861,24 +1908,11 @@ object PipelineOps {
 
     "dd_simhash" -> simhashSql,
 
-    "dd_simhash_pairs" ->
-      s"""WITH sims AS ($simhashSql),
-         |bands AS (
-         |  SELECT doc_id, b AS band, substr(simhash, CAST(1 + 16 * b AS INT), 16) AS band_key
-         |  FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b) t),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, hamming FROM (
-         |  SELECT id_a, id_b,
-         |    len(list_filter(range(1, 65), i ->
-         |      substr(sa.simhash, CAST(i AS INT), 1) != substr(sb.simhash, CAST(i AS INT), 1)))
-         |      AS hamming
-         |  FROM cand
-         |    JOIN sims sa ON sa.doc_id = id_a
-         |    JOIN sims sb ON sb.doc_id = id_b) v
-         |WHERE hamming <= 3""".stripMargin,
+    "dd_simhash_pairs" -> simhashPairsSqlAt(64),
+
+    "dd_simhash128" -> simhashSqlAt(128),
+
+    "dd_simhash128_pairs" -> simhashPairsSqlAt(128),
 
     "sim_topk" ->
       s"""WITH flat AS ($flatEmbSql),

@@ -106,6 +106,26 @@ class DedupSpec extends AnyFunSuite {
     assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
   }
 
+  test("simhash 128-bit: 64-bit prefix invariant, identical docs equal, pairs keep recall") {
+    val sh128 = Dedup.simhash(docs, "doc_id", "text", bits = 128).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sh128.values.forall(s => s.length == 128 && s.forall(c => c == '0' || c == '1')))
+    // the first 64 bits sign the same md5-prefix bit scores as the
+    // 64-bit fingerprint — widening never perturbs the narrow form
+    val sh64 = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    sh64.foreach { case (id, s) => assert(sh128(id).take(64) == s, s"doc $id prefix") }
+    assert(sh128(1L) == sh128(2L))
+    // banded pairs at 128 bits: same pigeonhole recall bound — the
+    // identical pair still surfaces at hamming 0 with 32-bit band keys
+    val sig = Dedup.simhash(docs, "doc_id", "text", bits = 128).localCheckpoint(true)
+    val got = Dedup.simhashPairsFromSignatures(sig, "doc_id",
+        bands = 4, maxDist = 3, bits = 128)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.contains((1L, 2L, 0)))
+    sig.unpersist()
+  }
+
   test("simhash pairs: identical docs pair at hamming 0, unrelated docs don't pair") {
     import spark.implicits._
     val docs = Seq(
