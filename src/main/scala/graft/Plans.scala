@@ -64,7 +64,8 @@ object Plans {
     "tp_wordpiece_tok" -> "WordPiece tokenize: greedy longest-match is ONE codegen projection (wordpiece_split expression, vocab as a plan reference object) over the distinct-word table — tp_unigram_tok's posture for the third tokenizer family; the corpus is exploded once and equi-joined against the vocab-sized segmentation, AQE owns the join side",
     "tp_pipeline_e2e" -> "composed prep chain: clean/decontaminate/tokenize stages CONTRACT to doc_id-keyed keep-sets (each a semi/anti join onto the corpus — the corpus is scanned once per stage family, never self-joined), pack is one per-shard prefix-sum window on the doc-sized token rollup — the composition adds joins, never a new shuffle shape",
     "mm_video_neardup128" -> "128-bit perceptual near-dup: the mm_audio_neardup posture at 4x32-bit band keys — identical band equi-join plan, but the wider key shrinks the random-collision candidate term by 2^16 (the scale knob past ~1e5 signatures); codec + majority vote stay in the bounded mapPartitions layer, the join moves only (id, band, 32-char key)",
-    "io_manifest" -> "dataset manifest fingerprint: three codegen replace passes per column (the injective escaping) + rolling_hash into ONE partial/final aggregate pair folding a single decimal per partition — a pure scan at any scale, no shuffle beyond the 1-row final")
+    "io_manifest" -> "dataset manifest fingerprint: three codegen replace passes per column (the injective escaping) + rolling_hash into ONE partial/final aggregate pair folding a single decimal per partition — a pure scan at any scale, no shuffle beyond the 1-row final",
+    "dd_simhash128_pairs" -> "128-bit text SimHash near-dup pairs: the dd_simhash_pairs pigeonhole band equi-join at 4x32-bit band keys — fingerprint build stays two exchanges (bit positions are aggregate columns, never a row explosion), the wider key cuts the candidate join's random-collision term by 2^16 (the text-side scale knob past ~1e5 signatures)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
