@@ -850,8 +850,16 @@ object Dedup {
     require(bits % bands == 0, s"bands must divide the fingerprint width $bits")
     require(maxDist <= bands - 1, s"recall guarantee needs maxDist <= bands-1")
     val width = bits / bands
+    // fail loudly on a width mismatch: with bits wider than the stored
+    // signatures, substring past the end yields EMPTY trailing band keys,
+    // every row collides on those bands, and the candidate join silently
+    // degenerates to all-pairs — exactly what banding exists to prevent
+    val checked = when(length(col("simhash")) === bits, col("simhash"))
+      .otherwise(raise_error(concat(
+        lit(s"simhash width mismatch: bits=$bits but stored signature has "),
+        length(col("simhash")), lit(" chars"))))
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
-      substring(col("simhash"), b * width + 1, width).as("key")))
+      substring(checked, b * width + 1, width).as("key")))
     val bandRows = sig
       .select(col(idCol), explode(array(bandCols: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("band_key"))

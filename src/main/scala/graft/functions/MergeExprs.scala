@@ -89,7 +89,15 @@ object MergeKernels {
     if (n < 2 || batch.size == 0) return arr
     val syms = new Array[UTF8String](n)
     var i = 0
-    while (i < n) { syms(i) = arr.getUTF8String(i); i += 1 }
+    while (i < n) {
+      // the declared output type is array<string> containsNull=false and
+      // upstream types (e.g. regexp_extract_all) carry containsNull=true,
+      // so a null element must fail loudly here, not NPE downstream
+      if (arr.isNullAt(i)) throw new IllegalArgumentException(
+        s"merge_batch_apply: null symbol at position $i — symbol arrays must not contain null elements")
+      syms(i) = arr.getUTF8String(i)
+      i += 1
+    }
     // presence scan: which ranks occur at all
     val present = new Array[Boolean](batch.size)
     var any = false
@@ -136,7 +144,9 @@ object MergeKernels {
 
 /** `merge_batch_apply(syms)` for a fixed rank-ordered merge batch — see
   * [[MergeKernels]] for semantics. Input arrays must not contain null
-  * elements (symbol tables never do).
+  * elements (symbol tables never do); a null element fails loudly in
+  * [[MergeKernels.applyBatch]] rather than NPE-ing, since upstream
+  * array types routinely carry `containsNull = true`.
   */
 case class MergeBatchApply(child: Expression, pairs: Seq[(String, String)])
     extends UnaryExpression {

@@ -178,7 +178,13 @@ object Bpe {
     * once (disjointness makes the merges non-interacting — no position
     * can match two of them, and applying one cannot create or destroy
     * occurrences of another), so results are unchanged vs the previous
-    * window-based simultaneous pass; the window-sort cost is gone. The
+    * window-based simultaneous pass; the window-sort cost is gone.
+    * Non-interaction requires the used-set to also hold each accepted
+    * pair's MERGED symbol `a+b`: without it a batch could contain both
+    * `(a,b)` and `(a+b,c)` when `a+b` already exists as a symbol, and
+    * the `(a,b)` sweep would mint fresh `(a+b,c)` occurrences for the
+    * later rank to consume within the same pass — sequential-like
+    * behavior the simultaneous-pass contract forbids. The
     * collected candidate list is oversampled 6x so conflicts rarely
     * starve a batch (count-ranked heads rarely cluster — unlike
     * WordPiece's likelihood head, which is why that trainer dropped
@@ -215,9 +221,12 @@ object Bpe {
       while (it.hasNext && batch.size < want) {
         val r = it.next()
         val (a, b) = (r.getString(0), r.getString(1))
-        if (!used(a) && !used(b)) {
+        // a+b joins the used-set so no later candidate can consume (or
+        // be) this merge's OUTPUT symbol — see the non-interaction note
+        // in the trainBatched scaladoc
+        if (!used(a) && !used(b) && !used(a + b)) {
           batch += ((a, b, r.getLong(2)))
-          used += a; used += b
+          used += a; used += b; used += (a + b)
         }
       }
       if (batch.isEmpty) exhausted = true
