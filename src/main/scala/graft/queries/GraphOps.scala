@@ -675,12 +675,9 @@ object GraphOps {
     val steps = (1 to WalkSteps).map { t =>
       s"""cand$t AS (
          |  SELECT w.walk_id, e.dst,
-         |    (list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(regexp_split_to_array(
-         |        CAST(w.walk_id AS VARCHAR) || ':$t:' ||
-         |          CAST(e.dst AS VARCHAR) || ':$WalkSeed', ''),
-         |        c -> CAST(ascii(c) AS BIGINT))),
-         |      (acc, x) -> (acc * 31 + x) % 1000000007)) % 1000000007 AS k
+         |    (${OracleFold.rollingHashSql(
+                s"CAST(w.walk_id AS VARCHAR) || ':$t:' || " +
+                  s"CAST(e.dst AS VARCHAR) || ':$WalkSeed'")}) % 1000000007 AS k
          |  FROM w${t - 1} w JOIN edges e ON e.src = w.node),
          |w$t AS (
          |  SELECT walk_id, dst AS node FROM (

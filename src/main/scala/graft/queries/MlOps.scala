@@ -727,11 +727,8 @@ object MlOps {
     // accuracy/AUC flags. The no-train-split guard mirrors the engine:
     // with nothing to fit there are no rows, not a flagless 'test' row.
     "ml_quality_lr" ->
-      """WITH t AS (SELECT
-        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(regexp_split_to_array(text, ''),
-        |          c -> CAST(ascii(c) AS BIGINT))),
-        |        (acc, x) -> (acc * 31 + x) % 1000000007) % 10 < 8
+      s"""WITH t AS (SELECT
+        |    CASE WHEN ${OracleFold.rollingHashSql("text")} % 10 < 8
         |      THEN 'train' ELSE 'test' END AS split,
         |    (text LIKE '%spark%' OR text LIKE '%vector%') AS label
         |  FROM documents)
@@ -798,21 +795,19 @@ object MlOps {
     "mm_audio_neardup" -> nearDupOracle(nearDupAudioFpSql(), 64),
 
     // the stub decode is deterministic modular arithmetic over the
-    // payload bytes (= the ASCII text's codes), so the oracle replays it
-    // value-for-value: polynomial hash mod 1e9+7, then width/height
+    // payload BYTES, replayed value-for-value with the UTF-8 byte fold
+    // (OracleFold — engine-exact on any payload text): polynomial hash
+    // mod 1e9+7, then width/height; n_bytes = UTF-8 octet length
     "mm_decode_meta" ->
-      """SELECT doc_id AS media_id,
+      s"""SELECT doc_id AS media_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
         |       ELSE 'video' END AS kind,
-        |  CAST(length(text) AS INT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         |  CAST(16 + crc % 1024 AS INT) AS width,
         |  CAST(16 + (crc // 7) % 1024 AS INT) AS height,
         |  CAST(crc AS BIGINT) AS checksum
         |FROM (SELECT doc_id, text,
-        |        list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |          list_transform(regexp_split_to_array(text, ''), c ->
-        |            CAST(ascii(c) AS BIGINT))),
-        |          (acc, c) -> (acc * 31 + c) % 1000000007) AS crc
+        |        ${OracleFold.rollingHashSql("text")} AS crc
         |      FROM documents) t""".stripMargin,
 
     // a correct ISO BMFF box walker must recover the synthesized
@@ -912,15 +907,16 @@ object MlOps {
         |  8 AS width, 8 AS height, 1 AS channels, 'imageio' AS codec
         |FROM documents""".stripMargin,
 
-    // bytes == ascii codes (pure-ASCII fixture), bins of 16; micro-unit
-    // floor matches the declared query's canonicalization exactly
+    // histogram over the payload's UTF-8 BYTES (OracleFold expansion —
+    // engine-exact beyond ASCII), bins of 16; micro-unit floor matches
+    // the declared query's canonicalization exactly
     "mm_byte_hist" ->
-      """SELECT doc_id AS media_id,
+      s"""SELECT doc_id AS media_id,
         |  array_to_string(list_transform(range(0, 16), b ->
         |    CAST(floor(len(list_filter(codes, c -> c // 16 = b)) * 1.0
         |      / greatest(len(codes), 1) * 1000000.0) AS BIGINT)), ',') AS features
         |FROM (SELECT doc_id,
-        |        list_transform(regexp_split_to_array(text, ''), c -> ascii(c)) AS codes
+        |        ${OracleFold.utf8BytesSql("text")} AS codes
         |      FROM documents) t""".stripMargin
   )
 }

@@ -333,6 +333,30 @@ object PipelineOps {
         .localCheckpoint(true)
     }
 
+  /** MinHash signatures over the MULTILINGUAL fixture (the same corpus
+    * with OracleFold's non-ASCII suffixes appended) — the group-split
+    * closure runs on these so the whole shingle→md5→band chain is
+    * oracle-certified off-ASCII, not just on the ASCII testdata.
+    */
+  private def minhashSigsMl(s: SparkSession, d: String): DataFrame =
+    memoized(s, d, "minhash_sigs_ml") {
+      Dedup.minhashSignatures(
+        OracleFold.augmentDocs(Tables.documents(s, d)), "doc_id", "text", 3, 8)
+        .localCheckpoint(true)
+    }
+
+  /** [[dupComponents]] over the multilingual fixture — tp_group_split's
+    * closure (same UNCAPPED-pair contract, multilingual input).
+    */
+  private def dupComponentsMl(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigsMl(s, d) // built outside the memo update (no nesting)
+    memoized(s, d, "dup_components_ml") {
+      Dedup.lshComponentsFromSignatures(
+        OracleFold.augmentDocs(Tables.documents(s, d)), "doc_id", sigs, 4, 2)
+        .localCheckpoint(true)
+    }
+  }
+
   /** SimHash fingerprint table over `documents`, built once per dataset —
     * serves both `dd_simhash` and the banded Hamming pair join.
     */
@@ -677,10 +701,14 @@ object PipelineOps {
     // guarantee: a capped-away pair can land its docs in different
     // components and thus on opposite sides — the cap's recall trade,
     // also spec-pinned.
+    // Declared over the MULTILINGUAL fixture: the closure (shingles →
+    // md5 minhash → bands → components) runs on non-ASCII text, so the
+    // cross-engine grouping contract is certified beyond the ASCII
+    // corpus (the rolling hash itself keys the ASCII component label).
     "tp_group_split" -> ((s, d) => {
       val h = pmod(graft.functions.TextExprs.rollingHash(
         col("component").cast("string")), lit(10L))
-      dupComponents(s, d).select(col("node").as("doc_id"), col("component"))
+      dupComponentsMl(s, d).select(col("node").as("doc_id"), col("component"))
         .select(col("doc_id"), col("component"),
           when(h < 8, "train").otherwise("test").as("split"))
     }),
@@ -1176,9 +1204,12 @@ object PipelineOps {
     "ta_bigram_logprob" -> ((s, d) =>
       TextAnalysis.bigramLogProb(Tables.documents(s, d), "doc_id", "text")),
 
-    // Rabin-Karp rolling hash over the raw text (native expression).
+    // Rabin-Karp rolling hash over the raw text (native expression) —
+    // declared over the MULTILINGUAL fixture so the byte-fold contract
+    // is hash-certified off-ASCII (composed, decomposed, 3- and 4-byte
+    // sequences; see OracleFold).
     "ta_rolling_hash" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
+      OracleFold.augmentDocs(Tables.documents(s, d)).select(col("doc_id"),
         graft.functions.TextExprs.rollingHash(col("text")).as("rhash"))),
 
     // Flesch reading-ease per document — the classic readability quality
@@ -1214,10 +1245,12 @@ object PipelineOps {
   /** tokens with 0-based positions, empties filtered before positioning
     * (mirrors TextOps.tokens: filter after split, then posexplode).
     */
-  private val posToksSql =
-    """SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok
-      |FROM (SELECT doc_id, list_filter(string_split_regex(text, '\s+'), t -> t != '') AS l
-      |      FROM documents) src""".stripMargin
+  private def posToksSqlFrom(src: String): String =
+    s"""SELECT doc_id, generate_subscripts(l, 1) - 1 AS pos, unnest(l) AS tok
+      |FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS l
+      |      FROM $src) src""".stripMargin
+
+  private val posToksSql = posToksSqlFrom("documents")
 
   /** WITH-prefix producing `toks` (token arrays per doc) and `cspans`
     * (the %10-benchmark contaminated spans) — shared by the
@@ -1251,15 +1284,17 @@ object PipelineOps {
       |    CAST(max(pos) + 8 AS INT) AS span_end, count(*) AS n_windows
       |  FROM cspanned GROUP BY doc_id, span_id)""".stripMargin
 
-  private val shinglesSql =
+  private def shinglesSqlFrom(src: String): String =
     s"""SELECT DISTINCT doc_id, shingle FROM (
        |  SELECT doc_id,
        |    concat_ws(' ', tok,
        |      lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos),
        |      lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos)) AS shingle,
        |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS last_tok
-       |  FROM ($posToksSql) pt) sh
+       |  FROM (${posToksSqlFrom(src)}) pt) sh
        |WHERE last_tok IS NOT NULL""".stripMargin
+
+  private val shinglesSql = shinglesSqlFrom("documents")
 
   // shared by tp_decontaminate and its bloom-prefiltered physical variant
   private val decontaminateSql =
@@ -1345,9 +1380,11 @@ object PipelineOps {
        |  JOIN comp c ON c.doc_id = d.doc_id AND c.doc_id = c.component
        |WHERE q.n_tokens >= 30 AND q.stop_ratio >= 0.05 AND q.distinct_ratio >= 0.4""".stripMargin
 
-  private val minhashSigSql =
+  private def minhashSigSqlFrom(src: String): String =
     s"""SELECT doc_id, ${(0 until 8).map(mh).mkString(", ")}
-       |FROM ($shinglesSql) s GROUP BY doc_id""".stripMargin
+       |FROM (${shinglesSqlFrom(src)}) s GROUP BY doc_id""".stripMargin
+
+  private val minhashSigSql = minhashSigSqlFrom("documents")
 
   /** SimHash fingerprints as `bits`-char '0'/'1' strings (mirrors
     * Dedup.simhash; md5-nibble bit extraction in integer arithmetic).
@@ -1611,17 +1648,12 @@ object PipelineOps {
         |FROM spans GROUP BY doc_id, span_id""".stripMargin,
 
     // CDC chunking replayed: same whitespace tokens, boundary = rolling
-    // hash of the 4-token window ending at j ≡ 0 mod 16 (the house
-    // char-fold — the ASCII-corpus fold assumption shared by every
-    // rolling-hash oracle here), chunk id = boundaries strictly before
-    // j, chunk hash over the space-rejoined slice, shared = (hash, len)
-    // in >= 2 distinct docs
+    // hash of the 4-token window ending at j ≡ 0 mod 16 (OracleFold's
+    // UTF-8 byte fold — engine-exact on any corpus), chunk id =
+    // boundaries strictly before j, chunk hash over the space-rejoined
+    // slice, shared = (hash, len) in >= 2 distinct docs
     "dd_cdc_chunks" -> {
-      def fold(sExpr: String) =
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |      list_transform(regexp_split_to_array($sExpr, ''),
-           |        c -> CAST(ascii(c) AS BIGINT))),
-           |      (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+      def fold(sExpr: String) = OracleFold.rollingHashSql(sExpr)
       s"""WITH toks AS (
          |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS tk
          |  FROM documents),
@@ -1816,11 +1848,14 @@ object PipelineOps {
          |SELECT node AS doc_id, min(root) AS component
          |FROM reach GROUP BY 1""".stripMargin,
 
-    // same closure + the tp_hash_split rolling hash applied to the
-    // component label: every member of a component lands on one side
+    // same closure over the MULTILINGUAL fixture + the tp_hash_split
+    // rolling hash applied to the component label: every member of a
+    // component lands on one side (the closure's shingle→md5 chain is
+    // thereby certified on non-ASCII text; the reach seed keeps plain
+    // documents — doc_ids are identical either way)
     "tp_group_split" ->
       s"""WITH RECURSIVE cand AS (
-         |WITH sig AS ($minhashSigSql),
+         |WITH sig AS (${minhashSigSqlFrom(s"(${OracleFold.mlDocsSql}) mldocs")}),
          |bands AS (
          |  SELECT doc_id, 0 AS band, mh0 || mh1 AS band_key FROM sig
          |  UNION ALL SELECT doc_id, 1, mh2 || mh3 FROM sig
@@ -1839,11 +1874,7 @@ object PipelineOps {
          |comp AS (
          |  SELECT node AS doc_id, min(root) AS component FROM reach GROUP BY 1)
          |SELECT doc_id, component,
-         |  CASE WHEN list_reduce(
-         |    list_prepend(CAST(0 AS BIGINT),
-         |      list_transform(regexp_split_to_array(CAST(component AS VARCHAR), ''),
-         |        c -> CAST(ascii(c) AS BIGINT))),
-         |    (acc, x) -> (acc * 31 + x) % 1000000007) % 10 < 8
+         |  CASE WHEN ${OracleFold.rollingHashSql("CAST(component AS VARCHAR)")} % 10 < 8
          |  THEN 'train' ELSE 'test' END AS split
          |FROM comp""".stripMargin,
 
@@ -2445,13 +2476,11 @@ object PipelineOps {
         |  END AS flesch
         |FROM w LEFT JOIN s ON w.doc_id = s.doc_id""".stripMargin,
 
-    // bytes == ascii codes here: the documents fixture is pure ASCII
+    // UTF-8 byte fold over the multilingual fixture — the purest
+    // certification row for the cross-engine rolling-hash contract
     "ta_rolling_hash" ->
-      """SELECT doc_id, list_reduce(
-        |  list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-        |  (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id, ${OracleFold.rollingHashSql("text")} AS rhash
+        |FROM (${OracleFold.mlDocsSql}) documents""".stripMargin,
 
     "ta_repetition" ->
       s"""WITH bg AS (

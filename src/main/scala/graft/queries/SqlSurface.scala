@@ -322,7 +322,7 @@ object SqlSurface {
     // at 100 TB this is a pure map (no shuffle at all).
     "tp_hash_split" -> ((s, d) => {
       val h = graft.functions.TextExprs.rollingHash(col("text"))
-      Tables.documents(s, d).select(
+      OracleFold.augmentDocs(Tables.documents(s, d)).select(
         col("doc_id"),
         pmod(h, lit(10L)).as("bucket"),
         when(pmod(h, lit(10L)) < 8, "train").otherwise("test").as("split"))
@@ -337,7 +337,7 @@ object SqlSurface {
     "tp_split_leakage" -> ((s, d) => {
       val h = graft.functions.TextExprs.rollingHash(col("text"))
       val norm = concat_ws(" ", graft.text.TextOps.cleanTokens(col("text")))
-      val docs = Tables.documents(s, d).select(
+      val docs = OracleFold.augmentDocs(Tables.documents(s, d)).select(
         col("doc_id"),
         when(pmod(h, lit(10L)) < 8, "train").otherwise("test").as("split"),
         md5(norm).as("content_hash"))
@@ -361,7 +361,7 @@ object SqlSurface {
     // write path is [[deterministicShuffle]] (range partition +
     // in-partition sort).
     "tp_global_shuffle" -> ((s, d) => {
-      val keyed = Tables.documents(s, d).select(col("doc_id"),
+      val keyed = OracleFold.augmentDocs(Tables.documents(s, d)).select(col("doc_id"),
         shuffleKey(col("doc_id"), 42L).as("shuffle_key"))
       val w = Window.partitionBy("bucket").orderBy("shuffle_key", "doc_id")
       keyed.withColumn("bucket", shiftright(col("shuffle_key"), 16))
@@ -382,7 +382,7 @@ object SqlSurface {
       val rate = rates.foldLeft(lit(10000L): org.apache.spark.sql.Column) {
         case (acc, (l, r)) => when(col("lang") === l, lit(r)).otherwise(acc)
       }
-      Tables.documents(s, d)
+      OracleFold.augmentDocs(Tables.documents(s, d))
         .filter(h < rate)
         .select(col("doc_id"), col("lang"))
     }),
@@ -395,7 +395,8 @@ object SqlSurface {
     // and re-verifies before training. One partial-aggregated pass, a
     // single long of state per partition.
     "io_manifest" -> ((s, d) => {
-      val proj = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val proj = OracleFold.augmentDocs(Tables.documents(s, d))
+        .select("doc_id", "lang", "text")
       proj.select(graft.io.Manifest.reprCol(proj).as("__r"))
         .agg(count(lit(1)).as("n_rows"),
           graft.io.Manifest.fingerprintCol(col("__r")).as("fingerprint"))
@@ -411,7 +412,8 @@ object SqlSurface {
     // full-outer join moves distinct-row-sized count tables, never the
     // rows.
     "io_manifest_diff" -> ((s, d) => {
-      val proj = Tables.documents(s, d).select("doc_id", "lang", "text")
+      val proj = OracleFold.augmentDocs(Tables.documents(s, d))
+        .select("doc_id", "lang", "text")
       val next = proj.filter(pmod(col("doc_id"), lit(101)) =!= 0)
         .withColumn("text", when(pmod(col("doc_id"), lit(103)) === 0,
           concat(col("text"), lit(" v2"))).otherwise(col("text")))
@@ -436,7 +438,7 @@ object SqlSurface {
     // rates REFIT on append (they are corpus statistics) — the
     // append-stability contract belongs to the static-rate operator.
     "tp_temperature_mix" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = OracleFold.augmentDocs(Tables.documents(s, d))
       val stats = docs.groupBy("lang").agg(count(lit(1)).as("n_dom"))
         .withColumn("s_dom",
           floor(sqrt(col("n_dom") * lit(1000000L))).cast("long"))
@@ -554,7 +556,7 @@ object SqlSurface {
       val rates = Seq(("en", 0.5), ("es", 0.2), ("fr", 0.2), ("de", 0.2), ("zh", 0.1))
         .toDF("lang", "rate")
       val h = pmod(graft.functions.TextExprs.rollingHash(col("text")), lit(1000L))
-      Tables.documents(s, d)
+      OracleFold.augmentDocs(Tables.documents(s, d))
         .join(broadcast(rates), Seq("lang"), "inner")
         .filter(h < col("rate") * 1000)
         .select("doc_id", "lang")
@@ -574,7 +576,7 @@ object SqlSurface {
       val u = (graft.functions.TextExprs.rollingHash(col("text")).cast("double")
         + 0.5) / m.toDouble
       val w = greatest(col("n_chars"), lit(1L)).cast("double")
-      Tables.documents(s, d)
+      OracleFold.augmentDocs(Tables.documents(s, d))
         .select(col("doc_id"), col("n_chars"), (log(u) / w).as("es_key"))
         .orderBy(desc("es_key"), asc("doc_id"))
         .limit(200)
@@ -622,7 +624,7 @@ object SqlSurface {
     // engine-exact (pure integer arithmetic).
     "tp_curriculum" -> ((s, d) => {
       val B = 4
-      val scored = Tables.documents(s, d)
+      val scored = OracleFold.augmentDocs(Tables.documents(s, d))
         .select(col("doc_id"),
           graft.text.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
       val hist = scored.groupBy("n_tokens").agg(count(lit(1)).as("__c"))
@@ -900,30 +902,27 @@ object SqlSurface {
                  CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
                FROM events) t""",
 
+    // UTF-8 byte fold (OracleFold) over the multilingual fixture —
+    // hash-exact vs the engine on any string, not just ASCII
     "tp_hash_split" ->
-      """SELECT doc_id, rhash % 10 AS bucket,
+      s"""SELECT doc_id, rhash % 10 AS bucket,
            CASE WHEN rhash % 10 < 8 THEN 'train' ELSE 'test' END AS split
-         FROM (SELECT doc_id, list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-             (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
-           FROM documents) t""",
+         FROM (SELECT doc_id, ${OracleFold.rollingHashSql("text")} AS rhash
+           FROM (${OracleFold.mlDocsSql}) documents) t""",
 
     // same rolling hash for the split + the dd_exact_normalized
     // normalization for the content key; leaked = the key's split set
     // spans both sides
     "tp_split_leakage" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT doc_id,
-        |    CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-        |        (acc, x) -> (acc * 31 + x) % 1000000007) % 10 < 8
+        |    CASE WHEN ${OracleFold.rollingHashSql("text")} % 10 < 8
         |      THEN 'train' ELSE 'test' END AS split,
         |    md5(array_to_string(list_filter(string_split_regex(
         |      lower(regexp_replace(text,
-        |        '[~!@#$%^&*()\-+\[\]"'':.,<>]', '', 'g')), '\s+'),
+        |        '[~!@#$$%^&*()\\-+\\[\\]"'':.,<>]', '', 'g')), '\\s+'),
         |      t -> t != ''), ' ')) AS content_hash
-        |  FROM documents)
+        |  FROM (${OracleFold.mlDocsSql}) documents)
         |SELECT doc_id, split,
         |  CASE WHEN min(split) OVER (PARTITION BY content_hash)
         |         <> max(split) OVER (PARTITION BY content_hash)
@@ -933,54 +932,42 @@ object SqlSurface {
     // same rolling hash, thresholded per language at the declared
     // basis-point keep-rates
     "tp_domain_mix" ->
-      """SELECT doc_id, lang FROM (
-           SELECT doc_id, lang, list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-             (acc, x) -> (acc * 31 + x) % 1000000007) % 10000 AS h
-           FROM documents) t
+      s"""SELECT doc_id, lang FROM (
+           SELECT doc_id, lang, ${OracleFold.rollingHashSql("text")} % 10000 AS h
+           FROM (${OracleFold.mlDocsSql}) documents) t
          WHERE h < CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 8000
                              WHEN 'fr' THEN 7500 ELSE 10000 END""",
 
     // the manifest fingerprint replayed value-for-value: the same
     // rolling hash over the same injectively-escaped chr(1)-joined row
     // repr (manifestReprSql), HUGEINT sum (DuckDB's native sum(BIGINT)
-    // widening — the decimal(38,0) counterpart), mod 2^31-1. The char
-    // fold uses ascii(c) codepoints where the engine folds UTF-8 bytes
-    // — they agree exactly on ASCII data, and the testdata corpus is
-    // ASCII by construction (the same documented cross-engine
-    // assumption every rolling-hash oracle in this file shares; a
-    // non-ASCII corpus would need a byte-fold oracle, not an engine
-    // change).
+    // widening — the decimal(38,0) counterpart), mod 2^31-1. The fold
+    // is OracleFold's UTF-8 byte expansion — hash-exact vs the engine
+    // on any corpus — and the declared input is the multilingual
+    // fixture, so the fingerprint contract is certified off-ASCII.
     "io_manifest" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |  CAST(sum(h % 2147483647) % 2147483647 AS BIGINT) AS fingerprint
-        |FROM (SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(regexp_split_to_array(
-        |          ${manifestReprSql(Seq("CAST(doc_id AS VARCHAR)", "lang", "text"))}, ''),
-        |          c -> CAST(ascii(c) AS BIGINT))),
-        |        (acc, x) -> (acc * 31 + x) % 1000000007) AS h
-        |      FROM documents) t""".stripMargin,
+        |FROM (SELECT ${OracleFold.rollingHashSql(
+               manifestReprSql(Seq("CAST(doc_id AS VARCHAR)", "lang", "text")))} AS h
+        |      FROM (${OracleFold.mlDocsSql}) documents) t""".stripMargin,
 
-    // the same escaped-repr rolling-hash replay per side, multiset
-    // compare over the hash counts (ascii(c) codepoint fold — the
-    // ASCII-corpus assumption documented on io_manifest applies here
-    // identically)
+    // the same escaped-repr rolling-hash replay per side (byte fold,
+    // multilingual fixture), multiset compare over the hash counts
     "io_manifest_diff" -> {
       def hashOf(textExpr: String) =
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |  list_transform(regexp_split_to_array(
-           |    ${manifestReprSql(Seq("CAST(doc_id AS VARCHAR)", "lang", textExpr))}, ''),
-           |    c -> CAST(ascii(c) AS BIGINT))),
-           |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin
+        OracleFold.rollingHashSql(
+          manifestReprSql(Seq("CAST(doc_id AS VARCHAR)", "lang", textExpr)))
       s"""WITH ha AS (
          |  SELECT h, count(*) AS cnt_a FROM (
-         |    SELECT ${hashOf("text")} AS h FROM documents) t GROUP BY 1),
+         |    SELECT ${hashOf("text")} AS h
+         |    FROM (${OracleFold.mlDocsSql}) documents) t GROUP BY 1),
          |hb AS (
          |  SELECT h, count(*) AS cnt_b FROM (
          |    SELECT ${hashOf(
                "CASE WHEN doc_id % 103 = 0 THEN text || ' v2' ELSE text END")} AS h
-         |    FROM documents WHERE doc_id % 101 <> 0) t GROUP BY 1),
+         |    FROM (${OracleFold.mlDocsSql}) documents
+         |    WHERE doc_id % 101 <> 0) t GROUP BY 1),
          |j AS (
          |  SELECT coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
          |  FROM ha FULL OUTER JOIN hb USING (h))
@@ -998,7 +985,7 @@ object SqlSurface {
     // scale — see the engine-side comment), then the same rolling-hash
     // threshold
     "tp_temperature_mix" ->
-      """WITH stats AS (
+      s"""WITH stats AS (
            SELECT lang, count(*) AS n_dom,
              CAST(floor(sqrt(count(*) * 1000000)) AS BIGINT) AS s_dom
            FROM documents GROUP BY 1),
@@ -1012,24 +999,18 @@ object SqlSurface {
                AS rate_bp
            FROM stats CROSS JOIN tot)
          SELECT doc_id, t.lang, rate_bp FROM (
-           SELECT doc_id, lang, list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-             (acc, x) -> (acc * 31 + x) % 1000000007) % 10000 AS h
-           FROM documents) t
+           SELECT doc_id, lang, ${OracleFold.rollingHashSql("text")} % 10000 AS h
+           FROM (${OracleFold.mlDocsSql}) documents) t
            JOIN rates r ON r.lang = t.lang
          WHERE h < rate_bp""",
 
     // same rolling hash -> uniform in (0,1) -> ln(u)/w A-Res key; the
     // top-200 set is deterministic so the oracle replays it exactly
     "tp_weighted_sample" ->
-      """SELECT doc_id, n_chars,
+      s"""SELECT doc_id, n_chars,
            ln((rhash + 0.5) / 1000000007.0) / greatest(n_chars, 1) AS es_key
-         FROM (SELECT doc_id, n_chars, list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-             (acc, x) -> (acc * 31 + x) % 1000000007) AS rhash
-           FROM documents) t
+         FROM (SELECT doc_id, n_chars, ${OracleFold.rollingHashSql("text")} AS rhash
+           FROM (${OracleFold.mlDocsSql}) documents) t
          ORDER BY es_key DESC, doc_id LIMIT 200""",
 
     "tp_chunk" ->
@@ -1085,11 +1066,11 @@ object SqlSurface {
     // curriculum bins replayed from the same token-count histogram
     // cumulative (integer DIV), the same seed-7 shuffle key
     "tp_curriculum" ->
-      """WITH scored AS (
+      s"""WITH scored AS (
            SELECT doc_id,
-             len(list_filter(string_split_regex(text, '\s+'), t -> t != ''))
+             len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))
                AS n_tokens
-           FROM documents),
+           FROM (${OracleFold.mlDocsSql}) documents),
          hist AS (
            SELECT n_tokens, count(*) AS c FROM scored GROUP BY 1),
          cum AS (
@@ -1099,40 +1080,30 @@ object SqlSurface {
                // (SELECT count(*) FROM scored) AS INT) AS bucket
            FROM hist)
          SELECT s.doc_id, s.n_tokens, c.bucket,
-           (list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(
-                 regexp_split_to_array(CAST(s.doc_id AS VARCHAR) || ':7', ''),
-                 c2 -> CAST(ascii(c2) AS BIGINT))),
-             (acc, x) -> (acc * 31 + x) % 1000000007)
+           (${OracleFold.rollingHashSql("CAST(s.doc_id AS VARCHAR) || ':7'")}
             * 2654435761) % 1000000007 AS order_key
          FROM scored s JOIN cum c ON c.n_tokens = s.n_tokens""",
 
+    // byte fold over the multilingual fixture (the key hashes the ASCII
+    // doc_id repr, so the fixture swap is result-identical — declared on
+    // it anyway so the whole family shares one input)
     "tp_global_shuffle" ->
-      """WITH keyed AS (
+      s"""WITH keyed AS (
            SELECT doc_id,
-             (list_reduce(
-               list_prepend(CAST(0 AS BIGINT),
-                 list_transform(
-                   regexp_split_to_array(CAST(doc_id AS VARCHAR) || ':42', ''),
-                   c -> CAST(ascii(c) AS BIGINT))),
-               (acc, x) -> (acc * 31 + x) % 1000000007)
+             (${OracleFold.rollingHashSql("CAST(doc_id AS VARCHAR) || ':42'")}
               * 2654435761) % 1000000007 AS shuffle_key
-           FROM documents)
+           FROM (${OracleFold.mlDocsSql}) documents)
          SELECT doc_id, shuffle_key, shuffle_key // 65536 AS bucket,
            CAST(row_number() OVER (PARTITION BY shuffle_key // 65536
              ORDER BY shuffle_key, doc_id) AS INT) AS pos
          FROM keyed""",
 
     "tp_stratified_sample" ->
-      """WITH rates(lang, rate) AS (VALUES
+      s"""WITH rates(lang, rate) AS (VALUES
            ('en', 0.5), ('es', 0.2), ('fr', 0.2), ('de', 0.2), ('zh', 0.1))
          SELECT doc_id, d.lang
-         FROM documents d JOIN rates r ON d.lang = r.lang
-         WHERE list_reduce(
-             list_prepend(CAST(0 AS BIGINT),
-               list_transform(regexp_split_to_array(text, ''), c -> CAST(ascii(c) AS BIGINT))),
-             (acc, x) -> (acc * 31 + x) % 1000000007) % 1000 < rate * 1000""",
+         FROM (${OracleFold.mlDocsSql}) d JOIN rates r ON d.lang = r.lang
+         WHERE ${OracleFold.rollingHashSql("text")} % 1000 < rate * 1000""",
 
     "tp_pack_nextfit" ->
       """SELECT doc_id, shard, n_tokens,
