@@ -854,10 +854,14 @@ object Dedup {
     // signatures, substring past the end yields EMPTY trailing band keys,
     // every row collides on those bands, and the candidate join silently
     // degenerates to all-pairs — exactly what banding exists to prevent
+    // coalesce the length so a NULL signature raises with the diagnostic
+    // message instead of a message-less RuntimeException (concat of NULL
+    // would null the whole raise_error argument)
     val checked = when(length(col("simhash")) === bits, col("simhash"))
       .otherwise(raise_error(concat(
         lit(s"simhash width mismatch: bits=$bits but stored signature has "),
-        length(col("simhash")), lit(" chars"))))
+        coalesce(length(col("simhash")).cast("string"), lit("NULL")),
+        lit(" chars"))))
     val bandCols = (0 until bands).map(b => struct(lit(b).as("band"),
       substring(checked, b * width + 1, width).as("key")))
     val bandRows = sig

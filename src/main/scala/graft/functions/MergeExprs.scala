@@ -86,15 +86,21 @@ object MergeKernels {
     */
   def applyBatch(arr: ArrayData, batch: Batch): ArrayData = {
     val n = arr.numElements()
-    if (n < 2 || batch.size == 0) return arr
-    val syms = new Array[UTF8String](n)
+    // the declared output type is array<string> containsNull=false and
+    // upstream types (e.g. regexp_extract_all) carry containsNull=true,
+    // so a null element must fail loudly here, not NPE downstream —
+    // including on the n==1 / empty-batch fast path, which still flows
+    // the array out under the containsNull=false contract
     var i = 0
     while (i < n) {
-      // the declared output type is array<string> containsNull=false and
-      // upstream types (e.g. regexp_extract_all) carry containsNull=true,
-      // so a null element must fail loudly here, not NPE downstream
       if (arr.isNullAt(i)) throw new IllegalArgumentException(
         s"merge_batch_apply: null symbol at position $i — symbol arrays must not contain null elements")
+      i += 1
+    }
+    if (n < 2 || batch.size == 0) return arr
+    val syms = new Array[UTF8String](n)
+    i = 0
+    while (i < n) {
       syms(i) = arr.getUTF8String(i)
       i += 1
     }

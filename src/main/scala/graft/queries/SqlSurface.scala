@@ -988,7 +988,7 @@ object SqlSurface {
       s"""WITH stats AS (
            SELECT lang, count(*) AS n_dom,
              CAST(floor(sqrt(count(*) * 1000000)) AS BIGINT) AS s_dom
-           FROM documents GROUP BY 1),
+           FROM (${OracleFold.mlDocsSql}) documents GROUP BY 1),
          tot AS (SELECT CAST(sum(n_dom) AS BIGINT) AS n_tot,
                         CAST(sum(s_dom) AS BIGINT) AS s_tot FROM stats),
          rates AS (
