@@ -241,6 +241,19 @@ object Soak {
         pinnedChunks.join(shared, Seq("chunk_hash", "n_tokens"), "left_semi")
           .groupBy("doc_id").agg(count(lit(1)).as("n_shared_chunks"))
       },
+      // the apply on the dup-heavy amplified corpus is the WORST case by
+      // construction: every chunk repeats mult-fold, so the excision set
+      // is corpus-sized (≈ (mult-1)/mult of all chunks) and cutSpans'
+      // adaptive guard must take the shuffle-join path — chunk-level
+      // dedup at maximum dedup rate, still nothing quadratic
+      shape("cdc_dedup_apply") {
+        val chunks = pin(graft.dedup.Dedup.cdcChunks(
+          docs, "doc_id", "text", k = 4, divisor = 16L))
+        graft.dedup.Dedup.cdcDedupApplyFromChunks(
+          docs, chunks, "doc_id", "text")
+          .agg(sum("n_cut_tokens").as("cut"),
+            sum(length(col("clean_text"))).as("kept_chars"))
+      },
       // Amplified docs share text across copies — a dup-heavy corpus, the
       // worst case dedup is built for (each doc becomes a mult-sized
       // near-dup clique).

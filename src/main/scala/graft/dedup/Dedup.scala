@@ -318,6 +318,71 @@ object Dedup {
       .drop("__chunk_text")
   }
 
+  /** CDC chunk-dedup APPLY — the FastCDC payoff [[cdcChunks]] only
+    * reports on: rebuild the corpus with every REPEATED chunk excised
+    * except one canonical copy. "Repeated" = the same (chunk_hash,
+    * n_tokens) occurring >= 2 times anywhere (cross-doc AND within-doc —
+    * a doc that repeats its own boilerplate deduplicates too, unlike
+    * [[cdcChunks]]' cross-doc `n_shared_chunks` stat). The canonical
+    * occurrence is the GLOBALLY FIRST one in (id, chunk_start) order —
+    * deterministic and oracle-replayable; every other occurrence's
+    * token range is cut via the [[cutSpans]] machinery. Because CDC
+    * boundaries are content-defined, an insertion-shifted duplicate
+    * still deduplicates past the edit point: the chunks after the next
+    * boundary re-align and hash identically (spec-pinned in DedupSpec).
+    *
+    * Returns one row per input doc: (id, clean_text, n_cut_chunks,
+    * n_cut_tokens) — clean_text keeps canonical copies in place and
+    * docs with nothing repeated pass through verbatim (modulo
+    * whitespace normalization of the token re-join).
+    *
+    * Plan shape: the chunk table (corpus/divisor-sized) shuffles once
+    * on (chunk_hash, n_tokens) for the repeat count + canonical pick
+    * (one window, no self-join), the excision set — dup findings,
+    * usually small — feeds [[cutSpans]]' adaptive broadcast/shuffle
+    * anti join, and the per-doc stats ride the same excision table.
+    * Nothing quadratic; the only corpus-sized shuffles are the token
+    * rebuild's (id) rollup inherited from cutSpans.
+    *
+    * `chunks` must come from [[cdcChunks]] on the SAME docs frame
+    * (pass a memoized/checkpointed table; it is evaluated more than
+    * once). Ref: the reference's dedup surface is whole-doc only
+    * (sources/Task1_1.java:52 — exact term dedup); chunk-level apply
+    * is the LLM-pipeline extension.
+    */
+  def cdcDedupApplyFromChunks(docs: DataFrame, chunks: DataFrame,
+                              idCol: String, textCol: String,
+                              maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame = {
+    val wCanon = Window.partitionBy("chunk_hash", "n_tokens")
+      .orderBy(col(idCol), col("chunk_start"))
+    // one pass over the chunk table: global occurrence count decides
+    // "repeated", row_number decides the canonical copy
+    val excised = chunks
+      .withColumn("__rn", row_number().over(wCanon))
+      .withColumn("__occ", count(lit(1)).over(
+        Window.partitionBy("chunk_hash", "n_tokens")))
+      .filter(col("__occ") >= 2 && col("__rn") >= 2)
+      .select(col(idCol), col("chunk_start").as("span_start"),
+        col("chunk_end").as("span_end"), col("n_tokens"))
+      .localCheckpoint(true) // feeds cutSpans (count + join) and the stats agg
+    val stats = excised.groupBy(idCol)
+      .agg(count(lit(1)).as("n_cut_chunks"),
+        sum("n_tokens").as("n_cut_tokens"))
+    cutSpans(docs, excised.drop("n_tokens"), idCol, textCol, maxBroadcastRows)
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol), col("clean_text"),
+        coalesce(col("n_cut_chunks"), lit(0L)).as("n_cut_chunks"),
+        coalesce(col("n_cut_tokens"), lit(0L)).as("n_cut_tokens"))
+  }
+
+  /** [[cdcDedupApplyFromChunks]] with the chunk table built in place. */
+  def cdcDedupApply(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 4, divisor: Long = 16L,
+                    maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame =
+    cdcDedupApplyFromChunks(docs,
+      cdcChunks(docs, idCol, textCol, k, divisor).localCheckpoint(true),
+      idCol, textCol, maxBroadcastRows)
+
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 8): DataFrame = {
     val grams = positionalGrams(docs, idCol, textCol, k)

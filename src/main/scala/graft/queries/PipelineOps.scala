@@ -464,6 +464,20 @@ object PipelineOps {
           coalesce(col("n_shared_chunks"), lit(0L)).as("n_shared_chunks"))
     }),
 
+    // The CDC payoff operator: rebuild the corpus with repeated chunks
+    // excised, keeping the globally-first (doc_id, chunk_start) copy of
+    // each — chunk-level dedup that survives insertions (boundaries are
+    // content-defined, so shifted duplicates re-align and still dedup).
+    // Shares the build-once chunk artifact with dd_cdc_chunks.
+    "dd_cdc_apply" -> ((s, d) => {
+      val chunks = memoized(s, d, "cdc_chunks") {
+        Dedup.cdcChunks(Tables.documents(s, d), "doc_id", "text",
+          k = 4, divisor = 16L).localCheckpoint(true)
+      }
+      Dedup.cdcDedupApplyFromChunks(
+        Tables.documents(s, d), chunks, "doc_id", "text")
+    }),
+
     // Cross-corpus vocabulary overlap WITHOUT a corpus join — the audit
     // run before mixing two sources (shared-vocabulary Jaccard is the
     // cheap proxy for domain similarity). One distinct-word shuffle
@@ -1686,6 +1700,61 @@ object PipelineOps {
          |    AS n_shared_chunks
          |FROM hashed h LEFT JOIN shared s USING (chunk_hash, n_tokens)
          |GROUP BY 1""".stripMargin
+    },
+
+    // the apply replayed end-to-end: same boundary fold + chunking as
+    // dd_cdc_chunks, repeated = (hash, len) occurring >= 2 times
+    // ANYWHERE, canonical = first (doc_id, start), every other
+    // occurrence's token range excised, text re-joined in token order
+    "dd_cdc_apply" -> {
+      def fold(sExpr: String) = OracleFold.rollingHashSql(sExpr)
+      s"""WITH toks AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t != '') AS tk
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, tk, j
+         |  FROM toks, LATERAL unnest(range(1, len(tk) + 1)) t(j)),
+         |bnd AS (
+         |  SELECT doc_id, j,
+         |    CASE WHEN j >= 4 AND
+         |      ${fold("array_to_string(tk[j-3:j], ' ')")} % 16 = 0
+         |    THEN 1 ELSE 0 END AS b
+         |  FROM pos),
+         |cid AS (
+         |  SELECT doc_id, j,
+         |    coalesce(sum(b) OVER (PARTITION BY doc_id ORDER BY j
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+         |  FROM bnd),
+         |chunks AS (
+         |  SELECT doc_id, chunk_id, min(j) AS s, max(j) AS e
+         |  FROM cid GROUP BY 1, 2),
+         |occ AS (
+         |  SELECT ch.doc_id, ch.s, ch.e, CAST(ch.e - ch.s + 1 AS BIGINT) AS n_tokens,
+         |    ${fold("array_to_string(tk[ch.s:ch.e], ' ')")} AS chunk_hash
+         |  FROM chunks ch JOIN toks USING (doc_id)),
+         |rep AS (
+         |  SELECT doc_id, s, e, n_tokens,
+         |    count(*) OVER (PARTITION BY chunk_hash, n_tokens) AS occ_n,
+         |    row_number() OVER (PARTITION BY chunk_hash, n_tokens
+         |      ORDER BY doc_id, s) AS rn
+         |  FROM occ),
+         |cut AS (SELECT doc_id, s, e, n_tokens FROM rep WHERE occ_n >= 2 AND rn >= 2),
+         |kept AS (
+         |  SELECT p.doc_id, p.j, p.tk[p.j] AS tok FROM pos p
+         |  WHERE NOT EXISTS (SELECT 1 FROM cut c
+         |    WHERE c.doc_id = p.doc_id AND p.j >= c.s AND p.j <= c.e)),
+         |stats AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_chunks,
+         |    CAST(sum(n_tokens) AS BIGINT) AS n_cut_tokens
+         |  FROM cut GROUP BY 1)
+         |SELECT d.doc_id, coalesce(k.clean_text, '') AS clean_text,
+         |  coalesce(st.n_cut_chunks, CAST(0 AS BIGINT)) AS n_cut_chunks,
+         |  coalesce(st.n_cut_tokens, CAST(0 AS BIGINT)) AS n_cut_tokens
+         |FROM documents d
+         |LEFT JOIN (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY j) AS clean_text
+         |  FROM kept GROUP BY 1) k USING (doc_id)
+         |LEFT JOIN stats st USING (doc_id)""".stripMargin
     },
 
     "tp_decontaminate" -> decontaminateSql,

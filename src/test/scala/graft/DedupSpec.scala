@@ -306,6 +306,50 @@ class DedupSpec extends AnyFunSuite {
     assert(again.map(_.toString).sorted.toSeq == chunks.map(_.toString).sorted.toSeq)
   }
 
+  test("CDC dedup apply: an insertion-shifted duplicate deduplicates past the edit point") {
+    import org.apache.spark.sql.functions._
+    // same fixture shape as the chunking test: doc 2 is doc 1 with one
+    // token inserted at the front, so every downstream POSITION shifts
+    // but the chunks past the first re-aligned boundary hash identically
+    val words = (0 until 400).map(i => s"w${(i * 37 + 11) % 97}x${i % 13}")
+    val a = words.mkString(" ")
+    val b = "inserted " + a
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.cdcDedupApply(docs, "doc_id", "text",
+      k = 4, divisor = 16L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val (cleanA, cutChunksA, cutToksA) = out(1L)
+    val (cleanB, cutChunksB, cutToksB) = out(2L)
+    // doc 1 is canonical everywhere (smaller id): it passes through verbatim
+    assert(cutChunksA == 0L && cutToksA == 0L)
+    assert(cleanA == a, "canonical doc must be unchanged")
+    // doc 2 loses the bulk of its tokens DESPITE the front insertion —
+    // the chunk-level dedup positional spans can't do: most of its ~400
+    // shared tokens sit in re-aligned chunks identical to doc 1's
+    assert(cutChunksB >= 3, s"expected several excised chunks, got $cutChunksB")
+    assert(cutToksB >= 300L, s"expected most shared tokens cut, got $cutToksB")
+    // what doc 2 keeps is the inserted token + the pre-re-alignment
+    // prefix + any chunk not repeated verbatim; every KEPT token count
+    // is consistent: kept + cut = total
+    val totalB = 401L
+    assert(cleanB.split("\\s+").count(_.nonEmpty) + cutToksB == totalB)
+    assert(cleanB.startsWith("inserted "), "the edit itself must survive")
+    // every excised range's text really does exist verbatim in the
+    // canonical doc (chunk-hash equality stands in for text equality)
+    val chunks = graft.dedup.Dedup.cdcChunks(docs, "doc_id", "text",
+      k = 4, divisor = 16L)
+    val repeated = chunks.groupBy("chunk_hash", "n_tokens")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).count()
+    assert(repeated >= 3, "fixture must actually contain repeated chunks")
+    // idempotence: re-applying on the deduped corpus cuts nothing new
+    val cleaned = Seq((1L, cleanA), (2L, cleanB)).toDF("doc_id", "text")
+    val second = graft.dedup.Dedup.cdcDedupApply(cleaned, "doc_id", "text",
+      k = 4, divisor = 16L).collect()
+    assert(second.forall(_.getLong(2) == 0L),
+      "apply must be idempotent: no repeated chunks survive the first pass")
+  }
+
   test("capped pair tables trade recall: a capped-away pair can split components; the LSH closure cannot") {
     import org.apache.spark.sql.functions._
     // docs 1 and 2 overlap on two shingles, one of which ("x y z") is
