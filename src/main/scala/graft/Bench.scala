@@ -31,7 +31,14 @@ import org.apache.spark.sql.SparkSession
   *    recorded in the same artifact under `"adjudicated"`, together
   *    with `"value_adjudicated"` (the total with flagged rows
   *    substituted) and start/end 1-minute load averages — the polluted
-  *    official number carries its own rebuttal.
+  *    official number carries its own rebuttal. The re-measure pass is
+  *    LOAD-AWARE (round 16): it waits — bounded by
+  *    `SPARK_GRAFT_ADJ_WAIT_SECS`, default 120 s — for the 1-minute
+  *    load average to drop under `SPARK_GRAFT_ADJ_LOAD_MAX` (default
+  *    8.0) before re-measuring, and if the machine never quiets the
+  *    artifact carries `"adjudication_contended": true` +
+  *    `"adjudication_load"` so the adjudicated numbers read as a
+  *    floor, not a verdict.
   *
   * Emission contract (the driver captures a bounded tail of stdout, so
   * a single 2+ KB JSON line can get truncated mid-line and parse to
@@ -164,6 +171,35 @@ object Bench {
     val flagged = results.filter { case (n, v) =>
       v > 0 && baseline.get(n).exists(b => v > 2 * b)
     }
+    // Load-aware gate: a dedicated re-measure taken while the machine is
+    // still contended just reproduces the contamination it exists to
+    // rebut (round-15 re-measures were taken immediately at suite end,
+    // trusting luck). If rows are flagged, wait — bounded — for the
+    // 1-minute load average to drop under the gate before re-measuring;
+    // if it never quiets, the artifact marks the adjudication pass
+    // itself `"adjudication_contended": true` so a reader weighs the
+    // adjudicated numbers as a floor, not a verdict. The default gate
+    // (8.0, a quarter of the 32 timed threads) tolerates this JVM's own
+    // just-finished suite still draining from the 1-minute average.
+    val adjLoadMax =
+      sys.env.getOrElse("SPARK_GRAFT_ADJ_LOAD_MAX", "8.0").toDouble
+    val adjWaitSecs =
+      sys.env.getOrElse("SPARK_GRAFT_ADJ_WAIT_SECS", "120").toInt
+    var adjLoad = loadAvg
+    if (flagged.nonEmpty) {
+      val deadline = System.nanoTime() + adjWaitSecs * 1000000000L
+      while (adjLoad > adjLoadMax && System.nanoTime() < deadline) {
+        System.err.println(f"[bench] adjudication waiting for quiet: " +
+          f"load $adjLoad%.2f > gate $adjLoadMax%.2f")
+        Thread.sleep(10000L)
+        adjLoad = loadAvg
+      }
+    }
+    val adjContended = flagged.nonEmpty && adjLoad > adjLoadMax
+    if (adjContended)
+      System.err.println(f"[bench] adjudication STILL CONTENDED after " +
+        f"${adjWaitSecs}s (load $adjLoad%.2f > $adjLoadMax%.2f) — " +
+        "re-measures marked contended")
     val adjudicated = flagged.map { case (name, official) =>
       releaseArtifacts()
       val fn = SparkEntry.queries(name)
@@ -195,6 +231,8 @@ object Bench {
         .mkString(""","flaky":{""", ",", "}") +
       s""","adjudicated":${entries(adjudicated)}""" +
       f""","value_adjudicated":$totalAdj%.3f""" +
+      f""","adjudication_load":$adjLoad%.2f""" +
+      s""","adjudication_contended":$adjContended""" +
       f""","load_avg":{"start":$loadStart%.2f,"end":$loadAvg%.2f}"""
     def wrap(qs: String, extra: String): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""

@@ -28,17 +28,55 @@ object Soak {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val mult = sys.env.getOrElse("SPARK_GRAFT_MULT", "10").toInt
     // comma-separated extra shape sets: "text", "sim", "ml", "mm_image",
-    // "pq", "zorder", "spans", "graph" (relational always runs)
+    // "mm_video", "pq", "zorder", "spans", "graph", "spill" (relational
+    // always runs; "spill" also starves the session's memory region —
+    // see below)
     val soakSets: Set[String] =
       sys.env.get("SPARK_GRAFT_SOAK").map(_.split(",").toSet).getOrElse(Set.empty)
-    val spark = SparkSession.builder()
+    // The "spill" set is a ROBUSTNESS posture, not a throughput one: the
+    // session starts with a starved unified-memory region
+    // (spark.memory.fraction, default 0.6 → 0.1 here — a static conf,
+    // so it must land before getOrCreate), forcing the heavy shapes'
+    // sorts/aggregations through the spill path that a 100 TB run's
+    // worst executor inevitably hits. Pass criterion: the shapes
+    // COMPLETE (no OOM) and the task-metrics listener shows nonzero
+    // spilled bytes — completing without spilling proves nothing and is
+    // flagged. THE RIGHT STARVATION KNOB IS THE FRACTION, NOT THE HEAP:
+    // memory.fraction starves exactly the spillable region
+    // (execution + storage) while leaving the unmanaged slice that scan
+    // buffers and task overhead live in — which spill can never relieve
+    // — intact. Shrinking the heap instead (SPARK_DRIVER_MEM=2g at 32
+    // task slots = 62 MB/slot) OOMs in raw scan buffers at 100×
+    // regardless of spilling, a harness misconfiguration rather than an
+    // engine finding (measured round 16; at the default 8g heap the
+    // same 100× run completes by spilling).
+    val memFraction =
+      sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.1")
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (soakSets("spill")) builder.config("spark.memory.fraction", memFraction)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // spill telemetry: summed off TaskMetrics at task end, snapshotted
+    // per shape — the listener is cheap and always on, so any shape
+    // that spills says so in its soak line
+    val spilledMem = new java.util.concurrent.atomic.AtomicLong
+    val spilledDisk = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          spilledMem.addAndGet(m.memoryBytesSpilled)
+          spilledDisk.addAndGet(m.diskBytesSpilled)
+        }
+      }
+    })
 
     val li = amplify(Tables.lineitem(spark, sfDir), Seq("l_orderkey", "l_partkey"), mult)
     val ord = amplify(Tables.orders(spark, sfDir), Seq("o_orderkey", "o_custkey"), mult)
@@ -60,11 +98,17 @@ object Soak {
     val onlyShapes = sys.env.get("SPARK_GRAFT_SHAPES").map(_.split(",").toSet)
     def shape(name: String)(df: => DataFrame): (String, Double) = {
       if (!onlyShapes.forall(_.contains(name))) return name -> -1.0
+      val (m0, d0) = (spilledMem.get(), spilledDisk.get())
       val t0 = System.nanoTime()
       try {
         df.write.format("noop").mode("overwrite").save()
         val secs = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[soak] $name%-24s $secs%7.2f s")
+        val (dm, dd) = (spilledMem.get() - m0, spilledDisk.get() - d0)
+        val spillNote =
+          if (dm > 0 || dd > 0)
+            f"  (spilled ${dm / 1048576.0}%.0f MiB mem, ${dd / 1048576.0}%.0f MiB disk)"
+          else ""
+        System.err.println(f"[soak] $name%-24s $secs%7.2f s$spillNote")
         name -> secs
       } finally {
         // release even when the timed write throws — a failed shape must
@@ -922,6 +966,33 @@ object Soak {
             graft.multimodal.Multimodal.synthesizeImages(ids, "doc_id"),
             targetW = 8, targetH = 8).toDF()
         })
+    } else Seq.empty) ++ (if (soakSets("spill")) {
+      // ROBUSTNESS, not throughput: the session was built memory-starved
+      // (spark.memory.fraction above), so these two heaviest shapes run
+      // with an execution region far smaller than their working set —
+      // the 100 TB worst-executor condition. Pass = COMPLETE by
+      // spilling (the per-shape soak line reports spilled MiB from task
+      // metrics; a run with zero spill proved nothing and warns below),
+      // fail = OOM. Shapes mirror knn_graph_nlist*/wordpiece_train_apply
+      // so their quiet-session times are directly comparable.
+      val emb = amplify(Tables.embeddings(spark, sfDir), Seq("vec_id"), mult)
+      Seq(
+        shape(s"knn_graph_spill_nlist${16 * mult}") {
+          val idx = graft.similarity.Similarity.buildIvfIndex(
+            emb, "vec_id", "embedding", nlist = 16 * mult)
+          graft.similarity.Similarity.knnGraph(idx, emb,
+            "vec_id", "embedding", k = 5, nprobe = 4)
+        },
+        shape("wordpiece_train_spill") {
+          val vocabWords = 5000L * math.max(1, math.round(math.sqrt(mult.toDouble)))
+          val synth = docs.select(col("doc_id"),
+            concat_ws(" ", col("text"),
+              translate(sha2(pmod(col("doc_id"), lit(vocabWords)).cast("string"), 256),
+                "0123456789", "ghijklmnop")).as("text"))
+          val model = graft.text.WordPiece.train(synth, "text",
+            numMerges = 1000, batchSize = 64)
+          graft.text.WordPiece.tokenize(synth, "doc_id", "text", model)
+        })
     } else Seq.empty) ++ (if (soakSets("mm_video")) {
       val ids = amplify(Tables.documents(spark, sfDir).select("doc_id"),
         Seq("doc_id"), mult)
@@ -962,7 +1033,15 @@ object Soak {
     val ran = results.filter(_._2 >= 0)
     val qs = ran.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
     val total = ran.map(_._2).sum
-    println(f"""{"metric":"soak_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","mult":$mult}""")
+    if (soakSets("spill") && spilledMem.get() == 0L && spilledDisk.get() == 0L)
+      System.err.println("[soak] WARNING: spill posture ran but nothing " +
+        "spilled — raise SPARK_GRAFT_MULT or lower SPARK_GRAFT_MEM_FRACTION; " +
+        "this run does not demonstrate spill robustness")
+    val spillJson =
+      if (soakSets("spill"))
+        f""","mem_fraction":$memFraction%s,"spilled_mem_mb":${spilledMem.get() / 1048576.0}%.0f,"spilled_disk_mb":${spilledDisk.get() / 1048576.0}%.0f"""
+      else ""
+    println(f"""{"metric":"soak_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","mult":$mult$spillJson%s}""")
     spark.stop()
   }
 }

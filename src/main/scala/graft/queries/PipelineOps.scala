@@ -836,14 +836,19 @@ object PipelineOps {
     // (appendToIvfIndex never refits — drift is THE signal that recall
     // is eroding and refitIvfIndex is due). A freshly built index must
     // self-report ratio == 1 up to aggregation-order ulps; the declared
-    // check pins that invariant driver-visibly. Rising-drift + refit-
-    // restores-recall behavior is property-tested in SimilaritySpec.
+    // check pins that invariant driver-visibly, plus the round-16
+    // CELL-SKEW telemetry (max/median cell population — the straggler
+    // early-warning scatter drift can't see): a fresh k-means index
+    // over the near-uniform embeddings must report finite skew >= 1.
+    // Rising-drift + skewed-appends + refit-restores behavior is
+    // property-tested in SimilaritySpec.
     "sim_ivf_drift" -> ((s, d) => {
       import s.implicits._
       persistedIvfIndex(s, d) // ensure the index is built and persisted
       val r = Similarity.ivfDrift(s, ivfIndexPath(s, d))
-      Seq((if (math.abs(r.ratio - 1.0) < 1e-6) 1 else 0))
-        .toDF("drift_ok")
+      Seq((if (math.abs(r.ratio - 1.0) < 1e-6) 1 else 0,
+        if (r.cellSkew >= 1.0 && !r.cellSkew.isInfinity) 1 else 0))
+        .toDF("drift_ok", "skew_ok")
     }),
 
     // IVFPQ + refine ([[graft.similarity.Pq]]): IVF cells prune
@@ -2214,7 +2219,7 @@ object PipelineOps {
 
     // A freshly built index self-reports zero drift (current mean sq
     // assignment distance == the sidecar's build-time value).
-    "sim_ivf_drift" -> "SELECT 1 AS drift_ok",
+    "sim_ivf_drift" -> "SELECT 1 AS drift_ok, 1 AS skew_ok",
 
     // Mirrors srpNearDupPairs: same seeded planes (inlined literals), same
     // bucket key, same in-bucket cosine verify at threshold 0.4.

@@ -364,6 +364,46 @@ object TextPipeline {
           md5(concat_ws(" ",
             array_sort(collect_list(struct(col("widx"), col("seg_text"))))
               .getField("seg_text"))).as("wp_md5"))
+    }),
+
+    // BATCHED BPE training ([[graft.text.Bpe.train]] with
+    // `batchSize` > 1 — the production path: 2 Spark jobs per B merges
+    // instead of per merge, what makes 32k-rank vocabularies feasible).
+    // Same 8-rank budget as tp_bpe_train but trained in symbol-disjoint
+    // batches of BpeBatchB, so the oracle certifies the BATCH selection
+    // rule itself: per pass, top-max(6·want, 8) candidates by
+    // (count DESC, pair ASC), then the greedy disjoint scan whose
+    // used-set also reserves each accepted pair's MERGED symbol
+    // (the non-interaction guarantee), then simultaneous application.
+    // The oracle replays all of it as generated SQL — the scan as a
+    // bounded recursive CTE over the ranked candidate list, the apply
+    // as per-rank merge passes (equivalent under disjointness)
+    // ([[bpeBatchedOracle]]). At sf0.001/sf0.01 the fixture genuinely
+    // exercises displacement: (o,r) outcounts (o,w) but is rejected in
+    // pass 0 because (e,r) already used `r`, and a later rank merges a
+    // pass-created symbol pair (m, er).
+    "tp_bpe_train_batched" -> ((s, d) => {
+      import s.implicits._
+      bpeBatchedModel(s, d).merges.toDF()
+    }),
+
+    // BATCHED WordPiece training ([[graft.text.WordPiece.train]] with
+    // `batchSize` > 1 — the array-representation trainer that removed
+    // the disjointness starvation and the per-pass window sorts;
+    // BASELINE.md `wordpiece_train_apply`). Unlike batched BPE there is
+    // NO disjointness filter: the top-want pairs by (score DESC, pair
+    // ASC) apply per word in rank order, so batch members can interact
+    // (an earlier rank consumes a later rank's occurrences) and
+    // recorded score/count are the PRE-pass values. The oracle replays
+    // each pass's scored top-want argmax and the rank-order application
+    // as `want` sequential merge sub-passes — exactly
+    // [[graft.functions.MergeKernels.applyBatch]]'s semantics
+    // ([[wordPieceBatchedOracle]]). The fixture exercises interaction:
+    // (b,i) at rank 4 consumes (i,g)'s "big" occurrences before rank 5
+    // runs, and pass 2 picks up the created (bi,g) pairs.
+    "tp_wordpiece_train_batched" -> ((s, d) => {
+      import s.implicits._
+      wpBatchedModel(s, d).merges.toDF()
     })
   )
 
@@ -391,6 +431,33 @@ object TextPipeline {
     bpeMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
       .getOrElseUpdate(d,
         graft.text.Bpe.train(Tables.documents(s, d), "text", BpeMerges))
+
+  /** Batch size for the declared BATCHED trainer queries — 3 against an
+    * 8-rank budget so the pass wants split 3/3/2 (exercises the
+    * remaining-rank cap) and the unrolled oracle stays reviewable. The
+    * operators take any batch size.
+    */
+  val BpeBatchB = 3
+
+  private val bpeBatchedMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, graft.text.Bpe.BpeModel]]())
+
+  def bpeBatchedModel(s: SparkSession, d: String): graft.text.Bpe.BpeModel =
+    bpeBatchedMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(d,
+        graft.text.Bpe.train(Tables.documents(s, d), "text", BpeMerges,
+          batchSize = BpeBatchB))
+
+  private val wpBatchedMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, graft.text.WordPiece.WpModel]]())
+
+  def wpBatchedModel(s: SparkSession, d: String): graft.text.WordPiece.WpModel =
+    wpBatchedMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
+      .getOrElseUpdate(d,
+        graft.text.WordPiece.train(Tables.documents(s, d), "text", WpMerges,
+          batchSize = BpeBatchB))
 
   /** Unigram-LM constants for the declared queries — small and fixed so
     * the oracle's generated SQL stays reviewable (the operator itself
@@ -614,7 +681,11 @@ object TextPipeline {
          |  md5(string_agg(seg, ' ' ORDER BY widx)) AS wp_md5
          |FROM docw JOIN wfin USING (word)
          |GROUP BY doc_id""".stripMargin,
-      withApply = true, extraCtes = true)
+      withApply = true, extraCtes = true),
+
+    "tp_bpe_train_batched" -> bpeBatchedOracle(),
+
+    "tp_wordpiece_train_batched" -> wordPieceBatchedOracle()
   )
 
   /** The BPE train loop as GENERATED DuckDB SQL: the word/char base CTEs
@@ -867,4 +938,208 @@ object TextPipeline {
     val ctes = ((base +: iters) ++ applyCtes).mkString(",\n")
     if (extraCtes) s"$ctes,\n$finalSelect" else s"$ctes\n$finalSelect"
   }
+
+  /** The BATCHED BPE train loop ([[graft.text.Bpe.train]],
+    * `batchSize = BpeBatchB`) as GENERATED DuckDB SQL. Per pass k:
+    *
+    *  - `bcand\$k`: the full pair-count table ranked by
+    *    (pc DESC, lhs ASC, rhs ASC) — the trainer's candidate order.
+    *  - `bwant\$k`: this pass's batch cap,
+    *    least(B, numMerges − accepted-so-far) — the remaining-rank cap
+    *    the Scala loop applies (`math.min(batchSize, numMerges − rank)`).
+    *  - `bscan\$k`: the greedy symbol-disjoint scan as a RECURSIVE CTE
+    *    over candidate ranks, carrying the used-symbol list and the
+    *    accepted batch as accumulators. A candidate is accepted iff
+    *    lhs, rhs AND the merged symbol lhs||rhs are all unused (the
+    *    non-interaction reservation, `Bpe.scala` trainBatched); the
+    *    scan stops at the batch cap or after greatest(6·want, 8)
+    *    candidates — the trainer's oversampled collect window.
+    *  - `bbatch\$k`: the final accumulator row unnested to
+    *    (a, b, pc, bi).
+    *  - `want` sub-passes `bsyms\$k_i → bsyms\$k_{i+1}` each applying
+    *    batch member bi = i+1 (absent member → LEFT JOIN no-op) with the
+    *    sequential greedy-leftmost template. Under symbol-disjointness
+    *    rank-order application ≡ the simultaneous pass
+    *    ([[graft.functions.MergeKernels]] scaladoc), so per-rank
+    *    sub-passes replay `MergeBatchApply` exactly.
+    *
+    * `BpeMerges` passes are unrolled (worst case: every batch starves to
+    * one accepted pair); fully-accepted batches leave later passes with
+    * want = 0 → empty batches → no-op sub-passes, mirroring the Scala
+    * loop's early exit. Ranks are assigned in (pass, within-batch index)
+    * order — the Scala `rank + 1 + i` numbering.
+    */
+  private[queries] def bpeBatchedOracle(): String = {
+    val B = BpeBatchB
+    val base =
+      s"""WITH RECURSIVE words AS MATERIALIZED (
+         |  SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |    FROM documents) t
+         |  GROUP BY 1),
+         |bsyms0_0 AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |    unnest(range(length(word))) AS pos,
+         |    unnest(string_split(word, '')) AS sym
+         |  FROM words),
+         |bacc0 AS (
+         |  SELECT CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+         |    CAST(NULL AS BIGINT) AS pc, CAST(NULL AS INTEGER) AS bi,
+         |    CAST(NULL AS INTEGER) AS pass WHERE false)""".stripMargin
+    val passes = (0 until BpeMerges).flatMap { k =>
+      val select =
+        s"""bcand$k AS (
+           |  SELECT a, b, pc,
+           |    CAST(row_number() OVER (ORDER BY pc DESC, a ASC, b ASC) AS INTEGER) AS rk
+           |  FROM (
+           |    SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+           |      SELECT sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b, cnt
+           |      FROM bsyms${k}_0) p
+           |    WHERE b IS NOT NULL GROUP BY a, b) g),
+           |bwant$k AS (
+           |  SELECT CAST(least($B, $BpeMerges - (SELECT count(*) FROM bacc$k)) AS INTEGER) AS want),
+           |bscan$k AS (
+           |  SELECT 0 AS i, CAST([] AS VARCHAR[]) AS used,
+           |    CAST([] AS STRUCT(a VARCHAR, b VARCHAR, pc BIGINT, bi INTEGER)[]) AS acc
+           |  UNION ALL
+           |  SELECT i + 1,
+           |    CASE WHEN ok THEN used || [a, b, a || b] ELSE used END,
+           |    CASE WHEN ok THEN list_append(acc,
+           |      {'a': a, 'b': b, 'pc': pc, 'bi': CAST(len(acc) + 1 AS INTEGER)})
+           |      ELSE acc END
+           |  FROM (
+           |    SELECT s.i, s.used, s.acc, c.a, c.b, c.pc, w.want,
+           |      len(s.acc) < w.want AND NOT list_contains(s.used, c.a)
+           |        AND NOT list_contains(s.used, c.b)
+           |        AND NOT list_contains(s.used, c.a || c.b) AS ok
+           |    FROM bscan$k s JOIN bcand$k c ON c.rk = s.i + 1
+           |    CROSS JOIN bwant$k w
+           |    WHERE s.i < greatest(w.want * 6, 8) AND len(s.acc) < w.want) q),
+           |bbatch$k AS MATERIALIZED (
+           |  SELECT m.a AS a, m.b AS b, m.pc AS pc, m.bi AS bi
+           |  FROM (SELECT unnest(acc) AS m
+           |        FROM (SELECT acc FROM bscan$k ORDER BY i DESC LIMIT 1))),
+           |bacc${k + 1} AS (
+           |  SELECT * FROM bacc$k
+           |  UNION ALL SELECT a, b, pc, bi, $k AS pass FROM bbatch$k)""".stripMargin
+      val subPasses = (0 until B).map { i =>
+        mergeSubPass(s"bsyms${k}_$i", s"bsyms${k}_${i + 1}",
+          s"SELECT a, b FROM bbatch$k WHERE bi = ${i + 1}")
+      }
+      val carry =
+        s"""bsyms${k + 1}_0 AS MATERIALIZED (
+           |  SELECT * FROM bsyms${k}_$B)""".stripMargin
+      (select +: subPasses) :+ carry
+    }
+    val fin =
+      s"""SELECT CAST(row_number() OVER (ORDER BY pass, bi) AS INTEGER) AS merge_rank,
+         |  a AS lhs, b AS rhs, a || b AS merged, pc AS pair_count
+         |FROM bacc$BpeMerges""".stripMargin
+    (base +: passes).mkString(",\n") + "\n" + fin
+  }
+
+  /** The BATCHED WordPiece train loop ([[graft.text.WordPiece.train]],
+    * `batchSize = BpeBatchB`) as GENERATED DuckDB SQL. Per pass k: the
+    * scored pair table (likelihood micro-nats, the sequential oracle's
+    * expression) ranked by (score DESC, lhs ASC, rhs ASC), the top
+    * least(B, numMerges − accepted) taken WITHOUT disjointness — the
+    * array-representation trainer fills every batch — then `want`
+    * sequential merge sub-passes applying the members in rank order,
+    * which IS [[graft.functions.MergeKernels.applyBatch]]'s semantics
+    * (each rank a full greedy-leftmost pass over the current table;
+    * earlier members may consume or create later members' occurrences).
+    * Recorded score/count are the PRE-pass values, as the trainer
+    * records them. `WpMerges` passes unrolled; want = 0 passes no-op.
+    */
+  private[queries] def wordPieceBatchedOracle(): String = {
+    val B = BpeBatchB
+    val base =
+      s"""WITH words AS MATERIALIZED (
+         |  SELECT word, count(*) AS cnt FROM (
+         |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |    FROM documents) t
+         |  GROUP BY 1),
+         |wbsyms0_0 AS MATERIALIZED (
+         |  SELECT word, cnt,
+         |    unnest(range(length(word))) AS pos,
+         |    unnest(string_split(word, '')) AS sym
+         |  FROM words),
+         |wbacc0 AS (
+         |  SELECT CAST(NULL AS VARCHAR) AS a, CAST(NULL AS VARCHAR) AS b,
+         |    CAST(NULL AS BIGINT) AS pc, CAST(NULL AS BIGINT) AS sm,
+         |    CAST(NULL AS INTEGER) AS bi, CAST(NULL AS INTEGER) AS pass WHERE false)""".stripMargin
+    val passes = (0 until WpMerges).flatMap { k =>
+      val select =
+        s"""wbsc$k AS MATERIALIZED (
+           |  SELECT sym, CAST(sum(cnt) AS BIGINT) AS c FROM wbsyms${k}_0 GROUP BY 1),
+           |wbwant$k AS (
+           |  SELECT CAST(least($B, $WpMerges - (SELECT count(*) FROM wbacc$k)) AS INTEGER) AS want),
+           |wbbatch$k AS MATERIALIZED (
+           |  SELECT a, b, pc, sm, rn AS bi FROM (
+           |    SELECT a, b, pc,
+           |      CAST(round((ln(CAST(pc AS DOUBLE)) - ln(CAST(ca.c AS DOUBLE))
+           |        - ln(CAST(cb.c AS DOUBLE))) * 1000000) AS BIGINT) AS sm,
+           |      CAST(row_number() OVER (ORDER BY
+           |        round((ln(CAST(pc AS DOUBLE)) - ln(CAST(ca.c AS DOUBLE))
+           |          - ln(CAST(cb.c AS DOUBLE))) * 1000000) DESC, a ASC, b ASC)
+           |        AS INTEGER) AS rn
+           |    FROM (
+           |      SELECT a, b, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+           |        SELECT sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b,
+           |          cnt
+           |        FROM wbsyms${k}_0) p
+           |      WHERE b IS NOT NULL GROUP BY a, b) g
+           |    JOIN wbsc$k ca ON ca.sym = g.a
+           |    JOIN wbsc$k cb ON cb.sym = g.b) r
+           |  CROSS JOIN wbwant$k w
+           |  WHERE rn <= w.want),
+           |wbacc${k + 1} AS (
+           |  SELECT * FROM wbacc$k
+           |  UNION ALL SELECT a, b, pc, sm, bi, $k AS pass FROM wbbatch$k)""".stripMargin
+      val subPasses = (0 until B).map { i =>
+        mergeSubPass(s"wbsyms${k}_$i", s"wbsyms${k}_${i + 1}",
+          s"SELECT a, b FROM wbbatch$k WHERE bi = ${i + 1}")
+      }
+      val carry =
+        s"""wbsyms${k + 1}_0 AS MATERIALIZED (
+           |  SELECT * FROM wbsyms${k}_$B)""".stripMargin
+      (select +: subPasses) :+ carry
+    }
+    val fin =
+      s"""SELECT CAST(row_number() OVER (ORDER BY pass, bi) AS INTEGER) AS merge_rank,
+         |  a AS lhs, b AS rhs, a || b AS merged, sm AS score_micro, pc AS pair_count
+         |FROM wbacc$WpMerges""".stripMargin
+    (base +: passes).mkString(",\n") + "\n" + fin
+  }
+
+  /** One greedy-leftmost merge sub-pass `from → to` applying the single
+    * (a, b) pair produced by `pairSql` (empty → LEFT JOIN no-op) — the
+    * shared per-rank template of [[bpeOracle]]/[[wordPieceOracle]],
+    * parameterized for the batched oracles' sub-pass chains. The `to`
+    * CTE is MATERIALIZED: it is referenced by the next sub-pass's three
+    * window reads, and un-materialized chained inlining grows
+    * exponentially in pass count.
+    */
+  private def mergeSubPass(from: String, to: String, pairSql: String): String =
+    s"""${to}_m AS (
+       |  SELECT s.word, s.cnt, s.pos, s.sym,
+       |    coalesce(s.sym = b.a AND
+       |      lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) = b.b,
+       |      false) AS m,
+       |    lead(s.sym) OVER (PARTITION BY s.word ORDER BY s.pos) AS nxt
+       |  FROM $from s
+       |  LEFT JOIN ($pairSql) b ON true),
+       |${to}_sel AS (
+       |  SELECT word, cnt, pos, sym, m, nxt,
+       |    m AND (pos - (coalesce(max(CASE WHEN NOT m THEN pos END)
+       |      OVER (PARTITION BY word ORDER BY pos ROWS UNBOUNDED PRECEDING), -1)
+       |      + 1)) % 2 = 0 AS sel
+       |  FROM ${to}_m),
+       |$to AS MATERIALIZED (
+       |  SELECT word, cnt,
+       |    row_number() OVER (PARTITION BY word ORDER BY pos) - 1 AS pos,
+       |    CASE WHEN sel THEN sym || nxt ELSE sym END AS sym
+       |  FROM (SELECT *, lag(sel) OVER (PARTITION BY word ORDER BY pos) AS prev_sel
+       |        FROM ${to}_sel) q
+       |  WHERE NOT coalesce(prev_sel, false))""".stripMargin
 }

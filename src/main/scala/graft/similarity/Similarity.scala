@@ -196,9 +196,25 @@ object Similarity {
     * distribution the ratio climbs above 1 — the signal that recall is
     * silently eroding and a [[refitIvfIndex]] is due. A freshly built or
     * freshly refit index reports ratio ≈ 1 (same data, same metric).
+    *
+    * CELL-POPULATION SKEW telemetry (round 16): `maxCell` /
+    * `medianCell` / `cellSkew` = max over median member count across
+    * ALL nlist cells (centroids with no members count 0 — an emptying
+    * cell is skew, not absence). Scatter drift can stay low while
+    * appends pile into a few cells — in-distribution growth that is
+    * nonetheless operationally rotten: the hot cell's probe cost grows
+    * toward a scan (every query probing it pays its population) and
+    * its shuffle partition becomes the straggler. `cellSkew` is the
+    * straggler early-warning scatter can't see; the same
+    * max-over-typical shape as the skew-join salting decision.
+    * Conventions mirror `ratio`: median 0 with members anywhere is
+    * +Infinity (totally ordered, loud under arithmetic), a fully empty
+    * index is 1.0 (no members, no skew). Cost: one nlist-bounded
+    * count aggregate — footer-cheap next to the scatter scan.
     */
   final case class IvfDriftReport(builtMeanDist: Double, currentMeanDist: Double,
-                                  ratio: Double)
+                                  ratio: Double, maxCell: Long,
+                                  medianCell: Double, cellSkew: Double)
 
   def ivfDrift(spark: org.apache.spark.sql.SparkSession, path: String): IvfDriftReport = {
     val idx = readIvfIndex(spark, path)
@@ -208,6 +224,22 @@ object Similarity {
         "rebuild it before measuring drift")
     val built = meta.getAs[Double]("built_mean_dist")
     val current = meanAssignedDist(idx.cells, idx.centroids)
+    // cell populations over ALL nlist cells (missing => 0), nlist-bounded
+    val popByCell = idx.cells
+      .groupBy(col("cell").cast("int").as("cell"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val pops = idx.centroids.map { case (c, _) => popByCell.getOrElse(c, 0L) }
+      .sorted
+    val maxCell = if (pops.isEmpty) 0L else pops.last
+    val medianCell =
+      if (pops.isEmpty) 0.0
+      else if (pops.length % 2 == 1) pops(pops.length / 2).toDouble
+      else (pops(pops.length / 2 - 1) + pops(pops.length / 2)) / 2.0
+    val cellSkew =
+      if (medianCell > 0) maxCell / medianCell
+      else if (maxCell == 0L) 1.0
+      else Double.PositiveInfinity
     // a degenerate build (empty index, or every member exactly at its
     // centroid — e.g. nlist >= distinct vectors) has built==0: a plain
     // ratio would be NaN. No scatter then vs no scatter now is "no
@@ -220,7 +252,7 @@ object Similarity {
       if (built > 0) current / built
       else if (current == 0) 1.0
       else Double.PositiveInfinity
-    IvfDriftReport(built, current, ratio)
+    IvfDriftReport(built, current, ratio, maxCell, medianCell, cellSkew)
   }
 
   /** Re-train the coarse quantizer over the CURRENT cells table (the
@@ -512,13 +544,40 @@ object Similarity {
     * `nprobe < nlist`. A zero-norm query scores every cell 0 and falls
     * back to the cell-id tie-break, as before.
     * Output: (query_id, qvec, qnorm, cell) — one row per probed cell.
+    *
+    * TWO forms, selected by the CALLER's probe cardinality (round 16):
+    *
+    *  - [[probeCells]] — the single-stage `row_number` window over the
+    *    exploded |Q| × nlist candidates. For the BROADCAST-probe
+    *    callers ([[queryIvf]], [[queryIvfRadius]], the SQ8/PQ/OPQ
+    *    probes), whose query sets are small by contract, this is the
+    *    cheapest plan: one codegen stage + one tiny window, no extra
+    *    exchange.
+    *  - [[probeCellsSkinny]] — for CORPUS-SIZED probe sides
+    *    ([[shuffleProbeScored]]: the KNN graph build and the
+    *    cross-corpus ANN join). The window form carries qvec through
+    *    the |Q| × nlist rank exchange at full vector width (~50× the
+    *    bytes at dim 64), and the codegen explode's unmanaged
+    *    per-input-row burst (nlist WIDE rows buffered at the stage
+    *    boundary) OOMed the 100× soak outright under a starved memory
+    *    fraction — spilling cannot relieve memory that codegen row
+    *    buffers hold. The skinny form projects the candidate stream
+    *    down to (query_id, cell, cdist) — ~24 bytes — inside the
+    *    explode stage, cuts to nprobe with the bounded-heap
+    *    [[graft.functions.TopKBy]] aggregate (map-side partials keep
+    *    ≤ nprobe rows per query per partition, no rank exchange at
+    *    all), and joins (qvec, qnorm) back on `query_id` once per
+    *    probed cell. Costs ~2 extra small stages — noise at corpus
+    *    probe sizes, measured 4× less spill and OOM→complete at the
+    *    100× starved soak.
+    *
+    * Selection semantics are bit-identical between the forms: TopKBy's
+    * (ord DESC, tie ASC) on −cdist replays (cdist ASC, cell ASC)
+    * exactly, and the negation is IEEE-exact.
     */
   private[similarity] def probeCells(index: IvfIndex, qRaw: DataFrame,
                                      nprobe: Int): DataFrame = {
-    val centroidLits = index.centroids.map { case (i, c) =>
-      struct(lit(i).as("cell"), array(c.map(lit).toSeq: _*).as("centroid"),
-        lit(c.map(x => x * x).sum / 2).as("halfnormsq"))
-    }
+    val centroidLits = centroidStructs(index)
     qRaw
       .select(col("query_id"), col("qvec"), col("qnorm"),
         explode(array(centroidLits.toSeq: _*)).as("cc"))
@@ -529,6 +588,36 @@ object Similarity {
       .filter(col("crank") <= nprobe)
       .select(col("query_id"), col("qvec"), col("qnorm"), col("cc.cell").as("cell"))
   }
+
+  /** The corpus-sized-probe twin of [[probeCells]] — same output
+    * contract, same selection, bounded-heap plan shape (see the
+    * two-forms note there).
+    */
+  private[similarity] def probeCellsSkinny(index: IvfIndex, qRaw: DataFrame,
+                                           nprobe: Int): DataFrame = {
+    val centroidLits = centroidStructs(index)
+    val probed = qRaw
+      .select(col("query_id"), col("qvec"), col("qnorm"),
+        explode(array(centroidLits.toSeq: _*)).as("cc"))
+      .select(col("query_id"), col("cc.cell").as("cell"),
+        (col("qnorm") * col("cc.halfnormsq")
+          - dot(col("qvec"), col("cc.centroid"))).as("cdist"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKBy.topKBy(-col("cdist"), col("cell"),
+        col("cell"), nprobe).as("top"))
+      .select(col("query_id"), explode(col("top.tie")).as("cell"))
+    probed.join(qRaw, "query_id")
+      .select(col("query_id"), col("qvec"), col("qnorm"), col("cell"))
+  }
+
+  /** The centroid table as a foldable literal array of
+    * (cell, centroid, halfnormsq) structs — shared by both probe forms.
+    */
+  private def centroidStructs(index: IvfIndex) =
+    index.centroids.map { case (i, c) =>
+      struct(lit(i).as("cell"), array(c.map(lit).toSeq: _*).as("centroid"),
+        lit(c.map(x => x * x).sum / 2).as("halfnormsq"))
+    }
 
   /** Radius (range) search over the IVF index: every corpus vector with
     * `cosine >= minSim` of each query, scanning only the probed cells —
@@ -667,7 +756,7 @@ object Similarity {
     */
   private def shuffleProbeScored(index: IvfIndex, qRaw: DataFrame,
                                  nprobe: Int): DataFrame =
-    index.cells.join(probeCells(index, qRaw, nprobe), "cell")
+    index.cells.join(probeCellsSkinny(index, qRaw, nprobe), "cell")
       .withColumn("cosine_sim",
         dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
 

@@ -39,6 +39,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * reference engine's single-process tokenizers: this trains on a corpus
   * that does not fit one machine because only piece STATISTICS ever
   * leave the executors.
+  *
+  * Representation note: this trainer is ALREADY on the one-row-per-word
+  * form that [[WordPiece.train]]'s batched path later adopted (the
+  * 12.8× round-14 win) — the Viterbi kernel reads the word STRING
+  * directly off the distinct-word table, so no EM round ever pays a
+  * (word, pos) window sort; the exploded (word, cnt, pos, piece) form
+  * exists only in the FINAL segmentation artifact the model contract
+  * pins. The 100× soak (`unigram_train`, BASELINE.md: 6.91 s → 12.4 s
+  * for 100× corpus, 1.8× time) reflects that shape; there is no
+  * window-merge loop here to port away.
   */
 object UnigramLm {
 

@@ -87,10 +87,13 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("sim_ann_join")
     assert(p.contains("partial_top_k_by"),
       s"expected map-side heap contraction per A-row:\n$p")
-    // probeCells' crank window (nlist-bounded) is fine; a rank window
-    // over the scored candidate pairs (ordered by the cosine) is not
+    // corpus-probe paths use probeCellsSkinny since round 16 (bounded-
+    // heap cell selection, NO window at all in this plan); a rank
+    // window over the scored candidate pairs is what must never appear
     assert(!p.contains("xc_sim DESC") && !p.contains("cosine_sim DESC"),
       s"the ANN join must not sort full candidate lists in a rank window:\n$p")
+    assert(!p.linesIterator.exists(_.contains("Window ")),
+      s"corpus-probe path regressed off the skinny heap cell selection:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"cross join in the ANN join path:\n$p")
   }
@@ -118,10 +121,9 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_top_k_by"),
       s"expected map-side pool contraction:\n$p")
     assert(p.contains("mmr_select"), s"expected the greedy select:\n$p")
-    // probeCells legitimately uses a per-query window over the NLIST
-    // centroids (crank, ordered by cdist — bounded by nlist, tiny); what
-    // must NOT appear is a rank window over the scored candidate pairs,
-    // which orders by cosine_sim DESC
+    // the probe's per-query CELL window (crank, nlist rows per query,
+    // broadcast path) is fine; what must NOT appear is a rank window
+    // over the scored candidate pairs, which orders by cosine_sim DESC
     assert(!p.contains("cosine_sim DESC") && !p.contains("cosine_sim#"),
       s"the MMR path must not sort full candidate lists in a rank window:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -345,14 +347,13 @@ class PlanSpec extends AnyFunSuite {
 
   test("radius search plans no per-query sort (threshold filter, not a rank window)") {
     // exactly ONE window in the whole plan: the tiny per-query CELL
-    // ranking of the probe (nlist rows per query). The corpus-sized
-    // candidate stream is filtered by threshold, never ranked — that's
-    // the point of a radius probe vs top-k.
+    // ranking of the probe (nlist rows per query — radius is a
+    // BROADCAST-probe path, so the window form of probeCells is the
+    // right one; the corpus-probe paths use the skinny heap form, see
+    // the ANN-join test). The corpus-sized candidate stream is filtered
+    // by threshold, never ranked — that's the point of a radius probe
+    // vs top-k.
     val p = plan("sim_radius")
-    // every window in the plan must be the probe's tiny cell rank
-    // ("crank", nlist rows per query) — it legitimately appears twice in
-    // the tree text (the dynamic-partition-pruning subquery repeats the
-    // broadcast side); nothing may ever rank the corpus-sized candidates
     val windowLines = p.linesIterator.filter(_.contains("Window ")).toSeq
     assert(windowLines.nonEmpty && windowLines.forall(_.contains("crank")),
       s"a non-probe window ranks candidates:\n$p")

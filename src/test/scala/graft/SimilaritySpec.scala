@@ -290,6 +290,78 @@ class SimilaritySpec extends AnyFunSuite {
     assert(after == 1.0, s"refit must restore single-probe recall, got $after")
   }
 
+  test("cell-skew telemetry: ~1 when balanced, trips the refit threshold on one-cell appends, refit rebalances") {
+    // four balanced blobs on orthogonal axes; appends pile EXCLUSIVELY
+    // into blob A's cell — in-distribution growth (same jitter scale as
+    // the build, so scatter drift stays ~1) that is nonetheless
+    // operationally skewed: the hot cell's probe cost grows toward a
+    // scan. Exactly the case the scatter ratio cannot see and cellSkew
+    // exists to catch.
+    def blob(center: Array[Double], n: Int, idBase: Long) =
+      (0 until n).map { i =>
+        val v = center.clone()
+        v(4) += 0.01 * ((i % 5) - 2)
+        (idBase + i, v.map(_.toFloat))
+      }
+    def build(path: String): Unit = Similarity.writeIvfIndex(
+      Similarity.buildIvfIndex(
+        (blob(Array(1, 0, 0, 0, 0), 20, 0L) ++
+          blob(Array(0, 1, 0, 0, 0), 20, 100L) ++
+          blob(Array(0, 0, 1, 0, 0), 20, 200L) ++
+          blob(Array(0, 0, 0, 1, 0), 20, 300L)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", nlist = 4, seed = 42L), path)
+    val skewRefitAt = 3.0 // the maintenance threshold a deployment would set
+
+    // ---- the telemetry GAP: growth drift cannot see -------------------
+    // appends with the build blobs' own jitter pile into cell A: scatter
+    // drift stays ~1 (in-distribution), yet the cell is 9x its peers —
+    // probe cost and shuffle-partition size quietly concentrating
+    val gap = "target/test-ivf-skew-gap"
+    build(gap)
+    val fresh = Similarity.ivfDrift(spark, gap)
+    assert(fresh.cellSkew >= 1.0 && fresh.cellSkew < 1.5,
+      s"a balanced build must report ~no skew, got $fresh")
+    Similarity.appendToIvfIndex(spark, gap,
+      blob(Array(1, 0, 0, 0, 0), 160, 1000L).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val skewed = Similarity.ivfDrift(spark, gap)
+    assert(skewed.cellSkew > skewRefitAt,
+      s"one-cell appends must trip the skew threshold, got $skewed")
+    assert(skewed.maxCell == 180 && skewed.medianCell == 20.0,
+      s"populations must be (180, 20, 20, 20) -> max 180 / median 20, got $skewed")
+    assert(skewed.ratio < 1.5,
+      s"fixture: in-distribution appends must keep scatter drift low, got $skewed")
+
+    // ---- the maintenance response: refit with grown nlist -------------
+    // four tight sub-blobs offset ±0.15 toward the y/z axes: every point
+    // is within ~0.15 rad of the frozen x centroid (vs ~1.42 to any
+    // other), so ALL 160 pile into cell A — skew 9 again (these appends
+    // also move scatter drift, fine: both signals firing is the common
+    // production case). The hot-cell response is a refit with MORE cells
+    // (nlist grows with the corpus — the soak's scaling posture): the
+    // quantizer gives the heavy region its 4 sub-blob centroids,
+    // max/median returns under the threshold, and no vector is lost.
+    val ref = "target/test-ivf-skew-refit"
+    build(ref)
+    Similarity.appendToIvfIndex(spark, ref,
+      (blob(Array(1, 0.15, 0, 0, 0), 40, 1000L) ++
+        blob(Array(1, -0.15, 0, 0, 0), 40, 1100L) ++
+        blob(Array(1, 0, 0.15, 0, 0), 40, 1200L) ++
+        blob(Array(1, 0, -0.15, 0, 0), 40, 1300L)).toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val hot = Similarity.ivfDrift(spark, ref)
+    assert(hot.cellSkew > skewRefitAt && hot.maxCell == 180,
+      s"structured one-cell appends must trip the skew threshold too, got $hot")
+    Similarity.refitIvfIndex(spark, ref, nlist = Some(8), seed = 42L)
+    val refit = Similarity.ivfDrift(spark, ref)
+    assert(refit.cellSkew < skewRefitAt,
+      s"refit with grown nlist must rebalance cell populations, got $refit")
+    assert(refit.maxCell < hot.maxCell,
+      s"refit must shrink the hot cell, got $refit vs $hot")
+    assert(Similarity.readIvfIndex(spark, ref).cells.count() == 240,
+      "refit must keep every vector")
+  }
+
   test("drift on a degenerate zero-scatter build: 1.0 while clean, +Infinity on any scatter") {
     // nlist == distinct vectors: every member sits exactly at its
     // centroid, so built_mean_dist == 0 and a plain ratio would be NaN
