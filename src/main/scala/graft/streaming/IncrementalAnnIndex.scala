@@ -33,7 +33,17 @@ import graft.similarity.Similarity
   *     consulted and a ratio above `refitAt` triggers
   *     [[Similarity.refitIvfIndex]] — the atomic marker-swap rebuild,
   *     after which partial-probe recall is restored. Open readers
-  *     re-read the index per its contract.
+  *     re-read the index per its contract. With `skewRefitAt > 0`
+  *     (round 16) the SAME report's cell-population skew
+  *     (`cellSkew` = max/median member count — the hot-cell signal
+  *     scatter drift cannot see, e.g. in-distribution appends piling
+  *     into one cell) also triggers the refit, and a skew-triggered
+  *     refit GROWS nlist to hold the build-time average cell
+  *     population (`ceil(nlist · liveRows / builtRows)`) — a refit at
+  *     the old nlist re-clusters but cannot rebalance genuinely
+  *     concentrated mass (SimilaritySpec "cell-skew telemetry" pins
+  *     both halves). This is the streaming form of the
+  *     nlist-grows-with-the-corpus posture the scale soaks run.
   *
   * With an `encoder` supplied, the maintainer also keeps a QUANTIZED
   * sidecar (`<indexDir>/encoded` — the `encoded` table
@@ -87,7 +97,8 @@ object IncrementalAnnIndex {
           checkpointDir: String, nlist: Int, refitAt: Double = 2.0,
           driftCheckEvery: Int = 5, seed: Long = 42L,
           encoder: Option[DataFrame => DataFrame] = None,
-          reencodeAt: Double = 0.1): StreamingQuery = {
+          reencodeAt: Double = 0.1,
+          skewRefitAt: Double = 0.0): StreamingQuery = {
     val spark = vecs.sparkSession
     Similarity.recoverIvfMaintenance(spark, indexDir)
     encoder.foreach { enc =>
@@ -112,13 +123,14 @@ object IncrementalAnnIndex {
     // of serving degraded recall for the rest of the run.
     val fs = CompactionSwap.fsFor(indexDir,
       spark.sparkContext.hadoopConfiguration)
-    if (refitAt > 0 && fs.exists(new Path(s"$indexDir/meta")) &&
-        Similarity.ivfDrift(spark, indexDir).ratio > refitAt)
-      Similarity.refitIvfIndex(spark, indexDir, seed = seed)
+    if ((refitAt > 0 || skewRefitAt > 0) &&
+        fs.exists(new Path(s"$indexDir/meta")))
+      maintainFit(spark, indexDir, refitAt, skewRefitAt, seed)
     vecs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, idCol, vecCol, indexDir,
-          nlist, refitAt, driftCheckEvery, seed, encoder, reencodeAt)
+          nlist, refitAt, driftCheckEvery, seed, encoder, reencodeAt,
+          skewRefitAt)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -133,7 +145,8 @@ object IncrementalAnnIndex {
                    vecCol: String, indexDir: String, nlist: Int,
                    refitAt: Double, driftCheckEvery: Int, seed: Long,
                    encoder: Option[DataFrame => DataFrame] = None,
-                   reencodeAt: Double = 0.1): Unit = {
+                   reencodeAt: Double = 0.1,
+                   skewRefitAt: Double = 0.0): Unit = {
     val spark = batch.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = CompactionSwap.fsFor(indexDir, conf)
@@ -217,10 +230,36 @@ object IncrementalAnnIndex {
     // (not every batch — both scans read the full cells table / its
     // footer counts)
     if (driftCheckEvery > 0 && batchId > 0 && batchId % driftCheckEvery == 0) {
-      val report = Similarity.ivfDrift(spark, indexDir)
-      if (report.ratio > refitAt)
-        Similarity.refitIvfIndex(spark, indexDir, seed = seed)
+      maintainFit(spark, indexDir, refitAt, skewRefitAt, seed)
       encoder.foreach(enc => reencodeIfStale(spark, indexDir, enc, reencodeAt))
+    }
+  }
+
+  /** The shared refit decision (cadence + restart): one drift report,
+    * refit on a scatter-drift breach (frozen-quantizer OOD erosion) OR
+    * a cell-skew breach (hot-cell concentration). A skew-triggered
+    * refit grows nlist to hold the build-time AVERAGE cell population —
+    * re-clustering at the old nlist cannot rebalance genuinely
+    * concentrated mass, more cells can (see the object doc). Growth is
+    * capped at the live row count (a quantizer cannot have more useful
+    * cells than vectors).
+    */
+  private def maintainFit(spark: org.apache.spark.sql.SparkSession,
+                          indexDir: String, refitAt: Double,
+                          skewRefitAt: Double, seed: Long): Unit = {
+    val report = Similarity.ivfDrift(spark, indexDir)
+    val driftBreach = refitAt > 0 && report.ratio > refitAt
+    val skewBreach = skewRefitAt > 0 && report.cellSkew > skewRefitAt
+    if (driftBreach || skewBreach) {
+      val grown = if (!skewBreach) None else {
+        val meta = spark.read.parquet(s"$indexDir/meta").collect().head
+        val n = meta.getAs[Int]("nlist")
+        val built = math.max(1L, meta.getAs[Long]("built_rows"))
+        val live = spark.read.parquet(s"$indexDir/cells").count()
+        Some(math.min(live,
+          math.max(n + 1L, math.ceil(n.toDouble * live / built).toLong)).toInt)
+      }
+      Similarity.refitIvfIndex(spark, indexDir, nlist = grown, seed = seed)
     }
   }
 

@@ -136,6 +136,49 @@ class IncrementalAnnIndexSpec extends AnyFunSuite {
     assert(Similarity.readIvfIndex(spark, index.toString).cells.count() == 80)
   }
 
+  test("skew-triggered refit: hot-cell appends grow nlist on the cadence and rebalance") {
+    // SimilaritySpec's cell-skew refit fixture through the streaming
+    // maintainer: 4 balanced blobs bootstrap a 4-cell index; the append
+    // batch piles structured mass (two ±0.15 sub-blobs, splittable)
+    // entirely into blob A's frozen cell. refitAt = 0 isolates the SKEW
+    // trigger: the drift ratio also moves here, and maintenance must
+    // fire on cellSkew alone.
+    def blob5(center: Array[Double], n: Int, idBase: Long) =
+      (0 until n).map { i =>
+        val v = center.clone()
+        v(4) += 0.01 * ((i % 5) - 2)
+        (idBase + i, v.map(_.toFloat))
+      }
+    val base = Files.createTempDirectory("graft-annidx-skew")
+    val index = base.resolve("index")
+    def process(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      IncrementalAnnIndex.processBatch(df, id, "vec_id", "embedding",
+        index.toString, nlist = 4, refitAt = 0.0, driftCheckEvery = 1,
+        seed = 42L, skewRefitAt = 3.0)
+
+    process((blob5(Array(1, 0, 0, 0, 0), 20, 0L) ++
+      blob5(Array(0, 1, 0, 0, 0), 20, 100L) ++
+      blob5(Array(0, 0, 1, 0, 0), 20, 200L) ++
+      blob5(Array(0, 0, 0, 1, 0), 20, 300L)).toDF("vec_id", "embedding"), 0L)
+    val fresh = Similarity.ivfDrift(spark, index.toString)
+    assert(fresh.cellSkew < 3.0, s"precondition: balanced bootstrap, got $fresh")
+
+    // 80 appended rows, all nearest the frozen x centroid: pre-refit
+    // populations (100, 20, 20, 20) -> skew 5 > 3, so THIS batch's own
+    // cadence check (batchId 1, driftCheckEvery 1) must refit with
+    // nlist grown to hold the build-time average cell size:
+    // ceil(4 * 160 / 80) = 8
+    process((blob5(Array(1, 0.15, 0, 0, 0), 40, 1000L) ++
+      blob5(Array(1, -0.15, 0, 0, 0), 40, 1100L)).toDF("vec_id", "embedding"), 1L)
+    val after = Similarity.ivfDrift(spark, index.toString)
+    val idx = Similarity.readIvfIndex(spark, index.toString)
+    assert(idx.centroids.length == 8,
+      s"skew refit must grow nlist 4 -> 8, got ${idx.centroids.length}")
+    assert(after.cellSkew < 3.0,
+      s"the grown-nlist refit must rebalance under the threshold, got $after")
+    assert(idx.cells.count() == 160, "refit must keep every vector")
+  }
+
   private val sq8Encoder: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
     df => graft.similarity.Sq.encode(df, "vec_id", "vec")
 
