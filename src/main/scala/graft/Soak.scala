@@ -298,6 +298,43 @@ object Soak {
           .agg(sum("n_cut_tokens").as("cut"),
             sum(length(col("clean_text"))).as("kept_chars"))
       },
+      // the streaming chunk-dedup's RECURRING per-batch cost vs history
+      // size: `mult` fixed-size batches of mutually-distinct content are
+      // pre-ingested UNTIMED (every token carries a batch tag, so the
+      // chunk-key store genuinely grows ∝ mult), then ONE more batch —
+      // a full re-crawl of batch 0, the maximum store-hit case — is
+      // timed. The batch's only history-sized work is the skinny
+      // (chunk_hash, n_tokens) index join, so per-batch cost must stay
+      // near-flat while history grows 100× (the tokenizer_drift_serve
+      // pattern for this store)
+      locally {
+        val name = "cdc_incremental_batch"
+        if (!onlyShapes.forall(_.contains(name))) name -> -1.0
+        else {
+          val dir = java.nio.file.Files
+            .createTempDirectory("cdcinc-soak").toString
+          val (store, clean) = (s"$dir/store", s"$dir/clean")
+          val docs0 = Tables.documents(spark, sfDir).select("doc_id", "text")
+          def tagged(i: Int) = docs0.select(
+            (col("doc_id") + lit(i.toLong * 10000000L)).as("doc_id"),
+            regexp_replace(col("text"), "(\\S+)", s"b${i}_$$1").as("text"))
+          (0 until mult).foreach(i =>
+            graft.streaming.IncrementalCdcDedup.processBatch(
+              tagged(i), i, "doc_id", "text", store, clean,
+              k = 4, divisor = 16L))
+          val r = shape(name) {
+            graft.streaming.IncrementalCdcDedup.processBatch(
+              tagged(0).withColumn("doc_id",
+                col("doc_id") + lit(500000000L)),
+              mult, "doc_id", "text", store, clean, k = 4, divisor = 16L)
+            spark.read.parquet(s"$clean/batch=$mult")
+          }
+          System.err.println(
+            s"[soak]   cdc_incremental_batch store_batches=$mult " +
+              s"store_keys=${spark.read.parquet(store).count()}")
+          r
+        }
+      },
       // Amplified docs share text across copies — a dup-heavy corpus, the
       // worst case dedup is built for (each doc becomes a mult-sized
       // near-dup clique).

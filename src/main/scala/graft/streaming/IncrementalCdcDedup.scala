@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.dedup.Dedup
+
+/** Incremental CONTENT-DEFINED-CHUNK deduplication for a continuously-
+  * ingesting corpus — the streaming form of [[Dedup.cdcDedupApply]],
+  * and the chunk-level sibling of [[IncrementalDedup]] (whole-doc
+  * MinHash near-dups) / [[IncrementalEmbedDedup]] (semantic near-dups):
+  * each microbatch of documents is rebuilt with every chunk that
+  * repeats — within the batch OR anywhere in ingestion history —
+  * excised, keeping exactly one canonical copy corpus-wide. Because
+  * chunk boundaries are content-defined (FastCDC rationale,
+  * [[Dedup.cdcChunks]]), an insertion-shifted re-crawl of an old page
+  * still deduplicates past the edit point even when the original was
+  * ingested months of batches earlier — the cross-time dedup a
+  * training pipeline actually needs (whole-doc hashes miss edited
+  * re-crawls; positional spans break at the first insertion).
+  *
+  * Per batch, via `foreachBatch`:
+  *  1. chunk the new docs ([[Dedup.cdcChunks]] — one posexplode + two
+  *     same-sort windows + one rollup; batch-sized work);
+  *  2. excision set = (a) every batch occurrence of a chunk key
+  *     ((chunk_hash, n_tokens)) present in the STORE — the canonical
+  *     copy already lives in history — plus (b) the non-first batch
+  *     occurrences of keys repeating within the batch
+  *     ([[Dedup.cdcDedupApplyFromChunks]]'s window rule);
+  *  3. the batch rebuilds through [[Dedup.cutSpans]] (adaptive
+  *     broadcast/shuffle anti join) → `cleanDir/batch=<id>` with
+  *     per-doc cut stats — the union of clean dirs is the continuously
+  *     chunk-deduplicated corpus a training run reads;
+  *  4. the batch's NEW canonical chunk keys (first occurrence here,
+  *     absent from history) append to `storeDir/batch=<id>` — the
+  *     store holds one skinny row per distinct chunk ever seen,
+  *     ~corpus/divisor rows, hash-joinable per batch.
+  *
+  * Exactly-once across restarts: both sinks write one `batch=<id>`
+  * subdirectory in overwrite mode and the store lookup reads batches
+  * STRICTLY EARLIER than the current id, so a crash replay overwrites
+  * its own partial output and never joins against its own half-written
+  * keys — [[IncrementalDedup]]'s protocol verbatim. Store growth is
+  * bounded by [[compactStore]] (the shared [[CompactionSwap]] dance).
+  *
+  * Scale shape: per batch the only history-sized work is one equi-join
+  * of the batch's chunk keys against the store (an index lookup on
+  * (chunk_hash, n_tokens) — never a text scan of history), and the
+  * store row is 3 longs; everything else is batch-sized. Nothing
+  * quadratic at any corpus size.
+  */
+object IncrementalCdcDedup {
+
+  def run(docs: DataFrame, idCol: String, textCol: String,
+          storeDir: String, cleanDir: String, checkpointDir: String,
+          k: Int = 4, divisor: Long = 16L): StreamingQuery = {
+    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+    // recover a compaction that crashed between its renames (history
+    // stranded under `.old`) BEFORE the stream recreates the store dir
+    CompactionSwap.recoverDanglingOld(CompactionSwap.fsFor(storeDir, conf), storeDir)
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        processBatch(batch, batchId, idCol, textCol, storeDir, cleanDir,
+          k, divisor)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One microbatch: chunk, cut, persist. Factored out of the stream
+    * for direct unit testing (crash replays = call twice, same id).
+    */
+  def processBatch(batch: Dataset[Row], batchId: Long, idCol: String,
+                   textCol: String, storeDir: String, cleanDir: String,
+                   k: Int, divisor: Long): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.toDF()
+    // checkpointed: feeds the excision pick, the store-hit join, AND
+    // the new-canonical append
+    val chunks = Dedup.cdcChunks(b, idCol, textCol, k, divisor)
+      .localCheckpoint(true)
+
+    // within-batch canonical pick: first occurrence in (id, chunk_start)
+    // keeps, later occurrences of a repeating key cut — byte-for-byte
+    // cdcDedupApplyFromChunks' rule, so a single-batch stream equals the
+    // batch operator (spec-pinned)
+    val wCanon = Window.partitionBy("chunk_hash", "n_tokens")
+      .orderBy(col(idCol), col("chunk_start"))
+    val ranked = chunks
+      .withColumn("__rn", row_number().over(wCanon))
+      .withColumn("__occ", count(lit(1)).over(
+        Window.partitionBy("chunk_hash", "n_tokens")))
+
+    // store lookup strictly below the current batch id (replay-safe)
+    val priorBatches = BatchStore.listPriorBatches(spark, storeDir, batchId)
+    val storeKeys =
+      if (priorBatches.isEmpty)
+        chunks.select("chunk_hash", "n_tokens").limit(0)
+      else spark.read.parquet(priorBatches: _*)
+        .select("chunk_hash", "n_tokens")
+    val storeHit = ranked
+      .join(storeKeys, Seq("chunk_hash", "n_tokens"), "left_semi")
+
+    // excise: all store-hit occurrences (canonical is historical) plus
+    // the non-first occurrences of within-batch repeats; one occurrence
+    // can match both rules — distinct on the occurrence key
+    val excised = storeHit.select(col(idCol),
+        col("chunk_start").as("span_start"),
+        col("chunk_end").as("span_end"), col("n_tokens"))
+      .union(ranked.filter(col("__occ") >= 2 && col("__rn") >= 2)
+        .select(col(idCol), col("chunk_start").as("span_start"),
+          col("chunk_end").as("span_end"), col("n_tokens")))
+      .distinct()
+      .localCheckpoint(true) // feeds cutSpans (count + join) and stats
+
+    val stats = excised.groupBy(idCol)
+      .agg(count(lit(1)).as("n_cut_chunks"),
+        sum("n_tokens").as("n_cut_tokens"))
+    Dedup.cutSpans(b, excised.drop("n_tokens"), idCol, textCol)
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol), col("clean_text"),
+        coalesce(col("n_cut_chunks"), lit(0L)).as("n_cut_chunks"),
+        coalesce(col("n_cut_tokens"), lit(0L)).as("n_cut_tokens"))
+      .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
+
+    // the batch's new canonical keys: first batch occurrence, not in
+    // history — the store stays one skinny row per distinct chunk ever
+    ranked.filter(col("__rn") === 1)
+      .join(storeKeys, Seq("chunk_hash", "n_tokens"), "left_anti")
+      .select("chunk_hash", "n_tokens")
+      .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+
+    graft.util.Pins.release(chunks)
+    graft.util.Pins.release(excised)
+  }
+
+  /** The continuously-deduplicated corpus so far (any batch). */
+  def readClean(spark: SparkSession, cleanDir: String): DataFrame =
+    spark.read.parquet(cleanDir)
+
+  /** Compact the chunk-key store into a single `batch=0` (distinct fold
+    * — concurrent first-appearances across uncompacted batches collapse
+    * to one row), bounding file growth for a long-lived stream. Batch 0
+    * sorts below every live microbatch id, so the strictly-earlier
+    * lookup rule keeps holding. Single-writer contract: stop the stream
+    * first ([[IncrementalDedup.compactStore]]'s contract).
+    */
+  def compactStore(spark: SparkSession, storeDir: String): Unit =
+    BatchStore.compact(spark, storeDir) { (batches, batch0) =>
+      spark.read.parquet(batches: _*).distinct()
+        .write.mode("overwrite").parquet(batch0)
+    }
+}
