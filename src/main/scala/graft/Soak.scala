@@ -50,15 +50,20 @@ object Soak {
     // regardless of spilling, a harness misconfiguration rather than an
     // engine finding (measured round 16; at the default 8g heap the
     // same 100× run completes by spilling).
+    // parsed eagerly: fail on garbage here, not inside the session
+    // builder — and emit the NUMBER into the JSON line below, never the
+    // raw env string (".1"/"1e-1" are valid fractions for Spark but
+    // invalid bare JSON tokens)
     val memFraction =
-      sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.1")
+      sys.env.getOrElse("SPARK_GRAFT_MEM_FRACTION", "0.1").toDouble
     val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-    if (soakSets("spill")) builder.config("spark.memory.fraction", memFraction)
+    if (soakSets("spill"))
+      builder.config("spark.memory.fraction", memFraction.toString)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -1076,7 +1081,7 @@ object Soak {
         "this run does not demonstrate spill robustness")
     val spillJson =
       if (soakSets("spill"))
-        f""","mem_fraction":$memFraction%s,"spilled_mem_mb":${spilledMem.get() / 1048576.0}%.0f,"spilled_disk_mb":${spilledDisk.get() / 1048576.0}%.0f"""
+        f""","mem_fraction":$memFraction%.4f,"spilled_mem_mb":${spilledMem.get() / 1048576.0}%.0f,"spilled_disk_mb":${spilledDisk.get() / 1048576.0}%.0f"""
       else ""
     println(f"""{"metric":"soak_total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","mult":$mult$spillJson%s}""")
     spark.stop()

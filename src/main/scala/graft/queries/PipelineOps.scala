@@ -73,6 +73,13 @@ object PipelineOps {
       try graft.util.Pins.release(df) catch { case _: Throwable => }
     })
     ivfMemo.remove(s): Unit
+    // the tokenizer-model memos hold pinned localCheckpoint tables
+    // (BpeModel.vocabSyms, UnigramModel.segs) — without this hook,
+    // Bench's releaseArtifacts() could not give the tp_*_train* rows a
+    // genuinely fresh dedicated re-measure, and a long-lived
+    // multi-session service would leak one pinned vocab table per
+    // retired session
+    TextPipeline.releaseModelMemos(s)
   }
 
   /** Build-once bucketed copy of a test table (hash-bucketed + sorted on

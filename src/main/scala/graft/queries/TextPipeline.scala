@@ -459,6 +459,27 @@ object TextPipeline {
         graft.text.WordPiece.train(Tables.documents(s, d), "text", WpMerges,
           batchSize = BpeBatchB))
 
+  /** Drop every memoized tokenizer model of `s` and RELEASE the pins the
+    * models hold (BPE vocab tables, unigram segmentations — WordPiece
+    * models are driver-side only). Called from
+    * [[PipelineOps.releaseMemo]], the single release hook Bench's
+    * family-scoped artifact lifetime and contention adjudication use —
+    * without it the tp_*_train* rows would re-measure a memo lookup
+    * instead of a training run.
+    */
+  def releaseModelMemos(s: SparkSession): Unit = {
+    def drain[M](memo: java.util.Map[SparkSession,
+        scala.collection.concurrent.TrieMap[String, M]])(release: M => Unit): Unit =
+      Option(memo.remove(s)).foreach(_.values.foreach { m =>
+        try release(m) catch { case _: Throwable => }
+      })
+    drain(bpeMemo)(_.release())
+    drain(bpeBatchedMemo)(_.release())
+    drain(uniMemo)(_.release())
+    drain(wpMemo)(_ => ())
+    drain(wpBatchedMemo)(_ => ())
+  }
+
   /** Unigram-LM constants for the declared queries — small and fixed so
     * the oracle's generated SQL stays reviewable (the operator itself
     * takes any values). `UniMaxWordLen` bounds the oracle's unrolled DP;

@@ -592,9 +592,19 @@ object Similarity {
   /** The corpus-sized-probe twin of [[probeCells]] — same output
     * contract, same selection, bounded-heap plan shape (see the
     * two-forms note there).
+    *
+    * `qRaw` is referenced TWICE (the skinny explode side and the
+    * join-back of the wide columns), so a non-deterministic query plan
+    * (sample/limit/rand-derived) could evaluate differently between
+    * the two and silently drop or mis-score queries. Guarded the same
+    * way [[graft.dedup.Dedup]]'s adaptive joins guard their
+    * re-referenced side: fail loudly at plan time and tell the caller
+    * to localCheckpoint first. The single-reference window form
+    * ([[probeCells]]) has no such constraint.
     */
   private[similarity] def probeCellsSkinny(index: IvfIndex, qRaw: DataFrame,
                                            nprobe: Int): DataFrame = {
+    assertDeterministic(qRaw, "probeCellsSkinny query side")
     val centroidLits = centroidStructs(index)
     val probed = qRaw
       .select(col("query_id"), col("qvec"), col("qnorm"),
@@ -608,6 +618,24 @@ object Similarity {
       .select(col("query_id"), explode(col("top.tie")).as("cell"))
     probed.join(qRaw, "query_id")
       .select(col("query_id"), col("qvec"), col("qnorm"), col("cell"))
+  }
+
+  /** [[graft.dedup.Dedup]]'s double-evaluation guard, duplicated here
+    * (it is private there by design): a plan containing Sample/Limit or
+    * a nondeterministic expression must not be referenced twice.
+    */
+  private def assertDeterministic(df: DataFrame, what: String): Unit = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val bad = df.queryExecution.analyzed.collectFirst {
+      case _: Sample => "a Sample"
+      case _: LocalLimit => "a Limit"
+      case _: GlobalLimit => "a Limit"
+      case p if p.expressions.exists(!_.deterministic) =>
+        "a nondeterministic expression"
+    }
+    require(bad.isEmpty,
+      s"$what plan contains ${bad.get}: its two evaluations (skinny " +
+        "probe, then wide join-back) could disagree — localCheckpoint it first")
   }
 
   /** The centroid table as a foldable literal array of

@@ -47,8 +47,9 @@ import graft.dedup.Dedup
   * Scale shape: per batch the only history-sized work is one equi-join
   * of the batch's chunk keys against the store (an index lookup on
   * (chunk_hash, n_tokens) — never a text scan of history), and the
-  * store row is 3 longs; everything else is batch-sized. Nothing
-  * quadratic at any corpus size.
+  * store row is two longs, and the join's output is contracted to the
+  * batch's hit keys in that single scan; everything else is
+  * batch-sized. Nothing quadratic at any corpus size.
   */
 object IncrementalCdcDedup {
 
@@ -77,36 +78,43 @@ object IncrementalCdcDedup {
                    k: Int, divisor: Long): Unit = {
     val spark = batch.sparkSession
     val b = batch.toDF()
-    // checkpointed: feeds the excision pick, the store-hit join, AND
-    // the new-canonical append
-    val chunks = Dedup.cdcChunks(b, idCol, textCol, k, divisor)
-      .localCheckpoint(true)
-
     // within-batch canonical pick: first occurrence in (id, chunk_start)
     // keeps, later occurrences of a repeating key cut — byte-for-byte
     // cdcDedupApplyFromChunks' rule, so a single-batch stream equals the
-    // batch operator (spec-pinned)
+    // batch operator (spec-pinned). Checkpointed AFTER the windows, not
+    // at the chunk table: `ranked` has three consumers (store-hit
+    // excision, within-batch excision, canonical append) and an
+    // uncheckpointed plan would re-run the two window passes per
+    // consumer.
     val wCanon = Window.partitionBy("chunk_hash", "n_tokens")
       .orderBy(col(idCol), col("chunk_start"))
-    val ranked = chunks
+    val ranked = Dedup.cdcChunks(b, idCol, textCol, k, divisor)
       .withColumn("__rn", row_number().over(wCanon))
       .withColumn("__occ", count(lit(1)).over(
         Window.partitionBy("chunk_hash", "n_tokens")))
+      .localCheckpoint(true)
 
-    // store lookup strictly below the current batch id (replay-safe)
+    // store lookup strictly below the current batch id (replay-safe),
+    // contracted to the BATCH's hit keys in ONE history scan — the
+    // semi-join result is batch-keys-sized, so checkpointing it lets
+    // both the excision pick and the canonical anti-join reuse it
+    // without a second pass over the (corpus/divisor-sized) store
     val priorBatches = BatchStore.listPriorBatches(spark, storeDir, batchId)
-    val storeKeys =
+    val hitKeys = (
       if (priorBatches.isEmpty)
-        chunks.select("chunk_hash", "n_tokens").limit(0)
-      else spark.read.parquet(priorBatches: _*)
-        .select("chunk_hash", "n_tokens")
-    val storeHit = ranked
-      .join(storeKeys, Seq("chunk_hash", "n_tokens"), "left_semi")
+        ranked.select("chunk_hash", "n_tokens").limit(0)
+      else ranked.select("chunk_hash", "n_tokens").distinct()
+        .join(spark.read.parquet(priorBatches: _*)
+          .select("chunk_hash", "n_tokens"),
+          Seq("chunk_hash", "n_tokens"), "left_semi")
+      ).localCheckpoint(true)
 
     // excise: all store-hit occurrences (canonical is historical) plus
     // the non-first occurrences of within-batch repeats; one occurrence
     // can match both rules — distinct on the occurrence key
-    val excised = storeHit.select(col(idCol),
+    val excised = ranked
+      .join(hitKeys, Seq("chunk_hash", "n_tokens"), "left_semi")
+      .select(col(idCol),
         col("chunk_start").as("span_start"),
         col("chunk_end").as("span_end"), col("n_tokens"))
       .union(ranked.filter(col("__occ") >= 2 && col("__rn") >= 2)
@@ -128,11 +136,12 @@ object IncrementalCdcDedup {
     // the batch's new canonical keys: first batch occurrence, not in
     // history — the store stays one skinny row per distinct chunk ever
     ranked.filter(col("__rn") === 1)
-      .join(storeKeys, Seq("chunk_hash", "n_tokens"), "left_anti")
+      .join(hitKeys, Seq("chunk_hash", "n_tokens"), "left_anti")
       .select("chunk_hash", "n_tokens")
       .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
 
-    graft.util.Pins.release(chunks)
+    graft.util.Pins.release(ranked)
+    graft.util.Pins.release(hitKeys)
     graft.util.Pins.release(excised)
   }
 
