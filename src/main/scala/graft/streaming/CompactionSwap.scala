@@ -13,15 +13,30 @@ import org.apache.spark.sql.SparkSession
   * exists only under `.old`. Two recovery situations follow:
   *
   *  - target missing, `.old` present: simple roll-back, rename `.old` back.
-  *  - target present AND `.old` present: the writer stream restarted before
-  *    recovery ran and recreated the target (appended new batches/files).
-  *    Deleting `.old` here would permanently discard the entire
-  *    pre-compaction history, so recovery instead FOLDS `.old` back in:
-  *    every child of `.old` that the recreated target doesn't already have
-  *    is renamed into the target. A child present in both can only be a
-  *    replayed idempotent batch subdir (`batch=<id>` written with overwrite
-  *    semantics), so the target's copy is kept. Part-file children (the
-  *    flat upsert log) carry task-UUID names and cannot collide.
+  *  - target present AND `.old` present: TWO sub-cases, told apart by the
+  *    `_compacted` swap-id marker the rewrite writes before the renames
+  *    (round 16 — previously the fold-back below ran unconditionally and
+  *    DOUBLE-COUNTED sum-semantics stores):
+  *      * the target carries a `_compacted` id that `.old` does not — the
+  *        swap COMPLETED (crash was between the final rename and the
+  *        `.old` delete), so `.old` is exactly the pre-image whose content
+  *        the target's rewrite already folded in. Folding it back would
+  *        duplicate every row — harmless for set-like stores but exactly
+  *        doubling [[IncrementalManifest]]'s row/fingerprint sums and
+  *        [[IncrementalHeavyHitters]]' CMS counts. `.old` is provably
+  *        duplicated (it was renamed wholesale from the dir the rewrite
+  *        consumed), so it is deleted.
+  *      * otherwise the writer stream restarted before recovery ran and
+  *        recreated the target (appended new batches/files). Deleting
+  *        `.old` would permanently discard the entire pre-compaction
+  *        history, so recovery FOLDS `.old` back in: every child of
+  *        `.old` the recreated target doesn't already have is renamed
+  *        into the target. A child present in both can only be a replayed
+  *        idempotent batch subdir (`batch=<id>` written with overwrite
+  *        semantics), so the target's copy is kept. Part-file children
+  *        (the flat upsert log) carry task-UUID names and cannot collide.
+  *        (The underscore-prefixed marker is invisible to parquet
+  *        readers, like `_SUCCESS`.)
   *
   * [[recoverDanglingOld]] is called at every point a writer (re)starts and
   * at the top of each compaction, so the window where history is only under
@@ -37,9 +52,29 @@ private[graft] object CompactionSwap {
   def fsFor(dir: String, conf: Configuration): FileSystem =
     new Path(dir).getFileSystem(conf)
 
+  private val MarkerName = "_compacted"
+
+  private def readMarker(fs: FileSystem, dir: Path): Option[String] = {
+    val m = new Path(dir, MarkerName)
+    if (!fs.exists(m)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(m).getLen.toInt)
+      val in = fs.open(m)
+      try in.readFully(buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  private def writeMarker(fs: FileSystem, dir: Path, id: String): Unit = {
+    val out = fs.create(new Path(dir, MarkerName), true)
+    try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** Recover a `.old` directory stranded by a swap that crashed between
-    * its two renames. No-op when no `.old` exists. See class doc for the
-    * two cases; never deletes data that isn't provably duplicated.
+    * its two renames (or after the final rename, before the `.old`
+    * delete). No-op when no `.old` exists. See class doc for the cases;
+    * never deletes data that isn't provably duplicated.
     */
   def recoverDanglingOld(fs: FileSystem, dir: String): Unit = {
     val target = new Path(dir)
@@ -48,6 +83,15 @@ private[graft] object CompactionSwap {
     if (!fs.exists(target)) {
       if (!fs.rename(old, target))
         throw new java.io.IOException(s"compaction recovery failed: $old -> $target")
+      return
+    }
+    // completed-swap detection: the target carries THIS swap's marker id
+    // and `.old` does not (its marker, if any, is from an earlier swap) —
+    // `.old` is the consumed pre-image, already folded into the target's
+    // rewrite; folding it back would double-count sum-semantics stores
+    val targetId = readMarker(fs, target)
+    if (targetId.isDefined && readMarker(fs, old) != targetId) {
+      fs.delete(old, true)
       return
     }
     fs.listStatus(old).foreach { st =>
@@ -73,6 +117,10 @@ private[graft] object CompactionSwap {
     if (!fs.exists(target)) return false // nothing ingested yet
     fs.delete(tmp, true)
     write(tmp.toString)
+    // fresh swap id, written BEFORE the renames: recovery uses it to
+    // tell a completed swap's stranded `.old` (delete — its content is
+    // already in the rewrite) from a recreated target (fold back)
+    writeMarker(fs, tmp, java.util.UUID.randomUUID().toString)
     if (!fs.rename(target, old))
       throw new java.io.IOException(s"compaction swap failed: $target -> $old")
     if (!fs.rename(tmp, target)) {

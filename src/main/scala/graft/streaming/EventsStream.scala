@@ -263,19 +263,8 @@ object EventsStream {
     override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
                                  timerValues: TimerValues): Iterator[FunnelUpdate] = {
       var s = Option(st.get()).getOrElse(FunnelState(-1L, -1L, -1L))
-      rows.toSeq.sortBy(_.tsMicros).foreach { e =>
-        e.event_type match {
-          case "view" if s.v < 0 =>
-            s = s.copy(v = e.tsMicros)
-          case "click" if s.v >= 0 && s.c < 0 &&
-              e.tsMicros > s.v && e.tsMicros - s.v <= stepMicros =>
-            s = s.copy(c = e.tsMicros)
-          case "purchase" if s.c >= 0 && s.p < 0 &&
-              e.tsMicros > s.c && e.tsMicros - s.c <= stepMicros =>
-            s = s.copy(p = e.tsMicros)
-          case _ =>
-        }
-      }
+      s = rows.toSeq.sortBy(_.tsMicros)
+        .foldLeft(s)(foldFunnel(_, _, stepMicros))
       st.update(s)
       val stage = if (s.p >= 0) 3 else if (s.c >= 0) 2 else if (s.v >= 0) 1 else 0
       Iterator.single(FunnelUpdate(key, stage))
@@ -363,19 +352,8 @@ object EventsStream {
       // at the boundary stay pending until the watermark passes them.
       val (ripe, pending) = buffer.get().toSeq.partition(_.tsMicros < wmMicros)
       var s = Option(anchors.get()).getOrElse(FunnelState(-1L, -1L, -1L))
-      ripe.sortBy(_.tsMicros).foreach { e =>
-        e.event_type match {
-          case "view" if s.v < 0 =>
-            s = s.copy(v = e.tsMicros)
-          case "click" if s.v >= 0 && s.c < 0 &&
-              e.tsMicros > s.v && e.tsMicros - s.v <= stepMicros =>
-            s = s.copy(c = e.tsMicros)
-          case "purchase" if s.c >= 0 && s.p < 0 &&
-              e.tsMicros > s.c && e.tsMicros - s.c <= stepMicros =>
-            s = s.copy(p = e.tsMicros)
-          case _ =>
-        }
-      }
+      s = ripe.sortBy(_.tsMicros)
+        .foldLeft(s)(foldFunnel(_, _, stepMicros))
       anchors.update(s)
       buffer.clear()
       if (pending.nonEmpty) {
@@ -493,6 +471,26 @@ object EventsStream {
     * fix here cannot diverge the seal-parity the specs pin): returns the
     * state after `e`, plus the sealed session if `e` opened a new one.
     */
+  /** One funnel event against the anchor state: view seeds, click must
+    * land strictly after the view within the step, purchase strictly
+    * after the click within the step — the batch `ev_funnel` rule.
+    * SHARED between the arrival-order and event-time funnel processors
+    * (the [[foldSession]] precedent): a boundary fix here cannot
+    * diverge the seal-parity the specs pin.
+    */
+  private def foldFunnel(s: FunnelState, e: FunnelEvent,
+                         stepMicros: Long): FunnelState =
+    e.event_type match {
+      case "view" if s.v < 0 => s.copy(v = e.tsMicros)
+      case "click" if s.v >= 0 && s.c < 0 &&
+          e.tsMicros > s.v && e.tsMicros - s.v <= stepMicros =>
+        s.copy(c = e.tsMicros)
+      case "purchase" if s.c >= 0 && s.p < 0 &&
+          e.tsMicros > s.c && e.tsMicros - s.c <= stepMicros =>
+        s.copy(p = e.tsMicros)
+      case _ => s
+    }
+
   private def foldSession(key: Long, s: SessState, e: SessEvent,
                           gapMicros: Long): (SessState, Option[SealedSession]) =
     if (s == null) (SessState(e.tsMicros, e.event_type, 1L), None)

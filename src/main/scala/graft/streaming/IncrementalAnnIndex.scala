@@ -244,9 +244,20 @@ object IncrementalAnnIndex {
     * capped at the live row count (a quantizer cannot have more useful
     * cells than vectors).
     */
-  private def maintainFit(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def maintainFit(spark: org.apache.spark.sql.SparkSession,
                           indexDir: String, refitAt: Double,
                           skewRefitAt: Double, seed: Long): Unit = {
+    // REFUSE while an UNCOMMITTED append batch is pending (the restart
+    // path can see one): a refit would rebuild the batch's half-renamed
+    // cells rows into anonymous part files that the replay's
+    // deterministic `b<batchId>-*` cleanup glob cannot find, so the
+    // replayed batch would append its vectors a SECOND time — the exact
+    // hazard [[reencodeIfStale]] already vetoes for the sidecar. The
+    // skipped check is not lost: the replay converges the batch first,
+    // and drift/skew re-measure at the next cadence or clean restart.
+    val fs = CompactionSwap.fsFor(indexDir,
+      spark.sparkContext.hadoopConfiguration)
+    if (uncommittedAppendIds(fs, indexDir).nonEmpty) return
     val report = Similarity.ivfDrift(spark, indexDir)
     val driftBreach = refitAt > 0 && report.ratio > refitAt
     val skewBreach = skewRefitAt > 0 && report.cellSkew > skewRefitAt

@@ -51,18 +51,33 @@ object IncrementalCardinality {
       .agg(hll_sketch_agg(col(keyCol), lit(lgConfigK)).as("sk"))
       .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
 
+  // graceful-empty serving (the readTopK contract the other stores
+  // follow): a store that doesn't exist yet, or whose first batch
+  // crashed before any parquet footer committed, serves zeros/empties
+  // instead of throwing mid-incident
+  private def store(spark: SparkSession, storeDir: String): Option[DataFrame] = {
+    val fs = CompactionSwap.fsFor(storeDir,
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(storeDir))) None
+    else
+      try Some(spark.read.parquet(storeDir))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
   /** Distinct-key estimate per day, merging every batch's sketches. */
   def readDailyEstimates(spark: SparkSession, storeDir: String): DataFrame =
-    spark.read.parquet(storeDir)
-      .groupBy("day_ts")
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)))
-        .as("est_keys"))
+    store(spark, storeDir).fold(
+      spark.range(0).select(lit(null).cast("timestamp").as("day_ts"),
+        lit(0L).as("est_keys")))(
+      _.groupBy("day_ts")
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)))
+          .as("est_keys")))
 
   /** Global distinct-key estimate across all days and batches. */
   def readTotalEstimate(spark: SparkSession, storeDir: String): Long =
-    spark.read.parquet(storeDir)
-      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))))
-      .head.getLong(0)
+    store(spark, storeDir).fold(0L)(
+      _.agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))))
+        .head.getLong(0))
 
   /** Rolling DAU/WAU/MAU served FROM THE SKETCH STORE — the streaming
     * completion of the batch `ev_active_users` query: one row per active
@@ -78,6 +93,12 @@ object IncrementalCardinality {
     * returns identical estimates.
     */
   def readActiveUsers(spark: SparkSession, storeDir: String): DataFrame = {
+    store(spark, storeDir) match {
+      case None => return spark.range(0).select(
+        lit(null).cast("date").as("day"), lit(0L).as("dau_est"),
+        lit(0L).as("wau_est"), lit(0L).as("mau_est"))
+      case Some(_) => ()
+    }
     val daily = spark.read.parquet(storeDir)
       .groupBy(to_date(col("day_ts")).as("day"))
       .agg(hll_union_agg(col("sk"), lit(true)).as("sk"))

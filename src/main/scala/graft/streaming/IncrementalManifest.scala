@@ -77,7 +77,14 @@ object IncrementalManifest {
     // until the next writer start (the listPriorBatches precedent)
     CompactionSwap.recoverDanglingOld(fs, storeDir)
     if (!fs.exists(new org.apache.hadoop.fs.Path(storeDir))) return (0L, 0L)
-    val row = spark.read.parquet(storeDir)
+    // a first batch that crashed mid-write can leave the dir with no
+    // committed parquet footers at all — the documented (0, 0) case,
+    // not an UNABLE_TO_INFER_SCHEMA throw mid-incident
+    // (IncrementalTokenizerDrift.readStats' guard)
+    val raw =
+      try spark.read.parquet(storeDir)
+      catch { case _: org.apache.spark.sql.AnalysisException => return (0L, 0L) }
+    val row = raw
       .agg(coalesce(sum("n_rows"), lit(0L)).as("n"),
         coalesce(Manifest.foldFingerprints(col("partial_fp")), lit(0L)).as("fp"))
       .head

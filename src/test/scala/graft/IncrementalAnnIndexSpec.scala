@@ -179,6 +179,52 @@ class IncrementalAnnIndexSpec extends AnyFunSuite {
     assert(idx.cells.count() == 160, "refit must keep every vector")
   }
 
+  test("maintainFit refuses while an uncommitted append batch is pending (restart refit window)") {
+    // the crash state run()'s restart check can see: batch 1's cells
+    // files are renamed in but its _appended marker never committed. A
+    // refit here would rebuild those rows into anonymous part files the
+    // replay's deterministic b1-* cleanup cannot find — the replay
+    // would then append the batch a SECOND time. maintainFit must
+    // refuse (reencodeIfStale's veto), and refit normally once the
+    // replay has converged the batch.
+    val base = Files.createTempDirectory("graft-annidx-refitveto")
+    val index = base.resolve("index")
+    val b0 = blobA.toDF("vec_id", "embedding")
+    val b1 = blobB.toDF("vec_id", "embedding")
+    def process(df: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      IncrementalAnnIndex.processBatch(df, id, "vec_id", "embedding",
+        index.toString, nlist = 2, refitAt = 1000.0, driftCheckEvery = 0,
+        seed = 42L)
+    process(b0, 0L)
+    process(b1, 1L)
+    assert(Similarity.ivfDrift(spark, index.toString).ratio > 2.0,
+      "precondition: the appended index must be drifted")
+    // simulate the crash: marker gone, batch-1 cells files still present
+    val fs = new org.apache.hadoop.fs.Path(index.toString)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$index/_appended/1"), false)
+
+    IncrementalAnnIndex.maintainFit(spark, index.toString,
+      refitAt = 2.0, skewRefitAt = 0.0, seed = 42L)
+    assert(Similarity.ivfDrift(spark, index.toString).ratio > 2.0,
+      "maintainFit must refuse to refit over an uncommitted append")
+    assert(fs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$index/cells/cell=*/b1-*")).nonEmpty,
+      "the uncommitted batch's deterministic file names must survive")
+
+    // the replay converges the batch, then maintenance may proceed
+    process(b1, 1L)
+    assert(spark.read.parquet(s"$index/cells").count() == 80,
+      "the replay must converge to exactly-once")
+    IncrementalAnnIndex.maintainFit(spark, index.toString,
+      refitAt = 2.0, skewRefitAt = 0.0, seed = 42L)
+    val healed = Similarity.ivfDrift(spark, index.toString)
+    assert(math.abs(healed.ratio - 1.0) < 1e-6,
+      s"post-replay maintenance must refit, got $healed")
+    assert(Similarity.readIvfIndex(spark, index.toString).cells.count() == 80,
+      "refit must keep every vector exactly once")
+  }
+
   private val sq8Encoder: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
     df => graft.similarity.Sq.encode(df, "vec_id", "vec")
 

@@ -132,4 +132,21 @@ class IncrementalCardinalitySpec extends AnyFunSuite {
     IncrementalCardinality.compactStore(spark, store)
     assert(served == expected, "compaction changed the served windows")
   }
+
+  test("readers serve gracefully before the first batch and on a torn store") {
+    // the readTopK contract: a dashboard polling before the stream's
+    // first commit (or during a torn first write) gets zeros/empties,
+    // not PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA mid-incident
+    val base = Files.createTempDirectory("graft-inccard-empty")
+    val missing = base.resolve("store").toString
+    assert(IncrementalCardinality.readDailyEstimates(spark, missing).count() == 0L)
+    assert(IncrementalCardinality.readTotalEstimate(spark, missing) == 0L)
+    assert(IncrementalCardinality.readActiveUsers(spark, missing).count() == 0L)
+    // torn: dir exists, no committed footers
+    val torn = base.resolve("torn")
+    Files.createDirectories(torn.resolve("batch=0").resolve("_temporary"))
+    assert(IncrementalCardinality.readDailyEstimates(spark, torn.toString).count() == 0L)
+    assert(IncrementalCardinality.readTotalEstimate(spark, torn.toString) == 0L)
+    assert(IncrementalCardinality.readActiveUsers(spark, torn.toString).count() == 0L)
+  }
 }
