@@ -18,7 +18,11 @@ object BbcCorpus {
     val raw = spark.read
       .option("recursiveFileLookup", "true")
       .text(dir)
-      .withColumn("path", input_file_name())
+      // input_file_name() returns a URL-ENCODED URI: a category or file
+      // name with a space/non-ASCII char would otherwise yield a
+      // percent-escaped doc_name ("sport%20news.001") that silently
+      // misses every join against raw path-derived identities
+      .withColumn("path", url_decode(input_file_name()))
     val parts = split(col("path"), "/")
     val fileName = element_at(parts, -1)
     val category = element_at(parts, -2)

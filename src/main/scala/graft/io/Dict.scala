@@ -16,7 +16,13 @@ object Dict {
   def load(spark: SparkSession, path: String, idCol: String, valueCol: String): DataFrame = {
     import spark.implicits._
     spark.read.textFile(path).rdd.zipWithIndex()
-      .map { case (line, idx) => ((idx + 1).toInt, line.trim) }
+      .map { case (line, idx) =>
+        // .toInt past 2^31−1 lines would wrap surrogate keys negative
+        // and silently corrupt every downstream join — fail loudly
+        require(idx < Int.MaxValue - 1,
+          s"$path: dictionary exceeds Int surrogate-key range at line $idx")
+        ((idx + 1).toInt, line.trim)
+      }
       .toDF(idCol, valueCol)
   }
 

@@ -46,7 +46,10 @@ object Manifest {
     * the DuckDB oracle replay it value-for-value).
     */
   def fingerprintCol(repr: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (sum((graft.functions.TextExprs.rollingHash(repr) % P)
+    // no per-term reduction: rolling_hash is already reduced mod 10⁹+7
+    // at every byte, so its output is strictly below P and a `% P` per
+    // term would be dead arithmetic every replaying oracle had to carry
+    (sum(graft.functions.TextExprs.rollingHash(repr)
       .cast("decimal(38,0)")) % P).cast("long")
 
   /** The canonical row repr of a frame (every column stringified, nulls
@@ -144,7 +147,14 @@ object Manifest {
   /** Compute the manifest of every table under `sfDir` ([[Tables.names]]). */
   def compute(spark: SparkSession, sfDir: String): Seq[TableManifest] =
     Tables.names.map { t =>
-      val df = Tables.load(spark, sfDir, t)
+      // events goes through its CANONICALIZING loader: the raw load is
+      // session-history-dependent (ts resolves TIMESTAMP or
+      // TIMESTAMP_NTZ depending on which reader cached the relation
+      // first — a schema_sig that flips across sessions false-alarms
+      // the drift check this manifest exists to serve) and rejects the
+      // legacy int64-nanos encoding outright
+      val df = if (t == "events") Tables.events(spark, sfDir)
+               else Tables.load(spark, sfDir, t)
       val (n, fp) = fingerprint(df)
       TableManifest(t, n, schemaSig(df), fp)
     }

@@ -24,8 +24,13 @@ object Tables {
     * reusing the resolved relation is safe, and repeated queries skip the
     * listing + schema-inference cost.
     */
-  private val relationCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  // keyed on the SESSION OBJECT via WeakHashMap — identityHashCode is
+  // not unique (a collision would hand one session a DataFrame resolved
+  // against another, possibly stopped, session) and a strong key would
+  // pin every retired session's resolved relations forever
+  private val relationCache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
   // ---- schema contract ------------------------------------------------
   // Checked once per loaded relation (round-8 lesson: a regenerated
@@ -109,9 +114,11 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     loadLock.synchronized {
-      relationCache.getOrElseUpdate((System.identityHashCode(spark).toString, s"$sfDir/$name.parquet"),
-        requireSchema(name, s"$sfDir/$name.parquet",
-          spark.read.parquet(s"$sfDir/$name.parquet")))
+      relationCache
+        .computeIfAbsent(spark, _ => scala.collection.concurrent.TrieMap.empty)
+        .getOrElseUpdate(s"$sfDir/$name.parquet",
+          requireSchema(name, s"$sfDir/$name.parquet",
+            spark.read.parquet(s"$sfDir/$name.parquet")))
     }
 
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
@@ -142,24 +149,33 @@ object Tables {
     *     mid-query analysis error.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // Surface isAdjustedToUTC=false micros as TimestampType AT THE SCAN
-    // (conf scoped to this load, restored after): a post-scan NTZ→LTZ
-    // cast would sit between the relation and every `ts` predicate,
-    // defeating parquet filter pushdown / row-group pruning — the one
-    // thing an append-heavy events table at scale lives on. Under the
-    // pinned UTC session the two readings are numerically identical.
-    // The flip is session-global while it lasts, so it takes the same
-    // loadLock as every other Tables load (see [[loadLock]] — the lock
-    // is reentrant, the nested load() below deadlock-free).
+    // (BOTH confs scoped to this load, restored after — the nanos flag
+    // previously leaked session-global and was set outside the lock,
+    // which both violated this comment's promise and let a concurrent
+    // load observe it): a post-scan NTZ→LTZ cast would sit between the
+    // relation and every `ts` predicate, defeating parquet filter
+    // pushdown / row-group pruning — the one thing an append-heavy
+    // events table at scale lives on. Under the pinned UTC session the
+    // two readings are numerically identical. The flips are
+    // session-global while they last, so they take the same loadLock as
+    // every other Tables load (see [[loadLock]] — the lock is
+    // reentrant, the nested load() below deadlock-free).
     val df = loadLock.synchronized {
       val ntzKey = "spark.sql.parquet.inferTimestampNTZ.enabled"
-      val prev = spark.conf.getOption(ntzKey)
+      val nanosKey = "spark.sql.legacy.parquet.nanosAsLong"
+      val prevNtz = spark.conf.getOption(ntzKey)
+      val prevNanos = spark.conf.getOption(nanosKey)
       spark.conf.set(ntzKey, "false")
+      spark.conf.set(nanosKey, "true")
       try load(spark, d, "events")
-      finally prev match {
-        case Some(v) => spark.conf.set(ntzKey, v)
-        case None => spark.conf.unset(ntzKey)
+      finally {
+        def restore(key: String, prev: Option[String]): Unit = prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+        restore(ntzKey, prevNtz)
+        restore(nanosKey, prevNanos)
       }
     }
     df.schema("ts").dataType match {

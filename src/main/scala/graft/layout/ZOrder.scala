@@ -46,8 +46,16 @@ object ZOrder {
     * Degenerate range (min == max) maps to 0.
     */
   def quantize16(c: Column, minC: Column, maxC: Column): Column =
+    // widen to double BEFORE subtracting: a native-integer (c − minC)
+    // wraps on long/int columns spanning more than the type's range
+    // (e.g. keys near both Long.MinValue and Long.MaxValue), silently
+    // aliasing distinct values into colliding Z-codes — and DuckDB
+    // raises an overflow error on the same arithmetic, diverging from
+    // the engine. 16-bit quantization tolerates double rounding above
+    // 2^53 by construction.
     when(maxC === minC, lit(0L))
-      .otherwise(floor((c - minC) * 65535.0 / (maxC - minC)).cast("long"))
+      .otherwise(floor((c.cast("double") - minC.cast("double")) * 65535.0
+        / (maxC.cast("double") - minC.cast("double"))).cast("long"))
 
   /** `df` plus its Z-order key in column `zCol`: one min/max aggregate
     * rides in as a broadcast 1-row cross join, the quantize + interleave

@@ -947,7 +947,7 @@ object SqlSurface {
     // fixture, so the fingerprint contract is certified off-ASCII.
     "io_manifest" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(h % 2147483647) % 2147483647 AS BIGINT) AS fingerprint
+        |  CAST(sum(h) % 2147483647 AS BIGINT) AS fingerprint
         |FROM (SELECT ${OracleFold.rollingHashSql(
                manifestReprSql(Seq("CAST(doc_id AS VARCHAR)", "lang", "text")))} AS h
         |      FROM (${OracleFold.mlDocsSql}) documents) t""".stripMargin,
@@ -1136,10 +1136,12 @@ object SqlSurface {
          q AS (
            SELECT l_orderkey, l_linenumber,
              CASE WHEN maxp = minp THEN 0 ELSE
-               CAST(floor((l_partkey - minp) * 65535.0 / (maxp - minp)) AS BIGINT)
+               CAST(floor((CAST(l_partkey AS DOUBLE) - CAST(minp AS DOUBLE)) * 65535.0
+                 / (CAST(maxp AS DOUBLE) - CAST(minp AS DOUBLE))) AS BIGINT)
              END AS qx,
              CASE WHEN maxs = mins THEN 0 ELSE
-               CAST(floor((l_suppkey - mins) * 65535.0 / (maxs - mins)) AS BIGINT)
+               CAST(floor((CAST(l_suppkey AS DOUBLE) - CAST(mins AS DOUBLE)) * 65535.0
+                 / (CAST(maxs AS DOUBLE) - CAST(mins AS DOUBLE))) AS BIGINT)
              END AS qy
            FROM lineitem, mm),
          s1 AS (SELECT l_orderkey, l_linenumber,
@@ -1166,13 +1168,16 @@ object SqlSurface {
          |q AS (
          |  SELECT l_orderkey, l_linenumber,
          |    CASE WHEN max0 = min0 THEN 0 ELSE
-         |      CAST(floor((l_partkey - min0) * 65535.0 / (max0 - min0)) AS BIGINT)
+         |      CAST(floor((CAST(l_partkey AS DOUBLE) - CAST(min0 AS DOUBLE)) * 65535.0
+         |        / (CAST(max0 AS DOUBLE) - CAST(min0 AS DOUBLE))) AS BIGINT)
          |    END AS q0,
          |    CASE WHEN max1 = min1 THEN 0 ELSE
-         |      CAST(floor((l_suppkey - min1) * 65535.0 / (max1 - min1)) AS BIGINT)
+         |      CAST(floor((CAST(l_suppkey AS DOUBLE) - CAST(min1 AS DOUBLE)) * 65535.0
+         |        / (CAST(max1 AS DOUBLE) - CAST(min1 AS DOUBLE))) AS BIGINT)
          |    END AS q1,
          |    CASE WHEN max2 = min2 THEN 0 ELSE
-         |      CAST(floor((l_quantity - min2) * 65535.0 / (max2 - min2)) AS BIGINT)
+         |      CAST(floor((CAST(l_quantity AS DOUBLE) - CAST(min2 AS DOUBLE)) * 65535.0
+         |        / (CAST(max2 AS DOUBLE) - CAST(min2 AS DOUBLE))) AS BIGINT)
          |    END AS q2
          |  FROM lineitem, mm)
          |SELECT l_orderkey, l_linenumber,

@@ -151,4 +151,26 @@ class ZOrderSpec extends AnyFunSuite {
     assert(zEmit < nEmit,
       s"z-ordered scan must emit fewer rows (row-group pruning): z=$zEmit natural=$nEmit")
   }
+
+  test("quantize16 survives full-range long columns (no native-int overflow)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // keys near both ends of the long range: a native-integer (c - min)
+    // wrapped negative here and produced codes far outside [0, 65535],
+    // silently destroying the layout's locality. The widened arithmetic
+    // must keep every quantized value in range and monotone.
+    val df = Seq(
+      Long.MinValue + 1L, -3000000000000000000L, -1L, 0L, 1L,
+      3000000000000000000L, Long.MaxValue - 1L)
+      .toDF("k").withColumn("j", lit(0L))
+    val z = graft.layout.ZOrder.withZCode(df, "k", "j", "z")
+      .select("k", "z").collect().sortBy(_.getLong(0))
+    val codes = z.map(_.getLong(1))
+    assert(codes.forall(c => c >= 0L && c <= 0x55555555L),
+      s"codes out of the 16-bit even-lane range: ${codes.mkString(",")}")
+    assert(codes.toSeq == codes.sorted.toSeq,
+      s"quantization must stay monotone over the key order: ${codes.mkString(",")}")
+    assert(codes.head == 0L && codes.last == 0x55555555L,
+      "the range endpoints must map to the quantization endpoints")
+  }
 }
