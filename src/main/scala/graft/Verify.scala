@@ -7,12 +7,21 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Opt-in cross-process certification (round-17): SPARK_GRAFT_MASTER
+    // can point at e.g. local-cluster[2,8,4096] — real executor JVMs, so
+    // task/broadcast/kernel serialization is actually exercised instead
+    // of riding single-JVM reference sharing. Executor JVMs need the
+    // graft classes on their classpath: pass the `sbt package` jar via
+    // SPARK_GRAFT_JARS (comma-separated). The driver never sets either,
+    // so the gate stays local[32].
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Optional comma-separated filter for single-query iteration (same

@@ -21,8 +21,13 @@ object BbcCorpus {
       // input_file_name() returns a URL-ENCODED URI: a category or file
       // name with a space/non-ASCII char would otherwise yield a
       // percent-escaped doc_name ("sport%20news.001") that silently
-      // misses every join against raw path-derived identities
-      .withColumn("path", url_decode(input_file_name()))
+      // misses every join against raw path-derived identities.
+      // url_decode applies FORM semantics ('+' → space), but
+      // input_file_name does not percent-encode '+', so a literal plus
+      // in a path must be re-escaped to %2B first or it decodes to a
+      // space — the same silent-join-miss class the decode fixes.
+      .withColumn("path",
+        url_decode(regexp_replace(input_file_name(), "\\+", "%2B")))
     val parts = split(col("path"), "/")
     val fileName = element_at(parts, -1)
     val category = element_at(parts, -2)

@@ -26,11 +26,25 @@ object Tables {
     */
   // keyed on the SESSION OBJECT via WeakHashMap — identityHashCode is
   // not unique (a collision would hand one session a DataFrame resolved
-  // against another, possibly stopped, session) and a strong key would
-  // pin every retired session's resolved relations forever
+  // against another, possibly stopped, session). NOTE the weak key does
+  // NOT buy automatic eviction: every cached DataFrame strongly
+  // references its SparkSession, and the map holds values strongly, so
+  // the key stays reachable (the WeakHashMap javadoc's
+  // value-references-key caveat — same honest contract as
+  // PipelineOps.sharedMemo). Fine for the one-session-per-JVM processes
+  // this engine runs in; a long-lived multi-session service must call
+  // [[releaseCache]] when it stops a session
+  // (PipelineOps.releaseMemo does so on the caller's behalf).
   private val relationCache = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
       scala.collection.concurrent.TrieMap[String, DataFrame]]())
+
+  /** Drop every resolved relation bound to `s` — the explicit eviction
+    * hook a multi-session service calls before stopping a session (the
+    * weak key alone cannot clear the entry; see the cache note).
+    */
+  def releaseCache(s: SparkSession): Unit =
+    relationCache.remove(s): Unit
 
   // ---- schema contract ------------------------------------------------
   // Checked once per loaded relation (round-8 lesson: a regenerated

@@ -73,6 +73,10 @@ object PipelineOps {
       try graft.util.Pins.release(df) catch { case _: Throwable => }
     })
     ivfMemo.remove(s): Unit
+    // the resolved-relation cache has the same value-references-key
+    // lifetime as sharedMemo — evict it here so one release hook frees
+    // everything a retired session pinned
+    graft.io.Tables.releaseCache(s)
     // the tokenizer-model memos hold pinned localCheckpoint tables
     // (BpeModel.vocabSyms, UnigramModel.segs) — without this hook,
     // Bench's releaseArtifacts() could not give the tp_*_train* rows a

@@ -591,7 +591,11 @@ object Similarity {
 
   /** The corpus-sized-probe twin of [[probeCells]] — same output
     * contract, same selection, bounded-heap plan shape (see the
-    * two-forms note there).
+    * two-forms note there). Selection parity is exact for FINITE
+    * centroid distances; NaN distances are mapped to +Inf below so
+    * neither form can select a non-finite cell over a finite one (the
+    * only residual divergence is the NaN-vs-+Inf mutual tie-break,
+    * unreachable with finite inputs).
     *
     * `qRaw` is referenced TWICE (the skinny explode side and the
     * join-back of the wide columns), so a non-deterministic query plan
@@ -612,6 +616,16 @@ object Similarity {
       .select(col("query_id"), col("cc.cell").as("cell"),
         (col("qnorm") * col("cc.halfnormsq")
           - dot(col("qvec"), col("cc.centroid"))).as("cdist"))
+      // NaN guard: probeCells' ASC window sorts a NaN cdist LAST (never
+      // selected while finite cells exist), but TopKBy's total order on
+      // -cdist would sort the same NaN FIRST — a NaN-bearing query
+      // vector would select opposite cells between the two probe forms.
+      // Mapping NaN → +Inf restores "never selected over a finite cell"
+      // here too (the residual divergence — a genuine +Inf cdist ties
+      // with a mapped NaN instead of ranking above it — cannot promote
+      // a non-finite cell over a finite one).
+      .withColumn("cdist", when(isnan(col("cdist")),
+        lit(Double.PositiveInfinity)).otherwise(col("cdist")))
       .groupBy("query_id")
       .agg(graft.functions.TopKBy.topKBy(-col("cdist"), col("cell"),
         col("cell"), nprobe).as("top"))

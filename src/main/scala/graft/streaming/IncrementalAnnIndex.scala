@@ -267,7 +267,10 @@ object IncrementalAnnIndex {
         val n = meta.getAs[Int]("nlist")
         val built = math.max(1L, meta.getAs[Long]("built_rows"))
         val live = spark.read.parquet(s"$indexDir/cells").count()
-        Some(math.min(live,
+        // clamp BEFORE .toInt: live is a row count bounded only by the
+        // index size, and past 2^31 vectors the unclamped narrowing
+        // wraps negative and crashes the refit it was sizing
+        Some(math.min(math.min(live, Int.MaxValue.toLong),
           math.max(n + 1L, math.ceil(n.toDouble * live / built).toLong)).toInt)
       }
       Similarity.refitIvfIndex(spark, indexDir, nlist = grown, seed = seed)
