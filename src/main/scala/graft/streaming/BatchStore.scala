@@ -1,0 +1,124 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The shared `batch=<id>`-per-microbatch store protocol — ONE
+  * implementation of the contract every incremental store in this
+  * package hand-rolled before round 17 ([[IncrementalDedup]],
+  * [[IncrementalCdcDedup]], [[IncrementalEmbedDedup]],
+  * [[IncrementalManifest]], [[IncrementalCardinality]],
+  * [[IncrementalHeavyHitters]], [[IncrementalTokenizerDrift]],
+  * [[StreamingDecontaminate]]):
+  *
+  *  - '''idempotent batch subdirs''' ([[writeBatch]]): one
+  *    `batch=<id>` subdirectory per microbatch, written with
+  *    `overwrite` mode, so a batch replayed after a crash overwrites
+  *    its own previous (possibly partial) output instead of
+  *    duplicating it;
+  *  - '''strictly-earlier lookups''' ([[listPriorBatches]]): a store
+  *    read during batch N sees only batches < N — a replay can never
+  *    join against its own half-written output;
+  *  - '''graceful torn/empty reads''' ([[readAll]]): a store that
+  *    doesn't exist yet, or whose first batch crashed before any
+  *    parquet footer committed, serves `None` (callers substitute
+  *    their empty frame) instead of throwing schema-inference errors
+  *    mid-incident;
+  *  - '''crash-recoverable compaction''' ([[compact]]): fold every
+  *    batch dir into `batch=0` (sorts below every live microbatch id,
+  *    so the strictly-earlier rule keeps holding) under
+  *    [[CompactionSwap.swap]]'s marked three-step dance, with dangling
+  *    `.old` recovery at every entry point ([[recoverAtStart]],
+  *    [[listPriorBatches]], [[readAll]], [[compact]]).
+  *
+  * The recovery ordering and batch-dir filter live here once — they
+  * cannot drift between stores. The contract itself is pinned by the
+  * parameterized `BatchStoreContractSpec` (one spec, run against every
+  * store) and exhaustively crash-fuzzed by `CrashFuzzSpec`.
+  */
+private[graft] object BatchStore {
+
+  /** Write one idempotent batch subdir: `storeDir/batch=<id>`,
+    * overwrite mode (the crash-replay contract). `partitionCols`
+    * layers hive partitioning INSIDE the batch dir (the embed store's
+    * bucket pruning); `coalesceTo` bounds file count for stores whose
+    * batch output is a handful of rows (manifest, cardinality).
+    */
+  def writeBatch(df: DataFrame, storeDir: String, batchId: Long,
+                 partitionCols: Seq[String] = Nil,
+                 coalesceTo: Option[Int] = None): Unit = {
+    val out = coalesceTo.fold(df)(df.coalesce)
+    val w = out.write.mode("overwrite")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(s"$storeDir/batch=$batchId")
+  }
+
+  /** Recover any compaction stranded between its renames for each dir —
+    * called where a writer (re)starts, BEFORE the stream recreates the
+    * store dir (or every pre-crash row would be invisible to the
+    * restarted stream until the next read-side recovery).
+    */
+  def recoverAtStart(spark: SparkSession, dirs: String*): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    dirs.foreach { d =>
+      CompactionSwap.recoverDanglingOld(CompactionSwap.fsFor(d, conf), d)
+    }
+  }
+
+  /** The whole store as one frame (every batch subdir; `batch` surfaces
+    * as a partition column), or `None` when the store doesn't exist or
+    * holds no committed parquet footer yet — the graceful torn/empty
+    * read every serving path owes its callers (serving must not throw
+    * exactly during the incident it exists to observe). Recovers a
+    * dangling `.old` first: a stranded compaction would otherwise hide
+    * the entire history from this read.
+    */
+  def readAll(spark: SparkSession, storeDir: String): Option[DataFrame] = {
+    val fs = CompactionSwap.fsFor(storeDir,
+      spark.sparkContext.hadoopConfiguration)
+    CompactionSwap.recoverDanglingOld(fs, storeDir)
+    if (!fs.exists(new Path(storeDir))) None
+    else
+      try Some(spark.read.parquet(storeDir))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+  }
+
+  /** `batch=<id>` subdirs of `storeDir` with id strictly below `batchId`
+    * (replay safety: a replayed batch never joins against its own
+    * half-written output). Recovers any dangling `.old` first — a
+    * stranded compaction would otherwise hide the entire history.
+    */
+  def listPriorBatches(spark: SparkSession, storeDir: String,
+                       batchId: Long): Seq[String] = {
+    val fs = CompactionSwap.fsFor(storeDir,
+      spark.sparkContext.hadoopConfiguration)
+    CompactionSwap.recoverDanglingOld(fs, storeDir)
+    val root = new Path(storeDir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith("batch=") &&
+          scala.util.Try(p.getName.stripPrefix("batch=").toLong)
+            .toOption.exists(_ < batchId)
+      }
+      .map(_.toString)
+  }
+
+  /** Compact every batch dir into `batch=0` under a crash-recoverable
+    * swap. `rewrite(batches, tmpBatch0Dir)` does the store-specific
+    * merge write. Single-writer contract: stop the stream first.
+    */
+  def compact(spark: SparkSession, storeDir: String)
+             (rewrite: (Seq[String], String) => Unit): Unit = {
+    val fs = CompactionSwap.fsFor(storeDir,
+      spark.sparkContext.hadoopConfiguration)
+    CompactionSwap.recoverDanglingOld(fs, storeDir)
+    val batches = listPriorBatches(spark, storeDir, Long.MaxValue)
+    if (batches.isEmpty) return
+    CompactionSwap.swap(fs, storeDir) { tmp =>
+      rewrite(batches, s"$tmp/batch=0")
+    }: Unit
+  }
+}

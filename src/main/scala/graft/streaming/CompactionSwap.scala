@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
 
 /** Crash-recoverable directory swap shared by the two log compactors
   * ([[EventsStream.compactUpsertLog]], [[IncrementalDedup.compactStore]]).
@@ -132,53 +131,7 @@ private[graft] object CompactionSwap {
   }
 }
 
-/** The shared `batch=<id>`-per-microbatch store protocol used by both
-  * incremental dedup stores ([[IncrementalDedup]] signatures,
-  * [[IncrementalEmbedDedup]] vectors): idempotent batch subdirs, a
-  * strictly-earlier lookup rule for crash-replay safety, and compaction
-  * into a single `batch=0` (which sorts below every live microbatch id)
-  * via the crash-recoverable [[CompactionSwap.swap]]. One implementation
-  * — the recovery ordering and the batch-dir filter can't drift between
-  * the two stores.
-  */
-private[streaming] object BatchStore {
-
-  /** `batch=<id>` subdirs of `storeDir` with id strictly below `batchId`
-    * (replay safety: a replayed batch never joins against its own
-    * half-written output). Recovers any dangling `.old` first — a
-    * stranded compaction would otherwise hide the entire history.
-    */
-  def listPriorBatches(spark: SparkSession, storeDir: String,
-                       batchId: Long): Seq[String] = {
-    val fs = CompactionSwap.fsFor(storeDir,
-      spark.sparkContext.hadoopConfiguration)
-    CompactionSwap.recoverDanglingOld(fs, storeDir)
-    val root = new Path(storeDir)
-    if (!fs.exists(root)) Seq.empty
-    else fs.listStatus(root).toSeq
-      .filter(_.isDirectory)
-      .map(_.getPath)
-      .filter { p =>
-        p.getName.startsWith("batch=") &&
-          scala.util.Try(p.getName.stripPrefix("batch=").toLong)
-            .toOption.exists(_ < batchId)
-      }
-      .map(_.toString)
-  }
-
-  /** Compact every batch dir into `batch=0` under a crash-recoverable
-    * swap. `rewrite(batches, tmpBatch0Dir)` does the store-specific
-    * merge write. Single-writer contract: stop the stream first.
-    */
-  def compact(spark: SparkSession, storeDir: String)
-             (rewrite: (Seq[String], String) => Unit): Unit = {
-    val fs = CompactionSwap.fsFor(storeDir,
-      spark.sparkContext.hadoopConfiguration)
-    CompactionSwap.recoverDanglingOld(fs, storeDir)
-    val batches = listPriorBatches(spark, storeDir, Long.MaxValue)
-    if (batches.isEmpty) return
-    CompactionSwap.swap(fs, storeDir) { tmp =>
-      rewrite(batches, s"$tmp/batch=0")
-    }: Unit
-  }
-}
+// The shared `batch=<id>` store protocol lives in [[BatchStore]]
+// (its own file since round 17 — one implementation of idempotent
+// batch subdirs, strictly-earlier lookups, graceful torn reads, and
+// marked-swap compaction for every incremental store in this package).

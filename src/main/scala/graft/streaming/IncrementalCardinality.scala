@@ -30,8 +30,7 @@ object IncrementalCardinality {
   def run(events: DataFrame, keyCol: String, tsCol: String,
           storeDir: String, checkpointDir: String,
           lgConfigK: Int = 14): StreamingQuery = {
-    val conf = events.sparkSession.sparkContext.hadoopConfiguration
-    CompactionSwap.recoverDanglingOld(CompactionSwap.fsFor(storeDir, conf), storeDir)
+    BatchStore.recoverAtStart(events.sparkSession, storeDir)
     events.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, keyCol, tsCol, storeDir, lgConfigK)
@@ -46,23 +45,19 @@ object IncrementalCardinality {
     */
   def processBatch(batch: Dataset[Row], batchId: Long, keyCol: String,
                    tsCol: String, storeDir: String, lgConfigK: Int): Unit =
-    batch.toDF()
-      .groupBy(date_trunc("day", col(tsCol)).as("day_ts"))
-      .agg(hll_sketch_agg(col(keyCol), lit(lgConfigK)).as("sk"))
-      .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+    BatchStore.writeBatch(
+      batch.toDF()
+        .groupBy(date_trunc("day", col(tsCol)).as("day_ts"))
+        .agg(hll_sketch_agg(col(keyCol), lit(lgConfigK)).as("sk")),
+      storeDir, batchId)
 
   // graceful-empty serving (the readTopK contract the other stores
   // follow): a store that doesn't exist yet, or whose first batch
   // crashed before any parquet footer committed, serves zeros/empties
-  // instead of throwing mid-incident
-  private def store(spark: SparkSession, storeDir: String): Option[DataFrame] = {
-    val fs = CompactionSwap.fsFor(storeDir,
-      spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(storeDir))) None
-    else
-      try Some(spark.read.parquet(storeDir))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
-  }
+  // instead of throwing mid-incident — the shared [[BatchStore.readAll]]
+  // contract (which also recovers a stranded compaction first)
+  private def store(spark: SparkSession, storeDir: String): Option[DataFrame] =
+    BatchStore.readAll(spark, storeDir)
 
   /** Distinct-key estimate per day, merging every batch's sketches. */
   def readDailyEstimates(spark: SparkSession, storeDir: String): DataFrame =

@@ -56,10 +56,9 @@ object IncrementalCdcDedup {
   def run(docs: DataFrame, idCol: String, textCol: String,
           storeDir: String, cleanDir: String, checkpointDir: String,
           k: Int = 4, divisor: Long = 16L): StreamingQuery = {
-    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
     // recover a compaction that crashed between its renames (history
     // stranded under `.old`) BEFORE the stream recreates the store dir
-    CompactionSwap.recoverDanglingOld(CompactionSwap.fsFor(storeDir, conf), storeDir)
+    BatchStore.recoverAtStart(docs.sparkSession, storeDir)
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, storeDir, cleanDir,
@@ -126,19 +125,21 @@ object IncrementalCdcDedup {
     val stats = excised.groupBy(idCol)
       .agg(count(lit(1)).as("n_cut_chunks"),
         sum("n_tokens").as("n_cut_tokens"))
-    Dedup.cutSpans(b, excised.drop("n_tokens"), idCol, textCol)
-      .join(stats, Seq(idCol), "left")
-      .select(col(idCol), col("clean_text"),
-        coalesce(col("n_cut_chunks"), lit(0L)).as("n_cut_chunks"),
-        coalesce(col("n_cut_tokens"), lit(0L)).as("n_cut_tokens"))
-      .write.mode("overwrite").parquet(s"$cleanDir/batch=$batchId")
+    BatchStore.writeBatch(
+      Dedup.cutSpans(b, excised.drop("n_tokens"), idCol, textCol)
+        .join(stats, Seq(idCol), "left")
+        .select(col(idCol), col("clean_text"),
+          coalesce(col("n_cut_chunks"), lit(0L)).as("n_cut_chunks"),
+          coalesce(col("n_cut_tokens"), lit(0L)).as("n_cut_tokens")),
+      cleanDir, batchId)
 
     // the batch's new canonical keys: first batch occurrence, not in
     // history — the store stays one skinny row per distinct chunk ever
-    ranked.filter(col("__rn") === 1)
-      .join(hitKeys, Seq("chunk_hash", "n_tokens"), "left_anti")
-      .select("chunk_hash", "n_tokens")
-      .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+    BatchStore.writeBatch(
+      ranked.filter(col("__rn") === 1)
+        .join(hitKeys, Seq("chunk_hash", "n_tokens"), "left_anti")
+        .select("chunk_hash", "n_tokens"),
+      storeDir, batchId)
 
     graft.util.Pins.release(ranked)
     graft.util.Pins.release(hitKeys)

@@ -50,8 +50,7 @@ object IncrementalDedup {
     // a compaction that crashed between its renames leaves history only
     // under `.old`; recover it BEFORE the stream recreates the store dir,
     // or every historical duplicate is invisible to the restarted stream
-    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
-    CompactionSwap.recoverDanglingOld(CompactionSwap.fsFor(storeDir, conf), storeDir)
+    BatchStore.recoverAtStart(docs.sparkSession, storeDir)
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol,
@@ -107,14 +106,15 @@ object IncrementalDedup {
     // duplicates must be materialized before the kept anti-join below —
     // both consume the same band-join plans
     val dupsOut = dups.localCheckpoint(true)
-    dupsOut.write.mode("overwrite").parquet(s"$dupDir/batch=$batchId")
-    sigs.write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+    BatchStore.writeBatch(dupsOut, dupDir, batchId)
+    BatchStore.writeBatch(sigs, storeDir, batchId)
 
     keptDir.foreach { kd =>
       val b = batch.toDF()
       val dupIds = dupsOut.select(col("new_id"))
-      b.join(dupIds, b(idCol) === dupIds("new_id"), "left_anti")
-        .write.mode("overwrite").parquet(s"$kd/batch=$batchId")
+      BatchStore.writeBatch(
+        b.join(dupIds, b(idCol) === dupIds("new_id"), "left_anti"),
+        kd, batchId)
     }
 
     // checkpointed microbatch state is consumed by now — without the

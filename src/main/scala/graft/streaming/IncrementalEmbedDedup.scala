@@ -44,8 +44,7 @@ object IncrementalEmbedDedup {
           storeDir: String, dupDir: String, checkpointDir: String,
           threshold: Double = 0.9, numPlanes: Int = 8, dim: Int = 64,
           seed: Long = 42L, keptDir: Option[String] = None): StreamingQuery = {
-    val conf = vecs.sparkSession.sparkContext.hadoopConfiguration
-    CompactionSwap.recoverDanglingOld(CompactionSwap.fsFor(storeDir, conf), storeDir)
+    BatchStore.recoverAtStart(vecs.sparkSession, storeDir)
     vecs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, idCol, vecCol, storeDir, dupDir,
@@ -128,15 +127,16 @@ object IncrementalEmbedDedup {
       .distinct()
 
     val dupsOut = dups.localCheckpoint(true)
-    dupsOut.write.mode("overwrite").parquet(s"$dupDir/batch=$batchId")
-    bucketed.write.mode("overwrite").partitionBy("bucket")
-      .parquet(s"$storeDir/batch=$batchId")
+    BatchStore.writeBatch(dupsOut, dupDir, batchId)
+    BatchStore.writeBatch(bucketed, storeDir, batchId,
+      partitionCols = Seq("bucket"))
 
     keptDir.foreach { kd =>
       val b = batch.toDF()
       val dupIds = dupsOut.select(col("new_id"))
-      b.join(dupIds, b(idCol) === dupIds("new_id"), "left_anti")
-        .write.mode("overwrite").parquet(s"$kd/batch=$batchId")
+      BatchStore.writeBatch(
+        b.join(dupIds, b(idCol) === dupIds("new_id"), "left_anti"),
+        kd, batchId)
     }
 
     // checkpointed microbatch state is consumed by now — without the

@@ -30,10 +30,8 @@ object IncrementalHeavyHitters {
   def run(rows: DataFrame, keyCol: String, storeDir: String,
           checkpointDir: String, eps: Double = 1e-4, confidence: Double = 0.999,
           seed: Int = 42, k: Int = 20): StreamingQuery = {
-    val conf = rows.sparkSession.sparkContext.hadoopConfiguration
-    Seq(s"$storeDir/sketch", s"$storeDir/cand").foreach { d =>
-      CompactionSwap.recoverDanglingOld(CompactionSwap.fsFor(d, conf), d)
-    }
+    BatchStore.recoverAtStart(rows.sparkSession,
+      s"$storeDir/sketch", s"$storeDir/cand")
     rows.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, keyCol, storeDir, eps, confidence, seed, k)
@@ -56,15 +54,17 @@ object IncrementalHeavyHitters {
     val b = batch.toDF().select(col(keyCol).cast("string").as(keyCol))
       .localCheckpoint(true) // sketch AND candidates read it
     try {
-      b.agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed))
-          .as("sk"))
-        .write.mode("overwrite").parquet(s"$storeDir/sketch/batch=$batchId")
-      b.groupBy(col(keyCol).as("key"))
-        .agg(count(lit(1)).as("cnt"))
-        .orderBy(desc("cnt"), asc("key"))
-        .limit(k)
-        .select(col("key"))
-        .write.mode("overwrite").parquet(s"$storeDir/cand/batch=$batchId")
+      BatchStore.writeBatch(
+        b.agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed))
+          .as("sk")),
+        s"$storeDir/sketch", batchId)
+      BatchStore.writeBatch(
+        b.groupBy(col(keyCol).as("key"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(desc("cnt"), asc("key"))
+          .limit(k)
+          .select(col("key")),
+        s"$storeDir/cand", batchId)
     } finally graft.util.Pins.release(b)
   }
 
@@ -81,14 +81,13 @@ object IncrementalHeavyHitters {
     mergedSketch(spark, storeDir) match {
       case None => Seq.empty[(String, Long)].toDF("key", "est_count")
       case Some(merged) =>
-        val candDir = s"$storeDir/cand"
-        val cands =
-          if (!hasBatchData(spark, candDir)) Array.empty[String]
-          else spark.read.parquet(candDir)
-            .select(col("key").cast("string"))
-            .distinct()
-            .as[String]
-            .collect() // bounded: <= k per batch dir, one dir after compaction
+        val cands = BatchStore.readAll(spark, s"$storeDir/cand")
+          .fold(Array.empty[String]) {
+            _.select(col("key").cast("string"))
+              .distinct()
+              .as[String]
+              .collect() // bounded: <= k per batch dir, one dir after compaction
+          }
         val scored = cands
           .map(c => (c, merged.estimateCount(c)))
           .sortBy { case (key, est) => (-est, key) }
@@ -97,30 +96,21 @@ object IncrementalHeavyHitters {
     }
   }
 
-  /** Whether a store subdirectory exists and has at least one batch dir —
-    * the read paths must not throw before the first batch lands.
-    */
-  private def hasBatchData(spark: SparkSession, dir: String): Boolean = {
-    val fs = CompactionSwap.fsFor(dir, spark.sparkContext.hadoopConfiguration)
-    val p = new org.apache.hadoop.fs.Path(dir)
-    fs.exists(p) && fs.listStatus(p).exists(_.getPath.getName.startsWith("batch="))
-  }
-
   /** All per-batch sketches merged driver-side (counters add exactly;
     * equal shape/seed enforced by construction). None when the store has
-    * no sketch batches yet.
+    * no committed sketch batches yet — the shared graceful-read contract
+    * ([[BatchStore.readAll]], which also recovers a stranded compaction
+    * before reading).
     */
-  private def mergedSketch(spark: SparkSession, storeDir: String): Option[CountMinSketch] = {
-    val skDir = s"$storeDir/sketch"
-    if (!hasBatchData(spark, skDir)) return None
-    val rows = spark.read.parquet(skDir)
-      .select(col("sk")).collect() // bounded: one ~MB row per batch dir
-    if (rows.isEmpty) None
-    else {
-      val sketches = rows.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
-      Some(sketches.reduce { (a, b) => a.mergeInPlace(b); a })
+  private def mergedSketch(spark: SparkSession, storeDir: String): Option[CountMinSketch] =
+    BatchStore.readAll(spark, s"$storeDir/sketch").flatMap { df =>
+      val rows = df.select(col("sk")).collect() // bounded: one ~MB row per batch dir
+      if (rows.isEmpty) None
+      else {
+        val sketches = rows.map(r => CountMinSketch.readFrom(r.getAs[Array[Byte]](0)))
+        Some(sketches.reduce { (a, b) => a.mergeInPlace(b); a })
+      }
     }
-  }
 
   /** Fold both stores to one `batch=0` each: sketches merge exactly,
     * candidates union-distinct. Estimates and rankings are unchanged.

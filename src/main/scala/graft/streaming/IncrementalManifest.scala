@@ -35,8 +35,7 @@ object IncrementalManifest {
 
   def run(rows: DataFrame, storeDir: String,
           checkpointDir: String): StreamingQuery = {
-    val conf = rows.sparkSession.sparkContext.hadoopConfiguration
-    CompactionSwap.recoverDanglingOld(CompactionSwap.fsFor(storeDir, conf), storeDir)
+    BatchStore.recoverAtStart(rows.sparkSession, storeDir)
     rows.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, storeDir)
@@ -57,39 +56,30 @@ object IncrementalManifest {
     // the fold row)
     if (fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/_folded/$batchId")))
       return
-    batch.select(
-      count(lit(1)).as("n_rows"),
-      coalesce(Manifest.fingerprintCol(Manifest.reprCol(batch.toDF())), lit(0L))
-        .as("partial_fp"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+    BatchStore.writeBatch(
+      batch.select(
+        count(lit(1)).as("n_rows"),
+        coalesce(Manifest.fingerprintCol(Manifest.reprCol(batch.toDF())), lit(0L))
+          .as("partial_fp")),
+      storeDir, batchId, coalesceTo = Some(1))
   }
 
   /** The manifest of everything ingested so far: (n_rows, fingerprint) —
     * equal to [[Manifest.fingerprint]] of the concatenated batches.
     * An empty store reads as (0, 0).
     */
-  def read(spark: SparkSession, storeDir: String): (Long, Long) = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = CompactionSwap.fsFor(storeDir, conf)
-    // a compaction stranded between its two renames leaves history only
-    // under `.old` — recover first, or the manifest reads as empty
-    // until the next writer start (the listPriorBatches precedent)
-    CompactionSwap.recoverDanglingOld(fs, storeDir)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(storeDir))) return (0L, 0L)
-    // a first batch that crashed mid-write can leave the dir with no
-    // committed parquet footers at all — the documented (0, 0) case,
-    // not an UNABLE_TO_INFER_SCHEMA throw mid-incident
-    // (IncrementalTokenizerDrift.readStats' guard)
-    val raw =
-      try spark.read.parquet(storeDir)
-      catch { case _: org.apache.spark.sql.AnalysisException => return (0L, 0L) }
-    val row = raw
-      .agg(coalesce(sum("n_rows"), lit(0L)).as("n"),
-        coalesce(Manifest.foldFingerprints(col("partial_fp")), lit(0L)).as("fp"))
-      .head
-    (row.getLong(0), row.getLong(1))
-  }
+  def read(spark: SparkSession, storeDir: String): (Long, Long) =
+    // the shared graceful read: recovers a stranded compaction first (a
+    // dangling `.old` would otherwise hide history), and a store with no
+    // committed parquet footer — absent, or torn first batch — is the
+    // documented (0, 0) case, not an UNABLE_TO_INFER_SCHEMA throw
+    BatchStore.readAll(spark, storeDir).fold((0L, 0L)) { raw =>
+      val row = raw
+        .agg(coalesce(sum("n_rows"), lit(0L)).as("n"),
+          coalesce(Manifest.foldFingerprints(col("partial_fp")), lit(0L)).as("fp"))
+        .head
+      (row.getLong(0), row.getLong(1))
+    }
 
   /** Fold the accumulated batch rows into one — lossless (the modular
     * sum is associative), crash-recoverable via [[CompactionSwap]].

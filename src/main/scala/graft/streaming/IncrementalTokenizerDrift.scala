@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -66,8 +65,8 @@ object IncrementalTokenizerDrift {
     * cannot. Factored out of the stream for direct unit testing.
     */
   def processBatch(batch: Dataset[Row], batchId: Long, textCol: String,
-                   pieces: Seq[String], storeDir: String): Unit =
-    batch.toDF()
+                   pieces: Seq[String], storeDir: String): Unit = {
+    val stats = batch.toDF()
       .select(explode(regexp_extract_all(lower(col(textCol)),
         lit("[a-z]+"), lit(0))).as("word"))
       .select(WordPieceSplit.split(col("word"), pieces, mark = false).as("p"))
@@ -77,7 +76,8 @@ object IncrementalTokenizerDrift {
         coalesce(sum(when(col("unk"), 1L).otherwise(0L)), lit(0L)).as("n_unk_words"),
         coalesce(sum(when(col("unk"), 1L).otherwise(col("n").cast("long"))), lit(0L))
           .as("n_pieces"))
-      .write.mode("overwrite").parquet(s"$storeDir/batch=$batchId")
+    BatchStore.writeBatch(stats, storeDir, batchId)
+  }
 
   private def emptyStats(spark: SparkSession): DataFrame = {
     import spark.implicits._
@@ -94,13 +94,9 @@ object IncrementalTokenizerDrift {
     * carry rate 0.
     */
   def readStats(spark: SparkSession, storeDir: String): DataFrame = {
-    val fs = CompactionSwap.fsFor(storeDir, spark.sparkContext.hadoopConfiguration)
-    val empty = () => emptyStats(spark)
-      .withColumn("oov_rate", lit(0.0)).withColumn("fertility", lit(0.0))
-    if (!fs.exists(new Path(storeDir))) return empty()
-    val raw =
-      try spark.read.parquet(storeDir)
-      catch { case _: org.apache.spark.sql.AnalysisException => return empty() }
+    val raw = BatchStore.readAll(spark, storeDir).getOrElse(
+      return emptyStats(spark)
+        .withColumn("oov_rate", lit(0.0)).withColumn("fertility", lit(0.0)))
     raw
       .select(col("batch").cast("long"), col("n_words"), col("n_unk_words"),
         col("n_pieces"))

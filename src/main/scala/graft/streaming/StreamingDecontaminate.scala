@@ -51,12 +51,13 @@ object StreamingDecontaminate {
   def processBatch(batch: DataFrame, batchId: Long, benchShingles: DataFrame,
                    idCol: String, textCol: String, flaggedDir: String,
                    n: Int): Unit = {
-    Dedup.shingles(batch, idCol, textCol, n)
-      .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
-      .groupBy(idCol)
-      .agg(count(lit(1)).as("n_hits"))
-      .withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").parquet(s"$flaggedDir/batch=$batchId")
+    BatchStore.writeBatch(
+      Dedup.shingles(batch, idCol, textCol, n)
+        .join(broadcast(benchShingles), Seq("shingle"), "left_semi")
+        .groupBy(idCol)
+        .agg(count(lit(1)).as("n_hits"))
+        .withColumn("batch_id", lit(batchId)),
+      flaggedDir, batchId)
   }
 
   /** Read back every batch's flagged docs as one frame. */
