@@ -39,10 +39,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object BatchStore {
 
   /** Write one idempotent batch subdir: `storeDir/batch=<id>`,
-    * overwrite mode (the crash-replay contract). `partitionCols`
-    * layers hive partitioning INSIDE the batch dir (the embed store's
-    * bucket pruning); `coalesceTo` bounds file count for stores whose
-    * batch output is a handful of rows (manifest, cardinality).
+    * overwrite mode (the crash-replay contract), then commit it with a
+    * `_committed/<id>` marker. The marker is what makes COMPACTION
+    * crash-safe: [[compact]] folds only committed batch dirs into
+    * `batch=0` — a dir whose write crashed mid-flight (no marker) is
+    * carried verbatim so its replay can still overwrite it, never
+    * frozen half-written into the fold. `partitionCols` layers hive
+    * partitioning INSIDE the batch dir (the embed store's bucket
+    * pruning); `coalesceTo` bounds file count for stores whose batch
+    * output is a handful of rows (manifest, cardinality).
     */
   def writeBatch(df: DataFrame, storeDir: String, batchId: Long,
                  partitionCols: Seq[String] = Nil,
@@ -51,6 +56,26 @@ private[graft] object BatchStore {
     val w = out.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$storeDir/batch=$batchId")
+    val fs = CompactionSwap.fsFor(storeDir,
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$storeDir/_committed"))
+    fs.create(new Path(s"$storeDir/_committed/$batchId"), true).close()
+  }
+
+  /** Whether `batchId` was already folded into `batch=0` by a
+    * compaction. A store's `processBatch` must consult this (and skip,
+    * or skip the affected write) before re-writing a batch dir: after
+    * the fold, `batch=<id>` no longer exists, so a crash-replayed write
+    * would ADD the batch's contribution a second time — exactly
+    * doubling sum-semantics state (manifest fingerprints, CMS
+    * counters) and corrupting recompute-against-history stores (the
+    * replayed dedup batch would find its own folded signatures in the
+    * store). Underscore-prefixed, so parquet readers never see it.
+    */
+  def isFolded(spark: SparkSession, storeDir: String, batchId: Long): Boolean = {
+    val fs = CompactionSwap.fsFor(storeDir,
+      spark.sparkContext.hadoopConfiguration)
+    fs.exists(new Path(s"$storeDir/_folded/$batchId"))
   }
 
   /** Recover any compaction stranded between its renames for each dir —
@@ -106,9 +131,26 @@ private[graft] object BatchStore {
       .map(_.toString)
   }
 
-  /** Compact every batch dir into `batch=0` under a crash-recoverable
-    * swap. `rewrite(batches, tmpBatch0Dir)` does the store-specific
-    * merge write. Single-writer contract: stop the stream first.
+  /** Compact every COMMITTED batch dir into `batch=0` under a
+    * crash-recoverable swap; `rewrite(batches, tmpBatch0Dir)` does the
+    * store-specific merge write over exactly the batch dirs it is
+    * handed. Single-writer contract: stop the stream first.
+    *
+    * Fold bookkeeping (generalized from IncrementalManifest's ad-hoc
+    * markers in round 17):
+    *  - only batch dirs carrying a `_committed/<id>` marker are folded —
+    *    a dir whose write crashed mid-flight is copied VERBATIM into the
+    *    rewrite so its eventual replay still overwrites it (folding a
+    *    half-written batch would freeze the partial data and the
+    *    `_folded` skip would make it permanent);
+    *  - every folded id is recorded under `_folded/` in the swapped-in
+    *    store (prior markers carried forward), which [[isFolded]] serves;
+    *  - `batch=0` itself is marked committed (it is, by construction),
+    *    so a re-compaction folds it instead of treating it as torn.
+    *
+    * Compatibility: a store with batch dirs but NO `_committed` dir at
+    * all predates the marker protocol — all its batches are treated as
+    * committed (the pre-round-17 behavior).
     */
   def compact(spark: SparkSession, storeDir: String)
              (rewrite: (Seq[String], String) => Unit): Unit = {
@@ -117,8 +159,37 @@ private[graft] object BatchStore {
     CompactionSwap.recoverDanglingOld(fs, storeDir)
     val batches = listPriorBatches(spark, storeDir, Long.MaxValue)
     if (batches.isEmpty) return
+    def idOf(b: String): String = {
+      val name = new Path(b).getName
+      name.stripPrefix("batch=")
+    }
+    val legacy = !fs.exists(new Path(s"$storeDir/_committed"))
+    val (committed, torn) =
+      if (legacy) (batches, Seq.empty[String])
+      else batches.partition(b =>
+        fs.exists(new Path(s"$storeDir/_committed/${idOf(b)}")))
+    if (committed.isEmpty) return // nothing safely foldable
+    val priorFolded = {
+      val dir = new Path(s"$storeDir/_folded")
+      if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath.getName).toSeq
+      else Seq.empty
+    }
     CompactionSwap.swap(fs, storeDir) { tmp =>
-      rewrite(batches, s"$tmp/batch=0")
+      rewrite(committed, s"$tmp/batch=0")
+      // torn batch dirs ride along unchanged — COPY, not rename: the
+      // live store must stay intact until the swap's renames (a crash
+      // mid-rewrite must lose only the tmp dir)
+      torn.foreach { b =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, new Path(b), fs,
+          new Path(tmp, new Path(b).getName), false,
+          spark.sparkContext.hadoopConfiguration)
+      }
+      fs.mkdirs(new Path(s"$tmp/_folded"))
+      (priorFolded ++ committed.map(idOf)).distinct.foreach { id =>
+        fs.create(new Path(s"$tmp/_folded/$id"), true).close()
+      }
+      fs.mkdirs(new Path(s"$tmp/_committed"))
+      fs.create(new Path(s"$tmp/_committed/0"), true).close()
     }: Unit
   }
 }

@@ -98,6 +98,17 @@ private[graft] object CompactionSwap {
       if (!fs.exists(dst)) {
         if (!fs.rename(st.getPath, dst))
           throw new java.io.IOException(s"compaction recovery failed: ${st.getPath} -> $dst")
+      } else if (st.isDirectory && st.getPath.getName.startsWith("_")) {
+        // marker dirs (`_folded`/`_committed`): merge children one by
+        // one — keeping only the recreated target's copy would drop
+        // every pre-compaction marker, silently re-opening the
+        // double-count window the markers exist to close (and leaving
+        // the folded-back batches permanently unfoldable)
+        fs.listStatus(st.getPath).foreach { m =>
+          val mdst = new Path(dst, m.getPath.getName)
+          if (!fs.exists(mdst)) fs.rename(m.getPath, mdst): Unit
+        }
+        fs.delete(st.getPath, true)
       } else fs.delete(st.getPath, true) // replayed idempotent batch: target's copy wins
     }
     fs.delete(old, true): Unit

@@ -44,12 +44,19 @@ object IncrementalCardinality {
     * out of the stream for direct unit testing (and crash-replay tests).
     */
   def processBatch(batch: Dataset[Row], batchId: Long, keyCol: String,
-                   tsCol: String, storeDir: String, lgConfigK: Int): Unit =
+                   tsCol: String, storeDir: String, lgConfigK: Int): Unit = {
+    // folded-batch replay guard: HLL insertion is idempotent, but a
+    // replay after the fold would re-ADD the batch as a new dir next to
+    // batch=0 — harmless for estimates, yet the store's file set would
+    // diverge from the never-compacted twin (the contract every sibling
+    // store keeps)
+    if (BatchStore.isFolded(batch.sparkSession, storeDir, batchId)) return
     BatchStore.writeBatch(
       batch.toDF()
         .groupBy(date_trunc("day", col(tsCol)).as("day_ts"))
         .agg(hll_sketch_agg(col(keyCol), lit(lgConfigK)).as("sk")),
       storeDir, batchId)
+  }
 
   // graceful-empty serving (the readTopK contract the other stores
   // follow): a store that doesn't exist yet, or whose first batch

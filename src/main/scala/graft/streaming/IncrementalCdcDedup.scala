@@ -76,6 +76,12 @@ object IncrementalCdcDedup {
                    textCol: String, storeDir: String, cleanDir: String,
                    k: Int, divisor: Long): Unit = {
     val spark = batch.sparkSession
+    // folded-batch replay guard ([[IncrementalDedup.processBatch]]'s
+    // rationale): a replay after the fold would find its own canonical
+    // chunk keys in batch=0 and excise every chunk of its own docs. The
+    // clean sink is written before the store below, so the skip is
+    // lossless.
+    if (BatchStore.isFolded(spark, storeDir, batchId)) return
     val b = batch.toDF()
     // within-batch canonical pick: first occurrence in (id, chunk_start)
     // keeps, later occurrences of a repeating key cut — byte-for-byte

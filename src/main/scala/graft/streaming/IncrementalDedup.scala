@@ -69,6 +69,14 @@ object IncrementalDedup {
                    n: Int, bands: Int, rowsPerBand: Int,
                    keptDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    // a batch already FOLDED into batch=0 must not replay: its batch dir
+    // no longer exists, so re-running would both duplicate its
+    // signatures in the store and recompute its pairs against a history
+    // that now contains its own folded signatures (every batch doc would
+    // flag as a store dup of itself). All sink writes below land BEFORE
+    // the store write whose commit marker gates the fold, so a folded
+    // batch's dup/kept output is guaranteed already on disk.
+    if (BatchStore.isFolded(spark, storeDir, batchId)) return
     val sigs = Dedup
       .minhashSignatures(batch.toDF(), idCol, textCol, n, bands * rowsPerBand)
       .localCheckpoint(true) // feeds band rows AND the store append
@@ -107,8 +115,6 @@ object IncrementalDedup {
     // both consume the same band-join plans
     val dupsOut = dups.localCheckpoint(true)
     BatchStore.writeBatch(dupsOut, dupDir, batchId)
-    BatchStore.writeBatch(sigs, storeDir, batchId)
-
     keptDir.foreach { kd =>
       val b = batch.toDF()
       val dupIds = dupsOut.select(col("new_id"))
@@ -116,6 +122,10 @@ object IncrementalDedup {
         b.join(dupIds, b(idCol) === dupIds("new_id"), "left_anti"),
         kd, batchId)
     }
+    // the compacted store is written LAST: its commit marker is what
+    // licenses the fold (and so the replay skip above), and the skip is
+    // lossless only if every sink write already happened
+    BatchStore.writeBatch(sigs, storeDir, batchId)
 
     // checkpointed microbatch state is consumed by now — without the
     // release a long-running stream accumulates one pinned RDD pair

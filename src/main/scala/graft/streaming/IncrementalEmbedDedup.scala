@@ -61,6 +61,10 @@ object IncrementalEmbedDedup {
                    threshold: Double, numPlanes: Int, dim: Int, seed: Long,
                    keptDir: Option[String] = None): Unit = {
     val spark = batch.sparkSession
+    // folded-batch replay guard ([[IncrementalDedup.processBatch]]'s
+    // rationale): the store write below is last, so a folded batch's
+    // dup/kept output is already on disk and the skip is lossless
+    if (BatchStore.isFolded(spark, storeDir, batchId)) return
     val planes = Similarity.randomPlanes(numPlanes, dim, seed)
     // "b"-prefixed bucket: partition values must stay strings ("0101"
     // would type-infer as the integer 101 and collide with "101")
@@ -128,9 +132,6 @@ object IncrementalEmbedDedup {
 
     val dupsOut = dups.localCheckpoint(true)
     BatchStore.writeBatch(dupsOut, dupDir, batchId)
-    BatchStore.writeBatch(bucketed, storeDir, batchId,
-      partitionCols = Seq("bucket"))
-
     keptDir.foreach { kd =>
       val b = batch.toDF()
       val dupIds = dupsOut.select(col("new_id"))
@@ -138,6 +139,10 @@ object IncrementalEmbedDedup {
         b.join(dupIds, b(idCol) === dupIds("new_id"), "left_anti"),
         kd, batchId)
     }
+    // compacted store last — its commit marker licenses the fold, and
+    // the folded-replay skip is lossless only after every sink landed
+    BatchStore.writeBatch(bucketed, storeDir, batchId,
+      partitionCols = Seq("bucket"))
 
     // checkpointed microbatch state is consumed by now — without the
     // unpersist a long-running stream accumulates one pinned RDD pair

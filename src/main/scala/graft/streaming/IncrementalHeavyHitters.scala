@@ -54,17 +54,27 @@ object IncrementalHeavyHitters {
     val b = batch.toDF().select(col(keyCol).cast("string").as(keyCol))
       .localCheckpoint(true) // sketch AND candidates read it
     try {
-      BatchStore.writeBatch(
-        b.agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed))
-          .as("sk")),
-        s"$storeDir/sketch", batchId)
-      BatchStore.writeBatch(
-        b.groupBy(col(keyCol).as("key"))
-          .agg(count(lit(1)).as("cnt"))
-          .orderBy(desc("cnt"), asc("key"))
-          .limit(k)
-          .select(col("key")),
-        s"$storeDir/cand", batchId)
+      // per-substore fold guards, not one whole-batch skip: sketch and
+      // cand compact independently, and a crash between the two writes
+      // followed by a compaction can leave THIS batch folded in one
+      // substore but absent from the other — the guard lets the replay
+      // fill exactly the missing half without double-counting the
+      // folded half (CMS counters add; a re-written sketch dir next to
+      // the fold would count its keys twice)
+      val spark = batch.sparkSession
+      if (!BatchStore.isFolded(spark, s"$storeDir/sketch", batchId))
+        BatchStore.writeBatch(
+          b.agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed))
+            .as("sk")),
+          s"$storeDir/sketch", batchId)
+      if (!BatchStore.isFolded(spark, s"$storeDir/cand", batchId))
+        BatchStore.writeBatch(
+          b.groupBy(col(keyCol).as("key"))
+            .agg(count(lit(1)).as("cnt"))
+            .orderBy(desc("cnt"), asc("key"))
+            .limit(k)
+            .select(col("key")),
+          s"$storeDir/cand", batchId)
     } finally graft.util.Pins.release(b)
   }
 

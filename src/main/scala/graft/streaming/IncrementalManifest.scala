@@ -49,12 +49,10 @@ object IncrementalManifest {
     * idempotent row. Factored out for direct testing.
     */
   def processBatch(batch: Dataset[Row], batchId: Long, storeDir: String): Unit = {
-    val fs = CompactionSwap.fsFor(storeDir,
-      batch.sparkSession.sparkContext.hadoopConfiguration)
     // already folded into batch=0 by a compaction: a replay must not
     // re-add its contribution (and a batch-0 replay must not clobber
-    // the fold row)
-    if (fs.exists(new org.apache.hadoop.fs.Path(s"$storeDir/_folded/$batchId")))
+    // the fold row) — the shared guard every sibling store now carries
+    if (BatchStore.isFolded(batch.sparkSession, storeDir, batchId))
       return
     BatchStore.writeBatch(
       batch.select(
@@ -84,29 +82,18 @@ object IncrementalManifest {
   /** Fold the accumulated batch rows into one — lossless (the modular
     * sum is associative), crash-recoverable via [[CompactionSwap]].
     */
-  def compact(spark: SparkSession, storeDir: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = CompactionSwap.fsFor(storeDir, conf)
+  def compact(spark: SparkSession, storeDir: String): Unit =
+    // fold markers (prior-carry + folded-now) are BatchStore.compact's
+    // job since round 17 — this rewrite folds exactly the committed
+    // batch dirs it is handed (NOT read(storeDir): an uncommitted torn
+    // batch rides along verbatim and must not also enter the fold)
     BatchStore.compact(spark, storeDir) { (batches, tmpBatch0) =>
-      val tmp = tmpBatch0.stripSuffix("/batch=0")
-      val (n, fp) = read(spark, storeDir)
       import spark.implicits._
-      Seq((n, fp)).toDF("n_rows", "partial_fp")
+      val row = spark.read.parquet(batches: _*)
+        .agg(coalesce(sum("n_rows"), lit(0L)).as("n"),
+          coalesce(Manifest.foldFingerprints(col("partial_fp")), lit(0L)).as("fp"))
+        .head
+      Seq((row.getLong(0), row.getLong(1))).toDF("n_rows", "partial_fp")
         .coalesce(1).write.parquet(tmpBatch0)
-      // carry every previously folded id forward, and record the ids
-      // folded now — the markers are what keep a post-compaction
-      // replay from double-counting (underscore prefix: invisible to
-      // the parquet reader)
-      val priorMarkers = {
-        val dir = new org.apache.hadoop.fs.Path(s"$storeDir/_folded")
-        if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath.getName).toSeq
-        else Seq.empty
-      }
-      val foldedNow = batches.map(b => b.substring(b.lastIndexOf("batch=") + 6))
-      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/_folded"))
-      (priorMarkers ++ foldedNow).distinct.foreach { id =>
-        fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_folded/$id"), true).close()
-      }
     }
-  }
 }

@@ -103,7 +103,12 @@ class IncrementalEmbedDedupSpec extends AnyFunSuite {
     runOnce(in, store, dups, ckpt)
 
     IncrementalEmbedDedup.compactStore(spark, store.toString)
-    val sub = store.toFile.listFiles().filter(_.isDirectory).map(_.getName).toSet
+    // underscore-prefixed marker dirs (_folded/_committed — the round-17
+    // fold bookkeeping) are protocol metadata, invisible to parquet
+    // readers; the layout contract is about BATCH dirs
+    val sub = store.toFile.listFiles()
+      .filter(f => f.isDirectory && !f.getName.startsWith("_"))
+      .map(_.getName).toSet
     assert(sub == Set("batch=0"), s"compaction must leave one batch dir: $sub")
     assert(store.resolve("batch=0").toFile.listFiles()
       .exists(f => f.isDirectory && f.getName.startsWith("bucket=")),

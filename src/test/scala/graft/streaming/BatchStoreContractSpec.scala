@@ -1,0 +1,103 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path => JPath}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkTestSession
+import StoreHarness.{adapters, StoreAdapter}
+
+/** THE shared incremental-store contract, asserted once and run against
+  * every store in this package (round-17: previously each store pinned
+  * its own subset in its own spec, and round 16 had to patch torn-store
+  * reads store-by-store — the duplication was already costing).
+  *
+  * Contract items, per store:
+  *  1. '''replay idempotence''' — re-running a batch id (foreachBatch's
+  *     crash-replay semantics) leaves every observable state unchanged;
+  *  2. '''compaction invisibility''' — compacting preserves state, a
+  *     batch replayed AFTER its fold neither double-counts nor clobbers,
+  *     and post-compaction ingest converges to the never-compacted twin;
+  *  3. '''graceful empty/torn reads''' — serving from a store that does
+  *     not exist, or whose directory exists with no committed parquet
+  *     footer (first batch crashed mid-write), returns the documented
+  *     empty value instead of throwing;
+  *  4. '''dangling-`.old` recovery''' — a compaction swap crashed
+  *     between its renames (history only under `.old`) is invisible to
+  *     the next serving read.
+  *
+  * The adapters ([[StoreHarness]]) bind the contract to each store's
+  * real entry points over deterministic per-batch fixture data.
+  * Store-SPECIFIC semantics (dedup pair correctness, sketch estimates,
+  * drift verdicts) stay in the per-store specs; this spec pins only the
+  * shared protocol. [[CrashFuzzSpec]] completes the picture by
+  * exhausting crash points over the compaction path.
+  */
+class BatchStoreContractSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"graft-contract-$tag").toString
+
+  // ---- the contract ----------------------------------------------------
+
+  for (a <- adapters) {
+    test(s"${a.name}: a replayed batch id leaves every observable state unchanged") {
+      val root = freshRoot(a.name)
+      a.ingest(root, 0); a.ingest(root, 1)
+      val s = a.state(root)
+      a.ingest(root, 1) // crash replay: same id, same data
+      assert(a.state(root) == s)
+      a.ingest(root, 0) // an OLD id replayed after later batches landed
+      assert(a.state(root) == s)
+    }
+  }
+
+  for (a <- adapters if a.compact.isDefined) {
+    test(s"${a.name}: compaction preserves state; post-fold replay and ingest converge") {
+      val root = freshRoot(a.name)
+      (0 to 2).foreach(a.ingest(root, _))
+      val s = a.state(root)
+      a.compact.get(root)
+      assert(a.state(root) == s, "compaction must be invisible to serving")
+      a.ingest(root, 2) // replay of a batch already folded into batch=0
+      assert(a.state(root) == s, "a folded batch's replay must not double-count")
+      a.ingest(root, 3)
+      val twin = freshRoot(s"${a.name}-twin")
+      (0 to 3).foreach(a.ingest(twin, _))
+      assert(a.state(root) == a.state(twin),
+        "compacted + new ingest must equal the never-compacted twin")
+    }
+  }
+
+  for (a <- adapters; empty <- a.emptyState) {
+    test(s"${a.name}: serving an absent or torn (no-footer) store is graceful") {
+      val absent = freshRoot(s"${a.name}-absent")
+      val onAbsent = empty(s"$absent/nonexistent-sub")
+      // torn: the dir exists (mkdirs + a _temporary leftover, the real
+      // artifact of a first batch that died mid-write) but holds no
+      // committed parquet footer
+      val torn = freshRoot(s"${a.name}-torn")
+      Files.createDirectories(JPath.of(s"$torn/store/_temporary/0"))
+      val onTorn = empty(torn)
+      assert(onAbsent == onTorn, "absent and torn stores must serve the same empty value")
+    }
+  }
+
+  for (a <- adapters if a.swapDirs("x").nonEmpty) {
+    test(s"${a.name}: a swap stranded between renames (.old only) is invisible to the next read") {
+      val root = freshRoot(s"${a.name}-old")
+      a.ingest(root, 0); a.ingest(root, 1)
+      val s = a.state(root)
+      val fs = CompactionSwap.fsFor(root,
+        spark.sparkContext.hadoopConfiguration)
+      a.swapDirs(root).foreach { d =>
+        // simulate the crash window between the two renames of a swap:
+        // live data exists only under `.old`
+        assert(fs.rename(new Path(d), new Path(d + ".old")))
+      }
+      assert(a.state(root) == s,
+        "read-side recovery must roll the stranded .old back")
+    }
+  }
+}
