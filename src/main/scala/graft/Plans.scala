@@ -65,7 +65,10 @@ object Plans {
     "tp_pipeline_e2e" -> "composed prep chain: clean/decontaminate/tokenize stages CONTRACT to doc_id-keyed keep-sets (each a semi/anti join onto the corpus — the corpus is scanned once per stage family, never self-joined), pack is one per-shard prefix-sum window on the doc-sized token rollup — the composition adds joins, never a new shuffle shape",
     "mm_video_neardup128" -> "128-bit perceptual near-dup: the mm_audio_neardup posture at 4x32-bit band keys — identical band equi-join plan, but the wider key shrinks the random-collision candidate term by 2^16 (the scale knob past ~1e5 signatures); codec + majority vote stay in the bounded mapPartitions layer, the join moves only (id, band, 32-char key)",
     "io_manifest" -> "dataset manifest fingerprint: three codegen replace passes per column (the injective escaping) + rolling_hash into ONE partial/final aggregate pair folding a single decimal per partition — a pure scan at any scale, no shuffle beyond the 1-row final",
-    "dd_simhash128_pairs" -> "128-bit text SimHash near-dup pairs: the dd_simhash_pairs pigeonhole band equi-join at 4x32-bit band keys — fingerprint build stays two exchanges (bit positions are aggregate columns, never a row explosion), the wider key cuts the candidate join's random-collision term by 2^16 (the text-side scale knob past ~1e5 signatures)")
+    "dd_simhash128_pairs" -> "128-bit text SimHash near-dup pairs: the dd_simhash_pairs pigeonhole band equi-join at 4x32-bit band keys — fingerprint build stays two exchanges (bit positions are aggregate columns, never a row explosion), the wider key cuts the candidate join's random-collision term by 2^16 (the text-side scale knob past ~1e5 signatures)",
+    "dd_cdc_apply" -> "CDC chunk-dedup apply, the excision layer (dumped lazily — the declared query checkpoints it before cutSpans): chunk build (posexplode + two same-sort windows + rollup) flowing into ONE (chunk_hash, n_tokens) exchange that serves BOTH the repeat-count window and the canonical row_number pick — the chunk table is never joined against itself; downstream (not in this dump) the checkpointed excision feeds cutSpans' adaptive broadcast/shuffle anti join and a doc-keyed stats join, both excision-sized",
+    "tp_bpe_train_batched" -> "batched BPE trainer, the per-pass candidate plan (the declared query's result is a driver-side model table — this is the plan the loop runs twice per B merges): adjacent-pair explode is a pure map, pair counts partial-aggregate map-side into one (lhs, rhs) exchange, and the top-6B cut is TakeOrderedAndProject — only 6B rows ever reach the driver, no global sort, no window, no join at any corpus size",
+    "tp_wordpiece_train_batched" -> "batched WordPiece trainer, the per-pass scored-candidate plan (prod checkpoints symCounts; dumped lazily its build shows twice): the tp_bpe_train_batched aggregate shape plus the two vocabulary-sized symbol-count attachments as BROADCAST hash joins and the micro-score projection — top-want stays TakeOrderedAndProject, the corpus-sized pair stream never sorts globally or shuffle-joins")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
@@ -113,6 +116,29 @@ object Plans {
         val daily = graft.queries.Relational.dailyUserSketches(ev)
         (graft.queries.Relational.usersHllMergePlan(ev, daily),
           () => graft.util.Pins.release(daily))
+      },
+      "dd_cdc_apply" -> { () =>
+        val docs = graft.io.Tables.documents(spark, sfDir)
+        (graft.dedup.Dedup.cdcExcision(
+          graft.dedup.Dedup.cdcChunks(docs, "doc_id", "text"), "doc_id"),
+          () => ())
+      },
+      "tp_bpe_train_batched" -> { () =>
+        val docs = graft.io.Tables.documents(spark, sfDir)
+        (graft.text.Bpe.batchCandidates(
+          graft.text.Bpe.symsTable(docs, "text"), 18), () => ())
+      },
+      "tp_wordpiece_train_batched" -> { () =>
+        val docs = graft.io.Tables.documents(spark, sfDir)
+        val tbl = graft.text.Bpe.symsTable(docs, "text")
+        val symCounts = tbl
+          .select(org.apache.spark.sql.functions.explode(
+            org.apache.spark.sql.functions.col("syms")).as("sym"),
+            org.apache.spark.sql.functions.col("cnt"))
+          .groupBy("sym")
+          .agg(org.apache.spark.sql.functions.sum("cnt").as("c"))
+        (graft.text.WordPiece.batchScoredCandidates(tbl, symCounts, 3),
+          () => ())
       })
 
     headline.foreach { case (name, why) =>

@@ -353,17 +353,7 @@ object Dedup {
   def cdcDedupApplyFromChunks(docs: DataFrame, chunks: DataFrame,
                               idCol: String, textCol: String,
                               maxBroadcastRows: Long = DefaultBroadcastRows): DataFrame = {
-    val wCanon = Window.partitionBy("chunk_hash", "n_tokens")
-      .orderBy(col(idCol), col("chunk_start"))
-    // one pass over the chunk table: global occurrence count decides
-    // "repeated", row_number decides the canonical copy
-    val excised = chunks
-      .withColumn("__rn", row_number().over(wCanon))
-      .withColumn("__occ", count(lit(1)).over(
-        Window.partitionBy("chunk_hash", "n_tokens")))
-      .filter(col("__occ") >= 2 && col("__rn") >= 2)
-      .select(col(idCol), col("chunk_start").as("span_start"),
-        col("chunk_end").as("span_end"), col("n_tokens"))
+    val excised = cdcExcision(chunks, idCol)
       .localCheckpoint(true) // feeds cutSpans (count + join) and the stats agg
     val stats = excised.groupBy(idCol)
       .agg(count(lit(1)).as("n_cut_chunks"),
@@ -373,6 +363,28 @@ object Dedup {
       .select(col(idCol), col("clean_text"),
         coalesce(col("n_cut_chunks"), lit(0L)).as("n_cut_chunks"),
         coalesce(col("n_cut_tokens"), lit(0L)).as("n_cut_tokens"))
+  }
+
+  /** The excision set of [[cdcDedupApplyFromChunks]], LAZY (the caller
+    * checkpoints): ONE pass over the chunk table — a single
+    * `(chunk_hash, n_tokens)` exchange feeding the repeat count and the
+    * canonical row_number pick — with NO join of the chunk table
+    * against itself at any size. Exposed `private[graft]` so the plan
+    * pin (PlanSpec) and PLANS.md assert that shape structurally instead
+    * of by prose.
+    */
+  private[graft] def cdcExcision(chunks: DataFrame, idCol: String): DataFrame = {
+    val wCanon = Window.partitionBy("chunk_hash", "n_tokens")
+      .orderBy(col(idCol), col("chunk_start"))
+    // one pass over the chunk table: global occurrence count decides
+    // "repeated", row_number decides the canonical copy
+    chunks
+      .withColumn("__rn", row_number().over(wCanon))
+      .withColumn("__occ", count(lit(1)).over(
+        Window.partitionBy("chunk_hash", "n_tokens")))
+      .filter(col("__occ") >= 2 && col("__rn") >= 2)
+      .select(col(idCol), col("chunk_start").as("span_start"),
+        col("chunk_end").as("span_end"), col("n_tokens"))
   }
 
   /** [[cdcDedupApplyFromChunks]] with the chunk table built in place. */

@@ -192,28 +192,45 @@ object Bpe {
     * table converts back to the exploded (word, cnt, pos, sym) form the
     * model contract pins.
     */
+  /** The batched trainer's word table, LAZY (trainBatched checkpoints
+    * it): one `syms` array per distinct word. Shared with
+    * [[graft.text.WordPiece]]'s batched trainer and the plan pins.
+    */
+  private[graft] def symsTable(docs: DataFrame, textCol: String): DataFrame =
+    words(docs, textCol)
+      .select(col("word"), col("cnt"),
+        regexp_extract_all(col("word"), lit("."), lit(0)).as("syms"))
+
+  /** The batched trainer's per-pass candidate plan over the current
+    * loop table: adjacent-pair explode (pure map) → ONE partial/final
+    * aggregate on (lhs, rhs) → top-`limit` as TakeOrderedAndProject
+    * (never a global sort; `limit` rows cross to the driver, nothing
+    * else). This plan runs twice per batch of B merges — the 2-jobs-
+    * per-B contraction that makes 32k-rank vocabularies feasible — so
+    * its shape IS the trainer's scale posture; exposed `private[graft]`
+    * for the PlanSpec pin and PLANS.md.
+    */
+  private[graft] def batchCandidates(tbl: DataFrame, limit: Int): DataFrame =
+    tbl
+      .select(col("cnt"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (l, r) => struct(l.as("lhs"), r.as("rhs")))).as("pr"))
+      .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+      .agg(sum("cnt").as("pc"))
+      .orderBy(desc("pc"), asc("lhs"), asc("rhs"))
+      .limit(limit)
+
   private def trainBatched(docs: DataFrame, textCol: String, numMerges: Int,
                            batchSize: Int): BpeModel = {
     import graft.functions.MergeBatchApply
-    var tbl = words(docs, textCol)
-      .select(col("word"), col("cnt"),
-        regexp_extract_all(col("word"), lit("."), lit(0)).as("syms"))
-      .localCheckpoint(true)
+    var tbl = symsTable(docs, textCol).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 0
     var exhausted = false
     while (rank < numMerges && !exhausted) {
       val want = math.min(batchSize, numMerges - rank)
-      val cand = tbl
-        .select(col("cnt"), explode(zip_with(
-          slice(col("syms"), lit(1), size(col("syms")) - 1),
-          slice(col("syms"), lit(2), size(col("syms")) - 1),
-          (l, r) => struct(l.as("lhs"), r.as("rhs")))).as("pr"))
-        .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
-        .agg(sum("cnt").as("pc"))
-        .orderBy(desc("pc"), asc("lhs"), asc("rhs"))
-        .limit(math.max(want * 6, 8))
-        .collect()
+      val cand = batchCandidates(tbl, math.max(want * 6, 8)).collect()
       // the same greedy symbol-disjoint scan as bestPairs
       val used = scala.collection.mutable.HashSet.empty[String]
       val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]

@@ -164,13 +164,35 @@ object WordPiece {
     * ceil(numMerges / batchSize) by construction (a batch is under-full
     * only when the corpus runs out of pairs).
     */
+  /** The batched trainer's per-pass scored-candidate plan over the
+    * current loop table: adjacent-pair explode → ONE (lhs, rhs)
+    * partial/final aggregate → the two symbol-count attachments as
+    * BROADCAST hash joins (symCounts is vocabulary-sized) → micro-score
+    * projection → top-`limit` as TakeOrderedAndProject. Same 2-jobs-
+    * per-B posture as [[graft.text.Bpe.batchCandidates]], plus the
+    * score's broadcast joins; exposed `private[graft]` for the PlanSpec
+    * pin and PLANS.md.
+    */
+  private[graft] def batchScoredCandidates(tbl: DataFrame, symCounts: DataFrame,
+                                           limit: Int): DataFrame =
+    tbl
+      .select(col("cnt"), explode(zip_with(
+        slice(col("syms"), lit(1), size(col("syms")) - 1),
+        slice(col("syms"), lit(2), size(col("syms")) - 1),
+        (l, r) => struct(l.as("lhs"), r.as("rhs")))).as("pr"))
+      .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
+      .agg(sum("cnt").as("pc"))
+      .join(broadcast(symCounts.select(col("sym").as("lhs"), col("c").as("__ca"))), "lhs")
+      .join(broadcast(symCounts.select(col("sym").as("rhs"), col("c").as("__cb"))), "rhs")
+      .withColumn("score_micro", scoreMicro(col("pc"), col("__ca"), col("__cb")))
+      .select("lhs", "rhs", "pc", "score_micro")
+      .orderBy(desc("score_micro"), asc("lhs"), asc("rhs"))
+      .limit(limit)
+
   private def trainBatched(docs: DataFrame, textCol: String, numMerges: Int,
                            batchSize: Int): WpModel = {
     import graft.functions.MergeBatchApply
-    var tbl = Bpe.words(docs, textCol)
-      .select(col("word"), col("cnt"),
-        regexp_extract_all(col("word"), lit("."), lit(0)).as("syms"))
-      .localCheckpoint(true)
+    var tbl = Bpe.symsTable(docs, textCol).localCheckpoint(true)
     val alphabet = tbl.select(explode(col("syms")).as("sym")).distinct()
       .orderBy("sym").collect().map(_.getString(0)).toSeq
     val merges = scala.collection.mutable.ArrayBuffer.empty[WpMerge]
@@ -182,20 +204,8 @@ object WordPiece {
       val symCounts = tbl.select(explode(col("syms")).as("sym"), col("cnt"))
         .groupBy("sym").agg(sum("cnt").as("c")).localCheckpoint(true)
       val batch =
-        try tbl
-          .select(col("cnt"), explode(zip_with(
-            slice(col("syms"), lit(1), size(col("syms")) - 1),
-            slice(col("syms"), lit(2), size(col("syms")) - 1),
-            (l, r) => struct(l.as("lhs"), r.as("rhs")))).as("pr"))
-          .groupBy(col("pr.lhs").as("lhs"), col("pr.rhs").as("rhs"))
-          .agg(sum("cnt").as("pc"))
-          .join(broadcast(symCounts.select(col("sym").as("lhs"), col("c").as("__ca"))), "lhs")
-          .join(broadcast(symCounts.select(col("sym").as("rhs"), col("c").as("__cb"))), "rhs")
-          .withColumn("score_micro", scoreMicro(col("pc"), col("__ca"), col("__cb")))
-          .select("lhs", "rhs", "pc", "score_micro")
-          .orderBy(desc("score_micro"), asc("lhs"), asc("rhs"))
-          .limit(math.min(batchSize, numMerges - rank))
-          .collect()
+        try batchScoredCandidates(tbl, symCounts,
+          math.min(batchSize, numMerges - rank)).collect()
         finally graft.util.Pins.release(symCounts)
       if (batch.isEmpty) exhausted = true
       else {

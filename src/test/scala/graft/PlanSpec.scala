@@ -409,4 +409,71 @@ class PlanSpec extends AnyFunSuite {
     assert(!iterPart.contains("UDF("),
       s"serialization-boxed UDF survived in the Lloyd iteration:\n$asgPlan")
   }
+
+  test("CDC dedup excision: one chunk-table exchange, two windows, ZERO joins (no self-join)") {
+    // feed the excision a leaf chunk table so the assertion scopes to
+    // the excision layer itself, not cdcChunks' own build
+    import spark.implicits._
+    val chunks = Seq((1L, 0L, 4L, 11L, 4L), (2L, 0L, 4L, 11L, 4L))
+      .toDF("doc_id", "chunk_start", "chunk_end", "chunk_hash", "n_tokens")
+    // executedPlan, not sparkPlan: exchanges are only inserted by
+    // EnsureRequirements
+    val s = graft.dedup.Dedup.cdcExcision(chunks, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(chunk_hash".r.findAllIn(s).size == 1,
+      s"excision must shuffle the chunk table exactly once, on the chunk identity:\n$s")
+    assert("Exchange".r.findAllIn(s).size == 1,
+      s"no second exchange belongs in the excision:\n$s")
+    assert("Window ".r.findAllIn(s).size == 2, // repeat count + canonical pick
+      s"expected the count window and the canonical-pick window:\n$s")
+    assert(!s.contains("Join"),
+      s"the chunk table must never join against itself:\n$s")
+  }
+
+  test("CDC dedup apply (declared): key joins only — no cartesian, no nested loop") {
+    val p = plan("dd_cdc_apply")
+    assert(!p.contains("CartesianProduct"), s"cross join in dd_cdc_apply:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop join in dd_cdc_apply:\n$p")
+  }
+
+  test("batched BPE candidate pass: partial/final aggregate + TakeOrderedAndProject, no window, no join") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir).limit(50)
+    val p = graft.text.Bpe
+      .batchCandidates(graft.text.Bpe.symsTable(docs, "text"), 18)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-candidates must be a partial top-k, not a global sort:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"pair counts must partial-aggregate map-side:\n$p")
+    assert(!p.contains("Window "), s"no window belongs in the batched pass:\n$p")
+    assert(!p.contains("Join"), s"no join belongs in the candidate pass:\n$p")
+  }
+
+  test("batched WordPiece candidate pass: broadcast symbol-count attach + TakeOrderedAndProject, no shuffle join") {
+    val docs = Tables.documents(spark, SparkTestSession.sfDir).limit(50)
+    val tbl = graft.text.Bpe.symsTable(docs, "text")
+    val symCounts = tbl
+      .select(explode(col("syms")).as("sym"), col("cnt"))
+      .groupBy("sym").agg(sum("cnt").as("c"))
+    val p = graft.text.WordPiece.batchScoredCandidates(tbl, symCounts, 3)
+      .queryExecution.sparkPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-candidates must be a partial top-k, not a global sort:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 2,
+      s"both symbol-count attachments must broadcast (vocab-sized side):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"a corpus-shuffling join sneaked into the scored pass:\n$p")
+    assert(!p.contains("Window "), s"no window belongs in the batched pass:\n$p")
+  }
+
+  test("batched merge application is a pure map (no exchange)") {
+    import spark.implicits._
+    val tbl = Seq(("ab", 1L, Seq("a", "b"))).toDF("word", "cnt", "syms")
+    val p = tbl.withColumn("syms",
+        graft.functions.MergeBatchApply(col("syms"), Seq(("a", "b"))))
+      .queryExecution.sparkPlan.toString
+    assert(!p.contains("Exchange"),
+      s"applying a merge batch must not move a single row:\n$p")
+  }
 }
