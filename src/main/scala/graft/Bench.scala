@@ -96,6 +96,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // bounded-heap typed aggregates must stay HASH-aggregated: the
+      // 128-key default silently degrades them to an external sort of
+      // the pre-contraction candidate stream (see GraftSession)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "100000")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
     val spark = builder.getOrCreate()

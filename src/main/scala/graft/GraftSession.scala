@@ -33,6 +33,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      // The bounded-heap typed aggregates (TopKBy, MmrSelect) keep at
+      // most k tiny entries per group, so a large in-memory hash map is
+      // exactly the safe case — but ObjectHashAggregate's default
+      // fallback threshold (128 distinct keys per task!) silently
+      // degrades them to SORT-BASED aggregation, turning the map-side
+      // k-contraction into an external sort + spill-merge of the whole
+      // candidate stream (caught by the round-17 sf1 gate: sim_ann_join
+      // pinned 2 cores for >10 min in UnsafeSorterSpillMerger).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "100000")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
     // extensions don't apply to a pre-existing session from getOrCreate —

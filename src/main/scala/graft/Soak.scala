@@ -61,6 +61,10 @@ object Soak {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // keep bounded-heap typed aggregates hash-aggregated (see
+      // GraftSession's fallback-threshold note)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "100000")
       .config("spark.ui.enabled", "false")
     if (soakSets("spill"))
       builder.config("spark.memory.fraction", memFraction.toString)

@@ -19,6 +19,10 @@ object Verify {
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep bounded-heap typed aggregates hash-aggregated (see
+      // GraftSession's fallback-threshold note)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "100000")
       .config("spark.ui.enabled", "false")
     sys.env.get("SPARK_GRAFT_JARS").foreach(builder.config("spark.jars", _))
     val spark = builder.getOrCreate()

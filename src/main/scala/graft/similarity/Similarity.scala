@@ -797,10 +797,33 @@ object Similarity {
     * exact cosine per surfaced pair.
     */
   private def shuffleProbeScored(index: IvfIndex, qRaw: DataFrame,
-                                 nprobe: Int): DataFrame =
-    index.cells.join(probeCellsSkinny(index, qRaw, nprobe), "cell")
+                                 nprobe: Int): DataFrame = {
+    // The join OUTPUT (|A| x nprobe x avg-cell candidates) is orders of
+    // magnitude larger than either INPUT (skinny probe rows, cell rows),
+    // and the partial top-k heap runs INSIDE the join's stage — so the
+    // stage's width must track the output, not the inputs. Left alone,
+    // both planner paths under-parallelize on input-size evidence
+    // (caught by the round-17 sf1 gate: 100M candidates through 2
+    // tasks):
+    //  - shuffle-join form: AQE coalesces the exchanges to input bytes;
+    //  - broadcast form (AQE demotes a small index side): the stage
+    //    inherits the query table's RAW SCAN partitioning (2 file
+    //    splits at sf1).
+    // Pinning BOTH sides with explicit repartitions — which AQE leaves
+    // alone — restores output-side parallelism in either form: the
+    // query side on query_id (which also co-partitions
+    // probeCellsSkinny's internal join-back for free), the cells side
+    // on the join key. Cost is at most one extra skinny exchange of A;
+    // at real scale both tables arrive wider than `parts` anyway.
+    val spark = qRaw.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+    val q = qRaw.repartition(parts, col("query_id"))
+    index.cells.repartition(parts, col("cell"))
+      .join(probeCellsSkinny(index, q, nprobe), "cell")
       .withColumn("cosine_sim",
         dot(col("qvec"), col("cvec")) / (col("qnorm") * col("cnorm")))
+  }
 
   /** Bounded-heap per-query top-k over a scored pair stream: ranking is
     * (cosine_sim DESC, neighbor_id ASC), bit-identical to [[queryIvf]].

@@ -60,7 +60,16 @@ object StreamingDecontaminate {
       flaggedDir, batchId)
   }
 
-  /** Read back every batch's flagged docs as one frame. */
+  /** Read back every batch's flagged docs as one frame. Graceful on an
+    * absent or torn (no committed footer) sink — the shared
+    * [[BatchStore.readAll]] contract; serving before the first batch
+    * lands returns the empty frame, not a schema-inference throw. The
+    * id column is untyped here (the sink writes whatever `idCol` the
+    * stream declared), so the empty frame carries a null-typed id.
+    */
   def readFlagged(spark: SparkSession, flaggedDir: String): DataFrame =
-    spark.read.parquet(flaggedDir)
+    BatchStore.readAll(spark, flaggedDir).getOrElse {
+      import spark.implicits._
+      Seq.empty[(String, Long, Long)].toDF("id", "n_hits", "batch_id")
+    }
 }
