@@ -249,10 +249,13 @@ object Bench {
 
     val fullJson = wrap(entries(results), errJson)
     // a SPARK_GRAFT_ONLY-filtered run must not clobber the full-suite
-    // artifact SKILL.md's regression procedure diffs against
+    // artifact SKILL.md's regression procedure diffs against; a full run
+    // at a NON-default scale (the sf1 gate) must not either — route it
+    // via SPARK_GRAFT_OUT
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_FULL.json")
     if (only.isEmpty)
       java.nio.file.Files.writeString(
-        java.nio.file.Paths.get("BENCH_FULL.json"), fullJson + "\n")
+        java.nio.file.Paths.get(outFile), fullJson + "\n")
     println(fullJson)
 
     // Compact line: slowest-first per-query entries under a byte budget,

@@ -148,9 +148,14 @@ private[graft] object BatchStore {
     *  - `batch=0` itself is marked committed (it is, by construction),
     *    so a re-compaction folds it instead of treating it as torn.
     *
-    * Compatibility: a store with batch dirs but NO `_committed` dir at
-    * all predates the marker protocol — all its batches are treated as
-    * committed (the pre-round-17 behavior).
+    * An UNMARKED batch dir is always carried verbatim, even when no
+    * `_committed` dir exists at all: a brand-new store whose very first
+    * write crashed mid-parquet has exactly that shape, and a
+    * treat-as-committed compatibility rule would fold the torn dir and
+    * then skip its replay — permanent data loss. An unmarked-but-
+    * actually-complete dir costs only deferred compaction: its next
+    * replay re-writes it through [[writeBatch]], which marks it, and
+    * the following compaction folds it.
     */
   def compact(spark: SparkSession, storeDir: String)
              (rewrite: (Seq[String], String) => Unit): Unit = {
@@ -163,11 +168,8 @@ private[graft] object BatchStore {
       val name = new Path(b).getName
       name.stripPrefix("batch=")
     }
-    val legacy = !fs.exists(new Path(s"$storeDir/_committed"))
-    val (committed, torn) =
-      if (legacy) (batches, Seq.empty[String])
-      else batches.partition(b =>
-        fs.exists(new Path(s"$storeDir/_committed/${idOf(b)}")))
+    val (committed, torn) = batches.partition(b =>
+      fs.exists(new Path(s"$storeDir/_committed/${idOf(b)}")))
     if (committed.isEmpty) return // nothing safely foldable
     val priorFolded = {
       val dir = new Path(s"$storeDir/_folded")

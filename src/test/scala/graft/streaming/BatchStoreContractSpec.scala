@@ -70,6 +70,34 @@ class BatchStoreContractSpec extends AnyFunSuite {
     }
   }
 
+  for (a <- adapters if a.compact.isDefined) {
+    test(s"${a.name}: an UNMARKED batch dir is never folded — its replay still converges") {
+      val root = freshRoot(s"${a.name}-unmarked")
+      (0 to 2).foreach(a.ingest(root, _))
+      // simulate a write that crashed between the parquet commit and the
+      // _committed marker (or a torn dir — the two are indistinguishable
+      // on disk): drop batch 2's marker from every swap-governed dir
+      val fs = CompactionSwap.fsFor(root,
+        spark.sparkContext.hadoopConfiguration)
+      a.swapDirs(root).foreach { d =>
+        fs.delete(new Path(s"$d/_committed/2"), false): Unit
+      }
+      a.compact.get(root) // must carry batch 2 verbatim, not fold it
+      a.swapDirs(root).foreach { d =>
+        assert(fs.exists(new Path(s"$d/batch=2")),
+          s"$d: the unmarked batch dir must ride the swap verbatim")
+        assert(!fs.exists(new Path(s"$d/_folded/2")),
+          s"$d: an unmarked batch must never be recorded as folded")
+      }
+      a.ingest(root, 2) // the replay (not skipped — never folded)
+      a.ingest(root, 3)
+      val twin = freshRoot(s"${a.name}-unmarked-twin")
+      (0 to 3).foreach(a.ingest(twin, _))
+      assert(a.state(root) == a.state(twin),
+        "replay of the unmarked batch + new ingest must equal the twin")
+    }
+  }
+
   for (a <- adapters; empty <- a.emptyState) {
     test(s"${a.name}: serving an absent or torn (no-footer) store is graceful") {
       val absent = freshRoot(s"${a.name}-absent")

@@ -45,15 +45,26 @@ con = duckdb.connect()
 con.execute(f"SET threads TO {os.cpu_count()}")
 
 
-def write_like(name, query):
+# Row-group sizing: a single giant row group serializes the whole
+# table behind ONE Spark scan task (splits are byte ranges, but a
+# reader only takes row groups whose midpoint falls in its range) —
+# the first full-suite sf1 run measured every doc-map-bound query at
+# ~10x because the 50k-doc table was one row group. Real tables ship
+# as many files/row groups; mirror that.
+ROW_GROUP = {"documents": 2048, "embeddings": 2048}
+
+
+def write_like(name, query, tbl=None):
     """Run `query` (over {src} views) and write DST/name.parquet cast to
     the SOURCE schema, so Tables.requireSchema and the events ts
     encoding (timestamp[us], NTZ) survive generation."""
     src_schema = pq.read_schema(f"{SRC}/{name}.parquet")
-    tbl = con.sql(query).arrow()
+    if tbl is None:
+        tbl = con.sql(query).arrow()
     cols = [tbl.column(f.name).cast(f.type) for f in src_schema]
     out = pa.table(cols, schema=pa.schema([(f.name, f.type) for f in src_schema]))
-    pq.write_table(out, f"{DST}/{name}.parquet", compression="snappy")
+    pq.write_table(out, f"{DST}/{name}.parquet", compression="snappy",
+                   row_group_size=ROW_GROUP.get(name, 65536))
     print(f"  {name}: {out.num_rows} rows")
 
 
@@ -90,9 +101,16 @@ write_like("customer", f"""
 write_like("supplier", f"""
   SELECT s_suppkey + i.n*{maxes['S']} AS s_suppkey, s_name, s_nationkey,
          s_acctbal FROM supplier, {copies}""")
+# p_name gets a per-copy suffix: verbatim-duplicated names make the
+# fuzzy-linkage query's name->id fan-out grow with copies SQUARED (a
+# generator artifact, not a data property — real 10x growth brings
+# mostly NEW names), and the suffix keeps the distinct-name set, and
+# so the Levenshtein verify, scaling ~linearly instead
 write_like("part", f"""
-  SELECT p_partkey + i.n*{maxes['P']} AS p_partkey, p_name, p_brand,
-         p_type, p_size, p_retailprice FROM part, {copies}""")
+  SELECT p_partkey + i.n*{maxes['P']} AS p_partkey,
+         CASE WHEN i.n = 0 THEN p_name
+              ELSE p_name || ' c' || i.n::varchar END AS p_name,
+         p_brand, p_type, p_size, p_retailprice FROM part, {copies}""")
 write_like("orders", f"""
   SELECT o_orderkey + i.n*{maxes['O']} AS o_orderkey,
          o_custkey + i.n*{maxes['C']} AS o_custkey,
@@ -140,7 +158,8 @@ doc_tbl = pa.table({
     "n_chars": pa.array(n_chars)})
 doc_tbl = pa.table([doc_tbl.column(f.name).cast(f.type) for f in src_schema],
                    schema=pa.schema([(f.name, f.type) for f in src_schema]))
-pq.write_table(doc_tbl, f"{DST}/documents.parquet", compression="snappy")
+pq.write_table(doc_tbl, f"{DST}/documents.parquet", compression="snappy",
+               row_group_size=ROW_GROUP["documents"])
 print(f"  documents: {doc_tbl.num_rows} rows")
 
 # ---- embeddings: perturbed copies -------------------------------------
@@ -170,6 +189,7 @@ emb_tbl = pa.table({
     "label": pa.array(np.concatenate(out_labels))})
 emb_tbl = pa.table([emb_tbl.column(f.name).cast(f.type) for f in src_schema],
                    schema=pa.schema([(f.name, f.type) for f in src_schema]))
-pq.write_table(emb_tbl, f"{DST}/embeddings.parquet", compression="snappy")
+pq.write_table(emb_tbl, f"{DST}/embeddings.parquet", compression="snappy",
+               row_group_size=ROW_GROUP["embeddings"])
 print(f"  embeddings: {emb_tbl.num_rows} rows")
 print("done")
