@@ -253,7 +253,10 @@ object Bench {
     // at a NON-default scale (the sf1 gate) must not either — route it
     // via SPARK_GRAFT_OUT
     val outFile = sys.env.getOrElse("SPARK_GRAFT_OUT", "BENCH_FULL.json")
-    if (only.isEmpty)
+    // an explicit SPARK_GRAFT_OUT always writes (the user redirected the
+    // artifact away from BENCH_FULL.json, so the ONLY-filter clobber
+    // protection no longer applies)
+    if (only.isEmpty || sys.env.contains("SPARK_GRAFT_OUT"))
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get(outFile), fullJson + "\n")
     println(fullJson)

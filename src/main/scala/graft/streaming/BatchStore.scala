@@ -52,12 +52,21 @@ private[graft] object BatchStore {
   def writeBatch(df: DataFrame, storeDir: String, batchId: Long,
                  partitionCols: Seq[String] = Nil,
                  coalesceTo: Option[Int] = None): Unit = {
+    val fs = CompactionSwap.fsFor(storeDir,
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    // RETRACT the marker before the overwrite, not just write it after:
+    // a batch being REPLAYED already carries its marker from the first
+    // run, and a crash in the middle of the overwrite below would
+    // otherwise leave a torn dir that still reads as committed — a
+    // subsequent compaction would fold the partial data and the fold
+    // guard would skip the healing replay forever (round-17 review
+    // finding; the unmarked-dirs-ride-verbatim rule only protects dirs
+    // that never had a marker).
+    fs.delete(new Path(s"$storeDir/_committed/$batchId"), false)
     val out = coalesceTo.fold(df)(df.coalesce)
     val w = out.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$storeDir/batch=$batchId")
-    val fs = CompactionSwap.fsFor(storeDir,
-      df.sparkSession.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(s"$storeDir/_committed"))
     fs.create(new Path(s"$storeDir/_committed/$batchId"), true).close()
   }
@@ -87,6 +96,50 @@ private[graft] object BatchStore {
     val conf = spark.sparkContext.hadoopConfiguration
     dirs.foreach { d =>
       CompactionSwap.recoverDanglingOld(CompactionSwap.fsFor(d, conf), d)
+    }
+  }
+
+  /** [[recoverAtStart]] plus the checkpoint-identity guard: every store
+    * dir records which streaming checkpoint owns it (`_checkpoint`
+    * marker, written on first bind). Starting a stream with a DIFFERENT
+    * checkpoint against an existing store fails loudly here — a fresh
+    * checkpoint restarts batch ids at 0, so its batches would silently
+    * OVERWRITE same-id history dirs, and any id already folded by a
+    * compaction would be skipped outright by the replay guard (new data
+    * silently dropped). The store/checkpoint pair is a unit — Spark's
+    * own exactly-once contract for foreachBatch sinks. To intentionally
+    * re-home a store, delete `<dir>/_checkpoint` (and understand the id
+    * collision you are accepting); deleting and recreating the SAME
+    * checkpoint path evades this guard — don't.
+    */
+  def bindCheckpoint(spark: SparkSession, checkpointDir: String,
+                     dirs: String*): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    recoverAtStart(spark, dirs: _*)
+    dirs.foreach { d =>
+      val fs = CompactionSwap.fsFor(d, conf)
+      val marker = new Path(s"$d/_checkpoint")
+      if (fs.exists(marker)) {
+        val buf = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
+        val in = fs.open(marker)
+        try in.readFully(buf) finally in.close()
+        val bound = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+        if (bound != checkpointDir)
+          throw new IllegalStateException(
+            s"store $d is bound to checkpoint '$bound' but the stream " +
+              s"was started with checkpoint '$checkpointDir' — a fresh " +
+              "checkpoint restarts batch ids at 0 and would silently " +
+              "overwrite (or skip, if folded) same-id history; delete " +
+              s"$d/_checkpoint only for an intentional re-home")
+      } else if (fs.exists(new Path(d))) {
+        val out = fs.create(marker, true)
+        try out.write(checkpointDir.getBytes(
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      // a store dir that doesn't exist yet binds on the next start —
+      // writing the marker first would CREATE the dir and flip every
+      // "store exists?" empty-serving check
     }
   }
 
@@ -171,6 +224,15 @@ private[graft] object BatchStore {
     val (committed, torn) = batches.partition(b =>
       fs.exists(new Path(s"$storeDir/_committed/${idOf(b)}")))
     if (committed.isEmpty) return // nothing safely foldable
+    // A torn batch=0 collides with the fold target by NAME: carrying it
+    // verbatim would merge its partial files into the rewrite's
+    // tmp/batch=0, and worse, its eventual replay would OVERWRITE
+    // batch=0 — destroying the fold of every other batch. Reachable via
+    // a crash mid-way through batch 0's replay overwrite (the marker
+    // retraction above classifies that dir as torn). Defer the whole
+    // compaction until the replay heals it; the next compact folds
+    // everything.
+    if (torn.exists(b => idOf(b) == "0")) return
     val priorFolded = {
       val dir = new Path(s"$storeDir/_folded")
       if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath.getName).toSeq

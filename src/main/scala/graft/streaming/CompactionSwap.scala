@@ -106,7 +106,12 @@ private[graft] object CompactionSwap {
         // the folded-back batches permanently unfoldable)
         fs.listStatus(st.getPath).foreach { m =>
           val mdst = new Path(dst, m.getPath.getName)
-          if (!fs.exists(mdst)) fs.rename(m.getPath, mdst): Unit
+          // a swallowed rename failure followed by the delete below
+          // would silently drop the marker and reopen the double-count
+          // window — fail loudly like the batch-dir branch above
+          if (!fs.exists(mdst) && !fs.rename(m.getPath, mdst))
+            throw new java.io.IOException(
+              s"compaction recovery failed: ${m.getPath} -> $mdst")
         }
         fs.delete(st.getPath, true)
       } else fs.delete(st.getPath, true) // replayed idempotent batch: target's copy wins

@@ -101,6 +101,11 @@ object IncrementalAnnIndex {
           skewRefitAt: Double = 0.0): StreamingQuery = {
     val spark = vecs.sparkSession
     Similarity.recoverIvfMaintenance(spark, indexDir)
+    // checkpoint-identity guard (shared with the batch=<id> stores): a
+    // fresh checkpoint restarts batch ids at 0, and the `_appended/<id>`
+    // replay markers of the OLD stream would silently skip the new
+    // stream's first batches — their vectors never reach the index
+    BatchStore.bindCheckpoint(spark, checkpointDir, indexDir)
     encoder.foreach { enc =>
       val fs0 = CompactionSwap.fsFor(indexDir,
         spark.sparkContext.hadoopConfiguration)

@@ -30,7 +30,7 @@ object IncrementalCardinality {
   def run(events: DataFrame, keyCol: String, tsCol: String,
           storeDir: String, checkpointDir: String,
           lgConfigK: Int = 14): StreamingQuery = {
-    BatchStore.recoverAtStart(events.sparkSession, storeDir)
+    BatchStore.bindCheckpoint(events.sparkSession, checkpointDir, storeDir)
     events.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, keyCol, tsCol, storeDir, lgConfigK)

@@ -58,7 +58,8 @@ object IncrementalCdcDedup {
           k: Int = 4, divisor: Long = 16L): StreamingQuery = {
     // recover a compaction that crashed between its renames (history
     // stranded under `.old`) BEFORE the stream recreates the store dir
-    BatchStore.recoverAtStart(docs.sparkSession, storeDir)
+    BatchStore.bindCheckpoint(docs.sparkSession, checkpointDir,
+      storeDir, cleanDir)
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, storeDir, cleanDir,

@@ -50,7 +50,10 @@ object IncrementalDedup {
     // a compaction that crashed between its renames leaves history only
     // under `.old`; recover it BEFORE the stream recreates the store dir,
     // or every historical duplicate is invisible to the restarted stream
-    BatchStore.recoverAtStart(docs.sparkSession, storeDir)
+    // bindCheckpoint = the recovery hook + the checkpoint-identity
+    // guard (a fresh checkpoint against this store would collide ids)
+    BatchStore.bindCheckpoint(docs.sparkSession, checkpointDir,
+      Seq(storeDir, dupDir) ++ keptDir: _*)
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol,

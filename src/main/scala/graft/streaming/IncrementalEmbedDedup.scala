@@ -44,7 +44,8 @@ object IncrementalEmbedDedup {
           storeDir: String, dupDir: String, checkpointDir: String,
           threshold: Double = 0.9, numPlanes: Int = 8, dim: Int = 64,
           seed: Long = 42L, keptDir: Option[String] = None): StreamingQuery = {
-    BatchStore.recoverAtStart(vecs.sparkSession, storeDir)
+    BatchStore.bindCheckpoint(vecs.sparkSession, checkpointDir,
+      Seq(storeDir, dupDir) ++ keptDir: _*)
     vecs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, idCol, vecCol, storeDir, dupDir,

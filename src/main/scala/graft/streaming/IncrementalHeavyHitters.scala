@@ -30,7 +30,7 @@ object IncrementalHeavyHitters {
   def run(rows: DataFrame, keyCol: String, storeDir: String,
           checkpointDir: String, eps: Double = 1e-4, confidence: Double = 0.999,
           seed: Int = 42, k: Int = 20): StreamingQuery = {
-    BatchStore.recoverAtStart(rows.sparkSession,
+    BatchStore.bindCheckpoint(rows.sparkSession, checkpointDir,
       s"$storeDir/sketch", s"$storeDir/cand")
     rows.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>

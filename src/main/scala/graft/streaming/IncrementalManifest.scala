@@ -35,7 +35,7 @@ object IncrementalManifest {
 
   def run(rows: DataFrame, storeDir: String,
           checkpointDir: String): StreamingQuery = {
-    BatchStore.recoverAtStart(rows.sparkSession, storeDir)
+    BatchStore.bindCheckpoint(rows.sparkSession, checkpointDir, storeDir)
     rows.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, storeDir)

@@ -48,7 +48,11 @@ object IncrementalTokenizerDrift {
     * .pieces]] — or any piece set the greedy matcher should serve).
     */
   def run(docs: DataFrame, textCol: String, pieces: Seq[String],
-          storeDir: String, checkpointDir: String): StreamingQuery =
+          storeDir: String, checkpointDir: String): StreamingQuery = {
+    // no compaction here, but the checkpoint-identity guard still
+    // applies: a fresh checkpoint would restart batch ids at 0 and
+    // silently overwrite the per-batch history rows drift() compares
+    BatchStore.bindCheckpoint(docs.sparkSession, checkpointDir, storeDir)
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         processBatch(batch, batchId, textCol, pieces, storeDir)
@@ -56,6 +60,7 @@ object IncrementalTokenizerDrift {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 
   /** One microbatch: the batch's words through the frozen matcher, down
     * to three longs. An UNK word contributes one piece (the whole-word

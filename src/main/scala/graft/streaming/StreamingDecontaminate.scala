@@ -30,6 +30,9 @@ object StreamingDecontaminate {
   def run(docs: DataFrame, benchmark: DataFrame, idCol: String,
           textCol: String, flaggedDir: String, checkpointDir: String,
           n: Int = 3): StreamingQuery = {
+    // checkpoint-identity guard: a fresh checkpoint restarts batch ids
+    // at 0 and would silently overwrite the flagged history
+    BatchStore.bindCheckpoint(docs.sparkSession, checkpointDir, flaggedDir)
     // eval sets are small and frozen: one shingle pass at stream start,
     // eagerly materialized, reused by every microbatch
     val benchShingles = Dedup.shingles(benchmark, idCol, textCol, n)
@@ -63,13 +66,19 @@ object StreamingDecontaminate {
   /** Read back every batch's flagged docs as one frame. Graceful on an
     * absent or torn (no committed footer) sink — the shared
     * [[BatchStore.readAll]] contract; serving before the first batch
-    * lands returns the empty frame, not a schema-inference throw. The
-    * id column is untyped here (the sink writes whatever `idCol` the
-    * stream declared), so the empty frame carries a null-typed id.
+    * lands returns an empty frame, not a schema-inference throw. The
+    * sink's id column is whatever `idCol` the stream declared, so the
+    * empty frame needs the caller to say what that was (`idCol` /
+    * `idType`, defaulting to the spec corpus's `doc_id: long`) — a
+    * hardcoded name would make exactly the empty-serving path throw on
+    * `.select(idCol)` (round-17 review finding). The layout-only
+    * `batch` partition column is omitted from the empty frame.
     */
-  def readFlagged(spark: SparkSession, flaggedDir: String): DataFrame =
-    BatchStore.readAll(spark, flaggedDir).getOrElse {
-      import spark.implicits._
-      Seq.empty[(String, Long, Long)].toDF("id", "n_hits", "batch_id")
-    }
+  def readFlagged(spark: SparkSession, flaggedDir: String,
+                  idCol: String = "doc_id",
+                  idType: org.apache.spark.sql.types.DataType =
+                    org.apache.spark.sql.types.LongType): DataFrame =
+    BatchStore.readAll(spark, flaggedDir).getOrElse(
+      spark.range(0).select(lit(null).cast(idType).as(idCol),
+        lit(0L).as("n_hits"), lit(0L).as("batch_id")))
 }

@@ -166,32 +166,6 @@ object Bpe {
     BpeModel(merges.toSeq, pinned, () => graft.util.Pins.release(pinned))
   }
 
-  /** The batched trainer on the ARRAY representation (round 14): the
-    * SAME symbol-disjoint batch selection as before — so accepted
-    * counts stay exact and ranks keep the documented one-pass
-    * displacement bound — but the symbol table lives as one row per
-    * word with an `array<string>` column, making each pass two hash
-    * explode-aggregates (pair counting — no window sort) plus one
-    * codegen [[graft.functions.MergeBatchApply]] projection. For a
-    * symbol-disjoint batch the kernel's per-word rank-order application
-    * selects exactly the greedy-leftmost occurrences of every merge at
-    * once (disjointness makes the merges non-interacting — no position
-    * can match two of them, and applying one cannot create or destroy
-    * occurrences of another), so results are unchanged vs the previous
-    * window-based simultaneous pass; the window-sort cost is gone.
-    * Non-interaction requires the used-set to also hold each accepted
-    * pair's MERGED symbol `a+b`: without it a batch could contain both
-    * `(a,b)` and `(a+b,c)` when `a+b` already exists as a symbol, and
-    * the `(a,b)` sweep would mint fresh `(a+b,c)` occurrences for the
-    * later rank to consume within the same pass — sequential-like
-    * behavior the simultaneous-pass contract forbids. The
-    * collected candidate list is oversampled 6x so conflicts rarely
-    * starve a batch (count-ranked heads rarely cluster — unlike
-    * WordPiece's likelihood head, which is why that trainer dropped
-    * disjointness entirely). The final symbol
-    * table converts back to the exploded (word, cnt, pos, sym) form the
-    * model contract pins.
-    */
   /** The batched trainer's word table, LAZY (trainBatched checkpoints
     * it): one `syms` array per distinct word. Shared with
     * [[graft.text.WordPiece]]'s batched trainer and the plan pins.
@@ -220,6 +194,33 @@ object Bpe {
       .agg(sum("cnt").as("pc"))
       .orderBy(desc("pc"), asc("lhs"), asc("rhs"))
       .limit(limit)
+
+  /** The batched trainer on the ARRAY representation (round 14): the
+    * SAME symbol-disjoint batch selection as before — so accepted
+    * counts stay exact and ranks keep the documented one-pass
+    * displacement bound — but the symbol table lives as one row per
+    * word with an `array<string>` column, making each pass two hash
+    * explode-aggregates (pair counting — no window sort) plus one
+    * codegen [[graft.functions.MergeBatchApply]] projection. For a
+    * symbol-disjoint batch the kernel's per-word rank-order application
+    * selects exactly the greedy-leftmost occurrences of every merge at
+    * once (disjointness makes the merges non-interacting — no position
+    * can match two of them, and applying one cannot create or destroy
+    * occurrences of another), so results are unchanged vs the previous
+    * window-based simultaneous pass; the window-sort cost is gone.
+    * Non-interaction requires the used-set to also hold each accepted
+    * pair's MERGED symbol `a+b`: without it a batch could contain both
+    * `(a,b)` and `(a+b,c)` when `a+b` already exists as a symbol, and
+    * the `(a,b)` sweep would mint fresh `(a+b,c)` occurrences for the
+    * later rank to consume within the same pass — sequential-like
+    * behavior the simultaneous-pass contract forbids. The
+    * collected candidate list is oversampled 6x so conflicts rarely
+    * starve a batch (count-ranked heads rarely cluster — unlike
+    * WordPiece's likelihood head, which is why that trainer dropped
+    * disjointness entirely). The final symbol
+    * table converts back to the exploded (word, cnt, pos, sym) form the
+    * model contract pins.
+    */
 
   private def trainBatched(docs: DataFrame, textCol: String, numMerges: Int,
                            batchSize: Int): BpeModel = {

@@ -112,6 +112,66 @@ class BatchStoreContractSpec extends AnyFunSuite {
     }
   }
 
+  test("a store refuses a stream started with a DIFFERENT checkpoint (id-collision guard)") {
+    import spark.implicits._
+    val root = freshRoot("bind")
+    val store = s"$root/store"
+    // binding a not-yet-existing store is a no-op (the marker must not
+    // create the dir and flip empty-serving checks) …
+    BatchStore.bindCheckpoint(spark, s"$root/ckptA", store)
+    val fs = CompactionSwap.fsFor(root, spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(store)))
+    // … so after the first batch lands, the next start binds it
+    BatchStore.writeBatch(Seq((1L, "x")).toDF("k", "v"), store, 0L)
+    BatchStore.bindCheckpoint(spark, s"$root/ckptA", store)
+    // same checkpoint: restarts are fine
+    BatchStore.bindCheckpoint(spark, s"$root/ckptA", store)
+    // a FRESH checkpoint against the bound store must fail loudly — its
+    // batch ids restart at 0 and would overwrite (or skip, if folded)
+    // same-id history
+    val e = intercept[IllegalStateException] {
+      BatchStore.bindCheckpoint(spark, s"$root/ckptB", store)
+    }
+    assert(e.getMessage.contains("ckptA") && e.getMessage.contains("ckptB"))
+    // the marker is invisible to serving reads
+    assert(BatchStore.readAll(spark, store).get.count() == 1)
+  }
+
+  test("a replay-overwrite crash cannot freeze a committed marker (retract-then-write)") {
+    import spark.implicits._
+    val root = freshRoot("retract")
+    val store = s"$root/store"
+    BatchStore.writeBatch(Seq((1L, "x")).toDF("k", "v"), store, 0L)
+    BatchStore.writeBatch(Seq((2L, "y")).toDF("k", "v"), store, 1L)
+    val fs = CompactionSwap.fsFor(root, spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$store/_committed/1")))
+    // simulate batch 1's replay overwrite dying mid-parquet: the marker
+    // must already be GONE at that point (writeBatch retracts first), so
+    // emulate the on-disk state it guarantees — torn dir, no marker
+    fs.delete(new Path(s"$store/_committed/1"), false)
+    // compaction must neither fold the torn dir nor record it as folded
+    BatchStore.compact(spark, store) { (batches, out) =>
+      spark.read.parquet(batches: _*).write.parquet(out)
+    }
+    assert(fs.exists(new Path(s"$store/batch=1")), "torn dir must ride verbatim")
+    assert(!fs.exists(new Path(s"$store/_folded/1")))
+    // and a torn batch=0 defers compaction entirely (name-collision with
+    // the fold target: carrying it would merge into the fold, and its
+    // replay would overwrite the fold)
+    val root2 = freshRoot("retract0")
+    val store2 = s"$root2/store"
+    BatchStore.writeBatch(Seq((1L, "x")).toDF("k", "v"), store2, 0L)
+    BatchStore.writeBatch(Seq((2L, "y")).toDF("k", "v"), store2, 1L)
+    val fs2 = CompactionSwap.fsFor(root2, spark.sparkContext.hadoopConfiguration)
+    fs2.delete(new Path(s"$store2/_committed/0"), false)
+    BatchStore.compact(spark, store2) { (batches, out) =>
+      spark.read.parquet(batches: _*).write.parquet(out)
+    }
+    assert(fs2.exists(new Path(s"$store2/batch=1")) &&
+      !fs2.exists(new Path(s"$store2/_folded")),
+      "a torn batch=0 must defer the whole compaction")
+  }
+
   for (a <- adapters if a.swapDirs("x").nonEmpty) {
     test(s"${a.name}: a swap stranded between renames (.old only) is invisible to the next read") {
       val root = freshRoot(s"${a.name}-old")
