@@ -45,6 +45,44 @@ class CrashFuzzSpec extends AnyFunSuite {
       Files.walk(p).sorted(Comparator.reverseOrder[JPath]())
         .forEach(f => Files.delete(f))
 
+  // ingest-path sweep for the two most fragile semantics: the manifest
+  // (a modular SUM — any double-count or loss is permanent) and the
+  // MinHash dedup store (replays recompute against history). A crash at
+  // every mutating op of a batch REPLAY, including inside the
+  // retract-then-write marker window, must heal on the next replay.
+  for (a <- adapters.filter(x =>
+      x.name == "IncrementalManifest" || x.name == "IncrementalDedup")) {
+    test(s"${a.name}: a batch replay survives a crash at EVERY mutating fs operation") {
+      hconf.set("fs.crash.impl", classOf[CrashFs].getName)
+      val template = Files.createTempDirectory(s"graft-ifuzz-${a.name}")
+      (0 to 1).foreach(a.ingest(template.toString, _))
+      val expected = a.state(template.toString)
+
+      // count the replay's mutating ops (batch 1 re-ingested, crash fs)
+      val probe = Files.createTempDirectory(s"graft-ifuzz-${a.name}-probe")
+      deleteTree(probe); copyTree(template, probe)
+      CrashFs.armCounting()
+      a.ingest(s"crash://$probe", 1)
+      val n = CrashFs.opCount
+      assert(n > 0)
+      info(s"${a.name}: $n mutating ops in one batch replay — sweeping all")
+
+      (0L until n).foreach { k =>
+        val work = Files.createTempDirectory(s"graft-ifuzz-${a.name}-$k")
+        deleteTree(work); copyTree(template, work)
+        CrashFs.armCrashAfter(k)
+        try a.ingest(s"crash://$work", 1) // the crashing replay
+        catch { case _: Throwable => () }
+        finally CrashFs.disarm()
+        a.ingest(work.toString, 1) // streaming replays it again on restart
+        assert(a.state(work.toString) == expected,
+          s"replay after a crash at mutating op $k must converge")
+        deleteTree(work)
+      }
+      deleteTree(probe)
+    }
+  }
+
   // one compaction sweep per compactable store
   for (a <- adapters if a.compact.isDefined) {
     test(s"${a.name}: compaction survives a crash at EVERY mutating fs operation") {
