@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
 
 /** The shared `batch=<id>`-per-microbatch store protocol — ONE
   * implementation of the contract every incremental store in this
@@ -29,7 +30,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    so the strictly-earlier rule keeps holding) under
   *    [[CompactionSwap.swap]]'s marked three-step dance, with dangling
   *    `.old` recovery at every entry point ([[recoverAtStart]],
-  *    [[listPriorBatches]], [[readAll]], [[compact]]).
+  *    [[listPriorBatches]], [[readAll]], [[compact]]);
+  *  - '''id-collision refusal''' ([[ensureBound]] + the `_hwm`
+  *    high-water mark, round 18): a stream whose checkpoint was
+  *    deleted and recreated at the SAME path restarts batch ids at 0 —
+  *    the one case a path-equality marker cannot see. The binding
+  *    marker therefore also records the checkpoint's own query id
+  *    (Spark stamps a fresh UUID into `<ckpt>/metadata` whenever the
+  *    checkpoint is created), and every store records the highest
+  *    batch id it ever committed; a below-high-water id whose dir is
+  *    gone without a `_folded` record or an in-flight `_replaying`
+  *    breadcrumb is never a legitimate replay and fails loudly.
   *
   * The recovery ordering and batch-dir filter live here once — they
   * cannot drift between stores. The contract itself is pinned by the
@@ -54,6 +65,32 @@ private[graft] object BatchStore {
                  coalesceTo: Option[Int] = None): Unit = {
     val fs = CompactionSwap.fsFor(storeDir,
       df.sparkSession.sparkContext.hadoopConfiguration)
+    // High-water guard (round 18): a batch id below the highest id this
+    // store ever committed, whose dir is GONE without either a _folded
+    // record (compaction removed it — the store-level isFolded guard
+    // normally skips these before reaching here) or an in-flight
+    // _replaying breadcrumb (a prior attempt of this very overwrite
+    // died after deleting the dir), is never a legitimate replay: it is
+    // an id collision from a checkpoint that restarted numbering — the
+    // silent-history-overwrite bindCheckpoint's doc used to disclaim.
+    val hwm = readHwm(fs, storeDir)
+    if (hwm.exists(batchId < _)
+        && !fs.exists(new Path(s"$storeDir/batch=$batchId"))
+        && !fs.exists(new Path(s"$storeDir/_folded/$batchId"))
+        && !fs.exists(new Path(s"$storeDir/_replaying/$batchId")))
+      throw new IllegalStateException(
+        s"store $storeDir refuses batch $batchId: its high-water committed " +
+          s"batch id is ${hwm.get} but batch=$batchId neither exists, nor " +
+          "was folded by a compaction, nor has an in-flight replay " +
+          "breadcrumb — this id belongs to a checkpoint that restarted " +
+          "batch numbering (deleted/recreated checkpoint); writing it " +
+          "would corrupt committed history")
+    // Breadcrumb BEFORE the marker retraction: sanctions this id's
+    // in-flight overwrite so a crash anywhere below (including after
+    // Spark's overwrite deletes the old dir but before the new footer
+    // lands) still passes the high-water guard on the healing replay.
+    fs.mkdirs(new Path(s"$storeDir/_replaying"))
+    fs.create(new Path(s"$storeDir/_replaying/$batchId"), true).close()
     // RETRACT the marker before the overwrite, not just write it after:
     // a batch being REPLAYED already carries its marker from the first
     // run, and a crash in the middle of the overwrite below would
@@ -67,8 +104,18 @@ private[graft] object BatchStore {
     val w = out.write.mode("overwrite")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(s"$storeDir/batch=$batchId")
+    // `_schema` (round 18): the write-side schema, stamped once at the
+    // first committed batch, so empty/torn serving reads can build a
+    // correctly-typed empty frame instead of guessing column names from
+    // defaults (the StreamingDecontaminate empty-path finding).
+    val schemaMarker = new Path(s"$storeDir/_schema")
+    if (!fs.exists(schemaMarker))
+      writeString(fs, schemaMarker, df.schema.json)
     fs.mkdirs(new Path(s"$storeDir/_committed"))
     fs.create(new Path(s"$storeDir/_committed/$batchId"), true).close()
+    fs.delete(new Path(s"$storeDir/_replaying/$batchId"), false)
+    if (hwm.forall(batchId > _))
+      writeString(fs, new Path(s"$storeDir/_hwm"), batchId.toString)
   }
 
   /** Whether `batchId` was already folded into `batch=0` by a
@@ -87,6 +134,22 @@ private[graft] object BatchStore {
     fs.exists(new Path(s"$storeDir/_folded/$batchId"))
   }
 
+  /** The write-side schema recorded at the store's first committed
+    * batch (None before any batch landed, or for pre-round-18 stores).
+    * Serving paths use it to type their empty frames exactly like the
+    * non-empty read — note the read-back frame ALSO carries the
+    * `batch` partition column (integer-inferred), which the caller
+    * appends.
+    */
+  def storedSchema(spark: SparkSession, storeDir: String): Option[StructType] = {
+    val fs = CompactionSwap.fsFor(storeDir,
+      spark.sparkContext.hadoopConfiguration)
+    readString(fs, new Path(s"$storeDir/_schema")).flatMap { json =>
+      scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(json)
+        .asInstanceOf[StructType]).toOption
+    }
+  }
+
   /** Recover any compaction stranded between its renames for each dir —
     * called where a writer (re)starts, BEFORE the stream recreates the
     * store dir (or every pre-crash row would be invisible to the
@@ -101,45 +164,50 @@ private[graft] object BatchStore {
 
   /** [[recoverAtStart]] plus the checkpoint-identity guard: every store
     * dir records which streaming checkpoint owns it (`_checkpoint`
-    * marker, written on first bind). Starting a stream with a DIFFERENT
-    * checkpoint against an existing store fails loudly here — a fresh
-    * checkpoint restarts batch ids at 0, so its batches would silently
-    * OVERWRITE same-id history dirs, and any id already folded by a
-    * compaction would be skipped outright by the replay guard (new data
-    * silently dropped). The store/checkpoint pair is a unit — Spark's
-    * own exactly-once contract for foreachBatch sinks. To intentionally
-    * re-home a store, delete `<dir>/_checkpoint` (and understand the id
-    * collision you are accepting); deleting and recreating the SAME
-    * checkpoint path evades this guard — don't.
+    * marker — checkpoint path, and since round 18 the checkpoint's own
+    * query id from `<ckpt>/metadata`). Starting a stream with a
+    * DIFFERENT checkpoint against an existing store fails loudly here —
+    * a fresh checkpoint restarts batch ids at 0, so its batches would
+    * silently OVERWRITE same-id history dirs, and any id already folded
+    * by a compaction would be skipped outright by the replay guard (new
+    * data silently dropped). The store/checkpoint pair is a unit —
+    * Spark's own exactly-once contract for foreachBatch sinks. Deleting
+    * and recreating the SAME checkpoint path is caught too: the
+    * recreated checkpoint carries a fresh query id that no longer
+    * matches the bound one ([[ensureBound]] re-verifies this inside the
+    * running stream, where the id is guaranteed to exist). To
+    * intentionally re-home a store, delete `<dir>/_checkpoint` (and
+    * understand the id collision you are accepting).
     */
   def bindCheckpoint(spark: SparkSession, checkpointDir: String,
                      dirs: String*): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     recoverAtStart(spark, dirs: _*)
     dirs.foreach { d =>
-      val fs = CompactionSwap.fsFor(d, conf)
-      val marker = new Path(s"$d/_checkpoint")
-      if (fs.exists(marker)) {
-        val buf = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
-        val in = fs.open(marker)
-        try in.readFully(buf) finally in.close()
-        val bound = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-        if (bound != checkpointDir)
-          throw new IllegalStateException(
-            s"store $d is bound to checkpoint '$bound' but the stream " +
-              s"was started with checkpoint '$checkpointDir' — a fresh " +
-              "checkpoint restarts batch ids at 0 and would silently " +
-              "overwrite (or skip, if folded) same-id history; delete " +
-              s"$d/_checkpoint only for an intentional re-home")
-      } else if (fs.exists(new Path(d))) {
-        val out = fs.create(marker, true)
-        try out.write(checkpointDir.getBytes(
-          java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-      }
-      // a store dir that doesn't exist yet binds on the next start —
-      // writing the marker first would CREATE the dir and flip every
-      // "store exists?" empty-serving check
+      verifyOrStamp(spark, CompactionSwap.fsFor(d, conf), d, checkpointDir,
+        createIfAbsent = false, atStart = true)
+      // a store dir that doesn't exist yet binds at its first batch
+      // (ensureBound) — writing the marker first would CREATE the dir
+      // and flip every "store exists?" empty-serving check
+    }
+  }
+
+  /** The per-batch half of the identity guard, called at the top of
+    * every `foreachBatch` body (round 18 — previously binding was
+    * start-time only, so a store created by its first batches whose
+    * process died before any restart was never bound at all). Inside a
+    * running stream the checkpoint's `metadata` file is guaranteed to
+    * exist, so this both stamps the binding ATOMICALLY with the first
+    * batch and verifies the query id on every batch — catching a
+    * deleted-and-recreated checkpoint at batch 0, before any overwrite
+    * or folded-id skip can lose data.
+    */
+  def ensureBound(spark: SparkSession, checkpointDir: String,
+                  dirs: String*): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    dirs.foreach { d =>
+      verifyOrStamp(spark, CompactionSwap.fsFor(d, conf), d, checkpointDir,
+        createIfAbsent = true, atStart = false)
     }
   }
 
@@ -199,7 +267,12 @@ private[graft] object BatchStore {
     *  - every folded id is recorded under `_folded/` in the swapped-in
     *    store (prior markers carried forward), which [[isFolded]] serves;
     *  - `batch=0` itself is marked committed (it is, by construction),
-    *    so a re-compaction folds it instead of treating it as torn.
+    *    so a re-compaction folds it instead of treating it as torn;
+    *  - root marker FILES (`_checkpoint`, `_hwm`, `_schema`) and any
+    *    in-flight `_replaying` breadcrumbs ride into the swapped-in
+    *    store verbatim (round 18 — previously the swap dropped the
+    *    `_checkpoint` binding, silently disarming the identity guard
+    *    after the first compaction).
     *
     * An UNMARKED batch dir is always carried verbatim, even when no
     * `_committed` dir exists at all: a brand-new store whose very first
@@ -248,6 +321,22 @@ private[graft] object BatchStore {
           new Path(tmp, new Path(b).getName), false,
           spark.sparkContext.hadoopConfiguration)
       }
+      // root markers ride verbatim: the checkpoint binding (dropping it
+      // disarmed the identity guard after every compaction — the
+      // round-17 review's medium finding), the high-water mark, the
+      // schema stamp, and any in-flight replay breadcrumbs
+      Seq("_checkpoint", "_hwm", "_schema").foreach { m =>
+        val src = new Path(s"$storeDir/$m")
+        if (fs.exists(src))
+          org.apache.hadoop.fs.FileUtil.copy(fs, src, fs,
+            new Path(s"$tmp/$m"), false,
+            spark.sparkContext.hadoopConfiguration)
+      }
+      val replaying = new Path(s"$storeDir/_replaying")
+      if (fs.exists(replaying))
+        org.apache.hadoop.fs.FileUtil.copy(fs, replaying, fs,
+          new Path(s"$tmp/_replaying"), false,
+          spark.sparkContext.hadoopConfiguration)
       fs.mkdirs(new Path(s"$tmp/_folded"))
       (priorFolded ++ committed.map(idOf)).distinct.foreach { id =>
         fs.create(new Path(s"$tmp/_folded/$id"), true).close()
@@ -255,5 +344,93 @@ private[graft] object BatchStore {
       fs.mkdirs(new Path(s"$tmp/_committed"))
       fs.create(new Path(s"$tmp/_committed/0"), true).close()
     }: Unit
+  }
+
+  // ---- binding / marker plumbing ----------------------------------------
+
+  /** The streaming query id Spark stamped into `<ckpt>/metadata` when
+    * the checkpoint was CREATED — stable across restarts of the same
+    * checkpoint, fresh when the path is deleted and recreated, which is
+    * exactly the signal the path-equality check cannot see. None before
+    * the checkpoint's first start (bindCheckpoint runs then; ensureBound
+    * runs inside the stream, where the file always exists).
+    */
+  private def queryIdOf(spark: SparkSession, checkpointDir: String): Option[String] = {
+    val fs = CompactionSwap.fsFor(checkpointDir,
+      spark.sparkContext.hadoopConfiguration)
+    readString(fs, new Path(s"$checkpointDir/metadata")).flatMap { json =>
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+    }
+  }
+
+  /** Marker layout: line 1 the checkpoint path, line 2 (optional — the
+    * id wasn't known at a pre-first-start bind, or the marker predates
+    * round 18) the checkpoint's query id.
+    */
+  private def verifyOrStamp(spark: SparkSession, fs: FileSystem, d: String,
+                            checkpointDir: String, createIfAbsent: Boolean,
+                            atStart: Boolean): Unit = {
+    val marker = new Path(s"$d/_checkpoint")
+    val curId = queryIdOf(spark, checkpointDir)
+    readString(fs, marker) match {
+      case Some(content) =>
+        val lines = content.split('\n')
+        val boundPath = lines.head
+        val boundId = lines.drop(1).headOption.filter(_.nonEmpty)
+        if (boundPath != checkpointDir)
+          throw new IllegalStateException(
+            s"store $d is bound to checkpoint '$boundPath' but the stream " +
+              s"was started with checkpoint '$checkpointDir' — a fresh " +
+              "checkpoint restarts batch ids at 0 and would silently " +
+              "overwrite (or skip, if folded) same-id history; delete " +
+              s"$d/_checkpoint only for an intentional re-home")
+        (boundId, curId) match {
+          case (Some(b), Some(c)) if b != c =>
+            throw new IllegalStateException(
+              s"store $d is bound to checkpoint '$checkpointDir' under query " +
+                s"id '$b', but the checkpoint at that path now carries query " +
+                s"id '$c' — the checkpoint was deleted and recreated, which " +
+                "restarts batch ids at 0 and would silently overwrite (or " +
+                "skip, if folded) same-id history; delete " +
+                s"$d/_checkpoint only for an intentional re-home")
+          case (Some(b), None) if atStart =>
+            // history is owned by a checkpoint run that no longer exists
+            // on disk — starting now would mint a fresh id and collide
+            throw new IllegalStateException(
+              s"store $d is bound to checkpoint '$checkpointDir' under query " +
+                s"id '$b', but no metadata exists at that checkpoint path — " +
+                "the checkpoint was deleted; starting a fresh one would " +
+                "restart batch ids at 0 and silently overwrite (or skip, if " +
+                s"folded) same-id history; delete $d/_checkpoint only for " +
+                "an intentional re-home")
+          case (None, Some(c)) =>
+            // legacy / pre-first-start marker: upgrade in place with the id
+            writeString(fs, marker, s"$checkpointDir\n$c")
+          case _ => ()
+        }
+      case None =>
+        if (createIfAbsent || fs.exists(new Path(d)))
+          writeString(fs, marker,
+            curId.fold(checkpointDir)(id => s"$checkpointDir\n$id"))
+    }
+  }
+
+  private def readHwm(fs: FileSystem, storeDir: String): Option[Long] =
+    readString(fs, new Path(s"$storeDir/_hwm"))
+      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+
+  private def readString(fs: FileSystem, p: Path): Option[String] =
+    if (!fs.exists(p)) None
+    else scala.util.Try {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    }.toOption
+
+  private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 }

@@ -133,6 +133,8 @@ object IncrementalAnnIndex {
       maintainFit(spark, indexDir, refitAt, skewRefitAt, seed)
     vecs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // per-batch identity re-check (see BatchStore.ensureBound)
+        BatchStore.ensureBound(batch.sparkSession, checkpointDir, indexDir)
         processBatch(batch, batchId, idCol, vecCol, indexDir,
           nlist, refitAt, driftCheckEvery, seed, encoder, reencodeAt,
           skewRefitAt)

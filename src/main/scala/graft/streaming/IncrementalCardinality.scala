@@ -33,6 +33,8 @@ object IncrementalCardinality {
     BatchStore.bindCheckpoint(events.sparkSession, checkpointDir, storeDir)
     events.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // per-batch identity re-check (see BatchStore.ensureBound)
+        BatchStore.ensureBound(batch.sparkSession, checkpointDir, storeDir)
         processBatch(batch, batchId, keyCol, tsCol, storeDir, lgConfigK)
       }
       .option("checkpointLocation", checkpointDir)

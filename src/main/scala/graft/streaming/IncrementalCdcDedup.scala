@@ -62,6 +62,9 @@ object IncrementalCdcDedup {
       storeDir, cleanDir)
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // per-batch identity re-check (see BatchStore.ensureBound)
+        BatchStore.ensureBound(batch.sparkSession, checkpointDir,
+          storeDir, cleanDir)
         processBatch(batch, batchId, idCol, textCol, storeDir, cleanDir,
           k, divisor)
       }

@@ -56,6 +56,11 @@ object IncrementalDedup {
       Seq(storeDir, dupDir) ++ keptDir: _*)
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // per-batch identity re-check: binds atomically with the first
+        // batch and catches a deleted-and-recreated checkpoint (fresh
+        // query id) before any same-id overwrite or folded-id skip
+        BatchStore.ensureBound(batch.sparkSession, checkpointDir,
+          Seq(storeDir, dupDir) ++ keptDir: _*)
         processBatch(batch, batchId, idCol, textCol,
           storeDir, dupDir, n, bands, rowsPerBand, keptDir)
       }

@@ -48,6 +48,9 @@ object IncrementalEmbedDedup {
       Seq(storeDir, dupDir) ++ keptDir: _*)
     vecs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // per-batch identity re-check (see BatchStore.ensureBound)
+        BatchStore.ensureBound(batch.sparkSession, checkpointDir,
+          Seq(storeDir, dupDir) ++ keptDir: _*)
         processBatch(batch, batchId, idCol, vecCol, storeDir, dupDir,
           threshold, numPlanes, dim, seed, keptDir)
       }

@@ -34,6 +34,9 @@ object IncrementalHeavyHitters {
       s"$storeDir/sketch", s"$storeDir/cand")
     rows.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // per-batch identity re-check (see BatchStore.ensureBound)
+        BatchStore.ensureBound(batch.sparkSession, checkpointDir,
+          s"$storeDir/sketch", s"$storeDir/cand")
         processBatch(batch, batchId, keyCol, storeDir, eps, confidence, seed, k)
       }
       .option("checkpointLocation", checkpointDir)
@@ -47,6 +50,19 @@ object IncrementalHeavyHitters {
   def processBatch(batch: Dataset[Row], batchId: Long, keyCol: String,
                    storeDir: String, eps: Double, confidence: Double,
                    seed: Int, k: Int): Unit = {
+    // per-substore fold guards, not one whole-batch skip: sketch and
+    // cand compact independently, and a crash between the two writes
+    // followed by a compaction can leave THIS batch folded in one
+    // substore but absent from the other — the guard lets the replay
+    // fill exactly the missing half without double-counting the
+    // folded half (CMS counters add; a re-written sketch dir next to
+    // the fold would count its keys twice). Checked BEFORE the
+    // localCheckpoint below: a batch folded in BOTH substores writes
+    // nothing, so it must not pay a full batch materialization either.
+    val spark = batch.sparkSession
+    val sketchFolded = BatchStore.isFolded(spark, s"$storeDir/sketch", batchId)
+    val candFolded = BatchStore.isFolded(spark, s"$storeDir/cand", batchId)
+    if (sketchFolded && candFolded) return
     // keys are canonicalized to STRING at insert time so the driver-side
     // estimateCount(String) at serve time hashes identically — CMS hashes
     // by runtime type, so a long-inserted key would never match a string
@@ -54,20 +70,12 @@ object IncrementalHeavyHitters {
     val b = batch.toDF().select(col(keyCol).cast("string").as(keyCol))
       .localCheckpoint(true) // sketch AND candidates read it
     try {
-      // per-substore fold guards, not one whole-batch skip: sketch and
-      // cand compact independently, and a crash between the two writes
-      // followed by a compaction can leave THIS batch folded in one
-      // substore but absent from the other — the guard lets the replay
-      // fill exactly the missing half without double-counting the
-      // folded half (CMS counters add; a re-written sketch dir next to
-      // the fold would count its keys twice)
-      val spark = batch.sparkSession
-      if (!BatchStore.isFolded(spark, s"$storeDir/sketch", batchId))
+      if (!sketchFolded)
         BatchStore.writeBatch(
           b.agg(count_min_sketch(col(keyCol), lit(eps), lit(confidence), lit(seed))
             .as("sk")),
           s"$storeDir/sketch", batchId)
-      if (!BatchStore.isFolded(spark, s"$storeDir/cand", batchId))
+      if (!candFolded)
         BatchStore.writeBatch(
           b.groupBy(col(keyCol).as("key"))
             .agg(count(lit(1)).as("cnt"))

@@ -38,6 +38,8 @@ object IncrementalManifest {
     BatchStore.bindCheckpoint(rows.sparkSession, checkpointDir, storeDir)
     rows.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // per-batch identity re-check (see BatchStore.ensureBound)
+        BatchStore.ensureBound(batch.sparkSession, checkpointDir, storeDir)
         processBatch(batch, batchId, storeDir)
       }
       .option("checkpointLocation", checkpointDir)

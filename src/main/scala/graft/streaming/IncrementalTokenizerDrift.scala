@@ -55,6 +55,8 @@ object IncrementalTokenizerDrift {
     BatchStore.bindCheckpoint(docs.sparkSession, checkpointDir, storeDir)
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // per-batch identity re-check (see BatchStore.ensureBound)
+        BatchStore.ensureBound(batch.sparkSession, checkpointDir, storeDir)
         processBatch(batch, batchId, textCol, pieces, storeDir)
       }
       .option("checkpointLocation", checkpointDir)

@@ -39,6 +39,8 @@ object StreamingDecontaminate {
       .select("shingle").distinct().localCheckpoint(true)
     docs.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // per-batch identity re-check (see BatchStore.ensureBound)
+        BatchStore.ensureBound(batch.sparkSession, checkpointDir, flaggedDir)
         processBatch(batch.toDF(), batchId, benchShingles, idCol, textCol,
           flaggedDir, n)
       }
@@ -67,18 +69,27 @@ object StreamingDecontaminate {
     * absent or torn (no committed footer) sink — the shared
     * [[BatchStore.readAll]] contract; serving before the first batch
     * lands returns an empty frame, not a schema-inference throw. The
-    * sink's id column is whatever `idCol` the stream declared, so the
-    * empty frame needs the caller to say what that was (`idCol` /
-    * `idType`, defaulting to the spec corpus's `doc_id: long`) — a
-    * hardcoded name would make exactly the empty-serving path throw on
-    * `.select(idCol)` (round-17 review finding). The layout-only
-    * `batch` partition column is omitted from the empty frame.
+    * empty frame's schema comes from the sink's `_schema` marker
+    * (stamped by the first committed batch — round-18 fix: the old
+    * default-parameter frame broke on a non-default `idCol` exactly
+    * when the store was empty, and omitted the `batch` partition
+    * column the non-empty read carries). `idCol`/`idType` remain only
+    * as the fallback for a store that has never committed anything.
     */
   def readFlagged(spark: SparkSession, flaggedDir: String,
                   idCol: String = "doc_id",
                   idType: org.apache.spark.sql.types.DataType =
                     org.apache.spark.sql.types.LongType): DataFrame =
-    BatchStore.readAll(spark, flaggedDir).getOrElse(
-      spark.range(0).select(lit(null).cast(idType).as(idCol),
-        lit(0L).as("n_hits"), lit(0L).as("batch_id")))
+    BatchStore.readAll(spark, flaggedDir).getOrElse {
+      import org.apache.spark.sql.types._
+      val data = BatchStore.storedSchema(spark, flaggedDir).getOrElse(
+        StructType(Seq(StructField(idCol, idType),
+          StructField("n_hits", LongType, nullable = false),
+          StructField("batch_id", LongType, nullable = false))))
+      // mirror the non-empty read exactly: partition discovery surfaces
+      // `batch` as an integer-inferred, nullable trailing column
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        StructType(data.map(_.copy(nullable = true)) :+
+          StructField("batch", IntegerType)))
+    }
 }

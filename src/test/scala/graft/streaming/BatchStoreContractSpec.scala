@@ -172,6 +172,119 @@ class BatchStoreContractSpec extends AnyFunSuite {
       "a torn batch=0 must defer the whole compaction")
   }
 
+  for (a <- adapters if a.compact.isDefined) {
+    test(s"${a.name}: the checkpoint binding survives compaction (guard stays armed)") {
+      val root = freshRoot(s"${a.name}-bindcompact")
+      (0 to 2).foreach(a.ingest(root, _))
+      BatchStore.bindCheckpoint(spark, s"$root/ckptA", a.swapDirs(root): _*)
+      a.compact.get(root)
+      val fs = CompactionSwap.fsFor(root, spark.sparkContext.hadoopConfiguration)
+      a.swapDirs(root).foreach { d =>
+        assert(fs.exists(new Path(s"$d/_checkpoint")),
+          s"$d: the swap must carry the binding marker (round-18 fix — " +
+            "dropping it silently disarmed the identity guard)")
+      }
+      // the guard is still armed: a fresh checkpoint fails loudly …
+      intercept[IllegalStateException] {
+        BatchStore.bindCheckpoint(spark, s"$root/ckptB", a.swapDirs(root): _*)
+      }
+      // … and the rightful checkpoint still binds
+      BatchStore.bindCheckpoint(spark, s"$root/ckptA", a.swapDirs(root): _*)
+    }
+  }
+
+  test("a deleted-and-recreated checkpoint (same path, fresh query id) fails loudly") {
+    import spark.implicits._
+    val root = freshRoot("queryid")
+    val store = s"$root/store"
+    val ckpt = s"$root/ckpt"
+    val fs = CompactionSwap.fsFor(root, spark.sparkContext.hadoopConfiguration)
+    def stampMetadata(id: String): Unit = {
+      val out = fs.create(new Path(s"$ckpt/metadata"), true)
+      try out.write(s"""{"id":"$id"}""".getBytes("UTF-8")) finally out.close()
+    }
+    // the stream is running: metadata exists, the first batch binds
+    stampMetadata("aaaa-1111")
+    BatchStore.ensureBound(spark, ckpt, store)
+    BatchStore.writeBatch(Seq((1L, "x")).toDF("k", "v"), store, 0L)
+    BatchStore.ensureBound(spark, ckpt, store) // every later batch re-verifies
+    // operator deletes and recreates the checkpoint at the SAME path —
+    // Spark mints a fresh query id; batch ids restart at 0
+    stampMetadata("bbbb-2222")
+    val e = intercept[IllegalStateException] {
+      BatchStore.ensureBound(spark, ckpt, store)
+    }
+    assert(e.getMessage.contains("aaaa-1111") && e.getMessage.contains("bbbb-2222"))
+    // the start-time guard catches the deleted-but-not-yet-recreated case
+    fs.delete(new Path(ckpt), true)
+    val e2 = intercept[IllegalStateException] {
+      BatchStore.bindCheckpoint(spark, ckpt, store)
+    }
+    assert(e2.getMessage.contains("no metadata"))
+    // a pre-round-18 marker (path only) upgrades in place instead of failing
+    val legacy = s"$root/legacy"
+    BatchStore.writeBatch(Seq((1L, "x")).toDF("k", "v"), legacy, 0L)
+    val out = fs.create(new Path(s"$legacy/_checkpoint"), true)
+    try out.write(ckpt.getBytes("UTF-8")) finally out.close()
+    stampMetadata("cccc-3333")
+    BatchStore.ensureBound(spark, ckpt, legacy)
+    stampMetadata("dddd-4444")
+    intercept[IllegalStateException] { BatchStore.ensureBound(spark, ckpt, legacy) }
+  }
+
+  test("high-water guard refuses id-collision writes but passes every legitimate replay") {
+    import spark.implicits._
+    val root = freshRoot("hwm")
+    val store = s"$root/store"
+    val df = Seq((1L, "x")).toDF("k", "v")
+    (0L to 2L).foreach(BatchStore.writeBatch(df, store, _))
+    val fs = CompactionSwap.fsFor(root, spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$store/_hwm")))
+    // legitimate: replaying an id whose dir still exists (torn or whole)
+    BatchStore.writeBatch(df, store, 1L)
+    // legitimate: a replay whose previous attempt died AFTER the
+    // overwrite deleted the old dir — the _replaying breadcrumb
+    // sanctions it
+    fs.delete(new Path(s"$store/batch=1"), true)
+    fs.delete(new Path(s"$store/_committed/1"), false)
+    fs.create(new Path(s"$store/_replaying/1"), true).close()
+    BatchStore.writeBatch(df, store, 1L) // heals
+    assert(BatchStore.readAll(spark, store).get.count() == 3)
+    // id collision: a below-high-water id with no dir, no fold record,
+    // no breadcrumb — a checkpoint that restarted numbering
+    fs.delete(new Path(s"$store/batch=1"), true)
+    fs.delete(new Path(s"$store/_committed/1"), false)
+    val e = intercept[IllegalStateException] { BatchStore.writeBatch(df, store, 1L) }
+    assert(e.getMessage.contains("high-water"))
+    // folded ids pass the guard (the store-level isFolded check is what
+    // skips them; writeBatch itself must not wedge a post-compaction
+    // replay that a store chooses to route differently)
+    val store2 = s"$root/store2"
+    (0L to 2L).foreach(BatchStore.writeBatch(df, store2, _))
+    BatchStore.compact(spark, store2) { (batches, out) =>
+      spark.read.parquet(batches: _*).write.parquet(out)
+    }
+    assert(fs.exists(new Path(s"$store2/_hwm")), "compaction must carry _hwm")
+    assert(BatchStore.isFolded(spark, store2, 2L))
+    BatchStore.writeBatch(df, store2, 2L) // folded: allowed through
+  }
+
+  test("empty-frame serving uses the _schema stamp (typed like the non-empty read)") {
+    import spark.implicits._
+    val root = freshRoot("schema")
+    val store = s"$root/store"
+    BatchStore.writeBatch(
+      Seq(("a", 1L)).toDF("my_id", "n_hits"), store, 0L)
+    val nonEmpty = BatchStore.readAll(spark, store).get
+    val stored = BatchStore.storedSchema(spark, store).get
+    assert(stored.fieldNames.toSeq == Seq("my_id", "n_hits"))
+    // the stored stamp + the inferred `batch` partition column together
+    // reproduce the non-empty read's column names and types
+    assert((stored.map(f => (f.name, f.dataType)) :+
+      ("batch", org.apache.spark.sql.types.IntegerType)) ==
+      nonEmpty.schema.map(f => (f.name, f.dataType)))
+  }
+
   for (a <- adapters if a.swapDirs("x").nonEmpty) {
     test(s"${a.name}: a swap stranded between renames (.old only) is invisible to the next read") {
       val root = freshRoot(s"${a.name}-old")

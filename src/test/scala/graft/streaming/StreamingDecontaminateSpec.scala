@@ -53,6 +53,34 @@ class StreamingDecontaminateSpec extends AnyFunSuite {
       s"restart flags the new leak, never the clean docs: $after2")
   }
 
+  test("empty serving matches the non-empty schema, including a non-default idCol") {
+    val base = Files.createTempDirectory("graft-streamdecon-schema")
+    val flagged = base.resolve("flagged")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val benchShingles = graft.dedup.Dedup.shingles(bench, "doc_id", "text", 3)
+      .select("shingle").distinct()
+    // a NON-default id column, declared only at the stream
+    val batch = Seq(("u-1", leakText)).toDF("uri", "text")
+    StreamingDecontaminate.processBatch(batch, 0L, benchShingles,
+      "uri", "text", flagged.toString, 3)
+    val nonEmpty = StreamingDecontaminate.readFlagged(spark, flagged.toString)
+    // torn store: the _schema stamp survives, the data does not (first
+    // batch crashed before any footer committed) — exactly the window
+    // where the old default-parameter empty frame served a WRONG column
+    // name and no batch column
+    val fs = CompactionSwap.fsFor(flagged.toString,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$flagged/batch=0"), true)
+    val empty = StreamingDecontaminate.readFlagged(spark, flagged.toString)
+    assert(empty.isEmpty)
+    assert(empty.schema.map(f => (f.name, f.dataType)) ==
+      nonEmpty.schema.map(f => (f.name, f.dataType)),
+      s"empty ${empty.schema} must be typed like non-empty ${nonEmpty.schema}")
+    // callers can select the declared id column AND the batch column on
+    // the empty path (the round-17 review's exact failure)
+    assert(empty.select("uri", "n_hits", "batch").count() == 0)
+  }
+
   test("replaying a batch id overwrites its own output (idempotent)") {
     val base = Files.createTempDirectory("graft-streamdecon-replay")
     val flagged = base.resolve("flagged")
