@@ -736,6 +736,111 @@ object Dedup {
     result
   }
 
+  /** Fuzzy record linkage: id pairs whose `nameCol` values share a
+    * `prefixLen`-char blocking prefix, differ in length by at most
+    * `lenTol`, and sit within Levenshtein distance `maxDist` — with BOTH
+    * quadratic dimensions capped (round 18; this was the engine's last
+    * unbounded-quadratic declared query):
+    *
+    *  - '''distinct-name blocks''' (`maxBlock`): within a block the exact
+    *    path compares all name pairs — quadratic in DISTINCT names per
+    *    block. Blocks over `maxBlock` route through character-shingle
+    *    MinHash LSH (band-bucket equi-join, the same machinery as
+    *    [[minhashLshCandidates]]) and only the CANDIDATES take the exact
+    *    `levenshtein` verify — the linkage predicate itself stays exact
+    *    on every emitted pair; what the cap trades is recall on pairs
+    *    whose names are so far apart they share no band (those are near
+    *    the distance threshold anyway). Below the cap the result is
+    *    exhaustive.
+    *  - '''id fanout''' (`maxIdsPerName`): the id-level output is
+    *    (rows-per-name)² per matched name pair — on a corpus where a
+    *    name recurs m times, every matched name pair emits m² id pairs,
+    *    which no algorithm can outrun because it is the OUTPUT size.
+    *    Names with more than `maxIdsPerName` ids are represented by
+    *    their `maxIdsPerName` smallest ids (deterministic), computed
+    *    with the bounded-heap `top_k_by` aggregate — map-side combine,
+    *    never a per-name sort.
+    *
+    * Both caps are declared at the call site like `maxDf` is, and sized
+    * so they never bind at oracle/bench scale (exhaustive results there)
+    * while bounding the sf1/100 TB shape.
+    */
+  def editDistancePairs(records: DataFrame, idCol: String, nameCol: String,
+                        maxDist: Int = 3, prefixLen: Int = 2, lenTol: Int = 2,
+                        maxBlock: Long = 1000L, maxIdsPerName: Int = 500,
+                        bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    val recs = records.filter(col(nameCol).isNotNull)
+    val names = recs.select(col(nameCol).cast("string").as("nm")).distinct()
+      .select(col("nm"), substring(col("nm"), 1, prefixLen).as("blk"),
+        length(col("nm")).as("len"))
+      .withColumn("blk_n", count(lit(1)).over(Window.partitionBy("blk")))
+    // exact all-pairs within small blocks (both orientations — the id
+    // expansion below joins each side by name equality)
+    val small = names.filter(col("blk_n") <= maxBlock)
+    val exactPairs = small
+      .select(col("nm").as("name_a"), col("blk"), col("len").as("len_a"))
+      .join(small.select(col("nm").as("name_b"), col("blk"), col("len").as("len_b")),
+        Seq("blk"))
+      .filter(abs(col("len_a") - col("len_b")) <= lenTol &&
+        col("name_a") =!= col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select("name_a", "name_b", "dist")
+    // oversized blocks: char-3-gram MinHash, banded; candidates share a
+    // (block, band-key) bucket — bucket-sized joins, never block²
+    val big = names.filter(col("blk_n") > maxBlock)
+    val numHashes = bands * rowsPerBand
+    val grams = big.select(col("nm"), col("blk"), col("len"),
+      explode(expr(
+        "transform(sequence(1, greatest(length(nm) - 2, 1)), i -> substring(nm, i, 3))"))
+        .as("shingle"))
+    val mhs = (0 until numHashes).map(i => minhashHex(i).as(s"mh$i"))
+    val sig = grams.groupBy("nm", "blk", "len").agg(mhs.head, mhs.tail: _*)
+    val bandKeys = (0 until bands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), concat(col("blk") +: cols: _*).as("key"))
+    }
+    val br = sig.select(col("nm"), col("len"),
+        explode(array(bandKeys: _*)).as("bk"))
+      .select(col("nm"), col("len"), col("bk.band").as("band"),
+        col("bk.key").as("band_key"))
+    val lshPairs = br
+      .select(col("band"), col("band_key"), col("nm").as("name_a"), col("len").as("len_a"))
+      .join(br.select(col("band"), col("band_key"), col("nm").as("name_b"),
+        col("len").as("len_b")), Seq("band", "band_key"))
+      .filter(col("name_a") =!= col("name_b") &&
+        abs(col("len_a") - col("len_b")) <= lenTol)
+      .select("name_a", "name_b").distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select("name_a", "name_b", "dist")
+    val namePairs = exactPairs.unionByName(lshPairs)
+    // id expansion, capped: the k smallest ids per name via the bounded
+    // heap (ord is a constant, so the tie-ASC order IS "smallest ids";
+    // works for any orderable id type, with map-side partials)
+    val ids = recs
+      .groupBy(col(nameCol).as("nm"))
+      .agg(graft.functions.TopKBy.topKBy(lit(0), col(idCol), col(idCol),
+        maxIdsPerName).as("top"))
+      .select(col("nm"), explode(col("top")).as("e"))
+      .select(col("nm"), col("e.payload").as("id"))
+    // The id-expansion join's OUTPUT (ids-per-name x matched pairs) is
+    // orders of magnitude larger than either input, so — same as the
+    // similarity probe joins fixed by the round-17 sf1 gate — pin both
+    // sides with explicit repartitions AQE leaves alone; input-byte
+    // stage sizing would push the whole expansion through 1-2 tasks.
+    val spark = records.sparkSession
+    val parts = math.max(spark.sparkContext.defaultParallelism,
+      spark.sessionState.conf.numShufflePartitions)
+    ids.select(col("id").as("id_a"), col("nm").as("name_a"))
+      .join(broadcast(namePairs), "name_a")
+      .repartition(parts, col("name_b"))
+      .join(ids.select(col("id").as("id_b"), col("nm").as("name_b"))
+        .repartition(parts, col("name_b")), "name_b")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "dist")
+  }
+
   /** One MinHash value as a *hex string*: min over shingles of
     * md5(seed_i ++ shingle) truncated to 15 hex chars. Fixed-width hex means
     * lexicographic MIN == numeric MIN, which keeps the whole signature

@@ -623,27 +623,19 @@ object PipelineOps {
 
     // Fuzzy record linkage: part-name pairs within Levenshtein distance 3.
     // The expensive verify runs on DISTINCT names only (prefix + length
-    // blocked), never on rows — row blow-up happens after, as two
-    // broadcast joins of the tiny matched-name-pair table back onto the
-    // ids. Levenshtein calls scale with distinct values, not row count.
-    "dd_editdist_pairs" -> ((s, d) => {
-      val p = Tables.part(s, d).select("p_partkey", "p_name")
-      val names = p.select(col("p_name").as("nm")).distinct()
-        .select(col("nm"), substring(col("nm"), 1, 2).as("blk"),
-          length(col("nm")).as("len"))
-      val na = names.select(col("nm").as("name_a"), col("blk"), col("len").as("len_a"))
-      val nb = names.select(col("nm").as("name_b"), col("blk"), col("len").as("len_b"))
-      val namePairs = na.join(nb, Seq("blk"))
-        .filter(abs(col("len_a") - col("len_b")) <= 2 && col("name_a") =!= col("name_b"))
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 3)
-        .select("name_a", "name_b", "dist")
-      p.select(col("p_partkey").as("id_a"), col("p_name").as("name_a"))
-        .join(broadcast(namePairs), "name_a")
-        .join(p.select(col("p_partkey").as("id_b"), col("p_name").as("name_b")), "name_b")
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "dist")
-    }),
+    // blocked), never on rows — and BOTH quadratic dimensions carry
+    // declared caps (round 18, like maxDf on the shingle operators):
+    // maxBlock=1000 routes oversized distinct-name blocks through
+    // char-shingle LSH + exact verify, and maxIdsPerName=500 bounds the
+    // id-level output, which is (rows-per-name)^2 per matched name pair
+    // — the growth that made this row ~134x at sf1 (it was output size,
+    // not Levenshtein: this data has 64 distinct names and 10x rows
+    // means 100x id pairs). Neither cap binds at oracle (sf0.01) or
+    // bench (sf0.1) scale, where the result stays exhaustive.
+    "dd_editdist_pairs" -> ((s, d) =>
+      Dedup.editDistancePairs(Tables.part(s, d).select("p_partkey", "p_name"),
+        "p_partkey", "p_name", maxDist = 3, prefixLen = 2, lenTol = 2,
+        maxBlock = 1000L, maxIdsPerName = 500)),
 
     // Applying the dedup: keep one document per near-dup component (the
     // min-id root), i.e. the filtered corpus a training run would read.

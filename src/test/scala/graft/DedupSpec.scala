@@ -521,4 +521,66 @@ class DedupSpec extends AnyFunSuite {
       assert(got(1L) == "c d e f")
     } finally graft.util.Pins.release(pinnedSide)
   }
+
+  // ---- edit-distance linkage (round 18: both quadratic dimensions capped) --
+
+  private def linkRecs = Seq(
+    (1L, "small ring"), (2L, "small ring"), (3L, "small ring"),
+    (4L, "small rings"),                     // 1 edit from "small ring"
+    (5L, "smell ring"),                      // 1 edit, same "sm" block
+    (6L, "small thing"),                     // 3 edits from "small ring"
+    (7L, "large bolt"), (8L, "large bolts"), // 1 edit, "la" block
+    (9L, "green gear")                       // no partner
+  ).toDF("id", "name")
+
+  private def bruteLinkage = {
+    // the oracle shape: all id pairs, same 2-prefix, |len diff|<=2, lev<=3
+    val rows = linkRecs.collect().map(r => (r.getLong(0), r.getString(1)))
+    (for {
+      (ia, na) <- rows; (ib, nb) <- rows
+      if ia < ib && na.take(2) == nb.take(2) && na != nb &&
+        math.abs(na.length - nb.length) <= 2
+      d = {
+        val dp = Array.tabulate(na.length + 1, nb.length + 1)((i, j) =>
+          if (i == 0) j else if (j == 0) i else 0)
+        for (i <- 1 to na.length; j <- 1 to nb.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+            dp(i - 1)(j - 1) + (if (na(i - 1) == nb(j - 1)) 0 else 1))
+        dp(na.length)(nb.length)
+      }
+      if d <= 3
+    } yield (ia, ib, d)).toSet
+  }
+
+  test("edit-distance linkage: uncapped result equals the brute-force oracle") {
+    val got = Dedup.editDistancePairs(linkRecs, "id", "name")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == bruteLinkage, s"got $got expected $bruteLinkage")
+  }
+
+  test("edit-distance linkage: oversized blocks take the LSH route, verify stays exact") {
+    // maxBlock=1 forces EVERY block through the char-shingle LSH path
+    val got = Dedup.editDistancePairs(linkRecs, "id", "name", maxBlock = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // exactness: every emitted pair is a true pair with the true distance
+    // (the cap trades RECALL, never precision — the lev verify is exact)
+    assert(got.subsetOf(bruteLinkage), s"LSH route emitted a non-pair: $got")
+    // recall on high-overlap pairs: a tail edit ("ring"/"rings",
+    // "bolt"/"bolts") keeps every leading char 3-gram, so these pairs
+    // share >80% of grams and must survive banding; an interior edit
+    // ("small"/"smell") can legitimately fall below the band threshold —
+    // that is the declared trade of the oversized-block route
+    val tailEdits = Set((1L, 4L, 1), (2L, 4L, 1), (3L, 4L, 1), (7L, 8L, 1))
+    assert(tailEdits.subsetOf(got),
+      s"tail-edit pairs must survive the LSH route: missing ${tailEdits -- got}")
+  }
+
+  test("edit-distance linkage: maxIdsPerName keeps the smallest ids per name") {
+    val got = Dedup.editDistancePairs(linkRecs, "id", "name", maxIdsPerName = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // "small ring" has ids {1,2,3}; the cap keeps {1,2}, so id 3 vanishes
+    // from every pair while everything else is untouched
+    val expected = bruteLinkage.filterNot(p => p._1 == 3L || p._2 == 3L)
+    assert(got == expected, s"got $got expected $expected")
+  }
 }
