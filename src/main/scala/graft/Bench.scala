@@ -25,20 +25,28 @@ import org.apache.spark.sql.SparkSession
   *  - CONTENTION AUTO-ADJUDICATION. A shared machine can inflate rows
   *    5-10x (round 13's official run: `sbt` took 993 s for a 168 s
   *    suite; 33 rows flagged >2x baseline, all of which re-measured at
-  *    ≈baseline once the machine was quiet). Any row landing above 2x
-  *    its `BASELINE.md` entry is automatically re-measured at suite end
-  *    (memo released, one warm-up, best of 3 dedicated reps) and
+  *    ≈baseline once the machine was quiet). Any row landing above its
+  *    flag threshold — 2x its `BASELINE.md` entry AND at least
+  *    `SPARK_GRAFT_ADJ_FLOOR_SECS` (0.25 s) above it, so a 40 ms row
+  *    cannot breach on JVM noise — is automatically re-measured at
+  *    suite end (memo released, one warm-up, dedicated reps) and
   *    recorded in the same artifact under `"adjudicated"`, together
   *    with `"value_adjudicated"` (the total with flagged rows
   *    substituted) and start/end 1-minute load averages — the polluted
   *    official number carries its own rebuttal. The re-measure pass is
-  *    LOAD-AWARE (round 16): it waits — bounded by
-  *    `SPARK_GRAFT_ADJ_WAIT_SECS`, default 120 s — for the 1-minute
+  *    LOAD-AWARE (round 16, tightened round 18): it waits — bounded by
+  *    `SPARK_GRAFT_ADJ_WAIT_SECS`, default 300 s — for the 1-minute
   *    load average to drop under `SPARK_GRAFT_ADJ_LOAD_MAX` (default
-  *    8.0) before re-measuring, and if the machine never quiets the
-  *    artifact carries `"adjudication_contended": true` +
-  *    `"adjudication_load"` so the adjudicated numbers read as a
-  *    floor, not a verdict.
+  *    0.1 x nproc; the old 8.0 passed runs that still inflated
+  *    sub-second rows 5-7x) before re-measuring, requires two
+  *    CONSECUTIVE reps agreeing within spread before trusting a
+  *    number, and — the round-18 rule the r17 artifact was missing —
+  *    a row still over its threshold after adjudication (or one that
+  *    never stabilized) lands in `"adjudication_unresolved"`: the
+  *    artifact re-flags what it could not rebut instead of stamping it
+  *    quiet. If the machine never quiets the artifact carries
+  *    `"adjudication_contended": true` + `"adjudication_load"` so the
+  *    adjudicated numbers read as a floor, not a verdict.
   *
   * Emission contract (the driver captures a bounded tail of stdout, so
   * a single 2+ KB JSON line can get truncated mid-line and parse to
@@ -76,6 +84,19 @@ object Bench {
   private def loadAvg: Double =
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Flag threshold: >2x baseline AND at least `floor` seconds above it
+    * (the absolute floor keeps millisecond rows from breaching on JVM
+    * noise — round 18). Package-visible for the spec.
+    */
+  private[graft] def overThreshold(v: Double, b: Double, floor: Double): Boolean =
+    v > math.max(2 * b, b + floor)
+
+  /** Two consecutive re-measures "agree" within 20% spread, floored at
+    * 50 ms for sub-100 ms rows. Package-visible for the spec.
+    */
+  private[graft] def agrees(a: Double, b: Double): Boolean =
+    math.abs(a - b) <= math.max(0.2 * math.min(a, b), 0.05)
 
   /** Family key of a query name: the prefix before the first `_`
     * (`g_pagerank` → `g`, `tp_bpe_train` → `tp`). Grouping only needs
@@ -171,15 +192,25 @@ object Bench {
       }.sortBy(_._1)
 
     // --- contention auto-adjudication -------------------------------
-    // Rows >2x their BASELINE.md entry are re-measured dedicated (fresh
-    // memo, one warm-up, best of 3). A genuinely regressed query stays
-    // slow in its adjudicated number; a contention artifact collapses.
+    // Rows over their BASELINE.md flag threshold are re-measured
+    // dedicated (fresh memo, one warm-up, reps until two consecutive
+    // measurements agree). A genuinely regressed query stays slow in
+    // its adjudicated number — and since round 18 it RE-FLAGS itself
+    // ("adjudication_unresolved") instead of being silently stamped
+    // quiet: the r17 artifact certified three 4.9-7.2x contamination
+    // rows as adjudicated-quiet because nothing checked the re-measure
+    // against the threshold it was rebutting.
     val baseline =
       try baselineRows(java.nio.file.Files.readString(
         java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BASELINE", "BASELINE.md"))))
       catch { case _: Throwable => Map.empty[String, Double] }
+    // Flag threshold: >2x baseline AND at least an absolute floor above
+    // it (default +0.25 s) — a 40 ms row breaches 2x on pure JVM noise,
+    // which burned round 17's artifact (ta_rolling_hash 0.25 vs 0.04).
+    val flagFloor =
+      sys.env.getOrElse("SPARK_GRAFT_ADJ_FLOOR_SECS", "0.25").toDouble
     val flagged = results.filter { case (n, v) =>
-      v > 0 && baseline.get(n).exists(b => v > 2 * b)
+      v > 0 && baseline.get(n).exists(overThreshold(v, _, flagFloor))
     }
     // Load-aware gate: a dedicated re-measure taken while the machine is
     // still contended just reproduces the contamination it exists to
@@ -188,13 +219,15 @@ object Bench {
     // 1-minute load average to drop under the gate before re-measuring;
     // if it never quiets, the artifact marks the adjudication pass
     // itself `"adjudication_contended": true` so a reader weighs the
-    // adjudicated numbers as a floor, not a verdict. The default gate
-    // (8.0, a quarter of the 32 timed threads) tolerates this JVM's own
-    // just-finished suite still draining from the 1-minute average.
-    val adjLoadMax =
-      sys.env.getOrElse("SPARK_GRAFT_ADJ_LOAD_MAX", "8.0").toDouble
+    // adjudicated numbers as a floor, not a verdict. QUIET means what it
+    // says since round 18: the default gate is 0.1 x nproc (3.2 on the
+    // 32-way box) — the old 8.0 stamped runs quiet that still inflated
+    // sub-second scan rows 5-7x (r17's ta_* rows collapsed to 1.4-2.2x
+    // under a genuinely quiet re-measure).
+    val adjLoadMax = sys.env.get("SPARK_GRAFT_ADJ_LOAD_MAX").map(_.toDouble)
+      .getOrElse(0.1 * Runtime.getRuntime.availableProcessors())
     val adjWaitSecs =
-      sys.env.getOrElse("SPARK_GRAFT_ADJ_WAIT_SECS", "120").toInt
+      sys.env.getOrElse("SPARK_GRAFT_ADJ_WAIT_SECS", "300").toInt
     var adjLoad = loadAvg
     if (flagged.nonEmpty) {
       val deadline = System.nanoTime() + adjWaitSecs * 1000000000L
@@ -210,18 +243,41 @@ object Bench {
       System.err.println(f"[bench] adjudication STILL CONTENDED after " +
         f"${adjWaitSecs}s (load $adjLoad%.2f > $adjLoadMax%.2f) — " +
         "re-measures marked contended")
+    // Stability contract (round 18): a re-measure counts only when two
+    // CONSECUTIVE reps agree within spread ([[agrees]]) — one lucky rep
+    // under residual load is not a verdict. Bounded at 5 reps; a row
+    // that never stabilizes is reported unresolved alongside rows still
+    // over threshold.
     val adjudicated = flagged.map { case (name, official) =>
       releaseArtifacts()
       val fn = SparkEntry.queries(name)
       runOnce(name, fn, quiet = true) // dedicated warm-up
-      val best = (1 to 3).map(_ => runOnce(name, fn, quiet = true)._1)
-        .filter(_ > 0)
-      val secs = if (best.nonEmpty) best.min else official
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var stable = false
+      while (times.size < 5 && !stable) {
+        val t = runOnce(name, fn, quiet = true)._1
+        if (t > 0) {
+          stable = times.lastOption.exists(agrees(_, t))
+          times += t
+        } else times.clear() // a failed rep breaks any streak
+      }
+      val secs = if (times.nonEmpty) times.min else official
       System.err.println(f"[bench] adjudicated $name: official $official%.3f -> " +
-        f"dedicated $secs%.3f (baseline ${baseline(name)}%.3f)")
-      name -> secs
+        f"dedicated $secs%.3f (baseline ${baseline(name)}%.3f, " +
+        s"stable=$stable, reps=${times.size})")
+      (name, secs, stable)
     }
-    val adjMap = adjudicated.toMap
+    val adjMap = adjudicated.map { case (n, s, _) => n -> s }.toMap
+    // (a) rows the adjudication could NOT clear: still over the flag
+    // threshold after the dedicated re-measure, or never stabilized —
+    // these re-flag the artifact instead of hiding behind a quiet stamp
+    val unresolved = adjudicated.collect {
+      case (n, s, stable) if !stable ||
+        baseline.get(n).exists(overThreshold(s, _, flagFloor)) => n
+    }
+    if (unresolved.nonEmpty)
+      System.err.println(s"[bench] adjudication UNRESOLVED for: " +
+        unresolved.mkString(", "))
 
     def entries(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
@@ -239,10 +295,11 @@ object Bench {
       .mkString(""","errors":{""", ",", "}") +
       flaky.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
         .mkString(""","flaky":{""", ",", "}") +
-      s""","adjudicated":${entries(adjudicated)}""" +
+      s""","adjudicated":${entries(adjudicated.map { case (n, s, _) => (n, s) })}""" +
       f""","value_adjudicated":$totalAdj%.3f""" +
       f""","adjudication_load":$adjLoad%.2f""" +
       s""","adjudication_contended":$adjContended""" +
+      unresolved.map(jstr).mkString(""","adjudication_unresolved":[""", ",", "]") +
       f""","load_avg":{"start":$loadStart%.2f,"end":$loadAvg%.2f}"""
     def wrap(qs: String, extra: String): String =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
@@ -271,7 +328,7 @@ object Bench {
       val cost = k.length + 12
       if (used + cost <= budget) { kept += ((k, v)); used += cost }
     }
-    val extra = s""","n_queries":${results.size},"queries_omitted":${results.size - kept.size},"n_errors":${errors.size},"n_flaky":${flaky.size},"n_adjudicated":${adjudicated.size}""" +
+    val extra = s""","n_queries":${results.size},"queries_omitted":${results.size - kept.size},"n_errors":${errors.size},"n_flaky":${flaky.size},"n_adjudicated":${adjudicated.size},"n_unresolved":${unresolved.size}""" +
       f""","value_adjudicated":$totalAdj%.3f,"full":"BENCH_FULL.json""""
     println(wrap(entries(kept.toSeq), extra))
     spark.stop()
