@@ -31,6 +31,84 @@ object Multimodal {
   // arrays — cache in memory. (Object init runs once per executor JVM.)
   javax.imageio.ImageIO.setUseCache(false)
 
+  // javax.sound providers, resolved ONCE per JVM (round 18, the mm sf1
+  // finding's second half): unlike ImageIO's static registry,
+  // `AudioSystem.getAudioInputStream/getAudioFileFormat/write` re-resolve
+  // their SPI providers through the calling thread's context classloader
+  // on effectively every call — under Spark task threads that is a
+  // classpath service scan per ROW (~4.5 ms against a 300-jar classpath;
+  // measured 677 s of summed task time for a 50k-row downsample whose
+  // actual codec work microbenchmarks at ~2 s). The spi package is
+  // public API and the providers here are the same JDK WAV/AIFF/AU
+  // implementations AudioSystem itself would pick, so decode semantics
+  // are identical — only the per-call registry walk is gone.
+  private lazy val audioReaders: Vector[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader],
+      classOf[javax.sound.sampled.AudioSystem].getClassLoader)
+      .iterator().asScala.toVector
+  }
+  private lazy val audioWriters: Vector[javax.sound.sampled.spi.AudioFileWriter] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter],
+      classOf[javax.sound.sampled.AudioSystem].getClassLoader)
+      .iterator().asScala.toVector
+  }
+
+  // The reader that recognized the LAST payload, tried first on the
+  // next one: the providers reject foreign formats by THROWING
+  // UnsupportedAudioFileException, and exception construction pays
+  // fillInStackTrace against the ~100-frame Spark task stack — wrong
+  // readers first means milliseconds per row on a homogeneous corpus
+  // (the dominant term left after the registry fix; plain-thread
+  // microbenches hid it behind their 10-frame stacks). Plain volatile:
+  // a race just costs one extra miss.
+  @volatile private var lastAudioReader: javax.sound.sampled.spi.AudioFileReader = null
+
+  private def firstRecognizing[T](payload: Array[Byte])
+      (read: (javax.sound.sampled.spi.AudioFileReader, java.io.ByteArrayInputStream) => T): T = {
+    val lr = lastAudioReader
+    if (lr != null) {
+      try return read(lr, new java.io.ByteArrayInputStream(payload))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    val it = audioReaders.iterator
+    while (it.hasNext) {
+      val r = it.next()
+      if (r ne lr) {
+        try {
+          val v = read(r, new java.io.ByteArrayInputStream(payload))
+          lastAudioReader = r
+          return v
+        } catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no installed reader recognizes the payload")
+  }
+
+  /** `AudioSystem.getAudioInputStream` minus the per-call registry walk
+    * and the wrong-readers-throw-first scan (see [[lastAudioReader]]);
+    * recognition semantics identical to the AudioSystem contract.
+    */
+  private def audioStreamOf(payload: Array[Byte]): javax.sound.sampled.AudioInputStream =
+    firstRecognizing(payload)(_.getAudioInputStream(_))
+
+  /** `AudioSystem.getAudioFileFormat`, same treatment. */
+  private def audioFormatOf(payload: Array[Byte]): javax.sound.sampled.AudioFileFormat =
+    firstRecognizing(payload)(_.getAudioFileFormat(_))
+
+  /** `AudioSystem.write(…, WAVE, …)` minus the per-call registry walk. */
+  private def writeWave(ais: javax.sound.sampled.AudioInputStream,
+                        out: java.io.OutputStream): Unit = {
+    val t = javax.sound.sampled.AudioFileFormat.Type.WAVE
+    audioWriters.find(_.isFileTypeSupported(t, ais)) match {
+      case Some(w) => w.write(ais, t, out): Unit
+      case None => throw new IllegalArgumentException(
+        "no installed writer supports WAVE for this stream")
+    }
+  }
+
   final case class MediaFile(media_id: Long, kind: String, payload: Array[Byte])
   final case class DecodedMeta(media_id: Long, kind: String, n_bytes: Int,
                                width: Int, height: Int, checksum: Long)
@@ -54,6 +132,22 @@ object Multimodal {
       height = 16 + ((crc / 7) % 1024).toInt,
       checksum = crc)
   }
+
+  /** The skinny id column, spread to full parallelism BEFORE per-row
+    * codec work (round 18, the mm sf1 finding): the synthesize/decode
+    * chains hang orders-of-magnitude-per-byte CPU work (ImageIO
+    * encode/decode, WAV resample) off a scan whose partitioning Spark
+    * sized by PARQUET BYTES — a few KB of doc ids is 1-3 file splits,
+    * so the whole mm family ran on 1-3 of 32 cores and scaled with the
+    * file-split count instead of the machine (sf1: 7-13x for 10x rows).
+    * One tiny shuffle of longs buys work-proportional parallelism; a
+    * real binary corpus read via `binaryFile` arrives wide on its own
+    * payload bytes and would skip this.
+    */
+  private def spreadIds(df: DataFrame, idCol: String)
+                       (implicit enc: org.apache.spark.sql.Encoder[Long]): Dataset[Long] =
+    df.select(col(idCol).cast("long").as("media_id")).as[Long]
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
 
   /** Synthesize a media table from any (id, text) table — payload = UTF-8
     * bytes, kind round-robins image/audio/video. Stands in for a real
@@ -146,8 +240,7 @@ object Multimodal {
   def synthesizeImages(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("media_id"))
-      .as[Long]
+    spreadIds(df, idCol)
       .mapPartitions(_.map { id =>
         val w = 1 + (id % 16).toInt
         val h = 1 + (id % 9).toInt
@@ -251,8 +344,7 @@ object Multimodal {
   def synthesizeNearDupImages(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("media_id"))
-      .as[Long]
+    spreadIds(df, idCol)
       .mapPartitions(_.map { id =>
         val (g, v) = (id / 2, id % 2)
         val img = new java.awt.image.BufferedImage(
@@ -367,8 +459,7 @@ object Multimodal {
   def synthesizeAudio(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("media_id"))
-      .as[Long]
+    spreadIds(df, idCol)
       .mapPartitions(_.map { id =>
         val rate = 8000 * (1 + (id % 3).toInt)
         val frames = 50 + (id % 100).toInt
@@ -406,8 +497,7 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaFile].mapPartitions(_.map { m =>
       val ff =
-        try javax.sound.sampled.AudioSystem.getAudioFileFormat(
-          new java.io.ByteArrayInputStream(m.payload))
+        try audioFormatOf(m.payload)
         catch { case _: Exception => null }
       if (ff != null) {
         val f = ff.getFormat
@@ -436,8 +526,7 @@ object Multimodal {
     import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
     media.as[MediaFile].mapPartitions(_.map { m =>
       try {
-        val ais = AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(m.payload))
+        val ais = audioStreamOf(m.payload)
         val fmt = ais.getFormat
         val frameSize = fmt.getFrameSize
         val bytes = ais.readAllBytes()
@@ -453,11 +542,10 @@ object Multimodal {
           fmt.getSampleSizeInBits, fmt.getChannels, frameSize,
           fmt.getFrameRate / factor, fmt.isBigEndian)
         val baos = new java.io.ByteArrayOutputStream()
-        AudioSystem.write(
+        writeWave(
           new AudioInputStream(new java.io.ByteArrayInputStream(out), outFmt, outFrames),
-          AudioFileFormat.Type.WAVE, baos)
-        val ff = AudioSystem.getAudioFileFormat(
-          new java.io.ByteArrayInputStream(baos.toByteArray))
+          baos)
+        val ff = audioFormatOf(baos.toByteArray)
         AudioMeta(m.media_id, baos.size(), ff.getFormat.getSampleRate.toInt,
           ff.getFormat.getChannels, ff.getFormat.getSampleSizeInBits,
           ff.getFrameLength.toLong, "wav")
@@ -508,8 +596,7 @@ object Multimodal {
   def synthesizeNearDupAudio(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("media_id"))
-      .as[Long]
+    spreadIds(df, idCol)
       .mapPartitions(_.map { id =>
         val (g, v) = (id / 2, id % 2)
         val dataLen = NearDupAudioFrames * 2
@@ -566,8 +653,7 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaFile].mapPartitions(_.map { m =>
       try {
-        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-          new java.io.ByteArrayInputStream(m.payload))
+        val ais = audioStreamOf(m.payload)
         val fmt = ais.getFormat
         val bytes = ais.readAllBytes()
         val ch = math.max(fmt.getChannels, 1)
@@ -648,8 +734,7 @@ object Multimodal {
                       withCodec: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("media_id"))
-      .as[Long]
+    spreadIds(df, idCol)
       .mapPartitions(_.map { id =>
         val w = 16 * (1 + (id % 40).toInt)
         val h = 9 * (1 + (id % 40).toInt)
@@ -819,8 +904,7 @@ object Multimodal {
   def synthesizeAviMjpeg(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("media_id"))
-      .as[Long]
+    spreadIds(df, idCol)
       .mapPartitions(_.map { id =>
         val nFrames = 2 + (id % 4).toInt
         val w = 8 + (id % 8).toInt
@@ -992,8 +1076,7 @@ object Multimodal {
   def synthesizeNearDupVideo(df: DataFrame, idCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long").as("media_id"))
-      .as[Long]
+    spreadIds(df, idCol)
       .mapPartitions(_.map { id =>
         val (g, v) = (id / 2, id % 2)
         val (w, h) = (NearDupW, NearDupH)
