@@ -286,6 +286,23 @@ object Similarity {
     val after = spark.read.parquet(s"$tmp/cells").count()
     require(after == before,
       s"IVF refit would change the row count ($before -> $after); aborting")
+    // The swap replaces the WHOLE index dir, but the rebuild wrote only
+    // meta/centroids/cells — everything else the live dir accumulated
+    // must ride into the replacement or the swap DELETES it with `.old`
+    // (round 18, found by AnnCrashFuzzSpec; the same bug class as the
+    // BatchStore compaction dropping `_checkpoint`): the `encoded`
+    // sidecar (codes depend only on vectors — a refit never invalidates
+    // them), and above all the `_appended`/`_bootstrap` replay markers —
+    // losing those turns the next crash-replay of an already-committed
+    // batch into a silent DOUBLE-APPEND (its deterministic-name cleanup
+    // glob can't see the rows the refit rewrote into anonymous files).
+    // COPY, not rename: the live dir must stay intact until the renames.
+    fs.listStatus(live).foreach { st =>
+      val name = st.getPath.getName
+      if (name != "meta" && name != "centroids" && name != "cells")
+        org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new org.apache.hadoop.fs.Path(tmp, name), false, conf)
+    }
     markedSwap(fs, path, tmp)
   }
 
