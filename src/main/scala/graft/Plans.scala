@@ -37,7 +37,7 @@ object Plans {
     "ev_session_paths" -> "top user journeys: sessionization windows + per-session path build all on ONE (user_id, ts) exchange, path rollup contracting map-side, top-20 as TakeOrderedAndProject",
     "tp_weighted_sample" -> "deterministic Efraimidis-Spirakis weighted sampling: ln(u)/w keys from the engine-portable rolling hash, all map-side codegen, top-n as TakeOrderedAndProject — no RNG, no global sort materialization",
     "j6b_nearest_centroid_map" -> "nearest-centroid as least + CaseWhen codegen argmin over literal centroids: map-only, fully inside whole-stage codegen, vs the cross-join form's rows x k shuffle",
-    "dd_editdist_pairs" -> "fuzzy linkage: Levenshtein verify on DISTINCT names only, matched pairs broadcast back onto ids",
+    "dd_editdist_pairs" -> "fuzzy linkage: Levenshtein verify on DISTINCT names only (maxBlock-capped; oversized blocks via char-shingle LSH), matched pairs broadcast back onto top_k_by-capped ids with both expansion-join sides repartition-pinned",
     "sk_bloom_join" -> "Bloom prefilter drops non-matching probe rows before the join shuffle — native might_contain expression inside whole-stage codegen, no scala UDF",
     "tp_decontaminate" -> "benchmark decontamination: eval-set shingles broadcast (adaptively — counted first, shuffle fallback past the cap) into a left-semi join over the corpus shingle pass — the corpus is never self-joined or shuffled on shingle",
     "tp_contamination_report" -> "contamination report: corpus gram pass joined to the adaptively-broadcast benchmark gram set, aggregated on the BENCH doc id — dual count-distinct, corpus never self-joined",

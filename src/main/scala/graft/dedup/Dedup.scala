@@ -790,10 +790,13 @@ object Dedup {
     // (block, band-key) bucket — bucket-sized joins, never block²
     val big = names.filter(col("blk_n") > maxBlock)
     val numHashes = bands * rowsPerBand
+    // explode(sequence) + substr, not transform(..., lambda): the
+    // higher-order form drops the gram build out of codegen (interpreted
+    // LambdaFunction — PlanSpec's no-new-interpreted-lambdas guard)
     val grams = big.select(col("nm"), col("blk"), col("len"),
-      explode(expr(
-        "transform(sequence(1, greatest(length(nm) - 2, 1)), i -> substring(nm, i, 3))"))
-        .as("shingle"))
+        explode(sequence(lit(1), greatest(col("len") - 2, lit(1)))).as("pos"))
+      .select(col("nm"), col("blk"), col("len"),
+        col("nm").substr(col("pos"), lit(3)).as("shingle"))
     val mhs = (0 until numHashes).map(i => minhashHex(i).as(s"mh$i"))
     val sig = grams.groupBy("nm", "blk", "len").agg(mhs.head, mhs.tail: _*)
     val bandKeys = (0 until bands).map { b =>
