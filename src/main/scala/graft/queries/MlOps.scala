@@ -113,14 +113,15 @@ object MlOps {
     * eigendecomposition; see [[graft.cluster.Pca]]).
     */
   private def pcaModel(s: SparkSession, d: String): graft.cluster.Pca.PcaModel =
-    pcaMemo
-      .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate(d,
+    graft.util.Once.memo(
+      pcaMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty),
+      d)(
         graft.cluster.Pca.fit(Tables.embeddings(s, d), "embedding", k = 5))
 
   private val pcaMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, graft.cluster.Pca.PcaModel]]())
+      scala.collection.concurrent.TrieMap[String,
+        graft.util.Once[graft.cluster.Pca.PcaModel]]]())
 
   val queries: Map[String, Q] = Map(
     // PCA projection, declared as its per-row Bessel/Pythagoras

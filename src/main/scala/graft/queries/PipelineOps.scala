@@ -53,15 +53,24 @@ object PipelineOps {
   // value-references-key caveat. Fine for the one-session-per-JVM
   // processes this engine runs in; a long-lived multi-session service
   // must call [[releaseMemo]] when it stops a session.
+  // Every memo value sits in a build-exactly-once [[graft.util.Once]]
+  // cell (round 18, found by the concurrency chaos work):
+  // `TrieMap.getOrElseUpdate`'s by-name default can be EVALUATED TWICE
+  // under a race — two tenants memoizing the same artifact would both
+  // run the eager `localCheckpoint(true)` build, and the loser's pinned
+  // blocks would leak until session end (no handle survives to release
+  // them); worse, a double-built PERSISTED index races its own writer.
   private val sharedMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[(String, String), DataFrame]]())
+      scala.collection.concurrent.TrieMap[(String, String),
+        graft.util.Once[DataFrame]]]())
 
   private[queries] def memoized(s: SparkSession, d: String, key: String)
                       (build: => DataFrame): DataFrame =
-    sharedMemo
-      .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate((d, key), build)
+    graft.util.Once.memo(
+      sharedMemo.computeIfAbsent(s,
+        _ => scala.collection.concurrent.TrieMap.empty),
+      (d, key))(build)
 
   /** Drop every memoized artifact bound to `s` (shared frames AND the
     * persisted-IVF handles), releasing their pinned checkpoint blocks —
@@ -69,10 +78,21 @@ object PipelineOps {
     * session (see the eviction caveat on [[sharedMemo]]).
     */
   def releaseMemo(s: SparkSession): Unit = {
-    Option(sharedMemo.remove(s)).foreach(_.values.foreach { df =>
-      try graft.util.Pins.release(df) catch { case _: Throwable => }
+    Option(sharedMemo.remove(s)).foreach(_.values.foreach { cell =>
+      cell.peek.foreach { df =>
+        try graft.util.Pins.release(df) catch { case _: Throwable => }
+      }
     })
     ivfMemo.remove(s): Unit
+    // the ann-join reference index pins its cells (localCheckpoint) —
+    // round 18: it was never drained here, leaking one pinned cells
+    // table per retired session (and holding the session strongly via
+    // the DataFrame, defeating the weak key)
+    Option(refIdxMemo.remove(s)).foreach(_.values.foreach { cell =>
+      cell.peek.foreach { idx =>
+        try graft.util.Pins.release(idx.cells) catch { case _: Throwable => }
+      }
+    })
     // the resolved-relation cache has the same value-references-key
     // lifetime as sharedMemo — evict it here so one release hook frees
     // everything a retired session pinned
@@ -116,7 +136,8 @@ object PipelineOps {
 
   private val ivfMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]]())
+      scala.collection.concurrent.TrieMap[String,
+        graft.util.Once[Similarity.IvfIndex]]]())
 
   /** Build-once persisted IVF index over `embeddings`: fit + cell
     * assignment happen once per (session, dataset), the cells table is
@@ -143,9 +164,9 @@ object PipelineOps {
   }
 
   def persistedIvfIndex(s: SparkSession, d: String): Similarity.IvfIndex =
-    ivfMemo
-      .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate(d, {
+    graft.util.Once.memo(
+      ivfMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty),
+      d)({
         val path = ivfIndexPath(s, d)
         Similarity.writeIvfIndex(
           Similarity.buildIvfIndex(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -161,9 +182,9 @@ object PipelineOps {
     * k-means transform.
     */
   def annJoinRefIndex(s: SparkSession, d: String): Similarity.IvfIndex =
-    refIdxMemo
-      .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate(d, {
+    graft.util.Once.memo(
+      refIdxMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty),
+      d)({
         val idx = Similarity.buildIvfIndex(
           Tables.embeddings(s, d).filter(pmod(col("vec_id"), lit(2)) === 0),
           "vec_id", "embedding", nlist = 8, seed = 42L)
@@ -172,7 +193,8 @@ object PipelineOps {
 
   private val refIdxMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]]())
+      scala.collection.concurrent.TrieMap[String,
+        graft.util.Once[Similarity.IvfIndex]]]())
 
   /** Build-once EXACT top-5 cosine neighbors of the `vec_id % 100 == 0`
     * query set, served through the persisted IVF index at nprobe == nlist
@@ -198,15 +220,16 @@ object PipelineOps {
     * corpus-sized but 32x slimmer than the raw floats.
     */
   def pqCodebook(s: SparkSession, d: String): Pq.PqCodebook =
-    pqMemo
-      .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate(d,
+    graft.util.Once.memo(
+      pqMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty),
+      d)(
         Pq.buildCodebook(Tables.embeddings(s, d), "vec_id", "embedding",
           m = 8, ksub = 16, dim = 64, iters = 5, seed = 42L))
 
   private val pqMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, Pq.PqCodebook]]())
+      scala.collection.concurrent.TrieMap[String,
+        graft.util.Once[Pq.PqCodebook]]]())
 
   def pqEncoded(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "pq_encoded") {
@@ -220,15 +243,16 @@ object PipelineOps {
     * corpus-sized.
     */
   def opqModel(s: SparkSession, d: String): Opq.OpqModel =
-    opqMemo
-      .computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate(d,
+    graft.util.Once.memo(
+      opqMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty),
+      d)(
         Opq.train(Tables.embeddings(s, d), "vec_id", "embedding",
           m = 8, ksub = 16, dim = 64, iters = 5, seed = 42L))
 
   private val opqMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, Opq.OpqModel]]())
+      scala.collection.concurrent.TrieMap[String,
+        graft.util.Once[Opq.OpqModel]]]())
 
   def opqEncoded(s: SparkSession, d: String): DataFrame =
     memoized(s, d, "opq_encoded") {

@@ -425,11 +425,13 @@ object TextPipeline {
   // memo, WeakHashMap-keyed on the session like PipelineOps.memoized
   private val bpeMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, graft.text.Bpe.BpeModel]]())
+      scala.collection.concurrent.TrieMap[String,
+        graft.util.Once[graft.text.Bpe.BpeModel]]]())
 
   def bpeModel(s: SparkSession, d: String): graft.text.Bpe.BpeModel =
-    bpeMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate(d,
+    graft.util.Once.memo(
+      bpeMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty),
+      d)(
         graft.text.Bpe.train(Tables.documents(s, d), "text", BpeMerges))
 
   /** Batch size for the declared BATCHED trainer queries — 3 against an
@@ -441,21 +443,25 @@ object TextPipeline {
 
   private val bpeBatchedMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, graft.text.Bpe.BpeModel]]())
+      scala.collection.concurrent.TrieMap[String,
+        graft.util.Once[graft.text.Bpe.BpeModel]]]())
 
   def bpeBatchedModel(s: SparkSession, d: String): graft.text.Bpe.BpeModel =
-    bpeBatchedMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate(d,
+    graft.util.Once.memo(
+      bpeBatchedMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty),
+      d)(
         graft.text.Bpe.train(Tables.documents(s, d), "text", BpeMerges,
           batchSize = BpeBatchB))
 
   private val wpBatchedMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, graft.text.WordPiece.WpModel]]())
+      scala.collection.concurrent.TrieMap[String,
+        graft.util.Once[graft.text.WordPiece.WpModel]]]())
 
   def wpBatchedModel(s: SparkSession, d: String): graft.text.WordPiece.WpModel =
-    wpBatchedMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate(d,
+    graft.util.Once.memo(
+      wpBatchedMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty),
+      d)(
         graft.text.WordPiece.train(Tables.documents(s, d), "text", WpMerges,
           batchSize = BpeBatchB))
 
@@ -469,9 +475,12 @@ object TextPipeline {
     */
   def releaseModelMemos(s: SparkSession): Unit = {
     def drain[M](memo: java.util.Map[SparkSession,
-        scala.collection.concurrent.TrieMap[String, M]])(release: M => Unit): Unit =
-      Option(memo.remove(s)).foreach(_.values.foreach { m =>
-        try release(m) catch { case _: Throwable => }
+        scala.collection.concurrent.TrieMap[String, graft.util.Once[M]]])
+        (release: M => Unit): Unit =
+      Option(memo.remove(s)).foreach(_.values.foreach { cell =>
+        cell.peek.foreach { m =>
+          try release(m) catch { case _: Throwable => }
+        }
       })
     drain(bpeMemo)(_.release())
     drain(bpeBatchedMemo)(_.release())
@@ -492,7 +501,8 @@ object TextPipeline {
 
   private val uniMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, graft.text.UnigramLm.UnigramModel]]())
+      scala.collection.concurrent.TrieMap[String,
+        graft.util.Once[graft.text.UnigramLm.UnigramModel]]]())
 
   /** WordPiece merge ranks for the declared queries — small and fixed so
     * the oracle's generated SQL stays reviewable (the operator takes any
@@ -502,16 +512,19 @@ object TextPipeline {
 
   private val wpMemo = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, graft.text.WordPiece.WpModel]]())
+      scala.collection.concurrent.TrieMap[String,
+        graft.util.Once[graft.text.WordPiece.WpModel]]]())
 
   def wpModel(s: SparkSession, d: String): graft.text.WordPiece.WpModel =
-    wpMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate(d,
+    graft.util.Once.memo(
+      wpMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty),
+      d)(
         graft.text.WordPiece.train(Tables.documents(s, d), "text", WpMerges))
 
   def unigramModel(s: SparkSession, d: String): graft.text.UnigramLm.UnigramModel =
-    uniMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty)
-      .getOrElseUpdate(d,
+    graft.util.Once.memo(
+      uniMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty),
+      d)(
         graft.text.UnigramLm.train(Tables.documents(s, d), "text",
           UniVocabSize, UniMaxPieceLen, UniEmIters))
 
