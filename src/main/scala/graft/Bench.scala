@@ -254,7 +254,13 @@ object Bench {
       runOnce(name, fn, quiet = true) // dedicated warm-up
       val times = scala.collection.mutable.ArrayBuffer.empty[Double]
       var stable = false
-      while (times.size < 5 && !stable) {
+      var attempts = 0
+      // bound by ATTEMPTS, not streak length: a failed rep breaks the
+      // agreement streak but must still consume budget, or a
+      // persistently failing flagged query spins this loop forever
+      // (round-18 review finding)
+      while (attempts < 5 && !stable) {
+        attempts += 1
         val t = runOnce(name, fn, quiet = true)._1
         if (t > 0) {
           stable = times.lastOption.exists(agrees(_, t))
@@ -287,10 +293,7 @@ object Bench {
     }.sum
     // Failures carry their message, not just a bare negative time — a
     // vanished query must name itself in the artifact (round-8 lesson).
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+    def jstr(s: String): String = graft.util.Jsons.str(s)
     val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }
       .mkString(""","errors":{""", ",", "}") +
       flaky.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }

@@ -67,7 +67,16 @@ object Chaos {
         System.err.println(s"[chaos] warm-up $n failed: ${e.getMessage}") }
     }
 
-    val dedicated = selected.map { case (n, fn) => n -> runAndSign(n, fn) }.toMap
+    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    def msgOf(e: Throwable): String =
+      Option(e.getMessage).getOrElse(e.getClass.getName)
+        .linesIterator.take(1).mkString.take(200)
+    // a failing gate query is a RECORDED row, never a harness abort —
+    // the concurrent phase needs the healthy rows' comparison either way
+    val dedicated = selected.flatMap { case (n, fn) =>
+      try Some(n -> runAndSign(n, fn))
+      catch { case e: Throwable => errors.put(n, msgOf(e)); None }
+    }.toMap
 
     // 4-way concurrent: a fixed pool drains the same query list against
     // the same session; each worker records its own timings/signatures
@@ -76,16 +85,13 @@ object Chaos {
     selected.foreach(q => queue.add(q))
     val results = new java.util.concurrent.ConcurrentHashMap[
       String, (Double, Map[String, Int])]()
-    val errors = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val pool = (1 to threads).map { _ =>
       new Thread(() => {
         var next = queue.poll()
         while (next != null) {
           val (n, fn) = next
           try results.put(n, runAndSign(n, fn))
-          catch { case e: Throwable =>
-            errors.put(n, Option(e.getMessage).getOrElse(e.getClass.getName)
-              .linesIterator.take(1).mkString.take(200)): Unit }
+          catch { case e: Throwable => errors.put(n, msgOf(e)): Unit }
           next = queue.poll()
         }
       })
@@ -94,14 +100,13 @@ object Chaos {
     pool.foreach(_.start()); pool.foreach(_.join())
     val wall = (System.nanoTime() - t0) / 1e9
 
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
+    def jstr(s: String): String = graft.util.Jsons.str(s)
     def jshape(m: Map[String, Int]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:$v" }
         .mkString("{", ",", "}")
-    val rows = selected.map { case (n, _) =>
+    // rows only for queries whose dedicated run succeeded — a failed one
+    // is in `errors` and has no shape to compare
+    val rows = selected.collect { case (n, _) if dedicated.contains(n) =>
       val (ds, dsh) = dedicated(n)
       val conc = Option(results.get(n))
       val changed = conc.exists(_._2 != dsh)

@@ -108,8 +108,13 @@ private[graft] object BatchStore {
     // first committed batch, so empty/torn serving reads can build a
     // correctly-typed empty frame instead of guessing column names from
     // defaults (the StreamingDecontaminate empty-path finding).
+    // UNPARTITIONED stores only: with partitionCols the read-back frame
+    // reorders those columns to the end and re-infers their types, so a
+    // write-side stamp would mis-describe exactly the empty frame it
+    // exists to type (review finding; [[storedSchema]] documents the
+    // contract).
     val schemaMarker = new Path(s"$storeDir/_schema")
-    if (!fs.exists(schemaMarker))
+    if (partitionCols.isEmpty && !fs.exists(schemaMarker))
       writeString(fs, schemaMarker, df.schema.json)
     fs.mkdirs(new Path(s"$storeDir/_committed"))
     fs.create(new Path(s"$storeDir/_committed/$batchId"), true).close()
@@ -135,11 +140,13 @@ private[graft] object BatchStore {
   }
 
   /** The write-side schema recorded at the store's first committed
-    * batch (None before any batch landed, or for pre-round-18 stores).
-    * Serving paths use it to type their empty frames exactly like the
-    * non-empty read — note the read-back frame ALSO carries the
-    * `batch` partition column (integer-inferred), which the caller
-    * appends.
+    * batch (None before any batch landed, for pre-round-18 stores, or
+    * for stores written with `partitionCols` — whose read-back frame
+    * reorders and re-infers the partition columns, so no write-side
+    * stamp can describe it). Serving paths use it to type their empty
+    * frames exactly like the non-empty read — note the read-back frame
+    * ALSO carries the `batch` partition column (integer-inferred),
+    * which the caller appends.
     */
   def storedSchema(spark: SparkSession, storeDir: String): Option[StructType] = {
     val fs = CompactionSwap.fsFor(storeDir,
@@ -183,12 +190,33 @@ private[graft] object BatchStore {
                      dirs: String*): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     recoverAtStart(spark, dirs: _*)
+    val curId = queryIdOf(spark, checkpointDir)
     dirs.foreach { d =>
-      verifyOrStamp(spark, CompactionSwap.fsFor(d, conf), d, checkpointDir,
+      val fs = CompactionSwap.fsFor(d, conf)
+      verifyOrStamp(fs, d, checkpointDir, curId,
         createIfAbsent = false, atStart = true)
       // a store dir that doesn't exist yet binds at its first batch
       // (ensureBound) — writing the marker first would CREATE the dir
       // and flip every "store exists?" empty-serving check
+      gcStaleBreadcrumbs(fs, d)
+    }
+  }
+
+  /** Start-time GC of `_replaying` breadcrumbs whose batch COMMITTED
+    * (the crash window between the `_committed` write and the
+    * breadcrumb delete leaves one behind; a committed batch never needs
+    * its breadcrumb — a new overwrite re-creates it). Without the GC a
+    * stale breadcrumb permanently exempts its id from the high-water
+    * id-collision guard (round-18 review finding). Start-time only:
+    * single-writer contract means no batch is in flight here, so
+    * committed-and-breadcrumbed can only be the stale shape.
+    */
+  private def gcStaleBreadcrumbs(fs: FileSystem, storeDir: String): Unit = {
+    val dir = new Path(s"$storeDir/_replaying")
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).foreach { st =>
+      if (fs.exists(new Path(s"$storeDir/_committed/${st.getPath.getName}")))
+        fs.delete(st.getPath, false): Unit
     }
   }
 
@@ -205,8 +233,11 @@ private[graft] object BatchStore {
   def ensureBound(spark: SparkSession, checkpointDir: String,
                   dirs: String*): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
+    // one metadata read per batch, not per dir — the query id cannot
+    // change while the stream runs
+    val curId = queryIdOf(spark, checkpointDir)
     dirs.foreach { d =>
-      verifyOrStamp(spark, CompactionSwap.fsFor(d, conf), d, checkpointDir,
+      verifyOrStamp(CompactionSwap.fsFor(d, conf), d, checkpointDir, curId,
         createIfAbsent = true, atStart = false)
     }
   }
@@ -367,11 +398,11 @@ private[graft] object BatchStore {
     * id wasn't known at a pre-first-start bind, or the marker predates
     * round 18) the checkpoint's query id.
     */
-  private def verifyOrStamp(spark: SparkSession, fs: FileSystem, d: String,
-                            checkpointDir: String, createIfAbsent: Boolean,
+  private def verifyOrStamp(fs: FileSystem, d: String,
+                            checkpointDir: String, curId: Option[String],
+                            createIfAbsent: Boolean,
                             atStart: Boolean): Unit = {
     val marker = new Path(s"$d/_checkpoint")
-    val curId = queryIdOf(spark, checkpointDir)
     readString(fs, marker) match {
       case Some(content) =>
         val lines = content.split('\n')
@@ -419,6 +450,10 @@ private[graft] object BatchStore {
     readString(fs, new Path(s"$storeDir/_hwm"))
       .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
 
+  /** An empty marker reads as ABSENT: the only way one arises is a
+    * crash inside a marker write, and treating it as content would
+    * permanently brick the store ("bound to checkpoint ''").
+    */
   private def readString(fs: FileSystem, p: Path): Option[String] =
     if (!fs.exists(p)) None
     else scala.util.Try {
@@ -426,11 +461,22 @@ private[graft] object BatchStore {
       val in = fs.open(p)
       try in.readFully(buf) finally in.close()
       new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-    }.toOption
+    }.toOption.filter(_.nonEmpty)
 
+  /** Marker writes are TMP-THEN-RENAME (round-18 review finding): a
+    * bare create+write can die mid-way and leave a truncated marker —
+    * for `_checkpoint` that reads as a binding to the wrong value and
+    * refuses every subsequent start. With the rename, a crash leaves
+    * either the old content or no marker at all (the delete window),
+    * and an absent marker just re-stamps on the next start/batch.
+    */
   private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
-    val out = fs.create(p, true)
+    val tmp = new Path(p.getParent, p.getName + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"marker write failed: $tmp -> $p")
   }
 }

@@ -269,6 +269,37 @@ class BatchStoreContractSpec extends AnyFunSuite {
     BatchStore.writeBatch(df, store2, 2L) // folded: allowed through
   }
 
+  test("marker-write crash residue never bricks or exempts: empty marker re-stamps, stale breadcrumb GCs") {
+    import spark.implicits._
+    val root = freshRoot("residue")
+    val store = s"$root/store"
+    val fs = CompactionSwap.fsFor(root, spark.sparkContext.hadoopConfiguration)
+    val df = Seq((1L, "x")).toDF("k", "v")
+    (0L to 2L).foreach(BatchStore.writeBatch(df, store, _)) // hwm = 2
+    // a crash inside the _checkpoint write leaves a truncated (empty)
+    // marker — it must read as ABSENT and re-stamp, not as a binding to
+    // '' that refuses every start forever
+    fs.create(new Path(s"$store/_checkpoint"), true).close() // zero bytes
+    BatchStore.bindCheckpoint(spark, s"$root/ckptA", store) // re-stamps
+    BatchStore.bindCheckpoint(spark, s"$root/ckptA", store) // and verifies
+    intercept[IllegalStateException] {
+      BatchStore.bindCheckpoint(spark, s"$root/ckptB", store)
+    }
+    // a crash between the _committed write and the breadcrumb delete
+    // leaves a stale _replaying/<id> that would permanently exempt that
+    // id from the high-water guard — start-time GC removes it (the
+    // batch is committed, so no in-flight overwrite needs sanctioning)
+    fs.mkdirs(new Path(s"$store/_replaying"))
+    fs.create(new Path(s"$store/_replaying/1"), true).close()
+    BatchStore.bindCheckpoint(spark, s"$root/ckptA", store)
+    assert(!fs.exists(new Path(s"$store/_replaying/1")),
+      "a committed batch's stale breadcrumb must be GC'd at start")
+    // after the GC, an id collision on that id is refused again
+    fs.delete(new Path(s"$store/batch=1"), true)
+    fs.delete(new Path(s"$store/_committed/1"), false)
+    intercept[IllegalStateException] { BatchStore.writeBatch(df, store, 1L) }
+  }
+
   test("empty-frame serving uses the _schema stamp (typed like the non-empty read)") {
     import spark.implicits._
     val root = freshRoot("schema")
