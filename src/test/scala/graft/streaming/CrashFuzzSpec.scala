@@ -45,13 +45,17 @@ class CrashFuzzSpec extends AnyFunSuite {
       Files.walk(p).sorted(Comparator.reverseOrder[JPath]())
         .forEach(f => Files.delete(f))
 
-  // ingest-path sweep for the two most fragile semantics: the manifest
-  // (a modular SUM — any double-count or loss is permanent) and the
-  // MinHash dedup store (replays recompute against history). A crash at
-  // every mutating op of a batch REPLAY, including inside the
-  // retract-then-write marker window, must heal on the next replay.
+  // ingest-path sweep for the three most fragile semantics: the
+  // manifest (a modular SUM — any double-count or loss is permanent),
+  // the MinHash dedup store (replays recompute against history), and
+  // heavy hitters (TWO substores under one batch — a crash between the
+  // sketch and cand writes leaves the batch half-landed, and CMS
+  // counters double on any re-add). A crash at every mutating op of a
+  // batch REPLAY, including inside the retract-then-write marker and
+  // breadcrumb windows, must heal on the next replay.
   for (a <- adapters.filter(x =>
-      x.name == "IncrementalManifest" || x.name == "IncrementalDedup")) {
+      x.name == "IncrementalManifest" || x.name == "IncrementalDedup" ||
+        x.name == "IncrementalHeavyHitters")) {
     test(s"${a.name}: a batch replay survives a crash at EVERY mutating fs operation") {
       hconf.set("fs.crash.impl", classOf[CrashFs].getName)
       val template = Files.createTempDirectory(s"graft-ifuzz-${a.name}")
