@@ -33,6 +33,27 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(Bench.agrees(1.15, 1.0) == Bench.agrees(1.0, 1.15))
   }
 
+  test("rep loop: a failed rep breaks the streak but keeps earlier successes") {
+    // success, success-that-agrees → stable after 2 reps
+    val (t1, s1) = Bench.stableReps(mkMeasure(Seq(1.0, 1.05)))
+    assert(s1 && t1 == Seq(1.0, 1.05))
+    // the round-19 advisor shape: two valid agreeing reps, then a failed
+    // rep — the failure must NOT discard the valid measurements
+    val (t2, s2) = Bench.stableReps(mkMeasure(Seq(1.0, 1.4, -1.0, 1.38, 1.41)))
+    assert(s2 && t2 == Seq(1.0, 1.4, 1.38, 1.41) && t2.min == 1.0)
+    // failure RESETS the streak: agree-across-a-failure is not agreement
+    val (t3, s3) = Bench.stableReps(mkMeasure(Seq(1.0, -1.0, 1.02, 5.0, 9.0)))
+    assert(!s3 && t3 == Seq(1.0, 1.02, 5.0, 9.0))
+    // all reps fail: empty times, never stable, loop bounded
+    val (t4, s4) = Bench.stableReps(mkMeasure(Seq(-1, -1, -1, -1, -1, -1)))
+    assert(!s4 && t4.isEmpty)
+  }
+
+  private def mkMeasure(reps: Seq[Double]): () => Double = {
+    val it = reps.iterator
+    () => if (it.hasNext) it.next() else -1.0
+  }
+
   test("baseline table parse: last occurrence wins, soak rows ignored") {
     val text =
       """| q1_agg | 0.5 |

@@ -16,13 +16,16 @@ cd "$(dirname "$0")/.."
 
 [ -d target/testdata/sf1 ] || python3 tools/gen_sf1.py
 
-TOP20=$(python3 -c 'import json; print(",".join(sorted(json.load(open("BENCH_SF1.json"))["queries"])))' 2>/dev/null) || TOP20=""
-if [ -z "$TOP20" ]; then
-  # first run on a fresh clone: derive top-20 from the committed sf0.1 run
-  TOP20=$(python3 -c 'import json; q=json.load(open("BENCH_FULL.json"))["queries"]; print(",".join(sorted(sorted(q, key=lambda k: -q[k])[:20])))')
-fi
+# Round 19 (advisor finding): the top-20 is RE-DERIVED from the current
+# BENCH_FULL.json on every run — reading it back from BENCH_SF1.json (the
+# gate's own output) froze the selection after the first run, so a query
+# that became sf0.1-heavy in a later round never entered the sf1 gate.
+# The previous BENCH_SF1.json query list is UNIONED in so known
+# sf1-sensitive rows that drop out of the top-20 stay gated.
+TOP20=$(python3 -c 'import json; q=json.load(open("BENCH_FULL.json"))["queries"]; print(",".join(sorted(sorted(q, key=lambda k: -q[k])[:20])))')
+PREV=$(python3 -c 'import json; print(",".join(sorted(json.load(open("BENCH_SF1.json"))["queries"])))' 2>/dev/null) || PREV=""
 MM=$(python3 -c 'import json; print(",".join(sorted(k for k in json.load(open("BENCH_FULL.json"))["queries"] if k.startswith("mm_"))))')
-GATE="$TOP20,dd_editdist_pairs,$MM"
+GATE=$(python3 -c "print(','.join(sorted(set(filter(None, '$TOP20,$PREV,$MM,dd_editdist_pairs'.split(','))))))")
 
 SPARK_GRAFT_SF_DIR="$PWD/target/testdata/sf1" \
 SPARK_GRAFT_BASELINE=/dev/null \
