@@ -191,10 +191,11 @@ private[graft] object BatchStore {
     val conf = spark.sparkContext.hadoopConfiguration
     recoverAtStart(spark, dirs: _*)
     val curId = queryIdOf(spark, checkpointDir)
+    val latest = () => latestCommit(spark, checkpointDir)
     dirs.foreach { d =>
       val fs = CompactionSwap.fsFor(d, conf)
       verifyOrStamp(fs, d, checkpointDir, curId,
-        createIfAbsent = false, atStart = true)
+        createIfAbsent = false, atStart = true, latest)
       // a store dir that doesn't exist yet binds at its first batch
       // (ensureBound) — writing the marker first would CREATE the dir
       // and flip every "store exists?" empty-serving check
@@ -236,9 +237,10 @@ private[graft] object BatchStore {
     // one metadata read per batch, not per dir — the query id cannot
     // change while the stream runs
     val curId = queryIdOf(spark, checkpointDir)
+    val latest = () => latestCommit(spark, checkpointDir)
     dirs.foreach { d =>
       verifyOrStamp(CompactionSwap.fsFor(d, conf), d, checkpointDir, curId,
-        createIfAbsent = true, atStart = false)
+        createIfAbsent = true, atStart = false, latest)
     }
   }
 
@@ -394,6 +396,22 @@ private[graft] object BatchStore {
     }
   }
 
+  /** Highest batch id in the checkpoint's own `commits/` log (None when
+    * the dir is absent — a checkpoint that never completed a batch).
+    * This is what a legacy marker upgrade checks the store's `_hwm`
+    * against: a same-checkpoint continuation has commits covering every
+    * store batch except possibly the newest.
+    */
+  private def latestCommit(spark: SparkSession, checkpointDir: String): Option[Long] = {
+    val fs = CompactionSwap.fsFor(checkpointDir,
+      spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(s"$checkpointDir/commits")
+    if (!fs.exists(dir)) None
+    else fs.listStatus(dir).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+      .reduceOption(_ max _)
+  }
+
   /** Marker layout: line 1 the checkpoint path, line 2 (optional — the
     * id wasn't known at a pre-first-start bind, or the marker predates
     * round 18) the checkpoint's query id.
@@ -401,7 +419,8 @@ private[graft] object BatchStore {
   private def verifyOrStamp(fs: FileSystem, d: String,
                             checkpointDir: String, curId: Option[String],
                             createIfAbsent: Boolean,
-                            atStart: Boolean): Unit = {
+                            atStart: Boolean,
+                            latestCkptCommit: () => Option[Long]): Unit = {
     val marker = new Path(s"$d/_checkpoint")
     readString(fs, marker) match {
       case Some(content) =>
@@ -435,7 +454,34 @@ private[graft] object BatchStore {
                 s"folded) same-id history; delete $d/_checkpoint only for " +
                 "an intentional re-home")
           case (None, Some(c)) =>
-            // legacy / pre-first-start marker: upgrade in place with the id
+            // Legacy / pre-first-start marker (path only): upgrade in
+            // place with the id — UNLESS the store already carries
+            // committed history the checkpoint's own commit log does not
+            // cover (round-19 advisor fix). A path-only marker cannot
+            // say which query id owns the history; stamping the CURRENT
+            // id would bless a checkpoint that was deleted and recreated
+            // at the same path before the first post-upgrade run, whose
+            // restarted batch ids then overwrite same-id history (the
+            // dirs still exist, so the _hwm guard passes). A legitimate
+            // same-checkpoint continuation has commit files for every
+            // store batch except possibly the newest (the store write
+            // lands before the checkpoint commit), so `hwm - 1` is the
+            // coverage bar. Residual window, documented: a store whose
+            // ONLY committed batch is 0 upgrades either way — at hwm 0 a
+            // recreated checkpoint replaying batch 0 is indistinguishable
+            // from the same checkpoint's crash-before-commit-0 replay.
+            val hwm = readHwm(fs, d)
+            val covered = latestCkptCommit()
+            if (hwm.exists(h => covered.getOrElse(-1L) < h - 1))
+              throw new IllegalStateException(
+                s"store $d carries a legacy path-only binding to checkpoint " +
+                  s"'$checkpointDir' and committed history up to batch " +
+                  s"${hwm.get}, but that checkpoint's commit log only covers " +
+                  s"batch ${covered.getOrElse(-1L)} — the checkpoint was " +
+                  "deleted and recreated (fresh query id, batch ids restart " +
+                  "at 0), so an in-place marker upgrade would bless silent " +
+                  s"same-id history overwrites; delete $d/_checkpoint only " +
+                  "for an intentional re-home")
             writeString(fs, marker, s"$checkpointDir\n$c")
           case _ => ()
         }
@@ -452,16 +498,30 @@ private[graft] object BatchStore {
 
   /** An empty marker reads as ABSENT: the only way one arises is a
     * crash inside a marker write, and treating it as content would
-    * permanently brick the store ("bound to checkpoint ''").
+    * permanently brick the store ("bound to checkpoint ''"). A file
+    * that VANISHES between the exists check and the open is absent too —
+    * that is [[writeString]]'s delete-then-rename window. Any other read
+    * failure PROPAGATES (round-19 advisor fix: the old blanket
+    * `Try(...).toOption` turned a transient IOException on `_checkpoint`
+    * into "not bound", so verifyOrStamp would silently re-stamp the
+    * marker to whatever checkpoint was currently running — a flaky
+    * filesystem could launder a wrong-checkpoint binding through the
+    * identity guard; "could not verify" must fail loudly, never read as
+    * "not bound").
     */
   private def readString(fs: FileSystem, p: Path): Option[String] =
-    if (!fs.exists(p)) None
-    else scala.util.Try {
-      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
-      val in = fs.open(p)
-      try in.readFully(buf) finally in.close()
-      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-    }.toOption.filter(_.nonEmpty)
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        val in = fs.open(p)
+        try in.readFully(buf) finally in.close()
+        Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+          .filter(_.nonEmpty)
+      }
+    } catch {
+      case _: java.io.FileNotFoundException => None // the rename window
+    }
 
   /** Marker writes are TMP-THEN-RENAME (round-18 review finding): a
     * bare create+write can die mid-way and leave a truncated marker —

@@ -232,6 +232,50 @@ class BatchStoreContractSpec extends AnyFunSuite {
     intercept[IllegalStateException] { BatchStore.ensureBound(spark, ckpt, legacy) }
   }
 
+  test("legacy marker upgrade refuses a checkpoint whose commit log does not cover the history") {
+    import spark.implicits._
+    val root = freshRoot("legacyhwm")
+    val ckpt = s"$root/ckpt"
+    val fs = CompactionSwap.fsFor(root, spark.sparkContext.hadoopConfiguration)
+    def stampMetadata(id: String): Unit = {
+      val out = fs.create(new Path(s"$ckpt/metadata"), true)
+      try out.write(s"""{"id":"$id"}""".getBytes("UTF-8")) finally out.close()
+    }
+    def stampLegacyMarker(store: String): Unit = {
+      val out = fs.create(new Path(s"$store/_checkpoint"), true)
+      try out.write(ckpt.getBytes("UTF-8")) finally out.close()
+    }
+    val df = Seq((1L, "x")).toDF("k", "v")
+    // a legacy store with history past batch 0, against a checkpoint
+    // with NO commit log (deleted and recreated before the first
+    // post-upgrade run): the in-place upgrade is refused — stamping the
+    // fresh id would bless same-id overwrites the _hwm guard cannot see
+    // (batch dirs still exist)
+    val store = s"$root/store"
+    (0L to 2L).foreach(BatchStore.writeBatch(df, store, _))
+    stampLegacyMarker(store)
+    stampMetadata("ffff-0000")
+    val e = intercept[IllegalStateException] {
+      BatchStore.ensureBound(spark, ckpt, store)
+    }
+    assert(e.getMessage.contains("commit log"))
+    // same store, but the checkpoint's commit log covers hwm - 1: a
+    // legitimate same-checkpoint continuation (the newest store batch
+    // may land before its checkpoint commit) — upgrade proceeds and the
+    // binding holds on the next batch
+    fs.mkdirs(new Path(s"$ckpt/commits"))
+    fs.create(new Path(s"$ckpt/commits/1"), true).close()
+    BatchStore.ensureBound(spark, ckpt, store)
+    BatchStore.ensureBound(spark, ckpt, store) // now id-bound, still green
+    // the hwm-0 residual window stays an upgrade (the existing legacy
+    // test's shape): only-batch-0 history is indistinguishable from a
+    // crash-before-commit-0 replay
+    val store0 = s"$root/store0"
+    BatchStore.writeBatch(df, store0, 0L)
+    stampLegacyMarker(store0)
+    BatchStore.ensureBound(spark, ckpt, store0)
+  }
+
   test("high-water guard refuses id-collision writes but passes every legitimate replay") {
     import spark.implicits._
     val root = freshRoot("hwm")
