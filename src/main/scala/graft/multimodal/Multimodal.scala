@@ -65,9 +65,20 @@ object Multimodal {
   // a race just costs one extra miss.
   @volatile private var lastAudioReader: javax.sound.sampled.spi.AudioFileReader = null
 
+  // The sticky shortcut is DISABLED when any non-JDK reader is installed
+  // (round-19 advisor fix): JDK readers recognize disjoint format
+  // families (WAV/AU/AIFF magics), so trying the last winner first can
+  // never pick a different reader than AudioSystem's registration-order
+  // scan. A third-party SPI jar may recognize payloads a JDK reader also
+  // recognizes — sticky-first would then make decode metadata row-order
+  // dependent, so those classpaths take the deterministic full scan and
+  // keep only the once-per-JVM registry pinning.
+  private lazy val stickyReaderSafe: Boolean =
+    audioReaders.forall(_.getClass.getName.startsWith("com.sun.media.sound."))
+
   private def firstRecognizing[T](payload: Array[Byte])
       (read: (javax.sound.sampled.spi.AudioFileReader, java.io.ByteArrayInputStream) => T): T = {
-    val lr = lastAudioReader
+    val lr = if (stickyReaderSafe) lastAudioReader else null
     if (lr != null) {
       try return read(lr, new java.io.ByteArrayInputStream(payload))
       catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
@@ -140,18 +151,77 @@ object Multimodal {
     * sized by PARQUET BYTES — a few KB of doc ids is 1-3 file splits,
     * so the whole mm family ran on 1-3 of 32 cores and scaled with the
     * file-split count instead of the machine (sf1: 7-13x for 10x rows).
-    * One tiny shuffle of longs buys work-proportional parallelism; a
-    * real binary corpus read via `binaryFile` arrives wide on its own
-    * payload bytes and would skip this.
+    * One tiny shuffle of longs buys work-proportional parallelism. A
+    * real binary corpus does NOT reliably arrive wide on its own
+    * (measured, round 19): `binaryFile` over-splits small files (~one
+    * per partition, the openCostInBytes padding) but can under-split
+    * large-file corpora of modest total bytes — [[mediaFromDirectory]]
+    * makes the equivalent spread decision there from the scan's actual
+    * partition count.
     */
   private def spreadIds(df: DataFrame, idCol: String)
                        (implicit enc: org.apache.spark.sql.Encoder[Long]): Dataset[Long] =
     df.select(col(idCol).cast("long").as("media_id")).as[Long]
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** REAL binary-file ingestion (round 19): a directory of media files →
+    * the engine's `(media_id, kind, payload)` frame, via Spark's
+    * `binaryFile` source (path, modificationTime, length, content).
+    * Every decode/fingerprint/near-dup operator in this object consumes
+    * the result exactly as it consumes the synthesized frames.
+    *
+    *  - '''media_id''': the first digit run in the file's basename
+    *    (`img_00042.png` → 42 — the layout a corpus export writes), else
+    *    a 63-bit hash of the full path. Pure codegen (`regexp_extract` +
+    *    `xxhash64`), deterministic across runs.
+    *  - '''kind''': by extension — image (png/jpg/jpeg/bmp/gif), audio
+    *    (wav/aif/aiff/au/snd), video (avi/mp4/mov/m4v), else `binary`.
+    *  - '''partitioning''' (measured, round 19 — the claim `spreadIds`
+    *    left untested): `binaryFile` is NOT a fixed many-files-per-split
+    *    packer at small scale. Split size is
+    *    `min(maxPartitionBytes, max(openCostInBytes, totalBytes /
+    *    defaultParallelism))`, and each file is padded by
+    *    `openCostInBytes` (4 MB default) during packing — so a
+    *    small-file corpus lands ~one file per partition (over-split, not
+    *    under-split), while a corpus of files much larger than 4 MB
+    *    packs toward `maxPartitionBytes` bins and can under-split to
+    *    fewer partitions than cores when total bytes are modest. Neither
+    *    shape is reliably work-proportional for per-row codec cost, so
+    *    when the scan yields FEWER partitions than
+    *    `defaultParallelism`, the payloads are repartitioned once —
+    *    by construction the corpus is small in bytes exactly when that
+    *    happens, so the shuffle is cheap relative to the codec work it
+    *    parallelizes (the same trade `spreadIds` makes, here on measured
+    *    evidence; see MultimodalSpec's partition assertions). A corpus
+    *    already at or above core-count partitions passes through
+    *    untouched — no shuffle on the 100 TB path.
+    */
+  def mediaFromDirectory(spark: SparkSession, dir: String,
+                         glob: String = ""): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+    val raw = (if (glob.nonEmpty) reader.option("pathGlobFilter", glob)
+               else reader).load(dir)
+    val base = regexp_extract(col("path"), "([^/]+)$", 1)
+    val digits = regexp_extract(base, "([0-9]+)", 1)
+    val ext = lower(regexp_extract(base, "\\.([A-Za-z0-9]+)$", 1))
+    val media = raw.select(
+      when(digits =!= "", digits.cast("long"))
+        .otherwise(pmod(xxhash64(col("path")), lit(Long.MaxValue)))
+        .as("media_id"),
+      when(ext.isin("png", "jpg", "jpeg", "bmp", "gif"), "image")
+        .when(ext.isin("wav", "aif", "aiff", "au", "snd"), "audio")
+        .when(ext.isin("avi", "mp4", "mov", "m4v"), "video")
+        .otherwise("binary").as("kind"),
+      col("content").as("payload"))
+    val scanParts = media.rdd.getNumPartitions
+    val cores = spark.sparkContext.defaultParallelism
+    if (scanParts < cores) media.repartition(cores) else media
+  }
+
   /** Synthesize a media table from any (id, text) table — payload = UTF-8
     * bytes, kind round-robins image/audio/video. Stands in for a real
-    * binary source (`spark.read.format("binaryFile")`) in tests.
+    * binary source ([[mediaFromDirectory]]) where no files exist.
     */
   def synthesizeMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
