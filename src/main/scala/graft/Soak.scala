@@ -921,7 +921,37 @@ object Soak {
         graft.dedup.Dedup.contaminationReport(
           docs, bench, "doc_id", "text", k = 8)
       }
-    ) else Seq.empty) ++ (if (soakSets("zorder")) Seq(
+    ) else Seq.empty) ++ (if (soakSets("editdist")) {
+      // Fuzzy linkage with its caps BINDING on real amplified data
+      // (round 19 — the LSH block route and the id cap had only ever
+      // fired on DedupSpec's 10-row fixtures; sf1 peaks at 312 ids/name,
+      // under the default 500): amplification multiplies ids-per-name by
+      // mult (only p_partkey shifts), and a small suffix pool multiplies
+      // distinct names per 2-char block (suffix at the END keeps the
+      // block prefix), so maxBlock=50 / maxIdsPerName=32 both bind. The
+      // measured claims: the capped run's cost tracks its (smaller)
+      // OUTPUT, not its (identical) input — it must not exceed the
+      // default-cap run on the same frame — and the guarded shuffle
+      // expansion stays in the same cost regime as the broadcast one.
+      val partsTbl = Tables.part(spark, sfDir).select("p_partkey", "p_name")
+      val amped = (0 until mult).map { i =>
+        partsTbl
+          .withColumn("p_partkey", col("p_partkey") + lit(i.toLong * 10000000L))
+          .withColumn("p_name", concat(col("p_name"), lit(" v"), lit(i)))
+      }.reduce(_ unionByName _)
+      Seq(
+        shape("editdist_default_caps") {
+          graft.dedup.Dedup.editDistancePairs(amped, "p_partkey", "p_name")
+        },
+        shape("editdist_caps_binding") {
+          graft.dedup.Dedup.editDistancePairs(amped, "p_partkey", "p_name",
+            maxBlock = 50L, maxIdsPerName = 32)
+        },
+        shape("editdist_shuffle_expand") {
+          graft.dedup.Dedup.editDistancePairs(amped, "p_partkey", "p_name",
+            maxBlock = 50L, maxIdsPerName = 32, maxBroadcastPairs = 0L)
+        })
+    } else Seq.empty) ++ (if (soakSets("zorder")) Seq(
       // the layout write's cost: one range-partitioner sample pass + one
       // shuffle + per-partition sort — must scale like any clustered
       // write (n log n per partition, partition count grows with n)

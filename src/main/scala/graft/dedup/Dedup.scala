@@ -764,11 +764,19 @@ object Dedup {
     * Both caps are declared at the call site like `maxDf` is, and sized
     * so they never bind at oracle/bench scale (exhaustive results there)
     * while bounding the sf1/100 TB shape.
+    *
+    * The matched-name-pairs side of the id expansion is broadcast only
+    * up to `maxBroadcastPairs` (round 19): a pathological corpus can
+    * match O(distinct-names × block-width) name pairs, and an
+    * unconditional broadcast would collect them on the driver. Past the
+    * bound the expansion becomes a shuffle join — identical output,
+    * nothing driver-sized.
     */
   def editDistancePairs(records: DataFrame, idCol: String, nameCol: String,
                         maxDist: Int = 3, prefixLen: Int = 2, lenTol: Int = 2,
                         maxBlock: Long = 1000L, maxIdsPerName: Int = 500,
-                        bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+                        bands: Int = 16, rowsPerBand: Int = 2,
+                        maxBroadcastPairs: Long = 5000000L): DataFrame = {
     val recs = records.filter(col(nameCol).isNotNull)
     val names = recs.select(col(nameCol).cast("string").as("nm")).distinct()
       .select(col("nm"), substring(col("nm"), 1, prefixLen).as("blk"),
@@ -817,7 +825,16 @@ object Dedup {
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= maxDist)
       .select("name_a", "name_b", "dist")
-    val namePairs = exactPairs.unionByName(lshPairs)
+    // Matched name pairs, materialized ONCE (they feed the expansion
+    // join and the broadcast-or-shuffle decision): localCheckpoint runs
+    // the exact+LSH verify a single time, and the resulting block-backed
+    // count is free. The broadcast is GUARDED since round 19 — it was
+    // unconditional, and a pathological corpus (every name near every
+    // other within a block) can match O(distinct-names x block-width)
+    // pairs, which no driver should be asked to collect. Past
+    // `maxBroadcastPairs` the expansion falls back to a shuffle join on
+    // `name_a` — same output, no driver-sized structure anywhere.
+    val namePairs = exactPairs.unionByName(lshPairs).localCheckpoint(true)
     // id expansion, capped: the k smallest ids per name via the bounded
     // heap (ord is a constant, so the tie-ASC order IS "smallest ids";
     // works for any orderable id type, with map-side partials)
@@ -835,8 +852,11 @@ object Dedup {
     val spark = records.sparkSession
     val parts = math.max(spark.sparkContext.defaultParallelism,
       spark.sessionState.conf.numShufflePartitions)
+    val pairsSide =
+      if (namePairs.count() <= maxBroadcastPairs) broadcast(namePairs)
+      else namePairs.repartition(parts, col("name_a"))
     ids.select(col("id").as("id_a"), col("nm").as("name_a"))
-      .join(broadcast(namePairs), "name_a")
+      .join(pairsSide, "name_a")
       .repartition(parts, col("name_b"))
       .join(ids.select(col("id").as("id_b"), col("nm").as("name_b"))
         .repartition(parts, col("name_b")), "name_b")

@@ -575,6 +575,15 @@ class DedupSpec extends AnyFunSuite {
       s"tail-edit pairs must survive the LSH route: missing ${tailEdits -- got}")
   }
 
+  test("edit-distance linkage: past maxBroadcastPairs the expansion joins by shuffle, same result") {
+    // maxBroadcastPairs=0 forces the non-broadcast route (the round-19
+    // driver-size guard); the output must be identical to the default
+    val got = Dedup.editDistancePairs(linkRecs, "id", "name",
+        maxBroadcastPairs = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == bruteLinkage, s"got $got expected $bruteLinkage")
+  }
+
   test("edit-distance linkage: maxIdsPerName keeps the smallest ids per name") {
     val got = Dedup.editDistancePairs(linkRecs, "id", "name", maxIdsPerName = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
