@@ -87,10 +87,15 @@ object Soak {
       }
     })
 
-    val li = amplify(Tables.lineitem(spark, sfDir), Seq("l_orderkey", "l_partkey"), mult)
-    val ord = amplify(Tables.orders(spark, sfDir), Seq("o_orderkey", "o_custkey"), mult)
-    val ev = amplify(Tables.events(spark, sfDir), Seq("event_id", "user_id"), mult)
-    val docs = amplify(Tables.documents(spark, sfDir), Seq("doc_id"), mult)
+    // LAZY (round 19): a partial scale-factor directory (e.g. the sf10
+    // embeddings-only step) must be usable with a SHAPES filter — an
+    // eager load of every table would fail on the first absent parquet
+    // even though no selected shape reads it. shape()'s body is by-name,
+    // so a filtered-out shape never forces these.
+    lazy val li = amplify(Tables.lineitem(spark, sfDir), Seq("l_orderkey", "l_partkey"), mult)
+    lazy val ord = amplify(Tables.orders(spark, sfDir), Seq("o_orderkey", "o_custkey"), mult)
+    lazy val ev = amplify(Tables.events(spark, sfDir), Seq("event_id", "user_id"), mult)
+    lazy val docs = amplify(Tables.documents(spark, sfDir), Seq("doc_id"), mult)
 
     // shapes that pin an intermediate (the artifact-table pattern the
     // real pipelines use) register it here; shape() releases after the
@@ -127,8 +132,10 @@ object Soak {
       }
     }
 
-    // warm-up outside timing
-    li.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
+    // warm-up outside timing (skipped for partial sf dirs — see the
+    // lazy table note)
+    if (new java.io.File(s"$sfDir/lineitem.parquet").exists())
+      li.groupBy("l_returnflag").count().write.format("noop").mode("overwrite").save()
 
     val results = Seq(
       shape("agg_groupby") {
@@ -550,6 +557,13 @@ object Soak {
       }
     ) else Seq.empty) ++ (if (soakSets("sim")) {
       val emb = amplify(Tables.embeddings(spark, sfDir), Seq("vec_id"), mult)
+      // Corpus scale for the nlist knob, decoupled from the amplify
+      // mult (round 19): pointing SF_DIR at REAL sf1/sf10 parquet with
+      // mult=1 must still grow nlist with the corpus — a fixed nlist=16
+      // would quietly break the bounded-cell posture the shapes assert.
+      // Default: the amplify mult (the in-memory path, unchanged).
+      val scaleMult =
+        sys.env.get("SPARK_GRAFT_NLIST_MULT").map(_.toInt).getOrElse(mult)
       // scale posture: numPlanes grows with log2(corpus) so expected SRP
       // bucket size stays bounded as the corpus grows — the knob a real
       // deployment turns (buckets ≈ n / 2^numPlanes)
@@ -576,9 +590,9 @@ object Soak {
         // point — nprobe × avg cell — are constant and total cost is
         // linear in points. This is the knob an at-scale graph build
         // turns; a fixed nlist would quietly go quadratic.
-        shape(s"knn_graph_nlist${16 * mult}") {
+        shape(s"knn_graph_nlist${16 * scaleMult}") {
           val idx = graft.similarity.Similarity.buildIvfIndex(
-            emb, "vec_id", "embedding", nlist = 16 * mult)
+            emb, "vec_id", "embedding", nlist = 16 * scaleMult)
           graft.similarity.Similarity.knnGraph(idx, emb,
             "vec_id", "embedding", k = 5, nprobe = 4)
         },
@@ -589,11 +603,11 @@ object Soak {
         // is linear in |A| — the knnGraph scaling contract pointed at
         // an external corpus (amplify preserves vec_id parity: the
         // 10^7 offset is even).
-        shape(s"ann_join_cross_nlist${8 * mult}") {
+        shape(s"ann_join_cross_nlist${8 * scaleMult}") {
           val a = emb.filter(pmod(col("vec_id"), lit(2L)) === 1)
           val b = emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
           val idx = graft.similarity.Similarity.buildIvfIndex(
-            b, "vec_id", "embedding", nlist = 8 * mult)
+            b, "vec_id", "embedding", nlist = 8 * scaleMult)
           graft.similarity.Similarity.annJoin(idx, a, "vec_id", "embedding",
             k = 3, nprobe = 4)
         },
@@ -607,9 +621,9 @@ object Soak {
         // fixed, so per-point probe work is constant; the greedy select
         // is per-query constant and must stay invisible. FIXED query
         // set for the same reason as ivf_build_and_probe.
-        shape(s"mmr_rerank_nlist${16 * mult}") {
+        shape(s"mmr_rerank_nlist${16 * scaleMult}") {
           val idx = graft.similarity.Similarity.buildIvfIndex(
-            emb, "vec_id", "embedding", nlist = 16 * mult)
+            emb, "vec_id", "embedding", nlist = 16 * scaleMult)
           graft.queries.PipelineOps.mmrRerank(idx,
             Tables.embeddings(spark, sfDir)
               .filter(pmod(col("vec_id"), lit(1000L)) === 0),
@@ -626,7 +640,7 @@ object Soak {
             "knn_graph_probe_only" -> -1.0
           else {
             val idx = graft.similarity.Similarity.buildIvfIndex(
-              emb, "vec_id", "embedding", nlist = 16 * mult)
+              emb, "vec_id", "embedding", nlist = 16 * scaleMult)
             val served = idx.copy(cells = idx.cells.localCheckpoint(true))
             val r = shape("knn_graph_probe_only") {
               graft.similarity.Similarity.knnGraph(served, emb,

@@ -39,6 +39,16 @@ import pyarrow.parquet as pq
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "target/testdata/sf1"
 COPIES = int(os.environ.get("GEN_COPIES", "10"))
+# GEN_TABLES=embeddings,documents generates only those tables (round 19:
+# the sf10 step needs a real 100x embeddings parquet without paying for
+# a 60M-row lineitem or the documents synthesis loop). Default: all.
+TABLES = set(os.environ.get("GEN_TABLES", "all").split(","))
+
+
+def want(name):
+    return "all" in TABLES or name in TABLES
+
+
 os.makedirs(DST, exist_ok=True)
 
 con = duckdb.connect()
@@ -58,6 +68,8 @@ def write_like(name, query, tbl=None):
     """Run `query` (over {src} views) and write DST/name.parquet cast to
     the SOURCE schema, so Tables.requireSchema and the events ts
     encoding (timestamp[us], NTZ) survive generation."""
+    if not want(name):
+        return
     src_schema = pq.read_schema(f"{SRC}/{name}.parquet")
     if tbl is None:
         tbl = con.sql(query).arrow()
@@ -130,66 +142,68 @@ write_like("events", f"""
   FROM events, {copies}""")
 
 # ---- documents: synthesized copies ------------------------------------
-rows = con.sql(
-    "SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id"
-).fetchall()
-pool = []
-lengths = []
-for _, text, _, _ in rows:
-    ws = text.split()
-    pool.extend(ws)
-    lengths.append(len(ws))
-pool = np.array(pool, dtype=object)
-doc_ids, texts, langs, sources, n_chars = [], [], [], [], []
-for did, text, lang, source in rows:  # copy 0: originals
-    doc_ids.append(did); texts.append(text)
-    langs.append(lang); sources.append(source); n_chars.append(len(text))
-for i in range(1, COPIES):
-    rng = np.random.default_rng(42_000 + i)
-    for (did, _, lang, source), ln in zip(rows, lengths):
-        words = rng.choice(pool, size=max(1, ln))
-        t = " ".join(words.tolist())
-        doc_ids.append(did + i * maxes["D"]); texts.append(t)
-        langs.append(lang); sources.append(source); n_chars.append(len(t))
-src_schema = pq.read_schema(f"{SRC}/documents.parquet")
-doc_tbl = pa.table({
-    "doc_id": pa.array(doc_ids), "text": pa.array(texts),
-    "lang": pa.array(langs), "source": pa.array(sources),
-    "n_chars": pa.array(n_chars)})
-doc_tbl = pa.table([doc_tbl.column(f.name).cast(f.type) for f in src_schema],
-                   schema=pa.schema([(f.name, f.type) for f in src_schema]))
-pq.write_table(doc_tbl, f"{DST}/documents.parquet", compression="snappy",
-               row_group_size=ROW_GROUP["documents"])
-print(f"  documents: {doc_tbl.num_rows} rows")
+if want("documents"):
+    rows = con.sql(
+        "SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id"
+    ).fetchall()
+    pool = []
+    lengths = []
+    for _, text, _, _ in rows:
+        ws = text.split()
+        pool.extend(ws)
+        lengths.append(len(ws))
+    pool = np.array(pool, dtype=object)
+    doc_ids, texts, langs, sources, n_chars = [], [], [], [], []
+    for did, text, lang, source in rows:  # copy 0: originals
+        doc_ids.append(did); texts.append(text)
+        langs.append(lang); sources.append(source); n_chars.append(len(text))
+    for i in range(1, COPIES):
+        rng = np.random.default_rng(42_000 + i)
+        for (did, _, lang, source), ln in zip(rows, lengths):
+            words = rng.choice(pool, size=max(1, ln))
+            t = " ".join(words.tolist())
+            doc_ids.append(did + i * maxes["D"]); texts.append(t)
+            langs.append(lang); sources.append(source); n_chars.append(len(t))
+    src_schema = pq.read_schema(f"{SRC}/documents.parquet")
+    doc_tbl = pa.table({
+        "doc_id": pa.array(doc_ids), "text": pa.array(texts),
+        "lang": pa.array(langs), "source": pa.array(sources),
+        "n_chars": pa.array(n_chars)})
+    doc_tbl = pa.table([doc_tbl.column(f.name).cast(f.type) for f in src_schema],
+                       schema=pa.schema([(f.name, f.type) for f in src_schema]))
+    pq.write_table(doc_tbl, f"{DST}/documents.parquet", compression="snappy",
+                   row_group_size=ROW_GROUP["documents"])
+    print(f"  documents: {doc_tbl.num_rows} rows")
 
 # ---- embeddings: perturbed copies -------------------------------------
-emb = con.sql(
-    "SELECT vec_id, embedding, label FROM embeddings ORDER BY vec_id"
-).fetchall()
-vecs = np.array([e[1] for e in emb], dtype=np.float64)
-ids = np.array([e[0] for e in emb])
-labels = np.array([e[2] for e in emb])
-norms = np.linalg.norm(vecs, axis=1, keepdims=True)
-out_ids, out_vecs, out_labels = [ids], [vecs], [labels]
-for i in range(1, COPIES):
-    rng = np.random.default_rng(77_000 + i)
-    g = rng.standard_normal(vecs.shape)
-    g = g / np.maximum(np.linalg.norm(g, axis=1, keepdims=True), 1e-12) * norms
-    v = vecs + g
-    v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12) * norms
-    out_ids.append(ids + i * maxes["V"])
-    out_vecs.append(v)
-    out_labels.append(labels)
-src_schema = pq.read_schema(f"{SRC}/embeddings.parquet")
-emb_tbl = pa.table({
-    "vec_id": pa.array(np.concatenate(out_ids)),
-    "embedding": pa.array(
-        [r.astype(np.float32) for v in out_vecs for r in v],
-        type=pa.list_(pa.float32())),
-    "label": pa.array(np.concatenate(out_labels))})
-emb_tbl = pa.table([emb_tbl.column(f.name).cast(f.type) for f in src_schema],
-                   schema=pa.schema([(f.name, f.type) for f in src_schema]))
-pq.write_table(emb_tbl, f"{DST}/embeddings.parquet", compression="snappy",
-               row_group_size=ROW_GROUP["embeddings"])
-print(f"  embeddings: {emb_tbl.num_rows} rows")
+if want("embeddings"):
+    emb = con.sql(
+        "SELECT vec_id, embedding, label FROM embeddings ORDER BY vec_id"
+    ).fetchall()
+    vecs = np.array([e[1] for e in emb], dtype=np.float64)
+    ids = np.array([e[0] for e in emb])
+    labels = np.array([e[2] for e in emb])
+    norms = np.linalg.norm(vecs, axis=1, keepdims=True)
+    out_ids, out_vecs, out_labels = [ids], [vecs], [labels]
+    for i in range(1, COPIES):
+        rng = np.random.default_rng(77_000 + i)
+        g = rng.standard_normal(vecs.shape)
+        g = g / np.maximum(np.linalg.norm(g, axis=1, keepdims=True), 1e-12) * norms
+        v = vecs + g
+        v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12) * norms
+        out_ids.append(ids + i * maxes["V"])
+        out_vecs.append(v)
+        out_labels.append(labels)
+    src_schema = pq.read_schema(f"{SRC}/embeddings.parquet")
+    emb_tbl = pa.table({
+        "vec_id": pa.array(np.concatenate(out_ids)),
+        "embedding": pa.array(
+            [r.astype(np.float32) for v in out_vecs for r in v],
+            type=pa.list_(pa.float32())),
+        "label": pa.array(np.concatenate(out_labels))})
+    emb_tbl = pa.table([emb_tbl.column(f.name).cast(f.type) for f in src_schema],
+                       schema=pa.schema([(f.name, f.type) for f in src_schema]))
+    pq.write_table(emb_tbl, f"{DST}/embeddings.parquet", compression="snappy",
+                   row_group_size=ROW_GROUP["embeddings"])
+    print(f"  embeddings: {emb_tbl.num_rows} rows")
 print("done")
