@@ -38,4 +38,14 @@ object ColumnBridge {
                        builder: Seq[Expression] => Expression): Unit =
     org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
       .sessionState.functionRegistry.registerFunction(ident, info, builder)
+
+  /** Register a table-valued function on a live session (what
+    * `SparkSessionExtensions.injectTableFunction` does at build time).
+    */
+  def registerTableFunction(spark: SparkSession, ident: FunctionIdentifier,
+                            info: ExpressionInfo,
+                            builder: Seq[Expression] => LogicalPlan): Unit =
+    org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+      .sessionState.tableFunctionRegistry.registerFunction(ident, info, builder)
+
 }

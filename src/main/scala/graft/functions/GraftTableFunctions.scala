@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+
+/** SQL-only access to the engine's scale pipelines (round 19): table-
+  * valued functions wrapping the Scala pipeline API, registered through
+  * [[GraftExtensions]] (`spark.sql.extensions`) or [[register]] on a
+  * live session, so a SQL-first user drives dedup / decontamination /
+  * ANN / quality filtering with `spark.sql` alone:
+  *
+  * {{{
+  *   CREATE TEMPORARY VIEW corpus AS SELECT doc_id, text FROM ...;
+  *   SELECT * FROM dedup_exact_apply('corpus', 'doc_id', 'text');
+  *   SELECT * FROM dedup_near_apply('corpus', 'doc_id', 'text');
+  *   SELECT * FROM decontaminate_apply('corpus', 'benchmark', 'doc_id', 'text');
+  *   SELECT * FROM quality_filter('corpus', 'doc_id', 'text', 5, 0.2);
+  *   SELECT * FROM knn_topk('corpus_emb', 'queries', 'vec_id', 'embedding', 5, 16, 4);
+  * }}}
+  *
+  * Mechanics: a TVF builder runs at ANALYSIS time on the session parsing
+  * the query (`SparkSession.active`), resolves the named table/view
+  * through that session's catalog, composes the SAME DataFrame pipeline
+  * the Scala API exposes, and returns its logical plan into the
+  * enclosing query — the SQL user gets the identical Catalyst plan, and
+  * therefore the identical scale posture (hash-contraction dedup,
+  * banded LSH equi-joins, broadcast IVF probes), as a Scala caller.
+  * Arguments must be literals (names as strings, knobs as ints) — the
+  * standard TVF contract.
+  *
+  * Two of the pipelines materialize state when the query is ANALYZED,
+  * exactly as their Scala forms do on first use: `dedup_near_apply`
+  * checkpoints its candidate pairs inside `connectedComponents`, and
+  * `knn_topk` k-means-fits its IVF index. A repeatedly-probed corpus
+  * should build and persist the index once (`Similarity.writeIvfIndex`)
+  * instead of re-analyzing the TVF per query.
+  */
+object GraftTableFunctions {
+
+  type Description =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan)
+
+  private def strArg(args: Seq[Expression], i: Int, fn: String): String = {
+    require(i < args.length && args(i).foldable,
+      s"$fn: argument ${i + 1} must be a literal string")
+    val v = args(i).eval()
+    require(v != null, s"$fn: argument ${i + 1} must not be null")
+    v.toString
+  }
+
+  private def intArg(args: Seq[Expression], i: Int, fn: String): Int = {
+    require(i < args.length && args(i).foldable,
+      s"$fn: argument ${i + 1} must be a literal integer")
+    args(i).eval() match {
+      case n: Number => n.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an integer, got $other")
+    }
+  }
+
+  private def doubleArg(args: Seq[Expression], i: Int, fn: String): Double = {
+    require(i < args.length && args(i).foldable,
+      s"$fn: argument ${i + 1} must be a literal number")
+    args(i).eval() match {
+      case n: Number => n.doubleValue
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a number, got $other")
+    }
+  }
+
+  private def resolve(name: String): DataFrame = SparkSession.active.table(name)
+
+  private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
+
+  /** The small marker stopword list the declared quality queries use —
+    * a full stop list belongs in a broadcast join
+    * (`TextOps.removeStopwords`), not a TVF literal.
+    */
+  private val markerStopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  private def describe(name: String)(builder: Seq[Expression] => LogicalPlan)
+      : Description =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(GraftTableFunctions.getClass.getName, name),
+      builder)
+
+  val descriptions: Seq[Description] = Seq(
+
+    // the corpus with only the exact-dedup keepers (smallest id per
+    // identical text) — Dedup.exact's hash contraction, one shuffle
+    describe("dedup_exact_apply") { args =>
+      val fn = "dedup_exact_apply"
+      require(args.length == 3, s"$fn expects (table, id_col, text_col)")
+      val docs = resolve(strArg(args, 0, fn))
+      val (id, text) = (strArg(args, 1, fn), strArg(args, 2, fn))
+      plan(docs.join(
+        Dedup.exact(docs, id, text).select(col("keeper_id").as(id)),
+        Seq(id), "left_semi"))
+    },
+
+    // the corpus with one doc per MinHash-LSH near-dup component (the
+    // min-id root) — banded equi-joins + the adaptive components pass,
+    // never all-pairs
+    describe("dedup_near_apply") { args =>
+      val fn = "dedup_near_apply"
+      require(args.length == 3, s"$fn expects (table, id_col, text_col)")
+      val docs = resolve(strArg(args, 0, fn))
+      val (id, text) = (strArg(args, 1, fn), strArg(args, 2, fn))
+      val cands = Dedup.minhashLshCandidates(docs, id, text)
+      val comps = Dedup.connectedComponents(
+        docs.select(col(id)), id, cands, "id_a", "id_b")
+      plan(docs.join(
+        comps.filter(col("node") === col("component"))
+          .select(col("node").as(id)),
+        Seq(id), "left_semi"))
+    },
+
+    // the corpus minus every doc sharing an n-gram with the benchmark —
+    // Dedup.decontaminate's bounded-broadcast semi join, corpus never
+    // self-joined
+    describe("decontaminate_apply") { args =>
+      val fn = "decontaminate_apply"
+      require(args.length == 4,
+        s"$fn expects (corpus_table, benchmark_table, id_col, text_col)")
+      val corpus = resolve(strArg(args, 0, fn))
+      val bench = resolve(strArg(args, 1, fn))
+      val (id, text) = (strArg(args, 2, fn), strArg(args, 3, fn))
+      plan(corpus.join(
+        Dedup.decontaminate(corpus, bench, id, text).select(col(id)),
+        Seq(id), "left_anti"))
+    },
+
+    // the corpus filtered on codegen quality features: keep docs with at
+    // least min_tokens tokens and punct_ratio at most max_punct_ratio
+    describe("quality_filter") { args =>
+      val fn = "quality_filter"
+      require(args.length == 5,
+        s"$fn expects (table, id_col, text_col, min_tokens, max_punct_ratio)")
+      val docs = resolve(strArg(args, 0, fn))
+      val (id, text) = (strArg(args, 1, fn), strArg(args, 2, fn))
+      val minTokens = intArg(args, 3, fn)
+      val maxPunct = doubleArg(args, 4, fn)
+      val keep = TextAnalysis.qualityFeatures(docs, id, text, markerStopwords)
+        .filter(col("n_tokens") >= minTokens && col("punct_ratio") <= maxPunct)
+        .select(col(id))
+      plan(docs.join(keep, Seq(id), "left_semi"))
+    },
+
+    // approximate top-k cosine neighbors from corpus_table for every row
+    // of query_table, through a fresh IVF index (built at analysis; see
+    // the object note on persisting instead for repeated probes)
+    describe("knn_topk") { args =>
+      val fn = "knn_topk"
+      require(args.length == 7,
+        s"$fn expects (corpus_table, query_table, id_col, vec_col, k, nlist, nprobe)")
+      val corpus = resolve(strArg(args, 0, fn))
+      val queries = resolve(strArg(args, 1, fn))
+      val (id, vec) = (strArg(args, 2, fn), strArg(args, 3, fn))
+      val k = intArg(args, 4, fn)
+      val nlist = intArg(args, 5, fn)
+      val nprobe = intArg(args, 6, fn)
+      val idx = Similarity.buildIvfIndex(corpus, id, vec, nlist = nlist)
+      plan(Similarity.queryIvf(idx, queries, id, vec, k = k, nprobe = nprobe))
+    })
+
+  /** Register on a live session (equivalent to the extension injection —
+    * same idempotent overwrite semantics as [[GraftFunctions.register]]).
+    */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (ident, info, builder) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge
+        .registerTableFunction(spark, ident, info, builder)
+    }
+}

@@ -525,6 +525,30 @@ object Relational {
           |GROUP BY l_returnflag""".stripMargin)
     }),
 
+    // The SQL front door to the SCALE pipelines (round 19): the
+    // dedup-apply table-valued function — spark.sql alone drives
+    // Dedup.exact's hash-contraction apply; the TVF builder returns the
+    // IDENTICAL Catalyst plan the Scala API composes
+    // (graft.functions.GraftTableFunctions), which the oracle replays.
+    "sql_dedup_apply" -> ((s, d) => {
+      graft.functions.GraftTableFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("documents_sqlv")
+      s.sql(
+        """SELECT doc_id, lang, n_chars
+          |FROM dedup_exact_apply('documents_sqlv', 'doc_id', 'text')""".stripMargin)
+    }),
+
+    // Same front door for the quality-filter pipeline: keep docs with
+    // >= 5 tokens and punctuation ratio <= 0.2, all through spark.sql
+    // (the TVF composes TextAnalysis.qualityFeatures + a semi join).
+    "sql_quality_filter" -> ((s, d) => {
+      graft.functions.GraftTableFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("documents_sqlv2")
+      s.sql(
+        """SELECT doc_id, lang
+          |FROM quality_filter('documents_sqlv2', 'doc_id', 'text', 5, 0.2)""".stripMargin)
+    }),
+
     // As-of join (graft.operators.AsofJoin): each purchase paired with the
     // user's latest click at-or-before it. DuckDB's native ASOF JOIN is
     // the oracle.
@@ -949,6 +973,24 @@ object Relational {
          FROM lineitem
          WHERE l_quantity > 10
          GROUP BY l_returnflag""",
+
+    // replay of the dedup_exact_apply TVF: the corpus restricted to the
+    // smallest doc_id per identical text (Dedup.exact's keeper choice)
+    "sql_dedup_apply" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))""",
+
+    // replay of the quality_filter TVF: same tokenizer and punct-ratio
+    // expressions as the (green) ta_quality oracle, filtered
+    "sql_quality_filter" ->
+      """SELECT doc_id, lang FROM documents WHERE doc_id IN (
+           SELECT doc_id FROM (
+             SELECT doc_id,
+               len(list_filter(string_split_regex(text, '\s+'), t -> t != '')) AS n_tokens,
+               length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) * 1.0
+                 / length(text) AS punct_ratio
+             FROM documents) f
+           WHERE n_tokens >= 5 AND punct_ratio <= 0.2)""",
 
     "j_asof" ->
       """WITH clicks AS (
