@@ -24,11 +24,34 @@ object Artifacts {
     Files.write(p, lines.toSeq.asJava, StandardCharsets.UTF_8)
   }
 
+  /** Row count above which [[streamLines]] abandons the single local
+    * file and writes DISTRIBUTED sorted text shards instead (round 19):
+    * the driver stream is bounded-memory but single-threaded and
+    * single-disk — at corpus scale the one file it produces is itself
+    * the anti-pattern (one reader task downstream, one slow serial
+    * write here). 2M lines ≈ 50-100 MB of text: past that, real
+    * pipelines want part files.
+    */
+  private[bbc] val DriverStreamMaxRows = 2000000L
+
   /** Stream a 1-column `line` frame to a local text file, ordered: the
     * sort runs distributed and `toLocalIterator` pulls ONE partition at a
     * time through the driver — bounded memory regardless of row count.
+    *
+    * Past `maxDriverRows` the single-file contract yields to scale: the
+    * frame is written as globally-ordered text SHARDS at `<path>.d/`
+    * (orderBy's range partitioning keeps part-file name order == line
+    * order — concatenating the parts reproduces the single file byte for
+    * byte), which is exactly the multi-`part-r-*` layout the reference's
+    * own reducers emitted for corpus-sized outputs. The driver never
+    * touches a row on that path.
     */
-  private def streamLines(lines: DataFrame, path: String): Unit = {
+  private def streamLines(lines: DataFrame, path: String,
+                          maxDriverRows: Long = DriverStreamMaxRows): Unit = {
+    if (lines.count() > maxDriverRows) {
+      lines.orderBy("line").write.mode("overwrite").text(path + ".d")
+      return
+    }
     val p = Paths.get(path)
     if (p.getParent != null) Files.createDirectories(p.getParent)
     val w = Files.newBufferedWriter(p, StandardCharsets.UTF_8)
@@ -39,12 +62,16 @@ object Artifacts {
 
   /** `.classes` (2.2 format) from a distributed (id, cluster) frame:
     * `<docId> <cluster>` per row, streamed — a corpus-sized assignment
-    * table would OOM the collect-based [[writeClasses]].
+    * table would OOM the collect-based [[writeClasses]]. Past
+    * `maxDriverRows` rows the output is the sharded `<path>.d/` layout
+    * (see [[streamLines]]).
     */
   def writeClassesDf(assignments: DataFrame, idCol: String,
-                     clusterCol: String, path: String): Unit =
+                     clusterCol: String, path: String,
+                     maxDriverRows: Long = DriverStreamMaxRows): Unit =
     streamLines(assignments
-      .select(concat_ws(" ", col(idCol), col(clusterCol)).as("line")), path)
+      .select(concat_ws(" ", col(idCol), col(clusterCol)).as("line")), path,
+      maxDriverRows)
 
   /** `.classes` (2.1 format) from a distributed (cluster, x, y) frame:
     * `<cluster>,<x>,<y>` per row, streamed.
