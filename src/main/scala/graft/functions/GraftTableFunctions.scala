@@ -23,6 +23,7 @@ import graft.text.TextAnalysis
   *   SELECT * FROM decontaminate_apply('corpus', 'benchmark', 'doc_id', 'text');
   *   SELECT * FROM quality_filter('corpus', 'doc_id', 'text', 5, 0.2);
   *   SELECT * FROM knn_topk('corpus_emb', 'queries', 'vec_id', 'embedding', 5, 16, 4);
+  *   SELECT * FROM knn_topk_indexed('/idx/corpus_ivf', 'queries', 'vec_id', 'embedding', 5, 4);
   * }}}
   *
   * Mechanics: a TVF builder runs at ANALYSIS time on the session parsing
@@ -168,6 +169,22 @@ object GraftTableFunctions {
       val nlist = intArg(args, 5, fn)
       val nprobe = intArg(args, 6, fn)
       val idx = Similarity.buildIvfIndex(corpus, id, vec, nlist = nlist)
+      plan(Similarity.queryIvf(idx, queries, id, vec, k = k, nprobe = nprobe))
+    },
+
+    // the production serving path: same probe against an index PERSISTED
+    // with Similarity.writeIvfIndex (partition-pruned cell scan, no fit
+    // at analysis — the path a repeatedly-probed corpus should take)
+    describe("knn_topk_indexed") { args =>
+      val fn = "knn_topk_indexed"
+      require(args.length == 6,
+        s"$fn expects (index_path, query_table, id_col, vec_col, k, nprobe)")
+      val path = strArg(args, 0, fn)
+      val queries = resolve(strArg(args, 1, fn))
+      val (id, vec) = (strArg(args, 2, fn), strArg(args, 3, fn))
+      val k = intArg(args, 4, fn)
+      val nprobe = intArg(args, 5, fn)
+      val idx = Similarity.readIvfIndex(SparkSession.active, path)
       plan(Similarity.queryIvf(idx, queries, id, vec, k = k, nprobe = nprobe))
     })
 

@@ -73,6 +73,27 @@ class TableFunctionsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("knn_topk_indexed serves the persisted index, no fit at analysis") {
+    registered()
+    val emb = Tables.embeddings(spark, d)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft-tvf-ivf").toString
+    val idx = Similarity.buildIvfIndex(emb, "vec_id", "embedding", nlist = 4)
+    Similarity.writeIvfIndex(idx, idxDir)
+    emb.filter(pmod(col("vec_id"), lit(50)) === 0)
+      .createOrReplaceTempView("tvf_queries_p")
+    val got = spark.sql(
+      s"""SELECT query_id, neighbor_id, rank
+         |FROM knn_topk_indexed('$idxDir', 'tvf_queries_p', 'vec_id', 'embedding', 3, 2)"""
+        .stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val want = Similarity.queryIvf(Similarity.readIvfIndex(spark, idxDir),
+        emb.filter(pmod(col("vec_id"), lit(50)) === 0),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .select("query_id", "neighbor_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("TVF arguments must be literals with the declared arity") {
     registered()
     Tables.documents(spark, d).createOrReplaceTempView("tvf_docs_arity")
