@@ -48,13 +48,27 @@ object Artifacts {
     */
   private def streamLines(lines: DataFrame, path: String,
                           maxDriverRows: Long = DriverStreamMaxRows): Unit = {
-    if (lines.count() > maxDriverRows) {
+    // bounded probe, not a full count: limit(max+1) stops scanning at
+    // the threshold instead of executing the whole upstream plan a
+    // second time (round-19 review)
+    val probeCap = math.min(maxDriverRows, Int.MaxValue.toLong - 1).toInt
+    val overThreshold = lines.limit(probeCap + 1).count() > maxDriverRows
+    // a re-run that crosses the threshold in either direction must not
+    // leave the OTHER layout's stale output behind — a reader checking
+    // the single-file path first would silently get last run's data
+    val single = Paths.get(path)
+    val sharded = Paths.get(path + ".d")
+    if (overThreshold) {
+      Files.deleteIfExists(single)
       lines.orderBy("line").write.mode("overwrite").text(path + ".d")
       return
     }
-    val p = Paths.get(path)
-    if (p.getParent != null) Files.createDirectories(p.getParent)
-    val w = Files.newBufferedWriter(p, StandardCharsets.UTF_8)
+    if (Files.exists(sharded)) {
+      Files.walk(sharded).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+    }
+    if (single.getParent != null) Files.createDirectories(single.getParent)
+    val w = Files.newBufferedWriter(single, StandardCharsets.UTF_8)
     try lines.orderBy("line").toLocalIterator().asScala
       .foreach { r => w.write(r.getString(0)); w.write("\n") }
     finally w.close()

@@ -81,11 +81,9 @@ object GraftTableFunctions {
 
   private def plan(df: DataFrame): LogicalPlan = df.queryExecution.logical
 
-  /** The small marker stopword list the declared quality queries use —
-    * a full stop list belongs in a broadcast join
-    * (`TextOps.removeStopwords`), not a TVF literal.
-    */
-  private val markerStopwords = Seq("the", "a", "of", "and", "to", "in")
+  // the one shared marker list (TextAnalysis.MarkerStopwords) — the
+  // TVF's oracle parity with the declared quality queries depends on it
+  private def markerStopwords = TextAnalysis.MarkerStopwords
 
   private def describe(name: String)(builder: Seq[Expression] => LogicalPlan)
       : Description =

@@ -171,9 +171,12 @@ object Multimodal {
     * the result exactly as it consumes the synthesized frames.
     *
     *  - '''media_id''': the first digit run in the file's basename
-    *    (`img_00042.png` → 42 — the layout a corpus export writes), else
-    *    a 63-bit hash of the full path. Pure codegen (`regexp_extract` +
-    *    `xxhash64`), deterministic across runs.
+    *    (`img_00042.png` → 42 — the layout a corpus export writes) when
+    *    it fits a long (≤ 18 digits), else a 63-bit hash of the full
+    *    path. Pure codegen (`regexp_extract` + `xxhash64`),
+    *    deterministic across runs. Layouts whose leading digits are NOT
+    *    ids (date prefixes, hex hashes) should pass `parseIds = false`
+    *    for collision-free path-hash ids.
     *  - '''kind''': by extension — image (png/jpg/jpeg/bmp/gif), audio
     *    (wav/aif/aiff/au/snd), video (avi/mp4/mov/m4v), else `binary`.
     *  - '''partitioning''' (measured, round 19 — the claim `spreadIds`
@@ -197,7 +200,8 @@ object Multimodal {
     *    untouched — no shuffle on the 100 TB path.
     */
   def mediaFromDirectory(spark: SparkSession, dir: String,
-                         glob: String = ""): DataFrame = {
+                         glob: String = "",
+                         parseIds: Boolean = true): DataFrame = {
     val reader = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
     val raw = (if (glob.nonEmpty) reader.option("pathGlobFilter", glob)
@@ -205,8 +209,16 @@ object Multimodal {
     val base = regexp_extract(col("path"), "([^/]+)$", 1)
     val digits = regexp_extract(base, "([0-9]+)", 1)
     val ext = lower(regexp_extract(base, "\\.([A-Za-z0-9]+)$", 1))
+    // digit-run ids: only when the run FITS in a long (a 20-digit
+    // content-hash name would cast to NULL under non-ANSI and crash
+    // every as[MediaFile] consumer on the non-nullable field — round-19
+    // review); runs longer than 18 digits take the path hash. The
+    // digit-run heuristic can still COLLIDE on layouts whose leading
+    // digits aren't ids (date-prefixed names) — corpora like that
+    // should pass parseIds = false and get collision-free path hashes.
     val media = raw.select(
-      when(digits =!= "", digits.cast("long"))
+      when(lit(parseIds) && digits =!= "" && length(digits) <= 18,
+          digits.cast("long"))
         .otherwise(pmod(xxhash64(col("path")), lit(Long.MaxValue)))
         .as("media_id"),
       when(ext.isin("png", "jpg", "jpeg", "bmp", "gif"), "image")

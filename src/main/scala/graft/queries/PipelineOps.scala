@@ -19,7 +19,7 @@ object PipelineOps {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val stopwords = Seq("the", "a", "of", "and", "to", "in")
+  private val stopwords = graft.text.TextAnalysis.MarkerStopwords
 
   /** MMR re-rank parameters for the declared `sim_mmr_rerank`: pool the
     * top-25 candidates by (rounded) relevance per query, select 8 with

@@ -14,6 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** The marker stopword list the declared quality queries AND the SQL
+    * `quality_filter` TVF share — ONE definition (round-19 review: two
+    * identical private literals could drift and silently break the
+    * TVF's oracle parity). A full stop list belongs in a broadcast join
+    * (`TextOps.removeStopwords`), not a literal.
+    */
+  val MarkerStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
   /** Tiny embedded marker lexicon: (lang, marker word). A real deployment
     * would broadcast a proper lexicon table; the operator shape (explode →
     * broadcast join → vote → arg_max) is the same.

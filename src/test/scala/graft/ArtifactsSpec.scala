@@ -41,4 +41,23 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(concatenated == smallLines,
       "part files concatenated in name order must reproduce the single file")
   }
+
+  test("crossing the threshold in either direction removes the other layout's stale output") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-artifacts-cross")
+    val rows = (0 until 300).map(i => (f"doc_$i%04d", i % 5)).toDF("id", "cluster")
+    val path = s"$dir/cross.classes"
+    // small first: single file
+    Artifacts.writeClassesDf(rows, "id", "cluster", path)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    // grow past the threshold: the stale single file must vanish
+    Artifacts.writeClassesDf(rows, "id", "cluster", path, maxDriverRows = 50L)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path)),
+      "stale single file must be deleted when the sharded layout takes over")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path.d")))
+    // shrink back under it: the stale shard dir must vanish
+    Artifacts.writeClassesDf(rows, "id", "cluster", path)
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$path.d")),
+      "stale shard dir must be deleted when the single file takes over")
+  }
 }

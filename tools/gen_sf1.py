@@ -206,4 +206,12 @@ if want("embeddings"):
     pq.write_table(emb_tbl, f"{DST}/embeddings.parquet", compression="snappy",
                    row_group_size=ROW_GROUP["embeddings"])
     print(f"  embeddings: {emb_tbl.num_rows} rows")
+
+# Completeness sentinel (round 19): only a FULL generation stamps it —
+# a GEN_TABLES partial run into the same DST must not make dir-exists
+# consumers (tools/sf1_gate.sh) treat the directory as a complete
+# dataset.
+if "all" in TABLES:
+    with open(f"{DST}/_complete", "w") as f:
+        f.write(f"copies={COPIES} src={SRC}\n")
 print("done")

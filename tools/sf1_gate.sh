@@ -14,7 +14,9 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-[ -d target/testdata/sf1 ] || python3 tools/gen_sf1.py
+# the _complete sentinel (not bare dir-exists) distinguishes a full
+# generation from a GEN_TABLES partial one into the same path
+[ -f target/testdata/sf1/_complete ] || python3 tools/gen_sf1.py
 
 # Round 19 (advisor finding): the top-20 is RE-DERIVED from the current
 # BENCH_FULL.json on every run — reading it back from BENCH_SF1.json (the
