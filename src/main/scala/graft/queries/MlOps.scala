@@ -123,6 +123,33 @@ object MlOps {
       scala.collection.concurrent.TrieMap[String,
         graft.util.Once[graft.cluster.Pca.PcaModel]]]())
 
+  /** Real PNG files on disk, staged once per (session, sfDir) from the
+    * synthesizers' payloads for the every-10th document — what puts the
+    * `binaryFile` ingestion path under the driver's DuckDB gate
+    * (`mm_binary_ingest`): the staged corpus is re-read from disk
+    * through [[Multimodal.mediaFromDirectory]] like any on-disk media
+    * directory, and the decoded dimensions stay arithmetic in the id.
+    */
+  private def stagedMediaDir(s: SparkSession, d: String): String =
+    graft.util.Once.memo(
+      mediaDirMemo.computeIfAbsent(s, _ => scala.collection.concurrent.TrieMap.empty),
+      d) {
+        val dir = java.nio.file.Files.createTempDirectory("graft-staged-media")
+        Multimodal.synthesizeImages(
+            Tables.documents(s, d).filter(pmod(col("doc_id"), lit(10)) === 0),
+            "doc_id")
+          .collect().foreach { r =>
+            val id = r.getAs[Long]("media_id")
+            java.nio.file.Files.write(dir.resolve(f"img_$id%08d.png"),
+              r.getAs[Array[Byte]]("payload")): Unit
+          }
+        dir.toString
+      }
+
+  private val mediaDirMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, graft.util.Once[String]]]())
+
   val queries: Map[String, Q] = Map(
     // PCA projection, declared as its per-row Bessel/Pythagoras
     // contract: for an orthonormal projection onto k components,
@@ -433,6 +460,19 @@ object MlOps {
       val avis = Multimodal.synthesizeAviMjpeg(Tables.documents(s, d), "doc_id")
       Multimodal.decodeVideoFrames(s, avis).toDF()
         .select("media_id", "frame_idx", "width", "height", "codec")
+    }),
+
+    // REAL binary-file ingestion under the oracle gate (round 19): the
+    // staged on-disk PNG corpus is read back through the binaryFile
+    // source (ids parsed from the basenames, kind from the extension),
+    // decoded with javax.imageio, and DuckDB predicts every decoded
+    // dimension — certifying the scan→id/kind-mapping→spread→decode
+    // chain end to end, not just the decode on in-memory payloads.
+    "mm_binary_ingest" -> ((s, d) => {
+      val media = Multimodal.mediaFromDirectory(s, stagedMediaDir(s, d))
+      Multimodal.decodeImageMeta(s, media.filter(col("kind") === "image"))
+        .toDF()
+        .select("media_id", "width", "height", "channels", "codec")
     }),
 
     // REAL image decode, oracle-checked: payloads are genuine PNGs whose
@@ -902,6 +942,15 @@ object MlOps {
         |  CAST(1 + doc_id % 9 AS INT) AS height,
         |  1 AS channels, 'imageio' AS codec
         |FROM documents""".stripMargin,
+
+    // the ingested-from-disk subset must decode identically: ids round-
+    // trip through the file basenames, dimensions stay arithmetic
+    "mm_binary_ingest" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(1 + doc_id % 16 AS INT) AS width,
+        |  CAST(1 + doc_id % 9 AS INT) AS height,
+        |  1 AS channels, 'imageio' AS codec
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin,
 
     "mm_image_resize" ->
       """SELECT doc_id AS media_id,
