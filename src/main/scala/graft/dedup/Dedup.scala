@@ -399,10 +399,15 @@ object Dedup {
                     k: Int = 8): DataFrame = {
     val grams = positionalGrams(docs, idCol, textCol, k)
       .localCheckpoint(true) // feeds both the df aggregate and the span join
+    // "seen in >1 doc" ⟺ min(id) ≠ max(id): the countDistinct form
+    // rounds ≤18 used here rewrites into a two-exchange distinct
+    // aggregate ((gram, id) partial-distinct, then gram), while min/max
+    // partial-aggregate map-side into ONE gram exchange (guide §2.3 —
+    // aggregate before you shuffle) with identical semantics.
     val crossDocGrams = grams
       .groupBy("gram")
-      .agg(countDistinct(col(idCol)).as("__docs"))
-      .filter(col("__docs") > 1)
+      .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+      .filter(col("__lo") =!= col("__hi"))
       .select("gram")
     mergeWindowSpans(grams.join(crossDocGrams, Seq("gram"), "left_semi"), idCol, k)
   }
@@ -571,14 +576,51 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5,
                    maxDf: Option[Long] = None): DataFrame = {
-    // materialize the HASHED form: (id, bigint) is what the sizes pass
-    // and both join sides actually consume — no reason to pin strings
-    val sh = shingles(docs, idCol, textCol, n, maxDf)
-      .select(col(idCol), xxhash64(col("shingle")).as("__sh"))
+    // materialize the HASHED, capped form: (id, bigint) is what the
+    // sizes pass and both join sides consume — no reason to pin strings
+    // (see [[jaccardPairsFromShingles]] for the cap shape)
+    def hashed = hashedByShingle(shingles(docs, idCol, textCol, n), idCol)
+    val capped = maxDf.map(dropHotHashed(hashed, _)).getOrElse(hashed)
       .localCheckpoint(true)
-    val result = jaccardFromHashed(sh, idCol, threshold).localCheckpoint(true)
-    graft.util.Pins.release(sh)
+    val result = jaccardFromHashed(capped, idCol, threshold).localCheckpoint(true)
+    graft.util.Pins.release(capped)
     result
+  }
+
+  /** Hash + co-partition an (id, shingle) table by the 8-byte shingle
+    * key: ONE exchange that the df-cap aggregation, the hot-key anti
+    * join, the set-size rollup and BOTH inverted-index self-join sides
+    * then reuse without re-exchanging (guide §2.4 — operations keyed
+    * the same way share one exchange; `localCheckpoint` preserves the
+    * materialized partitioning, the same property the graph loops'
+    * transition tables rely on). Replaces the round-≤18 shape, which
+    * capped df with a window (`count(*) OVER (PARTITION BY shingle)`)
+    * — a full sort of the shingle-STRING table per call — and then let
+    * the self-join exchange the table twice more.
+    */
+  private def hashedByShingle(sh0: DataFrame, idCol: String): DataFrame =
+    // NO repartition here: under AQE a localCheckpoint materializes with
+    // UnknownPartitioning (measured round 19 — the checkpoint scan
+    // prints `UnknownPartitioning(0)`, so downstream joins re-exchange
+    // regardless and a pre-checkpoint repartition is a pure extra
+    // exchange). The map stays narrow: (id, 8-byte hash) is what every
+    // consumer shuffles.
+    sh0.select(col(idCol), xxhash64(col("shingle")).as("__sh"))
+
+  /** Drop rows whose `__sh` key occurs in more than `cap` rows. The
+    * hot-key table (boilerplate shingles) is tiny by construction — at
+    * most rows/cap keys — and comes from a zero-exchange aggregation
+    * over the co-partitioned input; it leaves via a left-anti join AQE
+    * is free to broadcast. Keyed on the 64-bit hash rather than the
+    * string: a collision would merge two shingles' df counts — the same
+    * (documented, needs ~2³² distinct shingles for birthday odds)
+    * tolerance the intersection join key already accepts.
+    */
+  private def dropHotHashed(hashed: DataFrame, cap: Long): DataFrame = {
+    val hot = hashed.groupBy("__sh").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > cap)
+      .select("__sh")
+    hashed.join(hot, Seq("__sh"), "left_anti")
   }
 
   /** [[jaccardPairs]] over a PREBUILT (id, shingle) table — the serving
@@ -590,23 +632,35 @@ object Dedup {
   def jaccardPairsFromShingles(sh0: DataFrame, idCol: String,
                                threshold: Double = 0.5,
                                maxDf: Option[Long] = None): DataFrame = {
-    val sh = maxDf match {
-      case None => sh0
-      case Some(cap) =>
-        sh0.withColumn("__df",
-            count(lit(1)).over(Window.partitionBy("shingle")))
-          .filter(col("__df") <= cap)
-          .drop("__df")
-    }
-    // materialize the capped, hashed (id, bigint) table ONCE: it feeds
-    // three consumers (sizes + both self-join sides), and without the
-    // checkpoint each would re-run the df-cap window shuffle; the
-    // result is materialized before the intermediate unpersists
-    val hashed = sh.select(col(idCol), xxhash64(col("shingle")).as("__sh"))
+    // materialize the hashed, CAPPED (id, bigint) table ONCE: the sizes
+    // pass and both self-join sides read the checkpoint instead of each
+    // re-deriving the cap; the cap itself costs one partial-aggregated
+    // exchange of (8-byte key, count) partials plus a broadcast anti
+    // join — the round-≤18 window form sorted the whole shingle-STRING
+    // table per call. The result is materialized before the
+    // intermediate unpersists.
+    val capped = maxDf
+      .map(dropHotHashed(hashedByShingle(sh0, idCol), _))
+      .getOrElse(hashedByShingle(sh0, idCol))
       .localCheckpoint(true)
-    val result = jaccardFromHashed(hashed, idCol, threshold).localCheckpoint(true)
-    graft.util.Pins.release(hashed)
+    val result = jaccardFromHashed(capped, idCol, threshold).localCheckpoint(true)
+    graft.util.Pins.release(capped)
     result
+  }
+
+  /** [[jaccardPairsFromShingles]] minus the eager checkpoints — the
+    * LAZY plan for the PLANS.md / plans-r19 audit (the eager form's own
+    * explain is a checkpoint scan with zero audit value, the same
+    * reason Plans.scala carries lazyOverrides for triangleStats).
+    * Not a serving path: without the materialization the three
+    * consumers would each re-run the hash+repartition exchange.
+    */
+  private[graft] def jaccardPairsFromShinglesLazy(sh0: DataFrame, idCol: String,
+                                                  threshold: Double,
+                                                  maxDf: Option[Long]): DataFrame = {
+    val hashed = hashedByShingle(sh0, idCol)
+    val capped = maxDf.map(dropHotHashed(hashed, _)).getOrElse(hashed)
+    jaccardFromHashed(capped, idCol, threshold)
   }
 
   /** Jaccard pairs over a hashed (idCol, __sh bigint) shingle table: the
@@ -621,7 +675,13 @@ object Dedup {
     val sizes = sh.groupBy(idCol).agg(count(lit(1)).as("set_size"))
     val a = sh.select(col(idCol).as("id_a"), col("__sh"))
     val b = sh.select(col(idCol).as("id_b"), col("__sh"))
-    val inter = a.join(b, "__sh")
+    // merge hint: the self-join's sides are CORPUS-sized — a checkpoint
+    // whose size estimate dips under the broadcast threshold must not
+    // flip this to a broadcast of the whole inverted index (measured
+    // round 19: the planner did exactly that, building the full table's
+    // broadcast relation three times — 2x slower at bench scale and a
+    // driver bomb at 100 TB; same j_shuffle_join rationale)
+    val inter = a.hint("merge").join(b, "__sh")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter_size"))
@@ -651,20 +711,35 @@ object Dedup {
   def containmentPairsFromShingles(sh0: DataFrame, idCol: String,
                                    threshold: Double = 0.8,
                                    maxDf: Option[Long] = None): DataFrame = {
-    val sh = maxDf match {
-      case None => sh0
-      case Some(cap) =>
-        sh0.withColumn("__df",
-            count(lit(1)).over(Window.partitionBy("shingle")))
-          .filter(col("__df") <= cap)
-          .drop("__df")
-    }
-    val hashed = sh.select(col(idCol), xxhash64(col("shingle")).as("__sh"))
+    // same capped-checkpoint posture as [[jaccardPairsFromShingles]]
+    val capped = maxDf
+      .map(dropHotHashed(hashedByShingle(sh0, idCol), _))
+      .getOrElse(hashedByShingle(sh0, idCol))
       .localCheckpoint(true)
-    val sizes = hashed.groupBy(idCol).agg(count(lit(1)).as("set_size"))
-    val a = hashed.select(col(idCol).as("id_a"), col("__sh"))
-    val b = hashed.select(col(idCol).as("id_b"), col("__sh"))
-    val result = a.join(b, "__sh")
+    val result = containmentFromHashed(capped, idCol, threshold)
+      .localCheckpoint(true)
+    graft.util.Pins.release(capped)
+    result
+  }
+
+  /** [[containmentPairsFromShingles]] minus the eager checkpoints — the
+    * lazy audit variant (see [[jaccardPairsFromShinglesLazy]]). */
+  private[graft] def containmentPairsFromShinglesLazy(sh0: DataFrame, idCol: String,
+                                                      threshold: Double,
+                                                      maxDf: Option[Long]): DataFrame = {
+    val hashed = hashedByShingle(sh0, idCol)
+    val capped = maxDf.map(dropHotHashed(hashed, _)).getOrElse(hashed)
+    containmentFromHashed(capped, idCol, threshold)
+  }
+
+  private def containmentFromHashed(capped: DataFrame, idCol: String,
+                                    threshold: Double): DataFrame = {
+    val sizes = capped.groupBy(idCol).agg(count(lit(1)).as("set_size"))
+    val a = capped.select(col(idCol).as("id_a"), col("__sh"))
+    val b = capped.select(col(idCol).as("id_b"), col("__sh"))
+    // merge hint: see jaccardFromHashed — corpus-sized sides must not
+    // broadcast on a dipped estimate
+    a.hint("merge").join(b, "__sh")
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
       .agg(count(lit(1)).as("inter_size"))
@@ -676,9 +751,6 @@ object Dedup {
         col("inter_size") / least(col("size_a"), col("size_b")))
       .filter(col("containment") >= threshold)
       .select("id_a", "id_b", "containment")
-      .localCheckpoint(true)
-    graft.util.Pins.release(hashed)
-    result
   }
 
   /** Weighted sparse cosine all-pairs over TF-IDF term vectors — the
@@ -701,39 +773,68 @@ object Dedup {
   def cosinePairs(docs: DataFrame, idCol: String, textCol: String,
                   threshold: Double = 0.3,
                   maxDf: Option[Long] = None): DataFrame = {
-    val tf = docs
-      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__tf"))
-    val withDf = tf.withColumn("__df",
-      count(lit(1)).over(Window.partitionBy("term")))
-    val capped = maxDf match {
-      case None => withDf
-      case Some(cap) => withDf.filter(col("__df") <= cap)
-    }
-    val nDocs = docs.select(count(lit(1)).as("__n"))
-    val wts = capped
-      .crossJoin(broadcast(nDocs))
-      .select(col(idCol), xxhash64(col("term")).as("__t"),
-        (col("__tf") * log(col("__n") / col("__df"))).as("__w"))
-      .localCheckpoint(true)
-    val result = {
-      val norms = wts.groupBy(idCol).agg(sqrt(sum(col("__w") * col("__w"))).as("__nrm"))
-      val a = wts.select(col(idCol).as("id_a"), col("__t"), col("__w").as("__wa"))
-      val b = wts.select(col(idCol).as("id_b"), col("__t"), col("__w").as("__wb"))
-      val dots = a.join(b, "__t")
-        .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(sum(col("__wa") * col("__wb")).as("__dp"))
-      dots
-        .join(norms.withColumnRenamed(idCol, "id_a").withColumnRenamed("__nrm", "__na"), "id_a")
-        .join(norms.withColumnRenamed(idCol, "id_b").withColumnRenamed("__nrm", "__nb"), "id_b")
-        .withColumn("cosine_sim", col("__dp") / (col("__na") * col("__nb")))
-        .filter(col("cosine_sim") >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
-        .localCheckpoint(true)
-    }
+    // TF on the 8-byte hashed term key, co-partitioned by term: the df
+    // rollup, the df-cap filter and BOTH dot-product join sides derive
+    // from the one materialized exchange with zero further exchanges —
+    // the [[hashedByShingle]] posture. Rounds ≤18 computed df with a
+    // window (`count(*) OVER (PARTITION BY term)`), a full sort of the
+    // (id, term-string) table per call, and re-exchanged both join
+    // sides. Hashing before the df count merges colliding terms' dfs —
+    // the same ~2⁻³² tolerance the join key already accepts.
+    val tfh = cosineTf(docs, idCol, textCol).localCheckpoint(true)
+    val wts = cosineWeights(tfh, docs, idCol, maxDf).localCheckpoint(true)
+    graft.util.Pins.release(tfh)
+    val result = cosineTail(wts, idCol, threshold).localCheckpoint(true)
     graft.util.Pins.release(wts)
     result
+  }
+
+  /** [[cosinePairs]] minus the eager checkpoints — the lazy audit
+    * variant (see [[jaccardPairsFromShinglesLazy]]). */
+  private[graft] def cosinePairsLazy(docs: DataFrame, idCol: String,
+                                     textCol: String, threshold: Double,
+                                     maxDf: Option[Long]): DataFrame =
+    cosineTail(
+      cosineWeights(cosineTf(docs, idCol, textCol), docs, idCol, maxDf),
+      idCol, threshold)
+
+  private def cosineTf(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(TextOps.tokens(col(textCol))).as("term"))
+      .select(col(idCol), xxhash64(col("term")).as("__t"))
+      .groupBy(col(idCol), col("__t")).agg(count(lit(1)).as("__tf"))
+
+  private def cosineWeights(tfh: DataFrame, docs: DataFrame, idCol: String,
+                            maxDf: Option[Long]): DataFrame = {
+    val dfT = tfh.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val dfKept = maxDf match {
+      case None => dfT
+      case Some(cap) => dfT.filter(col("__df") <= cap)
+    }
+    val nDocs = docs.select(count(lit(1)).as("__n"))
+    tfh
+      .join(dfKept, "__t")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("__t"),
+        (col("__tf") * log(col("__n") / col("__df"))).as("__w"))
+  }
+
+  private def cosineTail(wts: DataFrame, idCol: String,
+                         threshold: Double): DataFrame = {
+    val norms = wts.groupBy(idCol).agg(sqrt(sum(col("__w") * col("__w"))).as("__nrm"))
+    val a = wts.select(col(idCol).as("id_a"), col("__t"), col("__w").as("__wa"))
+    val b = wts.select(col(idCol).as("id_b"), col("__t"), col("__w").as("__wb"))
+    // merge hint: see jaccardFromHashed — corpus-sized sides must not
+    // broadcast on a dipped estimate
+    a.hint("merge").join(b, "__t")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("__wa") * col("__wb")).as("__dp"))
+      .join(norms.withColumnRenamed(idCol, "id_a").withColumnRenamed("__nrm", "__na"), "id_a")
+      .join(norms.withColumnRenamed(idCol, "id_b").withColumnRenamed("__nrm", "__nb"), "id_b")
+      .withColumn("cosine_sim", col("__dp") / (col("__na") * col("__nb")))
+      .filter(col("cosine_sim") >= threshold)
+      .select("id_a", "id_b", "cosine_sim")
   }
 
   /** Fuzzy record linkage: id pairs whose `nameCol` values share a

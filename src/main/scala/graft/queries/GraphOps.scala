@@ -61,33 +61,16 @@ object GraphOps {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
       col(wCol).cast("double").as("w"))
 
-    // |V|-sized node table, checkpointed so the three derived artifacts
-    // below build from one materialization. Its LIFETIME ends there:
-    // teleport/trans/dangling are themselves eagerly checkpointed, so
-    // nodes' blocks are released before the loop (Pins.release below) —
-    // do NOT reference it after that point (a released localCheckpoint
-    // cannot recompute).
+    // |V|-sized node table, checkpointed so the derived artifacts below
+    // build from one materialization. Its LIFETIME ends there: trans and
+    // the rank state are themselves eagerly checkpointed, so nodes'
+    // blocks are released before the loop (Pins.release below) — do NOT
+    // reference it after that point (a released localCheckpoint cannot
+    // recompute).
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
       .localCheckpoint(true)
-
-    // Teleport vector (node, tp), checkpointed once. Uniform: tp = 1/N.
-    // Personalized: tp = 1/|seeds in graph| on seeds, 0 elsewhere.
-    val teleport = (seedNodes match {
-      case None =>
-        val nDf = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
-        nodes.crossJoin(broadcast(nDf))
-          .select(col("node"), (lit(1.0) / col("n_nodes")).as("tp"))
-      case Some(s) =>
-        val inGraph = nodes.join(s, Seq("node"), "left_semi")
-        val sDf = inGraph.agg(count(lit(1)).cast("double").as("n_seeds"))
-        nodes.join(inGraph.withColumn("is_seed", lit(1)), Seq("node"), "left")
-          .crossJoin(broadcast(sDf))
-          .select(col("node"),
-            when(col("is_seed").isNotNull, lit(1.0) / col("n_seeds"))
-              .otherwise(lit(0.0)).as("tp"))
-    }).localCheckpoint(true)
 
     // Loop-invariant edge state: P(src→dst) = w / Σw(src), partitioned by
     // src so the per-iteration join reuses this layout.
@@ -96,11 +79,38 @@ object GraphOps {
       .select(col("src"), col("dst"), (col("w") / col("w_out")).as("p"))
       .repartition(col("src"))
       .localCheckpoint(true)
-    // Nodes with no outgoing edges: their rank mass is redistributed
-    // along the teleport vector each iteration (computed once;
-    // per-iteration cost is a broadcast-sized semi join + 1-row agg).
-    val dangling = nodes.join(trans.select(col("src").as("node")).distinct(),
-        Seq("node"), "left_anti")
+
+    // ONE loop state table (round 19): (node, tp, dang, pr) — the
+    // teleport vector and the dangling flag ride as COLUMNS of the rank
+    // state instead of two standalone |V| checkpoints joined back every
+    // iteration. Per iteration this removes the teleport SMJ and the
+    // dangling semi-join (the dangling-mass scalar becomes a flag
+    // filter over the state itself) — two fewer |V| joins per
+    // iteration at any scale, and three fewer setup checkpoints here.
+    // Uniform teleport: tp = 1/N. Personalized: tp = 1/|seeds∩V| on
+    // seeds, 0 elsewhere. dang = node has no outgoing edge (derived
+    // from trans' src set — same anti-join semantics as the old
+    // standalone dangling table).
+    val outSrc = trans.select(col("src").as("node")).distinct()
+      .withColumn("has_out", lit(1))
+    val withDang = nodes.join(outSrc, Seq("node"), "left")
+      .select(col("node"), col("has_out").isNull.as("dang"))
+    var ranks = (seedNodes match {
+      case None =>
+        val nDf = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+        withDang.crossJoin(broadcast(nDf))
+          .select(col("node"), (lit(1.0) / col("n_nodes")).as("tp"),
+            col("dang"))
+      case Some(s) =>
+        val inGraph = nodes.join(s, Seq("node"), "left_semi")
+        val sDf = inGraph.agg(count(lit(1)).cast("double").as("n_seeds"))
+        withDang.join(inGraph.withColumn("is_seed", lit(1)), Seq("node"), "left")
+          .crossJoin(broadcast(sDf))
+          .select(col("node"),
+            when(col("is_seed").isNotNull, lit(1.0) / col("n_seeds"))
+              .otherwise(lit(0.0)).as("tp"),
+            col("dang"))
+    }).withColumn("pr", col("tp"))
       .localCheckpoint(true)
 
     // by-NAME column references throughout the loop: once lineage spans
@@ -108,14 +118,13 @@ object GraphOps {
     // references like trans("dst") become ambiguous — the previous
     // iteration's rank plan embeds the same trans attributes — while
     // name resolution against the joined OUTPUT schemas (kept disjoint:
-    // ranks (node, pr), trans (src, dst, p)) stays well-defined and lets
-    // DeduplicateRelations rewrite the reused subtree.
-    // nodes fed the (now-materialized) teleport and dangling checkpoints
-    // and nothing else — release its pinned blocks before the loop
+    // ranks (node, tp, dang, pr), trans (src, dst, p)) stays
+    // well-defined and lets DeduplicateRelations rewrite the reused
+    // subtree.
+    // nodes fed the (now-materialized) state checkpoint and nothing
+    // else — release its pinned blocks before the loop
     graft.util.Pins.release(nodes)
 
-    var ranks = teleport.select(col("node"), col("tp").as("pr"))
-      .localCheckpoint(true)
     // the superseded-checkpoint chain: once iteration i's checkpoint is
     // materialized, iteration i−1's is dead weight (the house contract —
     // Pins.scala — forbids leaving the loop's stale |V| pins to GC
@@ -125,14 +134,14 @@ object GraphOps {
       val contrib = ranks.join(trans, col("node") === col("src"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") * col("p")).as("contrib"))
-      val dangMass = ranks.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum("pr"), lit(0.0)).as("dang"))
-      ranks = teleport.join(contrib, col("node") === col("dst"), "left")
+      val dangMass = ranks.filter(col("dang"))
+        .agg(coalesce(sum("pr"), lit(0.0)).as("dmass"))
+      ranks = ranks.join(contrib, col("node") === col("dst"), "left")
         .crossJoin(broadcast(dangMass))
-        .select(col("node"),
+        .select(col("node"), col("tp"), col("dang"),
           (lit(1.0 - damping) * col("tp") +
             lit(damping) * (coalesce(col("contrib"), lit(0.0)) +
-              col("dang") * col("tp"))).as("pr"))
+              col("dmass") * col("tp"))).as("pr"))
       // truncate lineage between iterations (a halved, every-2nd cadence
       // was measured and bought nothing — the barrier cost is offset by
       // the deeper plan, so keep the simpler invariant); the LAST
@@ -146,7 +155,7 @@ object GraphOps {
         superseded = ranks
       }
     }
-    ranks
+    ranks.select(col("node"), col("pr"))
   }
 
   /** Synchronous label propagation (community detection — Raghavan et
@@ -184,11 +193,15 @@ object GraphOps {
       val contrib = sym.join(lab.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(sum("w").as("wsum"))
-      val winner = contrib.groupBy("node")
+      // winner's node set IS lab's node set: every lab node appears as a
+      // sym src (lab0 = distinct src), hence — symmetrized edges — as a
+      // dst, and every sym row joins (lab covers all srcs), so the
+      // relabel join-back rounds ≤18 carried (lab ⟕ winner + coalesce)
+      // was provably the identity on winner. Dropping it removes one
+      // |V| join per sweep at any scale.
+      lab = contrib.groupBy("node")
         .agg(min(struct((-col("wsum")).as("nw"), col("label").as("l"))).as("best"))
-        .select(col("node"), col("best.l").as("new_label"))
-      lab = lab.join(winner, Seq("node"), "left")
-        .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
+        .select(col("node"), col("best.l").as("label"))
       if (i < iters) {
         lab = lab.localCheckpoint(true)
         graft.util.Pins.release(superseded)
@@ -254,14 +267,15 @@ object GraphOps {
       .distinct()
       .select(col("node").as("walk_id"), col("node"))
       .localCheckpoint(true)
-    // the result ACCUMULATES as its own checkpoint chain: each round's
-    // acc materializes before the superseded acc/frontier are released,
-    // so the returned table is one self-contained checkpoint and no
-    // intermediate pin outlives the loop (releasing a checkpoint a
-    // later plan still reads would break it — checkpoints can't
-    // recompute)
-    var acc = frontier.select(col("walk_id"), lit(0).as("step"), col("node"))
-      .localCheckpoint(true)
+    // Each hop materializes ONCE as its own |V|-sized checkpoint and the
+    // result is the lazy union of all hop checkpoints (round 19). Rounds
+    // ≤18 also re-checkpointed the ACCUMULATED union every hop — hop t
+    // re-wrote all t·|V| earlier rows, O(steps²·|V|) checkpoint bytes
+    // across the walk instead of O(steps·|V|), plus one extra eager job
+    // per hop. The hop checkpoints stay pinned for the caller (the
+    // returned plan reads them), the same lifetime contract as
+    // powerIterate's final-iteration artifacts.
+    val hops = scala.collection.mutable.ArrayBuffer[DataFrame](frontier)
     for (t <- 1 to steps) {
       val key = pmod(graft.functions.TextExprs.rollingHash(
         concat_ws(":", col("walk_id").cast("string"), lit(t),
@@ -272,17 +286,13 @@ object GraphOps {
         .agg(min(struct(key.as("k"), col("dst").as("d"))).as("__best"))
         .select(col("walk_id"), col("__best.d").as("node"))
         .localCheckpoint(true)
-      val nextAcc = acc
-        .unionAll(next.select(col("walk_id"), lit(t).as("step"), col("node")))
-        .localCheckpoint(true)
-      graft.util.Pins.release(frontier)
-      graft.util.Pins.release(acc)
+      hops += next
       frontier = next
-      acc = nextAcc
     }
-    graft.util.Pins.release(frontier)
     graft.util.Pins.release(e)
-    acc
+    hops.zipWithIndex.map { case (f, t) =>
+      f.select(col("walk_id"), lit(t).as("step"), col("node"))
+    }.reduceLeft(_ unionAll _)
   }
 
   /** Bounded k-core peel (Seidman 1983's degeneracy filter, the standard

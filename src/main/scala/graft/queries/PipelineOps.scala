@@ -358,6 +358,7 @@ object PipelineOps {
         .localCheckpoint(true)
     }
 
+
   /** MinHash signature table (8 hex hashes per doc) over `documents`,
     * built once per dataset — the index both `dd_minhash_sig` and the LSH
     * candidate join serve from.
