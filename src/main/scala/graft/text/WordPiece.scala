@@ -235,6 +235,12 @@ object WordPiece {
     */
   def segmentWords(wordList: DataFrame, model: WpModel,
                    mark: Boolean = true): DataFrame =
+    // NOTE (round 19): an explicit session-width repartition under the
+    // distinct was tried here (the Multimodal.spreadIds pattern, to
+    // spread the longest-match DP off AQE's 1-task byte-coalesced
+    // layout) and REVERTED on measurement: the DP is allocation-heavy,
+    // and 32-wide it lost more to GC than it gained in parallelism
+    // (0.87 s vs 0.77 s at sf0.1). AQE's byte-based sizing stays.
     wordList.select("word").distinct()
       .withColumn("pieces", WordPieceSplit.split(col("word"), model.pieces, mark))
 
