@@ -522,6 +522,13 @@ object Dedup {
     */
   private def positionalGrams(docs: DataFrame, idCol: String,
                               textCol: String, k: Int): DataFrame = {
+    // NOTE (round 19): a session-width repartition(id) under the lead
+    // windows was tried (to spread the gram build off AQE's 1-2-task
+    // byte-coalesced layout) and REVERTED on measurement: wall time was
+    // flat (0.38 vs 0.34 s) while total task time inflated ~19x
+    // (0.53 -> 9.9 s across 32 tasks, cpu alone 14x) — allocation-heavy
+    // window work saturates the box when spread. AQE's byte-based
+    // sizing stays; at scale this exchange arrives wide on real bytes.
     val toksPos = docs.select(col(idCol),
       posexplode(TextOps.tokens(col(textCol))).as(Seq("pos", "tok")))
     val w = Window.partitionBy(idCol).orderBy("pos")

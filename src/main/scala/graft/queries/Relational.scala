@@ -42,6 +42,13 @@ object Relational {
     */
   def sessionPathTable(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // NOTE (round 19): a session-width repartition(user_id) under this
+    // window was tried (to spread the CPU-dense sessionization stage off
+    // AQE's 1-task byte-coalesced layout) and REVERTED on measurement:
+    // wall time was flat (0.32 vs 0.38 s) while total task time inflated
+    // ~20x (0.37 -> 7.9 s across 32 tasks) — allocation-heavy window
+    // work saturates the box when spread. AQE's byte-based sizing stays;
+    // at scale this exchange arrives wide on real bytes by itself.
     events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("gap_us",
