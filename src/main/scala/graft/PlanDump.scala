@@ -103,7 +103,11 @@ object PlanDump {
       "dd_containment_pairs@after" -> (() => graft.dedup.Dedup
         .containmentPairsFromShinglesLazy(shingleTbl, "doc_id", 0.8, Some(50L))),
       "dd_cosine_pairs@after" -> (() => graft.dedup.Dedup
-        .cosinePairsLazy(docs, "doc_id", "text", 0.3, Some(50L))))
+        .cosinePairsLazy(docs, "doc_id", "text", 0.3, Some(50L))),
+      "dd_repeated_spans@before" -> (() => graft.dedup.Dedup
+        .repeatedSpansLazy(docs, "doc_id", "text", 8, r18DistinctFilter = true)),
+      "dd_repeated_spans@after" -> (() => graft.dedup.Dedup
+        .repeatedSpansLazy(docs, "doc_id", "text", 8)))
 
     names.foreach { name =>
       val df = overrides.get(s"$name@$suffix") match {

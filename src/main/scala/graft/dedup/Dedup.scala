@@ -412,6 +412,33 @@ object Dedup {
     mergeWindowSpans(grams.join(crossDocGrams, Seq("gram"), "left_semi"), idCol, k)
   }
 
+  /** Lazy audit variant of [[repeatedSpans]] (no eager gram checkpoint,
+    * so the dumped plan shows the real pipeline instead of a checkpoint
+    * scan — the [[jaccardPairsFromShinglesLazy]] convention; the lazy
+    * form re-derives the gram table per consumer by construction).
+    * `r18DistinctFilter` reconstructs the round-18 cross-doc filter
+    * (`countDistinct(id) > 1`) verbatim so the plans/r19 before/after
+    * evidence diffs the aggregate rewrite alone. Plan-dump use only —
+    * the served query stays [[repeatedSpans]].
+    */
+  private[graft] def repeatedSpansLazy(docs: DataFrame, idCol: String,
+                                       textCol: String, k: Int,
+                                       r18DistinctFilter: Boolean = false): DataFrame = {
+    val grams = positionalGrams(docs, idCol, textCol, k)
+    val crossDocGrams =
+      if (r18DistinctFilter)
+        grams.groupBy("gram")
+          .agg(countDistinct(col(idCol)).as("__docs"))
+          .filter(col("__docs") > 1)
+          .select("gram")
+      else
+        grams.groupBy("gram")
+          .agg(min(col(idCol)).as("__lo"), max(col(idCol)).as("__hi"))
+          .filter(col("__lo") =!= col("__hi"))
+          .select("gram")
+    mergeWindowSpans(grams.join(crossDocGrams, Seq("gram"), "left_semi"), idCol, k)
+  }
+
   /** Contaminated spans: the maximal token ranges of each corpus doc
     * that share a k-token gram with the (small, broadcast) `benchmark`
     * set — [[repeatedSpans]]' machinery pointed at eval-set leakage,
